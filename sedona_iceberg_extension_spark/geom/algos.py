@@ -1,0 +1,1037 @@
+"""Computational-geometry algorithms over the pure-Python geometry model.
+
+These re-implement (from public knowledge: standard computational geometry +
+the JTS algorithm descriptions) the semantics the reference gets from JTS via
+Sedona — measures, DE-9IM-style predicates, transforms, and the centroid
+monoid used by the reference's ``ST_CENTROID_AGGR``
+(``UDAF/AggregateFunctions.scala:12-128``).
+
+Scope note: exact general DE-9IM over arbitrary geometry pairs is a large
+project; this module is exact for the combinations the engine's declared
+correctness contract exercises (points, segments, axis-aligned boxes, convex
+and simple polygons — see FIXTURES.md) and pragmatic elsewhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+from .model import (
+    Coord,
+    Geometry,
+    WKB_GEOMETRYCOLLECTION,
+    WKB_LINESTRING,
+    WKB_MULTILINESTRING,
+    WKB_MULTIPOINT,
+    WKB_MULTIPOLYGON,
+    WKB_POINT,
+    WKB_POLYGON,
+)
+
+EPS = 1e-12
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _cross(o: Coord, a: Coord, b: Coord) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def _orient(o: Coord, a: Coord, b: Coord) -> int:
+    c = _cross(o, a, b)
+    if c > EPS:
+        return 1
+    if c < -EPS:
+        return -1
+    return 0
+
+
+def _on_segment(p: Coord, a: Coord, b: Coord) -> bool:
+    """p collinear-with and within segment ab (inclusive endpoints)."""
+    if _orient(a, b, p) != 0:
+        return False
+    return (
+        min(a[0], b[0]) - EPS <= p[0] <= max(a[0], b[0]) + EPS
+        and min(a[1], b[1]) - EPS <= p[1] <= max(a[1], b[1]) + EPS
+    )
+
+
+def _seg_intersect(a: Coord, b: Coord, c: Coord, d: Coord) -> bool:
+    """Segments ab and cd share at least one point."""
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+    return (
+        (o1 == 0 and _on_segment(c, a, b))
+        or (o2 == 0 and _on_segment(d, a, b))
+        or (o3 == 0 and _on_segment(a, c, d))
+        or (o4 == 0 and _on_segment(b, c, d))
+    )
+
+
+def _seg_proper_cross(a: Coord, b: Coord, c: Coord, d: Coord) -> bool:
+    """Segments cross at a single interior point of both."""
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    return o1 * o2 < 0 and o3 * o4 < 0
+
+
+def _collinear_overlap(a: Coord, b: Coord, c: Coord, d: Coord) -> bool:
+    """Segments are collinear and overlap over positive length."""
+    if _orient(a, b, c) != 0 or _orient(a, b, d) != 0:
+        return False
+    # project on dominant axis
+    if abs(b[0] - a[0]) >= abs(b[1] - a[1]):
+        lo1, hi1 = sorted((a[0], b[0]))
+        lo2, hi2 = sorted((c[0], d[0]))
+    else:
+        lo1, hi1 = sorted((a[1], b[1]))
+        lo2, hi2 = sorted((c[1], d[1]))
+    return min(hi1, hi2) - max(lo1, lo2) > EPS
+
+
+def _pt_in_ring(p: Coord, ring: Sequence[Coord]) -> int:
+    """0 outside, 1 on boundary, 2 inside (ray-crossing, boundary-exact)."""
+    x, y = p
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        a, b = ring[i], ring[i + 1]
+        if _on_segment(p, a, b):
+            return 1
+        ay, by = a[1], b[1]
+        if (ay > y) != (by > y):
+            xi = a[0] + (y - ay) * (b[0] - a[0]) / (by - ay)
+            if xi > x:
+                inside = not inside
+    return 2 if inside else 0
+
+
+def locate_in_polygon(p: Coord, rings: Sequence[Sequence[Coord]]) -> int:
+    """0 exterior, 1 boundary, 2 interior — polygon with holes."""
+    if not rings:
+        return 0
+    loc = _pt_in_ring(p, rings[0])
+    if loc != 2:
+        return loc
+    for hole in rings[1:]:
+        hl = _pt_in_ring(p, hole)
+        if hl == 1:
+            return 1
+        if hl == 2:
+            return 0
+    return 2
+
+
+def _dist_pt_pt(a: Coord, b: Coord) -> float:
+    return math.hypot(a[0] - b[0], a[1] - b[1])
+
+
+def _dist_pt_seg(p: Coord, a: Coord, b: Coord) -> float:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    L2 = dx * dx + dy * dy
+    if L2 <= 0:
+        return _dist_pt_pt(p, a)
+    t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / L2
+    t = max(0.0, min(1.0, t))
+    return math.hypot(p[0] - (a[0] + t * dx), p[1] - (a[1] + t * dy))
+
+
+def _dist_seg_seg(a: Coord, b: Coord, c: Coord, d: Coord) -> float:
+    if _seg_intersect(a, b, c, d):
+        return 0.0
+    return min(
+        _dist_pt_seg(a, c, d), _dist_pt_seg(b, c, d),
+        _dist_pt_seg(c, a, b), _dist_pt_seg(d, a, b),
+    )
+
+
+def _ring_signed_area2(ring: Sequence[Coord]) -> float:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _segments(geom: Geometry):
+    """Yield all line segments (edges) of the geometry's 1-D/2-D parts."""
+    for g in geom.flatten():
+        if g.kind == WKB_LINESTRING:
+            for i in range(len(g.coords) - 1):
+                yield g.coords[i], g.coords[i + 1]
+        elif g.kind == WKB_POLYGON:
+            for ring in g.coords:
+                for i in range(len(ring) - 1):
+                    yield ring[i], ring[i + 1]
+
+
+# ---------------------------------------------------------------------------
+# measures
+# ---------------------------------------------------------------------------
+
+def area(geom: Geometry) -> float:
+    total = 0.0
+    for g in geom.flatten():
+        if g.kind == WKB_POLYGON and g.coords:
+            total += abs(_ring_signed_area2(g.coords[0])) / 2.0
+            for hole in g.coords[1:]:
+                total -= abs(_ring_signed_area2(hole)) / 2.0
+    return total
+
+
+def length(geom: Geometry) -> float:
+    """JTS ``Geometry.getLength`` semantics: line length; polygon perimeter."""
+    total = 0.0
+    for a, b in _segments(geom):
+        total += _dist_pt_pt(a, b)
+    return total
+
+
+def distance(g1: Geometry, g2: Geometry) -> Optional[float]:
+    if g1.is_empty() or g2.is_empty():
+        return None
+    if intersects(g1, g2):
+        return 0.0
+    best = math.inf
+    pts1 = [g.coords for g in g1.flatten() if g.kind == WKB_POINT]
+    pts2 = [g.coords for g in g2.flatten() if g.kind == WKB_POINT]
+    segs1 = list(_segments(g1))
+    segs2 = list(_segments(g2))
+    for p in pts1:
+        for q in pts2:
+            best = min(best, _dist_pt_pt(p, q))
+        for a, b in segs2:
+            best = min(best, _dist_pt_seg(p, a, b))
+    for q in pts2:
+        for a, b in segs1:
+            best = min(best, _dist_pt_seg(q, a, b))
+    for a, b in segs1:
+        for c, d in segs2:
+            best = min(best, _dist_seg_seg(a, b, c, d))
+    return best if best < math.inf else None
+
+
+# -- centroid monoid (mirrors reference CentroidBuffer, 9 numeric fields,
+#    UDAF/AggregateFunctions.scala:12-14,17-128) ------------------------------
+
+CENTROID_FIELDS = (
+    "area2", "acx3", "acy3",          # areal: 2*signed area, 3*area-weighted sums
+    "length", "lcx", "lcy",           # lineal: length, length-weighted midpoint sums
+    "npts", "pcx", "pcy",             # puntal: count, coordinate sums
+)
+
+
+def centroid_buffer_zero() -> List[float]:
+    return [0.0] * 9
+
+
+def centroid_buffer_add(buf: List[float], geom: Geometry) -> List[float]:
+    """Accumulate one geometry (empties skipped, per AggregateFunctions.scala:18)."""
+    if geom is None or geom.is_empty():
+        return buf
+    for g in geom.flatten():
+        if g.kind == WKB_POINT:
+            buf[6] += 1.0
+            buf[7] += g.coords[0]
+            buf[8] += g.coords[1]
+        elif g.kind == WKB_LINESTRING:
+            for i in range(len(g.coords) - 1):
+                a, b = g.coords[i], g.coords[i + 1]
+                L = _dist_pt_pt(a, b)
+                buf[3] += L
+                buf[4] += L * (a[0] + b[0]) / 2.0
+                buf[5] += L * (a[1] + b[1]) / 2.0
+        elif g.kind == WKB_POLYGON:
+            for ri, ring in enumerate(g.coords):
+                s2 = _ring_signed_area2(ring)
+                sx = sy = 0.0
+                for i in range(len(ring) - 1):
+                    x1, y1 = ring[i]
+                    x2, y2 = ring[i + 1]
+                    cr = x1 * y2 - x2 * y1
+                    sx += (x1 + x2) * cr
+                    sy += (y1 + y2) * cr
+                # normalize: shell positive, holes negative
+                sign = 1.0 if ri == 0 else -1.0
+                if s2 != 0:
+                    flip = sign * (1.0 if s2 > 0 else -1.0)
+                    buf[0] += flip * s2
+                    buf[1] += flip * sx
+                    buf[2] += flip * sy
+                # perimeter also feeds the lineal accumulator (JTS Centroid
+                # keeps lineal sums as fallback for zero-area polygons)
+                for i in range(len(ring) - 1):
+                    a, b = ring[i], ring[i + 1]
+                    L = _dist_pt_pt(a, b)
+                    buf[3] += L
+                    buf[4] += L * (a[0] + b[0]) / 2.0
+                    buf[5] += L * (a[1] + b[1]) / 2.0
+    return buf
+
+
+def centroid_buffer_merge(b1: List[float], b2: List[float]) -> List[float]:
+    return [a + b for a, b in zip(b1, b2)]
+
+
+def centroid_buffer_finish(buf: List[float]) -> Optional[Geometry]:
+    """Priority areal > lineal > puntal (AggregateFunctions.scala:111-126)."""
+    if abs(buf[0]) > 0:
+        return Geometry.point(buf[1] / (3.0 * buf[0]), buf[2] / (3.0 * buf[0]))
+    if buf[3] > 0:
+        return Geometry.point(buf[4] / buf[3], buf[5] / buf[3])
+    if buf[6] > 0:
+        return Geometry.point(buf[7] / buf[6], buf[8] / buf[6])
+    return None
+
+
+def centroid(geom: Geometry) -> Optional[Geometry]:
+    if geom is None or geom.is_empty():
+        return None
+    return centroid_buffer_finish(centroid_buffer_add(centroid_buffer_zero(), geom))
+
+
+# ---------------------------------------------------------------------------
+# predicates
+# ---------------------------------------------------------------------------
+
+def _env_disjoint(g1: Geometry, g2: Geometry) -> bool:
+    e1, e2 = g1.envelope(), g2.envelope()
+    if e1 is None or e2 is None:
+        return True
+    return e1[2] < e2[0] - EPS or e2[2] < e1[0] - EPS or e1[3] < e2[1] - EPS or e2[3] < e1[1] - EPS
+
+
+def _atomic_intersects(a: Geometry, b: Geometry) -> bool:
+    ka, kb = a.kind, b.kind
+    if ka > kb:
+        a, b, ka, kb = b, a, kb, ka
+    if ka == WKB_POINT:
+        p = a.coords
+        if kb == WKB_POINT:
+            return _dist_pt_pt(p, b.coords) <= EPS
+        if kb == WKB_LINESTRING:
+            return any(_on_segment(p, b.coords[i], b.coords[i + 1]) for i in range(len(b.coords) - 1))
+        return locate_in_polygon(p, b.coords) > 0
+    if ka == WKB_LINESTRING:
+        if kb == WKB_LINESTRING:
+            return any(
+                _seg_intersect(a.coords[i], a.coords[i + 1], b.coords[j], b.coords[j + 1])
+                for i in range(len(a.coords) - 1) for j in range(len(b.coords) - 1)
+            )
+        # line vs polygon
+        if any(locate_in_polygon(p, b.coords) > 0 for p in a.coords):
+            return True
+        for i in range(len(a.coords) - 1):
+            for ring in b.coords:
+                for j in range(len(ring) - 1):
+                    if _seg_intersect(a.coords[i], a.coords[i + 1], ring[j], ring[j + 1]):
+                        return True
+        return False
+    # polygon vs polygon
+    for ring in a.coords:
+        for p in ring:
+            if locate_in_polygon(p, b.coords) > 0:
+                return True
+    for ring in b.coords:
+        for p in ring:
+            if locate_in_polygon(p, a.coords) > 0:
+                return True
+    for ra in a.coords:
+        for i in range(len(ra) - 1):
+            for rb in b.coords:
+                for j in range(len(rb) - 1):
+                    if _seg_intersect(ra[i], ra[i + 1], rb[j], rb[j + 1]):
+                        return True
+    return False
+
+
+def intersects(g1: Geometry, g2: Geometry) -> bool:
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if _env_disjoint(g1, g2):
+        return False
+    return any(
+        _atomic_intersects(a, b) for a in g1.flatten() for b in g2.flatten()
+    )
+
+
+def disjoint(g1: Geometry, g2: Geometry) -> bool:
+    return not intersects(g1, g2)
+
+
+def _atomic_covered_by(b: Geometry, a: Geometry) -> bool:
+    """Every point of atomic ``b`` lies in (closure of) atomic ``a``."""
+    ka, kb = a.kind, b.kind
+    if kb == WKB_POINT:
+        return _atomic_intersects(b, a)
+    if kb == WKB_LINESTRING:
+        if ka == WKB_POINT:
+            return all(_dist_pt_pt(p, a.coords) <= EPS for p in b.coords)
+        if ka == WKB_LINESTRING:
+            # each segment of b must lie within segments of a: endpoint+midpoint test
+            for i in range(len(b.coords) - 1):
+                p, q = b.coords[i], b.coords[i + 1]
+                m = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
+                for t in (p, q, m):
+                    if not any(_on_segment(t, a.coords[j], a.coords[j + 1])
+                               for j in range(len(a.coords) - 1)):
+                        return False
+            return True
+        # line within polygon: endpoints+midpoints inside, no proper exit crossings
+        for i in range(len(b.coords) - 1):
+            p, q = b.coords[i], b.coords[i + 1]
+            m = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
+            for t in (p, q, m):
+                if locate_in_polygon(t, a.coords) == 0:
+                    return False
+            for ring in a.coords:
+                for j in range(len(ring) - 1):
+                    if _seg_proper_cross(p, q, ring[j], ring[j + 1]):
+                        return False
+        return True
+    # b is polygon
+    if ka != WKB_POLYGON:
+        return False  # a polygon can only be covered by another polygon
+    for ring in b.coords:
+        for i in range(len(ring) - 1):
+            p, q = ring[i], ring[i + 1]
+            m = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
+            for t in (p, q, m):
+                if locate_in_polygon(t, a.coords) == 0:
+                    return False
+            for ra in a.coords:
+                for j in range(len(ra) - 1):
+                    if _seg_proper_cross(p, q, ra[j], ra[j + 1]):
+                        return False
+    # a's holes must not poke into b's interior
+    for hole in a.coords[1:]:
+        hp = _ring_interior_point(hole)
+        if hp is not None and locate_in_polygon(hp, b.coords) == 2 and \
+                locate_in_polygon(hp, a.coords) == 0:
+            return False
+    return True
+
+
+def covers(g1: Geometry, g2: Geometry) -> bool:
+    """Every point of g2 lies in g1 (boundary contact allowed)."""
+    if g1.is_empty() or g2.is_empty():
+        return False
+    for b in g2.flatten():
+        if not any(_atomic_covered_by(b, a) for a in g1.flatten()):
+            return False
+    return True
+
+
+def covered_by(g1: Geometry, g2: Geometry) -> bool:
+    return covers(g2, g1)
+
+
+def _interior_point(g: Geometry) -> Optional[Coord]:
+    """Some point in the interior of an atomic geometry."""
+    if g.kind == WKB_POINT:
+        return g.coords
+    if g.kind == WKB_LINESTRING:
+        if len(g.coords) >= 2:
+            p, q = g.coords[0], g.coords[1]
+            return ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
+        return None
+    return _poly_interior_point(g.coords)
+
+
+def _ring_interior_point(ring: Sequence[Coord]) -> Optional[Coord]:
+    return _poly_interior_point([list(ring)])
+
+
+def _poly_interior_point(rings) -> Optional[Coord]:
+    if not rings or len(rings[0]) < 4:
+        return None
+    c = centroid(Geometry(WKB_POLYGON, [list(r) for r in rings]))
+    if c is not None and locate_in_polygon(c.coords, rings) == 2:
+        return c.coords
+    # fallback: midpoints of diagonals from vertex triples
+    ring = rings[0]
+    for i in range(len(ring) - 2):
+        m = ((ring[i][0] + ring[i + 2][0]) / 2, (ring[i][1] + ring[i + 2][1]) / 2)
+        if locate_in_polygon(m, rings) == 2:
+            return m
+    return None
+
+
+def _interior_intersects(g1: Geometry, g2: Geometry) -> bool:
+    """Interiors share at least one point (pragmatic)."""
+    for a in g1.flatten():
+        for b in g2.flatten():
+            if a.kind == WKB_POINT:
+                if _pt_in_interior(a.coords, b):
+                    return True
+            elif b.kind == WKB_POINT:
+                if _pt_in_interior(b.coords, a):
+                    return True
+            elif a.kind == WKB_LINESTRING and b.kind == WKB_LINESTRING:
+                for i in range(len(a.coords) - 1):
+                    for j in range(len(b.coords) - 1):
+                        if _seg_proper_cross(a.coords[i], a.coords[i + 1],
+                                             b.coords[j], b.coords[j + 1]):
+                            return True
+                        if _collinear_overlap(a.coords[i], a.coords[i + 1],
+                                              b.coords[j], b.coords[j + 1]):
+                            return True
+            elif WKB_POLYGON in (a.kind, b.kind):
+                poly, other = (a, b) if a.kind == WKB_POLYGON else (b, a)
+                # any sample point of `other` strictly inside poly?
+                samples: List[Coord] = []
+                if other.kind == WKB_LINESTRING:
+                    samples.extend(other.coords)
+                    for i in range(len(other.coords) - 1):
+                        p, q = other.coords[i], other.coords[i + 1]
+                        samples.append(((p[0] + q[0]) / 2, (p[1] + q[1]) / 2))
+                else:
+                    for ring in other.coords:
+                        samples.extend(ring)
+                        for i in range(len(ring) - 1):
+                            p, q = ring[i], ring[i + 1]
+                            samples.append(((p[0] + q[0]) / 2, (p[1] + q[1]) / 2))
+                    ip = _interior_point(other)
+                    if ip is not None:
+                        samples.append(ip)
+                if any(locate_in_polygon(s, poly.coords) == 2 for s in samples):
+                    return True
+                # proper edge crossings imply interior overlap
+                for sa, sb in _segments(other):
+                    for ring in poly.coords:
+                        for j in range(len(ring) - 1):
+                            if _seg_proper_cross(sa, sb, ring[j], ring[j + 1]):
+                                return True
+                if other.kind == WKB_POLYGON:
+                    ip = _interior_point(poly)
+                    if ip is not None and locate_in_polygon(ip, other.coords) == 2:
+                        return True
+    return False
+
+
+def _pt_in_interior(p: Coord, g: Geometry) -> bool:
+    if g.kind == WKB_POINT:
+        return _dist_pt_pt(p, g.coords) <= EPS
+    if g.kind == WKB_LINESTRING:
+        if _dist_pt_pt(p, g.coords[0]) <= EPS or _dist_pt_pt(p, g.coords[-1]) <= EPS:
+            closed = _dist_pt_pt(g.coords[0], g.coords[-1]) <= EPS
+            if not closed:
+                return False
+        return any(_on_segment(p, g.coords[i], g.coords[i + 1])
+                   for i in range(len(g.coords) - 1))
+    return locate_in_polygon(p, g.coords) == 2
+
+
+def contains(g1: Geometry, g2: Geometry) -> bool:
+    """OGC contains: covers AND some interior-interior contact."""
+    if not covers(g1, g2):
+        return False
+    return _interior_intersects(g1, g2)
+
+
+def within(g1: Geometry, g2: Geometry) -> bool:
+    return contains(g2, g1)
+
+
+def touches(g1: Geometry, g2: Geometry) -> bool:
+    if g1.is_empty() or g2.is_empty():
+        return False
+    return intersects(g1, g2) and not _interior_intersects(g1, g2)
+
+
+def crosses(g1: Geometry, g2: Geometry) -> bool:
+    d1, d2 = g1.dimension(), g2.dimension()
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if d1 == 1 and d2 == 1:
+        # lines cross: proper crossing exists, no collinear overlap dominance
+        for a, b in _segments(g1):
+            for c, d in _segments(g2):
+                if _seg_proper_cross(a, b, c, d):
+                    return True
+        return False
+    if {d1, d2} == {1, 2} or {d1, d2} == {0, 1} or {d1, d2} == {0, 2}:
+        lower, higher = (g1, g2) if d1 < d2 else (g2, g1)
+        if not _interior_intersects(lower, higher):
+            return False
+        return not covers(higher, lower)
+    return False
+
+
+def overlaps(g1: Geometry, g2: Geometry) -> bool:
+    d1, d2 = g1.dimension(), g2.dimension()
+    if d1 != d2 or g1.is_empty() or g2.is_empty():
+        return False
+    if not _interior_intersects(g1, g2):
+        return False
+    return not covers(g1, g2) and not covers(g2, g1)
+
+
+def equals(g1: Geometry, g2: Geometry) -> bool:
+    if g1.is_empty() and g2.is_empty():
+        return True
+    if g1.is_empty() or g2.is_empty():
+        return False
+    if g1.dimension() != g2.dimension():
+        return False
+    return covers(g1, g2) and covers(g2, g1)
+
+
+def ordering_equals(g1: Geometry, g2: Geometry) -> bool:
+    return g1.kind == g2.kind and g1.coords == g2.coords
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def envelope_geom(geom: Geometry) -> Geometry:
+    env = geom.envelope()
+    if env is None:
+        return Geometry.empty(WKB_POLYGON)
+    xmin, ymin, xmax, ymax = env
+    if xmin == xmax and ymin == ymax:
+        return Geometry.point(xmin, ymin)
+    if xmin == xmax or ymin == ymax:
+        return Geometry.linestring([(xmin, ymin), (xmax, ymax)])
+    return Geometry.box(xmin, ymin, xmax, ymax)
+
+
+def boundary(geom: Geometry) -> Geometry:
+    k = geom.kind
+    if k in (WKB_POINT, WKB_MULTIPOINT):
+        return Geometry.empty(WKB_GEOMETRYCOLLECTION)
+    if k == WKB_LINESTRING:
+        if geom.is_empty() or geom.coords[0] == geom.coords[-1]:
+            return Geometry.empty(WKB_MULTIPOINT)
+        return Geometry.multipoint([geom.coords[0], geom.coords[-1]])
+    if k == WKB_POLYGON:
+        if len(geom.coords) == 1:
+            return Geometry(WKB_LINESTRING, list(geom.coords[0]))
+        return Geometry(WKB_MULTILINESTRING, [list(r) for r in geom.coords])
+    if k == WKB_MULTILINESTRING:
+        pts = []
+        for line in geom.coords:
+            if line and line[0] != line[-1]:
+                pts += [line[0], line[-1]]
+        # points appearing an odd number of times (mod-2 rule)
+        out = [p for p in set(pts) if pts.count(p) % 2 == 1]
+        return Geometry.multipoint(sorted(out))
+    if k == WKB_MULTIPOLYGON:
+        lines = [list(r) for poly in geom.coords for r in poly]
+        return Geometry(WKB_MULTILINESTRING, lines)
+    return Geometry.collection([boundary(g) for g in geom.coords])
+
+
+def convex_hull(geom: Geometry) -> Geometry:
+    pts = sorted(set(geom.all_coords()))
+    if not pts:
+        return Geometry.empty(WKB_GEOMETRYCOLLECTION)
+    if len(pts) == 1:
+        return Geometry.point(*pts[0])
+    if len(pts) == 2:
+        return Geometry.linestring(pts)
+
+    def half(points):
+        h: List[Coord] = []
+        for p in points:
+            while len(h) >= 2 and _cross(h[-2], h[-1], p) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return Geometry.linestring(pts)
+    hull.append(hull[0])
+    return Geometry(WKB_POLYGON, [hull])
+
+
+def simplify(geom: Geometry, tol: float) -> Geometry:
+    """Douglas–Peucker (non-topology-preserving, JTS DouglasPeuckerSimplifier)."""
+    def dp(coords: List[Coord]) -> List[Coord]:
+        if len(coords) < 3:
+            return list(coords)
+        a, b = coords[0], coords[-1]
+        imax, dmax = 0, -1.0
+        for i in range(1, len(coords) - 1):
+            d = _dist_pt_seg(coords[i], a, b)
+            if d > dmax:
+                imax, dmax = i, d
+        if dmax <= tol:
+            return [a, b]
+        left = dp(coords[: imax + 1])
+        right = dp(coords[imax:])
+        return left[:-1] + right
+
+    k = geom.kind
+    if k == WKB_LINESTRING:
+        return Geometry(WKB_LINESTRING, dp(geom.coords), geom.srid)
+    if k == WKB_POLYGON:
+        rings = []
+        for ring in geom.coords:
+            r = dp(ring)
+            if len(r) >= 4:
+                rings.append(r)
+        return Geometry(WKB_POLYGON, rings, geom.srid)
+    if k == WKB_MULTILINESTRING:
+        return Geometry(WKB_MULTILINESTRING, [dp(l) for l in geom.coords], geom.srid)
+    if k == WKB_MULTIPOLYGON:
+        out = []
+        for poly in geom.coords:
+            rings = [dp(r) for r in poly]
+            rings = [r for r in rings if len(r) >= 4]
+            if rings:
+                out.append(rings)
+        return Geometry(WKB_MULTIPOLYGON, out, geom.srid)
+    if k == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([simplify(g, tol) for g in geom.coords], geom.srid)
+    return geom
+
+
+def flip_coordinates(geom: Geometry) -> Geometry:
+    def flip(c):
+        if c is None:
+            return None
+        if isinstance(c, tuple):
+            return (c[1], c[0])
+        return [flip(x) for x in c]
+
+    if geom.kind == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([flip_coordinates(g) for g in geom.coords], geom.srid)
+    return Geometry(geom.kind, flip(geom.coords), geom.srid)
+
+
+def reverse(geom: Geometry) -> Geometry:
+    k = geom.kind
+    if k == WKB_LINESTRING:
+        return Geometry(k, list(reversed(geom.coords)), geom.srid)
+    if k == WKB_POLYGON:
+        return Geometry(k, [list(reversed(r)) for r in geom.coords], geom.srid)
+    if k == WKB_MULTILINESTRING:
+        return Geometry(k, [list(reversed(l)) for l in geom.coords], geom.srid)
+    if k == WKB_MULTIPOLYGON:
+        return Geometry(k, [[list(reversed(r)) for r in p] for p in geom.coords], geom.srid)
+    if k == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([reverse(g) for g in geom.coords], geom.srid)
+    return geom
+
+
+def normalize(geom: Geometry) -> Geometry:
+    """Engine-canonical form: shell CCW / holes CW, rings rotated to start at
+    lexicographically-smallest vertex, multi-part components sorted.
+
+    (Engine convention — both sides of any differential test must use it.)
+    """
+    def norm_ring(ring: List[Coord], want_ccw: bool) -> List[Coord]:
+        if len(ring) < 2:
+            return list(ring)
+        body = ring[:-1] if ring[0] == ring[-1] else list(ring)
+        s2 = _ring_signed_area2(list(body) + [body[0]])
+        is_ccw = s2 > 0
+        if is_ccw != want_ccw:
+            body = list(reversed(body))
+        i = min(range(len(body)), key=lambda j: body[j])
+        body = body[i:] + body[:i]
+        return body + [body[0]]
+
+    k = geom.kind
+    if k == WKB_POLYGON:
+        rings = [norm_ring(geom.coords[0], True)] if geom.coords else []
+        rings += sorted((norm_ring(r, False) for r in geom.coords[1:]), key=lambda r: r[0])
+        return Geometry(k, rings, geom.srid)
+    if k == WKB_MULTIPOINT:
+        return Geometry(k, sorted(geom.coords, key=lambda c: (c is None, c)), geom.srid)
+    if k == WKB_MULTILINESTRING:
+        return Geometry(k, sorted(geom.coords), geom.srid)
+    if k == WKB_MULTIPOLYGON:
+        polys = [normalize(Geometry(WKB_POLYGON, p)).coords for p in geom.coords]
+        return Geometry(k, sorted(polys), geom.srid)
+    if k == WKB_GEOMETRYCOLLECTION:
+        from .io import to_wkb
+        parts = [normalize(g) for g in geom.coords]
+        parts.sort(key=lambda g: to_wkb(g))
+        return Geometry.collection(parts, geom.srid)
+    return geom
+
+
+def buffer(geom: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
+    """Point/multipoint buffer (circle approximation, JTS quadrantSegments=8).
+
+    General line/polygon offsetting is tier-2 (not in the declared contract);
+    distance 0 returns the input unchanged.
+    """
+    if dist == 0:
+        return geom
+    if dist < 0:
+        return Geometry.empty(WKB_POLYGON)
+    n = max(4, 4 * quad_segs)
+
+    def circle(cx, cy):
+        ring = []
+        for i in range(n):
+            th = 2 * math.pi * i / n
+            ring.append((cx + dist * math.cos(th), cy + dist * math.sin(th)))
+        ring.append(ring[0])
+        return [ring]
+
+    if geom.kind == WKB_POINT and not geom.is_empty():
+        return Geometry(WKB_POLYGON, circle(*geom.coords))
+    if geom.kind == WKB_MULTIPOINT:
+        polys = [circle(x, y) for (x, y) in geom.coords if geom.coords]
+        return Geometry(WKB_MULTIPOLYGON, polys)
+    raise NotImplementedError(
+        "ST_Buffer over line/polygon inputs is tier-2 in this engine "
+        "(declared contract covers point buffers; see SURVEY.md §2)"
+    )
+
+
+def make_valid(geom: Geometry) -> Geometry:
+    """Pragmatic validity repair: drop consecutive duplicate vertices, close rings."""
+    def clean_seq(coords: List[Coord], close: bool) -> List[Coord]:
+        out: List[Coord] = []
+        for c in coords:
+            if not out or _dist_pt_pt(out[-1], c) > EPS:
+                out.append(c)
+        if close and out and out[0] != out[-1]:
+            out.append(out[0])
+        return out
+
+    k = geom.kind
+    if k == WKB_LINESTRING:
+        return Geometry(k, clean_seq(geom.coords, False), geom.srid)
+    if k == WKB_POLYGON:
+        return Geometry(k, [clean_seq(r, True) for r in geom.coords], geom.srid)
+    if k == WKB_MULTILINESTRING:
+        return Geometry(k, [clean_seq(l, False) for l in geom.coords], geom.srid)
+    if k == WKB_MULTIPOLYGON:
+        return Geometry(k, [[clean_seq(r, True) for r in p] for p in geom.coords], geom.srid)
+    if k == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([make_valid(g) for g in geom.coords], geom.srid)
+    return geom
+
+
+def is_valid(geom: Geometry) -> bool:
+    """Pragmatic check: rings closed with ≥4 points, linestrings ≥2 points,
+    no self-proper-crossing within a ring."""
+    for g in geom.flatten():
+        if g.kind == WKB_LINESTRING and len(g.coords) < 2:
+            return False
+        if g.kind == WKB_POLYGON:
+            for ring in g.coords:
+                if len(ring) < 4 or ring[0] != ring[-1]:
+                    return False
+                n = len(ring) - 1
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        if _seg_proper_cross(ring[i], ring[i + 1], ring[j], ring[j + 1]):
+                            return False
+    return True
+
+
+def is_simple(geom: Geometry) -> bool:
+    if geom.kind == WKB_LINESTRING:
+        n = len(geom.coords) - 1
+        for i in range(n):
+            for j in range(i + 1, n):
+                if _seg_proper_cross(geom.coords[i], geom.coords[i + 1],
+                                     geom.coords[j], geom.coords[j + 1]):
+                    return False
+        return True
+    if geom.kind == WKB_MULTIPOINT:
+        return len(set(geom.coords)) == len(geom.coords)
+    return is_valid(geom)
+
+
+def is_closed(geom: Geometry) -> bool:
+    if geom.kind == WKB_LINESTRING:
+        return bool(geom.coords) and geom.coords[0] == geom.coords[-1]
+    if geom.kind == WKB_MULTILINESTRING:
+        return all(l and l[0] == l[-1] for l in geom.coords)
+    return True
+
+
+def is_ring(geom: Geometry) -> bool:
+    return geom.kind == WKB_LINESTRING and is_closed(geom) and is_simple(geom)
+
+
+def collect(geoms: Sequence[Optional[Geometry]]) -> Geometry:
+    """ST_Collect: homogeneous inputs → MULTI*, else GEOMETRYCOLLECTION."""
+    gs = [g for g in geoms if g is not None and not g.is_empty()]
+    if not gs:
+        return Geometry.empty(WKB_GEOMETRYCOLLECTION)
+    kinds = {g.kind for g in gs}
+    if kinds == {WKB_POINT}:
+        return Geometry(WKB_MULTIPOINT, [g.coords for g in gs])
+    if kinds == {WKB_LINESTRING}:
+        return Geometry(WKB_MULTILINESTRING, [g.coords for g in gs])
+    if kinds == {WKB_POLYGON}:
+        return Geometry(WKB_MULTIPOLYGON, [g.coords for g in gs])
+    return Geometry.collection(list(gs))
+
+
+def union_all(geoms: Sequence[Optional[Geometry]]) -> Optional[Geometry]:
+    """N-ary union. Exact for puntal inputs (dedup — matches the reference's
+    golden ``MULTIPOINT ((10 20), (20 30))``, TestSedonaIcebergExtension.scala:92)
+    and for disjoint/nested inputs; overlapping areal unions are dissolved
+    via covers-dedup (covered components are dropped, no boundary merge).
+    """
+    gs = [g for g in geoms if g is not None and not g.is_empty()]
+    if not gs:
+        return None
+    atoms: List[Geometry] = []
+    for g in gs:
+        atoms.extend(g.flatten())
+    if all(a.kind == WKB_POINT for a in atoms):
+        uniq = sorted({a.coords for a in atoms})
+        if len(uniq) == 1:
+            return Geometry.point(*uniq[0])
+        return Geometry(WKB_MULTIPOINT, list(uniq))
+    # drop components covered by another component
+    kept: List[Geometry] = []
+    for i, a in enumerate(atoms):
+        cov = False
+        for j, b in enumerate(atoms):
+            if i == j:
+                continue
+            if covers(b, a) and not (covers(a, b) and j > i):
+                cov = True
+                break
+        if not cov:
+            kept.append(a)
+    if len(kept) == 1:
+        return kept[0]
+    return collect(kept)
+
+
+def _sh_clip(subject: List[Coord], clip_ring: List[Coord]) -> List[Coord]:
+    """Sutherland–Hodgman: clip subject ring by a convex CCW clip ring."""
+    out = subject[:-1] if subject and subject[0] == subject[-1] else list(subject)
+    cr = clip_ring[:-1] if clip_ring[0] == clip_ring[-1] else list(clip_ring)
+    if _ring_signed_area2(list(cr) + [cr[0]]) < 0:
+        cr = list(reversed(cr))
+    for i in range(len(cr)):
+        a, b = cr[i], cr[(i + 1) % len(cr)]
+        if not out:
+            return []
+        new_out: List[Coord] = []
+        for j in range(len(out)):
+            p, q = out[j], out[(j + 1) % len(out)]
+            pin = _cross(a, b, p) >= -EPS
+            qin = _cross(a, b, q) >= -EPS
+            if pin:
+                new_out.append(p)
+            if pin != qin:
+                denom = _cross(a, b, q) - _cross(a, b, p)
+                if abs(denom) > EPS:
+                    t = -_cross(a, b, p) / denom
+                    new_out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
+        out = new_out
+    if len(out) < 3:
+        return []
+    return out + [out[0]]
+
+
+def _is_convex_ring(ring: Sequence[Coord]) -> bool:
+    body = list(ring[:-1]) if ring[0] == ring[-1] else list(ring)
+    n = len(body)
+    sign = 0
+    for i in range(n):
+        o = _orient(body[i], body[(i + 1) % n], body[(i + 2) % n])
+        if o != 0:
+            if sign == 0:
+                sign = o
+            elif o != sign:
+                return False
+    return True
+
+
+def intersection(g1: Geometry, g2: Geometry) -> Geometry:
+    """Exact when at least one operand is a convex single-ring polygon
+    (Sutherland–Hodgman clipping), plus the point/line cases; general
+    concave∩concave is tier-2."""
+    if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
+        return Geometry.empty(WKB_GEOMETRYCOLLECTION if g1.is_empty() else g1.kind)
+    if covers(g2, g1):
+        return g1
+    if covers(g1, g2):
+        return g2
+    d1, d2 = g1.dimension(), g2.dimension()
+    if d1 == 0 or d2 == 0:
+        pts, other = (g1, g2) if d1 == 0 else (g2, g1)
+        hits = sorted({p.coords for p in pts.flatten() if intersects(p, other)})
+        if not hits:
+            return Geometry.empty(WKB_POINT)
+        if len(hits) == 1:
+            return Geometry.point(*hits[0])
+        return Geometry(WKB_MULTIPOINT, hits)
+    if d1 == 2 and d2 == 2:
+        a_polys = [g for g in g1.flatten() if g.kind == WKB_POLYGON]
+        b_polys = [g for g in g2.flatten() if g.kind == WKB_POLYGON]
+        pieces: List[List[Ring]] = []
+        for pa in a_polys:
+            for pb in b_polys:
+                conv_a = len(pa.coords) == 1 and _is_convex_ring(pa.coords[0])
+                conv_b = len(pb.coords) == 1 and _is_convex_ring(pb.coords[0])
+                if conv_b:
+                    clipped = _sh_clip(list(pa.coords[0]), list(pb.coords[0]))
+                elif conv_a:
+                    clipped = _sh_clip(list(pb.coords[0]), list(pa.coords[0]))
+                else:
+                    raise NotImplementedError(
+                        "intersection of two non-convex polygons is tier-2")
+                if clipped:
+                    pieces.append([clipped])
+        if not pieces:
+            return Geometry.empty(WKB_POLYGON)
+        if len(pieces) == 1:
+            return Geometry(WKB_POLYGON, pieces[0])
+        return Geometry(WKB_MULTIPOLYGON, pieces)
+    # line ∩ polygon / line ∩ line: return shared vertices/clipped samples (tier-2 precision)
+    raise NotImplementedError("mixed-dimension overlay beyond points is tier-2")
+
+
+Ring = List[Coord]
+
+
+def difference(g1: Geometry, g2: Geometry) -> Geometry:
+    if g1.is_empty():
+        return g1
+    if g2.is_empty() or disjoint(g1, g2):
+        return g1
+    if covers(g2, g1):
+        return Geometry.empty(g1.kind)
+    if g1.dimension() == 0:
+        keep = sorted({p.coords for p in g1.flatten() if not intersects(p, g2)})
+        if not keep:
+            return Geometry.empty(WKB_POINT)
+        if len(keep) == 1:
+            return Geometry.point(*keep[0])
+        return Geometry(WKB_MULTIPOINT, keep)
+    # areal difference where g2 is fully inside g1's shell → punch hole
+    if (g1.kind == WKB_POLYGON and g2.kind == WKB_POLYGON
+            and covers(g1, g2) and len(g2.coords) == 1):
+        return Geometry(WKB_POLYGON, list(g1.coords) + [list(g2.coords[0])], g1.srid)
+    raise NotImplementedError("general areal difference is tier-2")
+
+
+def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
+    if disjoint(g1, g2):
+        return collect([g1, g2])
+    if g1.dimension() == 0 and g2.dimension() == 0:
+        s1 = {p.coords for p in g1.flatten()}
+        s2 = {p.coords for p in g2.flatten()}
+        keep = sorted(s1 ^ s2)
+        if not keep:
+            return Geometry.empty(WKB_POINT)
+        if len(keep) == 1:
+            return Geometry.point(*keep[0])
+        return Geometry(WKB_MULTIPOINT, keep)
+    raise NotImplementedError("general symmetric difference is tier-2")

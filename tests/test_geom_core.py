@@ -1,0 +1,236 @@
+"""Unit tests for the pure-Python geometry core (no Spark needed)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sedona_iceberg_extension_spark.geom import Geometry, from_wkb, from_wkt, to_wkb, to_wkt
+from sedona_iceberg_extension_spark.geom import algos as A
+from sedona_iceberg_extension_spark.geom import vec
+
+
+# -- fixtures matching the reference's test.csv kinds ------------------------
+WKTS = [
+    "POINT (10 20)",
+    "POINT (20 30)",
+    "LINESTRING (0 0, 10 0, 10 10)",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+    "MULTIPOINT ((1 1), (2 2), (3 3))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))",
+    "POLYGON EMPTY",
+    "POINT EMPTY",
+]
+
+
+@pytest.mark.parametrize("wkt", WKTS)
+def test_wkt_wkb_roundtrip(wkt):
+    g = from_wkt(wkt)
+    assert to_wkt(g) == wkt
+    g2 = from_wkb(to_wkb(g))
+    assert to_wkt(g2) == wkt
+
+
+def test_wkt_formatting_matches_jts_style():
+    # reference golden strings: TestSedonaIcebergExtension.scala:58-59,92
+    assert to_wkt(Geometry.point(10, 20)) == "POINT (10 20)"
+    assert to_wkt(Geometry.multipoint([(10, 20), (20, 30)])) == "MULTIPOINT ((10 20), (20 30))"
+    assert to_wkt(Geometry.point(10.5, -3.25)) == "POINT (10.5 -3.25)"
+
+
+def test_envelope_and_box():
+    g = from_wkt("LINESTRING (0 5, 10 0, 4 9)")
+    assert g.envelope() == (0, 0, 10, 9)
+    b = Geometry.box(0, 0, 2, 3)
+    assert A.area(b) == 6.0
+    assert A.length(b) == 10.0
+
+
+def test_area_with_hole():
+    g = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert A.area(g) == 100.0 - 4.0
+
+
+def test_distance():
+    p = from_wkt("POINT (0 0)")
+    q = from_wkt("POINT (3 4)")
+    assert A.distance(p, q) == 5.0
+    box = Geometry.box(10, 0, 20, 10)
+    assert A.distance(p, box) == 10.0
+    inside = from_wkt("POINT (15 5)")
+    assert A.distance(inside, box) == 0.0
+
+
+def test_point_in_polygon_predicates():
+    box = Geometry.box(0, 0, 10, 10)
+    inside = Geometry.point(5, 5)
+    on_edge = Geometry.point(0, 5)
+    outside = Geometry.point(-1, 5)
+    assert A.contains(box, inside)
+    assert not A.contains(box, on_edge)   # boundary: contains=False
+    assert A.covers(box, on_edge)         # covers=True
+    assert not A.covers(box, outside)
+    assert A.within(inside, box)
+    assert A.intersects(on_edge, box)
+    assert A.disjoint(outside, box)
+    assert A.touches(on_edge, box)
+    assert not A.touches(inside, box)
+
+
+def test_polygon_with_hole_predicates():
+    holed = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    in_hole = Geometry.point(5, 5)
+    in_body = Geometry.point(1, 1)
+    assert not A.contains(holed, in_hole)
+    assert A.contains(holed, in_body)
+    assert A.disjoint(in_hole, holed)
+
+
+def test_polygon_polygon_predicates():
+    a = Geometry.box(0, 0, 10, 10)
+    b = Geometry.box(2, 2, 8, 8)
+    c = Geometry.box(5, 5, 15, 15)
+    d = Geometry.box(20, 20, 30, 30)
+    e = Geometry.box(10, 0, 20, 10)  # shares edge with a
+    assert A.contains(a, b) and A.within(b, a)
+    assert A.overlaps(a, c) and A.overlaps(c, a)
+    assert not A.overlaps(a, b)  # containment is not overlap
+    assert A.disjoint(a, d)
+    assert A.touches(a, e) and not A.overlaps(a, e)
+    assert A.equals(a, Geometry.box(0, 0, 10, 10))
+
+
+def test_line_predicates():
+    l1 = from_wkt("LINESTRING (0 0, 10 10)")
+    l2 = from_wkt("LINESTRING (0 10, 10 0)")
+    l3 = from_wkt("LINESTRING (0 1, 10 11)")
+    box = Geometry.box(0, 0, 10, 10)
+    assert A.crosses(l1, l2)
+    assert A.intersects(l1, l2)
+    assert A.disjoint(l1, l3)
+    assert A.covers(box, l1)
+    assert A.contains(box, l1)
+    lcross = from_wkt("LINESTRING (-5 5, 15 5)")
+    assert A.crosses(lcross, box)
+    assert not A.crosses(l1, box)  # fully inside → within, not crosses
+
+
+def test_centroid_matches_reference_semantics():
+    # areal priority: polygon centroid
+    sq = Geometry.box(0, 0, 10, 10)
+    c = A.centroid(sq)
+    assert c.coords == (5.0, 5.0)
+    # puntal: average of points
+    mp = from_wkt("MULTIPOINT ((0 0), (10 0), (10 10), (0 10))")
+    assert A.centroid(mp).coords == (5.0, 5.0)
+    # lineal
+    line = from_wkt("LINESTRING (0 0, 10 0)")
+    assert A.centroid(line).coords == (5.0, 0.0)
+    # collection: areal wins over points (priority per AggregateFunctions.scala:111-126)
+    coll = Geometry.collection([sq, Geometry.point(100, 100)])
+    assert A.centroid(coll).coords == (5.0, 5.0)
+    # hole-aware
+    holed = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (0 0, 4 0, 4 4, 0 4, 0 0))")
+    cx, cy = A.centroid(holed).coords
+    # mass removed from lower-left corner → centroid moves up-right
+    assert cx > 5.0 and cy > 5.0
+
+
+def test_centroid_monoid_distributes():
+    geoms = [from_wkt(w) for w in WKTS if from_wkt(w) is not None]
+    whole = A.centroid_buffer_zero()
+    for g in geoms:
+        A.centroid_buffer_add(whole, g)
+    left = A.centroid_buffer_zero()
+    right = A.centroid_buffer_zero()
+    for g in geoms[:4]:
+        A.centroid_buffer_add(left, g)
+    for g in geoms[4:]:
+        A.centroid_buffer_add(right, g)
+    merged = A.centroid_buffer_merge(left, right)
+    assert np.allclose(merged, whole)
+
+
+def test_union_all_points_golden():
+    # reference golden: ST_Union_Aggr over two points → MULTIPOINT ((10 20), (20 30))
+    # (TestSedonaIcebergExtension.scala:90-92)
+    u = A.union_all([Geometry.point(10, 20), Geometry.point(20, 30), Geometry.point(10, 20)])
+    assert to_wkt(u) == "MULTIPOINT ((10 20), (20 30))"
+
+
+def test_convex_hull():
+    mp = from_wkt("MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))")
+    h = A.convex_hull(mp)
+    assert A.area(h) == 100.0
+    assert A.equals(h, Geometry.box(0, 0, 10, 10))
+
+
+def test_intersection_boxes():
+    a = Geometry.box(0, 0, 10, 10)
+    b = Geometry.box(5, 5, 15, 15)
+    i = A.intersection(a, b)
+    assert A.area(i) == 25.0
+    assert A.equals(i, Geometry.box(5, 5, 10, 10))
+
+
+def test_difference_points():
+    mp = from_wkt("MULTIPOINT ((1 1), (5 5), (20 20))")
+    box = Geometry.box(0, 0, 10, 10)
+    d = A.difference(mp, box)
+    assert to_wkt(d) == "POINT (20 20)"
+
+
+def test_simplify():
+    line = from_wkt("LINESTRING (0 0, 1 0.01, 2 0, 4 0)")
+    s = A.simplify(line, 0.1)
+    assert s.coords == [(0, 0), (4, 0)]
+
+
+def test_buffer_point():
+    b = A.buffer(Geometry.point(0, 0), 1.0)
+    assert b.kind == 3
+    assert abs(A.area(b) - math.pi) < 0.03  # 32-gon approximation
+    assert A.contains(b, Geometry.point(0.5, 0.5))
+
+
+def test_boundary():
+    box = Geometry.box(0, 0, 1, 1)
+    b = A.boundary(box)
+    assert b.kind == 2 and len(b.coords) == 5
+    line = from_wkt("LINESTRING (0 0, 5 5)")
+    assert to_wkt(A.boundary(line)) == "MULTIPOINT ((0 0), (5 5))"
+
+
+def test_normalize_idempotent():
+    g = from_wkt("POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))")
+    n1 = A.normalize(g)
+    n2 = A.normalize(n1)
+    assert n1.coords == n2.coords
+    # same geometry, different start/orientation → same normal form
+    g2 = from_wkt("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+    assert A.normalize(g2).coords == n1.coords
+
+
+def test_vectorized_point_wkb():
+    x = pd.Series([1.0, 2.5, None])
+    y = pd.Series([4.0, -3.5, 1.0])
+    w = vec.points_to_wkb(x, y)
+    assert w[2] is None
+    g0 = from_wkb(w[0])
+    assert g0.coords == (1.0, 4.0)
+    xs, ys = vec.wkb_to_points(w)
+    assert xs[0] == 1.0 and ys[1] == -3.5 and np.isnan(xs[2])
+    xmin, ymin, xmax, ymax = vec.envelopes_of_wkb(w)
+    assert xmin[0] == 1.0 and ymax[1] == -3.5
+
+
+def test_ewkb_srid_parse():
+    # EWKB with SRID flag (0x20000000): srid=4326 point
+    import struct
+    buf = b"\x01" + struct.pack("<I", 0x20000001) + struct.pack("<I", 4326) + struct.pack("<dd", 1.0, 2.0)
+    g = from_wkb(buf)
+    assert g.srid == 4326 and g.coords == (1.0, 2.0)
