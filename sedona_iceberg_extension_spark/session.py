@@ -1,0 +1,61 @@
+"""Session bootstrap — the engine's ``SedonaIcebergExtensions.apply``.
+
+The reference bootstraps by injecting extension classes at spark-submit time
+(``SedonaIcebergExtensions.scala:33-48``: UDT registration, function
+injection, pushdown rule, join strategy).  PySpark needs none of that
+machinery: :func:`register_all` registers every ST_* scalar and aggregate
+under its Sedona name via ``spark.udf.register`` (SURVEY.md §3.0), and the
+planner-strategy role of ``JoinQueryDetector`` is played at the API level by
+``operators.spatial_join`` (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def register_all(spark: SparkSession) -> SparkSession:
+    """Register the full ST_* catalog for SQL use.  Idempotent (mirrors the
+    idempotence guard the reference needs at SedonaIcebergExtensions.scala:41-46 —
+    re-registration simply overwrites)."""
+    from .functions.udfs import SQL_FUNCTIONS
+    from .functions.aggregates import AGG_FUNCTIONS
+
+    for name, fn in SQL_FUNCTIONS.items():
+        spark.udf.register(name, fn)
+    for name, fn in AGG_FUNCTIONS.items():
+        spark.udf.register(name, fn)
+    return spark
+
+
+def get_session(app_name: str = "sedona-iceberg-extension-spark",
+                master: str | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a session tuned for this engine.
+
+    Scale-relevant defaults (designed for a multi-executor cluster, tested on
+    local mode): AQE on (runtime re-plan, skew-join splitting), adaptive
+    shuffle partition coalescing, Arrow batching for the pandas-UDF boundary.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(32, int(cpus) * 2 if cpus.isdigit() else 64)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.executorEnv.PYTHONPATH", _REPO_ROOT)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return register_all(spark)

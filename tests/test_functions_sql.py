@@ -1,0 +1,167 @@
+"""SQL-surface tests: the registered ST_* catalog, run through spark.sql —
+the same entry style as the reference's own tests
+(TestSedonaIcebergExtension.scala:52-106)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def sql1(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+def test_constructor_roundtrip(spark):
+    # mirrors reference testBasic WKT round-trip (:55-59)
+    assert sql1(spark, "ST_AsText(ST_Point(10.0D, 20.0D))") == "POINT (10 20)"
+    assert sql1(spark, "ST_AsText(ST_GeomFromText('POINT (10 20)'))") == "POINT (10 20)"
+    assert sql1(spark, "ST_AsText(IcebergSTGeomFromText('POINT (1 2)'))") == "POINT (1 2)"
+    assert sql1(
+        spark, "ST_AsText(ST_PolygonFromEnvelope(0.0D, 0.0D, 2.0D, 2.0D))"
+    ) == "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"
+
+
+def test_predicates_sql(spark):
+    # mirrors reference range query (App.scala:55-56, test :62)
+    assert sql1(spark, "ST_Contains(ST_PolygonFromEnvelope(0D,0D,10D,10D), ST_Point(5D,5D))") is True
+    assert sql1(spark, "ST_Contains(ST_PolygonFromEnvelope(0D,0D,10D,10D), ST_Point(15D,5D))") is False
+    assert sql1(spark, "ST_Intersects(ST_Point(1D,1D), ST_Point(1D,1D))") is True
+    assert sql1(spark, "ST_Disjoint(ST_Point(1D,1D), ST_Point(2D,2D))") is True
+    assert sql1(spark, "ST_Within(ST_Point(5D,5D), ST_PolygonFromEnvelope(0D,0D,10D,10D))") is True
+    assert sql1(spark, "ST_Touches(ST_Point(0D,5D), ST_PolygonFromEnvelope(0D,0D,10D,10D))") is True
+
+
+def test_measures_sql(spark):
+    assert sql1(spark, "ST_Area(ST_PolygonFromEnvelope(0D,0D,4D,5D))") == 20.0
+    assert sql1(spark, "ST_Length(ST_GeomFromText('LINESTRING (0 0, 3 4)'))") == 5.0
+    assert sql1(spark, "ST_Distance(ST_Point(0D,0D), ST_Point(3D,4D))") == 5.0
+    assert sql1(spark, "ST_X(ST_Point(3D,4D))") == 3.0
+    assert sql1(spark, "ST_Y(ST_Point(3D,4D))") == 4.0
+
+
+def test_accessors_sql(spark):
+    assert sql1(spark, "ST_GeometryType(ST_Point(1D,1D))") == "ST_Point"
+    assert sql1(spark, "ST_NumGeometries(ST_GeomFromText('MULTIPOINT ((1 1), (2 2))'))") == 2
+    assert sql1(spark, "ST_IsEmpty(ST_GeomFromText('POLYGON EMPTY'))") is True
+    assert sql1(spark, "ST_XMax(ST_GeomFromText('LINESTRING (0 0, 7 3)'))") == 7.0
+    assert sql1(spark, "ST_NPoints(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'))") == 3
+
+
+def test_transforms_sql(spark):
+    assert sql1(spark, "ST_AsText(ST_Centroid(ST_PolygonFromEnvelope(0D,0D,10D,10D)))") == "POINT (5 5)"
+    assert sql1(spark, "ST_AsText(ST_Envelope(ST_GeomFromText('LINESTRING (0 5, 10 0)')))") \
+        == "POLYGON ((0 0, 0 5, 10 5, 10 0, 0 0))"
+    assert sql1(spark, "ST_AsText(ST_FlipCoordinates(ST_Point(1D,2D)))") == "POINT (2 1)"
+    assert sql1(spark, "ST_Area(ST_Intersection(ST_PolygonFromEnvelope(0D,0D,10D,10D),"
+                       " ST_PolygonFromEnvelope(5D,5D,15D,15D)))") == 25.0
+    assert sql1(spark, "ST_AsText(ST_Union(ST_Point(10D,20D), ST_Point(20D,30D)))") \
+        == "MULTIPOINT ((10 20), (20 30))"
+
+
+def test_aggregates_sql(spark):
+    # golden from the reference: ST_Union_Aggr over two points
+    # (TestSedonaIcebergExtension.scala:90-92)
+    df = spark.sql(
+        "SELECT ST_GeomFromText(w) AS geo FROM VALUES ('POINT (10 20)'), ('POINT (20 30)') t(w)")
+    df.createOrReplaceTempView("pts2")
+    out = spark.sql("SELECT ST_AsText(ST_Union_Aggr(geo)) AS v FROM pts2").collect()[0]["v"]
+    assert out == "MULTIPOINT ((10 20), (20 30))"
+    cent = spark.sql("SELECT ST_AsText(ST_CENTROID_AGGR(geo)) AS v FROM pts2").collect()[0]["v"]
+    assert cent == "POINT (15 25)"
+    env = spark.sql("SELECT ST_AsText(ST_Envelope_Aggr(geo)) AS v FROM pts2").collect()[0]["v"]
+    assert env == "POLYGON ((10 20, 10 30, 20 30, 20 20, 10 20))"
+
+
+def test_null_propagation_sql(spark):
+    assert sql1(spark, "ST_AsText(CAST(NULL AS BINARY))") is None
+    assert sql1(spark, "ST_Contains(CAST(NULL AS BINARY), ST_Point(1D,1D))") is None
+    assert sql1(spark, "ST_Area(CAST(NULL AS BINARY))") is None
+
+
+def test_filter_over_table_sql(spark, sf_dir):
+    """The reference's first real query shape (App.scala:55-56) over driver
+    testdata: range-filter points built from numeric columns."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer_t")
+    rows = spark.sql(
+        """
+        SELECT c_custkey
+        FROM customer_t
+        WHERE ST_Contains(
+            ST_PolygonFromEnvelope(-50.0D, -30.0D, 50.0D, 30.0D),
+            ST_Point(CAST(c_acctbal % 360 - 180 AS DOUBLE),
+                     CAST(c_custkey % 180 - 90 AS DOUBLE)))
+        ORDER BY c_custkey
+        """
+    ).collect()
+    assert 0 < len(rows) < 150
+
+
+class TestNativeCompilation:
+    """Expression-API predicates must compile to pure-native plans (no
+    BatchEvalPython/ArrowEvalPython) — our analogue of the reference's
+    plan-shape pushdown assertions (TestSedonaIcebergExtension.scala:63-65)."""
+
+    def test_point_in_box_is_native(self, spark, sf_dir):
+        from sedona_iceberg_extension_spark.functions import api as ST
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        pt = ST.st_point(F.col("c_acctbal") % 360 - 180, F.col("c_custkey") % 180 - 90)
+        box = ST.st_box(-50, -30, 50, 30)
+        out = cust.filter(ST.st_contains(box, pt)).select("c_custkey")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan
+        assert out.count() > 0
+
+    def test_parquet_filter_pushdown_on_point_predicate(self, spark, tmp_path, sf_dir):
+        """Envelope predicate on stored point x/y columns reaches the scan
+        (PushedFilters) — the built-in replacement for the reference's
+        Iceberg data-skipping (README.md:3-6)."""
+        from sedona_iceberg_extension_spark.functions import api as ST
+
+        p = str(tmp_path / "pts.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        cust.select(
+            "c_custkey",
+            (F.col("c_acctbal") % 360 - 180).alias("x"),
+            (F.col("c_custkey") % 180 - 90).alias("y"),
+        ).write.mode("overwrite").parquet(p)
+        pts = spark.read.parquet(p)
+        box = ST.st_box(-50, -30, 50, 30)
+        out = pts.filter(ST.st_contains(box, ST.st_point("x", "y")))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan
+        assert "GreaterThan(x,-50.0)" in plan or "IsNotNull(x)" in plan, plan
+
+    def test_distance_point_point_native(self, spark, sf_dir):
+        from sedona_iceberg_extension_spark.functions import api as ST
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        a = ST.st_point(F.col("c_acctbal"), F.col("c_custkey"))
+        b = ST.st_point(F.lit(0.0), F.lit(0.0))
+        out = cust.select(ST.st_distance(a, b).alias("d"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_wkb_with_env_prefilter(self, spark, sf_dir):
+        """General WKB predicate = envelope prefilter AND exact UDF (the
+        reference's relaxed+exact two-level design)."""
+        from sedona_iceberg_extension_spark.functions import api as ST
+        from sedona_iceberg_extension_spark.functions.api import add_geometry
+        from sedona_iceberg_extension_spark.functions import udfs
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(50)
+        pts = cust.select(
+            "c_custkey",
+            udfs.st_point(
+                (F.col("c_acctbal") % 360 - 180).cast("double"),
+                (F.col("c_custkey") % 180 - 90).cast("double"),
+            ).alias("geo"),
+        )
+        pts = add_geometry(pts, "geo")
+        g = ST.st_geom("geo", "geo_env")
+        box = ST.st_lit("POLYGON ((-50 -30, 50 -30, 0 40, -50 -30))")  # non-rect literal
+        out = pts.filter(ST.st_intersects(g, box))
+        n = out.count()
+        assert n >= 0  # executes; exactness covered by geom-core tests
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # envelope prefilter visible as native comparisons on geo_env fields
+        assert "geo_env" in plan
