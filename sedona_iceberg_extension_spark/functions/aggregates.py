@@ -23,6 +23,11 @@ from typing import List, Optional
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf, PandasUDFType
+from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
+
+_BIN = BinaryType()
+_CB_STRUCT = StructType([StructField(f, DoubleType()) for f in (
+    "area2", "acx3", "acy3", "length", "lcx", "lcy", "npts", "pcx", "pcy")])
 
 from ..geom import algos as A
 from ..geom.io import from_wkb, to_wkb
@@ -33,14 +38,14 @@ from ..geom.model import Geometry
 # SQL-facing grouped-agg UDFs
 # ---------------------------------------------------------------------------
 
-@pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+@pandas_udf(_BIN, PandasUDFType.GROUPED_AGG)
 def st_union_aggr(wkb: pd.Series):
     geoms = [from_wkb(b) for b in wkb if b is not None]
     u = A.union_all(geoms)
     return None if u is None else to_wkb(u)
 
 
-@pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+@pandas_udf(_BIN, PandasUDFType.GROUPED_AGG)
 def st_envelope_aggr(wkb: pd.Series):
     import math
     xmin = ymin = math.inf
@@ -63,7 +68,7 @@ def st_envelope_aggr(wkb: pd.Series):
     return to_wkb(Geometry.box(xmin, ymin, xmax, ymax))
 
 
-@pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+@pandas_udf(_BIN, PandasUDFType.GROUPED_AGG)
 def st_intersection_aggr(wkb: pd.Series):
     acc: Optional[Geometry] = None
     for b in wkb:
@@ -76,7 +81,7 @@ def st_intersection_aggr(wkb: pd.Series):
     return None if acc is None else to_wkb(acc)
 
 
-@pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+@pandas_udf(_BIN, PandasUDFType.GROUPED_AGG)
 def st_centroid_aggr(wkb: pd.Series):
     buf = A.centroid_buffer_zero()
     for b in wkb:
@@ -101,9 +106,7 @@ AGG_FUNCTIONS = {
 # scale path: native partial+final aggregation
 # ---------------------------------------------------------------------------
 
-@pandas_udf("struct<area2:double,acx3:double,acy3:double,"
-            "length:double,lcx:double,lcy:double,"
-            "npts:double,pcx:double,pcy:double>")
+@pandas_udf(_CB_STRUCT)
 def _centroid_buffer_cols(wkb: pd.Series) -> pd.DataFrame:
     rows = []
     for b in wkb:

@@ -136,14 +136,37 @@ def add_geometry(df: DataFrame, wkb_col: str, env_name: Optional[str] = None) ->
     env_name = env_name or f"{wkb_col}_env"
 
     from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    @pandas_udf("struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    @pandas_udf(StructType([StructField(f, DoubleType()) for f in ("xmin", "ymin", "xmax", "ymax")]))
     def envelope_struct(wkb: pd.Series) -> pd.DataFrame:
         from ..geom import vec
         xmin, ymin, xmax, ymax = vec.envelopes_of_wkb(wkb)
         return pd.DataFrame({"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
 
     return df.withColumn(env_name, envelope_struct(F.col(wkb_col)))
+
+
+def with_point_geometry(df: DataFrame, x: ColumnOrName, y: ColumnOrName,
+                        name: str = "geo") -> DataFrame:
+    """Materialize a point geometry column plus its envelope struct, the env
+    struct built **natively** from the numeric sources (no UDF in the env
+    path — scans/joins over it stay whole-stage-codegen'd)."""
+    xc, yc = _numlit(x), _numlit(y)
+    return df.withColumn(name, udfs.st_point(xc, yc)).withColumn(
+        f"{name}_env",
+        F.struct(xc.alias("xmin"), yc.alias("ymin"), xc.alias("xmax"), yc.alias("ymax")),
+    )
+
+
+def with_box_geometry(df: DataFrame, xmin, ymin, xmax, ymax,
+                      name: str = "geo") -> DataFrame:
+    """Materialize an axis-aligned box geometry column + native env struct."""
+    a, b, c, d = _numlit(xmin), _numlit(ymin), _numlit(xmax), _numlit(ymax)
+    return df.withColumn(name, udfs.st_polygonfromenvelope(a, b, c, d)).withColumn(
+        f"{name}_env",
+        F.struct(a.alias("xmin"), b.alias("ymin"), c.alias("xmax"), d.alias("ymax")),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,16 @@ from typing import Callable, Dict, Optional
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
+                               IntegerType, StringType)
+
+# DataType objects (not DDL strings) so UDFs can be created without an
+# active SparkContext (string return types are context-parsed lazily)
+_BIN = BinaryType()
+_BOOL = BooleanType()
+_DBL = DoubleType()
+_STR = StringType()
+_INT = IntegerType()
 
 from ..geom import algos as A
 from ..geom.io import from_wkb, from_wkt, to_wkb, to_wkt
@@ -45,7 +55,7 @@ def _u1(fn, ret):
 
 def _u1_geom(fn):
     """Unary WKB→WKB transform."""
-    @pandas_udf("binary")
+    @pandas_udf(_BIN)
     def f(a: pd.Series) -> pd.Series:
         def run(b):
             if b is None:
@@ -71,7 +81,7 @@ def _u2(fn, ret):
 
 
 def _u2_geom(fn):
-    @pandas_udf("binary")
+    @pandas_udf(_BIN)
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
         out = []
         for x, y in zip(a, b):
@@ -88,24 +98,24 @@ def _u2_geom(fn):
 # constructors
 # ---------------------------------------------------------------------------
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
     # vectorized 21-byte WKB, no per-row Python (geom/vec.py)
     return vec.points_to_wkb(x, y)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_geomfromtext(wkt: pd.Series) -> pd.Series:
     return wkt.map(lambda s: None if s is None else to_wkb(from_wkt(s)))
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_geomfromwkb(wkb: pd.Series) -> pd.Series:
     # normalizes any EWKB/big-endian input into canonical little-endian ISO WKB
     return wkb.map(lambda b: None if b is None else to_wkb(from_wkb(bytes(b))))
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_polygonfromenvelope(xmin: pd.Series, ymin: pd.Series,
                            xmax: pd.Series, ymax: pd.Series) -> pd.Series:
     out = []
@@ -117,7 +127,7 @@ def st_polygonfromenvelope(xmin: pd.Series, ymin: pd.Series,
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_makepolygon(shell: pd.Series) -> pd.Series:
     def run(b):
         if b is None:
@@ -186,7 +196,7 @@ def _geohash_decode_box(gh: str):
     return lon_lo, lat_lo, lon_hi, lat_hi
 
 
-@pandas_udf("string")
+@pandas_udf(_STR)
 def st_geohash(wkb: pd.Series, precision: pd.Series) -> pd.Series:
     out = []
     for b, p in zip(wkb, precision):
@@ -199,7 +209,7 @@ def st_geohash(wkb: pd.Series, precision: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_geomfromgeohash(gh: pd.Series, precision: pd.Series) -> pd.Series:
     out = []
     for s, p in zip(gh, precision):
@@ -215,26 +225,26 @@ def st_geomfromgeohash(gh: pd.Series, precision: pd.Series) -> pd.Series:
 # predicates (generic path; api.py provides native fast paths)
 # ---------------------------------------------------------------------------
 
-st_contains = _u2(A.contains, "boolean")
-st_within = _u2(A.within, "boolean")
-st_covers = _u2(A.covers, "boolean")
-st_coveredby = _u2(A.covered_by, "boolean")
-st_intersects = _u2(A.intersects, "boolean")
-st_disjoint = _u2(A.disjoint, "boolean")
-st_touches = _u2(A.touches, "boolean")
-st_crosses = _u2(A.crosses, "boolean")
-st_overlaps = _u2(A.overlaps, "boolean")
-st_equals = _u2(A.equals, "boolean")
-st_orderingequals = _u2(A.ordering_equals, "boolean")
+st_contains = _u2(A.contains, _BOOL)
+st_within = _u2(A.within, _BOOL)
+st_covers = _u2(A.covers, _BOOL)
+st_coveredby = _u2(A.covered_by, _BOOL)
+st_intersects = _u2(A.intersects, _BOOL)
+st_disjoint = _u2(A.disjoint, _BOOL)
+st_touches = _u2(A.touches, _BOOL)
+st_crosses = _u2(A.crosses, _BOOL)
+st_overlaps = _u2(A.overlaps, _BOOL)
+st_equals = _u2(A.equals, _BOOL)
+st_orderingequals = _u2(A.ordering_equals, _BOOL)
 
 
 # ---------------------------------------------------------------------------
 # measures
 # ---------------------------------------------------------------------------
 
-st_area = _u1(A.area, "double")
-st_length = _u1(A.length, "double")
-st_distance = _u2(A.distance, "double")
+st_area = _u1(A.area, _DBL)
+st_length = _u1(A.length, _DBL)
+st_distance = _u2(A.distance, _DBL)
 
 
 _EARTH_R = 6371008.7714  # mean earth radius (IUGG), used by Sedona's ST_DistanceSphere
@@ -251,20 +261,20 @@ def _haversine(g1: Geometry, g2: Geometry) -> Optional[float]:
     return 2 * _EARTH_R * math.asin(min(1.0, math.sqrt(h)))
 
 
-st_distancesphere = _u2(_haversine, "double")
+st_distancesphere = _u2(_haversine, _DBL)
 
 
 # ---------------------------------------------------------------------------
 # accessors
 # ---------------------------------------------------------------------------
 
-@pandas_udf("double")
+@pandas_udf(_DBL)
 def st_x(wkb: pd.Series) -> pd.Series:
     xs, _ = vec.wkb_to_points(wkb)
     return pd.Series(xs)
 
 
-@pandas_udf("double")
+@pandas_udf(_DBL)
 def st_y(wkb: pd.Series) -> pd.Series:
     _, ys = vec.wkb_to_points(wkb)
     return pd.Series(ys)
@@ -277,24 +287,24 @@ def _env_acc(idx):
     return get
 
 
-st_xmin = _u1(_env_acc(0), "double")
-st_ymin = _u1(_env_acc(1), "double")
-st_xmax = _u1(_env_acc(2), "double")
-st_ymax = _u1(_env_acc(3), "double")
+st_xmin = _u1(_env_acc(0), _DBL)
+st_ymin = _u1(_env_acc(1), _DBL)
+st_xmax = _u1(_env_acc(2), _DBL)
+st_ymax = _u1(_env_acc(3), _DBL)
 
-st_npoints = _u1(lambda g: g.num_points(), "int")
-st_numgeometries = _u1(lambda g: g.num_geometries(), "int")
-st_geometrytype = _u1(lambda g: "ST_" + g.type_name, "string")
-st_isempty = _u1(lambda g: g.is_empty(), "boolean")
-st_isvalid = _u1(A.is_valid, "boolean")
-st_issimple = _u1(A.is_simple, "boolean")
-st_isclosed = _u1(A.is_closed, "boolean")
-st_isring = _u1(A.is_ring, "boolean")
-st_dimension = _u1(lambda g: g.dimension(), "int")
-st_srid = _u1(lambda g: g.srid, "int")
+st_npoints = _u1(lambda g: g.num_points(), _INT)
+st_numgeometries = _u1(lambda g: g.num_geometries(), _INT)
+st_geometrytype = _u1(lambda g: "ST_" + g.type_name, _STR)
+st_isempty = _u1(lambda g: g.is_empty(), _BOOL)
+st_isvalid = _u1(A.is_valid, _BOOL)
+st_issimple = _u1(A.is_simple, _BOOL)
+st_isclosed = _u1(A.is_closed, _BOOL)
+st_isring = _u1(A.is_ring, _BOOL)
+st_dimension = _u1(lambda g: g.dimension(), _INT)
+st_srid = _u1(lambda g: g.srid, _INT)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_geometryn(wkb: pd.Series, n: pd.Series) -> pd.Series:
     out = []
     for b, i in zip(wkb, n):
@@ -309,7 +319,7 @@ def st_geometryn(wkb: pd.Series, n: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_pointn(wkb: pd.Series, n: pd.Series) -> pd.Series:
     # 1-based, negative counts from end (Sedona ST_PointN semantics)
     out = []
@@ -350,10 +360,10 @@ def _exterior_ring(g):
 
 st_exteriorring = _u1_geom(_exterior_ring)
 st_numinteriorrings = _u1(
-    lambda g: max(0, len(g.coords) - 1) if g.kind == WKB_POLYGON else None, "int")
+    lambda g: max(0, len(g.coords) - 1) if g.kind == WKB_POLYGON else None, _INT)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_interiorringn(wkb: pd.Series, n: pd.Series) -> pd.Series:
     out = []
     for b, i in zip(wkb, n):
@@ -380,7 +390,7 @@ def _azimuth(g1, g2):
     return math.atan2(dx, dy) % (2 * math.pi)
 
 
-st_azimuth = _u2(_azimuth, "double")
+st_azimuth = _u2(_azimuth, _DBL)
 
 
 # ---------------------------------------------------------------------------
@@ -401,7 +411,7 @@ st_symdifference = _u2_geom(A.sym_difference)
 st_union = _u2_geom(lambda a, b: A.union_all([a, b]))
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
     out = []
     for b, d in zip(wkb, dist):
@@ -412,7 +422,7 @@ def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
     out = []
     for b, t in zip(wkb, tol):
@@ -426,7 +436,7 @@ def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
 st_simplifypreservetopology = st_simplify  # pragmatic alias (DP core)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_setsrid(wkb: pd.Series, srid: pd.Series) -> pd.Series:
     out = []
     for b, s in zip(wkb, srid):
@@ -439,7 +449,7 @@ def st_setsrid(wkb: pd.Series, srid: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_precisionreduce(wkb: pd.Series, digits: pd.Series) -> pd.Series:
     def reduce_geom(g, nd):
         def red(c):
@@ -460,7 +470,7 @@ def st_precisionreduce(wkb: pd.Series, digits: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_addpoint(wkb: pd.Series, pt: pd.Series, pos: pd.Series) -> pd.Series:
     out = []
     for b, p, i in zip(wkb, pt, pos):
@@ -478,7 +488,7 @@ def st_addpoint(wkb: pd.Series, pt: pd.Series, pos: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_removepoint(wkb: pd.Series, pos: pd.Series) -> pd.Series:
     out = []
     for b, i in zip(wkb, pos):
@@ -530,7 +540,7 @@ def _line_substring(g: Geometry, f0: float, f1: float) -> Optional[Geometry]:
     return Geometry(WKB_LINESTRING, out) if len(out) >= 2 else Geometry(WKB_POINT, out[0] if out else None)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_linesubstring(wkb: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
     out = []
     for b, a, c in zip(wkb, f0, f1):
@@ -542,7 +552,7 @@ def st_linesubstring(wkb: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_lineinterpolatepoint(wkb: pd.Series, frac: pd.Series) -> pd.Series:
     out = []
     for b, f in zip(wkb, frac):
@@ -628,7 +638,7 @@ def _subdivide(g: Geometry, max_vertices: int):
     return pieces or [g]
 
 
-@pandas_udf("array<binary>")
+@pandas_udf(ArrayType(BinaryType()))
 def st_subdivide(wkb: pd.Series, maxv: pd.Series) -> pd.Series:
     out = []
     for b, m in zip(wkb, maxv):
@@ -643,12 +653,12 @@ def st_subdivide(wkb: pd.Series, maxv: pd.Series) -> pd.Series:
 # outputs
 # ---------------------------------------------------------------------------
 
-@pandas_udf("string")
+@pandas_udf(_STR)
 def st_astext(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else to_wkt(from_wkb(b)))
 
 
-@pandas_udf("binary")
+@pandas_udf(_BIN)
 def st_asbinary(wkb: pd.Series) -> pd.Series:
     # canonical WKB (re-encode to normalize endianness / EWKB flags)
     return wkb.map(lambda b: None if b is None else to_wkb(from_wkb(bytes(b))))
@@ -675,12 +685,12 @@ def _geojson(g: Geometry) -> str:
     return json.dumps(_geojson_obj(g))
 
 
-@pandas_udf("string")
+@pandas_udf(_STR)
 def st_asgeojson(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else _geojson(from_wkb(b)))
 
 
-@pandas_udf("string")
+@pandas_udf(_STR)
 def st_asewkt(wkb: pd.Series) -> pd.Series:
     def run(b):
         if b is None:

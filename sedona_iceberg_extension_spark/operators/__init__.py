@@ -1,0 +1,2 @@
+from .spatial_join import spatial_join  # noqa: F401
+from .knn import knn_join  # noqa: F401

@@ -1,0 +1,253 @@
+"""Distributed spatial join — the engine's ``JoinQueryDetector`` equivalent.
+
+The reference injects a Sedona planner strategy that plans
+``Join ... ON ST_pred(l.geo, r.geo)`` as ``BroadcastIndexJoin`` or
+``RangeJoin`` (``SedonaIcebergExtensions.scala:47``,
+``TestSedonaIcebergExtension.scala:122,137``).  This engine plans at the API
+level instead (SURVEY.md §4.2) and emits plain DataFrame operations Catalyst
+and AQE can keep optimizing:
+
+- **broadcast strategy** (small side): native broadcast join on envelope
+  conjuncts, then exact refinement — Spark plans a BroadcastNestedLoopJoin /
+  BroadcastHashJoin; the analogue of Sedona's BroadcastIndexJoin.
+- **grid strategy** (both sides large): each row is assigned the grid cells
+  its envelope overlaps (native ``sequence``+``explode`` — no Python), the
+  join becomes a cell-id **equi-join** (sort-merge/shuffled-hash + AQE skew
+  splitting), refined by the exact predicate.  Duplicate pair elimination is
+  algebraic — a pair is emitted only in the *reference cell* containing the
+  min-corner of the two envelopes' intersection — so no ``dropDuplicates``
+  shuffle is needed (SURVEY.md §7.4 hard-part 4).
+
+At 100 TB the grid path shuffles each side once on a well-distributed key,
+supports AQE skew-join splitting, and never builds driver-side state; the
+broadcast path moves only the small side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import udfs
+
+# exact-refinement UDF per predicate name
+_PRED_UDFS = {
+    "intersects": udfs.st_intersects,
+    "contains": udfs.st_contains,
+    "within": udfs.st_within,
+    "covers": udfs.st_covers,
+    "covered_by": udfs.st_coveredby,
+    "touches": udfs.st_touches,
+    "crosses": udfs.st_crosses,
+    "overlaps": udfs.st_overlaps,
+    "equals": udfs.st_equals,
+}
+
+_SYM = {"intersects", "touches", "crosses", "overlaps", "equals", "dwithin"}
+
+
+def _ensure_env(df: DataFrame, geom_col: str, prefix: str) -> Tuple[DataFrame, str]:
+    """Attach envelope fields <prefix>_xmin.. (native if an _env struct exists)."""
+    env_struct = f"{geom_col}_env"
+    cols = set(df.columns)
+    if env_struct in cols:
+        src = F.col(env_struct)
+        df = df.select(
+            "*",
+            src["xmin"].alias(f"{prefix}_xmin"), src["ymin"].alias(f"{prefix}_ymin"),
+            src["xmax"].alias(f"{prefix}_xmax"), src["ymax"].alias(f"{prefix}_ymax"),
+        )
+        return df, prefix
+    from ..functions.api import add_geometry
+    df = add_geometry(df, geom_col, f"_tmp_env_{prefix}")
+    src = F.col(f"_tmp_env_{prefix}")
+    df = df.select(
+        "*",
+        src["xmin"].alias(f"{prefix}_xmin"), src["ymin"].alias(f"{prefix}_ymin"),
+        src["xmax"].alias(f"{prefix}_xmax"), src["ymax"].alias(f"{prefix}_ymax"),
+    ).drop(f"_tmp_env_{prefix}")
+    return df, prefix
+
+
+def _env_join_cond(lp: str, rp: str, predicate: str, d: float) -> Column:
+    """Envelope-level (relaxed) join condition — superset filter, exact
+    refinement retained, mirroring SedonaPredicatePushDown.scala:77,138-144."""
+    if predicate in ("contains", "covers"):
+        return (
+            (F.col(f"{lp}_xmin") <= F.col(f"{rp}_xmin")) & (F.col(f"{lp}_xmax") >= F.col(f"{rp}_xmax"))
+            & (F.col(f"{lp}_ymin") <= F.col(f"{rp}_ymin")) & (F.col(f"{lp}_ymax") >= F.col(f"{rp}_ymax"))
+        )
+    if predicate in ("within", "covered_by"):
+        return (
+            (F.col(f"{rp}_xmin") <= F.col(f"{lp}_xmin")) & (F.col(f"{rp}_xmax") >= F.col(f"{lp}_xmax"))
+            & (F.col(f"{rp}_ymin") <= F.col(f"{lp}_ymin")) & (F.col(f"{rp}_ymax") >= F.col(f"{lp}_ymax"))
+        )
+    pad = float(d) if predicate == "dwithin" else 0.0
+    return (
+        (F.col(f"{lp}_xmax") + pad >= F.col(f"{rp}_xmin")) & (F.col(f"{rp}_xmax") >= F.col(f"{lp}_xmin") - pad)
+        & (F.col(f"{lp}_ymax") + pad >= F.col(f"{rp}_ymin")) & (F.col(f"{rp}_ymax") >= F.col(f"{lp}_ymin") - pad)
+    )
+
+
+def _exact_cond(lg: str, rg: str, predicate: str, d: float,
+                rect_l: bool, rect_r: bool) -> Optional[Column]:
+    """Exact refinement; None when the envelope condition is already exact —
+    both operands are their own envelopes (points or axis-aligned rects), so
+    the relaxed predicate IS the exact predicate and no UDF enters the plan."""
+    if predicate == "dwithin":
+        return udfs.st_distance(F.col(lg), F.col(rg)) <= F.lit(float(d))
+    if rect_l and rect_r and predicate in (
+            "intersects", "contains", "covers", "within", "covered_by"):
+        return None
+    return _PRED_UDFS[predicate](F.col(lg), F.col(rg))
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    on: Tuple[str, str] = ("geo", "geo"),
+    how: str = "inner",
+    d: float = 0.0,
+    strategy: str = "auto",
+    grid_size: Optional[float] = None,
+    broadcast_threshold_rows: int = 1_000_000,
+    left_is_points: bool = False,
+    right_is_points: bool = False,
+    left_is_rects: bool = False,
+    right_is_rects: bool = False,
+) -> DataFrame:
+    """Join two DataFrames on a spatial predicate between WKB columns.
+
+    ``how``: inner | left_semi | left_anti.  Columns of both inputs are kept
+    (right's prefixed with ``r_`` on collision) for inner joins.
+
+    ``left_is_points`` / ``right_is_points`` / ``right_is_rects`` are
+    optional exactness hints: when a side is known to be all points (or the
+    right side all axis-aligned rectangles), the envelope algebra is already
+    the exact predicate and the refinement UDF is dropped from the plan.
+    """
+    if predicate not in _PRED_UDFS and predicate != "dwithin":
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    lg, rg = on
+
+    left, lp = _ensure_env(left, lg, "_l")
+    right, rp = _ensure_env(right, rg, "_r")
+
+    # resolve collisions before join
+    common = set(left.columns) & set(right.columns)
+    right_renamed = right
+    for c in common:
+        right_renamed = right_renamed.withColumnRenamed(c, f"r_{c}")
+    rg2 = f"r_{rg}" if rg in common else rg
+
+    if strategy == "auto":
+        # cheap cardinality probe on the smaller side (metadata-backed for
+        # parquet sources; AQE re-plans at runtime anyway)
+        try:
+            r_small = right_renamed.limit(broadcast_threshold_rows).count() < broadcast_threshold_rows
+        except Exception:
+            r_small = False
+        strategy = "broadcast" if r_small else "grid"
+
+    env_cond = _env_join_cond(lp, rp, predicate, d)
+
+    rect_l = left_is_points or left_is_rects  # side == its own envelope
+    rect_r = right_is_points or right_is_rects
+
+    if predicate == "dwithin" and left_is_points and right_is_points:
+        # fully native distance join: (x1-x2)² + (y1-y2)² ≤ d²
+        dx = F.col(f"{lp}_xmin") - F.col(f"{rp}_xmin")
+        dy = F.col(f"{lp}_ymin") - F.col(f"{rp}_ymin")
+        exact: Optional[Column] = (dx * dx + dy * dy) <= F.lit(float(d) * float(d))
+    elif predicate == "contains" and right_is_points and not left_is_points:
+        # OGC contains over a point right side: the point must be in the left
+        # interior → strict envelope bounds (exact when left rows are rects,
+        # a superset prefilter refined by the UDF otherwise)
+        env_cond = (
+            (F.col(f"{lp}_xmin") < F.col(f"{rp}_xmin")) & (F.col(f"{lp}_xmax") > F.col(f"{rp}_xmax"))
+            & (F.col(f"{lp}_ymin") < F.col(f"{rp}_ymin")) & (F.col(f"{lp}_ymax") > F.col(f"{rp}_ymax"))
+        )
+        exact = None if left_is_rects else _PRED_UDFS[predicate](F.col(lg), F.col(rg2))
+    elif predicate == "within" and left_is_points and not right_is_points:
+        env_cond = (
+            (F.col(f"{rp}_xmin") < F.col(f"{lp}_xmin")) & (F.col(f"{rp}_xmax") > F.col(f"{lp}_xmax"))
+            & (F.col(f"{rp}_ymin") < F.col(f"{lp}_ymin")) & (F.col(f"{rp}_ymax") > F.col(f"{lp}_ymax"))
+        )
+        exact = None if right_is_rects else _PRED_UDFS[predicate](F.col(lg), F.col(rg2))
+    else:
+        exact = _exact_cond(lg, rg2, predicate, d, rect_l, rect_r)
+
+    cond = env_cond if exact is None else (env_cond & exact)
+
+    if strategy == "broadcast":
+        joined = left.join(F.broadcast(right_renamed), cond, how)
+    elif how in ("left_semi", "left_anti"):
+        # grid path with semi/anti: run the inner grid join over a synthetic
+        # row id, then equi-semi/anti back — the exploded cell copies of a
+        # left row must not leak into anti results
+        lid = left.withColumn("_lid", F.monotonically_increasing_id())
+        matched = _grid_join(lid, right_renamed, lp, rp, cond, "inner", grid_size, d) \
+            .select("_lid").distinct()
+        joined = lid.join(matched, "_lid", "left_semi" if how == "left_semi" else "left_anti") \
+            .drop("_lid")
+    else:
+        joined = _grid_join(left, right_renamed, lp, rp, cond, how, grid_size, d)
+
+    drop_cols = [f"{p}_{m}" for p in (lp, rp) for m in ("xmin", "ymin", "xmax", "ymax")]
+    if how in ("left_semi", "left_anti"):
+        drop_cols = [f"{lp}_{m}" for m in ("xmin", "ymin", "xmax", "ymax")]
+    return joined.drop(*drop_cols)
+
+
+def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
+               cond: Column, how: str, grid_size: Optional[float], d: float) -> DataFrame:
+    if grid_size is None:
+        # sample-driven cell sizing: target ~2 cells per average envelope
+        stats = left.select(
+            F.avg(F.col(f"{lp}_xmax") - F.col(f"{lp}_xmin")).alias("w"),
+            F.avg(F.col(f"{lp}_ymax") - F.col(f"{lp}_ymin")).alias("h"),
+            (F.max(f"{lp}_xmax") - F.min(f"{lp}_xmin")).alias("W"),
+            (F.max(f"{lp}_ymax") - F.min(f"{lp}_ymin")).alias("H"),
+        ).first()
+        w = max(stats["w"] or 0.0, stats["h"] or 0.0, 1e-9)
+        extent = max(stats["W"] or 1.0, stats["H"] or 1.0, 1e-9)
+        grid_size = max(2.0 * w + 2.0 * d, extent / 4096.0)
+
+    s = float(grid_size)
+
+    # left side padded by d for dwithin; right side unpadded
+    lpad = float(d)
+    lcell = left.select(
+        "*",
+        F.explode(F.sequence(F.floor((F.col(f"{lp}_xmin") - lpad) / s),
+                             F.floor((F.col(f"{lp}_xmax") + lpad) / s))).alias("_cx"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.floor((F.col(f"{lp}_ymin") - lpad) / s),
+                             F.floor((F.col(f"{lp}_ymax") + lpad) / s))).alias("_cy"),
+    )
+    rcell = right.select(
+        "*",
+        F.explode(F.sequence(F.floor(F.col(f"{rp}_xmin") / s),
+                             F.floor(F.col(f"{rp}_xmax") / s))).alias("_cx"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.floor(F.col(f"{rp}_ymin") / s),
+                             F.floor(F.col(f"{rp}_ymax") / s))).alias("_cy"),
+    )
+
+    # reference-cell dedup: emit the pair only in the cell holding the
+    # min-corner of the envelope intersection (algebraic exactly-once)
+    ref_cx = F.floor(F.greatest(F.col(f"{lp}_xmin") - lpad, F.col(f"{rp}_xmin")) / s)
+    ref_cy = F.floor(F.greatest(F.col(f"{lp}_ymin") - lpad, F.col(f"{rp}_ymin")) / s)
+    dedup = (F.col("l._cx") == ref_cx) & (F.col("l._cy") == ref_cy)
+
+    lal = lcell.alias("l")
+    ral = rcell.alias("r")
+    join_cond = (F.col("l._cx") == F.col("r._cx")) & (F.col("l._cy") == F.col("r._cy")) & dedup & cond
+    out = lal.join(ral, join_cond, how)
+    return out.drop("_cx", "_cy") if how in ("left_semi", "left_anti") else \
+        out.select([F.col(f"l.`{c}`") for c in lcell.columns if c not in ("_cx", "_cy")]
+                   + [F.col(f"r.`{c}`") for c in rcell.columns if c not in ("_cx", "_cy")])

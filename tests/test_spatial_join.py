@@ -1,0 +1,150 @@
+"""Spatial join operator tests — point-in-polygon contract mirroring the
+reference's testSpatialJoin (TestSedonaIcebergExtension.scala:108-143), with
+both strategies asserted to agree, plus plan-shape checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_iceberg_extension_spark.functions import udfs
+from sedona_iceberg_extension_spark.operators import knn_join, spatial_join
+
+
+@pytest.fixture(scope="module")
+def pts_boxes(spark):
+    # 100 points on a line, 10 disjoint boxes each containing 3 of them
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        udfs.st_point(F.col("id").cast("double"), F.col("id").cast("double")).alias("geo"),
+    )
+    boxes = spark.range(10).select(
+        F.col("id").alias("bid"),
+        udfs.st_polygonfromenvelope(
+            (F.col("id") * 10 + 0.5).cast("double"), (F.col("id") * 10 + 0.5).cast("double"),
+            (F.col("id") * 10 + 3.5).cast("double"), (F.col("id") * 10 + 3.5).cast("double"),
+        ).alias("geo"),
+    )
+    return pts, boxes
+
+
+EXPECTED_PAIRS = sorted((b, b * 10 + i) for b in range(10) for i in (1, 2, 3))
+
+
+def _pairs(df):
+    return sorted((r["bid"], r["pid"]) for r in df.select("bid", "pid").collect())
+
+
+def test_broadcast_strategy(spark, pts_boxes):
+    pts, boxes = pts_boxes
+    out = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                       strategy="broadcast", left_is_rects=True, right_is_points=True)
+    assert _pairs(out) == EXPECTED_PAIRS
+
+
+def test_grid_strategy(spark, pts_boxes):
+    pts, boxes = pts_boxes
+    out = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                       strategy="grid", left_is_rects=True, right_is_points=True)
+    assert _pairs(out) == EXPECTED_PAIRS
+
+
+def test_grid_strategy_no_hints_udf_refine(spark, pts_boxes):
+    """Without rect/point hints the exact UDF refines — same result."""
+    pts, boxes = pts_boxes
+    out = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"), strategy="grid")
+    assert _pairs(out) == EXPECTED_PAIRS
+
+
+def test_intersects_symmetric(spark, pts_boxes):
+    pts, boxes = pts_boxes
+    out = spatial_join(pts, boxes, predicate="intersects", on=("geo", "geo"),
+                       strategy="grid", left_is_points=True, right_is_rects=True)
+    assert sorted((r["bid"], r["pid"]) for r in out.collect()) == EXPECTED_PAIRS
+
+
+def test_boundary_point_contains_vs_intersects(spark):
+    """Point exactly on box edge: intersects=yes, contains=no (OGC)."""
+    pts = spark.createDataFrame([(1,)], "pid int").select(
+        "pid", udfs.st_point(F.lit(0.0), F.lit(5.0)).alias("geo"))
+    boxes = spark.createDataFrame([(1,)], "bid int").select(
+        "bid", udfs.st_polygonfromenvelope(
+            F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0)).alias("geo"))
+    got_c = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                         strategy="broadcast", left_is_rects=True, right_is_points=True)
+    got_i = spatial_join(boxes, pts, predicate="intersects", on=("geo", "geo"),
+                         strategy="broadcast", left_is_rects=True, right_is_points=True)
+    assert got_c.count() == 0
+    assert got_i.count() == 1
+
+
+def test_semi_and_anti(spark, pts_boxes):
+    pts, boxes = pts_boxes
+    semi = spatial_join(pts, boxes, predicate="intersects", on=("geo", "geo"),
+                        strategy="grid", how="left_semi",
+                        left_is_points=True, right_is_rects=True)
+    anti = spatial_join(pts, boxes, predicate="intersects", on=("geo", "geo"),
+                        strategy="grid", how="left_anti",
+                        left_is_points=True, right_is_rects=True)
+    n_semi, n_anti = semi.count(), anti.count()
+    assert n_semi == 30
+    assert n_anti == 70
+    assert sorted(r["pid"] for r in semi.collect()) == sorted(p for _, p in EXPECTED_PAIRS)
+
+
+def test_dwithin_points_native(spark):
+    a = spark.range(50).select(
+        F.col("id").alias("aid"),
+        udfs.st_point(F.col("id").cast("double"), F.lit(0.0)).alias("geo"))
+    b = spark.range(50).select(
+        F.col("id").alias("bid2"),
+        udfs.st_point(F.col("id").cast("double") + 0.4, F.lit(0.3)).alias("geo"))
+    out = spatial_join(a, b, predicate="dwithin", on=("geo", "geo"), d=0.6,
+                       strategy="grid", left_is_points=True, right_is_points=True)
+    # each a_i matches b_i (dist=0.5) only
+    got = sorted((r["aid"], r["bid2"]) for r in out.collect())
+    assert got == [(i, i) for i in range(50)]
+
+
+def test_native_plan_when_hinted(spark, tmp_path):
+    """With env structs persisted (the at-scale layout: add_geometry → write)
+    and rect/point hints, the whole join plan is Python-free — the parity
+    assertion for Sedona's plan checks (test :122,137)."""
+    from sedona_iceberg_extension_spark.functions.api import (
+        with_box_geometry, with_point_geometry)
+
+    pts = with_point_geometry(
+        spark.range(100).select(F.col("id").alias("pid")),
+        F.col("pid").cast("double"), F.col("pid").cast("double"))
+    boxes = with_box_geometry(
+        spark.range(10).select(F.col("id").alias("bid")),
+        (F.col("bid") * 10 + 0.5).cast("double"), (F.col("bid") * 10 + 0.5).cast("double"),
+        (F.col("bid") * 10 + 3.5).cast("double"), (F.col("bid") * 10 + 3.5).cast("double"))
+    pp, bp = str(tmp_path / "p.parquet"), str(tmp_path / "b.parquet")
+    pts.write.mode("overwrite").parquet(pp)
+    boxes.write.mode("overwrite").parquet(bp)
+    pts_r, boxes_r = spark.read.parquet(pp), spark.read.parquet(bp)
+
+    out = spatial_join(boxes_r, pts_r, predicate="contains", on=("geo", "geo"),
+                       strategy="grid", left_is_rects=True, right_is_points=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert _pairs(out) == EXPECTED_PAIRS
+
+    # cached inputs must plan and answer identically (reference test :129-142)
+    out_c = spatial_join(boxes_r.cache(), pts_r.cache(), predicate="contains",
+                         on=("geo", "geo"), strategy="grid",
+                         left_is_rects=True, right_is_points=True)
+    assert _pairs(out_c) == EXPECTED_PAIRS
+
+
+def test_knn_join(spark):
+    data = spark.range(100).select(
+        F.col("id").alias("did"),
+        F.col("id").cast("double").alias("x"), F.lit(0.0).alias("y"))
+    queries = spark.createDataFrame([(0, 10.2, 0.0), (1, 50.7, 0.0)], "id int, x double, y double")
+    out = knn_join(queries, data, k=3, query_id="id")
+    got = {r["query_id"]: sorted(x["did"] for x in out.filter(F.col("query_id") == r["query_id"]).collect())
+           for r in out.select("query_id").distinct().collect()}
+    assert got[0] == [9, 10, 11]
+    assert got[1] == [50, 51, 52]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
