@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship query smoke (sf0.001).
+``queries``  — every implemented operator from SURVEY.md §2, spatial Tier A–D
+               parity + Tier E pipeline operators (see
+               sedona_iceberg_extension_spark/plans/queries.py).
+``oracle_sql`` — exactly-mirrored DuckDB SQL per query; entries without SQL
+               (LSH ANN, multimodal mapInPandas) get rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prepare(spark: SparkSession) -> SparkSession:
+    from sedona_iceberg_extension_spark.session import register_all
+
+    # the driver may hand us a session it built itself — make sure the
+    # engine's function catalog and the nanos-parquet escape hatch are set
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return register_all(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's own first
+    real query shape (App.scala:55-56) — spatial range filter + projection
+    over points derived from customer, fully native plan."""
+    from sedona_iceberg_extension_spark.plans.queries import q_spatial_range_contains
+
+    _prepare(spark)
+    return q_spatial_range_contains(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, qd in QUERIES.items():
+        def run(spark: SparkSession, sf_dir: str, _fn=qd.fn) -> DataFrame:
+            _prepare(spark)
+            return _fn(spark, sf_dir)
+        out[name] = run
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}

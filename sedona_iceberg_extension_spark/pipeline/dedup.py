@@ -1,0 +1,225 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY.md §2 Tier E).
+
+All-native Catalyst plans (no Python UDFs).  Scale notes per operator:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle on a uniform key.
+- **minhash**: shingle explode → per-(doc, seed) min — map-side partial
+  aggregation shrinks the shuffle to |docs|×k rows; LSH banding turns the
+  candidate join into an equi-join on (band, band_hash), never all-pairs.
+- **simhash**: pigeonhole banding (distance ≤ d ⇒ some band of d+1 equal)
+  makes near-dup search an equi-join too.
+- **ngram-jaccard**: inverted-index equi-join on shared grams with
+  count-based Jaccard — the exact verifier for the approximate methods.
+- **embedding**: normalized dot products via zip_with/aggregate; the
+  at-scale variant buckets by random-hyperplane LSH first (similarity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import portable_hash64, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content: (content md5, canonical keeper id, count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate class."""
+    keepers = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams, natively via sequence/explode."""
+    tokd = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    idx = F.explode(F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(1))))
+    return (
+        tokd.select(F.col(id_col), idx.alias("_i"), F.col("_toks"))
+        .select(F.col(id_col),
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(id, gram) — distinct character n-grams."""
+    idx = F.explode(F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1))))
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .select(F.col(id_col), idx.alias("_i"), F.col(text_col))
+        .select(F.col(id_col), F.expr(f"substr(`{text_col}`, _i, {n})").alias("gram"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, seed, minhash) rows — the k-permutation MinHash signature in tall
+    form.  ``groupBy(id, seed).agg(min)`` partial-aggregates map-side, so the
+    shuffle carries |docs|×k rows, not |shingles|×k."""
+    sh = token_shingles(df, id_col, text_col, shingle_n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    exploded = sh.select(F.col(id_col), F.col("shingle"), seeds.alias("seed"))
+    h = portable_hash64(F.concat_ws("#", F.col("shingle"), F.col("seed")), "mh")
+    return (
+        exploded.select(F.col(id_col), F.col("seed"), h.alias("h"))
+        .groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded LSH: docs sharing a
+    band signature land in the same bucket; the pair join is an equi-join on
+    (band, band_hash)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+            F.format_string("%d:%d", F.col("seed"), F.col("minhash")))))).alias("band_hash"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verifier / refiner)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 3, threshold: float = 0.5,
+                  use_char_grams: bool = False, char_n: int = 5) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets for every pair sharing at
+    least one shingle (inverted-index join — never a cross product)."""
+    sh = (char_ngrams(df, id_col, text_col, char_n) if use_char_grams
+          else token_shingles(df, id_col, text_col, shingle_n))
+    sh = sh.withColumnRenamed("gram", "shingle") if "gram" in sh.columns else sh
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 32, max_distance: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_distance,
+    found with pigeonhole banding (d ≤ k ⇒ at least one of k+1 bands equal),
+    so the search is an equi-join on band values, not all-pairs."""
+    from .text import simhash, hamming64
+
+    n_bands = max_distance + 1
+    band_bits = bits // n_bands
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    bands = []
+    for i in range(n_bands):
+        mask = ((1 << band_bits) - 1) if i < n_bands - 1 else ((1 << (bits - band_bits * i)) - 1)
+        bands.append(
+            sh.select(
+                F.col(id_col), F.col("sh"),
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sh"), band_bits * i).bitwiseAND(F.lit(mask)).alias("bval"),
+            ))
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionAll(x)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — native
+    zip_with + aggregate in double precision, index-order summation (so the
+    DuckDB oracle's list_cosine_similarity matches bit-for-bit in practice)."""
+    ad = F.transform(a, lambda v: v.cast("double"))
+    bd = F.transform(b, lambda v: v.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        bucket: Optional[DataFrame] = None) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold.  This is the exact
+    (all-pairs) form for moderate partitions; at 100 TB route candidates
+    through similarity.hyperplane_buckets first and join on bucket."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

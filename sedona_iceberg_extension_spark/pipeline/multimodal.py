@@ -1,0 +1,97 @@
+"""Multimodal column convention: opaque binary payloads + typed metadata.
+
+Same engine pattern as WKB geometry (SURVEY.md §1.4): the payload is a
+``BinaryType`` column; a sibling struct carries the typed metadata the
+planner can prune/filter on natively (modality, mime, width/height/duration,
+byte size, content hash).  Decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so payload bytes stream through Python workers batch-wise —
+partitioning, schema, and batch shape are real; the *codec* itself is stubbed
+(no image/audio libraries in this container) behind ``DecodeNotAvailable`` /
+a deterministic fake, clearly marked.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("modality", StringType()),      # image | audio | video
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("content_md5", StringType()),
+])
+
+
+class DecodeNotAvailable(NotImplementedError):
+    """Raised by real decode paths: media codecs are not installed in this
+    build environment.  The deterministic fake paths below keep the Spark
+    plumbing testable end-to-end."""
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str, modality: str,
+                          mime: str, meta_name: str = "media_meta") -> DataFrame:
+    """Native metadata struct over a binary payload column (no Python)."""
+    return df.withColumn(meta_name, F.struct(
+        F.lit(modality).alias("modality"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("content_md5"),
+    ))
+
+
+_FEATURE_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("feature", DoubleType()),
+])
+
+
+def extract_features(df: DataFrame, id_col: str, payload_col: str,
+                     batch_size_hint: int = 1024, fake: bool = True) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas`` — the real
+    at-scale shape (Arrow batches of bytes into Python, narrow feature rows
+    out; input columns pruned to id+payload before the Python boundary).
+
+    ``fake=True`` computes a deterministic stand-in feature (mean byte value);
+    ``fake=False`` raises DecodeNotAvailable where a real codec would run."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise DecodeNotAvailable(
+                    "media codecs not installed; run with fake=True or add a codec")
+            feats = []
+            for b in pdf[payload_col]:
+                feats.append(float(sum(b)) / len(b) if b is not None and len(b) else None)
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "n_bytes": [len(b) if b is not None else 0 for b in pdf[payload_col]],
+                "feature": feats,
+            })
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, _FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str,
+                      every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (video, frame_ts) —
+    the explode is native (sequence over duration from metadata); the frame
+    decode itself is the stubbed mapInPandas stage."""
+    return (
+        df.select(F.col(id_col), F.col(payload_col), F.col("media_meta"))
+        .withColumn("frame_ts_ms", F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col("media_meta.duration_ms"), F.lit(0).cast("long")),
+            F.lit(every_ms).cast("long"))))
+    )

@@ -1,0 +1,162 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Tier E of the engine (SURVEY.md §2 Tier E — beyond the reference's spatial
+surface): language-ID, quality scoring, token counting, fingerprinting.
+
+Design rule for this whole module: **every operator is a native Catalyst
+expression** — no Python UDFs anywhere.  At 100 TB these run inside
+whole-stage codegen at scan speed, and each one has an exactly-equivalent
+ANSI-SQL form for the DuckDB differential oracle.
+
+Cross-engine portable 64-bit hash: ``conv(substr(md5(x),1,15),16,10)`` —
+identical in Spark and DuckDB (both MD5), 60 bits, non-negative.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def portable_hash64(col: Column, seed: str = "") -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB SQL:
+    Spark:  conv(substr(md5(concat(x,'#',seed)),1,15),16,10)::long
+    DuckDB: ('0x' || substr(md5(x || '#' || seed),1,15))::BIGINT
+    """
+    payload = F.concat(col, F.lit("#" + seed)) if seed else col
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, lowercased (native split)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+# A BPE-ish token estimate: words + punctuation marks + digit runs, the usual
+# ~heuristic for LLM token budgeting when no tokenizer is available.
+def token_count_bpe_ish(col: Column) -> Column:
+    words = F.size(F.split(F.trim(col), r"\s+"))
+    puncts = F.length(col) - F.length(F.regexp_replace(col, r"[\.,!\?;:]", ""))
+    # long words cost extra tokens (~1 per 6 chars beyond the first 6)
+    extra = F.aggregate(
+        F.transform(tokens(col), lambda t: F.greatest(F.lit(0), (F.length(t) - 1) / 6)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long"))
+    return (words + puncts + extra).cast("long")
+
+
+# -- quality metrics ---------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that",
+]
+
+
+def stopword_ratio(col: Column, stopwords: Sequence[str] = tuple(_STOPWORDS)) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(col: Column) -> Column:
+    removed = F.length(col) - F.length(F.regexp_replace(col, r"[\.,!\?;:]", ""))
+    return removed.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def digit_ratio(col: Column) -> Column:
+    removed = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return removed.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(F.transform(toks, F.length),
+                        F.lit(0).cast("long"), lambda a, v: a + v.cast("long"))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: favors mid-length docs with low punct/digit
+    noise and a healthy stopword ratio — the standard cheap pre-filter for
+    LLM corpus curation (C4/Gopher-style heuristics, simplified)."""
+    n_tok = F.size(tokens(col)).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    noise = punct_ratio(col) + digit_ratio(col)
+    noise_score = F.greatest(F.lit(0.0), F.lit(1.0) - noise * F.lit(4.0))
+    mtl = mean_token_len(col)
+    mtl_score = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score * F.lit(0.3) + sw_score * F.lit(0.2)
+            + noise_score * F.lit(0.3) + mtl_score * F.lit(0.2))
+
+
+# -- language identification -------------------------------------------------
+
+# tiny per-language function-word lexicons (public linguistic knowledge)
+LANG_LEXICONS: Dict[str, List[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "with", "for"],
+    "es": ["el", "la", "los", "las", "es", "y", "de", "que", "en", "por"],
+    "fr": ["le", "la", "les", "est", "et", "de", "que", "en", "pour", "avec"],
+}
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    toks = tokens(col)
+    out = {}
+    for lang, lex in LANG_LEXICONS.items():
+        arr = F.array(*[F.lit(w) for w in lex])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by lexicon hits; deterministic alphabetical tiebreak;
+    'und' (undetermined) when no lexicon hits at all."""
+    s = lang_scores(col)
+    mx = F.greatest(*s.values())
+    expr = F.when(mx <= 0, F.lit("und"))
+    for lang in sorted(s):  # alphabetical tiebreak — mirror in oracle SQL
+        expr = expr.when(s[lang] == mx, F.lit(lang))
+    return expr
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document 60-bit content fingerprint (portable hash of the
+    canonicalized text: lowercased, whitespace-collapsed)."""
+    canon = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return portable_hash64(canon, "fp")
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over token hashes — one native expression (no explode, no UDF):
+    for each bit, sum ±1 votes across tokens via ``aggregate``; OR the sign
+    bits together.  Locality-sensitive: near-duplicate docs differ in few bits.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: portable_hash64(t, "sim"))
+
+    def voter(b):
+        def merge(acc, h):
+            return acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                                F.lit(1)).otherwise(F.lit(-1))
+        return merge
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

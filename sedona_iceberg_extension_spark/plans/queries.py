@@ -1,0 +1,998 @@
+"""Declared query inventory — the engine's correctness contract.
+
+One entry per operator family from SURVEY.md §2 (spatial Tier A–D parity +
+Tier E pipeline operators), each with:
+
+- a Spark implementation through the engine's own API (expression-level
+  spatial functions, spatial_join, aggregates, pipeline ops) — the plans are
+  native Catalyst wherever the operand structure allows;
+- an exactly-mirrored ANSI-SQL oracle for DuckDB (plain SQL only: no spatial
+  extension exists in this environment, so geometry queries derive their
+  points/boxes from numeric columns per FIXTURES.md F4 and the oracle states
+  the same arithmetic explicitly).
+
+Conventions (FIXTURES.md): every query ends in a total ORDER BY; float
+aggregates are ROUNDed identically on both sides; aggregate/computed columns
+share the same alias on both sides; BIGINT sums are cast in DuckDB (HUGEINT
+otherwise).
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import api as ST
+from ..functions import udfs
+from ..functions.aggregates import centroid_agg_columns, centroid_finish_xy
+from ..operators import spatial_join
+from ..pipeline import dedup, similarity, text
+from ..sources import load_table
+
+QueryDef = namedtuple("QueryDef", ["fn", "oracle", "headline"])
+
+# point synthesis used by every spatial query (FIXTURES.md F4): integer-valued
+# coordinates from numeric columns — identical arithmetic on both engines
+_CX = "CAST(c_custkey % 360 - 180 AS DOUBLE)"
+_CY = "CAST((c_custkey * 7) % 180 - 90 AS DOUBLE)"
+
+
+def _cust_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
+    return ST.with_point_geometry(cust, x, y)
+
+
+def _supp_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    x = (F.col("s_suppkey") % 360 - 180).cast("double")
+    y = ((F.col("s_suppkey") * 11) % 180 - 90).cast("double")
+    return ST.with_point_geometry(sup, x, y)
+
+
+_SX = "CAST(s_suppkey % 360 - 180 AS DOUBLE)"
+_SY = "CAST((s_suppkey * 11) % 180 - 90 AS DOUBLE)"
+
+
+# ===========================================================================
+# relational tier (Tier D parity — delegated to native Spark)
+# ===========================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name")
+    )
+
+
+_Q5_SQL = """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("total_spend"), F.col("n_orders"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_QTOPC_SQL = """
+SELECT c_custkey, c_name, total_spend, n_orders
+FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey) t
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_order_priority(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+_QPRIO_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+def q_part_type_stats(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.avg("p_retailprice"), 6).alias("avg_retail"))
+        .orderBy("p_brand")
+    )
+
+
+_QPART_SQL = """
+SELECT p_brand, COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(AVG(p_retailprice), 6) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_window_running_spend(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"))
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+_QWIN_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS running_spend,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders WHERE o_custkey < 50
+ORDER BY o_custkey, order_seq
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+_QEVH_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
+ORDER BY hour, event_type
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization as gaps-and-islands (identical shape in the
+    oracle; the streaming module's session_window variant is covered by
+    streaming tests — this is the batch-SQL-expressible form)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+        F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("_new", new_s).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("session_value"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+_QSESS_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         CAST(SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ===========================================================================
+# spatial tier (Tier A–C parity)
+# ===========================================================================
+
+def q_spatial_range_contains(spark, sf_dir):
+    """Reference flagship query shape (App.scala:55-56): range filter via
+    ST_Contains(box literal, point) — compiles fully native."""
+    pts = _cust_points(spark, sf_dir)
+    box = ST.st_box(-60.0, -45.0, 75.0, 60.0)
+    pt = ST.st_point(F.col("geo_env.xmin"), F.col("geo_env.ymin"))
+    return (
+        pts.filter(ST.st_contains(box, pt))
+        .select("c_custkey",
+                F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
+        .orderBy("c_custkey")
+    )
+
+
+_QRANGE_SQL = f"""
+SELECT c_custkey, {_CX} AS x, {_CY} AS y
+FROM customer
+WHERE {_CX} > -60.0 AND {_CX} < 75.0 AND {_CY} > -45.0 AND {_CY} < 60.0
+ORDER BY c_custkey
+"""
+
+
+def q_spatial_range_intersects(spark, sf_dir):
+    pts = _cust_points(spark, sf_dir)
+    box = ST.st_box(-60.0, -45.0, 75.0, 60.0)
+    pt = ST.st_point(F.col("geo_env.xmin"), F.col("geo_env.ymin"))
+    return (
+        pts.filter(ST.st_intersects(pt, box))
+        .select("c_custkey").orderBy("c_custkey")
+    )
+
+
+_QRANGEI_SQL = f"""
+SELECT c_custkey FROM customer
+WHERE {_CX} >= -60.0 AND {_CX} <= 75.0 AND {_CY} >= -45.0 AND {_CY} <= 60.0
+ORDER BY c_custkey
+"""
+
+
+def q_spatial_astext(spark, sf_dir):
+    """ST_Point → ST_AsText round trip through the engine's WKB serde
+    (reference testBasic WKT round-trip, TestSedonaIcebergExtension.scala:55-59)."""
+    pts = _cust_points(spark, sf_dir).filter(F.col("c_custkey") < 100)
+    return (
+        pts.select("c_custkey",
+                   udfs.st_astext(F.col("geo")).alias("wkt"))
+        .orderBy("c_custkey")
+    )
+
+
+_QASTEXT_SQL = """
+SELECT c_custkey,
+       'POINT (' || CAST(c_custkey % 360 - 180 AS BIGINT)
+                 || ' ' || CAST((c_custkey * 7) % 180 - 90 AS BIGINT) || ')' AS wkt
+FROM customer WHERE c_custkey < 100
+ORDER BY c_custkey
+"""
+
+
+def q_spatial_distance(spark, sf_dir):
+    """Native point-point ST_Distance (no UDF in plan)."""
+    pts = _cust_points(spark, sf_dir)
+    origin = ST.st_point(F.lit(0.0), F.lit(0.0))
+    pt = ST.st_point(F.col("geo_env.xmin"), F.col("geo_env.ymin"))
+    return (
+        pts.select("c_custkey",
+                   F.round(ST.st_distance(pt, origin), 6).alias("dist_origin"))
+        .filter(F.col("dist_origin") < 60.0)
+        .orderBy("c_custkey")
+    )
+
+
+_QDIST_SQL = f"""
+SELECT c_custkey, ROUND(SQRT({_CX} * {_CX} + {_CY} * {_CY}), 6) AS dist_origin
+FROM customer
+WHERE ROUND(SQRT({_CX} * {_CX} + {_CY} * {_CY}), 6) < 60.0
+ORDER BY c_custkey
+"""
+
+
+def q_spatial_measures(spark, sf_dir):
+    """ST_Area / ST_Length / centroid accessors over boxes derived from part
+    columns — native box algebra."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    w = (F.col("p_size") % 10 + 1).cast("double")
+    h = (F.col("p_partkey") % 7 + 1).cast("double")
+    box = ST.st_box(F.lit(0.0), F.lit(0.0), w, h)
+    return (
+        part.select(
+            "p_partkey",
+            ST.st_area(box).alias("area"),
+            ST.st_length(box).alias("perimeter"),
+            ST.st_x(ST.st_centroid(box)).alias("cx"),
+            ST.st_y(ST.st_centroid(box)).alias("cy"))
+        .orderBy("p_partkey")
+    )
+
+
+_QMEAS_SQL = """
+SELECT p_partkey,
+       CAST(p_size % 10 + 1 AS DOUBLE) * CAST(p_partkey % 7 + 1 AS DOUBLE) AS area,
+       2.0 * (CAST(p_size % 10 + 1 AS DOUBLE) + CAST(p_partkey % 7 + 1 AS DOUBLE)) AS perimeter,
+       CAST(p_size % 10 + 1 AS DOUBLE) / 2 AS cx,
+       CAST(p_partkey % 7 + 1 AS DOUBLE) / 2 AS cy
+FROM part WHERE p_partkey < 500
+ORDER BY p_partkey
+"""
+
+
+def q_spatial_join_contains(spark, sf_dir):
+    """Distributed point-in-box spatial join (reference testSpatialJoin
+    contract, TestSedonaIcebergExtension.scala:117-127) — grid strategy,
+    Python-free plan via rect/point hints."""
+    pts = _cust_points(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey", "n_name"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0))
+    joined = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                          strategy="grid", left_is_rects=True, right_is_points=True)
+    return (
+        joined.groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("n_nationkey")
+    )
+
+
+_QSJC_SQL = f"""
+SELECT n_nationkey, n_name, COUNT(*) AS n_points
+FROM nation JOIN customer
+  ON {_CX} > CAST(n_nationkey * 14 - 180 AS DOUBLE)
+ AND {_CX} < CAST(n_nationkey * 14 - 166 AS DOUBLE)
+ AND {_CY} > -90.0 AND {_CY} < 90.0
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+"""
+
+
+def q_spatial_join_dwithin(spark, sf_dir):
+    """Distance join: customer↔supplier points within 2.5 units — grid
+    strategy, fully native distance algebra."""
+    pts = _cust_points(spark, sf_dir)
+    sup = _supp_points(spark, sf_dir)
+    joined = spatial_join(pts, sup, predicate="dwithin", on=("geo", "geo"), d=2.5,
+                          strategy="grid", left_is_points=True, right_is_points=True)
+    return (
+        joined.select(F.col("c_custkey"), F.col("s_suppkey"))
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+_QSJD_SQL = f"""
+SELECT c_custkey, s_suppkey
+FROM customer, supplier
+WHERE ({_CX} - {_SX}) * ({_CX} - {_SX}) + ({_CY} - {_SY}) * ({_CY} - {_SY}) <= 6.25
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+def q_spatial_knn(spark, sf_dir):
+    """5 nearest supplier points to the origin (windowed top-k)."""
+    from ..operators import knn_join
+    sup = _supp_points(spark, sf_dir).select(
+        "s_suppkey",
+        F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "id int, x double, y double")
+    out = knn_join(q, sup, k=5, query_id="id")
+    return (
+        out.select("s_suppkey", F.round(F.col("distance"), 6).alias("distance"))
+        .orderBy("distance", "s_suppkey")
+    )
+
+
+_QKNN_SQL = f"""
+SELECT s_suppkey, distance FROM (
+  SELECT s_suppkey, ROUND(SQRT({_SX} * {_SX} + {_SY} * {_SY}), 6) AS distance
+  FROM supplier
+  ORDER BY SQRT({_SX} * {_SX} + {_SY} * {_SY}) ASC, {_SX} ASC, {_SY} ASC
+  LIMIT 5) t
+ORDER BY distance, s_suppkey
+"""
+
+
+def q_spatial_centroid_agg(spark, sf_dir):
+    """ST_CENTROID_AGGR per nation over customer points — scale-path
+    9-column monoid (native F.sum partial+final; the reference's
+    CentroidBuffer, UDAF/AggregateFunctions.scala:12-14)."""
+    pts = _cust_points(spark, sf_dir)
+    out = (
+        pts.groupBy("c_nationkey")
+        .agg(*centroid_agg_columns(F.col("geo")))
+    )
+    x, y = centroid_finish_xy()
+    return (
+        out.select(F.col("c_nationkey"),
+                   F.round(x, 6).alias("centroid_x"),
+                   F.round(y, 6).alias("centroid_y"))
+        .orderBy("c_nationkey")
+    )
+
+
+_QCAGG_SQL = f"""
+SELECT c_nationkey,
+       ROUND(SUM({_CX}) / COUNT(*), 6) AS centroid_x,
+       ROUND(SUM({_CY}) / COUNT(*), 6) AS centroid_y
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_spatial_envelope_agg(spark, sf_dir):
+    """ST_Envelope_Aggr per nation — fully native min/max aggregation."""
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.groupBy("c_nationkey")
+        .agg(F.min(F.col("geo_env.xmin")).alias("xmin"),
+             F.min(F.col("geo_env.ymin")).alias("ymin"),
+             F.max(F.col("geo_env.xmax")).alias("xmax"),
+             F.max(F.col("geo_env.ymax")).alias("ymax"))
+        .orderBy("c_nationkey")
+    )
+
+
+_QEAGG_SQL = f"""
+SELECT c_nationkey, MIN({_CX}) AS xmin, MIN({_CY}) AS ymin,
+       MAX({_CX}) AS xmax, MAX({_CY}) AS ymax
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_spatial_union_agg(spark, sf_dir):
+    """ST_Union_Aggr of points per group, summarized as (distinct point
+    count, envelope) — the faithful scalar image of a MULTIPOINT union
+    (dedup included, golden contract TestSedonaIcebergExtension.scala:90-92)."""
+    pts = _cust_points(spark, sf_dir)
+    return (
+        pts.select("c_nationkey",
+                   F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_union_points"),
+             F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+        .orderBy("c_nationkey")
+    )
+
+
+_QUAGG_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_union_points, MIN(x) AS xmin, MAX(x) AS xmax
+FROM (SELECT DISTINCT c_nationkey, {_CX} AS x, {_CY} AS y FROM customer) t
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ===========================================================================
+# Tier E — text analysis
+# ===========================================================================
+
+def q_doc_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id",
+                    text.token_count(F.col("text")).alias("n_tokens"),
+                    F.length("text").alias("n_chars_measured"))
+        .orderBy("doc_id")
+    )
+
+
+_QTOK_SQL = """
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_measured
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id",
+                    F.round(text.punct_ratio(F.col("text")), 9).alias("punct_ratio"),
+                    F.round(text.stopword_ratio(F.col("text")), 9).alias("stopword_ratio"),
+                    F.round(text.mean_token_len(F.col("text")), 9).alias("mean_token_len"))
+        .orderBy("doc_id")
+    )
+
+
+_STOP_SQL = "['" + "','".join(text._STOPWORDS) + "']"
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_QQUAL_SQL = f"""
+SELECT doc_id,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 9) AS punct_ratio,
+       ROUND(CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+             / greatest(len({_TOKS_SQL}), 1), 9) AS stopword_ratio,
+       ROUND(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+             / greatest(len({_TOKS_SQL}), 1), 9) AS mean_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                    text.lang_id(F.col("text")).alias("detected_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_sql():
+    scores = {}
+    for lang, lex in text.LANG_LEXICONS.items():
+        arr = "['" + "','".join(lex) + "']"
+        scores[lang] = f"len(list_filter({_TOKS_SQL}, t -> list_contains({arr}, t)))"
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    case = f"CASE WHEN {mx} <= 0 THEN 'und'"
+    for lang in sorted(scores):
+        case += f" WHEN {scores[lang]} = {mx} THEN '{lang}'"
+    case += " END"
+    return f"""
+SELECT doc_id, lang AS labeled_lang, {case} AS detected_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_QFP_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || '#fp'), 1, 15))::BIGINT AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# Tier E — dedup
+# ===========================================================================
+
+def q_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup_groups(docs, "doc_id", "text")
+        .select("content_hash", "keep_id", "n_copies")
+        .orderBy("content_hash")
+    )
+
+
+_QDEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_hash
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+        .orderBy("doc_id", "seed")
+    )
+
+
+_QMH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE doc_id < 100
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
+), hashed AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(shingle || '#' || seed::VARCHAR || '#mh'), 1, 15))::BIGINT AS h
+  FROM shingles, LATERAL (SELECT unnest(range(0, 8)) AS seed) s
+)
+SELECT doc_id, CAST(seed AS INT) AS seed, MIN(h) AS minhash
+FROM hashed
+GROUP BY doc_id, seed
+ORDER BY doc_id, seed
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_QLSH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
+), hashed AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(shingle || '#' || seed::VARCHAR || '#mh'), 1, 15))::BIGINT AS h
+  FROM shingles, LATERAL (SELECT unnest(range(0, 8)) AS seed) s
+), sig AS (
+  SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(format('{{}}:{{}}', seed, minhash), ','
+             ORDER BY format('{{}}:{{}}', seed, minhash))) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
+    return (
+        out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_QJAC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select("doc_id", text.simhash(F.col("text"), bits=16).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = "('0x' || substr(md5(t || '#sim'), 1, 15))::BIGINT"
+    terms = []
+    for b in range(bits):
+        vote = (f"list_sum(list_transform({_TOKS_SQL}, "
+                f"t -> CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
+    expr = " + ".join(terms)
+    return f"""
+SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
+FROM documents WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# Tier E — embeddings / similarity
+# ===========================================================================
+
+def q_embedding_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(queries, emb, k=10)
+    return (
+        out.select("query_id", "data_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_QEMB_SQL = """
+SELECT query_id, data_id, ROUND(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+         list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+              d.vec_id ASC) AS INT) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings d) t
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.85)
+    return (
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_QEMBD_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.85
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_label_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0), lambda a, v: a + v))
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.avg(norm), 6).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+_QEMBL_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+# ===========================================================================
+# non-SQL-expressible entries (rows-only checks: LSH ANN, stateful stream,
+# multimodal mapInPandas — SURVEY.md notes which and why)
+# ===========================================================================
+
+def q_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(queries, emb, k=5, num_planes=4)
+    return out.select("query_id", "data_id", F.round("cosine", 6).alias("cosine"), "rank") \
+        .orderBy("query_id", "rank")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing over deterministic synthetic payloads (binary md5
+    of document text) — mapInPandas batch shape; rows-only check."""
+    from ..pipeline import multimodal as mm
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    with_meta = mm.attach_media_metadata(payloads, "payload", "image", "image/png")
+    out = mm.extract_features(with_meta, "doc_id", "payload")
+    return out.select(F.col("id").alias("doc_id"), "n_bytes",
+                      F.round("feature", 6).alias("feature")).orderBy("doc_id")
+
+
+def q_streaming_user_totals(spark, sf_dir):
+    """Stateful-streaming operator (applyInPandasWithState) driven with
+    availableNow over the events table; rows-only check (streaming state
+    machines are not ANSI-SQL-expressible)."""
+    import tempfile
+
+    from ..sources import stream_table
+    from ..streaming import running_user_totals_stateful
+
+    stream = stream_table(spark, sf_dir, "events")
+    out = running_user_totals_stateful(stream)
+    name = "q_stream_totals_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, MAX(n_events) AS n_events, "
+        f"ROUND(MAX(total_value), 6) AS total_value FROM {name} "
+        f"GROUP BY user_id ORDER BY user_id")
+
+
+# oracle for the streaming entry exists in batch form: final running totals
+# == plain groupBy — so we CAN declare it (weaker rows-only not needed)
+_QSTREAM_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES: Dict[str, QueryDef] = {
+    # relational
+    "q1_pricing_summary": QueryDef(q1_pricing_summary, _Q1_SQL, True),
+    "q3_top_orders": QueryDef(q3_top_orders, _Q3_SQL, True),
+    "q5_region_revenue": QueryDef(q5_region_revenue, _Q5_SQL, True),
+    "q6_forecast_revenue": QueryDef(q6_forecast_revenue, _Q6_SQL, True),
+    "top_customers": QueryDef(q_top_customers, _QTOPC_SQL, False),
+    "order_priority_count": QueryDef(q_order_priority, _QPRIO_SQL, False),
+    "part_brand_stats": QueryDef(q_part_type_stats, _QPART_SQL, False),
+    "window_running_spend": QueryDef(q_window_running_spend, _QWIN_SQL, False),
+    "events_hourly_rollup": QueryDef(q_events_hourly, _QEVH_SQL, True),
+    "sessionize_events": QueryDef(q_sessionize, _QSESS_SQL, True),
+    # spatial
+    "spatial_range_contains": QueryDef(q_spatial_range_contains, _QRANGE_SQL, True),
+    "spatial_range_intersects": QueryDef(q_spatial_range_intersects, _QRANGEI_SQL, False),
+    "spatial_astext": QueryDef(q_spatial_astext, _QASTEXT_SQL, False),
+    "spatial_distance": QueryDef(q_spatial_distance, _QDIST_SQL, False),
+    "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
+    "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
+    "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
+    "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),
+    "spatial_centroid_agg": QueryDef(q_spatial_centroid_agg, _QCAGG_SQL, True),
+    "spatial_envelope_agg": QueryDef(q_spatial_envelope_agg, _QEAGG_SQL, False),
+    "spatial_union_agg": QueryDef(q_spatial_union_agg, _QUAGG_SQL, False),
+    # text
+    "doc_token_stats": QueryDef(q_doc_token_stats, _QTOK_SQL, True),
+    "doc_quality": QueryDef(q_doc_quality, _QQUAL_SQL, False),
+    "doc_lang_id": QueryDef(q_doc_lang_id, _lang_sql(), False),
+    "doc_fingerprint": QueryDef(q_doc_fingerprint, _QFP_SQL, False),
+    # dedup
+    "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),
+    "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),
+    "minhash_lsh_pairs": QueryDef(q_minhash_lsh_pairs, _QLSH_SQL, True),
+    "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
+    "simhash_values": QueryDef(q_simhash, _simhash_sql(16), False),
+    # embeddings
+    "embedding_cosine_topk": QueryDef(q_embedding_topk, _QEMB_SQL, True),
+    "embedding_dup_pairs": QueryDef(q_embedding_dup_pairs, _QEMBD_SQL, False),
+    "embedding_label_stats": QueryDef(q_embedding_label_stats, _QEMBL_SQL, False),
+    # approximate / streaming / multimodal
+    "lsh_ann_topk": QueryDef(q_lsh_topk, None, False),
+    "multimodal_features": QueryDef(q_multimodal_features, None, False),
+    "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
+}

@@ -53,6 +53,9 @@ def get_session(app_name: str = "sedona-iceberg-extension-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.executorEnv.PYTHONPATH", _REPO_ROOT)
+        # driver testdata writes TIMESTAMP(NANOS) parquet — read as long,
+        # converted back to timestamp by sources.tables.load_tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -1,0 +1,100 @@
+"""Structured-Streaming operators over the events stream.
+
+The reference contains no streaming code at all (SURVEY.md §1.1 — verified
+absence), so this module is engine-native scope: the standard streaming
+shapes a large-scale event pipeline needs, built on watermarks + windowed
+aggregation + session windows + arbitrary stateful processing.
+
+Every operator works identically on a batch DataFrame (the driver's static
+``events`` parquet) and on a ``readStream`` source — the functions take
+whichever DataFrame they're given; tests exercise both paths with
+``Trigger.AvailableNow``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data watermark.
+    Streaming: incremental state per window; Batch: plain groupBy."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based), the canonical stateful shape."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select(F.col("user_id"),
+                F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
+_RUNNING_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def running_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — per-user
+    running totals that survive across micro-batches (the
+    ``applyInPandasWithState`` pattern from SURVEY.md §2 Tier E /
+    the driver brief's custom-stateful-operator requirement)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(update, _RUNNING_SCHEMA, _STATE_SCHEMA,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def event_type_rollup(events: DataFrame) -> DataFrame:
+    """Batch rollup used as the differential baseline for the streaming
+    paths: per (event_type, hour) stats."""
+    return (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"),
+             F.avg("value").alias("avg_value"))
+    )

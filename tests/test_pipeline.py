@@ -1,0 +1,169 @@
+"""Tier-E pipeline operator tests over the driver's documents/embeddings
+tables, including Spark↔DuckDB portability checks for the hash recipe that
+the oracle contract depends on."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_iceberg_extension_spark.pipeline import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_portable_hash_matches_duckdb(spark):
+    df = spark.createDataFrame([("hello",), ("world or not",)], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", text.portable_hash64(F.col("s"), "x").alias("h")).collect()}
+    con = duckdb.connect()
+    for s, h in got.items():
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(? || '#x'),1,15))::BIGINT", [s]).fetchone()[0]
+        assert h == want
+
+
+def test_token_count_native(spark, docs):
+    out = docs.select("doc_id", text.token_count(F.col("text")).alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    row = out.orderBy("doc_id").first()
+    txt = docs.orderBy("doc_id").first()["text"]
+    assert row["n"] == len(txt.split())
+
+
+def test_quality_and_ratios(spark, docs):
+    out = docs.select(
+        "doc_id",
+        text.quality_score(F.col("text")).alias("q"),
+        text.stopword_ratio(F.col("text")).alias("sw"),
+        text.punct_ratio(F.col("text")).alias("p"),
+    ).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in out)
+    assert all(0.0 <= r["sw"] <= 1.0 for r in out)
+
+
+def test_lang_id_deterministic(spark, docs):
+    out1 = {r["doc_id"]: r["l"] for r in
+            docs.select("doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+    out2 = {r["doc_id"]: r["l"] for r in
+            docs.select("doc_id", text.lang_id(F.col("text")).alias("l")).collect()}
+    assert out1 == out2
+    assert set(out1.values()) <= {"de", "en", "es", "fr", "und"}
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")], "id long, t string")
+    kept = sorted(r["id"] for r in dedup.exact_dedup(df, "id", "t").collect())
+    assert kept == [1, 2, 4]
+    groups = dedup.exact_dedup_groups(df, "id", "t")
+    assert groups.filter(F.col("n_copies") > 1).count() == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark queries and shuffles here"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, t string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")], "id long, t string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.jaccard_pairs(df, "id", "t", shingle_n=3, threshold=0.1).collect()}
+    # shingle sets of 1 and 2 share {a b c, b c d, c d e} of 4+4 distinct → 3/5
+    assert got[(1, 2)] == pytest.approx(0.6)
+    assert (1, 3) not in got
+
+
+def test_simhash_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tok999")
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, t string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.simhash_pairs(df, "id", "t", bits=32, max_distance=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_embedding_dup_pairs_and_oracle(spark, embs):
+    sub = embs.limit(60)
+    got = dedup.embedding_dup_pairs(sub, "vec_id", "embedding", threshold=0.8)
+    rows = got.collect()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW e AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'")
+    want = con.execute("""
+        SELECT a.vec_id, b.vec_id,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) c
+        FROM (SELECT * FROM e WHERE vec_id < 60) a, (SELECT * FROM e WHERE vec_id < 60) b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+    """).fetchall()
+    got_set = {(r["id_a"], r["id_b"]) for r in rows}
+    want_set = {(a, b) for a, b, _ in want}
+    assert got_set == want_set
+    # cosine values agree to 1e-9 (same accumulation order, double precision)
+    want_map = {(a, b): c for a, b, c in want}
+    for r in rows:
+        assert r["cosine"] == pytest.approx(want_map[(r["id_a"], r["id_b"])], abs=1e-9)
+
+
+def test_cosine_topk_vs_bruteforce_duckdb(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(queries, embs, k=5)
+    got = [(r["query_id"], r["data_id"], r["rank"]) for r in
+           out.orderBy("query_id", "rank").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW e AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'")
+    want = con.execute("""
+        SELECT query_id, data_id, rank FROM (
+          SELECT q.vec_id query_id, d.vec_id data_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                   d.vec_id ASC) rank
+          FROM (SELECT * FROM e WHERE vec_id < 3) q, e d)
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """).fetchall()
+    assert got == want
+
+
+def test_lsh_topk_runs_and_recall(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(queries, embs, k=1).filter(F.col("rank") == 1)
+    approx = similarity.lsh_topk(queries, embs, k=1, num_planes=4).filter(F.col("rank") == 1)
+    # rank-1 of exact is the vector itself (cosine 1.0) — LSH must find it
+    # (identical vectors share every bucket)
+    e = {(r["query_id"], r["data_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["data_id"]) for r in approx.collect()}
+    assert e == a
+
+
+def test_multimodal_plumbing(spark):
+    from sedona_iceberg_extension_spark.pipeline import multimodal as mm
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02\x03\x04")), (2, bytearray(b"\xff\x00"))],
+        "id long, payload binary")
+    with_meta = mm.attach_media_metadata(df, "payload", "image", "image/png")
+    meta = {r["id"]: r["media_meta"] for r in with_meta.collect()}
+    assert meta[1]["n_bytes"] == 4 and meta[1]["modality"] == "image"
+    feats = {r["id"]: r["feature"] for r in
+             mm.extract_features(with_meta, "id", "payload").collect()}
+    assert feats[1] == pytest.approx(2.5)
+    # real-decode path declares itself unavailable loudly
+    import pytest as _pt
+    with _pt.raises(Exception):
+        mm.extract_features(with_meta, "id", "payload", fake=False).collect()
