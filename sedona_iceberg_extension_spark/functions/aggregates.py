@@ -117,6 +117,20 @@ def _centroid_buffer_cols(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=list(A.CENTROID_FIELDS))
 
 
+def centroid_agg_columns_points(x: Column, y: Column) -> List[Column]:
+    """The same 9-field CentroidBuffer monoid, specialized for known-point
+    inputs: areal/lineal fields are identically zero, puntal fields are plain
+    column sums — the whole aggregation is native (no Python anywhere).
+    This is the engine's planner choice when the GeomExpr is a point."""
+    zero = F.lit(0.0)
+    exprs = {
+        "area2": F.sum(zero), "acx3": F.sum(zero), "acy3": F.sum(zero),
+        "length": F.sum(zero), "lcx": F.sum(zero), "lcy": F.sum(zero),
+        "npts": F.count(F.lit(1)).cast("double"), "pcx": F.sum(x), "pcy": F.sum(y),
+    }
+    return [e.alias(f"_cb_{f}") for f, e in exprs.items()]
+
+
 def centroid_agg_columns(wkb_col) -> List[Column]:
     """Per-row 9-field centroid buffer as a struct column; sum the fields with
     plain ``F.sum`` (Spark partial+final agg — the distributed monoid merge of

@@ -1,0 +1,411 @@
+"""Extended ST_* functions completing the Sedona 1.4.0 C.2 surface
+(SURVEY.md §2): GeoJSON/GML/KML IO, 3-D point support, spheroid distance,
+CRS transform (EPSG:4326 ↔ 3857), ST_Collect, ST_Split.
+
+All formats/formulas from public specifications (RFC 7946 GeoJSON, OGC
+GML 2 / KML 2.2, the Web Mercator projection equations, Andoyer–Lambert
+spheroidal distance approximation).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, DoubleType, StringType
+
+from ..geom import algos as A
+from ..geom.io import from_wkb, to_wkb
+from ..geom.model import (Geometry, WKB_GEOMETRYCOLLECTION, WKB_LINESTRING,
+                          WKB_MULTILINESTRING, WKB_MULTIPOINT,
+                          WKB_MULTIPOLYGON, WKB_POINT, WKB_POLYGON)
+
+_BIN = BinaryType()
+_STR = StringType()
+_DBL = DoubleType()
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON
+# ---------------------------------------------------------------------------
+
+_GJ_KINDS = {"Point": WKB_POINT, "LineString": WKB_LINESTRING, "Polygon": WKB_POLYGON,
+             "MultiPoint": WKB_MULTIPOINT, "MultiLineString": WKB_MULTILINESTRING,
+             "MultiPolygon": WKB_MULTIPOLYGON}
+
+
+def geojson_to_geom(obj) -> Optional[Geometry]:
+    if obj is None:
+        return None
+    if isinstance(obj, str):
+        obj = json.loads(obj)
+    t = obj.get("type")
+    if t == "Feature":
+        return geojson_to_geom(obj.get("geometry"))
+    if t == "GeometryCollection":
+        return Geometry.collection([geojson_to_geom(g) for g in obj.get("geometries", [])])
+    if t not in _GJ_KINDS:
+        raise ValueError(f"unsupported GeoJSON type {t!r}")
+    c = obj.get("coordinates")
+
+    def pair(p):
+        return (float(p[0]), float(p[1]))
+
+    kind = _GJ_KINDS[t]
+    if kind == WKB_POINT:
+        if not c:
+            return Geometry.empty(WKB_POINT)
+        z = float(c[2]) if len(c) > 2 else None
+        return Geometry(WKB_POINT, pair(c), z=z)
+    if kind == WKB_LINESTRING:
+        return Geometry(WKB_LINESTRING, [pair(p) for p in c])
+    if kind == WKB_POLYGON:
+        return Geometry(WKB_POLYGON, [[pair(p) for p in ring] for ring in c])
+    if kind == WKB_MULTIPOINT:
+        return Geometry(WKB_MULTIPOINT, [pair(p) for p in c])
+    if kind == WKB_MULTILINESTRING:
+        return Geometry(WKB_MULTILINESTRING, [[pair(p) for p in l] for l in c])
+    return Geometry(WKB_MULTIPOLYGON, [[[pair(p) for p in r] for r in poly] for poly in c])
+
+
+@pandas_udf(_BIN)
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else to_wkb(geojson_to_geom(v)))
+
+
+# ---------------------------------------------------------------------------
+# GML 2 (coordinates as "x,y x,y") and KML 2.2 (coordinates "x,y[,z] ...")
+# ---------------------------------------------------------------------------
+
+def _parse_coord_text(txt: str, sep_pair: str = ",") -> list:
+    pts = []
+    for chunk in txt.replace("\n", " ").split():
+        parts = chunk.split(sep_pair)
+        if len(parts) >= 2:
+            pts.append((float(parts[0]), float(parts[1])))
+    return pts
+
+
+def gml_to_geom(s: str) -> Optional[Geometry]:
+    if s is None:
+        return None
+    txt = s
+
+    def coords_of(tag_re):
+        m = re.search(tag_re, txt, re.S | re.I)
+        return m.group(1).strip() if m else None
+
+    body = coords_of(r"<(?:gml:)?coordinates[^>]*>(.*?)</(?:gml:)?coordinates>")
+    low = txt.lower()
+    if "point" in low and body is not None:
+        pts = _parse_coord_text(body)
+        return Geometry(WKB_POINT, pts[0]) if pts else Geometry.empty(WKB_POINT)
+    if "linestring" in low and body is not None:
+        return Geometry(WKB_LINESTRING, _parse_coord_text(body))
+    if "polygon" in low:
+        rings = []
+        for m in re.finditer(r"<(?:gml:)?coordinates[^>]*>(.*?)</(?:gml:)?coordinates>",
+                             txt, re.S | re.I):
+            ring = _parse_coord_text(m.group(1).strip())
+            if ring and ring[0] != ring[-1]:
+                ring.append(ring[0])
+            rings.append(ring)
+        return Geometry(WKB_POLYGON, rings)
+    raise ValueError("unsupported GML fragment")
+
+
+def geom_to_gml(g: Geometry) -> str:
+    def ctext(coords):
+        return " ".join(f"{x},{y}" for x, y in coords)
+
+    if g.kind == WKB_POINT:
+        c = "" if g.is_empty() else f"{g.coords[0]},{g.coords[1]}"
+        return f"<gml:Point><gml:coordinates>{c}</gml:coordinates></gml:Point>"
+    if g.kind == WKB_LINESTRING:
+        return (f"<gml:LineString><gml:coordinates>{ctext(g.coords)}"
+                f"</gml:coordinates></gml:LineString>")
+    if g.kind == WKB_POLYGON:
+        parts = []
+        for i, ring in enumerate(g.coords):
+            tag = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            parts.append(f"<gml:{tag}><gml:LinearRing><gml:coordinates>{ctext(ring)}"
+                         f"</gml:coordinates></gml:LinearRing></gml:{tag}>")
+        return f"<gml:Polygon>{''.join(parts)}</gml:Polygon>"
+    raise ValueError(f"GML output unsupported for {g.type_name}")
+
+
+def kml_to_geom(s: str) -> Optional[Geometry]:
+    if s is None:
+        return None
+    txt = s
+    low = txt.lower()
+    bodies = [m.group(1).strip() for m in
+              re.finditer(r"<coordinates[^>]*>(.*?)</coordinates>", txt, re.S | re.I)]
+    if not bodies:
+        raise ValueError("no <coordinates> in KML fragment")
+    if "<point" in low:
+        pts = _parse_coord_text(bodies[0])
+        return Geometry(WKB_POINT, pts[0]) if pts else Geometry.empty(WKB_POINT)
+    if "<linestring" in low:
+        return Geometry(WKB_LINESTRING, _parse_coord_text(bodies[0]))
+    if "<polygon" in low:
+        rings = []
+        for b in bodies:
+            ring = _parse_coord_text(b)
+            if ring and ring[0] != ring[-1]:
+                ring.append(ring[0])
+            rings.append(ring)
+        return Geometry(WKB_POLYGON, rings)
+    raise ValueError("unsupported KML fragment")
+
+
+def geom_to_kml(g: Geometry) -> str:
+    def ctext(coords):
+        return " ".join(f"{x},{y}" for x, y in coords)
+
+    if g.kind == WKB_POINT:
+        c = "" if g.is_empty() else f"{g.coords[0]},{g.coords[1]}"
+        return f"<Point><coordinates>{c}</coordinates></Point>"
+    if g.kind == WKB_LINESTRING:
+        return f"<LineString><coordinates>{ctext(g.coords)}</coordinates></LineString>"
+    if g.kind == WKB_POLYGON:
+        parts = []
+        for i, ring in enumerate(g.coords):
+            tag = "outerBoundaryIs" if i == 0 else "innerBoundaryIs"
+            parts.append(f"<{tag}><LinearRing><coordinates>{ctext(ring)}"
+                         f"</coordinates></LinearRing></{tag}>")
+        return f"<Polygon>{''.join(parts)}</Polygon>"
+    raise ValueError(f"KML output unsupported for {g.type_name}")
+
+
+@pandas_udf(_BIN)
+def st_geomfromgml(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else to_wkb(gml_to_geom(v)))
+
+
+@pandas_udf(_BIN)
+def st_geomfromkml(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else to_wkb(kml_to_geom(v)))
+
+
+@pandas_udf(_STR)
+def st_asgml(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None else geom_to_gml(from_wkb(b)))
+
+
+@pandas_udf(_STR)
+def st_askml(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None else geom_to_kml(from_wkb(b)))
+
+
+# ---------------------------------------------------------------------------
+# 3-D point support
+# ---------------------------------------------------------------------------
+
+@pandas_udf(_BIN)
+def st_pointz(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c in zip(x, y, z):
+        if a is None or b is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(Geometry(WKB_POINT, (float(a), float(b)),
+                                       z=None if c is None else float(c))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_DBL)
+def st_z(wkb: pd.Series) -> pd.Series:
+    def run(b):
+        if b is None:
+            return None
+        g = from_wkb(b)
+        return g.z
+    return wkb.map(run)
+
+
+@pandas_udf(_DBL)
+def st_3ddistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        g1, g2 = from_wkb(x), from_wkb(y)
+        if g1.kind == WKB_POINT and g2.kind == WKB_POINT and not g1.is_empty() and not g2.is_empty():
+            dz = (g1.z or 0.0) - (g2.z or 0.0)
+            out.append(math.sqrt((g1.coords[0] - g2.coords[0]) ** 2
+                                 + (g1.coords[1] - g2.coords[1]) ** 2 + dz * dz))
+        else:
+            out.append(A.distance(g1, g2))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# spheroid distance (Andoyer–Lambert approximation on WGS84)
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def _spheroid_dist(g1: Geometry, g2: Geometry) -> Optional[float]:
+    c1, c2 = A.centroid(g1), A.centroid(g2)
+    if c1 is None or c2 is None:
+        return None
+    lon1, lat1 = map(math.radians, c1.coords)
+    lon2, lat2 = map(math.radians, c2.coords)
+    # reduced latitudes
+    b1 = math.atan((1 - _WGS84_F) * math.tan(lat1))
+    b2 = math.atan((1 - _WGS84_F) * math.tan(lat2))
+    # central angle (spherical, on reduced latitudes)
+    cos_s = (math.sin(b1) * math.sin(b2)
+             + math.cos(b1) * math.cos(b2) * math.cos(lon2 - lon1))
+    cos_s = max(-1.0, min(1.0, cos_s))
+    sigma = math.acos(cos_s)
+    if sigma == 0:
+        return 0.0
+    P = (sigma - math.sin(sigma)) / (1 + math.cos(sigma))
+    Q = (sigma + math.sin(sigma)) / (1 - math.cos(sigma))
+    X = (math.sin(b1) + math.sin(b2)) ** 2
+    Y = (math.sin(b1) - math.sin(b2)) ** 2
+    return _WGS84_A * (sigma - _WGS84_F / 2.0 * (X * P + Y * Q))
+
+
+@pandas_udf(_DBL)
+def st_distancespheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+        else:
+            out.append(_spheroid_dist(from_wkb(x), from_wkb(y)))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# CRS transform: EPSG:4326 ↔ EPSG:3857 (Web Mercator, public equations)
+# ---------------------------------------------------------------------------
+
+_R_MERC = 6378137.0
+
+
+def _to_3857(x, y):
+    return (math.radians(x) * _R_MERC,
+            math.log(math.tan(math.pi / 4 + math.radians(y) / 2)) * _R_MERC)
+
+
+def _to_4326(x, y):
+    return (math.degrees(x / _R_MERC),
+            math.degrees(2 * math.atan(math.exp(y / _R_MERC)) - math.pi / 2))
+
+
+def transform_geom(g: Geometry, src: str, dst: str) -> Geometry:
+    src_n = src.upper().replace("EPSG:", "")
+    dst_n = dst.upper().replace("EPSG:", "")
+    if src_n == dst_n:
+        return g
+    if (src_n, dst_n) == ("4326", "3857"):
+        fn = _to_3857
+    elif (src_n, dst_n) == ("3857", "4326"):
+        fn = _to_4326
+    else:
+        raise NotImplementedError(
+            f"ST_Transform supports EPSG:4326<->EPSG:3857 in this engine "
+            f"(requested {src}->{dst}); general CRS needs a proj database")
+
+    def mapc(c):
+        if c is None:
+            return None
+        if isinstance(c, tuple):
+            return fn(*c)
+        return [mapc(x) for x in c]
+
+    if g.kind == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([transform_geom(x, src, dst) for x in g.coords],
+                                   int(dst_n))
+    out = Geometry(g.kind, mapc(g.coords), int(dst_n))
+    out.z = g.z
+    return out
+
+
+@pandas_udf(_BIN)
+def st_transform(wkb: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    out = []
+    for b, s, d in zip(wkb, src, dst):
+        if b is None or s is None or d is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(transform_geom(from_wkb(b), s, d)))
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# ST_Collect (array of geometries) and ST_Split
+# ---------------------------------------------------------------------------
+
+@pandas_udf(_BIN)
+def st_collect(arr: pd.Series) -> pd.Series:
+    def run(vals):
+        if vals is None:
+            return None
+        geoms = [from_wkb(bytes(b)) for b in vals if b is not None]
+        return to_wkb(A.collect(geoms))
+    return arr.map(run)
+
+
+def _split_line_by_point(line: Geometry, pt: Geometry) -> Geometry:
+    """Split a linestring at a point lying on it → multilinestring."""
+    from ..geom.algos import _on_segment
+
+    p = pt.coords
+    coords = line.coords
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        if _on_segment(p, a, b):
+            if p == a or p == b:
+                if p == coords[0] or p == coords[-1]:
+                    return Geometry(WKB_MULTILINESTRING, [list(coords)])
+                idx = coords.index(p)
+                return Geometry(WKB_MULTILINESTRING,
+                                [coords[:idx + 1], coords[idx:]])
+            first = coords[:i + 1] + [p]
+            second = [p] + coords[i + 1:]
+            return Geometry(WKB_MULTILINESTRING, [first, second])
+    return Geometry(WKB_MULTILINESTRING, [list(coords)])  # point not on line
+
+
+@pandas_udf(_BIN)
+def st_split(wkb: pd.Series, blade: pd.Series) -> pd.Series:
+    out = []
+    for b, bl in zip(wkb, blade):
+        if b is None or bl is None:
+            out.append(None)
+            continue
+        g, gb = from_wkb(b), from_wkb(bl)
+        if g.kind == WKB_LINESTRING and gb.kind == WKB_POINT:
+            out.append(to_wkb(_split_line_by_point(g, gb)))
+        else:
+            raise NotImplementedError(
+                "ST_Split supports LINESTRING split by POINT in this engine")
+    return pd.Series(out, dtype=object)
+
+
+EXT_SQL_FUNCTIONS = {
+    "ST_GeomFromGeoJSON": st_geomfromgeojson,
+    "ST_GeomFromGML": st_geomfromgml,
+    "ST_GeomFromKML": st_geomfromkml,
+    "ST_AsGML": st_asgml,
+    "ST_AsKML": st_askml,
+    "ST_PointZ": st_pointz,
+    "ST_Z": st_z,
+    "ST_3DDistance": st_3ddistance,
+    "ST_DistanceSpheroid": st_distancespheroid,
+    "ST_Transform": st_transform,
+    "ST_Collect": st_collect,
+    "ST_Split": st_split,
+}

@@ -41,8 +41,13 @@ def to_wkb(geom: Optional[Geometry]) -> Optional[bytes]:
 
 def _write_wkb(geom: Geometry, out: bytearray) -> None:
     out += b"\x01"  # little-endian
-    out += struct.pack("<I", geom.kind)
     k = geom.kind
+    if k == WKB_POINT and geom.z is not None:
+        out += struct.pack("<I", 1001)  # ISO WKB Point Z
+        x, y = geom.coords if geom.coords is not None else (_NAN, _NAN)
+        out += struct.pack("<ddd", x, y, geom.z)
+        return
+    out += struct.pack("<I", geom.kind)
     if k == WKB_POINT:
         if geom.coords is None:
             out += struct.pack("<dd", _NAN, _NAN)  # ISO convention for POINT EMPTY
@@ -120,9 +125,12 @@ def _read_wkb(buf: memoryview, pos: int) -> Tuple[Geometry, int]:
 
     k = base
     if k == WKB_POINT:
+        z = None
+        if has_z:
+            (z,) = struct.unpack_from(fmt + "d", buf, pos + 16)
         (x, y), pos = read_coord(pos)
         coords = None if (x != x and y != y) else (x, y)  # NaN NaN == EMPTY
-        return Geometry(WKB_POINT, coords, srid), pos
+        return Geometry(WKB_POINT, coords, srid, z=z), pos
     if k == WKB_LINESTRING:
         (n,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
@@ -189,6 +197,8 @@ def _wkt_body(geom: Geometry, max_coords=None) -> str:
         return f"{name} EMPTY"
     k = geom.kind
     if k == WKB_POINT:
+        if geom.z is not None:
+            return f"{name} Z ({_fmt_coord(geom.coords)} {_fmt_num(geom.z)})"
         return f"{name} ({_fmt_coord(geom.coords)})"
     if k == WKB_LINESTRING:
         return f"{name} ({_seq(geom.coords, max_coords)})"
@@ -283,10 +293,13 @@ def _parse_geom(tok: _Tok) -> Geometry:
     save = tok.pos
     marker = tok.word()
     dims = 2
+    has_z_marker = False
     if marker in ("Z", "M"):
         dims = 3
+        has_z_marker = marker == "Z"
     elif marker == "ZM":
         dims = 4
+        has_z_marker = True
     elif marker == "EMPTY":
         return Geometry.empty(kind)
     else:
@@ -323,9 +336,17 @@ def _parse_geom(tok: _Tok) -> Geometry:
 
     if kind == WKB_POINT:
         tok.expect("(")
-        c = coord()
+        x = tok.number()
+        y = tok.number()
+        z = None
+        if dims >= 3 and tok.peek() != ")":
+            extra_val = tok.number()
+            if has_z_marker:
+                z = extra_val
+            if dims == 4 and tok.peek() != ")":
+                tok.number()  # M ordinate, dropped
         tok.expect(")")
-        return Geometry(WKB_POINT, c)
+        return Geometry(WKB_POINT, (x, y), z=z)
     if kind == WKB_LINESTRING:
         return Geometry(WKB_LINESTRING, coord_seq())
     if kind == WKB_POLYGON:

@@ -67,12 +67,16 @@ class Geometry:
     ``srid`` — spatial reference id (0 == unset), carried but not interpreted.
     """
 
-    __slots__ = ("kind", "coords", "srid")
+    __slots__ = ("kind", "coords", "srid", "z")
 
-    def __init__(self, kind: int, coords, srid: int = 0):
+    def __init__(self, kind: int, coords, srid: int = 0, z: Optional[float] = None):
         self.kind = kind
         self.coords = coords
         self.srid = srid
+        # minimal 3-D support: a single Z ordinate carried for POINT kind only
+        # (covers Sedona's ST_PointZ / ST_Z / ST_3DDistance surface; all 2-D
+        # algorithms ignore it)
+        self.z = z
 
     # ---- constructors -------------------------------------------------
     @staticmethod

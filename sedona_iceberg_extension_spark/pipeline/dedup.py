@@ -106,13 +106,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
             F.format_string("%d:%d", F.col("seed"), F.col("minhash")))))).alias("band_hash"))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # bucket-local pair generation instead of a self-join: one pass over the
+    # signature pipeline (a self-join would recompute the whole shingle+md5
+    # DAG for both sides), buckets are near-dup groups and stay small
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select(F.col("id_a"),
+                F.explode(F.filter(F.col("_ids"), lambda x: x > F.col("id_a"))).alias("id_b"))
         .distinct()
     )
 
@@ -123,19 +128,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   shingle_n: int = 3, threshold: float = 0.5,
-                  use_char_grams: bool = False, char_n: int = 5) -> DataFrame:
+                  use_char_grams: bool = False, char_n: int = 5,
+                  max_doc_freq: Optional[int] = None) -> DataFrame:
     """Exact Jaccard similarity over shingle sets for every pair sharing at
-    least one shingle (inverted-index join — never a cross product)."""
+    least one shingle.  Candidate pairs are generated bucket-locally per
+    shingle (one pass over the shingling pipeline — a self-join would run it
+    twice), never as a cross product.
+
+    ``max_doc_freq``: at 100 TB, ultra-frequent shingles create quadratic
+    buckets; capping document frequency drops them from *candidate
+    generation only* (pair scores stay exact, pairs connected solely by
+    stop-shingles are below any useful threshold).  Default None = exact."""
     sh = (char_ngrams(df, id_col, text_col, char_n) if use_char_grams
           else token_shingles(df, id_col, text_col, shingle_n))
     sh = sh.withColumnRenamed("gram", "shingle") if "gram" in sh.columns else sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posting = sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("_ids"))
+    posting = posting.filter(F.size("_ids") > 1)
+    if max_doc_freq is not None:
+        posting = posting.filter(F.size("_ids") <= max_doc_freq)
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        posting.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select(F.col("id_a"),
+                F.explode(F.filter(F.col("_ids"), lambda x: x > F.col("id_a"))).alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))

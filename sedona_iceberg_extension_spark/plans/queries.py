@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..functions import api as ST
 from ..functions import udfs
-from ..functions.aggregates import centroid_agg_columns, centroid_finish_xy
+from ..functions.aggregates import centroid_finish_xy
 from ..operators import spatial_join
 from ..pipeline import dedup, similarity, text
 from ..sources import load_table
@@ -519,13 +519,17 @@ ORDER BY distance, s_suppkey
 
 
 def q_spatial_centroid_agg(spark, sf_dir):
-    """ST_CENTROID_AGGR per nation over customer points — scale-path
-    9-column monoid (native F.sum partial+final; the reference's
-    CentroidBuffer, UDAF/AggregateFunctions.scala:12-14)."""
+    """ST_CENTROID_AGGR per nation over customer points — the reference's
+    CentroidBuffer monoid (UDAF/AggregateFunctions.scala:12-14) specialized
+    for point inputs: all 9 buffer fields are native column aggregates, so
+    the whole plan is Python-free (the general-geometry buffer path is
+    centroid_agg_columns, exercised in tests)."""
+    from ..functions.aggregates import centroid_agg_columns_points
+
     pts = _cust_points(spark, sf_dir)
     out = (
         pts.groupBy("c_nationkey")
-        .agg(*centroid_agg_columns(F.col("geo")))
+        .agg(*centroid_agg_columns_points(F.col("geo_env.xmin"), F.col("geo_env.ymin")))
     )
     x, y = centroid_finish_xy()
     return (

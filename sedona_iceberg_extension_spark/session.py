@@ -23,9 +23,12 @@ def register_all(spark: SparkSession) -> SparkSession:
     idempotence guard the reference needs at SedonaIcebergExtensions.scala:41-46 —
     re-registration simply overwrites)."""
     from .functions.udfs import SQL_FUNCTIONS
+    from .functions.udfs_ext import EXT_SQL_FUNCTIONS
     from .functions.aggregates import AGG_FUNCTIONS
 
     for name, fn in SQL_FUNCTIONS.items():
+        spark.udf.register(name, fn)
+    for name, fn in EXT_SQL_FUNCTIONS.items():
         spark.udf.register(name, fn)
     for name, fn in AGG_FUNCTIONS.items():
         spark.udf.register(name, fn)

@@ -1,0 +1,80 @@
+"""Table-management parity surface (reference Tier D sinks,
+App.scala:42-52,76-78): CREATE TABLE with a geometry (WKB binary) column,
+INSERT INTO with ST_ constructors, CTAS, dynamic partition overwrite, DROP —
+all through spark.sql over managed parquet tables (plain-parquet mode;
+Iceberg-runtime row-level DML is out of scope in this container, SURVEY §7.2 M6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def clean_tables(spark):
+    yield
+    for t in ("geo_tbl", "geo_ctas", "part_tbl"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_create_insert_select_drop(spark, clean_tables):
+    spark.sql("CREATE TABLE geo_tbl (id INT, data STRING, geo BINARY) USING PARQUET")
+    # INSERT INTO ... VALUES with constructor (App.scala:46-47 shape)
+    spark.sql("""
+        INSERT INTO geo_tbl
+        SELECT 1, 'data_1', ST_GeomFromText('POINT (10 20)')
+        UNION ALL
+        SELECT 2, 'data_2', ST_Point(20D, 30D)
+    """)
+    rows = spark.sql("""
+        SELECT id, ST_AsText(geo) AS wkt FROM geo_tbl
+        WHERE ST_Contains(ST_PolygonFromEnvelope(0D, 0D, 15D, 25D), geo)
+        ORDER BY id
+    """).collect()
+    assert [(r["id"], r["wkt"]) for r in rows] == [(1, "POINT (10 20)")]
+
+    # insert-from-select with computed geometry (test :99-104 shape)
+    spark.sql("""
+        INSERT INTO geo_tbl
+        SELECT id + 100, CONCAT('data_', id + 100), ST_Point(CAST(id AS DOUBLE), 0D)
+        FROM geo_tbl
+    """)
+    assert spark.sql("SELECT COUNT(*) c FROM geo_tbl").first()["c"] == 4
+
+
+def test_ctas_with_spatial_projection(spark, clean_tables):
+    spark.sql("CREATE TABLE geo_tbl (id INT, geo BINARY) USING PARQUET")
+    spark.sql("INSERT INTO geo_tbl SELECT 1, ST_Point(1D, 2D)")
+    spark.sql("""
+        CREATE TABLE geo_ctas USING PARQUET AS
+        SELECT id, ST_AsText(geo) AS wkt, ST_X(geo) AS x FROM geo_tbl
+    """)
+    r = spark.sql("SELECT * FROM geo_ctas").first()
+    assert r["wkt"] == "POINT (1 2)" and r["x"] == 1.0
+
+
+def test_dynamic_partition_overwrite(spark, clean_tables):
+    spark.sql("SET spark.sql.sources.partitionOverwriteMode=dynamic")
+    spark.sql("CREATE TABLE part_tbl (id INT, geo BINARY) USING PARQUET PARTITIONED BY (p INT)")
+    spark.sql("INSERT INTO part_tbl SELECT 1, ST_Point(1D,1D), 10")
+    spark.sql("INSERT INTO part_tbl SELECT 2, ST_Point(2D,2D), 20")
+    # dynamic overwrite touches only partition p=10
+    spark.sql("INSERT OVERWRITE TABLE part_tbl SELECT 3, ST_Point(3D,3D), 10")
+    got = sorted((r["id"], r["p"]) for r in spark.sql("SELECT id, p FROM part_tbl").collect())
+    assert got == [(2, 20), (3, 10)]
+
+
+def test_envelope_struct_persists_for_skipping(spark, clean_tables, sf_dir):
+    """add_geometry → managed table → filter on env fields shows
+    PushedFilters at the scan (the engine's data-skipping contract)."""
+    from sedona_iceberg_extension_spark.functions.api import with_point_geometry
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = with_point_geometry(cust.select("c_custkey"),
+                              (F.col("c_custkey") % 100).cast("double"),
+                              (F.col("c_custkey") % 50).cast("double"))
+    pts.write.mode("overwrite").saveAsTable("geo_tbl")
+    q = spark.table("geo_tbl").filter(
+        (F.col("geo_env.xmin") >= 10.0) & (F.col("geo_env.xmax") <= 20.0))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "xmin" in plan
+    assert q.count() > 0

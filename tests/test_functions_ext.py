@@ -1,0 +1,67 @@
+"""Extended function surface: GeoJSON/GML/KML IO, PointZ, spheroid distance,
+Web Mercator transform, ST_Collect, ST_Split."""
+
+import math
+
+import pytest
+
+
+def sql1(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+def test_geojson_roundtrip(spark):
+    gj = '{"type": "Polygon", "coordinates": [[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'
+    assert sql1(spark, f"ST_Area(ST_GeomFromGeoJSON('{gj}'))") == 16.0
+    out = sql1(spark, "ST_AsGeoJSON(ST_Point(1D, 2D))")
+    assert '"type": "Point"' in out and "[1.0, 2.0]" in out
+
+
+def test_gml_kml(spark):
+    gml = "<gml:Point><gml:coordinates>3,4</gml:coordinates></gml:Point>"
+    assert sql1(spark, f"ST_AsText(ST_GeomFromGML('{gml}'))") == "POINT (3 4)"
+    kml = "<Point><coordinates>5,6</coordinates></Point>"
+    assert sql1(spark, f"ST_AsText(ST_GeomFromKML('{kml}'))") == "POINT (5 6)"
+    out = sql1(spark, "ST_AsKML(ST_Point(1D,2D))")
+    assert "<coordinates>1.0,2.0</coordinates>" in out
+    out = sql1(spark, "ST_AsGML(ST_GeomFromText('LINESTRING (0 0, 1 1)'))")
+    assert "gml:LineString" in out
+
+
+def test_pointz(spark):
+    assert sql1(spark, "ST_Z(ST_PointZ(1D, 2D, 3D))") == 3.0
+    assert sql1(spark, "ST_AsText(ST_PointZ(1D, 2D, 3D))") == "POINT Z (1 2 3)"
+    assert sql1(spark, "ST_X(ST_PointZ(1D, 2D, 3D))") == 1.0
+    d = sql1(spark, "ST_3DDistance(ST_PointZ(0D,0D,0D), ST_PointZ(2D,3D,6D))")
+    assert d == pytest.approx(7.0)
+    # Z survives the WKB round trip
+    assert sql1(spark, "ST_Z(ST_GeomFromWKB(ST_AsBinary(ST_PointZ(1D,2D,9D))))") == 9.0
+
+
+def test_distance_spheroid(spark):
+    # Paris (2.35, 48.85) → London (-0.13, 51.51): ~344 km (public fact)
+    d = sql1(spark, "ST_DistanceSpheroid(ST_Point(2.35D, 48.85D), ST_Point(-0.13D, 51.51D))")
+    assert 330_000 < d < 360_000
+    # sphere vs spheroid within 0.5%
+    ds = sql1(spark, "ST_DistanceSphere(ST_Point(2.35D, 48.85D), ST_Point(-0.13D, 51.51D))")
+    assert abs(d - ds) / d < 0.005
+
+
+def test_transform_web_mercator(spark):
+    x = sql1(spark, "ST_X(ST_Transform(ST_Point(0D, 0D), 'EPSG:4326', 'EPSG:3857'))")
+    assert x == pytest.approx(0.0)
+    # (90, 45) lon/lat → x = R * pi/2
+    x = sql1(spark, "ST_X(ST_Transform(ST_Point(90D, 45D), 'EPSG:4326', 'EPSG:3857'))")
+    assert x == pytest.approx(6378137.0 * math.pi / 2, rel=1e-9)
+    # round trip
+    y = sql1(spark, "ST_Y(ST_Transform(ST_Transform(ST_Point(10D, 20D), "
+                    "'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326'))")
+    assert y == pytest.approx(20.0, abs=1e-9)
+
+
+def test_collect_and_split(spark):
+    out = sql1(spark, "ST_AsText(ST_Collect(array(ST_Point(1D,1D), ST_Point(2D,2D))))")
+    assert out == "MULTIPOINT ((1 1), (2 2))"
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText('LINESTRING (0 0, 10 0)'), "
+                      "ST_Point(4D, 0D)))")
+    assert out == "MULTILINESTRING ((0 0, 4 0), (4 0, 10 0))"

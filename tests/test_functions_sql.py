@@ -71,6 +71,32 @@ def test_aggregates_sql(spark):
     assert env == "POLYGON ((10 20, 10 30, 20 30, 20 20, 10 20))"
 
 
+def test_centroid_monoid_scale_path_matches_udaf(spark):
+    """The native 9-column monoid decomposition (general-geometry buffer UDF
+    + F.sum partial/final + native finish) must equal the grouped-agg UDAF
+    over mixed geometry kinds."""
+    from sedona_iceberg_extension_spark.functions.aggregates import (
+        centroid_agg_columns, centroid_finish_xy)
+    from pyspark.sql import functions as F
+
+    df = spark.sql("""
+        SELECT ST_GeomFromText(w) AS geo FROM VALUES
+          ('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+          ('LINESTRING (0 0, 4 0)'),
+          ('POINT (100 100)'),
+          ('MULTIPOINT ((1 1), (2 2))') t(w)
+    """)
+    agg = df.agg(*centroid_agg_columns(F.col("geo")))
+    x, y = centroid_finish_xy()
+    got = agg.select(x.alias("x"), y.alias("y")).first()
+    df.createOrReplaceTempView("mixed_geoms")
+    want_wkb = spark.sql(
+        "SELECT ST_CENTROID_AGGR(geo) AS c FROM mixed_geoms").first()["c"]
+    from sedona_iceberg_extension_spark.geom import from_wkb
+    want = from_wkb(bytes(want_wkb)).coords
+    assert abs(got["x"] - want[0]) < 1e-9 and abs(got["y"] - want[1]) < 1e-9
+
+
 def test_null_propagation_sql(spark):
     assert sql1(spark, "ST_AsText(CAST(NULL AS BINARY))") is None
     assert sql1(spark, "ST_Contains(CAST(NULL AS BINARY), ST_Point(1D,1D))") is None
