@@ -24,6 +24,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import portable_hash64, tokens
 
 
+def spread(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+    """Ensure a CPU-heavy narrow stage downstream has enough partitions to
+    use every core.  At 100 TB the scan's input splits already provide
+    parallelism and this is a no-op; on a small local table (one parquet
+    split) the hash/shingle pipeline would otherwise run on a single core.
+    The repartition shuffles only the raw rows — cheap relative to the
+    per-row work it parallelizes."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -48,17 +61,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # shingling
 # ---------------------------------------------------------------------------
 
-def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams, natively via sequence/explode."""
+def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                   distinct: bool = True) -> DataFrame:
+    """(id, shingle) — word n-grams, natively via sequence/explode.
+
+    ``distinct=True`` gives set semantics (needed by Jaccard counting; costs
+    a shuffle).  Duplicate-insensitive consumers (MinHash: ``min`` over a
+    multiset equals ``min`` over its set) pass False and keep the whole
+    shingling stage narrow — no shuffle at all."""
     tokd = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     idx = F.explode(F.sequence(
         F.lit(1), F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(1))))
-    return (
+    sh = (
         tokd.select(F.col(id_col), idx.alias("_i"), F.col("_toks"))
         .select(F.col(id_col),
                 F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_i"), n)).alias("shingle"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
@@ -77,19 +96,32 @@ def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFr
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def minhash_signatures_wide(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, mh_0 .. mh_{k-1}) — the k-permutation MinHash signature in wide
+    form.  One narrow pass computes all k hashes per shingle row (no ×k row
+    explosion), and the single ``groupBy(id)`` with k ``min`` aggregates
+    partial-aggregates map-side, so the one shuffle carries |docs| rows of
+    k longs — at 100 TB that is the difference between shuffling the corpus
+    ×k and shuffling just the signature matrix."""
+    sh = token_shingles(spread(df), id_col, text_col, shingle_n, distinct=False)
+    mins = [
+        F.min(portable_hash64(
+            F.concat_ws("#", F.col("shingle"), F.lit(str(i))), "mh")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
-    """(id, seed, minhash) rows — the k-permutation MinHash signature in tall
-    form.  ``groupBy(id, seed).agg(min)`` partial-aggregates map-side, so the
-    shuffle carries |docs|×k rows, not |shingles|×k."""
-    sh = token_shingles(df, id_col, text_col, shingle_n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    exploded = sh.select(F.col(id_col), F.col("shingle"), seeds.alias("seed"))
-    h = portable_hash64(F.concat_ws("#", F.col("shingle"), F.col("seed")), "mh")
-    return (
-        exploded.select(F.col(id_col), F.col("seed"), h.alias("h"))
-        .groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
-    )
+    """(id, seed, minhash) — tall view of the wide signature (driver-contract
+    output shape; ``stack`` is a narrow generate over |docs| rows)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -99,12 +131,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     band signature land in the same bucket; the pair join is an equi-join on
     (band, band_hash)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    # band hashes straight off the wide signature: per band, md5 over the
+    # lexicographically-sorted "seed:minhash" strings (byte-identical to the
+    # tall collect_list+sort_array formulation and to the DuckDB oracle's
+    # string_agg ORDER BY) — pure projection, no extra aggregation
+    band_hash = [
+        F.md5(F.concat_ws(",", F.sort_array(F.array(*[
+            F.format_string("%d:%d", F.lit(s), F.col(f"mh_{s}"))
+            for s in range(b * rows, (b + 1) * rows)])))).alias(f"bh_{b}")
+        for b in range(bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh_{b}" for b in range(bands))
     banded = (
-        sig.withColumn("band", (F.col("seed") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
-            F.format_string("%d:%d", F.col("seed"), F.col("minhash")))))).alias("band_hash"))
+        wide.select(F.col(id_col), *band_hash)
+        .select(F.col(id_col),
+                F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)"))
     )
     # bucket-local pair generation instead of a self-join: one pass over the
     # signature pipeline (a self-join would recompute the whole shingle+md5
