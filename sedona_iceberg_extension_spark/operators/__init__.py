@@ -1,2 +1,3 @@
 from .spatial_join import spatial_join  # noqa: F401
 from .knn import knn_join  # noqa: F401
+from . import dml  # noqa: F401

@@ -1,0 +1,207 @@
+"""Row-level DML over parquet tables: UPDATE / DELETE / MERGE with
+file-granularity copy-on-write.
+
+The reference's row-level surface is Iceberg copy-on-write DML with spatial
+predicates pushed to the scan (``example/.../App.scala:66`` —
+``UPDATE ... WHERE ST_Contains(...)``; test assertions on the UPDATE's scan at
+``TestSedonaIcebergExtension.scala:82-87``).  Without an Iceberg runtime the
+engine reproduces the same semantics over a plain parquet directory:
+
+1. **Plan**: find the files that contain matching rows —
+   ``filter(pred).select(input_file_name()).distinct()``.  The predicate
+   (including its envelope prefilter, SURVEY.md §2 Tier B) is pushed to the
+   scan, so non-matching files are skipped via parquet min/max stats without
+   being read — the analogue of Iceberg's manifest-level file pruning.
+2. **Rewrite**: only the touched files are read again and rewritten
+   (``CASE WHEN pred THEN new ELSE old``); untouched files are never opened.
+   At 100 TB a selective UPDATE rewrites a handful of files, not the table.
+3. **Commit**: new files are written to a staging directory and swapped in
+   with atomic per-file renames; touched originals are removed last.
+   (Single-writer semantics — full snapshot isolation needs a real table
+   format; this mirrors what Iceberg's CoW writer does per file.)
+
+SQL surface: :func:`sql_dml` accepts the reference's literal statement shapes
+(``UPDATE t SET c = expr WHERE pred`` / ``DELETE FROM t WHERE pred``) and
+dispatches to the API, so the reference's example job lines run verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+def _to_col(expr) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def _table_files(spark: SparkSession, path: str, predicate) -> list:
+    """Paths of data files containing at least one matching row (the
+    predicate reaches the parquet scan, so stats-skipped files cost nothing)."""
+    df = spark.read.parquet(path)
+    # the file name must be materialized as a column BEFORE the predicate:
+    # pandas-UDF filters re-batch rows across file boundaries, making a
+    # post-filter input_file_name() attribute rows to the wrong file
+    rows = (df.withColumn("_f", F.input_file_name())
+            .filter(_to_col(predicate))
+            .select("_f").distinct().collect())
+    return [r["_f"].replace("file://", "") or r["_f"] for r in rows]
+
+
+def _swap_in(path: str, staged_dir: str, touched: list) -> int:
+    """Per-file rename commit: move staged part files into the table dir,
+    then drop the rewritten originals."""
+    n_new = 0
+    for name in os.listdir(staged_dir):
+        if name.startswith("part-") or name.endswith(".parquet"):
+            os.rename(os.path.join(staged_dir, name),
+                      os.path.join(path, f"cow-{uuid.uuid4().hex}-{name}"))
+            n_new += 1
+    shutil.rmtree(staged_dir, ignore_errors=True)
+    for f in touched:
+        if os.path.exists(f):
+            os.remove(f)
+    return n_new
+
+
+def update_where(spark: SparkSession, path: str,
+                 assignments: Dict[str, object], predicate) -> dict:
+    """Copy-on-write ``UPDATE path SET assignments WHERE predicate``.
+
+    ``assignments``: column → Column or SQL-expression string.
+    Returns ``{"files_rewritten": n, "rows_updated": n}``.
+    """
+    pred = _to_col(predicate)
+    touched = _table_files(spark, path, pred)
+    if not touched:
+        return {"files_rewritten": 0, "rows_updated": 0}
+
+    df = spark.read.parquet(*touched)
+    updated = df.select(*[
+        (F.when(pred, _to_col(assignments[c]).cast(df.schema[c].dataType))
+         .otherwise(F.col(c))).alias(c) if c in assignments else F.col(c)
+        for c in df.columns
+    ])
+    n_rows = df.filter(pred).count()
+    staged = os.path.join(os.path.dirname(path.rstrip("/")),
+                          f".staged-{uuid.uuid4().hex}")
+    updated.write.mode("overwrite").parquet(staged)
+    _swap_in(path, staged, touched)
+    return {"files_rewritten": len(touched), "rows_updated": n_rows}
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> dict:
+    """Copy-on-write ``DELETE FROM path WHERE predicate``."""
+    pred = _to_col(predicate)
+    touched = _table_files(spark, path, pred)
+    if not touched:
+        return {"files_rewritten": 0, "rows_deleted": 0}
+    df = spark.read.parquet(*touched)
+    kept = df.filter(~pred | pred.isNull())
+    n_rows = df.count() - kept.count()
+    staged = os.path.join(os.path.dirname(path.rstrip("/")),
+                          f".staged-{uuid.uuid4().hex}")
+    kept.write.mode("overwrite").parquet(staged)
+    _swap_in(path, staged, touched)
+    return {"files_rewritten": len(touched), "rows_deleted": n_rows}
+
+
+def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
+               on: str, update_cols: Optional[list] = None,
+               insert_when_not_matched: bool = True) -> dict:
+    """``MERGE INTO target USING source ON target.on = source.on`` with
+    WHEN MATCHED THEN UPDATE (all or ``update_cols``) and optional
+    WHEN NOT MATCHED THEN INSERT.
+
+    Scale shape: the matched-key set is joined back file-locally — only files
+    containing matched keys are rewritten; inserts append new files.  The
+    source is broadcast when small (left to AQE / broadcast thresholds).
+    """
+    target = spark.read.parquet(target_path)
+    cols = target.columns
+    update_cols = update_cols or [c for c in cols if c != on]
+
+    keys = source.select(on).distinct()
+    touched = _table_files(
+        spark, target_path,
+        F.col(on).isin([r[on] for r in keys.collect()])
+        if keys.count() <= 10_000 else F.lit(True))
+
+    matched_files_df = (spark.read.parquet(*touched) if touched
+                        else target.limit(0))
+    src = source.select(*[F.col(c).alias(f"_src_{c}") for c in source.columns])
+    joined = matched_files_df.join(
+        src, matched_files_df[on] == src[f"_src_{on}"], "left")
+    rewritten = joined.select(*[
+        (F.when(F.col(f"_src_{on}").isNotNull(), F.col(f"_src_{c}"))
+         .otherwise(F.col(c))).alias(c)
+        if c in update_cols and f"_src_{c}" in joined.columns else F.col(c)
+        for c in cols
+    ])
+    inserts = (src.join(target.select(on),
+                        src[f"_src_{on}"] == F.col(on), "left_anti")
+               .select(*[F.col(f"_src_{c}").alias(c) for c in cols
+                         if f"_src_{c}" in src.columns])
+               if insert_when_not_matched else None)
+
+    n_updated = matched_files_df.join(keys, on, "left_semi").count()
+    staged = os.path.join(os.path.dirname(target_path.rstrip("/")),
+                          f".staged-{uuid.uuid4().hex}")
+    out = rewritten.unionByName(inserts, allowMissingColumns=True) \
+        if inserts is not None else rewritten
+    n_inserted = inserts.count() if inserts is not None else 0
+    out.write.mode("overwrite").parquet(staged)
+    _swap_in(target_path, staged, touched)
+    return {"files_rewritten": len(touched), "rows_updated": n_updated,
+            "rows_inserted": n_inserted}
+
+
+# ---------------------------------------------------------------------------
+# SQL statement surface (the reference's literal UPDATE/DELETE shapes)
+# ---------------------------------------------------------------------------
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<t>\S+)\s+SET\s+(?P<set>.+?)\s+WHERE\s+(?P<w>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<t>\S+)\s+WHERE\s+(?P<w>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _split_assignments(s: str) -> Dict[str, str]:
+    """Split ``a = expr1, b = expr2`` at top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur)); cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = {}
+    for p in parts:
+        c, e = p.split("=", 1)
+        out[c.strip().strip("`")] = e.strip()
+    return out
+
+
+def sql_dml(spark: SparkSession, stmt: str,
+            tables: Dict[str, str]) -> dict:
+    """Run an ``UPDATE``/``DELETE`` statement against parquet-backed tables.
+    ``tables`` maps table names used in the statement to directory paths."""
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        return update_where(spark, tables[m.group("t")],
+                            _split_assignments(m.group("set")), m.group("w"))
+    m = _DELETE_RE.match(stmt)
+    if m:
+        return delete_where(spark, tables[m.group("t")], m.group("w"))
+    raise ValueError(f"unsupported DML statement: {stmt[:80]}")
