@@ -1000,3 +1000,10 @@ QUERIES: Dict[str, QueryDef] = {
     "multimodal_features": QueryDef(q_multimodal_features, None, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
 }
+
+# extended TPC-H-shaped relational tier (joins, windows, rollup, set ops,
+# anti-joins, disjunctive pushdown) — plans/queries_tpch.py
+from .queries_tpch import TPCH_QUERIES as _TPCH  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _TPCH.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)
