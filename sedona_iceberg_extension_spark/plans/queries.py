@@ -907,6 +907,16 @@ def q_lsh_topk(spark, sf_dir):
         .orderBy("query_id", "rank")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (similarity.ivf_topk): k-means cells +
+    nprobe probing; rows-only check (approximate — no SQL oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(queries, emb, k=5, num_cells=8, nprobe=3)
+    return out.select("query_id", "data_id", F.round("cosine", 6).alias("cosine"), "rank") \
+        .orderBy("query_id", "rank")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over deterministic synthetic payloads (binary md5
     of document text) — mapInPandas batch shape; rows-only check."""
@@ -997,6 +1007,7 @@ QUERIES: Dict[str, QueryDef] = {
     "embedding_label_stats": QueryDef(q_embedding_label_stats, _QEMBL_SQL, False),
     # approximate / streaming / multimodal
     "lsh_ann_topk": QueryDef(q_lsh_topk, None, False),
+    "ivf_ann_topk": QueryDef(q_ivf_topk, None, False),
     "multimodal_features": QueryDef(q_multimodal_features, None, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
 }

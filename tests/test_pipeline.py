@@ -167,3 +167,24 @@ def test_multimodal_plumbing(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         mm.extract_features(with_meta, "id", "payload", fake=False).collect()
+
+
+def test_ivf_topk_runs_and_recall(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(queries, embs, k=1).filter(F.col("rank") == 1)
+    approx = similarity.ivf_topk(queries, embs, k=1, num_cells=4, nprobe=2)\
+        .filter(F.col("rank") == 1)
+    # the vector itself (cosine 1.0) lives in the query's own nearest cell —
+    # IVF with nprobe>=1 must find it
+    e = {(r["query_id"], r["data_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["data_id"]) for r in approx.collect()}
+    assert e == a
+
+
+def test_ivf_assign_partitions_all_rows(spark, embs):
+    cents = similarity.train_centroids(embs, "embedding", num_cells=4, iters=1)
+    assert len(cents) == 4
+    assigned = similarity.ivf_assign(embs, "embedding", cents)
+    counts = {r["cell"]: r["n"] for r in
+              assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == embs.count()  # total partition, no loss
