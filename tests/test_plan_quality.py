@@ -1,0 +1,76 @@
+"""Physical-plan quality gates — the engine's scale contract, asserted the
+same way the reference asserts its pushdown plans
+(TestSedonaIcebergExtension.scala:63-65,121-122: regex over the plan string).
+
+What must hold for a 1000-executor / 100 TB deployment:
+- relational and dedup plans stay fully JVM-side (no *EvalPython operators);
+- dimension joins broadcast (no shuffle of the fact side against tiny dims);
+- predicates reach the parquet scan (PushedFilters non-empty);
+- the MinHash signature pipeline shuffles only signature-sized data.
+"""
+
+import re
+
+import pytest
+
+from sedona_iceberg_extension_spark.plans.queries import QUERIES
+
+
+def _plan(spark, name, sf_dir):
+    return QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
+# every query family that must never cross into Python
+_NATIVE_QUERIES = [
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_volume_shipping", "q10_returned_items",
+    "q14_promo_share", "q15_top_supplier", "q18_large_orders",
+    "q19_disjunctive", "q22_idle_customers", "rollup_revenue",
+    "top_parts_per_brand", "set_ops_nations", "window_running_spend",
+    "events_hourly_rollup", "sessionize_events",
+    "exact_dedup_groups", "minhash_signatures", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_values", "doc_token_stats",
+    "doc_quality", "doc_lang_id", "doc_fingerprint",
+    "embedding_cosine_topk", "embedding_label_stats",
+    "spatial_centroid_agg", "spatial_envelope_agg",
+]
+
+
+@pytest.mark.parametrize("name", _NATIVE_QUERIES)
+def test_no_python_in_plan(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "EvalPython" not in plan, f"{name} plan crosses into Python"
+
+
+@pytest.mark.parametrize("name", ["q5_region_revenue", "q7_volume_shipping",
+                                  "q10_returned_items", "rollup_revenue"])
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join planned"
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q6_forecast_revenue",
+                                  "q19_disjunctive"])
+def test_filters_reach_scan(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]", plan), \
+        f"{name}: no predicate pushed to the parquet scan"
+
+
+def test_minhash_shuffle_is_signature_sized(spark, sf_dir):
+    """The wide-form MinHash plan: shuffles are (a) the optional small-input
+    spread of raw docs and (b) the signature aggregation — never the
+    ×num_hashes exploded corpus (no explode operator before the first
+    aggregate)."""
+    plan = _plan(spark, "minhash_signatures", sf_dir)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, f"minhash plans {n_exchanges} exchanges"
+    # no generator (explode) anywhere between hashing and aggregation other
+    # than the shingle-index explode itself
+    assert plan.count("Generate") <= 2
+
+
+def test_spatial_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "spatial_join_contains", sf_dir)
+    assert "CartesianProduct" not in plan
