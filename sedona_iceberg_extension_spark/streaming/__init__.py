@@ -1,2 +1,4 @@
-from .ops import (event_type_rollup, running_user_totals_stateful,  # noqa: F401
-                  sessionize, windowed_event_counts)
+from .ops import (dedup_within_watermark, event_type_rollup,  # noqa: F401
+                  running_user_totals_stateful, sessionize,
+                  stream_static_enrich, stream_stream_join,
+                  windowed_event_counts)

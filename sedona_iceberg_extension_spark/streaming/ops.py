@@ -98,3 +98,48 @@ def event_type_rollup(events: DataFrame) -> DataFrame:
              F.sum("value").alias("sum_value"),
              F.avg("value").alias("avg_value"))
     )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon — bounded state (expired keys are evicted), the
+    streaming face of pipeline.dedup.exact_dedup.  Batch: plain
+    dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         on: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table
+    (broadcast each micro-batch — the standard streaming enrichment shape;
+    no state, no watermark needed on the static side)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       within: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join with a time-bound join condition — both
+    sides keep watermarked state; rows pair only within ±``within``.
+    On batch inputs the same expression is a plain range-condition join."""
+    l = left.select(F.col(key).alias("_k"), F.col(left_ts).alias("_lts"),
+                    *[c for c in left.columns if c not in (key, left_ts)])
+    r = right.select(F.col(key).alias("_rk"), F.col(right_ts).alias("_rts"),
+                     *[c for c in right.columns if c not in (key, right_ts)])
+    if left.isStreaming:
+        l = l.withWatermark("_lts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("_rts", watermark)
+    cond = ((l["_k"] == r["_rk"])
+            & (r["_rts"] >= l["_lts"] - F.expr(f"INTERVAL {within}"))
+            & (r["_rts"] <= l["_lts"] + F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond)
+            .select(F.col("_k").alias(key), F.col("_lts").alias("left_ts"),
+                    F.col("_rts").alias("right_ts"),
+                    *[c for c in l.columns if c not in ("_k", "_lts")],
+                    *[c for c in r.columns if c not in ("_rk", "_rts")]))

@@ -71,3 +71,49 @@ def test_stateful_running_totals_stream(spark, events, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert got[u][1] == pytest.approx(want[u][1])
+
+
+def test_streaming_dedup_within_watermark(spark, events, sf_dir):
+    from sedona_iceberg_extension_spark.sources import stream_table
+    stream = stream_table(spark, sf_dir, "events")
+    out = S.dedup_within_watermark(stream, ["user_id"], watermark="10 years")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS d "
+                    "FROM dedup_stream").first()
+    # every user exactly once (single batch, all dups within watermark)
+    assert got["n"] == got["d"] == events.select("user_id").distinct().count()
+    # batch path: plain dropDuplicates
+    assert S.dedup_within_watermark(events, ["user_id"]).count() == got["d"]
+
+
+def test_stream_static_enrich(spark, events, sf_dir):
+    from sedona_iceberg_extension_spark.sources import load_table, stream_table
+    users = events.select("user_id").distinct() \
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    stream = stream_table(spark, sf_dir, "events")
+    out = S.stream_static_enrich(stream, users, "user_id")
+    q = (out.writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("SELECT COUNT(*) n, SUM(CASE WHEN tier IS NULL THEN 1 ELSE 0 END) miss "
+                    "FROM enriched").first()
+    assert res["n"] == events.count() and res["miss"] == 0
+
+
+def test_stream_stream_join_batch_equivalence(spark, events, sf_dir):
+    """The same stream_stream_join expression over batch inputs equals the
+    hand-written range join (and runs as a streaming join shape)."""
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", F.col("value").alias("click_value"))
+    views = events.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", F.col("value").alias("view_value"))
+    out = S.stream_stream_join(clicks, views, "user_id", within="30 minutes")
+    n = out.count()
+    want = clicks.alias("c").join(
+        views.alias("v"),
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("v.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes"))).count()
+    assert n == want and n > 0
