@@ -78,3 +78,64 @@ def test_envelope_struct_persists_for_skipping(spark, clean_tables, sf_dir):
     assert "PushedFilters: [" in plan
     assert "xmin" in plan
     assert q.count() > 0
+
+
+def test_csv_ingest_to_spatial_agg(spark, tmp_path):
+    """The reference's CSV flow (TestSedonaIcebergExtension.scala:148-158):
+    schema-on-read CSV with header → ST_GeomFromText → distributed union /
+    centroid aggregation."""
+    csv = tmp_path / "geoms.csv"
+    csv.write_text(
+        "id,geom\n"
+        "1,POINT (10 20)\n"
+        "2,POINT (20 30)\n"
+        "3,\"LINESTRING (0 0, 10 0)\"\n"
+        "4,\"POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))\"\n")
+    df = spark.read.option("header", "true").csv(str(csv))
+    df.createOrReplaceTempView("csv_geoms")
+    out = spark.sql(
+        "SELECT ST_AsText(ST_Union_Aggr(ST_GeomFromText(geom))) AS u, "
+        "       ST_AsText(ST_CENTROID_AGGR(ST_GeomFromText(geom))) AS c "
+        "FROM csv_geoms").first()
+    assert out["u"].startswith("GEOMETRYCOLLECTION (")
+    # centroid of mixed kinds: area wins (polygon centroid = (2,2))
+    assert out["c"] == "POINT (2 2)"
+
+
+def test_cache_table_then_spatial_join(spark, sf_dir):
+    """CACHE TABLE then spatial join — the reference asserts spatial planning
+    still works over columnar cached inputs (scala test :129-142)."""
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+    from sedona_iceberg_extension_spark.sources import load_table
+
+    from sedona_iceberg_extension_spark.functions import api as ST
+    from sedona_iceberg_extension_spark.operators import spatial_join
+    from pyspark.sql import functions as F
+
+    def build(cust, nation):
+        pts = ST.with_point_geometry(
+            cust, (F.col("c_custkey") % 360 - 180).cast("double"),
+            ((F.col("c_custkey") * 7) % 180 - 90).cast("double"))
+        boxes = ST.with_box_geometry(
+            nation.select("n_nationkey"),
+            (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+            (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0))
+        j = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                         strategy="grid", left_is_rects=True,
+                         right_is_points=True)
+        return j.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    want = {tuple(r) for r in build(cust, nation).collect()}
+
+    cc, nc = cust.cache(), nation.cache()
+    cc.count(); nc.count()  # materialize the cache
+    try:
+        got_df = build(cc, nc)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # join really ran over the cache
+        got = {tuple(r) for r in got_df.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        cc.unpersist(); nc.unpersist()
