@@ -994,8 +994,154 @@ def intersection(g1: Geometry, g2: Geometry) -> Geometry:
         if len(pieces) == 1:
             return Geometry(WKB_POLYGON, pieces[0])
         return Geometry(WKB_MULTIPOLYGON, pieces)
-    # line ∩ polygon / line ∩ line: return shared vertices/clipped samples (tier-2 precision)
-    raise NotImplementedError("mixed-dimension overlay beyond points is tier-2")
+    if {d1, d2} == {1, 2}:
+        line, poly = (g1, g2) if d1 == 1 else (g2, g1)
+        segs: List[List[Coord]] = []
+        polys = [g for g in poly.flatten() if g.kind == WKB_POLYGON]
+        for ls in line.flatten():
+            if ls.kind != WKB_LINESTRING:
+                continue
+            for pg in polys:
+                segs.extend(_clip_line_to_polygon(list(ls.coords), pg.coords))
+        segs = _merge_chains(segs)
+        if not segs:
+            return Geometry.empty(WKB_LINESTRING)
+        if len(segs) == 1:
+            return Geometry(WKB_LINESTRING, segs[0])
+        return Geometry(WKB_MULTILINESTRING, segs)
+    if d1 == 1 and d2 == 1:
+        pts, segs = _line_line_overlay(g1, g2)
+        segs = _merge_chains(segs)
+        out: List[Geometry] = [Geometry(WKB_LINESTRING, s) for s in segs]
+        covered = lambda p: any(  # noqa: E731 — drop points interior to kept segments
+            any(_on_segment(p, s[i], s[i + 1]) for i in range(len(s) - 1))
+            for s in segs)
+        out.extend(Geometry.point(*p) for p in sorted(pts) if not covered(p))
+        if not out:
+            return Geometry.empty(WKB_POINT)
+        if len(out) == 1:
+            return out[0]
+        if all(o.kind == WKB_POINT for o in out):
+            return Geometry(WKB_MULTIPOINT, [o.coords for o in out])
+        if all(o.kind == WKB_LINESTRING for o in out):
+            return Geometry(WKB_MULTILINESTRING, [o.coords for o in out])
+        return collect(out)
+    raise NotImplementedError("overlay of this operand combination is tier-2")
+
+
+def _seg_param_crossings(a: Coord, b: Coord,
+                         rings: Sequence[Sequence[Coord]]) -> List[float]:
+    """Sorted parameter values t∈[0,1] where segment ab meets any ring edge."""
+    ts = [0.0, 1.0]
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            c, d = ring[i], ring[i + 1]
+            ex, ey = d[0] - c[0], d[1] - c[1]
+            denom = dx * ey - dy * ex
+            if abs(denom) > EPS:
+                t = ((c[0] - a[0]) * ey - (c[1] - a[1]) * ex) / denom
+                s = ((c[0] - a[0]) * dy - (c[1] - a[1]) * dx) / denom
+                if -EPS <= t <= 1 + EPS and -EPS <= s <= 1 + EPS:
+                    ts.append(min(1.0, max(0.0, t)))
+            else:
+                # collinear edge: endpoints of the edge projected onto ab
+                for p in (c, d):
+                    if _on_segment(p, a, b):
+                        L2 = dx * dx + dy * dy
+                        if L2 > 0:
+                            ts.append(((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / L2)
+    ts = sorted(set(round(t, 15) for t in ts))
+    return ts
+
+
+def _clip_line_to_polygon(coords: List[Coord],
+                          rings: Sequence[Sequence[Coord]]) -> List[List[Coord]]:
+    """Sub-segments of the polyline inside (or on the boundary of) a polygon
+    with holes — general: concave shells and holes handled by interval
+    midpoint classification."""
+    pieces: List[List[Coord]] = []
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        ts = _seg_param_crossings(a, b, rings)
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= EPS:
+                continue
+            tm = (t0 + t1) / 2
+            mid = (a[0] + tm * (b[0] - a[0]), a[1] + tm * (b[1] - a[1]))
+            if locate_in_polygon(mid, rings) > 0:
+                p0 = (a[0] + t0 * (b[0] - a[0]), a[1] + t0 * (b[1] - a[1]))
+                p1 = (a[0] + t1 * (b[0] - a[0]), a[1] + t1 * (b[1] - a[1]))
+                pieces.append([_snap(p0), _snap(p1)])
+    return pieces
+
+
+def _snap(p: Coord, places: int = 12) -> Coord:
+    """Absorb parametric float wobble (…000000000004) in overlay outputs."""
+    return (round(p[0], places), round(p[1], places))
+
+
+def _merge_chains(segs: List[List[Coord]]) -> List[List[Coord]]:
+    """Stitch segments sharing endpoints into maximal polylines."""
+    chains = [list(s) for s in segs]
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(chains)):
+            for j in range(i + 1, len(chains)):
+                a, b = chains[i], chains[j]
+                if a[-1] == b[0]:
+                    chains[i] = a + b[1:]
+                elif a[-1] == b[-1]:
+                    chains[i] = a + list(reversed(b[:-1]))
+                elif a[0] == b[-1]:
+                    chains[i] = b + a[1:]
+                elif a[0] == b[0]:
+                    chains[i] = list(reversed(b))[:-1] + a
+                else:
+                    continue
+                del chains[j]
+                merged = True
+                break
+            if merged:
+                break
+    return chains
+
+
+def _line_line_overlay(g1: Geometry, g2: Geometry):
+    """Crossing points and collinear-overlap segments of two (multi)lines."""
+    pts: set = set()
+    segs: List[List[Coord]] = []
+    l1 = [list(g.coords) for g in g1.flatten() if g.kind == WKB_LINESTRING]
+    l2 = [list(g.coords) for g in g2.flatten() if g.kind == WKB_LINESTRING]
+    for c1 in l1:
+        for i in range(len(c1) - 1):
+            a, b = c1[i], c1[i + 1]
+            for c2 in l2:
+                for j in range(len(c2) - 1):
+                    c, d = c2[j], c2[j + 1]
+                    if _collinear_overlap(a, b, c, d):
+                        lo = max(min(a, b), min(c, d))
+                        hi = min(max(a, b), max(c, d))
+                        if lo != hi:
+                            segs.append([lo, hi])
+                        continue
+                    if not _seg_intersect(a, b, c, d):
+                        continue
+                    dx1, dy1 = b[0] - a[0], b[1] - a[1]
+                    dx2, dy2 = d[0] - c[0], d[1] - c[1]
+                    denom = dx1 * dy2 - dy1 * dx2
+                    if abs(denom) > EPS:
+                        t = ((c[0] - a[0]) * dy2 - (c[1] - a[1]) * dx2) / denom
+                        pts.add((a[0] + t * dx1, a[1] + t * dy1))
+                    else:
+                        for p in (a, b):
+                            if _on_segment(p, c, d):
+                                pts.add(p)
+                        for p in (c, d):
+                            if _on_segment(p, a, b):
+                                pts.add(p)
+    return pts, segs
 
 
 Ring = List[Coord]

@@ -234,3 +234,39 @@ def test_ewkb_srid_parse():
     buf = b"\x01" + struct.pack("<I", 0x20000001) + struct.pack("<I", 4326) + struct.pack("<dd", 1.0, 2.0)
     g = from_wkb(buf)
     assert g.srid == 4326 and g.coords == (1.0, 2.0)
+
+
+def test_line_polygon_intersection_general():
+    """General (concave, holed) line∩polygon overlay — no tier-2 limits."""
+    from sedona_iceberg_extension_spark.geom import from_wkt, to_wkt
+    from sedona_iceberg_extension_spark.geom.algos import intersection
+
+    def ix(a, b):
+        return to_wkt(intersection(from_wkt(a), from_wkt(b)))
+
+    assert ix("LINESTRING (-5 5, 15 5)",
+              "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))") == "LINESTRING (0 5, 10 5)"
+    # concave C-shape: interior at y=5 is only x in [8, 10]
+    assert ix("LINESTRING (-1 5, 11 5)",
+              "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 8, 8 8, 8 2, 0 2, 0 0))") \
+        == "LINESTRING (8 5, 10 5)"
+    # hole splits the chord in two
+    assert ix("LINESTRING (-5 5, 15 5)",
+              "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))") \
+        == "MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))"
+
+
+def test_line_line_intersection_general():
+    from sedona_iceberg_extension_spark.geom import from_wkt, to_wkt
+    from sedona_iceberg_extension_spark.geom.algos import intersection
+
+    def ix(a, b):
+        return to_wkt(intersection(from_wkt(a), from_wkt(b)))
+
+    assert ix("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)") == "POINT (5 5)"
+    assert ix("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)") == "LINESTRING (5 0, 10 0)"
+    # overlap + transversal crossing already covered by the overlap segment
+    assert ix("MULTILINESTRING ((0 0, 10 0), (0 -5, 0 5))",
+              "LINESTRING (-5 0, 5 0)") == "LINESTRING (0 0, 5 0)"
+    # disjoint-but-bbox-overlapping lines
+    assert ix("LINESTRING (0 0, 4 4)", "LINESTRING (5 0, 5 4)") == "LINESTRING EMPTY"
