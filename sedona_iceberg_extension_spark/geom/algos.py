@@ -954,9 +954,11 @@ def _is_convex_ring(ring: Sequence[Coord]) -> bool:
 
 
 def intersection(g1: Geometry, g2: Geometry) -> Geometry:
-    """Exact when at least one operand is a convex single-ring polygon
-    (Sutherland–Hodgman clipping), plus the point/line cases; general
-    concave∩concave is tier-2."""
+    """General overlay: point/line/area operand combinations, concave
+    shells and holes included (convex single-ring cases take the
+    Sutherland–Hodgman fast path; the general areal path stitches boundary
+    pieces).  Known deviation: polygons touching only along an edge yield
+    EMPTY rather than the shared LINESTRING."""
     if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
         return Geometry.empty(WKB_GEOMETRYCOLLECTION if g1.is_empty() else g1.kind)
     if covers(g2, g1):
@@ -980,15 +982,20 @@ def intersection(g1: Geometry, g2: Geometry) -> Geometry:
             for pb in b_polys:
                 conv_a = len(pa.coords) == 1 and _is_convex_ring(pa.coords[0])
                 conv_b = len(pb.coords) == 1 and _is_convex_ring(pb.coords[0])
-                if conv_b:
-                    clipped = _sh_clip(list(pa.coords[0]), list(pb.coords[0]))
-                elif conv_a:
-                    clipped = _sh_clip(list(pb.coords[0]), list(pa.coords[0]))
+                # SH fast path only when the clip ring is convex AND the
+                # subject has no holes (SH cannot carry holes through)
+                if conv_b and len(pa.coords) == 1:
+                    ring = _sh_clip(list(pa.coords[0]), list(pb.coords[0]))
+                    polys = [[ring]] if ring else []
+                elif conv_a and len(pb.coords) == 1:
+                    ring = _sh_clip(list(pb.coords[0]), list(pa.coords[0]))
+                    polys = [[ring]] if ring else []
                 else:
-                    raise NotImplementedError(
-                        "intersection of two non-convex polygons is tier-2")
-                if clipped:
-                    pieces.append([clipped])
+                    # general concave/holed case: boundary stitching
+                    polys = _poly_poly_intersection(pa.coords, pb.coords)
+                pieces.extend(
+                    p for p in polys
+                    if p and abs(_ring_signed_area2(p[0])) > EPS)
         if not pieces:
             return Geometry.empty(WKB_POLYGON)
         if len(pieces) == 1:
@@ -1079,6 +1086,68 @@ def _clip_line_to_polygon(coords: List[Coord],
 def _snap(p: Coord, places: int = 12) -> Coord:
     """Absorb parametric float wobble (…000000000004) in overlay outputs."""
     return (round(p[0], places), round(p[1], places))
+
+
+def _ring_interior_side(r: Sequence[Coord], other: Sequence[Coord]) -> int:
+    """2 if ring r lies inside ring ``other``, 0 if outside (first edge
+    midpoint not on ``other``'s boundary decides)."""
+    for i in range(len(r) - 1):
+        m = ((r[i][0] + r[i + 1][0]) / 2, (r[i][1] + r[i + 1][1]) / 2)
+        loc = _pt_in_ring(m, other)
+        if loc != 1:
+            return loc
+    return 0
+
+
+def _poly_poly_intersection(a_rings: Sequence[Sequence[Coord]],
+                            b_rings: Sequence[Sequence[Coord]]):
+    """General polygon∩polygon (concave shells, holes) by boundary
+    stitching: the boundary of A∩B is exactly (∂A clipped to B) ∪ (∂B
+    clipped to A); stitch those pieces into closed rings, then nest
+    shells/holes by containment depth.  Returns a list of ring-lists
+    (shell first), possibly several (multipolygon result)."""
+    pieces: List[List[Coord]] = []
+    for ring in a_rings:
+        pieces.extend(_clip_line_to_polygon(
+            [_snap(p) for p in ring], b_rings))
+    for ring in b_rings:
+        pieces.extend(_clip_line_to_polygon(
+            [_snap(p) for p in ring], a_rings))
+    # shared-boundary segments arrive once from each side — dedupe
+    seen, uniq = set(), []
+    for s in pieces:
+        if s[0] == s[1]:
+            continue
+        key = (min(s[0], s[1]), max(s[0], s[1]))
+        if key in seen:
+            continue
+        seen.add(key)
+        uniq.append(s)
+    rings = [c for c in _merge_chains(uniq)
+             if len(c) >= 4 and c[0] == c[-1]
+             and abs(_ring_signed_area2(c)) > EPS]
+    if not rings:
+        return []
+    # containment depth: even → shell, odd → hole of its tightest shell
+    order = sorted(range(len(rings)),
+                   key=lambda i: -abs(_ring_signed_area2(rings[i])))
+    parents = {}
+    depth = {}
+    for pos, i in enumerate(order):
+        containers = [j for j in order[:pos]
+                      if _ring_interior_side(rings[i], rings[j]) == 2]
+        depth[i] = len(containers)
+        parents[i] = (min(containers,
+                          key=lambda j: abs(_ring_signed_area2(rings[j])))
+                      if containers else None)
+    polys = {}
+    for i in order:
+        if depth[i] % 2 == 0:
+            polys[i] = [rings[i]]
+    for i in order:
+        if depth[i] % 2 == 1 and parents[i] in polys:
+            polys[parents[i]].append(rings[i])
+    return list(polys.values())
 
 
 def _merge_chains(segs: List[List[Coord]]) -> List[List[Coord]]:

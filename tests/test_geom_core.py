@@ -270,3 +270,34 @@ def test_line_line_intersection_general():
               "LINESTRING (-5 0, 5 0)") == "LINESTRING (0 0, 5 0)"
     # disjoint-but-bbox-overlapping lines
     assert ix("LINESTRING (0 0, 4 4)", "LINESTRING (5 0, 5 4)") == "LINESTRING EMPTY"
+
+
+def test_polygon_polygon_intersection_general():
+    """Concave/holed areal overlay — boundary-stitching path."""
+    from sedona_iceberg_extension_spark.geom import from_wkt, to_wkt
+    from sedona_iceberg_extension_spark.geom.algos import area, intersection
+
+    def ar(a, b):
+        return round(area(intersection(from_wkt(a), from_wkt(b))), 9)
+
+    L = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))"
+    assert ar(L, "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))") == 20.0
+    # interlocking concave Ls
+    assert ar("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))",
+              "POLYGON ((1 1, 5 1, 5 5, 3 5, 3 3, 1 3, 1 1))") == 5.0
+    # hole survives when fully inside the clip region
+    holed = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+             "(3 3, 7 3, 7 7, 3 7, 3 3))")
+    r = intersection(from_wkt(holed),
+                     from_wkt("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))"))
+    assert round(area(r), 9) == 20.0
+    assert to_wkt(r) == ("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2), "
+                         "(3 3, 7 3, 7 7, 3 7, 3 3))")
+    # hole partially overlapping the clip window
+    assert ar(holed, "POLYGON ((4 4, 8 4, 8 8, 4 8, 4 4))") == 7.0
+    # concave ∩ concave C-shapes
+    assert ar("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 8, 8 8, 8 2, 0 2, 0 0))",
+              "POLYGON ((0 1, 10 1, 10 9, 0 9, 0 7, 9 7, 9 3, 0 3, 0 1))") == 28.0
+    # edge-adjacent: empty areal intersection
+    assert ar("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
+              "POLYGON ((5 0, 10 0, 10 5, 5 5, 5 0))") == 0.0
