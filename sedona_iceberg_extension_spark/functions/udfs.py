@@ -408,7 +408,7 @@ st_makevalid = _u1_geom(A.make_valid)
 st_intersection = _u2_geom(A.intersection)
 st_difference = _u2_geom(A.difference)
 st_symdifference = _u2_geom(A.sym_difference)
-st_union = _u2_geom(lambda a, b: A.union_all([a, b]))
+st_union = _u2_geom(A.union_two)  # areal dissolve included
 
 
 @pandas_udf(_BIN)

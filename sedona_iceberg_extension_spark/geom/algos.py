@@ -992,7 +992,8 @@ def intersection(g1: Geometry, g2: Geometry) -> Geometry:
                     polys = [[ring]] if ring else []
                 else:
                     # general concave/holed case: boundary stitching
-                    polys = _poly_poly_intersection(pa.coords, pb.coords)
+                    polys = _poly_poly_overlay(pa.coords, pb.coords,
+                                               "in", "in")
                 pieces.extend(
                     p for p in polys
                     if p and abs(_ring_signed_area2(p[0])) > EPS)
@@ -1063,10 +1064,12 @@ def _seg_param_crossings(a: Coord, b: Coord,
 
 
 def _clip_line_to_polygon(coords: List[Coord],
-                          rings: Sequence[Sequence[Coord]]) -> List[List[Coord]]:
-    """Sub-segments of the polyline inside (or on the boundary of) a polygon
-    with holes — general: concave shells and holes handled by interval
-    midpoint classification."""
+                          rings: Sequence[Sequence[Coord]],
+                          keep: str = "in") -> List[List[Coord]]:
+    """Sub-segments of the polyline classified against a polygon with holes
+    (concave handled by interval midpoint classification).
+    ``keep='in'``: keep pieces inside or on the boundary;
+    ``keep='out'``: keep pieces strictly outside (boundary excluded)."""
     pieces: List[List[Coord]] = []
     for i in range(len(coords) - 1):
         a, b = coords[i], coords[i + 1]
@@ -1076,7 +1079,8 @@ def _clip_line_to_polygon(coords: List[Coord],
                 continue
             tm = (t0 + t1) / 2
             mid = (a[0] + tm * (b[0] - a[0]), a[1] + tm * (b[1] - a[1]))
-            if locate_in_polygon(mid, rings) > 0:
+            loc = locate_in_polygon(mid, rings)
+            if (loc > 0) if keep == "in" else (loc == 0):
                 p0 = (a[0] + t0 * (b[0] - a[0]), a[1] + t0 * (b[1] - a[1]))
                 p1 = (a[0] + t1 * (b[0] - a[0]), a[1] + t1 * (b[1] - a[1]))
                 pieces.append([_snap(p0), _snap(p1)])
@@ -1099,20 +1103,22 @@ def _ring_interior_side(r: Sequence[Coord], other: Sequence[Coord]) -> int:
     return 0
 
 
-def _poly_poly_intersection(a_rings: Sequence[Sequence[Coord]],
-                            b_rings: Sequence[Sequence[Coord]]):
-    """General polygon∩polygon (concave shells, holes) by boundary
-    stitching: the boundary of A∩B is exactly (∂A clipped to B) ∪ (∂B
-    clipped to A); stitch those pieces into closed rings, then nest
-    shells/holes by containment depth.  Returns a list of ring-lists
-    (shell first), possibly several (multipolygon result)."""
+def _poly_poly_overlay(a_rings: Sequence[Sequence[Coord]],
+                       b_rings: Sequence[Sequence[Coord]],
+                       keep_a: str, keep_b: str):
+    """General polygon overlay (concave shells, holes) by boundary
+    stitching.  The boundary of the result is (∂A classified against B) ∪
+    (∂B classified against A); stitch pieces into closed rings, then nest
+    shells/holes by containment depth.  Classification pairs:
+    intersection=('in','in'), union=('out','out'), A−B=('out','in').
+    Returns a list of ring-lists (shell first), possibly several."""
     pieces: List[List[Coord]] = []
     for ring in a_rings:
         pieces.extend(_clip_line_to_polygon(
-            [_snap(p) for p in ring], b_rings))
+            [_snap(p) for p in ring], b_rings, keep_a))
     for ring in b_rings:
         pieces.extend(_clip_line_to_polygon(
-            [_snap(p) for p in ring], a_rings))
+            [_snap(p) for p in ring], a_rings, keep_b))
     # shared-boundary segments arrive once from each side — dedupe
     seen, uniq = set(), []
     for s in pieces:
@@ -1230,11 +1236,44 @@ def difference(g1: Geometry, g2: Geometry) -> Geometry:
         if len(keep) == 1:
             return Geometry.point(*keep[0])
         return Geometry(WKB_MULTIPOINT, keep)
-    # areal difference where g2 is fully inside g1's shell → punch hole
-    if (g1.kind == WKB_POLYGON and g2.kind == WKB_POLYGON
-            and covers(g1, g2) and len(g2.coords) == 1):
-        return Geometry(WKB_POLYGON, list(g1.coords) + [list(g2.coords[0])], g1.srid)
-    raise NotImplementedError("general areal difference is tier-2")
+    if g1.dimension() == 1 and g2.dimension() == 2:
+        # line minus polygon: keep the strictly-outside pieces
+        segs: List[List[Coord]] = []
+        polys = [g for g in g2.flatten() if g.kind == WKB_POLYGON]
+        for ls in g1.flatten():
+            if ls.kind != WKB_LINESTRING:
+                continue
+            kept = [list(ls.coords)]
+            for pg in polys:
+                nxt: List[List[Coord]] = []
+                for piece in kept:
+                    nxt.extend(_clip_line_to_polygon(piece, pg.coords, "out"))
+                kept = nxt
+            segs.extend(kept)
+        segs = _merge_chains(segs)
+        if not segs:
+            return Geometry.empty(WKB_LINESTRING)
+        if len(segs) == 1:
+            return Geometry(WKB_LINESTRING, segs[0])
+        return Geometry(WKB_MULTILINESTRING, segs)
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        # general areal difference: fold A − B1 − B2 − … via boundary
+        # stitching (concave shells and holes handled)
+        b_polys = [g for g in g2.flatten() if g.kind == WKB_POLYGON]
+        cur = [list(g.coords) for g in g1.flatten() if g.kind == WKB_POLYGON]
+        for pb in b_polys:
+            nxt = []
+            for rings in cur:
+                nxt.extend(p for p in _poly_poly_overlay(rings, pb.coords,
+                                                         "out", "in")
+                           if p and abs(_ring_signed_area2(p[0])) > EPS)
+            cur = nxt
+        if not cur:
+            return Geometry.empty(WKB_POLYGON)
+        if len(cur) == 1:
+            return Geometry(WKB_POLYGON, cur[0], g1.srid)
+        return Geometry(WKB_MULTIPOLYGON, cur, g1.srid)
+    raise NotImplementedError("difference of this operand combination is tier-2")
 
 
 def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
@@ -1249,4 +1288,60 @@ def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
         if len(keep) == 1:
             return Geometry.point(*keep[0])
         return Geometry(WKB_MULTIPOINT, keep)
-    raise NotImplementedError("general symmetric difference is tier-2")
+    if g1.dimension() == g2.dimension():
+        # (A−B) ∪ (B−A): interiors are disjoint by construction
+        d1 = difference(g1, g2)
+        d2 = difference(g2, g1)
+        parts = [g for g in (list(d1.flatten()) + list(d2.flatten()))
+                 if not g.is_empty()]
+        if not parts:
+            return Geometry.empty(g1.kind)
+        if len(parts) == 1:
+            return parts[0]
+        return collect(parts)
+    raise NotImplementedError(
+        "symmetric difference of mixed dimensions is tier-2")
+
+
+def union_two(g1: Geometry, g2: Geometry) -> Geometry:
+    """Binary union with areal dissolve (concave shells, holes)."""
+    if g1.is_empty():
+        return g2
+    if g2.is_empty() or covers(g1, g2):
+        return g1
+    if covers(g2, g1):
+        return g2
+    if disjoint(g1, g2):
+        return collect([g1, g2])
+    if g1.dimension() == 2 and g2.dimension() == 2:
+        a_polys = [list(g.coords) for g in g1.flatten()
+                   if g.kind == WKB_POLYGON]
+        b_polys = [list(g.coords) for g in g2.flatten()
+                   if g.kind == WKB_POLYGON]
+        cur = list(a_polys)
+        for pb in b_polys:
+            merged_any = False
+            nxt = []
+            for rings in cur:
+                if not merged_any and _rings_intersect(rings, pb):
+                    out = [p for p in _poly_poly_overlay(rings, pb,
+                                                         "out", "out")
+                           if p and abs(_ring_signed_area2(p[0])) > EPS]
+                    nxt.extend(out)
+                    merged_any = True
+                else:
+                    nxt.append(rings)
+            if not merged_any:
+                nxt.append(pb)
+            cur = nxt
+        if not cur:
+            return Geometry.empty(WKB_POLYGON)
+        if len(cur) == 1:
+            return Geometry(WKB_POLYGON, cur[0], g1.srid)
+        return Geometry(WKB_MULTIPOLYGON, cur, g1.srid)
+    return union_all([g1, g2])
+
+
+def _rings_intersect(a_rings, b_rings) -> bool:
+    return intersects(Geometry(WKB_POLYGON, list(a_rings)),
+                      Geometry(WKB_POLYGON, list(b_rings)))

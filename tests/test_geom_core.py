@@ -301,3 +301,30 @@ def test_polygon_polygon_intersection_general():
     # edge-adjacent: empty areal intersection
     assert ar("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
               "POLYGON ((5 0, 10 0, 10 5, 5 5, 5 0))") == 0.0
+
+
+def test_general_areal_difference_union_symdiff():
+    from sedona_iceberg_extension_spark.geom import from_wkt, to_wkt
+    from sedona_iceberg_extension_spark.geom.algos import (
+        area, difference, sym_difference, union_two)
+
+    A_ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    B_ = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+    C_ = "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"
+    L_ = "POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))"
+
+    assert round(area(difference(from_wkt(A_), from_wkt(B_))), 9) == 75.0
+    # subtrahend strictly inside → punched hole
+    d = difference(from_wkt(A_), from_wkt(C_))
+    assert round(area(d), 9) == 84.0 and len(d.coords) == 2
+    # concave minuend: L ∩ C has area 7 → 64 - 7
+    assert round(area(difference(from_wkt(L_), from_wkt(C_))), 9) == 57.0
+    assert round(area(sym_difference(from_wkt(A_), from_wkt(B_))), 9) == 150.0
+    assert round(area(union_two(from_wkt(A_), from_wkt(B_))), 9) == 175.0
+    # edge-adjacent squares dissolve into one region
+    u = union_two(from_wkt("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"),
+                  from_wkt("POLYGON ((5 0, 10 0, 10 5, 5 5, 5 0))"))
+    assert round(area(u), 9) == 50.0 and u.kind == 3
+    # line minus polygon
+    lm = difference(from_wkt("LINESTRING (-5 5, 15 5)"), from_wkt(A_))
+    assert to_wkt(lm) == "MULTILINESTRING ((-5 5, 0 5), (10 5, 15 5))"
