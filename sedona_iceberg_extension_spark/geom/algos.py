@@ -906,6 +906,28 @@ def union_all(geoms: Sequence[Optional[Geometry]]) -> Optional[Geometry]:
                 break
         if not cov:
             kept.append(a)
+    # dissolve interior-overlapping polygons pairwise (each merge reduces
+    # the component count, so the loop is bounded); point- or edge-touching
+    # components stay separate
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(kept)):
+            if kept[i].kind != WKB_POLYGON:
+                continue
+            for j in range(i + 1, len(kept)):
+                if kept[j].kind != WKB_POLYGON:
+                    continue
+                if overlaps(kept[i], kept[j]) or covers(kept[i], kept[j]) \
+                        or covers(kept[j], kept[i]):
+                    u = union_two(kept[i], kept[j])
+                    repl = list(u.flatten())
+                    kept = ([k for idx, k in enumerate(kept)
+                             if idx not in (i, j)] + repl)
+                    changed = True
+                    break
+            if changed:
+                break
     if len(kept) == 1:
         return kept[0]
     return collect(kept)
