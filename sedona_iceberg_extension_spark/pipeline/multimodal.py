@@ -37,14 +37,19 @@ class DecodeNotAvailable(NotImplementedError):
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str, modality: str,
-                          mime: str, meta_name: str = "media_meta") -> DataFrame:
-    """Native metadata struct over a binary payload column (no Python)."""
+                          mime: str, meta_name: str = "media_meta",
+                          duration_ms_col: str = None) -> DataFrame:
+    """Native metadata struct over a binary payload column (no Python).
+    ``duration_ms_col``: optional column carrying a known duration (video/
+    audio) — real decoders would fill it; the plumbing is format-agnostic."""
+    duration = (F.col(duration_ms_col).cast("long") if duration_ms_col
+                else F.lit(None).cast("long"))
     return df.withColumn(meta_name, F.struct(
         F.lit(modality).alias("modality"),
         F.lit(mime).alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        duration.alias("duration_ms"),
         F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
         F.md5(F.col(payload_col)).alias("content_md5"),
     ))

@@ -929,6 +929,25 @@ def q_multimodal_features(spark, sf_dir):
                       F.round("feature", 6).alias("feature")).orderBy("doc_id")
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (multimodal.frame_sample_plan): native
+    sequence/explode over per-video duration metadata — one row per sampled
+    frame timestamp; rows-only check."""
+    from ..pipeline import multimodal as mm
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"),
+                           (F.length("text") * 10).cast("long").alias("_dur"))
+    with_meta = mm.attach_media_metadata(payloads, "payload", "video",
+                                         "video/mp4", duration_ms_col="_dur")
+    out = mm.frame_sample_plan(with_meta, "doc_id", "payload", every_ms=500)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.max("frame_ts_ms").alias("last_frame_ms"))
+        .orderBy("doc_id")
+    )
+
+
 def q_streaming_user_totals(spark, sf_dir):
     """Stateful-streaming operator (applyInPandasWithState) driven with
     availableNow over the events table; rows-only check (streaming state
@@ -1009,6 +1028,7 @@ QUERIES: Dict[str, QueryDef] = {
     "lsh_ann_topk": QueryDef(q_lsh_topk, None, False),
     "ivf_ann_topk": QueryDef(q_ivf_topk, None, False),
     "multimodal_features": QueryDef(q_multimodal_features, None, False),
+    "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, None, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
 }
 
