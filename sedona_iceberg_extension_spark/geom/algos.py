@@ -787,10 +787,44 @@ def buffer(geom: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     if geom.kind == WKB_MULTIPOINT:
         polys = [circle(x, y) for (x, y) in geom.coords if geom.coords]
         return Geometry(WKB_MULTIPOLYGON, polys)
+    if geom.dimension() == 1:
+        # line buffer: dissolve per-segment oriented rectangles + vertex
+        # circles (classic decomposition; union_all does the dissolve)
+        parts: List[Geometry] = []
+        for ls in geom.flatten():
+            if ls.kind != WKB_LINESTRING or ls.is_empty():
+                continue
+            cs = list(ls.coords)
+            for i in range(len(cs) - 1):
+                (x0, y0), (x1, y1) = cs[i], cs[i + 1]
+                L = math.hypot(x1 - x0, y1 - y0)
+                if L <= EPS:
+                    continue
+                nx, ny = -(y1 - y0) / L * dist, (x1 - x0) / L * dist
+                rect = [(x0 + nx, y0 + ny), (x1 + nx, y1 + ny),
+                        (x1 - nx, y1 - ny), (x0 - nx, y0 - ny)]
+                rect.append(rect[0])
+                parts.append(Geometry(WKB_POLYGON, [rect]))
+            for (x, y) in cs:
+                parts.append(Geometry(WKB_POLYGON, circle(x, y)))
+        u = union_all(parts)
+        return u if u is not None else Geometry.empty(WKB_POLYGON)
+    if geom.dimension() == 2:
+        # positive polygon buffer: the polygon dilated by its boundary's
+        # buffer (shell grows, holes shrink via dissolve)
+        ring_lines = []
+        for pg in geom.flatten():
+            if pg.kind != WKB_POLYGON or pg.is_empty():
+                continue
+            for ring in pg.coords:
+                ring_lines.append(Geometry(WKB_LINESTRING, list(ring)))
+        grown = buffer(Geometry(WKB_MULTILINESTRING,
+                                [list(r.coords) for r in ring_lines]), dist,
+                       quad_segs)
+        u = union_all([geom, grown])
+        return u if u is not None else geom
     raise NotImplementedError(
-        "ST_Buffer over line/polygon inputs is tier-2 in this engine "
-        "(declared contract covers point buffers; see SURVEY.md §2)"
-    )
+        "ST_Buffer over this input is tier-2 in this engine (see SURVEY.md §2)")
 
 
 def make_valid(geom: Geometry) -> Geometry:

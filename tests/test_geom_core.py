@@ -328,3 +328,19 @@ def test_general_areal_difference_union_symdiff():
     # line minus polygon
     lm = difference(from_wkt("LINESTRING (-5 5, 15 5)"), from_wkt(A_))
     assert to_wkt(lm) == "MULTILINESTRING ((-5 5, 0 5), (10 5, 15 5))"
+
+
+def test_buffer_line_and_polygon():
+    from sedona_iceberg_extension_spark.geom import from_wkt
+    from sedona_iceberg_extension_spark.geom.algos import area, buffer, contains
+
+    b = buffer(from_wkt("LINESTRING (0 0, 10 0)"), 1.0)
+    # capsule: 2*d*len + pi*d^2 (32-gon inscribed, slight deficit)
+    assert abs(area(b) - (20 + math.pi)) < 0.1
+    assert contains(b, from_wkt("POINT (5 0.9)"))
+    assert not contains(b, from_wkt("POINT (5 1.1)"))
+
+    p = buffer(from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), 1.0)
+    assert abs(area(p) - (100 + 40 + math.pi)) < 0.1
+    assert contains(p, from_wkt("POINT (-0.9 5)"))
+    assert not contains(p, from_wkt("POINT (-1.1 -1.1)"))
