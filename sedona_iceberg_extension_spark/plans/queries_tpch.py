@@ -356,6 +356,81 @@ ORDER BY category, n_name
 """
 
 
+
+
+
+# --- event funnel: lag window over the clickstream ---------------------------
+
+def q_event_funnel(spark, sf_dir):
+    """Per-user view→click conversion lag: for each click, the time since the
+    user's previous view (lag window) — the clickstream-shape window query."""
+    ev = _t(spark, sf_dir, "events").withColumn("_us", F.unix_micros("ts"))
+    # order and subtract in explicit microseconds: the parquet carries nanos
+    # (truncated to micros on load), so ts-ordering ties must be broken the
+    # same way on both engines
+    w = Window.partitionBy("user_id").orderBy(F.col("_us").asc(),
+                                              F.col("event_id").asc())
+    flagged = ev.withColumn(
+        "prev_view_us",
+        F.last(F.when(F.col("event_type") == "view", F.col("_us")),
+               ignorenulls=True).over(
+                   w.rowsBetween(Window.unboundedPreceding, -1)))
+    return (
+        flagged.filter((F.col("event_type") == "click")
+                       & F.col("prev_view_us").isNotNull())
+        .select("user_id", "event_id",
+                ((F.col("_us") - F.col("prev_view_us")) / F.lit(1000000))
+                .cast("long").alias("secs_since_view"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+QFUNNEL_SQL = """
+SELECT user_id, event_id,
+       CAST((us - prev_view_us) // 1000000 AS BIGINT) AS secs_since_view
+FROM (
+  SELECT user_id, event_id, us, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us
+  FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+) t
+WHERE event_type = 'click' AND prev_view_us IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+# --- q9-ish: yearly revenue by supplier nation -------------------------------
+
+def q9_yearly_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 TPCH_QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL, False),
     "q10_returned_items": (q10_returned_items, Q10_SQL, True),
@@ -367,4 +442,6 @@ TPCH_QUERIES = {
     "rollup_revenue": (q_rollup_revenue, QROLLUP_SQL, False),
     "top_parts_per_brand": (q_top_parts_per_brand, QTOPPARTS_SQL, False),
     "set_ops_nations": (q_set_ops, QSETOPS_SQL, False),
+    "event_funnel_lag": (q_event_funnel, QFUNNEL_SQL, False),
+    "q9_yearly_nation_revenue": (q9_yearly_nation_revenue, Q9_SQL, False),
 }
