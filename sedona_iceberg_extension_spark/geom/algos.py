@@ -1159,32 +1159,73 @@ def _ring_interior_side(r: Sequence[Coord], other: Sequence[Coord]) -> int:
     return 0
 
 
+def _boundary_pieces(rings: Sequence[Sequence[Coord]],
+                     other_rings: Sequence[Sequence[Coord]]) -> List[List[Coord]]:
+    """All sub-segments of ``rings`` split at crossings with the other
+    polygon's boundary (no classification — the overlay filters by side
+    test)."""
+    pieces: List[List[Coord]] = []
+    for ring in rings:
+        coords = [_snap(p) for p in ring]
+        for i in range(len(coords) - 1):
+            a, b = coords[i], coords[i + 1]
+            ts = _seg_param_crossings(a, b, other_rings)
+            for t0, t1 in zip(ts, ts[1:]):
+                if t1 - t0 <= EPS:
+                    continue
+                p0 = (a[0] + t0 * (b[0] - a[0]), a[1] + t0 * (b[1] - a[1]))
+                p1 = (a[0] + t1 * (b[0] - a[0]), a[1] + t1 * (b[1] - a[1]))
+                pieces.append([_snap(p0), _snap(p1)])
+    return pieces
+
+
 def _poly_poly_overlay(a_rings: Sequence[Sequence[Coord]],
                        b_rings: Sequence[Sequence[Coord]],
-                       keep_a: str, keep_b: str):
-    """General polygon overlay (concave shells, holes) by boundary
-    stitching.  The boundary of the result is (∂A classified against B) ∪
-    (∂B classified against A); stitch pieces into closed rings, then nest
-    shells/holes by containment depth.  Classification pairs:
-    intersection=('in','in'), union=('out','out'), A−B=('out','in').
-    Returns a list of ring-lists (shell first), possibly several."""
-    pieces: List[List[Coord]] = []
-    for ring in a_rings:
-        pieces.extend(_clip_line_to_polygon(
-            [_snap(p) for p in ring], b_rings, keep_a))
-    for ring in b_rings:
-        pieces.extend(_clip_line_to_polygon(
-            [_snap(p) for p in ring], a_rings, keep_b))
-    # shared-boundary segments arrive once from each side — dedupe
+                       op_a: str, op_b: str = None):
+    """General polygon overlay (concave shells, holes, shared boundaries) by
+    boundary stitching with a side-of-segment region test: a boundary piece
+    belongs to the result's boundary iff the result region lies on exactly
+    one side of it.  This classifies shared-boundary segments correctly —
+    e.g. the common edge of two edge-adjacent squares is interior to their
+    union but absent from their intersection.
+
+    ``op_a``: 'in'/'out' pairs kept for source compatibility — resolved to
+    the region predicate: ('in','in')=intersection, ('out','out')=union,
+    ('out','in')=difference A−B.  Returns a list of ring-lists (shell
+    first), possibly several."""
+    key = (op_a, op_b)
+    if key == ("in", "in"):
+        def region(la, lb):
+            return la and lb
+    elif key == ("out", "out"):
+        def region(la, lb):
+            return la or lb
+    else:  # ("out", "in") → A − B
+        def region(la, lb):
+            return la and not lb
+
+    def in_region(p: Coord) -> bool:
+        return region(locate_in_polygon(p, a_rings) == 2,
+                      locate_in_polygon(p, b_rings) == 2)
+
+    pieces = (_boundary_pieces(a_rings, b_rings)
+              + _boundary_pieces(b_rings, a_rings))
     seen, uniq = set(), []
     for s in pieces:
         if s[0] == s[1]:
             continue
-        key = (min(s[0], s[1]), max(s[0], s[1]))
-        if key in seen:
+        k = (min(s[0], s[1]), max(s[0], s[1]))
+        if k in seen:
             continue
-        seen.add(key)
-        uniq.append(s)
+        seen.add(k)
+        # side test: offset the midpoint both ways along the normal
+        (x0, y0), (x1, y1) = s
+        mx, my = (x0 + x1) / 2, (y0 + y1) / 2
+        L = math.hypot(x1 - x0, y1 - y0)
+        d = max(1e-9, L * 1e-7)
+        nx, ny = -(y1 - y0) / L * d, (x1 - x0) / L * d
+        if in_region((mx + nx, my + ny)) != in_region((mx - nx, my - ny)):
+            uniq.append(s)
     rings = [c for c in _merge_chains(uniq)
              if len(c) >= 4 and c[0] == c[-1]
              and abs(_ring_signed_area2(c)) > EPS]

@@ -72,3 +72,66 @@ def test_point_xy_preserved(g):
     back = from_wkb(to_wkb(g))
     assert back.coords == g.coords
     assert not math.isnan(back.coords[0])
+
+
+# ---------------------------------------------------------------------------
+# overlay area identities on random rectilinear polygons
+# ---------------------------------------------------------------------------
+
+@st.composite
+def rect_polys(draw):
+    """Axis-aligned rectangles with integer-ish corners (robust overlay
+    fixtures — no degenerate slivers)."""
+    x0 = draw(st.integers(min_value=-20, max_value=20))
+    y0 = draw(st.integers(min_value=-20, max_value=20))
+    w = draw(st.integers(min_value=1, max_value=15))
+    h = draw(st.integers(min_value=1, max_value=15))
+    return Geometry.box(float(x0), float(y0), float(x0 + w), float(y0 + h))
+
+
+@st.composite
+def l_polys(draw):
+    """Concave L-shaped polygons (integer corners)."""
+    x0 = draw(st.integers(min_value=-15, max_value=15))
+    y0 = draw(st.integers(min_value=-15, max_value=15))
+    w = draw(st.integers(min_value=4, max_value=12))
+    h = draw(st.integers(min_value=4, max_value=12))
+    nx = draw(st.integers(min_value=1, max_value=w - 2))
+    ny = draw(st.integers(min_value=1, max_value=h - 2))
+    ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + ny), (x0 + nx, y0 + ny),
+            (x0 + nx, y0 + h), (x0, y0 + h), (x0, y0)]
+    return Geometry(3, [[(float(a), float(b)) for a, b in ring]])
+
+
+any_poly = st.one_of(rect_polys(), l_polys())
+
+
+@settings(max_examples=150, deadline=None)
+@given(any_poly, any_poly)
+def test_overlay_area_identities(a, b):
+    """area(A∩B) + area(A−B) == area(A);  union ≥ max;  ∩ ≤ min."""
+    from sedona_iceberg_extension_spark.geom.algos import (
+        area, difference, intersection, union_two)
+
+    aa, ab = area(a), area(b)
+    inter = area(intersection(a, b))
+    diff = area(difference(a, b))
+    assert inter <= min(aa, ab) + 1e-6
+    assert abs((inter + diff) - aa) < 1e-6, (inter, diff, aa)
+    uni = area(union_two(a, b))
+    assert max(aa, ab) - 1e-6 <= uni <= aa + ab + 1e-6
+    assert abs(uni - (aa + ab - inter)) < 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(any_poly, any_poly)
+def test_overlay_predicate_consistency(a, b):
+    """intersection emptiness agrees with the overlaps/disjoint predicates."""
+    from sedona_iceberg_extension_spark.geom.algos import (
+        area, disjoint, intersection)
+
+    inter = area(intersection(a, b))
+    if disjoint(a, b):
+        assert inter == 0.0
+    if inter > 1e-9:
+        assert not disjoint(a, b)
