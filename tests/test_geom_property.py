@@ -135,3 +135,23 @@ def test_overlay_predicate_consistency(a, b):
         assert inter == 0.0
     if inter > 1e-9:
         assert not disjoint(a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(any_poly, min_size=2, max_size=5))
+def test_union_all_covers_inputs(polys):
+    from sedona_iceberg_extension_spark.geom.algos import (
+        area, covers, union_all)
+
+    u = union_all(polys)
+    total = sum(area(p) for p in polys)
+    assert max(area(p) for p in polys) - 1e-6 <= area(u) <= total + 1e-6
+    # every input's center of mass region point stays covered
+    for p in polys:
+        (x0, y0, x1, y1) = p.envelope()
+        # an interior sample: centroid of the first ring's bbox clamped in
+        from sedona_iceberg_extension_spark.geom.model import Geometry as G
+        mid = G.point((x0 + x1) / 2, (y0 + y1) / 2)
+        from sedona_iceberg_extension_spark.geom.algos import contains, intersects
+        if contains(p, mid):
+            assert intersects(u, mid)

@@ -148,3 +148,38 @@ def test_knn_join(spark):
     assert got[1] == [50, 51, 52]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_salted_collect_list_matches_direct(spark, sf_dir):
+    from sedona_iceberg_extension_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_id")
+    direct = {r["user_id"]: sorted(r["v"]) for r in
+              ev.groupBy("user_id")
+              .agg(F.collect_list("event_id").alias("v")).collect()}
+    salted = {r["user_id"]: sorted(r["values"]) for r in
+              skew.salted_collect_list(ev, "user_id", "event_id",
+                                       salt_n=8).collect()}
+    assert salted == direct
+
+    # plan shape: two aggregation exchanges, hot key split across salts
+    plan = skew.salted_collect_list(ev, "user_id", "event_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "collect_list" in plan
+
+
+def test_salted_count_distinct_matches_direct(spark, sf_dir):
+    from sedona_iceberg_extension_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_type")
+    direct = {r["user_id"]: r["n"] for r in
+              ev.groupBy("user_id")
+              .agg(F.countDistinct("event_type").alias("n")).collect()}
+    salted = {r["user_id"]: r["n_distinct"] for r in
+              skew.salted_count_distinct(ev, "user_id", "event_type",
+                                         salt_n=4).collect()}
+    assert salted == direct
