@@ -771,6 +771,10 @@ def buffer(geom: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     if dist == 0:
         return geom
     if dist < 0:
+        # erosion: areal inputs shrink by |dist| (A − buffer(∂A, |d|));
+        # lower-dimension inputs vanish (GEOS behavior)
+        if geom.dimension() == 2 and not geom.is_empty():
+            return difference(geom, buffer(boundary(geom), -dist, quad_segs))
         return Geometry.empty(WKB_POLYGON)
     n = max(4, 4 * quad_segs)
 

@@ -344,3 +344,16 @@ def test_buffer_line_and_polygon():
     assert abs(area(p) - (100 + 40 + math.pi)) < 0.1
     assert contains(p, from_wkt("POINT (-0.9 5)"))
     assert not contains(p, from_wkt("POINT (-1.1 -1.1)"))
+
+
+def test_negative_buffer_erosion():
+    from sedona_iceberg_extension_spark.geom import from_wkt
+    from sedona_iceberg_extension_spark.geom.algos import area, buffer, contains
+
+    sq = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    eroded = buffer(sq, -1.0)
+    assert abs(area(eroded) - 64.0) < 0.05
+    assert contains(eroded, from_wkt("POINT (5 5)"))
+    assert not contains(eroded, from_wkt("POINT (0.5 0.5)"))
+    assert area(buffer(sq, -6.0)) == 0.0          # eroded away
+    assert area(buffer(from_wkt("LINESTRING (0 0, 5 5)"), -1.0)) == 0.0
