@@ -1374,6 +1374,9 @@ def difference(g1: Geometry, g2: Geometry) -> Geometry:
         if len(cur) == 1:
             return Geometry(WKB_POLYGON, cur[0], g1.srid)
         return Geometry(WKB_MULTIPOLYGON, cur, g1.srid)
+    if g1.dimension() > g2.dimension():
+        # subtracting a lower-dimensional geometry removes no measure
+        return g1
     raise NotImplementedError("difference of this operand combination is tier-2")
 
 
@@ -1389,19 +1392,18 @@ def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
         if len(keep) == 1:
             return Geometry.point(*keep[0])
         return Geometry(WKB_MULTIPOINT, keep)
-    if g1.dimension() == g2.dimension():
-        # (A−B) ∪ (B−A): interiors are disjoint by construction
-        d1 = difference(g1, g2)
-        d2 = difference(g2, g1)
-        parts = [g for g in (list(d1.flatten()) + list(d2.flatten()))
-                 if not g.is_empty()]
-        if not parts:
-            return Geometry.empty(g1.kind)
-        if len(parts) == 1:
-            return parts[0]
-        return collect(parts)
-    raise NotImplementedError(
-        "symmetric difference of mixed dimensions is tier-2")
+    # (A−B) ∪ (B−A): interiors are disjoint by construction; for mixed
+    # dimensions this matches GEOS (polygon stays whole, the line keeps its
+    # outside pieces)
+    d1 = difference(g1, g2)
+    d2 = difference(g2, g1)
+    parts = [g for g in (list(d1.flatten()) + list(d2.flatten()))
+             if not g.is_empty()]
+    if not parts:
+        return Geometry.empty(g1.kind)
+    if len(parts) == 1:
+        return parts[0]
+    return collect(parts)
 
 
 def union_two(g1: Geometry, g2: Geometry) -> Geometry:

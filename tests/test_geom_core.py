@@ -357,3 +357,15 @@ def test_negative_buffer_erosion():
     assert not contains(eroded, from_wkt("POINT (0.5 0.5)"))
     assert area(buffer(sq, -6.0)) == 0.0          # eroded away
     assert area(buffer(from_wkt("LINESTRING (0 0, 5 5)"), -1.0)) == 0.0
+
+
+def test_mixed_dimension_symdifference():
+    from sedona_iceberg_extension_spark.geom import from_wkt, to_wkt
+    from sedona_iceberg_extension_spark.geom.algos import sym_difference
+
+    sq = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    line = from_wkt("LINESTRING (-5 5, 15 5)")
+    s = sym_difference(sq, line)
+    kinds = sorted(g.kind for g in s.flatten())
+    # polygon stays whole; the line keeps its two outside pieces
+    assert kinds == [2, 2, 3]

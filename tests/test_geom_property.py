@@ -155,3 +155,25 @@ def test_union_all_covers_inputs(polys):
         from sedona_iceberg_extension_spark.geom.algos import contains, intersects
         if contains(p, mid):
             assert intersects(u, mid)
+
+
+@st.composite
+def poly_lines(draw):
+    pts = draw(st.lists(st.tuples(
+        st.integers(min_value=-25, max_value=25),
+        st.integers(min_value=-25, max_value=25)),
+        min_size=2, max_size=6, unique=True))
+    return Geometry(2, [(float(x), float(y)) for x, y in pts])
+
+
+@settings(max_examples=100, deadline=None)
+@given(poly_lines(), any_poly)
+def test_line_overlay_length_partition(line, poly):
+    """length(L∩P) + length(L−P) == length(L): the in/out interval
+    classification partitions the line exactly."""
+    from sedona_iceberg_extension_spark.geom.algos import (
+        difference, intersection, length)
+
+    lin = length(intersection(line, poly))
+    lout = length(difference(line, poly))
+    assert abs((lin + lout) - length(line)) < 1e-6, (lin, lout, length(line))
