@@ -431,6 +431,35 @@ ORDER BY nation, o_year DESC
 """
 
 
+# --- exact percentile aggregation ------------------------------------------
+
+def q_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per return flag — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation definition,
+    so the match is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+QPCT_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 TPCH_QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL, False),
     "q10_returned_items": (q10_returned_items, Q10_SQL, True),
@@ -444,4 +473,5 @@ TPCH_QUERIES = {
     "set_ops_nations": (q_set_ops, QSETOPS_SQL, False),
     "event_funnel_lag": (q_event_funnel, QFUNNEL_SQL, False),
     "q9_yearly_nation_revenue": (q9_yearly_nation_revenue, Q9_SQL, False),
+    "price_percentiles": (q_price_percentiles, QPCT_SQL, False),
 }
