@@ -1,0 +1,55 @@
+"""As-of join — for each left row, the most recent right row with
+``right_ts <= left_ts`` (backward, inclusive) per key.
+
+Spark has no ASOF JOIN operator (DuckDB does — it serves as the oracle).
+The classic range-join formulation explodes candidates; this implementation
+is the scale-correct union+window shape:
+
+1. Tag and union both sides (right rows sort before left rows at equal ts).
+2. One window per key ordered by (ts, tag): ``last(right_value, ignorenulls)``
+   over the unbounded-preceding frame carries the latest right value forward.
+3. Keep the left rows.
+
+Cost: ONE shuffle of |L|+|R| rows on the key — no range-candidate blowup,
+AQE-skew-splittable, fully native (no Python)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: Optional[List[str]] = None,
+              suffix: str = "_r") -> DataFrame:
+    """Backward-inclusive as-of join.  ``value_cols``: right columns carried
+    to the matched left row (default: all non-key, non-ts right columns),
+    renamed with ``suffix``.  Left rows with no prior right row keep nulls
+    (left-outer semantics, same as DuckDB ``ASOF LEFT JOIN``)."""
+    value_cols = value_cols or [c for c in right.columns
+                                if c not in (on, right_ts)]
+    l = left.withColumn("_src", F.lit(1)) \
+        .withColumn("_ats", F.col(left_ts))
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols])
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows (_src=0) order before left rows at the same timestamp →
+    # equal-ts right rows are visible to the left row (inclusive match);
+    # among several right rows at the same ts the last by union order wins,
+    # matching ASOF's "most recent" semantics
+    w = (Window.partitionBy(on).orderBy(F.col("_ats").asc(), F.col("_src").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}",
+            F.last(F.when(F.col("_src") == 0, F.col(f"{c}{suffix}")),
+                   ignorenulls=True).over(w))
+    return (filled.filter(F.col("_src") == 1)
+            .drop("_src", "_ats"))

@@ -460,6 +460,46 @@ ORDER BY l_returnflag
 """
 
 
+# --- as-of join: clicks to latest prior view -------------------------------
+
+def q_asof_click_view(spark, sf_dir):
+    """As-of join (operators.asof): each click matched to the user's most
+    recent view at-or-before it.  Oracle: DuckDB's native ASOF LEFT JOIN.
+    The right side is aggregated to unique (user, ts) first — ASOF tie
+    semantics over duplicate timestamps are engine-defined otherwise."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "us", "value")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "us")
+             .agg(F.round(F.max("value"), 9).alias("view_value")))
+    out = asof_join(clicks, views, on="user_id",
+                    left_ts="us", right_ts="us")
+    return (
+        out.select("user_id", "event_id",
+                   F.round("value", 9).alias("click_value"),
+                   "view_value_r")
+        .orderBy("user_id", "event_id")
+    )
+
+
+QASOF_SQL = """
+SELECT c.user_id, c.event_id,
+       ROUND(c.value, 9) AS click_value,
+       v.view_value AS view_value_r
+FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value
+      FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, us, ROUND(MAX(value), 9) AS view_value
+                FROM (SELECT user_id, epoch_us(ts) AS us, value
+                      FROM events WHERE event_type = 'view')
+                GROUP BY user_id, us) v
+  ON c.user_id = v.user_id AND v.us <= c.us
+ORDER BY c.user_id, c.event_id
+"""
+
+
 TPCH_QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL, False),
     "q10_returned_items": (q10_returned_items, Q10_SQL, True),
@@ -474,4 +514,5 @@ TPCH_QUERIES = {
     "event_funnel_lag": (q_event_funnel, QFUNNEL_SQL, False),
     "q9_yearly_nation_revenue": (q9_yearly_nation_revenue, Q9_SQL, False),
     "price_percentiles": (q_price_percentiles, QPCT_SQL, False),
+    "asof_click_view": (q_asof_click_view, QASOF_SQL, False),
 }

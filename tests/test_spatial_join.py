@@ -183,3 +183,21 @@ def test_salted_count_distinct_matches_direct(spark, sf_dir):
               skew.salted_count_distinct(ev, "user_id", "event_type",
                                          salt_n=4).collect()}
     assert salted == direct
+
+
+def test_asof_join_semantics(spark):
+    from sedona_iceberg_extension_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (1, 20, 300.0), (3, 1, 999.0)],
+        "k long, ts long, v double")
+    out = {r["tag"]: r["v_r"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()}
+    assert out["a"] == 100.0   # ts=10 → latest right at 8
+    assert out["b"] == 300.0   # ts=20 → equal-ts right matches (inclusive)
+    assert out["c"] is None    # ts=5 → no prior right
+    assert out["d"] is None    # key 2 has no right rows at all
