@@ -826,6 +826,31 @@ ORDER BY doc_id
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole banding (dedup.simhash_pairs).
+    Oracle: direct all-pairs Hamming filter — banding is recall-lossless for
+    d <= max_distance (pigeonhole), so the result sets must be identical."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = dedup.simhash_pairs(docs, "doc_id", "text", bits=16, max_distance=3)
+    return (
+        out.select(F.col("id_a"), F.col("id_b"),
+                   F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_pairs_sql(bits: int = 16, max_distance: int = 3) -> str:
+    inner = _simhash_sql(bits).replace("ORDER BY doc_id", "")
+    return f"""
+WITH s AS ({inner})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+ORDER BY id_a, id_b
+"""
+
+
 # ===========================================================================
 # Tier E — embeddings / similarity
 # ===========================================================================
@@ -1020,6 +1045,7 @@ QUERIES: Dict[str, QueryDef] = {
     "minhash_lsh_pairs": QueryDef(q_minhash_lsh_pairs, _QLSH_SQL, True),
     "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
     "simhash_values": QueryDef(q_simhash, _simhash_sql(16), False),
+    "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(16, 3), False),
     # embeddings
     "embedding_cosine_topk": QueryDef(q_embedding_topk, _QEMB_SQL, True),
     "embedding_dup_pairs": QueryDef(q_embedding_dup_pairs, _QEMBD_SQL, False),
