@@ -204,16 +204,32 @@ def spatial_join(
 def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
                cond: Column, how: str, grid_size: Optional[float], d: float) -> DataFrame:
     if grid_size is None:
-        # sample-driven cell sizing: target ~2 cells per average envelope
-        stats = left.select(
-            F.avg(F.col(f"{lp}_xmax") - F.col(f"{lp}_xmin")).alias("w"),
-            F.avg(F.col(f"{lp}_ymax") - F.col(f"{lp}_ymin")).alias("h"),
-            (F.max(f"{lp}_xmax") - F.min(f"{lp}_xmin")).alias("W"),
-            (F.max(f"{lp}_ymax") - F.min(f"{lp}_ymin")).alias("H"),
-        ).first()
-        w = max(stats["w"] or 0.0, stats["h"] or 0.0, 1e-9)
-        extent = max(stats["W"] or 1.0, stats["H"] or 1.0, 1e-9)
-        grid_size = max(2.0 * w + 2.0 * d, extent / 4096.0)
+        # sample-driven cell sizing: target ~2 cells per average envelope.
+        # Both sides matter — sizing off the left alone would shred a
+        # wide-envelope right side (e.g. points JOIN polygons) across
+        # millions of cells each.
+        def _stats(df, p):
+            return df.select(
+                F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias("w"),
+                F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias("h"),
+                (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias("W"),
+                (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias("H"),
+            ).first()
+        ls, rs = _stats(left, lp), _stats(right, rp)
+        lw = max(ls["w"] or 0.0, ls["h"] or 0.0)
+        rw = max(rs["w"] or 0.0, rs["h"] or 0.0)
+        extent = max(ls["W"] or 1.0, ls["H"] or 1.0,
+                     rs["W"] or 1.0, rs["H"] or 1.0, 1e-9)
+        # cells ~2× the *smaller* side's average envelope give that side ~1
+        # cell per row; the floor sqrt(area_big/64) caps the wide side's
+        # cell replication at ~64 copies per row, so a points-vs-polygons
+        # join still spreads across many cells instead of collapsing into
+        # the handful of whole-extent cells the polygons dictate.
+        big_area = max((ls["w"] or 0.0) * (ls["h"] or 0.0),
+                       (rs["w"] or 0.0) * (rs["h"] or 0.0))
+        grid_size = max(2.0 * min(lw, rw) + 2.0 * d,
+                        (big_area / 64.0) ** 0.5,
+                        extent / 4096.0)
 
     s = float(grid_size)
 

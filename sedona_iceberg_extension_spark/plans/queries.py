@@ -473,6 +473,42 @@ ORDER BY n_nationkey
 """
 
 
+def q_spatial_join_sql(spark, sf_dir):
+    """The reference's headline capability: a *plain SQL* spatial join planned
+    into the distributed grid join (TestSedonaIcebergExtension.scala:117-127:
+    ``SELECT l.id id_l, r.id id_r FROM test_left l JOIN test_right r ON
+    ST_Contains(r.geo, l.geo) ORDER BY id_l`` must not plan a nested-loop
+    join).  The SQL below is that statement verbatim, modulo table/column
+    names; ``spatial_sql`` detects the ON clause and routes it through
+    ``operators.spatial_join`` (cell equi-join + exact refinement)."""
+    from ..operators import spatial_sql
+
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "geo", "geo_env")
+    nation = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0),
+    ).select("n_nationkey", "geo", "geo_env")
+    pts.createOrReplaceTempView("sql_join_left")
+    boxes.createOrReplaceTempView("sql_join_right")
+    return spatial_sql(spark, """
+        SELECT l.c_custkey AS id_l, r.n_nationkey AS id_r
+        FROM sql_join_left l JOIN sql_join_right r
+        ON ST_Contains(r.geo, l.geo)
+        ORDER BY id_l, id_r""")
+
+
+_QSJSQL_SQL = f"""
+SELECT c_custkey AS id_l, n_nationkey AS id_r
+FROM customer, nation
+WHERE {_CX} > CAST(n_nationkey * 14 - 180 AS DOUBLE)
+  AND {_CX} < CAST(n_nationkey * 14 - 166 AS DOUBLE)
+  AND {_CY} > -90.0 AND {_CY} < 90.0
+ORDER BY id_l, id_r
+"""
+
+
 def q_spatial_join_dwithin(spark, sf_dir):
     """Distance join: customer↔supplier points within 2.5 units — grid
     strategy, fully native distance algebra."""
@@ -1029,6 +1065,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_distance": QueryDef(q_spatial_distance, _QDIST_SQL, False),
     "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
+    "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),
     "spatial_centroid_agg": QueryDef(q_spatial_centroid_agg, _QCAGG_SQL, True),

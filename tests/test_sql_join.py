@@ -1,0 +1,125 @@
+"""SQL-text spatial join planning — parity with the reference's
+``testSpatialJoin`` (TestSedonaIcebergExtension.scala:109-142): the literal
+SQL ``SELECT l.id id_l, r.id id_r FROM test_left l JOIN test_right r ON
+ST_Contains(r.geo, l.geo) ORDER BY id_l`` must produce the indexed join plan
+(their assert: BroadcastIndexJoin|RangeJoin; ours: a cell equi-join, never
+BroadcastNestedLoopJoin/CartesianProduct) and the same two rows."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sedona_iceberg_extension_spark.operators import spatial_sql
+from sedona_iceberg_extension_spark.operators.sql_join import _find_spatial_join
+
+
+REF_SQL = ("SELECT l.id id_l, r.id id_r "
+           "FROM test_left l JOIN test_right r "
+           "ON ST_Contains(r.geo, l.geo) "
+           "ORDER BY id_l")
+
+
+@pytest.fixture()
+def ref_tables(spark):
+    # the reference test's exact data (TestSedonaIcebergExtension.scala:110-116)
+    spark.sql(
+        "SELECT 1 AS id, 'data_1' AS data, ST_Point(CAST(10.0 AS DOUBLE), CAST(10.0 AS DOUBLE)) AS geo "
+        "UNION ALL "
+        "SELECT 2, 'data_2', ST_Point(CAST(20.0 AS DOUBLE), CAST(20.0 AS DOUBLE))"
+    ).createOrReplaceTempView("test_left")
+    spark.sql(
+        "SELECT 10 AS id, ST_PolygonFromEnvelope(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(15.0 AS DOUBLE), CAST(15.0 AS DOUBLE)) AS geo "
+        "UNION ALL "
+        "SELECT 20, ST_PolygonFromEnvelope(CAST(15.0 AS DOUBLE), CAST(15.0 AS DOUBLE), CAST(25.0 AS DOUBLE), CAST(25.0 AS DOUBLE))"
+    ).createOrReplaceTempView("test_right")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_reference_sql_shape_rows_and_plan(spark, ref_tables):
+    df = spatial_sql(spark, REF_SQL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = [(r.id_l, r.id_r) for r in df.collect()]
+    assert rows == [(1, 10), (2, 20)]
+
+
+def test_cached_tables_still_plan(spark, ref_tables):
+    # reference re-runs the join after CACHE TABLE (scala:129-142)
+    spark.sql("CACHE TABLE test_left")
+    spark.sql("CACHE TABLE test_right")
+    try:
+        df = spatial_sql(spark, REF_SQL)
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert [(r.id_l, r.id_r) for r in df.collect()] == [(1, 10), (2, 20)]
+    finally:
+        spark.sql("UNCACHE TABLE test_left")
+        spark.sql("UNCACHE TABLE test_right")
+
+
+def test_dwithin_and_extra_conjuncts(spark, ref_tables):
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, r.id AS id_r "
+        "FROM test_left l JOIN test_right r "
+        "ON ST_DWithin(l.geo, r.geo, 5.0) AND r.id > 10 "
+        "WHERE l.id >= 1 "
+        "ORDER BY id_l, id_r"))
+    # point (20,20) within 5 of box (15,15,25,25) only (point (10,10) is
+    # 7.07 away); box 10 filtered out by the extra conjunct
+    assert [(r.id_l, r.id_r) for r in df.collect()] == [(2, 20)]
+
+
+def test_where_group_by_over_rewritten_join(spark, ref_tables):
+    df = spatial_sql(spark, (
+        "SELECT r.id AS box_id, COUNT(*) AS n "
+        "FROM test_left l JOIN test_right r ON ST_Intersects(l.geo, r.geo) "
+        "GROUP BY r.id ORDER BY box_id"))
+    assert [(r.box_id, r.n) for r in df.collect()] == [(10, 1), (20, 1)]
+
+
+def test_non_spatial_sql_passthrough(spark, ref_tables):
+    df = spatial_sql(spark, "SELECT COUNT(*) AS n FROM test_left")
+    assert df.collect()[0].n == 2
+    assert _find_spatial_join("SELECT 1") is None
+
+
+def test_unrecognized_join_falls_back(spark, ref_tables):
+    # predicate over an expression (not alias.column) — planner declines,
+    # vanilla UDF evaluation still returns the right rows
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, r.id AS id_r "
+        "FROM test_left l JOIN test_right r "
+        "ON ST_Contains(r.geo, ST_Point(CAST(l.id * 10 AS DOUBLE), CAST(l.id * 10 AS DOUBLE))) "
+        "ORDER BY id_l"))
+    assert [(r.id_l, r.id_r) for r in df.collect()] == [(1, 10), (2, 20)]
+
+
+def test_declared_query_matches_plain_join(spark, sf_dir):
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+
+    df = QUERIES["spatial_join_sql"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = [(r.id_l, r.id_r) for r in df.collect()]
+
+    # independent recomputation with plain column algebra
+    from sedona_iceberg_extension_spark.sources import load_table
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 360 - 180).cast("double").alias("x"),
+        ((F.col("c_custkey") * 7) % 180 - 90).cast("double").alias("y"))
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 14 - 180).cast("double").alias("bx0"),
+        (F.col("n_nationkey") * 14 - 166).cast("double").alias("bx1"))
+    exp = cust.join(nation, (F.col("x") > F.col("bx0")) & (F.col("x") < F.col("bx1"))
+                    & (F.col("y") > -90.0) & (F.col("y") < 90.0)) \
+        .select("c_custkey", "n_nationkey").orderBy("c_custkey", "n_nationkey")
+    expected = [(r.c_custkey, r.n_nationkey) for r in exp.collect()]
+    assert got == expected
