@@ -213,10 +213,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  bits: int = 32, max_distance: int = 3) -> DataFrame:
+                  bits: int = 60, max_distance: int = 3) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ max_distance,
     found with pigeonhole banding (d ≤ k ⇒ at least one of k+1 bands equal),
-    so the search is an equi-join on band values, not all-pairs."""
+    so the search is an equi-join on band values, not all-pairs.  Default
+    60 bits / 4×15-bit bands: each band has 2^15 possible values, so band
+    buckets stay small (selective) even on large corpora."""
     from .text import simhash, hamming64
 
     n_bands = max_distance + 1

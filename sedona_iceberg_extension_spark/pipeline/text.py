@@ -137,25 +137,32 @@ def fingerprint(col: Column) -> Column:
     return portable_hash64(canon, "fp")
 
 
-def simhash(col: Column, bits: int = 32) -> Column:
-    """SimHash over token hashes — one native expression (no explode, no UDF):
-    for each bit, sum ±1 votes across tokens via ``aggregate``; OR the sign
-    bits together.  Locality-sensitive: near-duplicate docs differ in few bits.
+def simhash(col: Column, bits: int = 60) -> Column:
+    """SimHash over token hashes — one native expression (no explode, no UDF).
+
+    Single pass: one ``aggregate`` over the token-hash array carries a
+    ``bits``-long vote vector (±1 per bit via ``zip_with`` against a literal
+    mask array), so each token is md5-hashed exactly once regardless of
+    width — the earlier per-bit-aggregate form paid ``bits`` md5 passes.
+    Default 60 bits (the full width of the portable 60-bit hash; wide enough
+    for 4×15-bit pigeonhole bands with real cardinality at corpus scale).
+    Locality-sensitive: near-duplicate docs differ in few bits.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash supports 1..60 bits (portable hash width)")
     toks = tokens(col)
     hashes = F.transform(toks, lambda t: portable_hash64(t, "sim"))
-
-    def voter(b):
-        def merge(acc, h):
-            return acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                                F.lit(1)).otherwise(F.lit(-1))
-        return merge
-
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
-        out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1)).cast("long")))
+    signed = F.zip_with(votes, masks,
+                        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda a, v: a + v)
 
 
 def hamming64(a: Column, b: Column) -> Column:

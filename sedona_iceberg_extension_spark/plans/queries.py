@@ -842,22 +842,28 @@ ORDER BY id_a, id_b
 def q_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return (
-        docs.select("doc_id", text.simhash(F.col("text"), bits=16).alias("simhash"))
+        docs.select("doc_id", text.simhash(F.col("text"), bits=60).alias("simhash"))
         .orderBy("doc_id")
     )
 
 
-def _simhash_sql(bits: int = 16) -> str:
-    h = "('0x' || substr(md5(t || '#sim'), 1, 15))::BIGINT"
+def _simhash_sql(bits: int = 60, where: str = "WHERE doc_id < 100") -> str:
+    # hash each token ONCE (CTE), then take the 60 per-bit majority votes
     terms = []
     for b in range(bits):
-        vote = (f"list_sum(list_transform({_TOKS_SQL}, "
-                f"t -> CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
+        vote = ("list_sum(list_transform(hs, "
+                f"x -> CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
         terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
     expr = " + ".join(terms)
     return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform({_TOKS_SQL},
+                        t -> ('0x' || substr(md5(t || '#sim'), 1, 15))::BIGINT) AS hs
+  FROM documents {where}
+)
 SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
-FROM documents WHERE doc_id < 100
+FROM h
 ORDER BY doc_id
 """
 
@@ -865,9 +871,13 @@ ORDER BY doc_id
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole banding (dedup.simhash_pairs).
     Oracle: direct all-pairs Hamming filter — banding is recall-lossless for
-    d <= max_distance (pigeonhole), so the result sets must be identical."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    out = dedup.simhash_pairs(docs, "doc_id", "text", bits=16, max_distance=3)
+    d <= max_distance (pigeonhole), so the result sets must be identical.
+    60-bit simhash / 4×15-bit bands: 2^15 values per band keeps the band
+    equi-join selective at corpus scale (the round-1 16-bit/4-bit form had
+    16 values per band — quadratic buckets on any real corpus).  Runs over
+    the whole documents table — the banded join is what makes that cheap."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, "doc_id", "text", bits=60, max_distance=3)
     return (
         out.select(F.col("id_a"), F.col("id_b"),
                    F.col("hamming").cast("int").alias("hamming"))
@@ -875,8 +885,8 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
-def _simhash_pairs_sql(bits: int = 16, max_distance: int = 3) -> str:
-    inner = _simhash_sql(bits).replace("ORDER BY doc_id", "")
+def _simhash_pairs_sql(bits: int = 60, max_distance: int = 3) -> str:
+    inner = _simhash_sql(bits, where="").replace("ORDER BY doc_id", "")
     return f"""
 WITH s AS ({inner})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1081,8 +1091,8 @@ QUERIES: Dict[str, QueryDef] = {
     "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),
     "minhash_lsh_pairs": QueryDef(q_minhash_lsh_pairs, _QLSH_SQL, True),
     "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
-    "simhash_values": QueryDef(q_simhash, _simhash_sql(16), False),
-    "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(16, 3), False),
+    "simhash_values": QueryDef(q_simhash, _simhash_sql(60), False),
+    "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(60, 3), False),
     # embeddings
     "embedding_cosine_topk": QueryDef(q_embedding_topk, _QEMB_SQL, True),
     "embedding_dup_pairs": QueryDef(q_embedding_dup_pairs, _QEMBD_SQL, False),
