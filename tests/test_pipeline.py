@@ -122,6 +122,29 @@ def test_embedding_dup_pairs_and_oracle(spark, embs):
         assert r["cosine"] == pytest.approx(want_map[(r["id_a"], r["id_b"])], abs=1e-9)
 
 
+def test_embedding_dup_pairs_lsh_recall_on_planted_dups(spark):
+    """Plant near-duplicate vectors (tiny perturbations of a base vector) in a
+    sea of unrelated ones: banded LSH must recover every planted pair found by
+    the exact all-pairs form — candidate generation loses no high-cosine pair."""
+    import random
+    rng = random.Random(7)
+    rows = []
+    for g in range(5):  # 5 groups of 3 near-identical vectors
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(3):
+            vec = [x + rng.gauss(0, 0.01) for x in base]
+            rows.append((g * 10 + j, vec))
+    for i in range(100):  # unrelated noise vectors
+        rows.append((1000 + i, [rng.gauss(0, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs_exact(
+        df, "vec_id", "embedding", threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95).collect()}
+    assert len(exact) >= 15  # the 5 planted triangles
+    assert lsh == exact
+
+
 def test_cosine_topk_vs_bruteforce_duckdb(spark, embs):
     queries = embs.filter(F.col("vec_id") < 3)
     out = similarity.cosine_topk(queries, embs, k=5)

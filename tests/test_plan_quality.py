@@ -74,3 +74,19 @@ def test_minhash_shuffle_is_signature_sized(spark, sf_dir):
 def test_spatial_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "spatial_join_contains", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dup_pairs_no_cartesian(spark, sf_dir):
+    """The near-dup pair search must stay banded-LSH: equi-joins only, never
+    an all-pairs product (the O(n²) plan is a 100 TB scale-killer)."""
+    plan = _plan(spark, "embedding_dup_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "simhash_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
