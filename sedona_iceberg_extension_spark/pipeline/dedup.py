@@ -178,9 +178,11 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     twice), never as a cross product.
 
     ``max_doc_freq``: at 100 TB, ultra-frequent shingles create quadratic
-    buckets; capping document frequency drops them from *candidate
-    generation only* (pair scores stay exact, pairs connected solely by
-    stop-shingles are below any useful threshold).  Default None = exact."""
+    buckets; capping document frequency drops them from candidate generation
+    *and* from the common-count, so the reported score is exact Jaccard over
+    the non-stop shingle sets (a lower bound of full-set Jaccard — sizes stay
+    full-set).  Pairs connected solely by stop-shingles sit below any useful
+    threshold anyway.  Default None = exact full-set Jaccard."""
     sh = (char_ngrams(df, id_col, text_col, char_n) if use_char_grams
           else token_shingles(df, id_col, text_col, shingle_n))
     sh = sh.withColumnRenamed("gram", "shingle") if "gram" in sh.columns else sh

@@ -807,8 +807,15 @@ ORDER BY id_a, id_b
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs with the at-scale document-frequency cap:
+    shingles shared by more than 256 documents are stop-shingles — they
+    contribute quadratic posting-list buckets at corpus scale while connecting
+    nothing that any useful threshold keeps.  The cap applies to candidate
+    generation AND the common-count (a documented lower-bound score over
+    non-stop shingles); the oracle mirrors it with the same doc-freq filter."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3)
+    out = dedup.jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.3,
+                              max_doc_freq=256)
     return (
         out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -824,9 +831,12 @@ WITH toks AS (
   FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 256
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
