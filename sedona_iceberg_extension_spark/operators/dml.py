@@ -33,7 +33,7 @@ import shutil
 import uuid
 from typing import Dict, Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
 
 def _to_col(expr) -> Column:
@@ -82,15 +82,19 @@ def update_where(spark: SparkSession, path: str,
         return {"files_rewritten": 0, "rows_updated": 0}
 
     df = spark.read.parquet(*touched)
-    updated = df.select(*[
+    # row count rides the rewrite job itself (Observation metric) — no
+    # second scan of the touched files just to count
+    obs = Observation()
+    dfo = df.observe(obs, F.count(F.when(pred, 1)).alias("n"))
+    updated = dfo.select(*[
         (F.when(pred, _to_col(assignments[c]).cast(df.schema[c].dataType))
          .otherwise(F.col(c))).alias(c) if c in assignments else F.col(c)
         for c in df.columns
     ])
-    n_rows = df.filter(pred).count()
     staged = os.path.join(os.path.dirname(path.rstrip("/")),
                           f".staged-{uuid.uuid4().hex}")
     updated.write.mode("overwrite").parquet(staged)
+    n_rows = obs.get["n"]
     _swap_in(path, staged, touched)
     return {"files_rewritten": len(touched), "rows_updated": n_rows}
 
@@ -102,11 +106,13 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     if not touched:
         return {"files_rewritten": 0, "rows_deleted": 0}
     df = spark.read.parquet(*touched)
-    kept = df.filter(~pred | pred.isNull())
-    n_rows = df.count() - kept.count()
+    obs = Observation()
+    dfo = df.observe(obs, F.count(F.when(pred, 1)).alias("n"))
+    kept = dfo.filter(~pred | pred.isNull())
     staged = os.path.join(os.path.dirname(path.rstrip("/")),
                           f".staged-{uuid.uuid4().hex}")
     kept.write.mode("overwrite").parquet(staged)
+    n_rows = obs.get["n"]
     _swap_in(path, staged, touched)
     return {"files_rewritten": len(touched), "rows_deleted": n_rows}
 
@@ -118,44 +124,68 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
     WHEN MATCHED THEN UPDATE (all or ``update_cols``) and optional
     WHEN NOT MATCHED THEN INSERT.
 
-    Scale shape: the matched-key set is joined back file-locally — only files
-    containing matched keys are rewritten; inserts append new files.  The
-    source is broadcast when small (left to AQE / broadcast thresholds).
+    Scale shape: touched files are found by *semi-joining* the materialized
+    file-name column against the source keys — a hash join (broadcast when
+    the key side is small, shuffle otherwise) at ANY key count.  No key set
+    is ever collected to the driver, and there is no full-table-rewrite
+    fallback; only the file *list* (metadata-scale, like an Iceberg
+    manifest) comes back.  Duplicate source join keys raise — SQL MERGE
+    cardinality semantics (a second match for the same target row is an
+    error, not a silent row multiplication).
     """
     target = spark.read.parquet(target_path)
     cols = target.columns
     update_cols = update_cols or [c for c in cols if c != on]
 
     keys = source.select(on).distinct()
-    touched = _table_files(
-        spark, target_path,
-        F.col(on).isin([r[on] for r in keys.collect()])
-        if keys.count() <= 10_000 else F.lit(True))
+    dup = (source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"MERGE: source has multiple rows for key {on}={dup[0][on]!r} "
+            "(SQL MERGE forbids multiple matches per target row)")
 
-    matched_files_df = (spark.read.parquet(*touched) if touched
-                        else target.limit(0))
+    touched = [r["_f"].replace("file://", "") or r["_f"] for r in
+               (target.withColumn("_f", F.input_file_name())
+                .join(keys, on, "left_semi")
+                .select("_f").distinct().collect())]
+
     src = source.select(*[F.col(c).alias(f"_src_{c}") for c in source.columns])
-    joined = matched_files_df.join(
-        src, matched_files_df[on] == src[f"_src_{on}"], "left")
-    rewritten = joined.select(*[
-        (F.when(F.col(f"_src_{on}").isNotNull(), F.col(f"_src_{c}"))
-         .otherwise(F.col(c))).alias(c)
-        if c in update_cols and f"_src_{c}" in joined.columns else F.col(c)
-        for c in cols
-    ])
-    inserts = (src.join(target.select(on),
-                        src[f"_src_{on}"] == F.col(on), "left_anti")
-               .select(*[F.col(f"_src_{c}").alias(c) for c in cols
-                         if f"_src_{c}" in src.columns])
-               if insert_when_not_matched else None)
+    obs_u = None
+    rewritten = None
+    if touched:
+        matched_files_df = spark.read.parquet(*touched)
+        joined = matched_files_df.join(
+            src, matched_files_df[on] == src[f"_src_{on}"], "left")
+        obs_u = Observation()
+        joined = joined.observe(obs_u, F.count(F.col(f"_src_{on}")).alias("n"))
+        rewritten = joined.select(*[
+            (F.when(F.col(f"_src_{on}").isNotNull(), F.col(f"_src_{c}"))
+             .otherwise(F.col(c))).alias(c)
+            if c in update_cols and f"_src_{c}" in joined.columns else F.col(c)
+            for c in cols
+        ])
+    obs_i = None
+    inserts = None
+    if insert_when_not_matched:
+        obs_i = Observation()
+        inserts = (src.join(target.select(on),
+                            src[f"_src_{on}"] == F.col(on), "left_anti")
+                   .observe(obs_i, F.count(F.lit(1)).alias("n"))
+                   .select(*[F.col(f"_src_{c}").alias(c) for c in cols
+                             if f"_src_{c}" in src.columns]))
+    if rewritten is None and inserts is None:
+        return {"files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
 
-    n_updated = matched_files_df.join(keys, on, "left_semi").count()
     staged = os.path.join(os.path.dirname(target_path.rstrip("/")),
                           f".staged-{uuid.uuid4().hex}")
-    out = rewritten.unionByName(inserts, allowMissingColumns=True) \
-        if inserts is not None else rewritten
-    n_inserted = inserts.count() if inserts is not None else 0
+    if rewritten is not None and inserts is not None:
+        out = rewritten.unionByName(inserts, allowMissingColumns=True)
+    else:
+        out = rewritten if rewritten is not None else inserts
     out.write.mode("overwrite").parquet(staged)
+    n_updated = obs_u.get["n"] if obs_u is not None else 0
+    n_inserted = obs_i.get["n"] if obs_i is not None else 0
     _swap_in(target_path, staged, touched)
     return {"files_rewritten": len(touched), "rows_updated": n_updated,
             "rows_inserted": n_inserted}

