@@ -150,6 +150,46 @@ def test_knn_join(spark):
     assert "EvalPython" not in plan
 
 
+def test_knn_join_grid_path_matches_broadcast_exact(spark):
+    """Large query side: the grid adaptive-radius path must (a) plan no cross
+    join / nested-loop join and (b) return exactly the broadcast-exact answer."""
+    import random
+    rng = random.Random(11)
+    data = spark.createDataFrame(
+        [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(5000)],
+        "did long, x double, y double")
+    queries = spark.createDataFrame(
+        [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(1000)],
+        "id long, x double, y double")
+    grid = knn_join(queries, data, k=4, query_id="id",
+                    broadcast_threshold_rows=100)
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    exact = knn_join(queries, data, k=4, query_id="id")  # broadcast path
+    g = {(r["query_id"], r["did"], r["_rank"]) for r in grid.collect()}
+    e = {(r["query_id"], r["did"], r["_rank"]) for r in exact.collect()}
+    assert g == e
+    assert len({q for q, _, _ in g}) == 1000  # every query answered
+
+
+def test_knn_join_grid_more_neighbors_than_radius_rounds(spark):
+    """k close to |data|: early rounds can satisfy nobody; the final
+    full-extent round must still answer every query exactly."""
+    data = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(10)], "did long, x double, y double")
+    queries = spark.createDataFrame(
+        [(i, float(i) + 0.1, 0.0) for i in range(30)], "id long, x double, y double")
+    out = knn_join(queries, data, k=8, query_id="id",
+                   broadcast_threshold_rows=10, max_rounds=3)
+    rows = out.collect()
+    assert len(rows) == 30 * 8
+    exact = knn_join(queries, data, k=8, query_id="id")
+    assert {(r["query_id"], r["did"], r["_rank"]) for r in rows} == \
+        {(r["query_id"], r["did"], r["_rank"]) for r in exact.collect()}
+
+
 def test_salted_collect_list_matches_direct(spark, sf_dir):
     from sedona_iceberg_extension_spark.operators import skew
     from pyspark.sql import functions as F
