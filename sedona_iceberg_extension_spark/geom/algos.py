@@ -1437,6 +1437,26 @@ def union_two(g1: Geometry, g2: Geometry) -> Geometry:
             if not merged_any:
                 nxt.append(pb)
             cur = nxt
+        # dissolve fixpoint: an incoming polygon merged above with only the
+        # FIRST component it intersected — a polygon bridging two disjoint
+        # components would otherwise leave overlapping output components
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(cur)):
+                for j in range(i + 1, len(cur)):
+                    gi = Geometry(WKB_POLYGON, list(cur[i]))
+                    gj = Geometry(WKB_POLYGON, list(cur[j]))
+                    if overlaps(gi, gj) or covers(gi, gj) or covers(gj, gi):
+                        out = [p for p in _poly_poly_overlay(cur[i], cur[j],
+                                                             "out", "out")
+                               if p and abs(_ring_signed_area2(p[0])) > EPS]
+                        cur = [r for idx, r in enumerate(cur)
+                               if idx not in (i, j)] + out
+                        changed = True
+                        break
+                if changed:
+                    break
         if not cur:
             return Geometry.empty(WKB_POLYGON)
         if len(cur) == 1:

@@ -162,6 +162,20 @@ def test_union_all_points_golden():
     assert to_wkt(u) == "MULTIPOINT ((10 20), (20 30))"
 
 
+def test_union_two_bridging_polygon_dissolves_components():
+    """A polygon bridging two disjoint components of a MultiPolygon must
+    dissolve into ONE component — the per-polygon merge loop alone used to
+    merge with only the first intersecting component, leaving overlapping
+    output (area over-counted)."""
+    sq1 = from_wkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")
+    sq2 = from_wkt("POLYGON((3 0, 5 0, 5 2, 3 2, 3 0))")
+    bridge = from_wkt("POLYGON((1 0.5, 4 0.5, 4 1.5, 1 1.5, 1 0.5))")
+    multi = A.union_two(sq1, sq2)          # disjoint → MULTIPOLYGON
+    u = A.union_two(multi, bridge)
+    assert A.area(u) == pytest.approx(9.0)  # 4 + 4 + 3 − 2×1 overlap
+    assert A.area(u) == pytest.approx(A.area(A.union_all([sq1, sq2, bridge])))
+
+
 def test_convex_hull():
     mp = from_wkt("MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))")
     h = A.convex_hull(mp)
