@@ -33,11 +33,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                                 if c not in (on, right_ts)]
     l = left.withColumn("_src", F.lit(1)) \
         .withColumn("_ats", F.col(left_ts))
+    # ONE struct carries all right values: the window fills whole right ROWS,
+    # so every carried value comes from the same (latest) right row and a
+    # NULL field in that row stays NULL instead of falling back to an older
+    # row's value (per-column last(ignorenulls) would mix rows)
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_src"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols])
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"))
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows (_src=0) order before left rows at the same timestamp →
     # equal-ts right rows are visible to the left row (inclusive match);
@@ -45,11 +49,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # matching ASOF's "most recent" semantics
     w = (Window.partitionBy(on).orderBy(F.col("_ats").asc(), F.col("_src").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = u
-    for c in value_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}",
-            F.last(F.when(F.col("_src") == 0, F.col(f"{c}{suffix}")),
-                   ignorenulls=True).over(w))
+    filled = u.withColumn(
+        "_rvals", F.last(F.col("_rvals"), ignorenulls=True).over(w))
     return (filled.filter(F.col("_src") == 1)
-            .drop("_src", "_ats"))
+            .select("*", *[F.col("_rvals")[c].alias(f"{c}{suffix}")
+                           for c in value_cols])
+            .drop("_src", "_ats", "_rvals"))

@@ -115,13 +115,21 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: list,
 
 def train_centroids(df: DataFrame, vec_col: str, num_cells: int = 16,
                     iters: int = 3, sample_fraction: float = 0.1) -> list:
-    """Distributed k-means for the IVF coarse quantizer: deterministic seeds
-    (first num_cells vectors by id order — reproducible), Lloyd iterations as
-    native groupBy/avg over the assignment column.  Runs on a sample — the
-    quantizer needs shape, not the full corpus."""
-    sample = df.select(F.col(vec_col).alias("_v")).limit(10_000)
+    """Distributed k-means for the IVF coarse quantizer: Lloyd iterations as
+    native groupBy/avg over the assignment column.  Runs on a Bernoulli
+    sample (deterministic seed 42, so the quantizer is reproducible) capped
+    at 10k rows — the quantizer needs corpus *shape*; a storage-order prefix
+    (``limit``) would bias it toward whatever the first files contain."""
+    sample = (df.select(F.col(vec_col).alias("_v"))
+              .sample(fraction=min(max(sample_fraction, 0.0), 1.0), seed=42)
+              .limit(10_000))
     seeds = [list(map(float, r["_v"]))
              for r in sample.limit(num_cells).collect()]
+    if len(seeds) < num_cells:
+        # sample smaller than the codebook (tiny corpus) — train on all rows
+        sample = df.select(F.col(vec_col).alias("_v")).limit(10_000)
+        seeds = [list(map(float, r["_v"]))
+                 for r in sample.limit(num_cells).collect()]
     cur = seeds
     dim = len(seeds[0])
     for _ in range(iters):

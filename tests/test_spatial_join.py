@@ -241,3 +241,17 @@ def test_asof_join_semantics(spark):
     assert out["b"] == 300.0   # ts=20 → equal-ts right matches (inclusive)
     assert out["c"] is None    # ts=5 → no prior right
     assert out["d"] is None    # key 2 has no right rows at all
+
+
+def test_asof_join_null_fields_come_from_latest_row(spark):
+    """All carried values must come from ONE (the latest) right row: a NULL
+    field in that row stays NULL rather than falling back to an older row."""
+    from sedona_iceberg_extension_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "q")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "old"), (1, 50, None, "new")],
+        "k long, ts long, v double, s string")
+    row = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").first()
+    assert row["s_r"] == "new"
+    assert row["v_r"] is None  # latest row's NULL, not the older 1.0
