@@ -770,6 +770,13 @@ def buffer(geom: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     """
     if dist == 0:
         return geom
+    if geom.is_empty():
+        return Geometry.empty(WKB_POLYGON)
+    if geom.kind == WKB_GEOMETRYCOLLECTION:
+        # per-part buffer, dissolved — each part handles its own sign
+        parts = [buffer(g, dist, quad_segs) for g in geom.flatten()]
+        u = union_all([p for p in parts if p is not None and not p.is_empty()])
+        return u if u is not None else Geometry.empty(WKB_POLYGON)
     if dist < 0:
         # erosion: areal inputs shrink by |dist| (A − buffer(∂A, |d|));
         # lower-dimension inputs vanish (GEOS behavior)
@@ -879,8 +886,13 @@ def is_simple(geom: Geometry) -> bool:
         n = len(geom.coords) - 1
         for i in range(n):
             for j in range(i + 1, n):
-                if _seg_proper_cross(geom.coords[i], geom.coords[i + 1],
-                                     geom.coords[j], geom.coords[j + 1]):
+                a, b = geom.coords[i], geom.coords[i + 1]
+                c, d = geom.coords[j], geom.coords[j + 1]
+                if _seg_proper_cross(a, b, c, d):
+                    return False
+                # a retraced (collinear-overlapping) pair — adjacent or not —
+                # self-intersects over positive length
+                if _collinear_overlap(a, b, c, d):
                     return False
         return True
     if geom.kind == WKB_MULTIPOINT:
@@ -1377,6 +1389,37 @@ def difference(g1: Geometry, g2: Geometry) -> Geometry:
     if g1.dimension() > g2.dimension():
         # subtracting a lower-dimensional geometry removes no measure
         return g1
+    if g1.dimension() == 1 and g2.dimension() == 1:
+        # line minus line: remove the collinear overlapping portions
+        # (crossings at points remove nothing of measure)
+        b_lines = [list(ls.coords) for ls in g2.flatten()
+                   if ls.kind == WKB_LINESTRING]
+        segs: List[List[Coord]] = []
+        for ls in g1.flatten():
+            if ls.kind != WKB_LINESTRING:
+                continue
+            cs = list(ls.coords)
+            for i in range(len(cs) - 1):
+                a, b = cs[i], cs[i + 1]
+                ts = _seg_param_crossings(a, b, b_lines)
+                for t0, t1 in zip(ts, ts[1:]):
+                    if t1 - t0 <= 1e-12:
+                        continue
+                    tm = (t0 + t1) / 2.0
+                    mid = (a[0] + (b[0] - a[0]) * tm, a[1] + (b[1] - a[1]) * tm)
+                    on_b = any(
+                        _on_segment(mid, bl[j], bl[j + 1])
+                        for bl in b_lines for j in range(len(bl) - 1))
+                    if not on_b:
+                        p0 = (a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0)
+                        p1 = (a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1)
+                        segs.append([p0, p1])
+        segs = _merge_chains(segs)
+        if not segs:
+            return Geometry.empty(WKB_LINESTRING)
+        if len(segs) == 1:
+            return Geometry(WKB_LINESTRING, segs[0], g1.srid)
+        return Geometry(WKB_MULTILINESTRING, segs, g1.srid)
     raise NotImplementedError("difference of this operand combination is tier-2")
 
 

@@ -176,6 +176,31 @@ def test_union_two_bridging_polygon_dissolves_components():
     assert A.area(u) == pytest.approx(A.area(A.union_all([sq1, sq2, bridge])))
 
 
+def test_line_line_difference_and_symdiff():
+    a = from_wkt("LINESTRING (0 0, 10 0)")
+    b = from_wkt("LINESTRING (2 0, 4 0)")
+    d = A.difference(a, b)
+    assert A.length(d) == pytest.approx(8.0)
+    assert d.kind in (2, 5)  # LINESTRING or MULTILINESTRING pieces
+    s = A.sym_difference(a, b)
+    assert A.length(s) == pytest.approx(8.0)  # b ⊂ a: b−a is empty
+    # crossing (non-collinear) lines lose no measure
+    c = from_wkt("LINESTRING (5 -5, 5 5)")
+    assert A.length(A.difference(a, c)) == pytest.approx(10.0)
+    assert A.length(A.sym_difference(a, c)) == pytest.approx(20.0)
+
+
+def test_buffer_geometrycollection_and_empty():
+    gc = from_wkt("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (10 0, 14 0))")
+    buf = A.buffer(gc, 1.0)
+    assert buf.dimension() == 2
+    # covers both parts, area ≈ circle + capsule (dissolved, disjoint parts)
+    assert A.area(buf) == pytest.approx(math.pi + (8 + math.pi), rel=0.02)
+    assert A.intersects(buf, from_wkt("POINT (0 0)"))
+    assert A.intersects(buf, from_wkt("POINT (12 0)"))
+    assert A.buffer(from_wkt("POINT EMPTY"), 1.0).is_empty()
+
+
 def test_convex_hull():
     mp = from_wkt("MULTIPOINT ((0 0), (10 0), (10 10), (0 10), (5 5))")
     h = A.convex_hull(mp)

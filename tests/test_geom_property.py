@@ -167,6 +167,24 @@ def poly_lines(draw):
 
 
 @settings(max_examples=100, deadline=None)
+@given(poly_lines(), poly_lines())
+def test_line_line_difference_length_partition(la, lb):
+    """length(A∩B) + length(A−B) == length(A) for line⊖line: the collinear
+    overlap removal partitions A exactly (crossing points remove nothing).
+    Holds for SIMPLE A only — a self-overlapping path double-counts its own
+    length while the overlay is a set operation (same as GEOS)."""
+    from hypothesis import assume
+
+    from sedona_iceberg_extension_spark.geom.algos import (
+        difference, intersection, is_simple, length)
+
+    assume(is_simple(la) and is_simple(lb))
+    lin = length(intersection(la, lb))
+    lout = length(difference(la, lb))
+    assert abs((lin + lout) - length(la)) < 1e-6, (lin, lout, length(la))
+
+
+@settings(max_examples=100, deadline=None)
 @given(poly_lines(), any_poly)
 def test_line_overlay_length_partition(line, poly):
     """length(L∩P) + length(L−P) == length(L): the in/out interval
