@@ -156,7 +156,7 @@ def with_point_geometry(df: DataFrame, x: ColumnOrName, y: ColumnOrName,
     return df.withColumn(name, udfs.st_point(xc, yc)).withColumn(
         f"{name}_env",
         F.struct(xc.alias("xmin"), yc.alias("ymin"), xc.alias("xmax"), yc.alias("ymax")),
-    )
+    ).withMetadata(name, {"geom_shape": "points"})
 
 
 def with_box_geometry(df: DataFrame, xmin, ymin, xmax, ymax,
@@ -166,7 +166,7 @@ def with_box_geometry(df: DataFrame, xmin, ymin, xmax, ymax,
     return df.withColumn(name, udfs.st_polygonfromenvelope(a, b, c, d)).withColumn(
         f"{name}_env",
         F.struct(a.alias("xmin"), b.alias("ymin"), c.alias("xmax"), d.alias("ymax")),
-    )
+    ).withMetadata(name, {"geom_shape": "rects"})
 
 
 # ---------------------------------------------------------------------------

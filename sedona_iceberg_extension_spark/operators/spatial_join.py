@@ -132,6 +132,24 @@ def spatial_join(
         raise ValueError(f"unsupported predicate {predicate!r}")
     lg, rg = on
 
+    # shape hints can also arrive as column metadata stamped by the geometry
+    # builders (with_point_geometry/with_box_geometry) — it travels through
+    # selects, views, and parquet, so SQL-text joins get the Python-free
+    # exact-envelope plan without the caller passing flags
+    def _shape_hint(df: DataFrame, col: str) -> Optional[str]:
+        try:
+            md = df.schema[col].metadata or {}
+        except Exception:
+            return None
+        return md.get("geom_shape")
+
+    if not (left_is_points or left_is_rects):
+        h = _shape_hint(left, lg)
+        left_is_points, left_is_rects = h == "points", h == "rects"
+    if not (right_is_points or right_is_rects):
+        h = _shape_hint(right, rg)
+        right_is_points, right_is_rects = h == "points", h == "rects"
+
     left, lp = _ensure_env(left, lg, "_l")
     right, rp = _ensure_env(right, rg, "_r")
 
