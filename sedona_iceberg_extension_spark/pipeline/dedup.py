@@ -96,21 +96,45 @@ def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFr
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def minhash_mix_params(num_hashes: int) -> list:
+    """Per-seed (xor-constant, rotation) pairs for the one-md5 MinHash
+    family: seed i's hash is rot60(h, r_i) XOR c_i over the single 60-bit
+    base hash h.  Deterministic, derived from md5 of the seed label, and
+    expressible identically in Spark and DuckDB (shift/mask/multiply/xor
+    only, everything bounded below 2^60 so no BIGINT overflow either side)."""
+    import hashlib
+    out = []
+    for i in range(num_hashes):
+        c = int(hashlib.md5(f"mh-mix:{i}".encode()).hexdigest()[:15], 16)
+        r = (7 * i + 11) % 59 + 1
+        out.append((c, r))
+    return out
+
+
+def _mix60(h: Column, c: int, r: int) -> Column:
+    """rot60(h, r) XOR c — one rotation + xor per seed instead of one md5."""
+    low = (1 << (60 - r)) - 1
+    return ((h.bitwiseAND(F.lit(low)) * F.lit(1 << r))
+            + F.shiftright(h, 60 - r)).bitwiseXOR(F.lit(c))
+
+
 def minhash_signatures_wide(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, mh_0 .. mh_{k-1}) — the k-permutation MinHash signature in wide
-    form.  One narrow pass computes all k hashes per shingle row (no ×k row
-    explosion), and the single ``groupBy(id)`` with k ``min`` aggregates
-    partial-aggregates map-side, so the one shuffle carries |docs| rows of
-    k longs — at 100 TB that is the difference between shuffling the corpus
-    ×k and shuffling just the signature matrix."""
+    form.  One narrow pass computes ONE md5 per shingle row plus k cheap
+    rotate-xor mixes (no ×k row explosion, no ×k hashing), and the single
+    ``groupBy(id)`` with k ``min`` aggregates partial-aggregates map-side,
+    so the one shuffle carries |docs| rows of k longs — at 100 TB that is
+    the difference between shuffling the corpus ×k and shuffling just the
+    signature matrix."""
     sh = token_shingles(spread(df), id_col, text_col, shingle_n, distinct=False)
+    hashed = sh.select(F.col(id_col),
+                       portable_hash64(F.col("shingle"), "mh").alias("_h"))
     mins = [
-        F.min(portable_hash64(
-            F.concat_ws("#", F.col("shingle"), F.lit(str(i))), "mh")).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min(_mix60(F.col("_h"), c, r)).alias(f"mh_{i}")
+        for i, (c, r) in enumerate(minhash_mix_params(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,

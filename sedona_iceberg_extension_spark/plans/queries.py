@@ -753,21 +753,38 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-_QMH_SQL = f"""
+def _mh_mix_sql(i: int) -> str:
+    """DuckDB mirror of dedup._mix60 for seed i (same constants)."""
+    c, r = dedup.minhash_mix_params(i + 1)[i]
+    low = (1 << (60 - r)) - 1
+    return f"xor(((h & {low}) * {1 << r}) + (h >> {60 - r}), {c})"
+
+
+def _mh_sig_cte(where: str) -> str:
+    """Shingle → one md5 per shingle → 8 per-seed mins (wide)."""
+    mins = ", ".join(f"MIN({_mh_mix_sql(i)}) AS m{i}" for i in range(8))
+    return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE doc_id < 100
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents {where}
 ), shingles AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
   FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
 ), hashed AS (
-  SELECT doc_id, seed,
-         ('0x' || substr(md5(shingle || '#' || seed::VARCHAR || '#mh'), 1, 15))::BIGINT AS h
-  FROM shingles, LATERAL (SELECT unnest(range(0, 8)) AS seed) s
-)
-SELECT doc_id, CAST(seed AS INT) AS seed, MIN(h) AS minhash
-FROM hashed
-GROUP BY doc_id, seed
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle || '#mh'), 1, 15))::BIGINT AS h
+  FROM shingles
+), sigw AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), sig AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS seed, m{i} AS minhash FROM sigw"
+                      for i in range(8))}
+)"""
+
+
+_QMH_SQL = _mh_sig_cte("WHERE doc_id < 100") + """
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash
+FROM sig
 ORDER BY doc_id, seed
 """
 
@@ -780,23 +797,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-_QLSH_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
-), shingles AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
-  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
-), hashed AS (
-  SELECT doc_id, seed,
-         ('0x' || substr(md5(shingle || '#' || seed::VARCHAR || '#mh'), 1, 15))::BIGINT AS h
-  FROM shingles, LATERAL (SELECT unnest(range(0, 8)) AS seed) s
-), sig AS (
-  SELECT doc_id, seed, MIN(h) AS minhash FROM hashed GROUP BY doc_id, seed
-), banded AS (
+_QLSH_SQL = _mh_sig_cte("") + """
+, banded AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(format('{{}}:{{}}', seed, minhash), ','
-             ORDER BY format('{{}}:{{}}', seed, minhash))) AS band_hash
+         md5(string_agg(format('{}:{}', seed, minhash), ','
+             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
   FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
