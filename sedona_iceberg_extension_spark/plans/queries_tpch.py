@@ -500,6 +500,424 @@ ORDER BY c.user_id, c.event_id
 """
 
 
+# --- q2-shaped: min-cost supplier per part (correlated-min via window) ------
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """For each STANDARD part under size 10, the supplier offering the lowest
+    unit price (lineitem is the part-supplier bridge; this schema has no
+    partsupp).  The reference pattern is TPC-H q2's correlated MIN subquery;
+    here it is a rank-1 window over the (part, supplier) price matrix —
+    one shuffle on p_partkey instead of a re-scan per part."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    unit = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6)
+             .alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"),
+                                                F.asc("l_suppkey"))
+    best = unit.withColumn("_rk", F.row_number().over(w)) \
+        .filter(F.col("_rk") == 1).drop("_rk")
+    return (
+        best.join(F.broadcast(sup), best["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("p_partkey", "p_name", "s_name",
+                F.col("n_name").alias("supp_nation"), "unit_price")
+        .orderBy("p_partkey")
+    )
+
+
+Q2_SQL = """
+WITH unit AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size < 10
+  GROUP BY p_partkey, p_name, l_suppkey
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_price, l_suppkey) AS rk
+  FROM unit
+)
+SELECT p_partkey, p_name, s_name, n_name AS supp_nation, unit_price
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rk = 1
+ORDER BY p_partkey
+"""
+
+
+# --- q4-shaped: order priority count with EXISTS (left-semi join) ----------
+
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H q4 pattern: orders in one quarter having at least one large
+    lineitem — EXISTS compiles to a left-semi join (no row multiplication,
+    build side is the filtered lineitem projection)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    big_lines = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(big_lines, orders["o_orderkey"] == big_lines["l_orderkey"],
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q8-shaped: market share of one nation within a region -----------------
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8 pattern: NATION_3's share of supplier revenue to EUROPE
+    customers per order year — conditional-sum over a 7-way star join;
+    all dimension sides broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    cnat = (cust.join(F.broadcast(nat),
+                      cust["c_nationkey"] == nat["n_nationkey"])
+            .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cnat, orders["o_custkey"] == cnat["c_custkey"], "left_semi")
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)
+                  .otherwise(0.0)) / F.sum(rev), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+# --- q11-shaped: value concentration (HAVING vs scalar subquery) -----------
+
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H q11 pattern: parts whose shipped value from NATION_0 suppliers
+    exceeds 0.1% of that nation's total — the global total is a one-row
+    aggregate broadcast into the HAVING comparison, never recomputed
+    per-group."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    nat_lines = (
+        li.join(F.broadcast(
+            sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+            .select("s_suppkey")),
+            li["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+    )
+    per_part = nat_lines.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice")).alias("_value"))
+    total = per_part.agg(
+        F.sum("_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_total") * 0.001)
+        .select("l_partkey", F.round("_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH nat_lines AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_0')
+)
+SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS part_value
+FROM nat_lines
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice) > (SELECT SUM(l_extendedprice) FROM nat_lines) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --- q12-shaped: priority class counts per return flag ---------------------
+
+def q12_priority_class(spark, sf_dir):
+    """TPC-H q12 pattern (CASE-WHEN priority buckets): per return flag, how
+    many 1997 shipments belong to urgent/high vs lower priorities — a single
+    fact-fact shuffle join then conditional counts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- q13-shaped: customer order-count distribution -------------------------
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H q13: distribution of customers by how many URGENT orders they
+    placed — left outer join (so zero-order customers survive) feeding a
+    second aggregation over the first's result."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q16-shaped: supplier count per part attribute ------------------------
+
+def q16_supplier_counts(spark, sf_dir):
+    """TPC-H q16 pattern: distinct suppliers per (brand, type, size) over the
+    lineitem bridge, excluding suppliers in deficit (NOT IN ⇒ broadcast
+    anti-join).  COUNT(DISTINCT) shuffles once on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & F.col("p_size").isin(1, 4, 7))
+    bad_sup = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad_sup), li["l_suppkey"] == bad_sup["s_suppkey"],
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- q17-shaped: small-quantity order revenue (correlated AVG) -------------
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H q17: revenue from lineitems below 20% of their part's average
+    quantity.  The correlated AVG subquery becomes one aggregation over
+    lineitem re-joined on p_partkey — two passes over lineitem, no per-row
+    subquery execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li_p = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    avg_qty = (li_p.groupBy(F.col("p_partkey").alias("_avg_key"))
+               .agg((F.avg("l_quantity") * 0.2).alias("_qty_cap")))
+    return (
+        li_p.join(F.broadcast(avg_qty), li_p["p_partkey"] == F.col("_avg_key"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# --- q20-shaped: high-volume suppliers of promo parts ----------------------
+
+def q20_promo_suppliers(spark, sf_dir):
+    """TPC-H q20 pattern: suppliers who shipped over 400 units of PROMO parts
+    in 1997 — a semi-join chain (part filter → per-supplier volume → HAVING →
+    supplier semi-join); only supplier keys cross the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    promo = _t(spark, sf_dir, "part") \
+        .filter(F.col("p_type") == "PROMO").select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"],
+                "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(heavy), sup["s_suppkey"] == heavy["l_suppkey"],
+                 "left_semi")
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 400)
+ORDER BY s_suppkey
+"""
+
+
+# --- q21-shaped: sole at-fault supplier in multi-supplier orders -----------
+
+def q21_sole_fault_supplier(spark, sf_dir):
+    """TPC-H q21 pattern: in finalized multi-supplier orders, suppliers who
+    were the only one with returned ('R') lines.  The EXISTS / NOT-EXISTS
+    pair is evaluated as per-order supplier/fault cardinalities (one
+    aggregation) instead of two correlated probes per lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]) \
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("_n_fault"))
+    culprit = (
+        lo.filter(F.col("l_returnflag") == "R")
+        .join(per_order.filter((F.col("_n_supp") > 1)
+                               & (F.col("_n_fault") == 1)),
+              "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        culprit.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lo l1
+  WHERE l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lo l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lo l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_returnflag = 'R')
+) t
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 TPCH_QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL, False),
     "q10_returned_items": (q10_returned_items, Q10_SQL, True),
@@ -515,4 +933,14 @@ TPCH_QUERIES = {
     "q9_yearly_nation_revenue": (q9_yearly_nation_revenue, Q9_SQL, False),
     "price_percentiles": (q_price_percentiles, QPCT_SQL, False),
     "asof_click_view": (q_asof_click_view, QASOF_SQL, False),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL, False),
+    "q4_priority_exists": (q4_priority_exists, Q4_SQL, False),
+    "q8_market_share": (q8_market_share, Q8_SQL, False),
+    "q11_value_concentration": (q11_value_concentration, Q11_SQL, False),
+    "q12_priority_class": (q12_priority_class, Q12_SQL, False),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL, False),
+    "q16_supplier_counts": (q16_supplier_counts, Q16_SQL, False),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL, False),
+    "q20_promo_suppliers": (q20_promo_suppliers, Q20_SQL, False),
+    "q21_sole_fault_supplier": (q21_sole_fault_supplier, Q21_SQL, False),
 }
