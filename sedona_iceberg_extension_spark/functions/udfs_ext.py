@@ -1,6 +1,6 @@
 """Extended ST_* functions completing the Sedona 1.4.0 C.2 surface
 (SURVEY.md §2): GeoJSON/GML/KML IO, 3-D point support, spheroid distance,
-CRS transform (EPSG:4326 ↔ 3857), ST_Collect, ST_Split.
+CRS transform (EPSG:4326/3857/3395 + all UTM zones), ST_Collect, ST_Split.
 
 All formats/formulas from public specifications (RFC 7946 GeoJSON, OGC
 GML 2 / KML 2.2, the Web Mercator projection equations, Andoyer–Lambert
@@ -288,10 +288,96 @@ def st_distancespheroid(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
-# CRS transform: EPSG:4326 ↔ EPSG:3857 (Web Mercator, public equations)
+# CRS transform — hub-and-spoke through geographic WGS84 (EPSG:4326).
+#
+# Supported CRS (all on the WGS84 ellipsoid/sphere, public equations):
+#   EPSG:4326          geographic lon/lat degrees (the hub)
+#   EPSG:3857          spherical Web Mercator
+#   EPSG:3395          ellipsoidal World Mercator
+#   EPSG:32601-32660   UTM north zones (ellipsoidal transverse Mercator,
+#   EPSG:32701-32760   UTM south zones   Krüger n-series, order n^4 —
+#                      sub-mm of the exact projection inside a zone)
+#
+# Mirrors the reference's GeoTools-backed ST_Transform
+# (/root/reference/README.md:34-38) for the projected CRS families a
+# Spark pipeline actually meets; arbitrary-datum EPSG codes would need a
+# proj database, which this offline container does not have.
 # ---------------------------------------------------------------------------
 
 _R_MERC = 6378137.0
+_E2 = 2 * _WGS84_F - _WGS84_F * _WGS84_F     # first eccentricity squared
+_E1 = math.sqrt(_E2)
+
+# Krüger series in n = f/(2-f), order 4 (coefficients from Krüger 1912,
+# standard in every public TM implementation)
+_N = _WGS84_F / (2.0 - _WGS84_F)
+_A_TM = _WGS84_A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64)
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440,
+    61 * _N**3 / 240 - 103 * _N**4 / 140,
+    49561 * _N**4 / 161280,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440,
+    17 * _N**3 / 480 - 37 * _N**4 / 840,
+    4397 * _N**4 / 161280,
+)
+_DELTA = (    # inverse conformal-latitude series
+    2 * _N - 2 * _N**2 / 3 - 2 * _N**3 + 116 * _N**4 / 45,
+    7 * _N**2 / 3 - 8 * _N**3 / 5 - 227 * _N**4 / 45,
+    56 * _N**3 / 15 - 136 * _N**4 / 35,
+    4279 * _N**4 / 630,
+)
+_K0_UTM = 0.9996
+_FE_UTM = 500000.0
+_FN_UTM_S = 10000000.0
+
+
+def _tm_forward(lon, lat, lon0):
+    """Ellipsoidal transverse Mercator (Krüger), natural-origin coordinates."""
+    phi = math.radians(lat)
+    dlam = math.radians(lon - lon0)
+    s = math.sin(phi)
+    # conformal latitude
+    t = math.sinh(math.atanh(s) - _E1 * math.atanh(_E1 * s))
+    xi_p = math.atan2(t, math.cos(dlam))
+    eta_p = math.asinh(math.sin(dlam) / math.hypot(t, math.cos(dlam)))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta += a * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    return _A_TM * eta, _A_TM * xi
+
+
+def _tm_inverse(x, y, lon0):
+    xi = y / _A_TM
+    eta = x / _A_TM
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    dlam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi += d * math.sin(2 * j * chi)
+    return math.degrees(dlam) + lon0, math.degrees(phi)
+
+
+def _utm_fns(zone, south):
+    lon0 = zone * 6.0 - 183.0
+    fn = _FN_UTM_S if south else 0.0
+
+    def fwd(x, y):
+        e, n = _tm_forward(x, y, lon0)
+        return (_FE_UTM + _K0_UTM * e, fn + _K0_UTM * n)
+
+    def inv(x, y):
+        return _tm_inverse((x - _FE_UTM) / _K0_UTM, (y - fn) / _K0_UTM, lon0)
+
+    return fwd, inv
 
 
 def _to_3857(x, y):
@@ -304,19 +390,56 @@ def _to_4326(x, y):
             math.degrees(2 * math.atan(math.exp(y / _R_MERC)) - math.pi / 2))
 
 
+def _to_3395(x, y):
+    phi = math.radians(y)
+    s = math.sin(phi)
+    return (_WGS84_A * math.radians(x),
+            _WGS84_A * math.log(math.tan(math.pi / 4 + phi / 2)
+                                * ((1 - _E1 * s) / (1 + _E1 * s)) ** (_E1 / 2)))
+
+
+def _from_3395(x, y):
+    t = math.exp(-y / _WGS84_A)
+    phi = math.pi / 2 - 2 * math.atan(t)
+    for _ in range(8):     # converges in 3-4 iterations to <1e-12 rad
+        s = math.sin(phi)
+        phi = math.pi / 2 - 2 * math.atan(
+            t * ((1 - _E1 * s) / (1 + _E1 * s)) ** (_E1 / 2))
+    return (math.degrees(x / _WGS84_A), math.degrees(phi))
+
+
+def _crs_fns(code: str):
+    """Return (from_geographic, to_geographic) for an EPSG code string."""
+    if code == "4326":
+        ident = lambda x, y: (x, y)  # noqa: E731
+        return ident, ident
+    if code == "3857":
+        return _to_3857, _to_4326
+    if code == "3395":
+        return _to_3395, _from_3395
+    if len(code) == 5 and code[:3] in ("326", "327"):
+        zone = int(code[3:])
+        if 1 <= zone <= 60:
+            return _utm_fns(zone, south=code[:3] == "327")
+    raise NotImplementedError(
+        f"ST_Transform: unsupported CRS EPSG:{code} (supported: 4326, 3857, "
+        f"3395, UTM 32601-32660/32701-32760); arbitrary EPSG needs a proj "
+        f"database")
+
+
 def transform_geom(g: Geometry, src: str, dst: str) -> Geometry:
     src_n = src.upper().replace("EPSG:", "")
     dst_n = dst.upper().replace("EPSG:", "")
     if src_n == dst_n:
         return g
-    if (src_n, dst_n) == ("4326", "3857"):
-        fn = _to_3857
-    elif (src_n, dst_n) == ("3857", "4326"):
-        fn = _to_4326
+    _, src_inv = _crs_fns(src_n)
+    dst_fwd, _ = _crs_fns(dst_n)
+    if src_n == "4326":
+        fn = dst_fwd
+    elif dst_n == "4326":
+        fn = src_inv
     else:
-        raise NotImplementedError(
-            f"ST_Transform supports EPSG:4326<->EPSG:3857 in this engine "
-            f"(requested {src}->{dst}); general CRS needs a proj database")
+        fn = lambda x, y: dst_fwd(*src_inv(x, y))  # noqa: E731
 
     def mapc(c):
         if c is None:

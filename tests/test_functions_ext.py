@@ -59,6 +59,44 @@ def test_transform_web_mercator(spark):
     assert y == pytest.approx(20.0, abs=1e-9)
 
 
+def test_transform_utm(spark):
+    # CN Tower (public UTM example): 43.642567N 79.387139W = zone 17N
+    # E 630084, N 4833438
+    e = sql1(spark, "ST_X(ST_Transform(ST_Point(-79.387139D, 43.642567D), "
+                    "'EPSG:4326', 'EPSG:32617'))")
+    n = sql1(spark, "ST_Y(ST_Transform(ST_Point(-79.387139D, 43.642567D), "
+                    "'EPSG:4326', 'EPSG:32617'))")
+    assert e == pytest.approx(630084, abs=1.0)
+    assert n == pytest.approx(4833438, abs=1.0)
+    # central meridian of any zone maps to E=500000 exactly
+    e = sql1(spark, "ST_X(ST_Transform(ST_Point(15D, 60D), "
+                    "'EPSG:4326', 'EPSG:32633'))")
+    assert e == pytest.approx(500000.0, abs=1e-6)
+    # southern hemisphere gets the 10,000 km false northing
+    n = sql1(spark, "ST_Y(ST_Transform(ST_Point(151.2D, -33.85D), "
+                    "'EPSG:4326', 'EPSG:32756'))")
+    assert 6_000_000 < n < 6_500_000
+    # round trip through a projected-to-projected pipeline (UTM → 3857)
+    y = sql1(spark, "ST_Y(ST_Transform(ST_Transform(ST_Transform("
+                    "ST_Point(18.4D, -33.9D), 'EPSG:4326', 'EPSG:32734'), "
+                    "'EPSG:32734', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326'))")
+    assert y == pytest.approx(-33.9, abs=1e-6)
+
+
+def test_transform_world_mercator(spark):
+    # EPSG:3395 equator matches 3857 (both a*lon), but latitudes differ
+    # (ellipsoidal vs spherical)
+    x = sql1(spark, "ST_X(ST_Transform(ST_Point(90D, 0D), 'EPSG:4326', 'EPSG:3395'))")
+    assert x == pytest.approx(6378137.0 * math.pi / 2, rel=1e-9)
+    y3395 = sql1(spark, "ST_Y(ST_Transform(ST_Point(0D, 45D), 'EPSG:4326', 'EPSG:3395'))")
+    y3857 = sql1(spark, "ST_Y(ST_Transform(ST_Point(0D, 45D), 'EPSG:4326', 'EPSG:3857'))")
+    assert y3395 < y3857          # ellipsoidal Mercator is ~0.3% south
+    assert abs(y3395 - y3857) / y3857 < 0.01
+    y = sql1(spark, "ST_Y(ST_Transform(ST_Transform(ST_Point(12.34D, 56.78D), "
+                    "'EPSG:4326', 'EPSG:3395'), 'EPSG:3395', 'EPSG:4326'))")
+    assert y == pytest.approx(56.78, abs=1e-9)
+
+
 def test_collect_and_split(spark):
     out = sql1(spark, "ST_AsText(ST_Collect(array(ST_Point(1D,1D), ST_Point(2D,2D))))")
     assert out == "MULTIPOINT ((1 1), (2 2))"
