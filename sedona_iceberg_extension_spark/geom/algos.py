@@ -944,40 +944,73 @@ def union_all(geoms: Sequence[Optional[Geometry]]) -> Optional[Geometry]:
         if len(uniq) == 1:
             return Geometry.point(*uniq[0])
         return Geometry(WKB_MULTIPOINT, list(uniq))
-    # drop components covered by another component
+    # candidate pairs via envelope sweep (sorted by xmin, prune on x-overlap,
+    # test y-overlap) — avoids the O(n^2) all-pairs predicate evaluation that
+    # dominates large dissolve groups
+    envs = [a.envelope() for a in atoms]
+    order = sorted(range(len(atoms)), key=lambda i: envs[i][0])
+    cand_pairs: List[Tuple[int, int]] = []
+    for oi, i in enumerate(order):
+        xi_max = envs[i][2]
+        for j in order[oi + 1:]:
+            if envs[j][0] > xi_max + EPS:
+                break
+            if envs[j][1] <= envs[i][3] + EPS and envs[i][1] <= envs[j][3] + EPS:
+                cand_pairs.append((i, j))
+    # drop components covered by another component (exact test only on
+    # envelope-overlapping candidates)
+    drop = set()
+    for i, j in cand_pairs:
+        a, b = atoms[i], atoms[j]
+        if i in drop or j in drop:
+            continue
+        if covers(b, a):
+            drop.add(i)
+        elif covers(a, b):
+            drop.add(j)
+    # group interior-overlapping polygons into connected components
+    # (union-find over the surviving candidate pairs), then dissolve each
+    # component by recursive halving — O(m log m) union_two depth instead of
+    # the O(m^2) restart-scan fixpoint; point- or edge-touching components
+    # stay separate
+    parent = list(range(len(atoms)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in cand_pairs:
+        if i in drop or j in drop:
+            continue
+        if atoms[i].kind != WKB_POLYGON or atoms[j].kind != WKB_POLYGON:
+            continue
+        ri, rj = find(i), find(j)
+        if ri != rj and (overlaps(atoms[i], atoms[j])
+                         or covers(atoms[i], atoms[j])
+                         or covers(atoms[j], atoms[i])):
+            parent[ri] = rj
+
+    groups: dict = {}
+    for i in range(len(atoms)):
+        if i in drop:
+            continue
+        groups.setdefault(find(i), []).append(atoms[i])
+
+    def merge_halving(members: List[Geometry]) -> List[Geometry]:
+        if len(members) == 1:
+            return [members[0]]
+        mid = len(members) // 2
+        left = merge_halving(members[:mid])
+        right = merge_halving(members[mid:])
+        u = union_two(collect(left) if len(left) > 1 else left[0],
+                      collect(right) if len(right) > 1 else right[0])
+        return list(u.flatten())
+
     kept: List[Geometry] = []
-    for i, a in enumerate(atoms):
-        cov = False
-        for j, b in enumerate(atoms):
-            if i == j:
-                continue
-            if covers(b, a) and not (covers(a, b) and j > i):
-                cov = True
-                break
-        if not cov:
-            kept.append(a)
-    # dissolve interior-overlapping polygons pairwise (each merge reduces
-    # the component count, so the loop is bounded); point- or edge-touching
-    # components stay separate
-    changed = True
-    while changed:
-        changed = False
-        for i in range(len(kept)):
-            if kept[i].kind != WKB_POLYGON:
-                continue
-            for j in range(i + 1, len(kept)):
-                if kept[j].kind != WKB_POLYGON:
-                    continue
-                if overlaps(kept[i], kept[j]) or covers(kept[i], kept[j]) \
-                        or covers(kept[j], kept[i]):
-                    u = union_two(kept[i], kept[j])
-                    repl = list(u.flatten())
-                    kept = ([k for idx, k in enumerate(kept)
-                             if idx not in (i, j)] + repl)
-                    changed = True
-                    break
-            if changed:
-                break
+    for members in groups.values():
+        kept.extend(members if len(members) == 1 else merge_halving(members))
     if len(kept) == 1:
         return kept[0]
     return collect(kept)
