@@ -34,7 +34,34 @@ _NATIVE_QUERIES = [
     "doc_quality", "doc_lang_id", "doc_fingerprint",
     "embedding_cosine_topk", "embedding_label_stats",
     "spatial_centroid_agg", "spatial_envelope_agg",
+    "q2_min_cost_supplier", "q4_priority_exists", "q8_market_share",
+    "q11_value_concentration", "q12_priority_class", "q13_order_distribution",
+    "q16_supplier_counts", "q17_small_quantity_revenue",
+    "q20_promo_suppliers", "q21_sole_fault_supplier",
 ]
+
+
+@pytest.mark.parametrize("name", [
+    "q2_min_cost_supplier", "q4_priority_exists", "q8_market_share",
+    "q11_value_concentration", "q12_priority_class", "q13_order_distribution",
+    "q16_supplier_counts", "q17_small_quantity_revenue",
+    "q20_promo_suppliers", "q21_sole_fault_supplier",
+])
+def test_tpch2_no_cartesian(spark, sf_dir, name):
+    """The correlated-subquery rewrites (q2 window-min, q17 avg re-join,
+    q21 per-order cardinalities) must plan as hash joins, never a nested
+    loop per outer row."""
+    plan = _plan(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
+@pytest.mark.parametrize("name,expect_semi", [
+    ("q4_priority_exists", "LeftSemi"), ("q20_promo_suppliers", "LeftSemi"),
+    ("q16_supplier_counts", "LeftAnti"),
+])
+def test_tpch2_semi_anti_joins(spark, sf_dir, name, expect_semi):
+    plan = _plan(spark, name, sf_dir)
+    assert expect_semi in plan, f"{name}: expected a {expect_semi} join"
 
 
 @pytest.mark.parametrize("name", _NATIVE_QUERIES)
