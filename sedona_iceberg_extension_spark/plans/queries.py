@@ -443,6 +443,39 @@ ORDER BY p_partkey
 """
 
 
+def q_spatial_transform(spark, sf_dir):
+    """ST_Transform parity check (reference's GeoTools CRS surface,
+    /root/reference/README.md:34-38): customer points projected to Web
+    Mercator; the oracle mirrors the public spherical-Mercator equations.
+    Both engines evaluate ln/tan through the same libm, so the match is
+    exact before rounding."""
+    from ..functions import udfs_ext
+
+    pts = _cust_points(spark, sf_dir).filter(
+        (F.col("geo_env.ymin") > -85.0) & (F.col("geo_env.ymin") < 85.0)
+        & (F.col("c_custkey") < 300))
+    merc = udfs_ext.st_transform(
+        F.col("geo"), F.lit("EPSG:4326"), F.lit("EPSG:3857"))
+    mx = udfs.st_x(merc)
+    my = udfs.st_y(merc)
+    return (
+        pts.select("c_custkey",
+                   F.round(mx, 3).alias("merc_x"),
+                   F.round(my, 3).alias("merc_y"))
+        .orderBy("c_custkey")
+    )
+
+
+_QTRANSFORM_SQL = f"""
+SELECT c_custkey,
+       ROUND(6378137.0 * radians({_CX}), 3) AS merc_x,
+       ROUND(6378137.0 * ln(tan(pi() / 4 + radians({_CY}) / 2)), 3) AS merc_y
+FROM customer
+WHERE {_CY} > -85.0 AND {_CY} < 85.0 AND c_custkey < 300
+ORDER BY c_custkey
+"""
+
+
 def q_spatial_join_contains(spark, sf_dir):
     """Distributed point-in-box spatial join (reference testSpatialJoin
     contract, TestSedonaIcebergExtension.scala:117-127) — grid strategy,
@@ -1087,6 +1120,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_range_contains": QueryDef(q_spatial_range_contains, _QRANGE_SQL, True),
     "spatial_range_intersects": QueryDef(q_spatial_range_intersects, _QRANGEI_SQL, False),
     "spatial_astext": QueryDef(q_spatial_astext, _QASTEXT_SQL, False),
+    "spatial_transform": QueryDef(q_spatial_transform, _QTRANSFORM_SQL, False),
     "spatial_distance": QueryDef(q_spatial_distance, _QDIST_SQL, False),
     "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
