@@ -1100,6 +1100,55 @@ ORDER BY user_id
 """
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Built-in ``session_window`` sessionization executed as a REAL stream
+    (availableNow over the events parquet, complete mode) — the oracle is the
+    equivalent batch gaps-and-islands.  Spark merges an event into a session
+    while ``ts - prev_ts < gap`` (window ends are exclusive), so the oracle's
+    new-session rule is ``diff >= gap``."""
+    import tempfile
+
+    from ..sources import stream_table
+    from ..streaming import sessionize
+
+    stream = stream_table(spark, sf_dir, "events")
+    out = sessionize(stream, gap="30 minutes")
+    name = "q_stream_sessionize_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, COUNT(*) AS n_sessions, "
+        f"CAST(SUM(n_events) AS BIGINT) AS n_events, "
+        f"ROUND(SUM(session_value), 6) AS total_value FROM {name} "
+        f"GROUP BY user_id ORDER BY user_id")
+
+
+_QSTREAM_SESS_SQL = """
+WITH marked AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), per AS (
+  SELECT user_id, sid, COUNT(*) AS n, SUM(value) AS v
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events, ROUND(SUM(v), 6) AS total_value
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -1152,6 +1201,7 @@ QUERIES: Dict[str, QueryDef] = {
     "multimodal_features": QueryDef(q_multimodal_features, None, False),
     "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, None, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
+    "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
 }
 
 # extended TPC-H-shaped relational tier (joins, windows, rollup, set ops,
