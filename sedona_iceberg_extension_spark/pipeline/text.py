@@ -167,3 +167,42 @@ def simhash(col: Column, bits: int = 60) -> Column:
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# -- chunking ----------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    size: int = 64, stride: int = 48) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    context-window prep for embedding/training pipelines.
+
+    Fully native: tokenize once, ``sequence``-generate the chunk starts,
+    ``explode`` (one output row per chunk — the only row-count change), then
+    ``slice``+``array_join`` rebuild each window.  No Python, no shuffle —
+    a map-side operator that scales with output size.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + size)``; the last chunk
+    may be shorter, and every token belongs to ≥1 chunk.
+    """
+    if size <= 0 or stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = tokens(F.col(text_col))
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"),
+                  F.size(toks).alias("_n"))
+        .select(id_col, "_toks", "_n",
+                F.explode(F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("_n") - 1) / stride).cast("int")))
+                .alias("chunk_id"))
+    )
+    start = F.col("chunk_id") * stride
+    return (
+        out.select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(size), F.col("_n") - start).cast("long")
+            .alias("n_tokens"),
+            F.array_join(F.slice(F.col("_toks"), start + 1, size), " ")
+            .alias("chunk_text"))
+    )

@@ -757,6 +757,35 @@ ORDER BY doc_id
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (pipeline.text.chunk_documents) —
+    64-token windows, stride 48.  Native sequence/explode/slice; the oracle
+    rebuilds the same windows with generate_series + list slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.chunk_documents(docs, size=64, stride=48)
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_QCHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(FLOOR((len(toks) - 1) / 48.0) AS BIGINT) + 1)) AS i
+  FROM t
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(LEAST(64, len(toks) - i * 48) AS BIGINT) AS n_tokens,
+       array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
 # ===========================================================================
 # Tier E — dedup
 # ===========================================================================
@@ -1184,6 +1213,7 @@ QUERIES: Dict[str, QueryDef] = {
     "doc_quality": QueryDef(q_doc_quality, _QQUAL_SQL, False),
     "doc_lang_id": QueryDef(q_doc_lang_id, _lang_sql(), False),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, _QFP_SQL, False),
+    "doc_chunks": QueryDef(q_doc_chunks, _QCHUNK_SQL, False),
     # dedup
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),
     "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),

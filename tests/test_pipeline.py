@@ -211,3 +211,31 @@ def test_ivf_assign_partitions_all_rows(spark, embs):
     counts = {r["cell"]: r["n"] for r in
               assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(counts.values()) == embs.count()  # total partition, no loss
+
+
+def test_chunk_documents_windows(spark):
+    # 10 tokens, size 4, stride 3 -> starts 0,3,6,9: lengths 4,4,4,1
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    rows = text.chunk_documents(df, size=4, stride=3) \
+        .orderBy("chunk_id").collect()
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[3]["chunk_text"] == "t9"
+    # every token covered, overlap of 1 between consecutive windows
+    assert rows[2]["chunk_text"].split()[-1] == rows[3]["chunk_text"].split()[0]
+
+
+def test_chunk_documents_short_doc(spark):
+    df = spark.createDataFrame([(1, "only three tokens")],
+                               "doc_id long, text string")
+    rows = text.chunk_documents(df, size=64, stride=48).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["chunk_text"] == "only three tokens"
+
+
+def test_chunk_documents_validation():
+    with pytest.raises(ValueError):
+        text.chunk_documents(None, size=4, stride=5)
