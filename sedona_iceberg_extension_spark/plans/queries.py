@@ -587,6 +587,46 @@ ORDER BY distance, s_suppkey
 """
 
 
+def q_spatial_knn_grid(spark, sf_dir):
+    """Large-query-side KNN through the adaptive-radius grid path (forced
+    via a 1-row broadcast threshold): 3 nearest suppliers per customer
+    point — every round is a cell equi-join, no cross join in the plan.
+    Oracle: windowed exact top-k."""
+    from ..operators import knn_join
+
+    q = _cust_points(spark, sf_dir).filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("id"),
+        F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
+    sup = _supp_points(spark, sf_dir).select(
+        "s_suppkey",
+        F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
+    out = knn_join(q, sup, k=3, query_id="id", broadcast_threshold_rows=1)
+    return (
+        out.select(F.col("query_id").alias("c_custkey"), "s_suppkey",
+                   F.col("_rank").alias("rk"),
+                   F.round(F.col("distance"), 6).alias("distance"))
+        .orderBy("c_custkey", "rk")
+    )
+
+
+_QKNNGRID_SQL = f"""
+SELECT c_custkey, s_suppkey, rk, distance FROM (
+  SELECT c_custkey, s_suppkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c_custkey
+           ORDER BY SQRT(({_CX} - {_SX}) * ({_CX} - {_SX})
+                       + ({_CY} - {_SY}) * ({_CY} - {_SY})) ASC,
+                    {_SX} ASC, {_SY} ASC) AS BIGINT) AS rk,
+         ROUND(SQRT(({_CX} - {_SX}) * ({_CX} - {_SX})
+                  + ({_CY} - {_SY}) * ({_CY} - {_SY})), 6) AS distance
+  FROM customer, supplier
+  WHERE c_custkey < 100
+) t
+WHERE rk <= 3
+ORDER BY c_custkey, rk
+"""
+
+
 def q_spatial_centroid_agg(spark, sf_dir):
     """ST_CENTROID_AGGR per nation over customer points — the reference's
     CentroidBuffer monoid (UDAF/AggregateFunctions.scala:12-14) specialized
@@ -1205,6 +1245,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),
+    "spatial_knn_grid": QueryDef(q_spatial_knn_grid, _QKNNGRID_SQL, False),
     "spatial_centroid_agg": QueryDef(q_spatial_centroid_agg, _QCAGG_SQL, True),
     "spatial_envelope_agg": QueryDef(q_spatial_envelope_agg, _QEAGG_SQL, False),
     "spatial_union_agg": QueryDef(q_spatial_union_agg, _QUAGG_SQL, False),

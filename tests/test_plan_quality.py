@@ -123,6 +123,14 @@ def test_embedding_dup_pairs_no_cartesian(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_knn_grid_no_cross_join(spark, sf_dir):
+    """The large-query-side KNN must stay a cell equi-join per round —
+    no cross/nested-loop join anywhere in the final plan."""
+    plan = _plan(spark, "spatial_knn_grid", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_pairs_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "simhash_pairs", sf_dir)
     assert "CartesianProduct" not in plan
