@@ -169,6 +169,30 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# -- heavy hitters -----------------------------------------------------------
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20,
+               exclude_stopwords: bool = True) -> DataFrame:
+    """Corpus-wide most frequent tokens — the classic heavy-hitter shape.
+
+    Plan: tokenize → explode → hash-aggregate → global top-k.  The explode
+    multiplies rows, but the aggregation is map-side partial (Spark's
+    hash-agg combines within each task before the shuffle), so the exchange
+    carries only distinct (token, partial-count) pairs per partition — at
+    100 TB that's vocabulary-sized, not corpus-sized.
+    """
+    tok = F.explode(tokens(F.col(text_col))).alias("token")
+    out = df.select(tok)
+    if exclude_stopwords:
+        out = out.filter(~F.col("token").isin(*_STOPWORDS))
+    return (
+        out.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
 # -- chunking ----------------------------------------------------------------
 
 def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -797,6 +797,55 @@ ORDER BY doc_id
 """
 
 
+def q_doc_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters (pipeline.text.top_tokens): top 20 non-stopword
+    tokens — explode + map-side partial hash-agg + global top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_tokens(docs, k=20)
+
+
+_QTOPTOK_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents)
+WHERE token NOT IN {_STOP_SQL.replace("[", "(").replace("]", ")")}
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample (pipeline.sample.stratified_sample):
+    10 docs per language, chosen by smallest portable hash — reproducible
+    across engines and re-runs, unlike seeded ``sampleBy``."""
+    from ..pipeline import sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample.stratified_sample(docs, "lang", 10)
+        .select("lang", F.col("sample_rank").cast("long").alias("sample_rank"),
+                "doc_id")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+_QSTRAT_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#samp'), 1, 15))::BIGINT AS hk
+  FROM documents
+), r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+  FROM h
+)
+SELECT lang, CAST(rk AS BIGINT) AS sample_rank, doc_id
+FROM r WHERE rk <= 10
+ORDER BY lang, sample_rank
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (pipeline.text.chunk_documents) —
     64-token windows, stride 48.  Native sequence/explode/slice; the oracle
@@ -1255,6 +1304,8 @@ QUERIES: Dict[str, QueryDef] = {
     "doc_lang_id": QueryDef(q_doc_lang_id, _lang_sql(), False),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, _QFP_SQL, False),
     "doc_chunks": QueryDef(q_doc_chunks, _QCHUNK_SQL, False),
+    "doc_top_tokens": QueryDef(q_doc_top_tokens, _QTOPTOK_SQL, False),
+    "doc_stratified_sample": QueryDef(q_doc_stratified_sample, _QSTRAT_SQL, False),
     # dedup
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),
     "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),

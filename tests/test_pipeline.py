@@ -239,3 +239,32 @@ def test_chunk_documents_short_doc(spark):
 def test_chunk_documents_validation():
     with pytest.raises(ValueError):
         text.chunk_documents(None, size=4, stride=5)
+
+
+def test_hash_sample_deterministic(spark, docs):
+    from sedona_iceberg_extension_spark.pipeline import sample
+    a = {r["doc_id"] for r in sample.hash_sample(docs, pct=20).select("doc_id").collect()}
+    b = {r["doc_id"] for r in sample.hash_sample(docs, pct=20).select("doc_id").collect()}
+    assert a == b                      # pure function of the data
+    n = docs.count()
+    assert 0.10 * n < len(a) < 0.30 * n    # ~20%
+    # monotone: a 10% sample is a subset of the 20% sample (same hash order)
+    c = {r["doc_id"] for r in sample.hash_sample(docs, pct=10).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_stratified_sample_exact_counts(spark, docs):
+    from sedona_iceberg_extension_spark.pipeline import sample
+    out = sample.stratified_sample(docs, "lang", 5)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(5, sizes[lang])
+
+
+def test_top_tokens_excludes_stopwords(spark, docs):
+    toks = [r["token"] for r in text.top_tokens(docs, k=10).collect()]
+    assert len(toks) == 10
+    assert not set(toks) & set(text._STOPWORDS)

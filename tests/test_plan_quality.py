@@ -32,6 +32,7 @@ _NATIVE_QUERIES = [
     "exact_dedup_groups", "minhash_signatures", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "simhash_values", "doc_token_stats",
     "doc_quality", "doc_lang_id", "doc_fingerprint", "doc_chunks",
+    "doc_top_tokens", "doc_stratified_sample",
     "embedding_cosine_topk", "embedding_label_stats",
     "spatial_centroid_agg", "spatial_envelope_agg",
     "q2_min_cost_supplier", "q4_priority_exists", "q8_market_share",
