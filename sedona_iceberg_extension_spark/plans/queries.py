@@ -1244,6 +1244,50 @@ def q_streaming_sessionize(spark, sf_dir):
         f"GROUP BY user_id ORDER BY user_id")
 
 
+def q_streaming_click_view_join(spark, sf_dir):
+    """Stream-stream inner join run as a REAL stream: two readStream sources
+    (clicks, views) joined per user within ±60 minutes, availableNow,
+    append mode.  Both sides keep watermarked state; inner-join results emit
+    eagerly, so the single-batch output equals the batch range join the
+    oracle computes."""
+    import tempfile
+
+    from ..sources import stream_table
+    from ..streaming import stream_stream_join
+
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    out = stream_stream_join(clicks, views, "user_id",
+                             within="60 minutes", watermark="3 hours")
+    name = "q_stream_ssj_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, COUNT(*) AS n_pairs, "
+        f"CAST(SUM(ABS(unix_micros(left_ts) - unix_micros(right_ts))) AS BIGINT)"
+        f" AS total_lag_us FROM {name} "
+        f"GROUP BY user_id ORDER BY user_id")
+
+
+_QSTREAM_SSJ_SQL = """
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ABS(epoch_us(c.ts) - epoch_us(v.ts))) AS BIGINT) AS total_lag_us
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+ AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 _QSTREAM_SESS_SQL = """
 WITH marked AS (
   SELECT user_id, value, ts, event_id,
@@ -1324,6 +1368,7 @@ QUERIES: Dict[str, QueryDef] = {
     "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, None, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
     "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
+    "streaming_click_view_join": QueryDef(q_streaming_click_view_join, _QSTREAM_SSJ_SQL, False),
 }
 
 # extended TPC-H-shaped relational tier (joins, windows, rollup, set ops,
