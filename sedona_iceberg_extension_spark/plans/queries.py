@@ -1156,7 +1156,10 @@ def q_ivf_topk(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing over deterministic synthetic payloads (binary md5
-    of document text) — mapInPandas batch shape; rows-only check."""
+    of document text) — mapInPandas batch shape.  The deterministic fake
+    feature (mean payload byte) is exactly mirrored by the oracle, so the
+    whole Python boundary (Arrow batching, schema, null handling) is
+    value-checked, not just row-counted."""
     from ..pipeline import multimodal as mm
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
@@ -1166,10 +1169,23 @@ def q_multimodal_features(spark, sf_dir):
                       F.round("feature", 6).alias("feature")).orderBy("doc_id")
 
 
+_QMMFEAT_SQL = """
+SELECT doc_id, CAST(16 AS BIGINT) AS n_bytes,
+       ROUND((
+""" + " + ".join(
+    f"('0x' || substr(md5(text), {2 * i + 1}, 2))::BIGINT" for i in range(16)
+) + """
+       ) / 16.0, 6) AS feature
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     """Video frame-sampling plan (multimodal.frame_sample_plan): native
     sequence/explode over per-video duration metadata — one row per sampled
-    frame timestamp; rows-only check."""
+    frame timestamp.  Frame positions are pure metadata arithmetic, so the
+    oracle reproduces them exactly."""
     from ..pipeline import multimodal as mm
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"),
@@ -1183,6 +1199,15 @@ def q_multimodal_frame_sample(spark, sf_dir):
              F.max("frame_ts_ms").alias("last_frame_ms"))
         .orderBy("doc_id")
     )
+
+
+_QMMFRAME_SQL = """
+SELECT doc_id,
+       CAST(length(text) * 10 // 500 + 1 AS BIGINT) AS n_frames,
+       CAST((length(text) * 10 // 500) * 500 AS BIGINT) AS last_frame_ms
+FROM documents WHERE doc_id < 50
+ORDER BY doc_id
+"""
 
 
 def q_streaming_user_totals(spark, sf_dir):
@@ -1364,8 +1389,8 @@ QUERIES: Dict[str, QueryDef] = {
     # approximate / streaming / multimodal
     "lsh_ann_topk": QueryDef(q_lsh_topk, None, False),
     "ivf_ann_topk": QueryDef(q_ivf_topk, None, False),
-    "multimodal_features": QueryDef(q_multimodal_features, None, False),
-    "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, None, False),
+    "multimodal_features": QueryDef(q_multimodal_features, _QMMFEAT_SQL, False),
+    "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, _QMMFRAME_SQL, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
     "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
     "streaming_click_view_join": QueryDef(q_streaming_click_view_join, _QSTREAM_SSJ_SQL, False),
