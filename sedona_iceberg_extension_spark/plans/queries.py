@@ -542,6 +542,32 @@ ORDER BY id_l, id_r
 """
 
 
+def q_spatial_join_sql_dwithin(spark, sf_dir):
+    """SQL-text distance join through the same front door: ``JOIN ON
+    ST_DWithin(l.geo, r.geo, d)`` written as plain SQL is detected and
+    planned as the grid cell equi-join (no nested loop, no per-pair UDF —
+    point shape hints ride the column metadata)."""
+    from ..operators import spatial_sql
+
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "geo", "geo_env")
+    sup = _supp_points(spark, sf_dir).select("s_suppkey", "geo", "geo_env")
+    pts.createOrReplaceTempView("sql_dw_left")
+    sup.createOrReplaceTempView("sql_dw_right")
+    return spatial_sql(spark, """
+        SELECT l.c_custkey AS id_l, r.s_suppkey AS id_r
+        FROM sql_dw_left l JOIN sql_dw_right r
+        ON ST_DWithin(l.geo, r.geo, 4.0)
+        ORDER BY id_l, id_r""")
+
+
+_QSJDSQL_SQL = f"""
+SELECT c_custkey AS id_l, s_suppkey AS id_r
+FROM customer, supplier
+WHERE ({_CX} - {_SX}) * ({_CX} - {_SX}) + ({_CY} - {_SY}) * ({_CY} - {_SY}) <= 16.0
+ORDER BY id_l, id_r
+"""
+
+
 def q_spatial_join_dwithin(spark, sf_dir):
     """Distance join: customer↔supplier points within 2.5 units — grid
     strategy, fully native distance algebra."""
@@ -1361,6 +1387,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
+    "spatial_join_sql_dwithin": QueryDef(q_spatial_join_sql_dwithin, _QSJDSQL_SQL, False),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),
     "spatial_knn_grid": QueryDef(q_spatial_knn_grid, _QKNNGRID_SQL, False),

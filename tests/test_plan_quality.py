@@ -115,6 +115,13 @@ def test_spatial_join_sql_python_free(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_spatial_join_sql_dwithin_python_free(spark, sf_dir):
+    plan = _plan(spark, "spatial_join_sql_dwithin", sf_dir)
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_dup_pairs_no_cartesian(spark, sf_dir):
     """The near-dup pair search must stay banded-LSH: equi-joins only, never
     an all-pairs product (the O(n²) plan is a 100 TB scale-killer)."""
