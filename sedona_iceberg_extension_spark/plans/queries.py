@@ -731,6 +731,43 @@ ORDER BY c_nationkey
 """
 
 
+def q_spatial_intersection_agg(spark, sf_dir):
+    """ST_Intersection_Aggr (SQL UDAF) of nested supplier boxes per nation —
+    every box shares the (0,0)-(10,10) core, so the group intersection is
+    the rectangle bounded by the group minima; the oracle computes that
+    rectangle with plain MIN aggregates."""
+    from ..session import register_all
+
+    register_all(spark)
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_sup_ia")
+    return spark.sql("""
+        WITH boxes AS (
+          SELECT s_nationkey,
+                 ST_PolygonFromEnvelope(0D, 0D,
+                     CAST(10 + s_suppkey % 5 AS DOUBLE),
+                     CAST(10 + s_suppkey % 7 AS DOUBLE)) AS geo
+          FROM _sup_ia
+        ), agg AS (
+          SELECT s_nationkey, ST_Intersection_Aggr(geo) AS g
+          FROM boxes GROUP BY s_nationkey
+        )
+        SELECT s_nationkey, ST_XMax(g) AS xmax, ST_YMax(g) AS ymax,
+               ST_Area(g) AS area
+        FROM agg ORDER BY s_nationkey""")
+
+
+_QIAGG_SQL = """
+SELECT s_nationkey,
+       MIN(CAST(10 + s_suppkey % 5 AS DOUBLE)) AS xmax,
+       MIN(CAST(10 + s_suppkey % 7 AS DOUBLE)) AS ymax,
+       MIN(CAST(10 + s_suppkey % 5 AS DOUBLE))
+         * MIN(CAST(10 + s_suppkey % 7 AS DOUBLE)) AS area
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 # ===========================================================================
 # Tier E — text analysis
 # ===========================================================================
@@ -1394,6 +1431,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_centroid_agg": QueryDef(q_spatial_centroid_agg, _QCAGG_SQL, True),
     "spatial_envelope_agg": QueryDef(q_spatial_envelope_agg, _QEAGG_SQL, False),
     "spatial_union_agg": QueryDef(q_spatial_union_agg, _QUAGG_SQL, False),
+    "spatial_intersection_agg": QueryDef(q_spatial_intersection_agg, _QIAGG_SQL, False),
     # text
     "doc_token_stats": QueryDef(q_doc_token_stats, _QTOK_SQL, True),
     "doc_quality": QueryDef(q_doc_quality, _QQUAL_SQL, False),

@@ -918,6 +918,62 @@ LIMIT 20
 """
 
 
+# --- window-function breadth ------------------------------------------------
+
+def q_window_breadth(spark, sf_dir):
+    """The full ranking/analytic window surface in one query: rank flavours
+    (row_number/rank/dense_rank/ntile/percent_rank/cume_dist) and value
+    windows (lead/lag/first/nth) over customer balances per market segment —
+    one shuffle on the partition key serves every function."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"),
+                                                   F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_mktsegment", "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.round(F.lead("c_acctbal", 1).over(w), 2).alias("next_bal"),
+            F.round(F.lag("c_acctbal", 1).over(w), 2).alias("prev_bal"),
+            F.round(F.first("c_acctbal").over(w), 2).alias("top_bal"),
+            F.round(F.nth_value("c_acctbal", 3).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)), 2).alias("third_bal"))
+        .filter(F.col("rn") <= 25)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+QWINDOW_SQL = """
+SELECT c_mktsegment, c_custkey, rn, rk, drk, quartile, pct_rank, cume,
+       next_bal, prev_bal, top_bal, third_bal
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+         CAST(RANK() OVER w AS INT) AS rk,
+         CAST(DENSE_RANK() OVER w AS INT) AS drk,
+         CAST(NTILE(4) OVER w AS INT) AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 9) AS cume,
+         ROUND(LEAD(c_acctbal, 1) OVER w, 2) AS next_bal,
+         ROUND(LAG(c_acctbal, 1) OVER w, 2) AS prev_bal,
+         ROUND(FIRST_VALUE(c_acctbal) OVER w, 2) AS top_bal,
+         ROUND(NTH_VALUE(c_acctbal, 3) OVER
+               (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_bal
+  FROM customer
+  WHERE c_custkey <= 500
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+) t
+WHERE rn <= 25
+ORDER BY c_mktsegment, rn
+"""
+
+
 TPCH_QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL, False),
     "q10_returned_items": (q10_returned_items, Q10_SQL, True),
@@ -943,4 +999,5 @@ TPCH_QUERIES = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL, False),
     "q20_promo_suppliers": (q20_promo_suppliers, Q20_SQL, False),
     "q21_sole_fault_supplier": (q21_sole_fault_supplier, Q21_SQL, False),
+    "window_breadth": (q_window_breadth, QWINDOW_SQL, False),
 }

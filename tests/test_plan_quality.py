@@ -38,7 +38,7 @@ _NATIVE_QUERIES = [
     "q2_min_cost_supplier", "q4_priority_exists", "q8_market_share",
     "q11_value_concentration", "q12_priority_class", "q13_order_distribution",
     "q16_supplier_counts", "q17_small_quantity_revenue",
-    "q20_promo_suppliers", "q21_sole_fault_supplier",
+    "q20_promo_suppliers", "q21_sole_fault_supplier", "window_breadth",
 ]
 
 
