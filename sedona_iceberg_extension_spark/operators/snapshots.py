@@ -1,0 +1,221 @@
+"""Snapshot-versioned parquet tables: time travel, rollback, expiry.
+
+The reference's storage substrate is Iceberg, whose core mechanism is
+*snapshot isolation via immutable data files + versioned manifests*: a
+commit never mutates data files, it writes a new manifest listing the files
+that are live in that version (``App.scala:42-52`` drives CREATE/UPDATE
+against such a table; no Iceberg jars exist in this environment).  This
+module reproduces that mechanism over a plain parquet directory:
+
+- data files are **immutable** — copy-on-write DML adds new files and
+  drops old ones *from the manifest only*;
+- ``_snapshots/v{N}.json`` manifests record the live file set, operation,
+  parent version, and commit timestamp (the manifest is metadata-scale:
+  one name per file, like an Iceberg manifest list);
+- readers resolve a manifest (latest by default, any retained version for
+  time travel) and scan exactly its files;
+- ``rollback`` is a *new* commit whose file set equals an old version's
+  (history is append-only, as in Iceberg);
+- ``expire`` removes old manifests and any data file no retained version
+  references (Iceberg's ``expire_snapshots`` + orphan-file cleanup).
+
+Single-writer semantics: manifest writes are atomic (tmp + rename), but two
+concurrent writers would need a lock/catalog — same caveat as
+``operators.dml``, documented not hidden.
+
+Scale: commits touch O(files-changed) data + one manifest; reads plan from
+one manifest. At 100 TB the manifest list is the only metadata hot spot and
+would shard exactly the way Iceberg's manifest *list* does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SNAP_DIR = "_snapshots"
+
+
+def _to_col(expr):
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+class SnapshotTable:
+    """A parquet directory with Iceberg-style snapshot versioning."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self.snap_dir = os.path.join(self.path, _SNAP_DIR)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def versions(self) -> List[int]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        out = []
+        for name in os.listdir(self.snap_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: Optional[int] = None) -> Dict:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        v = version if version is not None else vs[-1]
+        if v not in vs:
+            raise ValueError(f"version {v} not retained (have {vs})")
+        with open(os.path.join(self.snap_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: List[str], operation: str) -> int:
+        vs = self.versions()
+        v = (vs[-1] + 1) if vs else 1
+        os.makedirs(self.snap_dir, exist_ok=True)
+        manifest = {
+            "version": v,
+            "parent": vs[-1] if vs else None,
+            "operation": operation,
+            "timestamp_ms": int(time.time() * 1000),
+            "files": sorted(files),
+        }
+        tmp = os.path.join(self.snap_dir, f".v{v}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.snap_dir, f"v{v}.json"))
+        return v
+
+    def files(self, version: Optional[int] = None) -> List[str]:
+        """Absolute paths of the data files live in ``version``."""
+        return [os.path.join(self.path, f)
+                for f in self._manifest(version)["files"]]
+
+    def history(self) -> List[Dict]:
+        return [{k: m[k] for k in
+                 ("version", "parent", "operation", "timestamp_ms")}
+                | {"n_files": len(m["files"])}
+                for m in (self._manifest(v) for v in self.versions())]
+
+    # -- data-file helpers --------------------------------------------------
+
+    def _ingest_staged(self, staged: str) -> List[str]:
+        """Move part files from a staging dir into the table dir under
+        unique immutable names; return their (relative) names."""
+        names = []
+        for name in os.listdir(staged):
+            if name.startswith("part-") or name.endswith(".parquet"):
+                new = f"snap-{uuid.uuid4().hex}-{name}"
+                os.rename(os.path.join(staged, name),
+                          os.path.join(self.path, new))
+                names.append(new)
+        import shutil
+        shutil.rmtree(staged, ignore_errors=True)
+        return names
+
+    def _stage(self, df: DataFrame) -> str:
+        staged = os.path.join(os.path.dirname(self.path),
+                              f".staged-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staged)
+        return staged
+
+    # -- public surface -----------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame
+               ) -> "SnapshotTable":
+        t = cls(path)
+        if t.versions():
+            raise FileExistsError(f"snapshot table already exists at {path}")
+        os.makedirs(t.path, exist_ok=True)
+        names = t._ingest_staged(t._stage(df))
+        t._commit(names, "create")
+        return t
+
+    def read(self, spark: SparkSession,
+             version: Optional[int] = None) -> DataFrame:
+        """The table as of ``version`` (latest when None) — time travel."""
+        return spark.read.parquet(*self.files(version))
+
+    def append(self, spark: SparkSession, df: DataFrame) -> int:
+        live = self._manifest()["files"]
+        added = self._ingest_staged(self._stage(df))
+        return self._commit(live + added, "append")
+
+    def update_where(self, spark: SparkSession,
+                     assignments: Dict[str, object], predicate) -> dict:
+        """Copy-on-write UPDATE: rewrite only files containing matches; the
+        untouched files are *shared* with the previous snapshot."""
+        pred = _to_col(predicate)
+        live = self.files()
+        df = spark.read.parquet(*live)
+        touched = [r["_f"].replace("file://", "") for r in
+                   (df.withColumn("_f", F.input_file_name())
+                    .filter(pred).select("_f").distinct().collect())]
+        if not touched:
+            return {"version": self._manifest()["version"],
+                    "files_rewritten": 0}
+        sub = spark.read.parquet(*touched)
+        updated = sub.select(*[
+            (F.when(pred, _to_col(assignments[c]).cast(sub.schema[c].dataType))
+             .otherwise(F.col(c))).alias(c) if c in assignments else F.col(c)
+            for c in sub.columns])
+        added = self._ingest_staged(self._stage(updated))
+        touched_names = {os.path.basename(f) for f in touched}
+        kept = [f for f in self._manifest()["files"]
+                if f not in touched_names]
+        v = self._commit(kept + added, "update")
+        return {"version": v, "files_rewritten": len(touched)}
+
+    def delete_where(self, spark: SparkSession, predicate) -> dict:
+        pred = _to_col(predicate)
+        live = self.files()
+        df = spark.read.parquet(*live)
+        touched = [r["_f"].replace("file://", "") for r in
+                   (df.withColumn("_f", F.input_file_name())
+                    .filter(pred).select("_f").distinct().collect())]
+        if not touched:
+            return {"version": self._manifest()["version"],
+                    "files_rewritten": 0}
+        sub = spark.read.parquet(*touched)
+        kept_rows = sub.filter(~pred | pred.isNull())
+        added = self._ingest_staged(self._stage(kept_rows))
+        touched_names = {os.path.basename(f) for f in touched}
+        kept = [f for f in self._manifest()["files"]
+                if f not in touched_names]
+        v = self._commit(kept + added, "delete")
+        return {"version": v, "files_rewritten": len(touched)}
+
+    def rollback(self, version: int) -> int:
+        """Append-only rollback: a new commit re-pointing at an old
+        version's file set (the old files still exist — data files are
+        immutable until expiry)."""
+        files = self._manifest(version)["files"]
+        return self._commit(files, f"rollback-to-{version}")
+
+    def expire(self, keep_last: int = 2) -> dict:
+        """Drop all but the last ``keep_last`` manifests, then delete any
+        data file no retained manifest references (orphan cleanup)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        referenced = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["files"])
+        for v in drop:
+            os.remove(os.path.join(self.snap_dir, f"v{v}.json"))
+        n_removed = 0
+        for name in os.listdir(self.path):
+            if name == _SNAP_DIR or not (
+                    name.startswith(("snap-", "part-"))
+                    or name.endswith(".parquet")):
+                continue
+            if name not in referenced:
+                os.remove(os.path.join(self.path, name))
+                n_removed += 1
+        return {"manifests_dropped": len(drop), "files_removed": n_removed}
