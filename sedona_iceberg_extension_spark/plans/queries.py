@@ -568,6 +568,38 @@ ORDER BY id_l, id_r
 """
 
 
+def q_spatial_join_broadcast(spark, sf_dir):
+    """The planner's OTHER strategy: a tiny build side (25 nation boxes)
+    broadcast against customer points — envelope conjuncts evaluated inside
+    a BroadcastHashJoin-able equi-free join, no shuffle of the fact side.
+    Same result contract as the grid join, different physical plan (the
+    reference's BroadcastIndexJoin analogue)."""
+    pts = _cust_points(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0),
+    )
+    joined = spatial_join(pts, boxes, predicate="within", on=("geo", "geo"),
+                          strategy="broadcast",
+                          left_is_points=True, right_is_rects=True)
+    return (
+        joined.select(F.col("c_custkey"), F.col("n_nationkey"))
+        .orderBy("c_custkey", "n_nationkey")
+    )
+
+
+_QSJB_SQL = f"""
+SELECT c_custkey, n_nationkey
+FROM customer, nation
+WHERE {_CX} > CAST(n_nationkey * 14 - 180 AS DOUBLE)
+  AND {_CX} < CAST(n_nationkey * 14 - 166 AS DOUBLE)
+  AND {_CY} > -90.0 AND {_CY} < 90.0
+ORDER BY c_custkey, n_nationkey
+"""
+
+
 def q_spatial_join_dwithin(spark, sf_dir):
     """Distance join: customer↔supplier points within 2.5 units — grid
     strategy, fully native distance algebra."""
@@ -1425,6 +1457,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_sql_dwithin": QueryDef(q_spatial_join_sql_dwithin, _QSJDSQL_SQL, False),
+    "spatial_join_broadcast": QueryDef(q_spatial_join_broadcast, _QSJB_SQL, False),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),
     "spatial_knn_grid": QueryDef(q_spatial_knn_grid, _QKNNGRID_SQL, False),

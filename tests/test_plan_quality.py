@@ -99,6 +99,17 @@ def test_minhash_shuffle_is_signature_sized(spark, sf_dir):
     assert plan.count("Generate") <= 2
 
 
+def test_spatial_join_broadcast_plan(spark, sf_dir):
+    """The broadcast strategy's contract: tiny build side broadcast (a
+    conditioned BroadcastNestedLoopJoin — the reference's BroadcastIndexJoin
+    analogue), fact side never shuffled, and the point/rect hints keep the
+    whole predicate native."""
+    plan = _plan(spark, "spatial_join_broadcast", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_spatial_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "spatial_join_contains", sf_dir)
     assert "CartesianProduct" not in plan
