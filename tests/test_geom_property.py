@@ -195,3 +195,50 @@ def test_line_overlay_length_partition(line, poly):
     lin = length(intersection(line, poly))
     lout = length(difference(line, poly))
     assert abs((lin + lout) - length(line)) < 1e-6, (lin, lout, length(line))
+
+
+# -- CRS transform round-trips (pure-function level, fuzzed) -----------------
+
+lon = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+lat = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False)
+
+
+@given(lon, lat)
+@settings(max_examples=200, deadline=None)
+def test_webmercator_roundtrip(x, y):
+    from sedona_iceberg_extension_spark.functions import udfs_ext as U
+    mx, my = U._to_3857(x, y)
+    x2, y2 = U._to_4326(mx, my)
+    assert math.isclose(x, x2, abs_tol=1e-9)
+    assert math.isclose(y, y2, abs_tol=1e-9)
+
+
+@given(lon, lat)
+@settings(max_examples=200, deadline=None)
+def test_world_mercator_roundtrip(x, y):
+    from sedona_iceberg_extension_spark.functions import udfs_ext as U
+    mx, my = U._to_3395(x, y)
+    x2, y2 = U._from_3395(mx, my)
+    assert math.isclose(x, x2, abs_tol=1e-9)
+    assert math.isclose(y, y2, abs_tol=1e-9)
+
+
+@given(st.integers(min_value=1, max_value=60), st.booleans(),
+       st.floats(min_value=-79.9, max_value=79.9, allow_nan=False),
+       st.floats(min_value=-3.0, max_value=3.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_utm_roundtrip_and_bounds(zone, south, phi, dlam):
+    """Round-trip any point within ±3° of its zone's central meridian
+    (UTM's designed domain) to 1e-9°; eastings stay near the 500 km false
+    easting band."""
+    from sedona_iceberg_extension_spark.functions import udfs_ext as U
+    lon0 = zone * 6.0 - 183.0
+    x, y = lon0 + dlam, phi
+    fwd, inv = U._utm_fns(zone, south)
+    e, n = fwd(x, y)
+    assert 100_000 < e < 900_000
+    if south:
+        assert 0 < n <= 10_000_000 or phi >= 0
+    x2, y2 = inv(e, n)
+    assert math.isclose(x, x2, abs_tol=1e-9)
+    assert math.isclose(y, y2, abs_tol=1e-9)
