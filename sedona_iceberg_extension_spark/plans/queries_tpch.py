@@ -918,6 +918,101 @@ LIMIT 20
 """
 
 
+# --- CUBE grouping sets -----------------------------------------------------
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (orderstatus, orderpriority): all four grouping-set levels
+    in one pass (Catalyst expands to a single Expand+aggregate — one
+    shuffle, not four queries)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+                "revenue", "n_orders")
+        .orderBy("status", "priority")
+    )
+
+
+QCUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# --- pivot ------------------------------------------------------------------
+
+def q_pivot_returnflag(spark, sf_dir):
+    """Pivot: revenue per nation × return flag as columns (the DataFrame
+    ``pivot`` API compiles to the same single-pass conditional aggregation
+    the oracle spells out)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .withColumn("_rev", rev)
+        .groupBy("n_name")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("_rev"), 2))
+        .select(F.col("n_name").alias("nation"),
+                F.col("A").alias("rev_a"), F.col("N").alias("rev_n"),
+                F.col("R").alias("rev_r"))
+        .orderBy("nation")
+    )
+
+
+QPIVOT_SQL = """
+SELECT n_name AS nation,
+       ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                      THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_a,
+       ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                      THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_n,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_r
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+# --- skew-safe two-phase count distinct -------------------------------------
+
+def q_skew_count_distinct(spark, sf_dir):
+    """Per-user distinct event types through the salted two-phase aggregate
+    (operators.skew.salted_count_distinct): phase 1 dedups (key, salt,
+    value) partials, phase 2 merges — a hot key's values spread over all
+    salt buckets instead of one reducer.  Values match the plain
+    COUNT(DISTINCT) oracle exactly."""
+    from ..operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        skew.salted_count_distinct(ev, "user_id", "event_type")
+        .withColumnRenamed("n_distinct", "n_event_types")
+        .orderBy("user_id")
+    )
+
+
+QSKEWCD_SQL = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --- window-function breadth ------------------------------------------------
 
 def q_window_breadth(spark, sf_dir):
@@ -1000,4 +1095,7 @@ TPCH_QUERIES = {
     "q20_promo_suppliers": (q20_promo_suppliers, Q20_SQL, False),
     "q21_sole_fault_supplier": (q21_sole_fault_supplier, Q21_SQL, False),
     "window_breadth": (q_window_breadth, QWINDOW_SQL, False),
+    "cube_revenue": (q_cube_revenue, QCUBE_SQL, False),
+    "pivot_returnflag": (q_pivot_returnflag, QPIVOT_SQL, False),
+    "skew_count_distinct": (q_skew_count_distinct, QSKEWCD_SQL, False),
 }

@@ -39,6 +39,7 @@ _NATIVE_QUERIES = [
     "q11_value_concentration", "q12_priority_class", "q13_order_distribution",
     "q16_supplier_counts", "q17_small_quantity_revenue",
     "q20_promo_suppliers", "q21_sole_fault_supplier", "window_breadth",
+    "cube_revenue", "pivot_returnflag", "skew_count_distinct",
 ]
 
 
