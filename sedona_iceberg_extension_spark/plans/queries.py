@@ -568,6 +568,44 @@ ORDER BY id_l, id_r
 """
 
 
+def q_spatial_join_sql_chain(spark, sf_dir):
+    """TWO spatial joins in one plain-SQL statement, both planned through the
+    distributed grid join: point-in-box containment chained with a distance
+    join.  The rewriter plans left-to-right; the second join's ``p.geo``
+    reference resolves through the first pair view's alias-struct column
+    (shape-hint metadata re-stamped on extraction, so both joins keep the
+    Python-free exact-envelope plan — no BroadcastNestedLoopJoin anywhere)."""
+    from ..operators import spatial_sql
+
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "geo", "geo_env")
+    nation = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0),
+    ).select("n_nationkey", "geo", "geo_env")
+    sup = _supp_points(spark, sf_dir).select("s_suppkey", "geo", "geo_env")
+    pts.createOrReplaceTempView("sql_chain_pts")
+    boxes.createOrReplaceTempView("sql_chain_boxes")
+    sup.createOrReplaceTempView("sql_chain_sup")
+    return spatial_sql(spark, """
+        SELECT p.c_custkey AS id_c, b.n_nationkey AS id_n, s.s_suppkey AS id_s
+        FROM sql_chain_pts p JOIN sql_chain_boxes b ON ST_Contains(b.geo, p.geo)
+        JOIN sql_chain_sup s ON ST_DWithin(p.geo, s.geo, 4.0)
+        ORDER BY id_c, id_n, id_s""")
+
+
+_QSJCHAIN_SQL = f"""
+SELECT c_custkey AS id_c, n_nationkey AS id_n, s_suppkey AS id_s
+FROM customer, nation, supplier
+WHERE {_CX} > CAST(n_nationkey * 14 - 180 AS DOUBLE)
+  AND {_CX} < CAST(n_nationkey * 14 - 166 AS DOUBLE)
+  AND {_CY} > -90.0 AND {_CY} < 90.0
+  AND ({_CX} - {_SX}) * ({_CX} - {_SX}) + ({_CY} - {_SY}) * ({_CY} - {_SY}) <= 16.0
+ORDER BY id_c, id_n, id_s
+"""
+
+
 def q_spatial_join_broadcast(spark, sf_dir):
     """The planner's OTHER strategy: a tiny build side (25 nation boxes)
     broadcast against customer points — envelope conjuncts evaluated inside
@@ -1457,6 +1495,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_sql_dwithin": QueryDef(q_spatial_join_sql_dwithin, _QSJDSQL_SQL, False),
+    "spatial_join_sql_chain": QueryDef(q_spatial_join_sql_chain, _QSJCHAIN_SQL, False),
     "spatial_join_broadcast": QueryDef(q_spatial_join_broadcast, _QSJB_SQL, False),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),

@@ -99,6 +99,63 @@ def test_unrecognized_join_falls_back(spark, ref_tables):
     assert [(r.id_l, r.id_r) for r in df.collect()] == [(1, 10), (2, 20)]
 
 
+@pytest.fixture()
+def zone_table(spark):
+    spark.sql(
+        "SELECT 100 AS id, ST_PolygonFromEnvelope(CAST(5.0 AS DOUBLE), CAST(5.0 AS DOUBLE), CAST(30.0 AS DOUBLE), CAST(30.0 AS DOUBLE)) AS geo"
+    ).createOrReplaceTempView("test_zones")
+
+
+def test_chained_spatial_joins(spark, ref_tables, zone_table):
+    # two spatial joins in one statement — both planned, no nested loop
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, r.id AS id_r, z.id AS id_z "
+        "FROM test_left l JOIN test_right r ON ST_Contains(r.geo, l.geo) "
+        "JOIN test_zones z ON ST_Contains(z.geo, l.geo) "
+        "ORDER BY id_l"))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert [(r.id_l, r.id_r, r.id_z) for r in df.collect()] == [
+        (1, 10, 100), (2, 20, 100)]
+
+
+def test_chained_with_extra_conjuncts_and_where(spark, ref_tables, zone_table):
+    # join-level AND conjunct must stop at the next JOIN keyword, then fold
+    # into the statement's WHERE after all joins are planned
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, r.id AS id_r, z.id AS id_z "
+        "FROM test_left l JOIN test_right r ON ST_Contains(r.geo, l.geo) AND r.id > 15 "
+        "JOIN test_zones z ON ST_Intersects(z.geo, r.geo) "
+        "WHERE l.id >= 1 ORDER BY id_l"))
+    assert [(r.id_l, r.id_r, r.id_z) for r in df.collect()] == [(2, 20, 100)]
+
+
+def test_alias_free_tables(spark, ref_tables):
+    # bare table names are their own aliases
+    df = spatial_sql(spark, (
+        "SELECT test_left.id AS id_l, test_right.id AS id_r "
+        "FROM test_left JOIN test_right ON ST_Contains(test_right.geo, test_left.geo) "
+        "ORDER BY id_l"))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert [(r.id_l, r.id_r) for r in df.collect()] == [(1, 10), (2, 20)]
+
+
+def test_spatial_then_regular_join(spark, ref_tables):
+    # a non-spatial equi-join after the spatial join keeps resolving through
+    # the pair view's alias structs
+    spark.createDataFrame([(10, "north"), (20, "south")], ["box_id", "label"]) \
+        .createOrReplaceTempView("test_labels")
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, t.label AS label "
+        "FROM test_left l JOIN test_right r ON ST_Contains(r.geo, l.geo) "
+        "JOIN test_labels t ON t.box_id = r.id "
+        "ORDER BY id_l"))
+    assert [(r.id_l, r.label) for r in df.collect()] == [
+        (1, "north"), (2, "south")]
+
+
 def test_declared_query_matches_plain_join(spark, sf_dir):
     from sedona_iceberg_extension_spark.plans.queries import QUERIES
 
