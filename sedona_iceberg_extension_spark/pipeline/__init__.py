@@ -1,1 +1,1 @@
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import components, dedup, multimodal, similarity, text  # noqa: F401

@@ -1095,6 +1095,48 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-duplicate *clusters*: connected components over the MinHash-LSH
+    pair graph (pipeline.components) — iterative min-label propagation, one
+    edge-join + min-agg per round, O(cluster diameter) rounds.  The oracle
+    computes the same transitive closure with a recursive CTE, so the
+    distributed iteration is value-checked end to end (an iterative
+    fixpoint, still exactly SQL-expressible)."""
+    from ..pipeline import components as cc
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    comp = cc.connected_components(pairs, "id_a", "id_b")
+    return (
+        comp.select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+_QCOMP_SQL = _mh_sig_cte("").replace("WITH toks", "WITH RECURSIVE toks") + """
+, banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(format('{}:{}', seed, minhash), ','
+             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, w) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.w FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(w) AS component
+FROM reach GROUP BY u
+ORDER BY doc_id
+"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard pairs with the at-scale document-frequency cap:
     shingles shared by more than 256 documents are stop-shingles — they
@@ -1516,6 +1558,7 @@ QUERIES: Dict[str, QueryDef] = {
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),
     "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),
     "minhash_lsh_pairs": QueryDef(q_minhash_lsh_pairs, _QLSH_SQL, True),
+    "dedup_components": QueryDef(q_dedup_components, _QCOMP_SQL, False),
     "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
     "simhash_values": QueryDef(q_simhash, _simhash_sql(60), False),
     "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(60, 3), False),

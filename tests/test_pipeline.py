@@ -268,3 +268,53 @@ def test_top_tokens_excludes_stopwords(spark, docs):
     toks = [r["token"] for r in text.top_tokens(docs, k=10).collect()]
     assert len(toks) == 10
     assert not set(toks) & set(text._STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# connected components (duplicate clusters)
+# ---------------------------------------------------------------------------
+
+def _union_find_expected(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from sedona_iceberg_extension_spark.pipeline import components as cc
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in cc.connected_components(df).collect()}
+    assert got == _union_find_expected(edges)
+
+
+def test_connected_components_path_graph_multi_round(spark):
+    # diameter 7 — forces several propagation rounds before the fixpoint
+    from sedona_iceberg_extension_spark.pipeline import components as cc
+    edges = [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in cc.connected_components(df).collect()}
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_keep_canonical(spark):
+    from sedona_iceberg_extension_spark.pipeline import components as cc
+    edges = [(1, 2), (2, 3), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    comp = cc.connected_components(df)
+    keep = {r["component"]: (r["keep_id"], r["n_dropped"])
+            for r in cc.keep_canonical(comp).collect()}
+    assert keep == {1: (1, 2), 5: (5, 1)}
