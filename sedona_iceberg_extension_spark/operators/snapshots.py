@@ -19,9 +19,14 @@ module reproduces that mechanism over a plain parquet directory:
 - ``expire`` removes old manifests and any data file no retained version
   references (Iceberg's ``expire_snapshots`` + orphan-file cleanup).
 
-Single-writer semantics: manifest writes are atomic (tmp + rename), but two
-concurrent writers would need a lock/catalog — same caveat as
-``operators.dml``, documented not hidden.
+Concurrency: **optimistic, Iceberg-style.**  A writer captures the version
+its change is based on; the commit claims ``v{N}.json`` with ``os.link``
+(atomic create-if-absent — unlike ``rename``, it FAILS when another writer
+already claimed N) and raises :class:`CommitConflictError` on any race or
+stale base.  ``append`` retries automatically (appends commute: rebase =
+recompute the live file list); UPDATE/DELETE/MERGE surface the conflict to
+the caller, who re-runs against the new snapshot — exactly Iceberg's
+validation-exception contract.
 
 Scale: commits touch O(files-changed) data + one manifest; reads plan from
 one manifest. At 100 TB the manifest list is the only metadata hot spot and
@@ -36,9 +41,14 @@ import time
 import uuid
 from typing import Dict, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 _SNAP_DIR = "_snapshots"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this change's base snapshot — the
+    caller must re-validate against the current version and retry."""
 
 
 def _to_col(expr):
@@ -73,13 +83,24 @@ class SnapshotTable:
         with open(os.path.join(self.snap_dir, f"v{v}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, files: List[str], operation: str) -> int:
+    def _commit(self, files: List[str], operation: str,
+                base_version: Optional[int] = None) -> int:
+        """Atomically claim the next version.  ``base_version`` is the
+        snapshot this change was computed against: if a concurrent writer
+        has committed since (latest != base), or the version-file claim
+        itself loses a race, raise :class:`CommitConflictError` — the
+        losing writer's data files stay orphaned and are swept by
+        ``expire``, never referenced (Iceberg's failed-commit story)."""
         vs = self.versions()
-        v = (vs[-1] + 1) if vs else 1
+        latest = vs[-1] if vs else None
+        if base_version is not None and latest != base_version:
+            raise CommitConflictError(
+                f"base snapshot v{base_version} is stale (latest v{latest})")
+        v = (latest + 1) if latest else 1
         os.makedirs(self.snap_dir, exist_ok=True)
         manifest = {
             "version": v,
-            "parent": vs[-1] if vs else None,
+            "parent": latest,
             "operation": operation,
             "timestamp_ms": int(time.time() * 1000),
             "files": sorted(files),
@@ -87,7 +108,15 @@ class SnapshotTable:
         tmp = os.path.join(self.snap_dir, f".v{v}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self.snap_dir, f"v{v}.json"))
+        try:
+            # link = create-if-absent: the one writer whose link succeeds owns
+            # version N; a rename here would silently clobber a racing commit
+            os.link(tmp, os.path.join(self.snap_dir, f"v{v}.json"))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"lost commit race for v{v} at {self.path}") from None
+        finally:
+            os.unlink(tmp)
         return v
 
     def files(self, version: Optional[int] = None) -> List[str]:
@@ -141,24 +170,35 @@ class SnapshotTable:
         """The table as of ``version`` (latest when None) — time travel."""
         return spark.read.parquet(*self.files(version))
 
-    def append(self, spark: SparkSession, df: DataFrame) -> int:
-        live = self._manifest()["files"]
+    def append(self, spark: SparkSession, df: DataFrame,
+               max_retries: int = 5) -> int:
+        """Append commutes with any concurrent commit, so a conflict is
+        rebased automatically: re-read the (new) live file list and retry
+        the commit — the staged data files are written exactly once."""
         added = self._ingest_staged(self._stage(df))
-        return self._commit(live + added, "append")
+        for attempt in range(max_retries + 1):
+            m = self._manifest()
+            try:
+                return self._commit(m["files"] + added, "append",
+                                    base_version=m["version"])
+            except CommitConflictError:
+                if attempt == max_retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def update_where(self, spark: SparkSession,
                      assignments: Dict[str, object], predicate) -> dict:
         """Copy-on-write UPDATE: rewrite only files containing matches; the
         untouched files are *shared* with the previous snapshot."""
         pred = _to_col(predicate)
-        live = self.files()
+        m = self._manifest()
+        live = [os.path.join(self.path, f) for f in m["files"]]
         df = spark.read.parquet(*live)
         touched = [r["_f"].replace("file://", "") for r in
                    (df.withColumn("_f", F.input_file_name())
                     .filter(pred).select("_f").distinct().collect())]
         if not touched:
-            return {"version": self._manifest()["version"],
-                    "files_rewritten": 0}
+            return {"version": m["version"], "files_rewritten": 0}
         sub = spark.read.parquet(*touched)
         updated = sub.select(*[
             (F.when(pred, _to_col(assignments[c]).cast(sub.schema[c].dataType))
@@ -166,36 +206,107 @@ class SnapshotTable:
             for c in sub.columns])
         added = self._ingest_staged(self._stage(updated))
         touched_names = {os.path.basename(f) for f in touched}
-        kept = [f for f in self._manifest()["files"]
-                if f not in touched_names]
-        v = self._commit(kept + added, "update")
+        kept = [f for f in m["files"] if f not in touched_names]
+        v = self._commit(kept + added, "update", base_version=m["version"])
         return {"version": v, "files_rewritten": len(touched)}
 
     def delete_where(self, spark: SparkSession, predicate) -> dict:
         pred = _to_col(predicate)
-        live = self.files()
+        m = self._manifest()
+        live = [os.path.join(self.path, f) for f in m["files"]]
         df = spark.read.parquet(*live)
         touched = [r["_f"].replace("file://", "") for r in
                    (df.withColumn("_f", F.input_file_name())
                     .filter(pred).select("_f").distinct().collect())]
         if not touched:
-            return {"version": self._manifest()["version"],
-                    "files_rewritten": 0}
+            return {"version": m["version"], "files_rewritten": 0}
         sub = spark.read.parquet(*touched)
         kept_rows = sub.filter(~pred | pred.isNull())
         added = self._ingest_staged(self._stage(kept_rows))
         touched_names = {os.path.basename(f) for f in touched}
-        kept = [f for f in self._manifest()["files"]
-                if f not in touched_names]
-        v = self._commit(kept + added, "delete")
+        kept = [f for f in m["files"] if f not in touched_names]
+        v = self._commit(kept + added, "delete", base_version=m["version"])
         return {"version": v, "files_rewritten": len(touched)}
+
+    def merge_into(self, spark: SparkSession, source: DataFrame, on: str,
+                   update_cols: Optional[List[str]] = None,
+                   insert_when_not_matched: bool = True) -> dict:
+        """Snapshot-isolated ``MERGE INTO``: WHEN MATCHED THEN UPDATE (all
+        or ``update_cols``), optional WHEN NOT MATCHED THEN INSERT — one new
+        snapshot, untouched files shared with the parent.
+
+        Same scale shape as ``operators.dml.merge_into``: touched files are
+        found by semi-joining the materialized file-name column against the
+        source keys (hash join at any key count — no driver-side key list,
+        no full-rewrite fallback), duplicate source keys raise per SQL MERGE
+        cardinality rules, and matched/inserted row counts ride the rewrite
+        job as ``Observation`` metrics (no second scan)."""
+        m = self._manifest()
+        live = [os.path.join(self.path, f) for f in m["files"]]
+        target = spark.read.parquet(*live)
+        cols = target.columns
+        update_cols = update_cols or [c for c in cols if c != on]
+
+        dup = (source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"MERGE: source has multiple rows for key {on}={dup[0][on]!r} "
+                "(SQL MERGE forbids multiple matches per target row)")
+        keys = source.select(on).distinct()
+
+        touched = [r["_f"].replace("file://", "") for r in
+                   (target.withColumn("_f", F.input_file_name())
+                    .join(keys, on, "left_semi")
+                    .select("_f").distinct().collect())]
+
+        src = source.select(*[F.col(c).alias(f"_src_{c}")
+                              for c in source.columns])
+        parts = []
+        obs_u = obs_i = None
+        if touched:
+            sub = spark.read.parquet(*touched)
+            joined = sub.join(src, sub[on] == src[f"_src_{on}"], "left")
+            obs_u = Observation()
+            joined = joined.observe(obs_u,
+                                    F.count(F.col(f"_src_{on}")).alias("n"))
+            parts.append(joined.select(*[
+                (F.when(F.col(f"_src_{on}").isNotNull(), F.col(f"_src_{c}"))
+                 .otherwise(F.col(c))).alias(c)
+                if c in update_cols and f"_src_{c}" in joined.columns
+                else F.col(c)
+                for c in cols]))
+        if insert_when_not_matched:
+            obs_i = Observation()
+            parts.append(
+                src.join(target.select(on), src[f"_src_{on}"] == F.col(on),
+                         "left_anti")
+                .observe(obs_i, F.count(F.lit(1)).alias("n"))
+                .select(*[F.col(f"_src_{c}").alias(c) for c in cols
+                          if f"_src_{c}" in src.columns]))
+        if not parts:
+            return {"version": m["version"], "files_rewritten": 0,
+                    "rows_updated": 0, "rows_inserted": 0}
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        added = self._ingest_staged(self._stage(out))
+        touched_names = {os.path.basename(f) for f in touched}
+        kept = [f for f in m["files"] if f not in touched_names]
+        v = self._commit(kept + added, "merge", base_version=m["version"])
+        return {"version": v, "files_rewritten": len(touched),
+                "rows_updated": obs_u.get["n"] if obs_u else 0,
+                "rows_inserted": obs_i.get["n"] if obs_i else 0}
 
     def rollback(self, version: int) -> int:
         """Append-only rollback: a new commit re-pointing at an old
         version's file set (the old files still exist — data files are
         immutable until expiry)."""
         files = self._manifest(version)["files"]
-        return self._commit(files, f"rollback-to-{version}")
+        base = self._manifest()["version"]
+        return self._commit(files, f"rollback-to-{version}",
+                            base_version=base)
 
     def expire(self, keep_last: int = 2) -> dict:
         """Drop all but the last ``keep_last`` manifests, then delete any

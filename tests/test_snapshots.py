@@ -107,3 +107,104 @@ def test_spatial_predicate_update(spark, table):
     assert now.filter("val = -1.0").count() == \
         now.filter("grp IN (1,2,3,4)").count()
     assert table.read(spark, version=1).filter("val = -1.0").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# MERGE + optimistic concurrency
+# ---------------------------------------------------------------------------
+
+def test_merge_update_and_insert(spark, table):
+    src = spark.createDataFrame(
+        [(5, 5 % 10, -1.0), (7, 7 % 10, -2.0), (200, 0, -3.0)],
+        "id long, grp long, val double")
+    r = table.merge_into(spark, src, on="id")
+    assert r["rows_updated"] == 2
+    assert r["rows_inserted"] == 1
+    assert r["files_rewritten"] >= 1
+    now = table.read(spark)
+    assert now.count() == 101
+    got = {row["id"]: row["val"]
+           for row in now.filter(F.col("id").isin(5, 7, 200)).collect()}
+    assert got == {5: -1.0, 7: -2.0, 200: -3.0}
+    # untouched files shared with the parent snapshot; v1 time-travels clean
+    assert set(table.files(1)) & set(table.files(2))
+    assert table.read(spark, version=1).filter("val < 0").count() == 0
+
+
+def test_merge_duplicate_source_keys_raise(spark, table):
+    src = spark.createDataFrame(
+        [(5, 0, 1.0), (5, 0, 2.0)], "id long, grp long, val double")
+    with pytest.raises(ValueError, match="multiple rows"):
+        table.merge_into(spark, src, on="id")
+
+
+def test_merge_no_insert_clause(spark, table):
+    src = spark.createDataFrame(
+        [(5, 0, -1.0), (999, 0, -9.0)], "id long, grp long, val double")
+    r = table.merge_into(spark, src, on="id", insert_when_not_matched=False)
+    assert r["rows_updated"] == 1 and r["rows_inserted"] == 0
+    assert table.read(spark).count() == 100
+
+
+def test_stale_base_commit_conflicts(spark, table):
+    from sedona_iceberg_extension_spark.operators.snapshots import (
+        CommitConflictError)
+    # writer A plans against v1; writer B commits v2 first
+    base = table._manifest()["version"]
+    table.update_where(spark, {"val": "0.0"}, "grp = 1")      # B wins: v2
+    with pytest.raises(CommitConflictError, match="stale"):
+        table._commit(table._manifest()["files"], "update", base_version=base)
+
+
+def test_version_file_claim_race(spark, table):
+    from sedona_iceberg_extension_spark.operators.snapshots import (
+        CommitConflictError)
+    # a racing writer claims v2.json between versions() and link()
+    import json
+    v2 = os.path.join(table.snap_dir, "v2.json")
+    v1_files = table._manifest()["files"]
+    with open(v2, "w") as fh:
+        json.dump({"version": 2, "parent": 1, "operation": "append",
+                   "timestamp_ms": 0, "files": v1_files}, fh)
+    os.rename(v2, v2 + ".hold")  # keep versions() seeing only v1
+    real_versions = table.versions
+
+    def racing_versions():
+        out = real_versions()
+        if os.path.exists(v2 + ".hold"):
+            os.rename(v2 + ".hold", v2)  # the rival lands *after* the read
+        return out
+
+    table.versions = racing_versions
+    try:
+        with pytest.raises(CommitConflictError, match="race"):
+            table._commit(v1_files, "append")
+    finally:
+        table.versions = real_versions
+
+
+def test_append_rebases_over_concurrent_commit(spark, table):
+    # append recomputes the live file set when its base goes stale
+    real_manifest = table._manifest
+    state = {"fired": False}
+
+    def manifest_with_rival(version=None):
+        m = real_manifest(version)
+        if not state["fired"] and version is None:
+            state["fired"] = True
+            table.update_where(spark, {"val": "1.0"}, "grp = 2")  # rival lands
+        return m
+
+    table._manifest = manifest_with_rival
+    try:
+        extra = spark.createDataFrame([(300, 0, 3.0)],
+                                      "id long, grp long, val double")
+        v = table.append(spark, extra)
+    finally:
+        table._manifest = real_manifest
+    assert v == 3  # create=1, rival update=2, rebased append=3
+    now = table.read(spark)
+    assert now.count() == 101
+    # both the rival update and the append survived
+    assert now.filter("id = 300").count() == 1
+    assert now.filter("grp = 2 AND val != 1.0").count() == 0
