@@ -1137,6 +1137,34 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_keep(spark, sf_dir):
+    """The actionable end of the dedup pipeline: per near-dup cluster, the
+    kept canonical document (min id) and how many get dropped — what a
+    100 TB training-data pass actually writes out."""
+    from ..pipeline import components as cc
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    comp = cc.connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.keep_canonical(comp, "id", "component")
+        .orderBy("component")
+    )
+
+
+_QKEEP_SQL = _QCOMP_SQL.replace("""
+SELECT u AS doc_id, MIN(w) AS component
+FROM reach GROUP BY u
+ORDER BY doc_id
+""", """
+, comp AS (
+  SELECT u AS doc_id, MIN(w) AS component FROM reach GROUP BY u
+)
+SELECT component, MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dropped
+FROM comp GROUP BY component
+ORDER BY component
+""")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard pairs with the at-scale document-frequency cap:
     shingles shared by more than 256 documents are stop-shingles — they
@@ -1444,6 +1472,40 @@ def q_streaming_sessionize(spark, sf_dir):
         f"GROUP BY user_id ORDER BY user_id")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) run as a REAL
+    stream over the events table: one availableNow batch, bounded state.
+    With the whole table inside one batch the surviving set equals global
+    DISTINCT on the key, so the batch oracle is exact: per user, the number
+    of distinct event types."""
+    import tempfile
+
+    from ..sources import stream_table
+    from ..streaming import dedup_within_watermark
+
+    ev = stream_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "ts")
+    out = dedup_within_watermark(ev, ["user_id", "event_type"],
+                                 watermark="10 hours")
+    name = "q_stream_dedup_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, COUNT(*) AS n_types FROM {name} "
+        f"GROUP BY user_id ORDER BY user_id")
+
+
+_QSTREAM_DEDUP_SQL = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_streaming_click_view_join(spark, sf_dir):
     """Stream-stream inner join run as a REAL stream: two readStream sources
     (clicks, views) joined per user within ±60 minutes, availableNow,
@@ -1559,6 +1621,7 @@ QUERIES: Dict[str, QueryDef] = {
     "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),
     "minhash_lsh_pairs": QueryDef(q_minhash_lsh_pairs, _QLSH_SQL, True),
     "dedup_components": QueryDef(q_dedup_components, _QCOMP_SQL, False),
+    "dedup_keep": QueryDef(q_dedup_keep, _QKEEP_SQL, False),
     "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
     "simhash_values": QueryDef(q_simhash, _simhash_sql(60), False),
     "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(60, 3), False),
@@ -1573,6 +1636,7 @@ QUERIES: Dict[str, QueryDef] = {
     "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, _QMMFRAME_SQL, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
     "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
+    "streaming_dedup": QueryDef(q_streaming_dedup, _QSTREAM_DEDUP_SQL, False),
     "streaming_click_view_join": QueryDef(q_streaming_click_view_join, _QSTREAM_SSJ_SQL, False),
 }
 
