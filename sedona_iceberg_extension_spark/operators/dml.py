@@ -21,8 +21,10 @@ engine reproduces the same semantics over a plain parquet directory:
    format; this mirrors what Iceberg's CoW writer does per file.)
 
 SQL surface: :func:`sql_dml` accepts the reference's literal statement shapes
-(``UPDATE t SET c = expr WHERE pred`` / ``DELETE FROM t WHERE pred``) and
-dispatches to the API, so the reference's example job lines run verbatim.
+(``UPDATE t SET c = expr WHERE pred`` / ``DELETE FROM t WHERE pred``), plus
+the Iceberg MERGE shape (``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED
+THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``), and dispatches to the
+API, so the reference's example job lines run verbatim.
 """
 
 from __future__ import annotations
@@ -201,6 +203,17 @@ _UPDATE_RE = re.compile(
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<t>\S+)\s+WHERE\s+(?P<w>.+?)\s*$",
     re.IGNORECASE | re.DOTALL)
+# the Iceberg/ANSI MERGE shape the reference's substrate speaks:
+#   MERGE INTO t [AS a] USING s [AS b] ON <x>.k = <y>.k
+#   WHEN MATCHED THEN UPDATE SET * | c1 = src.c1 [, ...]
+#   [WHEN NOT MATCHED THEN INSERT *]
+_MERGE_RE = re.compile(
+    r"""^\s*MERGE\s+INTO\s+(?P<t>\S+)(?:\s+(?:AS\s+)?(?P<ta>\w+))?\s+
+        USING\s+(?P<s>\S+)(?:\s+(?:AS\s+)?(?P<sa>\w+))?\s+
+        ON\s+(?P<on1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<on2>\w+)\.(?P<k2>\w+)\s+
+        WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)\s*
+        (?P<ins>WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?$""",
+    re.IGNORECASE | re.DOTALL | re.VERBOSE)
 
 
 def _split_assignments(s: str) -> Dict[str, str]:
@@ -234,4 +247,30 @@ def sql_dml(spark: SparkSession, stmt: str,
     m = _DELETE_RE.match(stmt)
     if m:
         return delete_where(spark, tables[m.group("t")], m.group("w"))
+    m = _MERGE_RE.match(stmt)
+    if m:
+        t_alias = m.group("ta") or m.group("t")
+        s_alias = m.group("sa") or m.group("s")
+        k1_side, k2_side = m.group("on1"), m.group("on2")
+        if {k1_side, k2_side} != {t_alias, s_alias}:
+            raise ValueError(
+                f"MERGE ON must equate target and source keys "
+                f"(got {k1_side}/{k2_side}, aliases {t_alias}/{s_alias})")
+        on = m.group("k1") if k1_side == t_alias else m.group("k2")
+        on_src = m.group("k2") if k1_side == t_alias else m.group("k1")
+        if on != on_src:
+            raise ValueError("MERGE ON key must have the same column name "
+                             "on both sides in this engine")
+        set_clause = m.group("set").strip()
+        if set_clause == "*":
+            update_cols = None
+        else:
+            # "c = src.c, d = src.d" — this engine's MERGE takes values from
+            # the source row, so only the column list matters
+            update_cols = [p.split("=", 1)[0].strip().strip("`")
+                           for p in set_clause.split(",")]
+        source = spark.table(m.group("s"))
+        return merge_into(spark, tables[m.group("t")], source, on,
+                          update_cols=update_cols,
+                          insert_when_not_matched=bool(m.group("ins")))
     raise ValueError(f"unsupported DML statement: {stmt[:80]}")

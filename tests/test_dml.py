@@ -137,3 +137,39 @@ def test_update_assignment_expression(spark, table):
     after = spark.read.parquet(table)
     assert after.filter(F.col("x") >= 100).count() == 10
     assert after.filter(F.col("data") == "row-3!").count() == 1
+
+
+def test_merge_sql_statement(spark, table):
+    """The Iceberg MERGE statement shape, as SQL text."""
+    src = spark.createDataFrame(
+        [(3, "merged", 0.0, 0.0), (777, "fresh", 1.0, 1.0)],
+        "id long, data string, x double, y double")
+    src = src.withColumn("geo", F.expr("ST_Point(x, y)"))
+    src.createOrReplaceTempView("merge_src")
+    res = dml.sql_dml(
+        spark,
+        "MERGE INTO tbl USING merge_src ON tbl.id = merge_src.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": table})
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    after = spark.read.parquet(table)
+    assert after.count() == 101
+    assert after.filter("id = 3 AND data = 'merged'").count() == 1
+    assert after.filter("id = 777 AND data = 'fresh'").count() == 1
+
+
+def test_merge_sql_column_list(spark, table):
+    src = spark.createDataFrame([(4, "colmerge", -1.0, -1.0)],
+                                "id long, data string, x double, y double")
+    src.createOrReplaceTempView("merge_src2")
+    res = dml.sql_dml(
+        spark,
+        "MERGE INTO tbl AS t USING merge_src2 AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET data = s.data",
+        {"tbl": table})
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    after = spark.read.parquet(table)
+    row = after.filter("id = 4").collect()[0]
+    assert row["data"] == "colmerge"
+    assert row["x"] == 4.0  # only the listed column was updated

@@ -134,6 +134,16 @@ def test_spatial_join_sql_dwithin_python_free(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_spatial_join_sql_chain_python_free(spark, sf_dir):
+    """Both joins of the chained statement must keep the planned shape —
+    shape-hint metadata survives the pair-view struct round-trip, so neither
+    join degrades to a nested loop or a refinement UDF."""
+    plan = _plan(spark, "spatial_join_sql_chain", sf_dir)
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_dup_pairs_no_cartesian(spark, sf_dir):
     """The near-dup pair search must stay banded-LSH: equi-joins only, never
     an all-pairs product (the O(n²) plan is a 100 TB scale-killer)."""
