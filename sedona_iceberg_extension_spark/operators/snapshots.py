@@ -299,6 +299,50 @@ class SnapshotTable:
                 "rows_updated": obs_u.get["n"] if obs_u else 0,
                 "rows_inserted": obs_i.get["n"] if obs_i else 0}
 
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction — Iceberg's ``rewrite_data_files``: bin-pack
+        data files smaller than the target into rewritten files of roughly
+        ``target_file_bytes``, commit one new snapshot sharing every
+        already-large file with its parent.  At 100 TB ingest produces
+        drifts of small files (per-trigger streaming commits, skewed
+        partitions); compaction is what keeps scan task counts sane.  Only
+        the small files are read or written — O(small bytes), not O(table)."""
+        m = self._manifest()
+        sizes = {f: os.path.getsize(os.path.join(self.path, f))
+                 for f in m["files"]}
+        small = [f for f, sz in sizes.items() if sz < target_file_bytes]
+        if len(small) <= 1:
+            return {"version": m["version"], "files_compacted": 0,
+                    "files_written": 0}
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in small])
+        added = self._ingest_staged(self._stage(df.repartition(n_out)))
+        kept = [f for f in m["files"] if f not in set(small)]
+        v = self._commit(kept + added, "compact", base_version=m["version"])
+        return {"version": v, "files_compacted": len(small),
+                "files_written": len(added)}
+
+    # -- metadata tables (Iceberg's  t.history / t.files  surface) ----------
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The table's commit history as a DataFrame — Iceberg's
+        ``SELECT * FROM t.history`` metadata table."""
+        rows = [(h["version"], h["parent"], h["operation"],
+                 h["timestamp_ms"], h["n_files"]) for h in self.history()]
+        return spark.createDataFrame(
+            rows, "version long, parent long, operation string, "
+                  "timestamp_ms long, n_files long")
+
+    def files_df(self, spark: SparkSession,
+                 version: Optional[int] = None) -> DataFrame:
+        """Live data files of a snapshot with sizes — Iceberg's
+        ``SELECT * FROM t.files`` metadata table."""
+        rows = [(os.path.basename(f), os.path.getsize(f))
+                for f in self.files(version)]
+        return spark.createDataFrame(rows, "file_name string, size_bytes long")
+
     def rollback(self, version: int) -> int:
         """Append-only rollback: a new commit re-pointing at an old
         version's file set (the old files still exist — data files are

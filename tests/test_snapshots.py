@@ -208,3 +208,35 @@ def test_append_rebases_over_concurrent_commit(spark, table):
     # both the rival update and the append survived
     assert now.filter("id = 300").count() == 1
     assert now.filter("grp = 2 AND val != 1.0").count() == 0
+
+
+def test_compact_small_files(spark, table):
+    # 4 small files -> compacted into fewer; data identical; old files shared
+    before = table.read(spark)
+    n_before = before.count()
+    sum_before = before.agg(F.sum("val")).collect()[0][0]
+    r = table.compact(spark, target_file_bytes=1 << 30)  # everything is small
+    assert r["files_compacted"] >= 2
+    assert r["files_written"] < r["files_compacted"] or r["files_written"] == 1
+    after = table.read(spark)
+    assert after.count() == n_before
+    assert abs(after.agg(F.sum("val")).collect()[0][0] - sum_before) < 1e-6
+    # time travel still sees the uncompacted layout
+    assert len(table.files(1)) >= len(table.files(2)) == r["files_written"] + (
+        len(table.files(1)) - r["files_compacted"])
+
+
+def test_compact_noop_when_files_large_enough(spark, table):
+    r = table.compact(spark, target_file_bytes=1)  # nothing is "small"
+    assert r == {"version": 1, "files_compacted": 0, "files_written": 0}
+    assert table.versions() == [1]
+
+
+def test_metadata_tables(spark, table):
+    table.update_where(spark, {"val": "0.0"}, "grp = 1")
+    hist = table.history_df(spark)
+    ops = [r["operation"] for r in hist.orderBy("version").collect()]
+    assert ops == ["create", "update"]
+    files = table.files_df(spark)
+    assert files.count() == len(table.files())
+    assert files.filter("size_bytes <= 0").count() == 0
