@@ -52,7 +52,9 @@ def get_session(app_name: str = "sedona-iceberg-extension-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions",
-                str(shuffle_partitions or max(32, int(cpus) * 2 if cpus.isdigit() else 64)))
+                str(shuffle_partitions
+                    or os.environ.get("SPARK_GRAFT_SHUFFLE")
+                    or max(32, int(cpus) * 2 if cpus.isdigit() else 64)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.executorEnv.PYTHONPATH", _REPO_ROOT)
