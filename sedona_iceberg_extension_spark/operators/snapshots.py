@@ -324,6 +324,35 @@ class SnapshotTable:
         return {"version": v, "files_compacted": len(small),
                 "files_written": len(added)}
 
+    def rewrite_zorder(self, spark: SparkSession, cols: List[str],
+                       bits: int = 10, n_files: Optional[int] = None) -> dict:
+        """Z-order rewrite — Iceberg's ``rewrite_data_files(strategy =>
+        'sort', sort_order => zorder(c1, c2, ...))``: rewrite the table
+        range-partitioned and sorted by the interleaved-bit Z-value of the
+        given numeric columns, so parquet min/max stats become tight on ALL
+        the columns at once and multi-dimensional range queries (e.g. a
+        spatial box over x,y) skip most files.  One full rewrite commit —
+        run it like Iceberg maintenance, not per-query."""
+        from ..sources.layout import zorder_value
+
+        m = self._manifest()
+        live = [os.path.join(self.path, f) for f in m["files"]]
+        df = spark.read.parquet(*live)
+        stats = df.agg(*[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+                       *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)]
+                       ).collect()[0]
+        mins = [stats[f"lo_{i}"] for i in range(len(cols))]
+        maxs = [stats[f"hi_{i}"] for i in range(len(cols))]
+        z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
+        n_out = n_files or len(live)
+        out = (df.withColumn("_z", z)
+               .repartitionByRange(n_out, "_z")
+               .sortWithinPartitions("_z")
+               .drop("_z"))
+        added = self._ingest_staged(self._stage(out))
+        v = self._commit(added, "zorder", base_version=m["version"])
+        return {"version": v, "files_written": len(added)}
+
     # -- metadata tables (Iceberg's  t.history / t.files  surface) ----------
 
     def history_df(self, spark: SparkSession) -> DataFrame:

@@ -240,3 +240,47 @@ def test_metadata_tables(spark, table):
     files = table.files_df(spark)
     assert files.count() == len(table.files())
     assert files.filter("size_bytes <= 0").count() == 0
+
+
+def test_zorder_rewrite_tightens_file_stats(spark, tmp_path):
+    """After a Z-order rewrite, each file's parquet min/max box over (x, y)
+    covers a small region instead of the whole domain — the stats-based file
+    skipping a spatial range scan needs (Iceberg rewrite_data_files with a
+    zorder sort_order)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 4096).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.floor(F.col("id") / 64) % 64).cast("double").alias("y"))
+    t = SnapshotTable.create(spark, str(tmp_path / "zt"),
+                             df.repartition(8))  # round-robin: files span all
+
+    def bbox_area_sum(version):
+        total = 0.0
+        for f in t.files(version):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            lo_x = hi_x = lo_y = hi_y = None
+            for rg in range(md.num_row_groups):
+                sx = md.row_group(rg).column(names["x"]).statistics
+                sy = md.row_group(rg).column(names["y"]).statistics
+                lo_x = sx.min if lo_x is None else min(lo_x, sx.min)
+                hi_x = sx.max if hi_x is None else max(hi_x, sx.max)
+                lo_y = sy.min if lo_y is None else min(lo_y, sy.min)
+                hi_y = sy.max if hi_y is None else max(hi_y, sy.max)
+            total += (hi_x - lo_x) * (hi_y - lo_y)
+        return total
+
+    before = bbox_area_sum(1)
+    r = t.rewrite_zorder(spark, ["x", "y"], bits=10, n_files=8)
+    assert r["version"] == 2 and r["files_written"] >= 4
+    after = bbox_area_sum(2)
+    # round-robin files each cover ~the full 64x64 domain; z-ordered files
+    # must cover far less in aggregate
+    assert after < before * 0.35, (before, after)
+    # content identical
+    assert t.read(spark).count() == 4096
+    assert t.read(spark).agg(F.sum("x"), F.sum("y")).collect() == \
+        t.read(spark, version=1).agg(F.sum("x"), F.sum("y")).collect()
