@@ -84,7 +84,8 @@ class SnapshotTable:
             return json.load(fh)
 
     def _commit(self, files: List[str], operation: str,
-                base_version: Optional[int] = None) -> int:
+                base_version: Optional[int] = None,
+                extra: Optional[Dict] = None) -> int:
         """Atomically claim the next version.  ``base_version`` is the
         snapshot this change was computed against: if a concurrent writer
         has committed since (latest != base), or the version-file claim
@@ -105,6 +106,8 @@ class SnapshotTable:
             "timestamp_ms": int(time.time() * 1000),
             "files": sorted(files),
         }
+        if extra:
+            manifest.update(extra)
         tmp = os.path.join(self.snap_dir, f".v{v}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -171,7 +174,7 @@ class SnapshotTable:
         return spark.read.parquet(*self.files(version))
 
     def append(self, spark: SparkSession, df: DataFrame,
-               max_retries: int = 5) -> int:
+               max_retries: int = 5, _extra: Optional[Dict] = None) -> int:
         """Append commutes with any concurrent commit, so a conflict is
         rebased automatically: re-read the (new) live file list and retry
         the commit — the staged data files are written exactly once."""
@@ -180,11 +183,35 @@ class SnapshotTable:
             m = self._manifest()
             try:
                 return self._commit(m["files"] + added, "append",
-                                    base_version=m["version"])
+                                    base_version=m["version"], extra=_extra)
             except CommitConflictError:
                 if attempt == max_retries:
                     raise
         raise AssertionError("unreachable")
+
+    # -- streaming ingest (exactly-once via batch-id fencing) ---------------
+
+    def last_stream_batch_id(self) -> Optional[int]:
+        """Highest streaming batch id ever committed to this table (scans
+        retained manifests — the fencing token for idempotent replay)."""
+        best = None
+        for v in self.versions():
+            b = self._manifest(v).get("stream_batch_id")
+            if b is not None and (best is None or b > best):
+                best = b
+        return best
+
+    def append_stream_batch(self, df: DataFrame, batch_id: int) -> Optional[int]:
+        """Idempotent append for ``foreachBatch``: a batch id at or below
+        the last committed one is a checkpoint replay — skipped, so a
+        restarted stream never double-writes (Iceberg's exactly-once
+        streaming-commit contract).  Returns the new version, or None if
+        fenced."""
+        last = self.last_stream_batch_id()
+        if last is not None and batch_id <= last:
+            return None
+        return self.append(df.sparkSession, df,
+                           _extra={"stream_batch_id": int(batch_id)})
 
     def update_where(self, spark: SparkSession,
                      assignments: Dict[str, object], predicate) -> dict:

@@ -117,3 +117,36 @@ def test_stream_stream_join_batch_equivalence(spark, events, sf_dir):
         & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 30 minutes"))
         & (F.col("v.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 minutes"))).count()
     assert n == want and n > 0
+
+
+def test_stream_to_snapshot_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch ingest into the snapshot layer: every micro-batch is one
+    append snapshot carrying its batch id; a checkpoint replay (same or
+    older id) is fenced — restart never double-writes."""
+    from sedona_iceberg_extension_spark.operators.snapshots import SnapshotTable
+    from sedona_iceberg_extension_spark.sources import stream_table
+    from sedona_iceberg_extension_spark.streaming import write_stream_to_snapshot
+
+    seed = spark.read.parquet(f"{sf_dir}/nation.parquet").limit(0)
+    table = SnapshotTable.create(spark, str(tmp_path / "ingest"), seed)
+
+    stream = stream_table(spark, sf_dir, "nation")
+    q = write_stream_to_snapshot(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    expected = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert table.read(spark).count() == expected
+    assert table.last_stream_batch_id() == 0
+    hist = [h["operation"] for h in table.history()]
+    assert hist[0] == "create" and all(op == "append" for op in hist[1:])
+
+    # restart with the same checkpoint: source has no new files -> no batch;
+    # and a manual replay of batch 0 is fenced by the id
+    n_versions = len(table.versions())
+    q2 = write_stream_to_snapshot(stream_table(spark, sf_dir, "nation"),
+                                  table, str(tmp_path / "ckpt"))
+    q2.awaitTermination(300)
+    batch0 = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert table.append_stream_batch(batch0, 0) is None  # fenced
+    assert len(table.versions()) == n_versions
+    assert table.read(spark).count() == expected
