@@ -120,8 +120,9 @@ def spatial_join(
 ) -> DataFrame:
     """Join two DataFrames on a spatial predicate between WKB columns.
 
-    ``how``: inner | left_semi | left_anti.  Columns of both inputs are kept
-    (right's prefixed with ``r_`` on collision) for inner joins.
+    ``how``: inner | left (outer, right side null-extended) | left_semi |
+    left_anti.  Columns of both inputs are kept (right's prefixed with
+    ``r_`` on collision) for inner/left joins.
 
     ``left_is_points`` / ``right_is_points`` / ``right_is_rects`` are
     optional exactness hints: when a side is known to be all points (or the
@@ -201,6 +202,17 @@ def spatial_join(
 
     if strategy == "broadcast":
         joined = left.join(F.broadcast(right_renamed), cond, how)
+    elif how == "left":
+        # grid path, left outer: inner matches via the cell equi-join, then
+        # null-extend the unmatched left rows (found by anti-join on a row
+        # id — the cell-exploded copies must collapse back to one row)
+        lid = left.withColumn("_lid", F.monotonically_increasing_id())
+        inner = _grid_join(lid, right_renamed, lp, rp, cond, "inner",
+                           grid_size, d)
+        unmatched = lid.join(inner.select("_lid").distinct(), "_lid",
+                             "left_anti")
+        joined = inner.unionByName(unmatched, allowMissingColumns=True) \
+            .drop("_lid")
     elif how in ("left_semi", "left_anti"):
         # grid path with semi/anti: run the inner grid join over a synthetic
         # row id, then equi-semi/anti back — the exploded cell copies of a

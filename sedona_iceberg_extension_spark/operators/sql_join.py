@@ -67,7 +67,7 @@ _NOT_KW = (r"(?!ON\b|JOIN\b|INNER\b|CROSS\b|LEFT\b|RIGHT\b|FULL\b|WHERE\b"
 _JOIN_RE = re.compile(
     rf"""FROM\s+
         (?P<lrel>[\w.]+)(?:\s+(?:AS\s+)?{_NOT_KW}(?P<lalias>\w+))?\s+
-        (?:INNER\s+)?JOIN\s+
+        (?:(?P<outer>LEFT\s+(?:OUTER\s+)?)|INNER\s+)?JOIN\s+
         (?P<rrel>[\w.]+)(?:\s+(?:AS\s+)?{_NOT_KW}(?P<ralias>\w+))?\s+
         ON\s+(?P<pred>ST_\w+)\s*\(""",
     re.IGNORECASE | re.VERBOSE,
@@ -103,6 +103,7 @@ class _Match(NamedTuple):
     pred_sql: str
     args: List[str]
     extra: Optional[str]       # trailing AND-conjuncts (verbatim SQL) or None
+    how: str                   # "inner" | "left"
 
 
 def _balanced_args(sql: str, open_idx: int) -> Tuple[List[str], int]:
@@ -144,8 +145,9 @@ def _find_spatial_join(sql: str) -> Optional[_Match]:
         after += em.start()
     lalias = m.group("lalias") or m.group("lrel").rsplit(".", 1)[-1]
     ralias = m.group("ralias") or m.group("rrel").rsplit(".", 1)[-1]
+    how = "left" if m.group("outer") else "inner"
     return _Match((m.start(), after), m.group("lrel"), lalias,
-                  m.group("rrel"), ralias, pred, args, extra)
+                  m.group("rrel"), ralias, pred, args, extra, how)
 
 
 def _resolve_geom(df: DataFrame, side_alias: str, arg_alias: str,
@@ -217,7 +219,7 @@ def plan_spatial_join_sql(
     rdf2, rgeo, _ = right_res
 
     joined = spatial_join(ldf2, rdf2, predicate=predicate, on=(lgeo, rgeo),
-                          strategy=strategy, d=d)
+                          how=match.how, strategy=strategy, d=d)
 
     lcols, rcols = ldf2.columns, rdf2.columns
     common = set(lcols) & set(rcols)

@@ -606,6 +606,39 @@ ORDER BY id_c, id_n, id_s
 """
 
 
+def q_spatial_join_left(spark, sf_dir):
+    """LEFT OUTER spatial join as plain SQL: customers east of the last
+    nation strip (x > 170) match no box and must survive null-extended.
+    The grid path computes inner matches via the cell equi-join, then
+    anti-joins the row id to null-extend unmatched rows exactly once."""
+    from ..operators import spatial_sql
+
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "geo", "geo_env")
+    nation = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0),
+    ).select("n_nationkey", "geo", "geo_env")
+    pts.createOrReplaceTempView("sql_left_pts")
+    boxes.createOrReplaceTempView("sql_left_boxes")
+    out = spatial_sql(spark, """
+        SELECT p.c_custkey AS id_c, b.n_nationkey AS id_n
+        FROM sql_left_pts p LEFT JOIN sql_left_boxes b
+        ON ST_Contains(b.geo, p.geo)""")
+    return out.orderBy(F.col("id_c"), F.col("id_n").asc_nulls_last())
+
+
+_QSJLEFT_SQL = f"""
+SELECT c_custkey AS id_c, n_nationkey AS id_n
+FROM customer LEFT JOIN nation
+  ON {_CX} > CAST(n_nationkey * 14 - 180 AS DOUBLE)
+ AND {_CX} < CAST(n_nationkey * 14 - 166 AS DOUBLE)
+ AND {_CY} > -90.0 AND {_CY} < 90.0
+ORDER BY id_c, id_n NULLS LAST
+"""
+
+
 def q_spatial_join_broadcast(spark, sf_dir):
     """The planner's OTHER strategy: a tiny build side (25 nation boxes)
     broadcast against customer points — envelope conjuncts evaluated inside
@@ -1600,6 +1633,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_sql_dwithin": QueryDef(q_spatial_join_sql_dwithin, _QSJDSQL_SQL, False),
     "spatial_join_sql_chain": QueryDef(q_spatial_join_sql_chain, _QSJCHAIN_SQL, False),
+    "spatial_join_left": QueryDef(q_spatial_join_left, _QSJLEFT_SQL, False),
     "spatial_join_broadcast": QueryDef(q_spatial_join_broadcast, _QSJB_SQL, False),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),

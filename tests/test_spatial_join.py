@@ -255,3 +255,25 @@ def test_asof_join_null_fields_come_from_latest_row(spark):
     row = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").first()
     assert row["s_r"] == "new"
     assert row["v_r"] is None  # latest row's NULL, not the older 1.0
+
+
+def test_left_outer_grid_join(spark):
+    """how='left': unmatched left rows survive exactly once with the right
+    side null-extended — the cell-exploded copies must collapse back."""
+    from sedona_iceberg_extension_spark.functions import api as ST
+    from sedona_iceberg_extension_spark.operators import spatial_join
+
+    pts = ST.with_point_geometry(
+        spark.createDataFrame([(1, 10.0, 10.0), (2, 20.0, 20.0),
+                               (3, 99.0, 99.0)], "id long, x double, y double"),
+        F.col("x"), F.col("y"))
+    boxes = ST.with_box_geometry(
+        spark.createDataFrame([(10, 0.0, 0.0, 15.0, 15.0),
+                               (20, 15.0, 15.0, 25.0, 25.0)],
+                              "bid long, x0 double, y0 double, x1 double, y1 double"),
+        F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    out = spatial_join(pts, boxes, predicate="within", on=("geo", "geo"),
+                       how="left", strategy="grid",
+                       left_is_points=True, right_is_rects=True)
+    rows = sorted((r["id"], r["bid"]) for r in out.select("id", "bid").collect())
+    assert rows == [(1, 10), (2, 20), (3, None)]

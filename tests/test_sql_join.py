@@ -180,3 +180,20 @@ def test_declared_query_matches_plain_join(spark, sf_dir):
         .select("c_custkey", "n_nationkey").orderBy("c_custkey", "n_nationkey")
     expected = [(r.c_custkey, r.n_nationkey) for r in exp.collect()]
     assert got == expected
+
+
+def test_left_outer_spatial_join_sql(spark, ref_tables):
+    # point (10,10) is inside box 10, (20,20) inside box 20; add a point in
+    # neither box — LEFT JOIN must keep it with a NULL box id
+    spark.sql(
+        "SELECT * FROM test_left UNION ALL "
+        "SELECT 3, 'data_3', ST_Point(CAST(99.0 AS DOUBLE), CAST(99.0 AS DOUBLE))"
+    ).createOrReplaceTempView("test_left3")
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, r.id AS id_r "
+        "FROM test_left3 l LEFT JOIN test_right r ON ST_Contains(r.geo, l.geo) "
+        "ORDER BY id_l"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = [(r.id_l, r.id_r) for r in df.collect()]
+    assert rows == [(1, 10), (2, 20), (3, None)]
