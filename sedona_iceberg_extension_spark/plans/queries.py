@@ -1505,6 +1505,35 @@ def q_streaming_sessionize(spark, sf_dir):
         f"GROUP BY user_id ORDER BY user_id")
 
 
+def q_snapshot_time_travel(spark, sf_dir):
+    """The snapshot layer driven end-to-end as a query: CREATE a versioned
+    table from nation, copy-on-write UPDATE one region's names, then read
+    BOTH versions (time travel) and join them.  The update is deterministic,
+    so the v1/v2 pair is exactly SQL-expressible — the oracle recomputes v2
+    with a CASE over the original table."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="snapq_") + "/nation"
+    t = SnapshotTable.create(spark, path, nation.repartition(4))
+    t.update_where(spark, {"n_name": "'UPDATED'"}, "n_regionkey = 1")
+    v1 = t.read(spark, version=1).select("n_nationkey",
+                                         F.col("n_name").alias("name_v1"))
+    v2 = t.read(spark).select("n_nationkey",
+                              F.col("n_name").alias("name_v2"))
+    return v1.join(v2, "n_nationkey").orderBy("n_nationkey")
+
+
+_QSNAP_SQL = """
+SELECT n_nationkey, n_name AS name_v1,
+       CASE WHEN n_regionkey = 1 THEN 'UPDATED' ELSE n_name END AS name_v2
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicatesWithinWatermark) run as a REAL
     stream over the events table: one availableNow batch, bounded state.
@@ -1671,6 +1700,7 @@ QUERIES: Dict[str, QueryDef] = {
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
     "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
     "streaming_dedup": QueryDef(q_streaming_dedup, _QSTREAM_DEDUP_SQL, False),
+    "snapshot_time_travel": QueryDef(q_snapshot_time_travel, _QSNAP_SQL, False),
     "streaming_click_view_join": QueryDef(q_streaming_click_view_join, _QSTREAM_SSJ_SQL, False),
 }
 
