@@ -264,6 +264,17 @@ def _haversine(g1: Geometry, g2: Geometry) -> Optional[float]:
 st_distancesphere = _u2(_haversine, _DBL)
 
 
+@pandas_udf(_BOOL)
+def st_dwithin(wkb1: pd.Series, wkb2: pd.Series, d: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2, dd in zip(wkb1, wkb2, d):
+        if b1 is None or b2 is None or dd is None:
+            out.append(None)
+        else:
+            out.append(A.distance(from_wkb(b1), from_wkb(b2)) <= float(dd))
+    return pd.Series(out, dtype=object)
+
+
 # ---------------------------------------------------------------------------
 # accessors
 # ---------------------------------------------------------------------------
@@ -740,6 +751,7 @@ SQL_FUNCTIONS: Dict[str, object] = {
     "ST_Length": st_length,
     "ST_Distance": st_distance,
     "ST_DistanceSphere": st_distancesphere,
+    "ST_DWithin": st_dwithin,
     # accessors
     "ST_X": st_x,
     "ST_Y": st_y,

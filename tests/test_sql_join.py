@@ -197,3 +197,40 @@ def test_left_outer_spatial_join_sql(spark, ref_tables):
     assert "CartesianProduct" not in plan
     rows = [(r.id_l, r.id_r) for r in df.collect()]
     assert rows == [(1, 10), (2, 20), (3, None)]
+
+
+@pytest.mark.parametrize("pred_sql", [
+    "ST_Contains(b.geo, p.geo)",
+    "ST_Intersects(p.geo, b.geo)",
+    "ST_DWithin(p.geo, q.geo, 7.5)",
+])
+def test_rewriter_equals_vanilla_on_random_data(spark, pred_sql):
+    """The planned join must return exactly the rows the unplanned (UDF
+    nested-loop) evaluation returns — seeded random points and boxes, every
+    supported predicate family."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(-50, 50, size=(120, 2)))]
+    spark.createDataFrame(pts, "id long, x double, y double") \
+        .selectExpr("id", "ST_Point(x, y) AS geo") \
+        .createOrReplaceTempView("rnd_p")
+    spark.createDataFrame(pts[:40], "id long, x double, y double") \
+        .selectExpr("id", "ST_Point(x, y) AS geo") \
+        .createOrReplaceTempView("rnd_q")
+    boxes = []
+    for i, (x, y, w, h) in enumerate(np.c_[rng.uniform(-50, 40, (25, 2)),
+                                           rng.uniform(1, 15, (25, 2))]):
+        boxes.append((int(i), float(x), float(y), float(x + w), float(y + h)))
+    spark.createDataFrame(
+        boxes, "id long, x0 double, y0 double, x1 double, y1 double") \
+        .selectExpr("id", "ST_PolygonFromEnvelope(x0, y0, x1, y1) AS geo") \
+        .createOrReplaceTempView("rnd_b")
+
+    right = "rnd_q q" if "q.geo" in pred_sql else "rnd_b b"
+    other = "q" if "q.geo" in pred_sql else "b"
+    sql = (f"SELECT p.id AS id_p, {other}.id AS id_o "
+           f"FROM rnd_p p JOIN {right} ON {pred_sql} ORDER BY id_p, id_o")
+    planned = [(r.id_p, r.id_o) for r in spatial_sql(spark, sql).collect()]
+    vanilla = [(r.id_p, r.id_o) for r in spark.sql(sql).collect()]
+    assert planned == vanilla and len(vanilla) > 0
