@@ -79,6 +79,11 @@ def update_where(spark: SparkSession, path: str,
     Returns ``{"files_rewritten": n, "rows_updated": n}``.
     """
     pred = _to_col(predicate)
+    cols = set(spark.read.parquet(path).columns)
+    unknown = set(assignments) - cols
+    if unknown:
+        raise ValueError(f"UPDATE SET references unknown column(s) "
+                         f"{sorted(unknown)} (table has {sorted(cols)})")
     touched = _table_files(spark, path, pred)
     if not touched:
         return {"files_rewritten": 0, "rows_updated": 0}
@@ -138,6 +143,10 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
     target = spark.read.parquet(target_path)
     cols = target.columns
     update_cols = update_cols or [c for c in cols if c != on]
+    unknown = set(update_cols) - set(cols)
+    if unknown:
+        raise ValueError(f"MERGE UPDATE SET references unknown column(s) "
+                         f"{sorted(unknown)} (table has {sorted(cols)})")
 
     keys = source.select(on).distinct()
     dup = (source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))

@@ -221,6 +221,11 @@ class SnapshotTable:
         m = self._manifest()
         live = [os.path.join(self.path, f) for f in m["files"]]
         df = spark.read.parquet(*live)
+        unknown = set(assignments) - set(df.columns)
+        if unknown:
+            raise ValueError(f"UPDATE SET references unknown column(s) "
+                             f"{sorted(unknown)} (table has "
+                             f"{sorted(df.columns)})")
         touched = [r["_f"].replace("file://", "") for r in
                    (df.withColumn("_f", F.input_file_name())
                     .filter(pred).select("_f").distinct().collect())]
@@ -273,6 +278,11 @@ class SnapshotTable:
         target = spark.read.parquet(*live)
         cols = target.columns
         update_cols = update_cols or [c for c in cols if c != on]
+        unknown = set(update_cols) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"MERGE UPDATE SET references unknown column(s) "
+                f"{sorted(unknown)} (table has {sorted(cols)})")
 
         dup = (source.groupBy(on).agg(F.count(F.lit(1)).alias("_n"))
                .filter(F.col("_n") > 1).limit(1).collect())

@@ -35,6 +35,30 @@ def register_all(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def sql(spark: SparkSession, statement: str, tables: dict | None = None):
+    """One SQL front door — the user-facing parity point with the
+    reference, where after ``SedonaIcebergExtensions`` injection every
+    statement is just ``spark.sql(...)`` (App.scala:42-66 drives CREATE /
+    SELECT-with-spatial-join / UPDATE through the same entry point):
+
+    - ``UPDATE`` / ``DELETE`` / ``MERGE INTO`` → ``operators.dml.sql_dml``
+      (file-granularity copy-on-write; ``tables`` maps statement table
+      names to parquet paths) — returns the result dict;
+    - everything else → ``operators.sql_join.spatial_sql``, which plans any
+      ``JOIN ... ON ST_pred`` through the distributed spatial join and
+      falls through to vanilla ``spark.sql`` otherwise — returns a
+      DataFrame.
+    """
+    import re as _re
+
+    from .operators.dml import sql_dml
+    from .operators.sql_join import spatial_sql
+
+    if _re.match(r"^\s*(UPDATE|DELETE|MERGE)\b", statement, _re.IGNORECASE):
+        return sql_dml(spark, statement, tables or {})
+    return spatial_sql(spark, statement)
+
+
 def get_session(app_name: str = "sedona-iceberg-extension-spark",
                 master: str | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:

@@ -139,3 +139,33 @@ def test_cache_table_then_spatial_join(spark, sf_dir):
         assert got == want and len(got) > 0
     finally:
         cc.unpersist(); nc.unpersist()
+
+
+def test_unified_sql_front_door(spark, tmp_path):
+    """session.sql routes every statement family through one entry point —
+    the reference's post-injection UX (App.scala:42-66: DDL, spatial-join
+    SELECT, and UPDATE all through spark.sql)."""
+    from sedona_iceberg_extension_spark.session import sql
+
+    # DDL / vanilla passthrough
+    sql(spark, "CREATE OR REPLACE TEMP VIEW fd_pts AS "
+               "SELECT id, ST_Point(CAST(id * 10 AS DOUBLE), CAST(id * 10 AS DOUBLE)) AS geo "
+               "FROM RANGE(1, 3) t(id)")
+    sql(spark, "CREATE OR REPLACE TEMP VIEW fd_boxes AS "
+               "SELECT 10 AS id, ST_PolygonFromEnvelope(0.0D, 0.0D, 15.0D, 15.0D) AS geo "
+               "UNION ALL SELECT 20, ST_PolygonFromEnvelope(15.0D, 15.0D, 25.0D, 25.0D)")
+
+    # spatial-join SELECT -> planned (no nested loop)
+    df = sql(spark, "SELECT p.id AS id_p, b.id AS id_b FROM fd_pts p "
+                    "JOIN fd_boxes b ON ST_Contains(b.geo, p.geo) ORDER BY id_p")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert [(r.id_p, r.id_b) for r in df.collect()] == [(1, 10), (2, 20)]
+
+    # DML -> copy-on-write result dict
+    path = str(tmp_path / "fd_tbl")
+    spark.range(0, 50).selectExpr("id", "CAST(id AS DOUBLE) AS v") \
+        .repartition(4).write.parquet(path)
+    res = sql(spark, "UPDATE fd_tbl SET v = 0.0 WHERE id < 10", {"fd_tbl": path})
+    assert res["rows_updated"] == 10
+    assert spark.read.parquet(path).filter("v = 0.0").count() == 10

@@ -173,3 +173,18 @@ def test_merge_sql_column_list(spark, table):
     row = after.filter("id = 4").collect()[0]
     assert row["data"] == "colmerge"
     assert row["x"] == 4.0  # only the listed column was updated
+
+
+def test_update_unknown_column_raises(spark, table):
+    with pytest.raises(ValueError, match="unknown column"):
+        dml.update_where(spark, table, {"nope": "'x'"}, "id = 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        dml.sql_dml(spark, "UPDATE tbl SET nope = 'x' WHERE id = 1",
+                    {"tbl": table})
+
+
+def test_merge_unknown_update_col_raises(spark, table):
+    src = spark.createDataFrame([(1, "a", 0.0, 0.0)],
+                                "id long, data string, x double, y double")
+    with pytest.raises(ValueError, match="unknown column"):
+        dml.merge_into(spark, table, src, on="id", update_cols=["nope"])

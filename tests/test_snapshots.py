@@ -284,3 +284,9 @@ def test_zorder_rewrite_tightens_file_stats(spark, tmp_path):
     assert t.read(spark).count() == 4096
     assert t.read(spark).agg(F.sum("x"), F.sum("y")).collect() == \
         t.read(spark, version=1).agg(F.sum("x"), F.sum("y")).collect()
+
+
+def test_snapshot_update_unknown_column_raises(spark, table):
+    with pytest.raises(ValueError, match="unknown column"):
+        table.update_where(spark, {"nope": "1"}, "grp = 1")
+    assert table.versions() == [1]
