@@ -168,10 +168,19 @@ class SnapshotTable:
         t._commit(names, "create")
         return t
 
-    def read(self, spark: SparkSession,
-             version: Optional[int] = None) -> DataFrame:
-        """The table as of ``version`` (latest when None) — time travel."""
-        return spark.read.parquet(*self.files(version))
+    def read(self, spark: SparkSession, version: Optional[int] = None,
+             merge_schema: bool = True) -> DataFrame:
+        """The table as of ``version`` (latest when None) — time travel.
+
+        ``merge_schema=True`` gives additive schema evolution (Iceberg
+        add-column): an append may carry new columns, and older files read
+        them as NULL.  A version whose files predate the column doesn't
+        show it — evolution is part of history.  (Iceberg resolves the
+        schema from table metadata instead of file footers; over plain
+        parquet the footer union is the equivalent, at a small
+        footer-read cost per file.)"""
+        return (spark.read.option("mergeSchema", str(merge_schema).lower())
+                .parquet(*self.files(version)))
 
     def append(self, spark: SparkSession, df: DataFrame,
                max_retries: int = 5, _extra: Optional[Dict] = None) -> int:

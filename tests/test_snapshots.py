@@ -290,3 +290,20 @@ def test_snapshot_update_unknown_column_raises(spark, table):
     with pytest.raises(ValueError, match="unknown column"):
         table.update_where(spark, {"nope": "1"}, "grp = 1")
     assert table.versions() == [1]
+
+
+def test_additive_schema_evolution(spark, table):
+    """Iceberg add-column: an append may carry a new column; older files
+    read it as NULL, and a pre-evolution version doesn't show it at all."""
+    more = spark.range(100, 110).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 1.5).alias("val"), F.lit("new").alias("tag"))
+    v = table.append(spark, more)
+    now = table.read(spark)
+    assert "tag" in now.columns
+    assert now.count() == 110
+    assert now.filter("tag IS NULL").count() == 100   # pre-evolution rows
+    assert now.filter("tag = 'new'").count() == 10
+    # time travel to v1: the column doesn't exist yet
+    assert "tag" not in table.read(spark, version=1).columns
+    assert v == 2
