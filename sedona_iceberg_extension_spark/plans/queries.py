@@ -1373,11 +1373,43 @@ ORDER BY label
 # ===========================================================================
 
 def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN.  The planes are md5-derived (deterministic, no
+    RNG state), so the bucketing — and therefore the whole approximate
+    result — is exactly reproducible in SQL: the oracle re-derives every
+    plane weight and the bucket sign-pattern term by term.  The dot
+    products fold left from 0.0 in both engines over the same doubles, so
+    the IEEE results are bitwise identical and the sign never diverges."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.lsh_topk(queries, emb, k=5, num_planes=4)
     return out.select("query_id", "data_id", F.round("cosine", 6).alias("cosine"), "rank") \
         .orderBy("query_id", "rank")
+
+
+def _lsh_topk_sql(k: int = 5, num_planes: int = 4, dim: int = 64) -> str:
+    from ..pipeline.similarity import _hyperplane
+    cases = []
+    for p in range(num_planes):
+        w = _hyperplane(dim, p)
+        terms = " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w[i]!r})"
+                           for i in range(dim))
+        cases.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END")
+    bucket = " + ".join(cases)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+)
+SELECT query_id, data_id, ROUND(cosine, 6) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+         list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine,
+         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+              d.vec_id ASC) AS INT) AS rank
+  FROM (SELECT * FROM b WHERE vec_id < 5) q JOIN b d ON d.bucket = q.bucket) t
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1693,7 +1725,7 @@ QUERIES: Dict[str, QueryDef] = {
     "embedding_dup_pairs": QueryDef(q_embedding_dup_pairs, _QEMBD_SQL, False),
     "embedding_label_stats": QueryDef(q_embedding_label_stats, _QEMBL_SQL, False),
     # approximate / streaming / multimodal
-    "lsh_ann_topk": QueryDef(q_lsh_topk, None, False),
+    "lsh_ann_topk": QueryDef(q_lsh_topk, _lsh_topk_sql(), False),
     "ivf_ann_topk": QueryDef(q_ivf_topk, None, False),
     "multimodal_features": QueryDef(q_multimodal_features, _QMMFEAT_SQL, False),
     "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, _QMMFRAME_SQL, False),
