@@ -126,7 +126,8 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
 
 def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
                on: str, update_cols: Optional[list] = None,
-               insert_when_not_matched: bool = True) -> dict:
+               insert_when_not_matched: bool = True,
+               update_when_matched: bool = True) -> dict:
     """``MERGE INTO target USING source ON target.on = source.on`` with
     WHEN MATCHED THEN UPDATE (all or ``update_cols``) and optional
     WHEN NOT MATCHED THEN INSERT.
@@ -156,10 +157,11 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
             f"MERGE: source has multiple rows for key {on}={dup[0][on]!r} "
             "(SQL MERGE forbids multiple matches per target row)")
 
-    touched = [r["_f"].replace("file://", "") or r["_f"] for r in
-               (target.withColumn("_f", F.input_file_name())
-                .join(keys, on, "left_semi")
-                .select("_f").distinct().collect())]
+    touched = [] if not update_when_matched else [
+        r["_f"].replace("file://", "") or r["_f"] for r in
+        (target.withColumn("_f", F.input_file_name())
+         .join(keys, on, "left_semi")
+         .select("_f").distinct().collect())]
 
     src = source.select(*[F.col(c).alias(f"_src_{c}") for c in source.columns])
     obs_u = None
@@ -183,8 +185,11 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
         inserts = (src.join(target.select(on),
                             src[f"_src_{on}"] == F.col(on), "left_anti")
                    .observe(obs_i, F.count(F.lit(1)).alias("n"))
-                   .select(*[F.col(f"_src_{c}").alias(c) for c in cols
-                             if f"_src_{c}" in src.columns]))
+                   # null-fill target columns the source lacks — the table's
+                   # schema must not drift per-file on insert
+                   .select(*[(F.col(f"_src_{c}") if f"_src_{c}" in src.columns
+                              else F.lit(None).cast(target.schema[c].dataType))
+                             .alias(c) for c in cols]))
     if rewritten is None and inserts is None:
         return {"files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
 
@@ -220,7 +225,7 @@ _MERGE_RE = re.compile(
     r"""^\s*MERGE\s+INTO\s+(?P<t>\S+)(?:\s+(?:AS\s+)?(?P<ta>\w+))?\s+
         USING\s+(?P<s>\S+)(?:\s+(?:AS\s+)?(?P<sa>\w+))?\s+
         ON\s+(?P<on1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<on2>\w+)\.(?P<k2>\w+)\s+
-        WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)\s*
+        (?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)\s*)?
         (?P<ins>WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*)?$""",
     re.IGNORECASE | re.DOTALL | re.VERBOSE)
 
@@ -270,8 +275,11 @@ def sql_dml(spark: SparkSession, stmt: str,
         if on != on_src:
             raise ValueError("MERGE ON key must have the same column name "
                              "on both sides in this engine")
-        set_clause = m.group("set").strip()
-        if set_clause == "*":
+        set_clause = (m.group("set") or "").strip()
+        if not set_clause and not m.group("ins"):
+            raise ValueError("MERGE needs WHEN MATCHED and/or WHEN NOT "
+                             "MATCHED clause")
+        if set_clause in ("*", ""):
             update_cols = None
         else:
             # "c = src.c, d = src.d" — this engine's MERGE takes values from
@@ -281,5 +289,6 @@ def sql_dml(spark: SparkSession, stmt: str,
         source = spark.table(m.group("s"))
         return merge_into(spark, tables[m.group("t")], source, on,
                           update_cols=update_cols,
-                          insert_when_not_matched=bool(m.group("ins")))
+                          insert_when_not_matched=bool(m.group("ins")),
+                          update_when_matched=bool(set_clause))
     raise ValueError(f"unsupported DML statement: {stmt[:80]}")

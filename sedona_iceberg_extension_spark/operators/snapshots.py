@@ -328,8 +328,11 @@ class SnapshotTable:
                 src.join(target.select(on), src[f"_src_{on}"] == F.col(on),
                          "left_anti")
                 .observe(obs_i, F.count(F.lit(1)).alias("n"))
-                .select(*[F.col(f"_src_{c}").alias(c) for c in cols
-                          if f"_src_{c}" in src.columns]))
+                # null-fill target columns the source lacks — the table's
+                # schema must not drift per-file on insert
+                .select(*[(F.col(f"_src_{c}") if f"_src_{c}" in src.columns
+                           else F.lit(None).cast(target.schema[c].dataType))
+                          .alias(c) for c in cols]))
         if not parts:
             return {"version": m["version"], "files_rewritten": 0,
                     "rows_updated": 0, "rows_inserted": 0}

@@ -188,3 +188,23 @@ def test_merge_unknown_update_col_raises(spark, table):
                                 "id long, data string, x double, y double")
     with pytest.raises(ValueError, match="unknown column"):
         dml.merge_into(spark, table, src, on="id", update_cols=["nope"])
+
+
+def test_merge_sql_insert_only(spark, table):
+    """Iceberg's insert-only MERGE (no WHEN MATCHED clause): existing rows
+    are untouched — no file is rewritten at all — and only new keys land."""
+    src = spark.createDataFrame(
+        [(3, "dupe", 0.0, 0.0), (888, "fresh", 1.0, 1.0)],
+        "id long, data string, x double, y double")
+    src.createOrReplaceTempView("ins_src")
+    res = dml.sql_dml(
+        spark,
+        "MERGE INTO tbl USING ins_src ON tbl.id = ins_src.id "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": table})
+    assert res["files_rewritten"] == 0
+    assert res["rows_updated"] == 0 and res["rows_inserted"] == 1
+    after = spark.read.parquet(table)
+    assert after.count() == 101
+    assert after.filter("id = 3 AND data = 'dupe'").count() == 0  # untouched
+    assert after.filter("id = 888").count() == 1
