@@ -1198,6 +1198,84 @@ ORDER BY component
 """)
 
 
+def q_doc_dedup_pipeline(spark, sf_dir):
+    """The full training-data dedup funnel as ONE declared query: exact
+    dedup (md5 groupBy, keep min id) → MinHash-LSH pair generation over the
+    survivors → connected components → drop non-canonical cluster members.
+    Output: per language, how many documents entered, survived exact dedup,
+    and survived near-dedup.  Every stage is the scale-shaped operator the
+    engine ships (one shuffle each; no all-pairs anywhere); the oracle
+    replays the identical funnel in SQL (recursive closure for the cluster
+    stage)."""
+    from ..pipeline import components as cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage1 = dedup.exact_dedup(docs, "doc_id", "text")
+    pairs = dedup.minhash_lsh_pairs(stage1, "doc_id", "text",
+                                    num_hashes=8, bands=4)
+    comp = cc.connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias("doc_id"))
+    final = stage1.join(dropped, "doc_id", "left_anti")
+
+    n_in = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_exact = stage1.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_exact"))
+    n_final = final.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_near"))
+    return (
+        n_in.join(n_exact, "lang", "left").join(n_final, "lang", "left")
+        .select("lang", "n_docs",
+                F.coalesce("n_after_exact", F.lit(0)).alias("n_after_exact"),
+                F.coalesce("n_after_near", F.lit(0)).alias("n_after_near"))
+        .orderBy("lang")
+    )
+
+
+_QPIPE_SQL = (
+    "WITH RECURSIVE exact_keep AS (\n"
+    "  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)\n"
+    "), survivors AS (\n"
+    "  SELECT d.* FROM documents d JOIN exact_keep k ON d.doc_id = k.doc_id\n"
+    ")"
+    + _mh_sig_cte("").replace("WITH toks", ", toks")
+                     .replace("FROM documents", "FROM survivors")
+    + """
+, banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(format('{}:{}', seed, minhash), ','
+             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, w) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.w FROM edges e JOIN reach r ON r.u = e.v
+), comp AS (
+  SELECT u AS doc_id, MIN(w) AS component FROM reach GROUP BY u
+), dropped AS (
+  SELECT doc_id FROM comp WHERE doc_id != component
+), final AS (
+  SELECT s.* FROM survivors s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT i.lang, i.n_docs,
+       COALESCE(e.n, 0) AS n_after_exact,
+       COALESCE(f.n, 0) AS n_after_near
+FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang) i
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM survivors GROUP BY lang) e
+  ON e.lang = i.lang
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM final GROUP BY lang) f
+  ON f.lang = i.lang
+ORDER BY i.lang
+""")
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard pairs with the at-scale document-frequency cap:
     shingles shared by more than 256 documents are stop-shingles — they
@@ -1717,6 +1795,7 @@ QUERIES: Dict[str, QueryDef] = {
     "minhash_lsh_pairs": QueryDef(q_minhash_lsh_pairs, _QLSH_SQL, True),
     "dedup_components": QueryDef(q_dedup_components, _QCOMP_SQL, False),
     "dedup_keep": QueryDef(q_dedup_keep, _QKEEP_SQL, False),
+    "doc_dedup_pipeline": QueryDef(q_doc_dedup_pipeline, _QPIPE_SQL, False),
     "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
     "simhash_values": QueryDef(q_simhash, _simhash_sql(60), False),
     "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(60, 3), False),
