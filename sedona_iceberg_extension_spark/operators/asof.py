@@ -55,3 +55,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             .select("*", *[F.col("_rvals")[c].alias(f"{c}{suffix}")
                            for c in value_cols])
             .drop("_src", "_ats", "_rvals"))
+
+
+def resample_ffill(df: DataFrame, on: str, ts_col: str,
+                   value_cols: Optional[List[str]] = None,
+                   every_s: int = 3600) -> DataFrame:
+    """Regularize an irregular time series: per key, a grid of ``every_s``-
+    second points spanning [floor(min ts), max ts], each carrying the
+    latest observation at-or-before it (forward fill).
+
+    Scale shape: the grid is generated natively (one tiny per-key bounds
+    agg + ``sequence``/``explode`` — no driver-side loop), and the fill is
+    the as-of union+window — ONE shuffle of |grid|+|data| rows on the key.
+    The naive range join (grid × observations, filter, argmax) explodes
+    candidates quadratically per key; this doesn't.
+
+    Returns one row per (key, grid epoch second ``t_s``) plus the filled
+    ``value_cols`` (suffix ``_r`` from :func:`asof_join`)."""
+    ep = F.unix_timestamp(F.col(ts_col))
+    bounds = df.groupBy(on).agg(
+        (F.floor(F.min(ep) / every_s) * every_s).cast("long").alias("_lo"),
+        F.max(ep).cast("long").alias("_hi"))
+    grid = bounds.select(
+        F.col(on),
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
+                             F.lit(every_s))).alias("t_s"))
+    grid = grid.withColumn("_gts", F.timestamp_seconds(F.col("t_s")))
+    return asof_join(grid, df, on=on, left_ts="_gts", right_ts=ts_col,
+                     value_cols=value_cols).drop("_gts")

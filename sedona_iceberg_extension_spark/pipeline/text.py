@@ -230,3 +230,30 @@ def chunk_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.array_join(F.slice(F.col("_toks"), start + 1, size), " ")
             .alias("chunk_text"))
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the standard keyword/feature
+    extractor for corpus curation, fully native: tokenize → term frequency
+    (one groupBy) → document frequency (one groupBy over the distinct
+    (doc, term) pairs already in hand) → ``tf * ln(N / df)`` → windowed
+    top-k.  The corpus size N is a single metadata-scale count; everything
+    row-scale stays distributed.  Ties break on the term string, so the
+    result is deterministic."""
+    n_docs = df.count()
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term")) \
+        .filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("tfidf",
+                          F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(id_col), "term", "tf",
+                    F.round("tfidf", 6).alias("tfidf"), "rank"))

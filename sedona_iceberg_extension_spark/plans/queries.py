@@ -1128,6 +1128,44 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (first 200 docs) — keyword
+    extraction over the corpus, 100% native plan (text.tfidf_top_terms).
+    IDF uses the FULL corpus document frequency; only the output is
+    filtered, so the scores match a whole-corpus oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return (out.filter(F.col("doc_id") < 200)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("doc_id", "rank"))
+
+
+_QTFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term != ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, ROUND(tfidf, 6) AS tfidf, rank
+FROM (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored) t
+WHERE rank <= 3 AND doc_id < 200
+ORDER BY doc_id, rank
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-duplicate *clusters*: connected components over the MinHash-LSH
     pair graph (pipeline.components) — iterative min-label propagation, one
@@ -1615,6 +1653,38 @@ def q_streaming_sessionize(spark, sf_dir):
         f"GROUP BY user_id ORDER BY user_id")
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Per-user 6-hour resampling of the events series with forward fill —
+    the time-series regularization step before windowed feature extraction.
+    Grid natively generated; fill is the single-shuffle as-of union+window.
+    Oracle: DuckDB's built-in ASOF LEFT JOIN over the same generated grid."""
+    from ..operators.asof import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = resample_ffill(ev, on="user_id", ts_col="ts",
+                         value_cols=["value"], every_s=21600)
+    return (out.select("user_id", "t_s",
+                       F.round("value_r", 6).alias("value"))
+            .orderBy("user_id", "t_s"))
+
+
+_QRESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT user_id,
+         (epoch_us(MIN(ts)) // 1000000 // 21600) * 21600 AS lo,
+         epoch_us(MAX(ts)) // 1000000 AS hi
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, CAST(t AS BIGINT) AS t_s
+  FROM bounds, LATERAL (SELECT unnest(range(lo, hi + 1, 21600)) AS t) g
+)
+SELECT g.user_id, g.t_s, ROUND(e.value, 6) AS value
+FROM grid g ASOF LEFT JOIN events e
+  ON g.user_id = e.user_id AND g.t_s * 1000000 >= epoch_us(e.ts)
+ORDER BY g.user_id, g.t_s
+"""
+
+
 def q_snapshot_time_travel(spark, sf_dir):
     """The snapshot layer driven end-to-end as a query: CREATE a versioned
     table from nation, copy-on-write UPDATE one region's names, then read
@@ -1789,6 +1859,7 @@ QUERIES: Dict[str, QueryDef] = {
     "doc_chunks": QueryDef(q_doc_chunks, _QCHUNK_SQL, False),
     "doc_top_tokens": QueryDef(q_doc_top_tokens, _QTOPTOK_SQL, False),
     "doc_stratified_sample": QueryDef(q_doc_stratified_sample, _QSTRAT_SQL, False),
+    "doc_tfidf_top_terms": QueryDef(q_doc_tfidf, _QTFIDF_SQL, False),
     # dedup
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),
     "minhash_signatures": QueryDef(q_minhash_signatures, _QMH_SQL, False),
@@ -1812,6 +1883,7 @@ QUERIES: Dict[str, QueryDef] = {
     "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
     "streaming_dedup": QueryDef(q_streaming_dedup, _QSTREAM_DEDUP_SQL, False),
     "snapshot_time_travel": QueryDef(q_snapshot_time_travel, _QSNAP_SQL, False),
+    "resample_ffill": QueryDef(q_resample_ffill, _QRESAMPLE_SQL, False),
     "streaming_click_view_join": QueryDef(q_streaming_click_view_join, _QSTREAM_SSJ_SQL, False),
 }
 

@@ -318,3 +318,19 @@ def test_keep_canonical(spark):
     keep = {r["component"]: (r["keep_id"], r["n_dropped"])
             for r in cc.keep_canonical(comp).collect()}
     assert keep == {1: (1, 2), 5: (5, 1)}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+    from sedona_iceberg_extension_spark.pipeline import text as T
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["tfidf"])
+           for r in T.tfidf_top_terms(df, "doc_id", "text", k=2).collect()}
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert out[(1, "apple")][0] == 2
+    assert abs(out[(1, "apple")][1] - round(2 * math.log(3.0), 6)) < 1e-9
+    assert abs(out[(1, "banana")][1] - round(math.log(1.5), 6)) < 1e-9
+    # doc 3: unique term
+    assert abs(out[(3, "durian")][1] - round(math.log(3.0), 6)) < 1e-9

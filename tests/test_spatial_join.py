@@ -277,3 +277,24 @@ def test_left_outer_grid_join(spark):
                        left_is_points=True, right_is_rects=True)
     rows = sorted((r["id"], r["bid"]) for r in out.select("id", "bid").collect())
     assert rows == [(1, 10), (2, 20), (3, None)]
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from sedona_iceberg_extension_spark.operators.asof import resample_ffill
+    rows = [(1, "2024-01-01 00:10:00", 10.0),
+            (1, "2024-01-01 02:50:00", 20.0),
+            (2, "2024-01-01 01:05:00", 5.0)]
+    df = spark.createDataFrame(rows, "user_id long, s string, value double") \
+        .select("user_id", F.to_timestamp("s").alias("ts"), "value")
+    out = {(r["user_id"], r["t_s"]): r["value_r"]
+           for r in resample_ffill(df, "user_id", "ts",
+                                   ["value"], every_s=3600).collect()}
+    users = {k[0] for k in out}
+    assert users == {1, 2}
+    u1 = sorted(t for (u, t) in out if u == 1)
+    assert len(u1) == 3 and u1[1] - u1[0] == 3600  # 00:00, 01:00, 02:00 grid
+    assert out[(1, u1[0])] is None        # grid point before first observation
+    assert out[(1, u1[1])] == 10.0        # forward-filled
+    assert out[(1, u1[2])] == 10.0        # still 10 until 02:50
+    u2 = sorted(t for (u, t) in out if u == 2)
+    assert len(u2) == 1 and out[(2, u2[0])] is None
