@@ -639,6 +639,68 @@ ORDER BY id_c, id_n NULLS LAST
 """
 
 
+def q_spatial_dbscan(spark, sf_dir):
+    """Distributed DBSCAN (PostGIS ``ST_ClusterDBSCAN`` analogue) composed
+    from the engine's own operators: grid dwithin self-join → core points →
+    connected components over core-core edges → deterministic (min-cluster)
+    border attachment → noise.  Points use co-prime moduli so all 1500 are
+    distinct (the F4 synthesis collapses to 360 positions).  eps=5,
+    min_pts=6 → a genuine core/border/noise mix.  Oracle: the same
+    definition in SQL with a recursive closure for the cluster stage."""
+    from ..pipeline.clustering import dbscan
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = ST.with_point_geometry(
+        cust.select("c_custkey"),
+        (F.col("c_custkey") % 173).cast("double"),
+        ((F.col("c_custkey") * 7) % 127).cast("double"))
+    out = dbscan(pts, "c_custkey", eps=5.0, min_pts=6)
+    return out.orderBy("c_custkey")
+
+
+_DBX = "CAST(c_custkey % 173 AS DOUBLE)"
+_DBY = "CAST((c_custkey * 7) % 127 AS DOUBLE)"
+
+_QDBSCAN_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id, {_DBX} AS x, {_DBY} AS y FROM customer
+), nbrs AS (
+  SELECT a.id AS ida, b.id AS idb FROM pts a JOIN pts b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25.0
+), core AS (
+  SELECT ida AS id FROM nbrs GROUP BY ida HAVING COUNT(*) >= 6
+), ce AS (
+  SELECT n.ida AS u, n.idb AS v FROM nbrs n
+  JOIN core c1 ON n.ida = c1.id JOIN core c2 ON n.idb = c2.id
+  WHERE n.ida != n.idb
+), reach(u, w) AS (
+  SELECT u, u FROM ce
+  UNION
+  SELECT e.u, r.w FROM ce e JOIN reach r ON r.u = e.v
+), comp AS (
+  SELECT u AS id, MIN(w) AS component FROM reach GROUP BY u
+), core_comp AS (
+  SELECT c.id, COALESCE(cm.component, c.id) AS cluster
+  FROM core c LEFT JOIN comp cm ON cm.id = c.id
+), border AS (
+  SELECT n.ida AS id, MIN(cc.cluster) AS cluster
+  FROM nbrs n JOIN core_comp cc ON n.idb = cc.id
+  WHERE n.ida != n.idb AND n.ida NOT IN (SELECT id FROM core)
+  GROUP BY n.ida
+)
+SELECT c_custkey, role, cluster FROM (
+  SELECT id AS c_custkey, 'core' AS role, cluster FROM core_comp
+  UNION ALL
+  SELECT id, 'border', cluster FROM border
+  UNION ALL
+  SELECT c_custkey, 'noise', CAST(NULL AS BIGINT) FROM customer
+  WHERE c_custkey NOT IN (SELECT id FROM core_comp)
+    AND c_custkey NOT IN (SELECT id FROM border)
+) t
+ORDER BY c_custkey
+"""
+
+
 def q_spatial_join_broadcast(spark, sf_dir):
     """The planner's OTHER strategy: a tiny build side (25 nation boxes)
     broadcast against customer points — envelope conjuncts evaluated inside
@@ -1843,6 +1905,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_join_sql_dwithin": QueryDef(q_spatial_join_sql_dwithin, _QSJDSQL_SQL, False),
     "spatial_join_sql_chain": QueryDef(q_spatial_join_sql_chain, _QSJCHAIN_SQL, False),
     "spatial_join_left": QueryDef(q_spatial_join_left, _QSJLEFT_SQL, False),
+    "spatial_dbscan": QueryDef(q_spatial_dbscan, _QDBSCAN_SQL, False),
     "spatial_join_broadcast": QueryDef(q_spatial_join_broadcast, _QSJB_SQL, False),
     "spatial_join_dwithin": QueryDef(q_spatial_join_dwithin, _QSJD_SQL, True),
     "spatial_knn": QueryDef(q_spatial_knn, _QKNN_SQL, False),

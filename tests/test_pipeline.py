@@ -334,3 +334,25 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert abs(out[(1, "banana")][1] - round(math.log(1.5), 6)) < 1e-9
     # doc 3: unique term
     assert abs(out[(3, "durian")][1] - round(math.log(3.0), 6)) < 1e-9
+
+
+def test_dbscan_hand_computed(spark):
+    """5 points: a 3-chain cluster (each mid point has 3 neighbors incl
+    self), one border hanging off it, one isolated noise point."""
+    from sedona_iceberg_extension_spark.functions import api as ST
+    from sedona_iceberg_extension_spark.pipeline.clustering import dbscan
+
+    rows = [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 2.0, 0.0),
+            (4, 3.5, 0.0),    # within 2.0 of point 3 only -> border
+            (9, 50.0, 50.0)]  # isolated -> noise
+    pts = ST.with_point_geometry(
+        spark.createDataFrame(rows, "id long, x double, y double"),
+        F.col("x"), F.col("y"))
+    out = {r["id"]: (r["role"], r["cluster"])
+           for r in dbscan(pts, "id", eps=2.0, min_pts=3).collect()}
+    # 1,2,3 each have >= 3 neighbors (self + chain) -> core, one cluster
+    assert out[1] == ("core", 1)
+    assert out[2] == ("core", 1)
+    assert out[3] == ("core", 1)
+    assert out[4] == ("border", 1)
+    assert out[9] == ("noise", None)
