@@ -37,12 +37,23 @@ def main():
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # second pass: steady-state (warm codegen/JIT) — the throughput a
+    # long-running cluster actually sees; the cold first pass stays the
+    # headline `value` for methodology continuity across rounds
+    warm = {}
+    for name, qd in headline:
+        t0 = time.time()
+        qd.fn(spark, sf_dir).count()
+        warm[name] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "warm_total": round(sum(warm.values()), 3),
+        "warm_queries": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
