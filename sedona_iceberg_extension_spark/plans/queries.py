@@ -1747,6 +1747,62 @@ ORDER BY g.user_id, g.t_s
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type transition matrix (Markov bigrams): per user,
+    order events by (ts, event_id) — event_id breaks the timestamp ties the
+    testdata contains — take ``lead(event_type)``, count (from, to) pairs
+    globally.  One window + one groupBy; the funnel-analysis primitive."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+_QTRANS_SQL = """
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events) t
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY from_type, to_type
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values per event type — 10 bins over
+    [0, 100), out-of-range clamped to the edge bins.  Pure native floor
+    arithmetic; the profiling primitive for skew-aware partition sizing."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.lit(9), F.greatest(F.lit(0),
+                   F.floor(F.col("value") / 10.0).cast("int")))
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+_QHIST_SQL = """
+SELECT event_type,
+       CAST(LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS INT) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+
 def q_snapshot_time_travel(spark, sf_dir):
     """The snapshot layer driven end-to-end as a query: CREATE a versioned
     table from nation, copy-on-write UPDATE one region's names, then read
@@ -1947,6 +2003,8 @@ QUERIES: Dict[str, QueryDef] = {
     "streaming_dedup": QueryDef(q_streaming_dedup, _QSTREAM_DEDUP_SQL, False),
     "snapshot_time_travel": QueryDef(q_snapshot_time_travel, _QSNAP_SQL, False),
     "resample_ffill": QueryDef(q_resample_ffill, _QRESAMPLE_SQL, False),
+    "event_transitions": QueryDef(q_event_transitions, _QTRANS_SQL, False),
+    "value_histogram": QueryDef(q_value_histogram, _QHIST_SQL, False),
     "streaming_click_view_join": QueryDef(q_streaming_click_view_join, _QSTREAM_SSJ_SQL, False),
 }
 
