@@ -40,6 +40,8 @@ _NATIVE_QUERIES = [
     "q16_supplier_counts", "q17_small_quantity_revenue",
     "q20_promo_suppliers", "q21_sole_fault_supplier", "window_breadth",
     "cube_revenue", "pivot_returnflag", "skew_count_distinct",
+    "doc_tfidf_top_terms", "resample_ffill", "event_transitions",
+    "value_histogram",
 ]
 
 
