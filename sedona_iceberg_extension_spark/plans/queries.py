@@ -1866,6 +1866,44 @@ ORDER BY user_id
 """
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment run as a REAL stream: the events stream
+    left-joined per micro-batch against the broadcast customer dimension
+    (stateless — append mode), then aggregated per market segment.  Events
+    from users with no matching customer row keep a NULL segment; the batch
+    oracle is the same left join."""
+    import tempfile
+
+    from ..sources import stream_table
+    from ..streaming import stream_static_enrich
+
+    ev = stream_table(spark, sf_dir, "events") \
+        .select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"))
+    out = stream_static_enrich(ev, dim, "user_id")
+    name = "q_stream_enrich_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT segment, COUNT(*) AS n_events, "
+        f"ROUND(SUM(value), 6) AS total_value FROM {name} "
+        f"GROUP BY segment ORDER BY segment NULLS FIRST")
+
+
+_QSTREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment NULLS FIRST
+"""
+
+
 def q_streaming_click_view_join(spark, sf_dir):
     """Stream-stream inner join run as a REAL stream: two readStream sources
     (clicks, views) joined per user within ±60 minutes, availableNow,
@@ -2001,6 +2039,7 @@ QUERIES: Dict[str, QueryDef] = {
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),
     "streaming_sessionize": QueryDef(q_streaming_sessionize, _QSTREAM_SESS_SQL, False),
     "streaming_dedup": QueryDef(q_streaming_dedup, _QSTREAM_DEDUP_SQL, False),
+    "streaming_enrich": QueryDef(q_streaming_enrich, _QSTREAM_ENRICH_SQL, False),
     "snapshot_time_travel": QueryDef(q_snapshot_time_travel, _QSNAP_SQL, False),
     "resample_ffill": QueryDef(q_resample_ffill, _QRESAMPLE_SQL, False),
     "event_transitions": QueryDef(q_event_transitions, _QTRANS_SQL, False),
