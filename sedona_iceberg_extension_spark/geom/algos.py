@@ -1502,12 +1502,21 @@ def union_two(g1: Geometry, g2: Geometry) -> Geometry:
             merged_any = False
             nxt = []
             for rings in cur:
+                # the area guard below catches the corner-touch degeneracy:
+                # the boundary-tracing overlay emits zero-area output for
+                # polygons sharing only a point, in which case the sides
+                # stay separate components (area-identical result); genuine
+                # overlaps and shared edges dissolve normally
                 if not merged_any and _rings_intersect(rings, pb):
                     out = [p for p in _poly_poly_overlay(rings, pb,
                                                          "out", "out")
                            if p and abs(_ring_signed_area2(p[0])) > EPS]
-                    nxt.extend(out)
-                    merged_any = True
+                    if (sum(_poly_area(p) for p in out) + EPS
+                            >= max(_poly_area(rings), _poly_area(pb))):
+                        nxt.extend(out)
+                        merged_any = True
+                    else:      # degenerate overlay — keep sides separate
+                        nxt.append(rings)
                 else:
                     nxt.append(rings)
             if not merged_any:
@@ -1527,6 +1536,9 @@ def union_two(g1: Geometry, g2: Geometry) -> Geometry:
                         out = [p for p in _poly_poly_overlay(cur[i], cur[j],
                                                              "out", "out")
                                if p and abs(_ring_signed_area2(p[0])) > EPS]
+                        if (sum(_poly_area(p) for p in out) + EPS
+                                < max(_poly_area(cur[i]), _poly_area(cur[j]))):
+                            continue  # degenerate overlay — leave the pair
                         cur = [r for idx, r in enumerate(cur)
                                if idx not in (i, j)] + out
                         changed = True
@@ -1544,3 +1556,11 @@ def union_two(g1: Geometry, g2: Geometry) -> Geometry:
 def _rings_intersect(a_rings, b_rings) -> bool:
     return intersects(Geometry(WKB_POLYGON, list(a_rings)),
                       Geometry(WKB_POLYGON, list(b_rings)))
+
+
+def _poly_area(rings) -> float:
+    """Area of one polygon's ring list (outer minus holes)."""
+    if not rings:
+        return 0.0
+    return (abs(_ring_signed_area2(rings[0]))
+            - sum(abs(_ring_signed_area2(r)) for r in rings[1:])) / 2.0

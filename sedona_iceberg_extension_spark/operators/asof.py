@@ -72,7 +72,10 @@ def resample_ffill(df: DataFrame, on: str, ts_col: str,
 
     Returns one row per (key, grid epoch second ``t_s``) plus the filled
     ``value_cols`` (suffix ``_r`` from :func:`asof_join`)."""
-    ep = F.unix_timestamp(F.col(ts_col))
+    from ..functions.timeops import epoch_seconds, timestamp_from_epoch_seconds
+
+    # NTZ-safe wall-clock epoch (matches DuckDB epoch() on naive timestamps)
+    ep = epoch_seconds(df, ts_col)
     bounds = df.groupBy(on).agg(
         (F.floor(F.min(ep) / every_s) * every_s).cast("long").alias("_lo"),
         F.max(ep).cast("long").alias("_hi"))
@@ -80,6 +83,8 @@ def resample_ffill(df: DataFrame, on: str, ts_col: str,
         F.col(on),
         F.explode(F.sequence(F.col("_lo"), F.col("_hi"),
                              F.lit(every_s))).alias("t_s"))
-    grid = grid.withColumn("_gts", F.timestamp_seconds(F.col("t_s")))
+    # grid timestamps take the source column's flavor so the as-of union
+    # orders one consistent type
+    grid = grid.withColumn("_gts", timestamp_from_epoch_seconds(df, ts_col, "t_s"))
     return asof_join(grid, df, on=on, left_ts="_gts", right_ts=ts_col,
                      value_cols=value_cols).drop("_gts")

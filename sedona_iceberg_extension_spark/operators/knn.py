@@ -43,10 +43,21 @@ def knn_join(
     qx, qy = q_xy
     q = queries.select(F.col(query_id).alias("_qid"),
                        F.col(qx).alias("_qx"), F.col(qy).alias("_qy"))
+    # plan statistics first (no job); probe only when stats are unavailable.
+    # The byte cap scales with the caller's row threshold so an explicit
+    # low threshold (forcing the grid path) is still honored.
+    q_small = None
+    bytes_cap = 64 * 1024 * 1024 * (broadcast_threshold_rows / 1_000_000)
     try:
-        q_small = q.limit(broadcast_threshold_rows).count() < broadcast_threshold_rows
+        size = int(q._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        q_small = size <= bytes_cap
     except Exception:
-        q_small = True
+        pass
+    if q_small is None:
+        try:
+            q_small = q.limit(broadcast_threshold_rows).count() < broadcast_threshold_rows
+        except Exception:
+            q_small = True
     if q_small:
         return _knn_broadcast(q, data, k, d_xy)
     return _knn_grid(q, data, k, d_xy, initial_radius, max_rounds)

@@ -162,13 +162,26 @@ def spatial_join(
     rg2 = f"r_{rg}" if rg in common else rg
 
     if strategy == "auto":
-        # cheap cardinality probe on the smaller side (metadata-backed for
-        # parquet sources; AQE re-plans at runtime anyway)
+        # Catalyst plan statistics (file-size-derived for parquet scans,
+        # filter-estimated, computed WITHOUT running a job) decide the
+        # strategy; the limit/count probe is the fallback only when stats
+        # are unavailable.  ~64 MB estimated right side ≈ Spark's own
+        # autoBroadcastJoinThreshold territory once the grid-cell explosion
+        # is priced in.
+        strategy = None
         try:
-            r_small = right_renamed.limit(broadcast_threshold_rows).count() < broadcast_threshold_rows
+            size = int(right_renamed._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+            strategy = "broadcast" if size <= 64 * 1024 * 1024 else "grid"
         except Exception:
-            r_small = False
-        strategy = "broadcast" if r_small else "grid"
+            pass
+        if strategy is None:
+            try:
+                r_small = (right_renamed.limit(broadcast_threshold_rows).count()
+                           < broadcast_threshold_rows)
+            except Exception:
+                r_small = False
+            strategy = "broadcast" if r_small else "grid"
 
     env_cond = _env_join_cond(lp, rp, predicate, d)
 
@@ -206,7 +219,7 @@ def spatial_join(
         # grid path, left outer: inner matches via the cell equi-join, then
         # null-extend the unmatched left rows (found by anti-join on a row
         # id — the cell-exploded copies must collapse back to one row)
-        lid = left.withColumn("_lid", F.monotonically_increasing_id())
+        lid = _stamp_row_id(left)
         inner = _grid_join(lid, right_renamed, lp, rp, cond, "inner",
                            grid_size, d)
         unmatched = lid.join(inner.select("_lid").distinct(), "_lid",
@@ -217,7 +230,7 @@ def spatial_join(
         # grid path with semi/anti: run the inner grid join over a synthetic
         # row id, then equi-semi/anti back — the exploded cell copies of a
         # left row must not leak into anti results
-        lid = left.withColumn("_lid", F.monotonically_increasing_id())
+        lid = _stamp_row_id(left)
         matched = _grid_join(lid, right_renamed, lp, rp, cond, "inner", grid_size, d) \
             .select("_lid").distinct()
         joined = lid.join(matched, "_lid", "left_semi" if how == "left_semi" else "left_anti") \
@@ -229,6 +242,26 @@ def spatial_join(
     if how in ("left_semi", "left_anti"):
         drop_cols = [f"{lp}_{m}" for m in ("xmin", "ymin", "xmax", "ymax")]
     return joined.drop(*drop_cols)
+
+
+def _stamp_row_id(df: DataFrame) -> DataFrame:
+    """Deterministic per-row id for the outer/semi/anti reconciliation
+    joins.  ``monotonically_increasing_id`` is nondeterministic under stage
+    retry — the id frame is referenced by TWO plans (the inner grid join and
+    the anti-join back), so a recomputed partition could stamp different ids
+    and drop or duplicate rows at cluster scale.  A 128-bit content hash is
+    stable across recomputation; identical duplicate rows share an id, which
+    is semantics-preserving for match/unmatch reconciliation (duplicates are
+    interchangeable).  Falls back to an eager localCheckpoint for
+    un-hashable column types (maps)."""
+    cols = [F.col(f"`{c}`") for c in df.columns]
+    try:
+        return df.withColumn(
+            "_lid", F.struct(F.xxhash64(*cols).alias("h1"),
+                             F.xxhash64(F.lit(17), *cols).alias("h2")))
+    except Exception:
+        return df.withColumn("_lid", F.monotonically_increasing_id()) \
+                 .localCheckpoint()
 
 
 def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,

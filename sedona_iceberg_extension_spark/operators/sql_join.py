@@ -28,6 +28,18 @@ the head of the FROM clause; a trailing *non*-spatial equi-join after the
 spatial chain also works, since the pair view's struct columns keep
 ``alias.col`` references valid in the untouched remainder.
 
+**Comma joins** — the reference App's own headline spelling,
+``SELECT ... FROM t0 l, t1 r WHERE ST_Contains(r.geo, l.geo) [AND ...]``
+(App.scala:62-63,72-73,77 drives 4 of its 5 spatial-join statements this
+way, incl. the CTAS) — are detected too: the FROM relation list is parsed,
+the WHERE clause is split into top-level AND-conjuncts, and the first
+conjunct that is a recognized ``ST_pred(a.col, b.col[, d])`` over two
+distinct FROM relations is planned through the same grid join; the two
+relations collapse to the pair view and the remaining conjuncts stay as the
+residual WHERE.  Iterating the pass plans multi-relation comma chains
+(``FROM a, b, c WHERE ST_p(..) AND ST_q(..)``) one join at a time, with
+later predicates resolving through the pair view's alias-struct columns.
+
 Statements with no spatial equi-theta join — or shapes this detector does
 not recognize — fall through to ``spark.sql`` verbatim: the registered ST_*
 UDFs still evaluate them correctly, just without the planner upgrade (the
@@ -242,6 +254,266 @@ def plan_spatial_join_sql(
     return view
 
 
+_REL_RE = re.compile(
+    rf"(?P<rel>[\w.]+)(?:\s+(?:AS\s+)?{_NOT_KW}(?P<alias>\w+))?\s*",
+    re.IGNORECASE)
+
+_ST_CONJ_RE = re.compile(r"^(?P<pred>ST_\w+)\s*\(", re.IGNORECASE)
+
+
+def _split_conjuncts(s: str) -> List[str]:
+    """Split a WHERE body on top-level ``AND`` (paren-aware)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and s[i:i + 3].upper() == "AND"
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + 3 >= n or not (s[i + 3].isalnum() or s[i + 3] == "_"))):
+            parts.append(s[start:i].strip())
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def _parse_comma_from(sql: str):
+    """Parse ``FROM rel [a], rel [b][, ...] WHERE <body>``; returns
+    (from_start, where_body_start, where_body_end, rels, conjuncts) where
+    each rel is (name, alias_or_None, verbatim_text), or None."""
+    fm = re.search(r"\bFROM\s+", sql, re.IGNORECASE)
+    if not fm:
+        return None
+    i, rels = fm.end(), []
+    while True:
+        m = _REL_RE.match(sql, i)
+        if not m or not m.group("rel"):
+            return None
+        rels.append((m.group("rel"), m.group("alias"),
+                     sql[m.start():m.end()].strip()))
+        i = m.end()
+        if i < len(sql) and sql[i] == ",":
+            i += 1
+            while i < len(sql) and sql[i].isspace():
+                i += 1
+            continue
+        break
+    if len(rels) < 2:
+        return None
+    wm = re.match(r"WHERE\s+", sql[i:], re.IGNORECASE)
+    if not wm:
+        return None
+    wstart = i + wm.end()
+    wend = _WHERE_SLOT_RE.search(sql, wstart).start()
+    return fm.start(), wstart, wend, rels, _split_conjuncts(sql[wstart:wend])
+
+
+def _rewrite_comma_join(spark: SparkSession, sql: str,
+                        strategy: str) -> Optional[str]:
+    """Plan ONE comma-join spatial predicate (the reference App's
+    ``FROM a, b WHERE ST_pred(...)`` spelling); returns the rewritten
+    statement or None if the shape doesn't apply."""
+    parsed = _parse_comma_from(sql)
+    if not parsed:
+        return None
+    from_start, wstart, wend, rels, conjs = parsed
+    alias_of = {}
+    for t in rels:
+        alias_of[t[1] or t[0].rsplit(".", 1)[-1]] = t
+
+    pick = None
+    for ci, c in enumerate(conjs):
+        m = _ST_CONJ_RE.match(c)
+        if not m or m.group("pred").lower() not in _PREDICATES:
+            continue
+        try:
+            args, after = _balanced_args(c, c.index("("))
+        except ValueError:
+            continue
+        if c[after:].strip():       # not a bare predicate conjunct
+            continue
+        refs = [_ARG_RE.match(a) for a in args[:2]]
+        if not all(refs):
+            continue
+        sides = []
+        for r in refs:
+            al = r.group(1)
+            if al in alias_of:
+                sides.append(alias_of[al])
+                continue
+            # an earlier pass's pair view holds this alias as a struct column
+            holder = next((t for t in rels if t[0].startswith(_VIEW_PREFIX)
+                           and al in spark.table(t[0]).columns), None)
+            sides.append(holder)
+        if None in sides or sides[0] is sides[1]:
+            continue
+        pick = (ci, m.group("pred").lower(), args, sides)
+        break
+    if pick is None:
+        return None
+
+    ci, pred, args, (lt, rt) = pick
+    mt = _Match((0, 0), lt[0], lt[1] or lt[0].rsplit(".", 1)[-1],
+                rt[0], rt[1] or rt[0].rsplit(".", 1)[-1],
+                pred, args, None, "inner")
+    try:
+        view = plan_spatial_join_sql(spark, mt, strategy=strategy)
+    except Exception:
+        return None
+    rest_rels = [t[2] for t in rels if t is not lt and t is not rt]
+    new_from = "FROM " + ", ".join([view] + rest_rels)
+    rest_conjs = [c for i2, c in enumerate(conjs) if i2 != ci]
+    new_where = (" WHERE " + " AND ".join(rest_conjs) + " ") if rest_conjs else " "
+    return sql[:from_start] + new_from + new_where + sql[wend:]
+
+
+_ENVLIT_RE = re.compile(r"^ST_PolygonFromEnvelope\s*\(", re.IGNORECASE)
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?([eE]-?\d+)?$")
+_COLREF_RE = re.compile(r"^(?:(\w+)\.)?(\w+)$")
+
+_RANGE_PREDS = ("st_contains", "st_within", "st_intersects",
+                "st_covers", "st_coveredby", "st_covered_by")
+
+
+def _relation_list(sql: str) -> List[Tuple[str, Optional[str]]]:
+    fm = re.search(r"\bFROM\s+", sql, re.IGNORECASE)
+    if not fm:
+        return []
+    i, rels = fm.end(), []
+    while True:
+        m = _REL_RE.match(sql, i)
+        if not m or not m.group("rel"):
+            break
+        rels.append((m.group("rel"), m.group("alias")))
+        i = m.end()
+        if i < len(sql) and sql[i] == ",":
+            i += 1
+            while i < len(sql) and sql[i].isspace():
+                i += 1
+            continue
+        break
+    return rels
+
+
+def _resolve_env_ref(spark, rels, alias, col):
+    """Resolve a geometry reference to (shape_hint, env_sql_path): the
+    column's ``_env`` companion either flat in a FROM relation or inside a
+    pair view's alias struct."""
+    for rel, ral in rels:
+        try:
+            df = spark.table(rel)
+        except Exception:
+            continue
+        rel_alias = ral or rel.rsplit(".", 1)[-1]
+        if (alias is None or alias == rel_alias) and col in df.columns:
+            if f"{col}_env" not in df.columns:
+                return None, None
+            md = df.schema[col].metadata or {}
+            prefix = f"{rel_alias}." if alias else ""
+            return md.get("geom_shape"), f"{prefix}{col}_env"
+        if alias and alias in df.columns \
+                and isinstance(df.schema[alias].dataType, StructType):
+            inner: StructType = df.schema[alias].dataType
+            if col in inner.fieldNames() and f"{col}_env" in inner.fieldNames():
+                md = inner[col].metadata or {}
+                return md.get("geom_shape"), f"{alias}.{col}_env"
+    return None, None
+
+
+def _envelope_literal(arg: str):
+    """Parse ``ST_PolygonFromEnvelope(x1, y1, x2, y2)`` with numeric
+    literals; returns (x1, y1, x2, y2) or None."""
+    if not _ENVLIT_RE.match(arg):
+        return None
+    try:
+        eargs, eafter = _balanced_args(arg, arg.index("("))
+    except ValueError:
+        return None
+    if arg[eafter:].strip() or len(eargs) != 4:
+        return None
+    if not all(_NUM_RE.match(x.strip()) for x in eargs):
+        return None
+    return tuple(float(x) for x in eargs)
+
+
+def _try_native_range(spark, rels, conj: str) -> Optional[str]:
+    """Rewrite one WHERE conjunct ``ST_pred(ST_PolygonFromEnvelope(...),
+    a.col)`` (either arg order) into native envelope comparisons — the SQL-
+    text face of the Tier-B range pushdown (SedonaPredicatePushDown.scala
+    relaxation table; exact, not relaxed, because the rewrite only fires for
+    point/rect shape-hinted columns where the envelope IS the geometry)."""
+    m = _ST_CONJ_RE.match(conj)
+    if not m or m.group("pred").lower() not in _RANGE_PREDS:
+        return None
+    pred = m.group("pred").lower()
+    try:
+        args, after = _balanced_args(conj, conj.index("("))
+    except ValueError:
+        return None
+    if conj[after:].strip() or len(args) != 2:
+        return None
+    b0, b1 = _envelope_literal(args[0]), _envelope_literal(args[1])
+    if (b0 is None) == (b1 is None):      # exactly one envelope literal
+        return None
+    box, colarg, box_first = (b0, args[1], True) if b0 else (b1, args[0], False)
+    cm = _COLREF_RE.match(colarg.strip())
+    if not cm:
+        return None
+    shape, env_sql = _resolve_env_ref(spark, rels, cm.group(1), cm.group(2))
+    if shape not in ("points", "rects"):
+        return None
+    x1, y1, x2, y2 = box
+    if pred == "st_intersects":
+        return (f"{env_sql}.xmax >= {x1!r} AND {env_sql}.xmin <= {x2!r}"
+                f" AND {env_sql}.ymax >= {y1!r} AND {env_sql}.ymin <= {y2!r}")
+    if pred in ("st_contains", "st_covers"):
+        box_contains = box_first
+    else:                                  # within / coveredby
+        box_contains = not box_first
+    if not box_contains:
+        return None    # a point/rect column containing a box — leave to UDF
+    # OGC contains puts a point in the *interior* → strict bounds
+    # (functions/api.py st_contains); covers and rect operands are inclusive
+    strict = shape == "points" and pred in ("st_contains", "st_within")
+    lt, gt = ("<", ">") if strict else ("<=", ">=")
+    return (f"{env_sql}.xmin {gt} {x1!r} AND {env_sql}.xmax {lt} {x2!r}"
+            f" AND {env_sql}.ymin {gt} {y1!r} AND {env_sql}.ymax {lt} {y2!r}")
+
+
+def _rewrite_range_predicates(spark: SparkSession, sql: str) -> str:
+    """Rewrite every WHERE conjunct that is a constant-envelope range
+    predicate over a shape-hinted geometry into native comparisons (keeps
+    range filters out of Python and lets them reach the scan)."""
+    try:
+        rels = _relation_list(sql)
+        if not rels:
+            return sql
+        wm = re.search(r"\bWHERE\b\s*", sql, re.IGNORECASE)
+        if not wm:
+            return sql
+        wend = _WHERE_SLOT_RE.search(sql, wm.end()).start()
+        conjs = _split_conjuncts(sql[wm.end():wend])
+        changed = False
+        out = []
+        for c in conjs:
+            native = _try_native_range(spark, rels, c)
+            if native:
+                changed = True
+                out.append(f"({native})")
+            else:
+                out.append(c)
+        if not changed:
+            return sql
+        return sql[:wm.end()] + " AND ".join(out) + " " + sql[wend:]
+    except Exception:
+        return sql
+
+
 def _inject_where(tail: str, extra: str) -> str:
     """Fold a join's deferred AND-conjuncts into the statement tail: into an
     existing WHERE if present, else as a new WHERE at the clause slot after
@@ -261,19 +533,28 @@ def spatial_sql(spark: SparkSession, sql: str, strategy: str = "grid") -> DataFr
     Unrecognized statements run unchanged (correct, unoptimized)."""
     for _ in range(8):  # bounded chain of spatial joins per statement
         match = _find_spatial_join(sql)
-        if match is None:
+        if match is not None:
+            try:
+                view = plan_spatial_join_sql(spark, match, strategy=strategy)
+            except Exception:
+                # fall back to vanilla evaluation — the ST_* UDFs are
+                # registered, so the unrewritten statement still computes
+                # the right answer
+                return spark.sql(sql)
+            start, end = match.span
+            head, tail = sql[:start], sql[end:]
+            if tail and not tail[0].isspace():
+                tail = " " + tail
+            if match.extra:
+                tail = _inject_where(tail, match.extra)
+            sql = f"{head}FROM {view}{tail}"
+            continue
+        # the reference App's comma-join spelling: FROM a, b WHERE ST_pred
+        rewritten = _rewrite_comma_join(spark, sql, strategy)
+        if rewritten is None:
             break
-        try:
-            view = plan_spatial_join_sql(spark, match, strategy=strategy)
-        except Exception:
-            # fall back to vanilla evaluation — the ST_* UDFs are registered,
-            # so the unrewritten statement still computes the right answer
-            return spark.sql(sql)
-        start, end = match.span
-        head, tail = sql[:start], sql[end:]
-        if tail and not tail[0].isspace():
-            tail = " " + tail
-        if match.extra:
-            tail = _inject_where(tail, match.extra)
-        sql = f"{head}FROM {view}{tail}"
+        sql = rewritten
+    # Tier-B face for SQL text: constant-envelope range predicates over
+    # shape-hinted geometry go native (no Python, filter reaches the scan)
+    sql = _rewrite_range_predicates(spark, sql)
     return spark.sql(sql)

@@ -151,14 +151,20 @@ def train_centroids(df: DataFrame, vec_col: str, num_cells: int = 16,
 def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
              q_id: str = "vec_id", q_vec: str = "embedding",
              d_id: str = "vec_id", d_vec: str = "embedding",
-             num_cells: int = 16, nprobe: int = 4) -> DataFrame:
+             num_cells: int = 16, nprobe: int = 4,
+             centroids: list | None = None) -> DataFrame:
     """IVF ANN: exact cosine within the nprobe nearest inverted-file cells of
     each query.  The data side is scanned once to build cell assignments; the
     candidate set shrinks ~num_cells/nprobe-fold vs brute force.  Cells are a
     partitioning column — at scale, write the corpus bucketed by cell and the
-    probe becomes a partition-pruned scan."""
-    cents = train_centroids(data.select(F.col(d_vec).alias(d_vec)), d_vec,
-                            num_cells)
+    probe becomes a partition-pruned scan.
+
+    ``centroids``: optional fixed codebook (list of float lists).  Default is
+    k-means training (``train_centroids``); a caller-supplied codebook makes
+    the whole result deterministic — codebook choice only shifts recall, the
+    probe machinery is identical."""
+    cents = centroids if centroids is not None else train_centroids(
+        data.select(F.col(d_vec).alias(d_vec)), d_vec, num_cells)
     d = ivf_assign(
         data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv")),
         "_dv", cents, "cell")

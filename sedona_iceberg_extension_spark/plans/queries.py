@@ -292,11 +292,15 @@ def q_sessionize(spark, sf_dir):
     """Gap-based sessionization as gaps-and-islands (identical shape in the
     oracle; the streaming module's session_window variant is covered by
     streaming tests — this is the batch-SQL-expressible form)."""
+    from ..functions.timeops import epoch_seconds
+
     ev = load_table(spark, sf_dir, "events")
+    # per-value truncated epoch seconds (oracle: epoch(ts)), NTZ-safe
+    ev = ev.withColumn("_es", epoch_seconds(ev, "ts"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_s = F.when(
-        F.lag("ts").over(w).isNull()
-        | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+        F.lag("_es").over(w).isNull()
+        | ((F.col("_es") - F.lag("_es").over(w)) > 1800),
         F.lit(1)).otherwise(F.lit(0))
     sess = ev.withColumn("_new", new_s).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -446,30 +450,39 @@ ORDER BY p_partkey
 def q_spatial_transform(spark, sf_dir):
     """ST_Transform parity check (reference's GeoTools CRS surface,
     /root/reference/README.md:34-38): customer points projected to Web
-    Mercator; the oracle mirrors the public spherical-Mercator equations.
-    Both engines evaluate ln/tan through the same libm, so the match is
-    exact before rounding."""
-    from ..functions import udfs_ext
+    Mercator via the public spherical-Mercator equations, computed NATIVELY
+    (pure codegen arithmetic — the general st_transform UDF keeps its own
+    round-trip tests in test_functions_ext.py).  ``+ 0.0`` after rounding on
+    BOTH engines normalizes IEEE ``-0.0`` at the equator row, where
+    ``ln(tan(pi/4))`` lands an ulp below zero and would flip the value hash
+    while comparing numerically equal."""
+    import math
 
-    pts = _cust_points(spark, sf_dir).filter(
-        (F.col("geo_env.ymin") > -85.0) & (F.col("geo_env.ymin") < 85.0)
-        & (F.col("c_custkey") < 300))
-    merc = udfs_ext.st_transform(
-        F.col("geo"), F.lit("EPSG:4326"), F.lit("EPSG:3857"))
-    mx = udfs.st_x(merc)
-    my = udfs.st_y(merc)
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
+    # radians spelled as * pi / 180 so both engines run the identical
+    # IEEE multiply/divide sequence (F.radians uses Math.toRadians' x/180*pi)
+    rad_x = x * F.lit(math.pi) / F.lit(180.0)
+    rad_y = y * F.lit(math.pi) / F.lit(180.0)
+    merc_x = F.round(F.lit(6378137.0) * rad_x, 3) + F.lit(0.0)
+    merc_y = F.round(
+        F.lit(6378137.0) * F.log(F.tan(F.lit(math.pi / 4) + rad_y / F.lit(2.0))),
+        3) + F.lit(0.0)
     return (
-        pts.select("c_custkey",
-                   F.round(mx, 3).alias("merc_x"),
-                   F.round(my, 3).alias("merc_y"))
+        cust.filter((y > F.lit(-85.0)) & (y < F.lit(85.0))
+                    & (F.col("c_custkey") < 300))
+        .select("c_custkey",
+                merc_x.alias("merc_x"),
+                merc_y.alias("merc_y"))
         .orderBy("c_custkey")
     )
 
 
 _QTRANSFORM_SQL = f"""
 SELECT c_custkey,
-       ROUND(6378137.0 * radians({_CX}), 3) AS merc_x,
-       ROUND(6378137.0 * ln(tan(pi() / 4 + radians({_CY}) / 2)), 3) AS merc_y
+       ROUND(6378137.0 * ({_CX} * pi() / 180.0), 3) + 0.0 AS merc_x,
+       ROUND(6378137.0 * ln(tan(pi() / 4 + ({_CY} * pi() / 180.0) / 2)), 3) + 0.0 AS merc_y
 FROM customer
 WHERE {_CY} > -85.0 AND {_CY} < 85.0 AND c_custkey < 300
 ORDER BY c_custkey
@@ -530,6 +543,43 @@ def q_spatial_join_sql(spark, sf_dir):
         FROM sql_join_left l JOIN sql_join_right r
         ON ST_Contains(r.geo, l.geo)
         ORDER BY id_l, id_r""")
+
+
+def q_spatial_join_sql_comma(spark, sf_dir):
+    """The reference App's own headline spelling — a COMMA join with the
+    spatial predicate in WHERE plus a residual range conjunct
+    (``SELECT * FROM t0 l, t1 r WHERE ST_Contains(r.geo, l.geo) AND
+    ST_Contains(ST_PolygonFromEnvelope(...), l.geo)``, App.scala:62-64,
+    72-73,77 incl. the CTAS).  The comma-join detector plans the join
+    conjunct through the distributed grid join; the range conjunct stays as
+    the residual WHERE over the pair view's alias structs."""
+    from ..operators import spatial_sql
+
+    pts = _cust_points(spark, sf_dir).select("c_custkey", "geo", "geo_env")
+    nation = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0),
+    ).select("n_nationkey", "geo", "geo_env")
+    pts.createOrReplaceTempView("sql_comma_left")
+    boxes.createOrReplaceTempView("sql_comma_right")
+    return spatial_sql(spark, """
+        SELECT l.c_custkey AS id_l, r.n_nationkey AS id_r
+        FROM sql_comma_left l, sql_comma_right r
+        WHERE ST_Contains(r.geo, l.geo)
+          AND ST_Contains(ST_PolygonFromEnvelope(-120.5, -60.5, 40.5, 60.5), l.geo)
+        ORDER BY id_l, id_r""")
+
+
+_QSJCOMMA_SQL = f"""
+SELECT c_custkey AS id_l, n_nationkey AS id_r
+FROM customer, nation
+WHERE {_CX} > CAST(n_nationkey * 14 - 180 AS DOUBLE)
+  AND {_CX} < CAST(n_nationkey * 14 - 166 AS DOUBLE)
+  AND {_CX} > -120.5 AND {_CX} < 40.5 AND {_CY} > -60.5 AND {_CY} < 60.5
+ORDER BY id_l, id_r
+"""
 
 
 _QSJSQL_SQL = f"""
@@ -1591,13 +1641,62 @@ ORDER BY query_id, rank
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantizer ANN (similarity.ivf_topk): k-means cells +
-    nprobe probing; rows-only check (approximate — no SQL oracle)."""
+    """IVF coarse-quantizer ANN (similarity.ivf_topk) with a DETERMINISTIC
+    codebook — the embeddings of the 8 smallest vec_ids — so the inverted
+    files, the nprobe probe, and the exact rescoring are all reproducible in
+    SQL and the oracle checks values, not just rows.  (The k-means-trained
+    codebook stays covered by the recall tests; codebook choice only shifts
+    recall, the probe machinery is the same.)  Distances fold left over the
+    same doubles in both engines, so assignments and tie-breaks agree."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = [[float(v) for v in r["embedding"]]
+             for r in emb.select("vec_id", "embedding")
+                         .orderBy("vec_id").limit(8).collect()]
     queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.ivf_topk(queries, emb, k=5, num_cells=8, nprobe=3)
+    out = similarity.ivf_topk(queries, emb, k=5, num_cells=8, nprobe=3,
+                              centroids=cents)
     return out.select("query_id", "data_id", F.round("cosine", 6).alias("cosine"), "rank") \
         .orderBy("query_id", "rank")
+
+
+_QIVF_SQL = """
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), d2 AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2 WHERE vec_id < 5) WHERE rn <= 3
+), cand AS (
+  SELECT p.query_id, a.vec_id AS data_id
+  FROM qprobe p JOIN assign a ON a.cell = p.cell
+)
+SELECT query_id, data_id, ROUND(cosine, 6) AS cosine, rank
+FROM (
+  SELECT c.query_id, c.data_id,
+         list_cosine_similarity(de.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS cosine,
+         CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+              list_cosine_similarity(de.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC,
+              c.data_id ASC) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings de ON de.vec_id = c.data_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1930,7 +2029,7 @@ def q_streaming_click_view_join(spark, sf_dir):
     q.awaitTermination(300)
     return spark.sql(
         f"SELECT user_id, COUNT(*) AS n_pairs, "
-        f"CAST(SUM(ABS(unix_micros(left_ts) - unix_micros(right_ts))) AS BIGINT)"
+        f"CAST(SUM(ABS(timestampdiff(MICROSECOND, right_ts, left_ts))) AS BIGINT)"
         f" AS total_lag_us FROM {name} "
         f"GROUP BY user_id ORDER BY user_id")
 
@@ -1996,6 +2095,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
+    "spatial_join_sql_comma": QueryDef(q_spatial_join_sql_comma, _QSJCOMMA_SQL, False),
     "spatial_join_sql_dwithin": QueryDef(q_spatial_join_sql_dwithin, _QSJDSQL_SQL, False),
     "spatial_join_sql_chain": QueryDef(q_spatial_join_sql_chain, _QSJCHAIN_SQL, False),
     "spatial_join_left": QueryDef(q_spatial_join_left, _QSJLEFT_SQL, False),
@@ -2033,7 +2133,7 @@ QUERIES: Dict[str, QueryDef] = {
     "embedding_label_stats": QueryDef(q_embedding_label_stats, _QEMBL_SQL, False),
     # approximate / streaming / multimodal
     "lsh_ann_topk": QueryDef(q_lsh_topk, _lsh_topk_sql(), False),
-    "ivf_ann_topk": QueryDef(q_ivf_topk, None, False),
+    "ivf_ann_topk": QueryDef(q_ivf_topk, _QIVF_SQL, False),
     "multimodal_features": QueryDef(q_multimodal_features, _QMMFEAT_SQL, False),
     "multimodal_frame_sample": QueryDef(q_multimodal_frame_sample, _QMMFRAME_SQL, False),
     "streaming_user_totals": QueryDef(q_streaming_user_totals, _QSTREAM_SQL, False),

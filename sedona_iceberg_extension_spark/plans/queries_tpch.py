@@ -364,7 +364,10 @@ ORDER BY category, n_name
 def q_event_funnel(spark, sf_dir):
     """Per-user view→click conversion lag: for each click, the time since the
     user's previous view (lag window) — the clickstream-shape window query."""
-    ev = _t(spark, sf_dir, "events").withColumn("_us", F.unix_micros("ts"))
+    from ..functions.timeops import epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("_us", epoch_micros(ev, "ts"))
     # order and subtract in explicit microseconds: the parquet carries nanos
     # (truncated to micros on load), so ts-ordering ties must be broken the
     # same way on both engines
@@ -469,7 +472,10 @@ def q_asof_click_view(spark, sf_dir):
     semantics over duplicate timestamps are engine-defined otherwise."""
     from ..operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    from ..functions.timeops import epoch_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("us", epoch_micros(ev, "ts"))
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("user_id", "event_id", "us", "value")
     views = (ev.filter(F.col("event_type") == "view")

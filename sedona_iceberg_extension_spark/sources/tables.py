@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -48,7 +48,15 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", f"{name}.parquet")
               .parquet(sf_dir))
-    return normalize_nanos(stream, name)
+    stream = normalize_nanos(stream, name)
+    # watermarks require TIMESTAMP (LTZ) event time — untagged parquet
+    # timestamps read as NTZ, so lift them for the streaming path only
+    # (batch keeps NTZ: wall-clock arithmetic matches the DuckDB oracle
+    # under any session timezone)
+    for f in stream.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return stream
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:

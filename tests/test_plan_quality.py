@@ -41,7 +41,7 @@ _NATIVE_QUERIES = [
     "q20_promo_suppliers", "q21_sole_fault_supplier", "window_breadth",
     "cube_revenue", "pivot_returnflag", "skew_count_distinct",
     "doc_tfidf_top_terms", "resample_ffill", "event_transitions",
-    "value_histogram",
+    "value_histogram", "spatial_transform",
 ]
 
 
@@ -141,6 +141,17 @@ def test_spatial_join_sql_chain_python_free(spark, sf_dir):
     shape-hint metadata survives the pair-view struct round-trip, so neither
     join degrades to a nested loop or a refinement UDF."""
     plan = _plan(spark, "spatial_join_sql_chain", sf_dir)
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_join_sql_comma_python_free(spark, sf_dir):
+    """The reference App's own spelling (``FROM a, b WHERE ST_Contains(...)
+    AND ST_Contains(ST_PolygonFromEnvelope(...), l.geo)``, App.scala:62-64)
+    must plan the join through the grid equi-join AND rewrite the residual
+    range conjunct natively — no nested loop, no Python anywhere."""
+    plan = _plan(spark, "spatial_join_sql_comma", sf_dir)
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -234,3 +234,57 @@ def test_rewriter_equals_vanilla_on_random_data(spark, pred_sql):
     planned = [(r.id_p, r.id_o) for r in spatial_sql(spark, sql).collect()]
     vanilla = [(r.id_p, r.id_o) for r in spark.sql(sql).collect()]
     assert planned == vanilla and len(vanilla) > 0
+
+
+# --- the reference App's comma-join spelling (App.scala:62-64,72-73,77) ----
+
+APP_COMMA_SQL = ("SELECT l.id AS id_l, r.id AS id_r "
+                 "FROM test_left l, test_right r "
+                 "WHERE ST_Contains(r.geo, l.geo) ORDER BY id_l")
+
+
+def test_app_comma_join_rows_and_plan(spark, ref_tables):
+    df = spatial_sql(spark, APP_COMMA_SQL)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert [(r.id_l, r.id_r) for r in df.collect()] == [(1, 10), (2, 20)]
+
+
+def test_app_comma_join_with_residual_conjunct(spark, ref_tables):
+    # App.scala:63-64 — the second statement adds a constant-envelope range
+    # conjunct after the join predicate; it must filter, not break planning
+    df = spatial_sql(spark, (
+        "SELECT l.id AS id_l, r.id AS id_r FROM test_left l, test_right r "
+        "WHERE ST_Contains(r.geo, l.geo) "
+        "AND ST_Contains(ST_PolygonFromEnvelope(15.0, 15.0, 30.0, 30.0), l.geo) "
+        "ORDER BY id_l"))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert [(r.id_l, r.id_r) for r in df.collect()] == [(2, 20)]
+
+
+def test_comma_join_matches_vanilla_random(spark):
+    """Comma spelling over seeded random data: planned result == vanilla."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(-50, 50, size=(100, 2)))]
+    spark.createDataFrame(pts, "id long, x double, y double") \
+        .selectExpr("id", "ST_Point(x, y) AS geo") \
+        .createOrReplaceTempView("cm_p")
+    boxes = []
+    for i, (x, y, w, h) in enumerate(np.c_[rng.uniform(-50, 40, (20, 2)),
+                                           rng.uniform(1, 15, (20, 2))]):
+        boxes.append((int(i), float(x), float(y), float(x + w), float(y + h)))
+    spark.createDataFrame(
+        boxes, "id long, x0 double, y0 double, x1 double, y1 double") \
+        .selectExpr("id", "ST_PolygonFromEnvelope(x0, y0, x1, y1) AS geo") \
+        .createOrReplaceTempView("cm_b")
+    sql = ("SELECT p.id AS id_p, b.id AS id_b FROM cm_p p, cm_b b "
+           "WHERE ST_Contains(b.geo, p.geo) AND p.id % 3 != 1 "
+           "ORDER BY id_p, id_b")
+    planned = [(r.id_p, r.id_b) for r in spatial_sql(spark, sql).collect()]
+    vanilla = [(r.id_p, r.id_b) for r in spark.sql(sql).collect()]
+    assert planned == vanilla and len(vanilla) > 0
