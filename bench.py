@@ -78,31 +78,40 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     if "--child" in sys.argv:
-        times, _ = _run_once(sf_dir, cpus, with_warm=False)
-        print("CHILD_JSON:" + json.dumps(times))
+        times, warm = _run_once(sf_dir, cpus, with_warm="--warm" in sys.argv)
+        print("CHILD_JSON:" + json.dumps({"cold": times, "warm": warm}))
         return
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    times, warm = _run_once(sf_dir, cpus, with_warm=True)
-    cold_runs = [times]
-    for _ in range(n_runs - 1):
+    # every run is a fresh, symmetric subprocess JVM — the parent never
+    # builds a SparkSession, so no idle 8 GB JVM skews the later runs
+    cold_runs, warm = [], None
+    for i in range(n_runs):
+        argv = [sys.executable, os.path.abspath(__file__), "--child"]
+        if i == 0:
+            argv.append("--warm")
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
-                capture_output=True, text=True, timeout=600,
-                env=dict(os.environ), check=False)
+            out = subprocess.run(argv, capture_output=True, text=True,
+                                 timeout=600, env=dict(os.environ),
+                                 check=False)
             for line in out.stdout.splitlines():
                 if line.startswith("CHILD_JSON:"):
-                    cold_runs.append(json.loads(line[len("CHILD_JSON:"):]))
+                    payload = json.loads(line[len("CHILD_JSON:"):])
+                    cold_runs.append(payload["cold"])
+                    warm = warm or payload.get("warm")
                     break
+            sys.stderr.write(out.stderr[-2000:])
         except Exception as e:     # a lost child degrades n, never the bench
             print(f"# child run failed: {e}", file=sys.stderr)
+    if not cold_runs:              # no subprocesses possible — run in-process
+        times, warm = _run_once(sf_dir, cpus, with_warm=True)
+        cold_runs = [times]
 
     med_queries = {name: round(statistics.median(r[name] for r in cold_runs
                                                  if name in r), 3)
-                   for name in times}
+                   for name in cold_runs[0]}
     totals = [round(sum(r.values()), 3) for r in cold_runs]
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -110,7 +119,7 @@ def main():
         "unit": "sec",
         "queries": med_queries,
         "cold_totals": totals,
-        "warm_total": round(sum(warm.values()), 3),
+        "warm_total": round(sum(warm.values()), 3) if warm else None,
         "warm_queries": warm,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

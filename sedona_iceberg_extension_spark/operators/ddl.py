@@ -1,0 +1,268 @@
+"""SQL DDL front door — the reference's ``USING ICEBERG`` table surface.
+
+The reference App drives its whole lifecycle as plain SQL statements
+(``example/.../App.scala:42-80``): ``CREATE TABLE ... USING ICEBERG``,
+``INSERT INTO ... VALUES/SELECT``, ``DROP TABLE IF EXISTS``, ``CACHE
+TABLE``, and a ``CREATE TABLE ... USING ICEBERG AS SELECT`` with a spatial
+join.  The environment has no Iceberg runtime, so these statements map onto
+the engine's snapshot tables (``operators.snapshots.SnapshotTable`` —
+versioned manifests, CoW DML, time travel), which reproduce the semantics
+the DDL spelling implies.
+
+Tables live under a session warehouse directory
+(``$SPARK_GRAFT_WAREHOUSE`` or a tempdir) and are exposed as temp views
+after every commit, so follow-up SELECT / spatial-join / UPDATE statements
+resolve them like any other relation.  Dotted identifiers
+(``catalog.db.tbl``) are flattened to ``catalog_db_tbl`` for the view name
+— Spark would otherwise resolve them against a real catalog.
+
+``GEOMETRY`` columns map to the engine's WKB ``BINARY`` representation
+(SURVEY.md §2 Tier A, UdtRegistratorWrapper-by-design).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .snapshots import SnapshotTable
+
+_CATALOG: Dict[str, SnapshotTable] = {}
+_WAREHOUSE: list = [None]
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"\((?P<cols>.*)\)\s*USING\s+ICEBERG\s*$",
+    re.IGNORECASE | re.DOTALL)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+    r"USING\s+ICEBERG\s+AS\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<body>(?:VALUES|SELECT)\b.+)$",
+    re.IGNORECASE | re.DOTALL)
+_CACHE_RE = re.compile(
+    r"^\s*(?P<un>UN)?CACHE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+
+_DML_TARGET_RES = (
+    re.compile(r"^\s*UPDATE\s+(?P<name>[\w.]+)\b", re.IGNORECASE),
+    re.compile(r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)\b", re.IGNORECASE),
+    re.compile(r"^\s*MERGE\s+INTO\s+(?P<name>[\w.]+)\b", re.IGNORECASE),
+)
+
+
+def _view_name(name: str) -> str:
+    return name.replace(".", "_")
+
+
+def _warehouse() -> str:
+    if _WAREHOUSE[0] is None:
+        _WAREHOUSE[0] = (os.environ.get("SPARK_GRAFT_WAREHOUSE")
+                         or tempfile.mkdtemp(prefix="snapshot_warehouse_"))
+    os.makedirs(_WAREHOUSE[0], exist_ok=True)
+    return _WAREHOUSE[0]
+
+
+def _register(spark: SparkSession, name: str) -> None:
+    tbl = _CATALOG[name]
+    tbl.read(spark).createOrReplaceTempView(_view_name(name))
+
+
+def _split_top(s: str, sep: str = ",") -> list:
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def _schema_ddl(cols: str) -> str:
+    """Column list of a CREATE statement → Spark DDL schema string;
+    GEOMETRY becomes BINARY (the engine's WKB representation)."""
+    out = []
+    for c in _split_top(cols):
+        m = re.match(r"^(\w+)\s+(.+)$", c.strip(), re.DOTALL)
+        if not m:
+            raise ValueError(f"unparseable column definition {c!r}")
+        typ = m.group(2).strip()
+        if typ.upper() == "GEOMETRY":
+            typ = "BINARY"
+        out.append(f"{m.group(1)} {typ}")
+    return ", ".join(out)
+
+
+def _align(df: DataFrame, target: SnapshotTable,
+           spark: SparkSession) -> DataFrame:
+    """Positionally align an insert source to the table schema (names and
+    types), the way SQL INSERT resolves columns."""
+    schema = target.read(spark).schema
+    if len(df.columns) != len(schema):
+        raise ValueError(
+            f"INSERT column count {len(df.columns)} != table arity {len(schema)}")
+    return df.select(*[
+        F.col(f"`{c}`").cast(f.dataType).alias(f.name)
+        for c, f in zip(df.columns, schema.fields)])
+
+
+def _values_to_select(body: str) -> str:
+    """``VALUES (a, b), (c, d)`` → ``SELECT a, b UNION ALL SELECT c, d``.
+    Spark's inline VALUES requires foldable expressions; the reference
+    inserts UDF calls (``IcebergSTGeomFromText('POINT ...')``,
+    App.scala:46-52), which a SELECT evaluates fine."""
+    rest = body[len("VALUES"):].strip()
+    selects = []
+    i = 0
+    while i < len(rest):
+        if rest[i] == "(":
+            depth, j = 1, i + 1
+            while j < len(rest) and depth:
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced VALUES tuple")
+            selects.append("SELECT " + rest[i + 1:j - 1])
+            i = j
+        else:
+            i += 1
+    if not selects:
+        raise ValueError("empty VALUES list")
+    return " UNION ALL ".join(selects)
+
+
+def dml_target(statement: str) -> Optional[str]:
+    """Catalog table name targeted by an UPDATE/DELETE/MERGE, if any."""
+    for rx in _DML_TARGET_RES:
+        m = rx.match(statement)
+        if m and m.group("name") in _CATALOG:
+            return m.group("name")
+    return None
+
+
+def table(name: str) -> SnapshotTable:
+    return _CATALOG[name]
+
+
+def is_ddl(statement: str) -> bool:
+    return any(rx.match(statement) for rx in
+               (_CTAS_RE, _CREATE_RE, _DROP_RE, _INSERT_RE, _CACHE_RE))
+
+
+def run_ddl(spark: SparkSession, statement: str,
+            run_select=None) -> dict:
+    """Execute one DDL statement against the snapshot-table warehouse.
+    ``run_select``: callable used for embedded SELECTs (the session front
+    door passes ``spatial_sql`` so CTAS joins get the planner upgrade)."""
+    run_select = run_select or (lambda sp, s: sp.sql(s))
+
+    m = _CTAS_RE.match(statement)
+    if m and not _CREATE_RE.match(statement):
+        name = m.group("name")
+        df = run_select(spark, m.group("select").strip())
+        path = os.path.join(_warehouse(), _view_name(name))
+        _CATALOG[name] = SnapshotTable.create(spark, path, df)
+        _register(spark, name)
+        return {"ddl": "ctas", "table": name, "rows": df.count()}
+
+    m = _CREATE_RE.match(statement)
+    if m:
+        name = m.group("name")
+        if name in _CATALOG:
+            return {"ddl": "create", "table": name, "existed": True}
+        empty = spark.createDataFrame([], _schema_ddl(m.group("cols")))
+        path = os.path.join(_warehouse(), _view_name(name))
+        _CATALOG[name] = SnapshotTable.create(spark, path, empty)
+        _register(spark, name)
+        return {"ddl": "create", "table": name, "existed": False}
+
+    m = _DROP_RE.match(statement)
+    if m:
+        name = m.group("name")
+        tbl = _CATALOG.pop(name, None)
+        if tbl is not None:
+            spark.catalog.dropTempView(_view_name(name))
+        return {"ddl": "drop", "table": name, "existed": tbl is not None}
+
+    m = _INSERT_RE.match(statement)
+    if m:
+        name = m.group("name")
+        if name not in _CATALOG:
+            raise ValueError(f"INSERT into unknown table {name!r}")
+        body = m.group("body").strip()
+        if body.upper().startswith("VALUES"):
+            src = spark.sql(_values_to_select(body))
+        else:
+            src = run_select(spark, body)
+        tbl = _CATALOG[name]
+        tbl.append(spark, _align(src, tbl, spark))
+        _register(spark, name)
+        return {"ddl": "insert", "table": name,
+                "version": tbl.versions()[-1]}
+
+    m = _CACHE_RE.match(statement)
+    if m:
+        name = m.group("name")
+        view = _view_name(name) if name in _CATALOG else name
+        if m.group("un"):
+            spark.catalog.uncacheTable(view)
+        else:
+            spark.catalog.cacheTable(view)
+        return {"ddl": "uncache" if m.group("un") else "cache", "table": name}
+
+    raise ValueError(f"not a DDL statement: {statement[:80]!r}")
+
+
+def run_catalog_dml(spark: SparkSession, statement: str) -> Optional[dict]:
+    """Route UPDATE/DELETE/MERGE that target a catalog table through the
+    snapshot table's versioned CoW DML (keeps time travel across the DML);
+    None when the target isn't a catalog table."""
+    name = dml_target(statement)
+    if name is None:
+        return None
+    from .dml import _DELETE_RE, _MERGE_RE, _UPDATE_RE, _split_assignments
+
+    tbl = _CATALOG[name]
+    res = None
+    m = _UPDATE_RE.match(statement)
+    if m:
+        res = tbl.update_where(spark, _split_assignments(m.group("set")),
+                               m.group("w").strip())
+    if res is None:
+        m = _DELETE_RE.match(statement)
+        if m:
+            res = tbl.delete_where(spark, m.group("w").strip())
+    if res is None:
+        m = _MERGE_RE.match(statement)
+        if m:
+            set_clause = (m.group("set") or "").strip()
+            update_cols = None if set_clause in ("*", "") else [
+                p.split("=", 1)[0].strip().strip("`")
+                for p in set_clause.split(",")]
+            res = tbl.merge_into(
+                spark, spark.table(m.group("s")), on=m.group("k1"),
+                update_cols=update_cols,
+                insert_when_not_matched=bool(m.group("ins")))
+    if res is not None:
+        _register(spark, name)
+    return res
+
+
+def reset() -> None:
+    """Drop the in-memory catalog (tests)."""
+    _CATALOG.clear()
+    _WAREHOUSE[0] = None

@@ -41,20 +41,31 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
     statement is just ``spark.sql(...)`` (App.scala:42-66 drives CREATE /
     SELECT-with-spatial-join / UPDATE through the same entry point):
 
-    - ``UPDATE`` / ``DELETE`` / ``MERGE INTO`` → ``operators.dml.sql_dml``
-      (file-granularity copy-on-write; ``tables`` maps statement table
-      names to parquet paths) — returns the result dict;
+    - ``CREATE TABLE ... USING ICEBERG`` (plain + CTAS), ``DROP TABLE``,
+      ``INSERT INTO``, ``CACHE TABLE`` → ``operators.ddl`` (snapshot-table
+      warehouse: versioned manifests, CoW, time travel — the semantics the
+      DDL spelling implies, App.scala:42-52,76-79) — returns a result dict;
+    - ``UPDATE`` / ``DELETE`` / ``MERGE INTO`` on a DDL-created table →
+      the snapshot table's versioned CoW DML; on a plain parquet table →
+      ``operators.dml.sql_dml`` (``tables`` maps statement table names to
+      parquet paths) — returns the result dict;
     - everything else → ``operators.sql_join.spatial_sql``, which plans any
-      ``JOIN ... ON ST_pred`` through the distributed spatial join and
-      falls through to vanilla ``spark.sql`` otherwise — returns a
-      DataFrame.
+      ``JOIN ... ON ST_pred`` / ``FROM a, b WHERE ST_pred`` through the
+      distributed spatial join and falls through to vanilla ``spark.sql``
+      otherwise — returns a DataFrame.
     """
     import re as _re
 
+    from .operators import ddl
     from .operators.dml import sql_dml
     from .operators.sql_join import spatial_sql
 
+    if ddl.is_ddl(statement):
+        return ddl.run_ddl(spark, statement, run_select=spatial_sql)
     if _re.match(r"^\s*(UPDATE|DELETE|MERGE)\b", statement, _re.IGNORECASE):
+        res = ddl.run_catalog_dml(spark, statement)
+        if res is not None:
+            return res
         return sql_dml(spark, statement, tables or {})
     return spatial_sql(spark, statement)
 

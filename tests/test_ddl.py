@@ -1,0 +1,111 @@
+"""The reference App's FULL statement sequence through the one SQL front
+door (``session.sql``) — DDL + DML + spatial queries, verbatim modulo the
+catalog prefix (example/src/main/scala/org/apache/iceberg/sedona/app/
+App.scala:42-80): CREATE USING ICEBERG, INSERT VALUES with geometry UDFs,
+INSERT SELECT, range query, ST_Union_Aggr, comma spatial joins, UPDATE with
+a spatial predicate, CACHE TABLE, CTAS with a spatial join."""
+
+import pytest
+
+from sedona_iceberg_extension_spark.operators import ddl
+from sedona_iceberg_extension_spark.session import sql as engine_sql
+
+
+T0 = "sedona_iceberg_extension_test_0"
+T1 = "sedona_iceberg_extension_test_1"
+T2 = "sedona_iceberg_extension_test_2"
+
+
+@pytest.fixture()
+def app_tables(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    ddl.reset()
+    # App.scala:42-52 — table prep, verbatim statements
+    engine_sql(spark, f"DROP TABLE IF EXISTS {T0}")
+    engine_sql(spark, f"CREATE TABLE {T0} (id INT, data STRING, geo GEOMETRY) USING ICEBERG")
+    engine_sql(spark, f"INSERT INTO {T0} VALUES (1, 'data_1', IcebergSTGeomFromText('POINT (10 10)'))")
+    engine_sql(spark, f"INSERT INTO {T0} SELECT 2, 'data_2', ST_Point(20.0, 20.0)")
+    engine_sql(spark, f"DROP TABLE IF EXISTS {T1}")
+    engine_sql(spark, f"CREATE TABLE {T1} (id INT, geo GEOMETRY) USING ICEBERG")
+    engine_sql(spark, f"INSERT INTO {T1} VALUES "
+               "(10, IcebergSTGeomFromText('POLYGON ((0 0, 15 0, 15 15, 0 15, 0 0))')),"
+               "(20, IcebergSTGeomFromText('POLYGON ((15 15, 25 15, 25 25, 15 25, 15 15))'))")
+    yield
+    ddl.reset()
+
+
+def test_app_range_query_and_aggregation(spark, app_tables):
+    # App.scala:55-56 — range query
+    rows = engine_sql(spark, (
+        f"SELECT id, ST_AsText(geo) AS wkt FROM {T0} WHERE "
+        "ST_Contains(ST_PolygonFromEnvelope(15.0, 15.0, 30.0, 30.0), geo)")).collect()
+    assert [(r.id, r.wkt) for r in rows] == [(2, "POINT (20 20)")]
+    # App.scala:59 — aggregation over the whole table
+    agg = engine_sql(
+        spark, f"SELECT ST_AsText(ST_Union_Aggr(geo)) AS u FROM {T0}").collect()
+    assert len(agg) == 1 and agg[0].u.startswith("MULTIPOINT")
+
+
+def test_app_comma_spatial_joins(spark, app_tables):
+    # App.scala:62 — plain comma join
+    rows = engine_sql(spark, (
+        f"SELECT l.id AS id_l, r.id AS id_r FROM {T0} l, {T1} r "
+        "WHERE ST_Contains(r.geo, l.geo) ORDER BY id_l")).collect()
+    assert [(r.id_l, r.id_r) for r in rows] == [(1, 10), (2, 20)]
+    # App.scala:63-64 — with the residual range conjunct
+    rows = engine_sql(spark, (
+        f"SELECT l.id AS id_l, r.id AS id_r FROM {T0} l, {T1} r "
+        "WHERE ST_Contains(r.geo, l.geo) AND "
+        "ST_Contains(ST_PolygonFromEnvelope(15.0, 15.0, 30.0, 30.0), l.geo) "
+        "ORDER BY id_l")).collect()
+    assert [(r.id_l, r.id_r) for r in rows] == [(2, 20)]
+
+
+def test_app_update_cache_and_ctas(spark, app_tables):
+    # App.scala:66 — UPDATE with a spatial predicate (snapshot CoW commit)
+    res = engine_sql(spark, (
+        f"UPDATE {T0} SET data = 'updated' WHERE "
+        "ST_Contains(ST_PolygonFromEnvelope(15.0, 15.0, 30.0, 30.0), geo)"))
+    assert res["files_rewritten"] >= 1
+    rows = {(r.id, r.data) for r in
+            engine_sql(spark, f"SELECT id, data FROM {T0}").collect()}
+    assert rows == {(1, "data_1"), (2, "updated")}
+    # the DML went through the snapshot layer: pre-update version readable
+    tbl = ddl.table(T0)
+    versions = tbl.versions()
+    assert len(versions) >= 3          # create + 2 inserts + update
+    prev = {(r.id, r.data) for r in
+            tbl.read(spark, version=versions[-2]).select("id", "data").collect()}
+    assert prev == {(1, "data_1"), (2, "data_2")}
+
+    # App.scala:69-73 — cache, then re-run the joins
+    engine_sql(spark, f"CACHE TABLE {T0}")
+    engine_sql(spark, f"CACHE TABLE {T1}")
+    try:
+        rows = engine_sql(spark, (
+            f"SELECT l.id AS id_l, r.id AS id_r FROM {T0} l, {T1} r "
+            "WHERE ST_Contains(r.geo, l.geo) ORDER BY id_l")).collect()
+        assert [(r.id_l, r.id_r) for r in rows] == [(1, 10), (2, 20)]
+    finally:
+        engine_sql(spark, f"UNCACHE TABLE {T0}")
+        engine_sql(spark, f"UNCACHE TABLE {T1}")
+
+    # App.scala:76-79 — CTAS with a spatial join, then read it back
+    engine_sql(spark, f"DROP TABLE IF EXISTS {T2}")
+    engine_sql(spark, (
+        f"CREATE TABLE {T2} USING ICEBERG AS "
+        f"SELECT l.id id, r.geo geo FROM {T0} l, {T1} r "
+        "WHERE ST_Contains(r.geo, l.geo)"))
+    out = engine_sql(spark, f"SELECT id FROM {T2} ORDER BY id").collect()
+    assert [r.id for r in out] == [1, 2]
+
+
+def test_insert_select_arity_mismatch_rejected(spark, app_tables):
+    with pytest.raises(ValueError, match="arity"):
+        engine_sql(spark, f"INSERT INTO {T1} SELECT 1, 'x', ST_Point(0.0, 0.0)")
+
+
+def test_ctas_if_not_exists_and_drop(spark, app_tables):
+    engine_sql(spark, f"DROP TABLE IF EXISTS {T2}")
+    r = engine_sql(spark, f"DROP TABLE IF EXISTS {T2}")
+    assert r["existed"] is False
