@@ -298,9 +298,16 @@ def st_distancespheroid(a: pd.Series, b: pd.Series) -> pd.Series:
 #   EPSG:32701-32760   UTM south zones   Krüger n-series, order n^4 —
 #                      sub-mm of the exact projection inside a zone)
 #
+#   EPSG:2154/3978     Lambert conformal conic 2SP (France / StatCan)
+#   EPSG:5070/3577     Albers equal-area (CONUS / Australia)
+#   EPSG:3035          Lambert azimuthal equal-area (Europe)
+#   EPSG:6933          cylindrical equal-area (EASE-Grid 2.0)
+#
 # Mirrors the reference's GeoTools-backed ST_Transform
 # (/root/reference/README.md:34-38) for the projected CRS families a
-# Spark pipeline actually meets; arbitrary-datum EPSG codes would need a
+# Spark pipeline actually meets; the conic/equal-area grids sit on
+# ETRS89/RGF93/NAD83/GDA94 datums treated as WGS84-equivalent (the
+# standard null shift, ~1 m); arbitrary-datum EPSG codes would need a
 # proj database, which this offline container does not have.
 # ---------------------------------------------------------------------------
 
@@ -408,6 +415,181 @@ def _from_3395(x, y):
     return (math.degrees(x / _WGS84_A), math.degrees(phi))
 
 
+# --- conic / equal-area families (Snyder, Map Projections — A Working
+# Manual, USGS PP 1395: LCC-2SP pp. 107-109, Albers pp. 101-102, LAEA
+# pp. 187-190, cylindrical equal-area pp. 81-83).  The grids below sit on
+# ETRS89/RGF93/NAD83/GDA94, all within ~1-2 m of WGS84 — the standard
+# null-datum-shift treatment (a proj database would be needed for more).
+
+_GRS80_F = 1.0 / 298.257222101      # a identical to WGS84
+
+
+def _tq(phi, e):
+    """Snyder t(φ) — the conformal-latitude kernel used by LCC."""
+    s = e * math.sin(phi)
+    return (math.tan(math.pi / 4 - phi / 2)
+            / ((1 - s) / (1 + s)) ** (e / 2))
+
+
+def _mq(phi, e2):
+    """Snyder m(φ) = cosφ / sqrt(1 − e² sin²φ)."""
+    return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+
+def _qq(phi, e, e2):
+    """Snyder q(φ) — the equal-area kernel (Albers / LAEA / CEA)."""
+    s = math.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+
+def _phi_from_q(q, e, e2):
+    """Invert q(φ) by Snyder's iteration (converges to <1e-12 rad)."""
+    phi = math.asin(min(1.0, max(-1.0, q / 2)))
+    for _ in range(10):
+        s = math.sin(phi)
+        denom = 1 - e2 * s * s
+        phi += (denom ** 2 / (2 * math.cos(phi))) * (
+            q / (1 - e2) - s / denom
+            + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    return phi
+
+
+def _lcc_fns(a, f, sp1, sp2, lat0, lon0, fe, fn):
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    p1, p2, p0 = map(math.radians, (sp1, sp2, lat0))
+    m1, m2 = _mq(p1, e2), _mq(p2, e2)
+    t1, t2, t0 = _tq(p1, e), _tq(p2, e), _tq(p0, e)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    F = m1 / (n * t1 ** n)
+    rho0 = a * F * t0 ** n
+
+    def fwd(lon, lat):
+        t = _tq(math.radians(lat), e)
+        rho = a * F * t ** n
+        th = n * math.radians(lon - lon0)
+        return fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th)
+
+    def inv(x, y):
+        sgn = 1.0 if n >= 0 else -1.0    # Snyder: flip signs when n < 0
+        dx, dy = x - fe, rho0 - (y - fn)
+        rho = sgn * math.hypot(dx, dy)
+        t = (rho / (a * F)) ** (1 / n)
+        th = math.atan2(sgn * dx, sgn * dy)
+        phi = math.pi / 2 - 2 * math.atan(t)
+        for _ in range(8):
+            s = e * math.sin(phi)
+            phi = math.pi / 2 - 2 * math.atan(
+                t * ((1 - s) / (1 + s)) ** (e / 2))
+        return math.degrees(th / n) + lon0, math.degrees(phi)
+
+    return fwd, inv
+
+
+def _albers_fns(a, f, sp1, sp2, lat0, lon0, fe, fn):
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    p1, p2, p0 = map(math.radians, (sp1, sp2, lat0))
+    m1, m2 = _mq(p1, e2), _mq(p2, e2)
+    q1, q2, q0 = (_qq(p, e, e2) for p in (p1, p2, p0))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+
+    def fwd(lon, lat):
+        q = _qq(math.radians(lat), e, e2)
+        rho = a * math.sqrt(C - n * q) / n
+        th = n * math.radians(lon - lon0)
+        return fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th)
+
+    def inv(x, y):
+        sgn = 1.0 if n >= 0 else -1.0    # Snyder: flip signs when n < 0
+        dx, dy = x - fe, rho0 - (y - fn)
+        rho = math.hypot(dx, dy)
+        q = (C - (rho * n / a) ** 2) / n
+        th = math.atan2(sgn * dx, sgn * dy)
+        return (math.degrees(th / n) + lon0,
+                math.degrees(_phi_from_q(q, e, e2)))
+
+    return fwd, inv
+
+
+def _laea_fns(a, f, lat0, lon0, fe, fn):
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    qp = _qq(math.pi / 2, e, e2)
+    q0 = _qq(p0, e, e2)
+    rq = a * math.sqrt(qp / 2)
+    b0 = math.asin(q0 / qp)
+    D = a * _mq(p0, e2) / (rq * math.cos(b0))
+
+    def fwd(lon, lat):
+        b = math.asin(min(1.0, max(-1.0, _qq(math.radians(lat), e, e2) / qp)))
+        lam = math.radians(lon - lon0)
+        B = rq * math.sqrt(2 / (1 + math.sin(b0) * math.sin(b)
+                                + math.cos(b0) * math.cos(b) * math.cos(lam)))
+        return (fe + B * D * math.cos(b) * math.sin(lam),
+                fn + (B / D) * (math.cos(b0) * math.sin(b)
+                                - math.sin(b0) * math.cos(b) * math.cos(lam)))
+
+    def inv(x, y):
+        dx, dy = (x - fe) / D, D * (y - fn)
+        rho = math.hypot(dx, dy)
+        if rho < 1e-12:
+            return lon0, math.degrees(_phi_from_q(q0, e, e2))
+        ce = 2 * math.asin(min(1.0, rho / (2 * rq)))
+        q = qp * (math.cos(ce) * math.sin(b0)
+                  + dy * math.sin(ce) * math.cos(b0) / rho)
+        lam = math.atan2(dx * math.sin(ce),
+                         rho * math.cos(b0) * math.cos(ce)
+                         - dy * math.sin(b0) * math.sin(ce))
+        return math.degrees(lam) + lon0, math.degrees(_phi_from_q(q, e, e2))
+
+    return fwd, inv
+
+
+def _cea_fns(a, f, sp, lon0, fe, fn):
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    k0 = _mq(math.radians(sp), e2)
+
+    def fwd(lon, lat):
+        q = _qq(math.radians(lat), e, e2)
+        return (fe + a * k0 * math.radians(lon - lon0),
+                fn + a * q / (2 * k0))
+
+    def inv(x, y):
+        q = 2 * k0 * (y - fn) / a
+        return (math.degrees((x - fe) / (a * k0)) + lon0,
+                math.degrees(_phi_from_q(q, e, e2)))
+
+    return fwd, inv
+
+
+# EPSG parameters from the public EPSG registry entries for each code
+_CONIC_CRS = {
+    # RGF93 / Lambert-93 (France)
+    "2154": (_lcc_fns, (_WGS84_A, _GRS80_F, 44.0, 49.0, 46.5, 3.0,
+                        700000.0, 6600000.0)),
+    # NAD83 / Statistics Canada Lambert
+    "3978": (_lcc_fns, (_WGS84_A, _GRS80_F, 49.0, 77.0, 49.0, -95.0,
+                        0.0, 0.0)),
+    # NAD83 / CONUS Albers
+    "5070": (_albers_fns, (_WGS84_A, _GRS80_F, 29.5, 45.5, 23.0, -96.0,
+                           0.0, 0.0)),
+    # GDA94 / Australian Albers
+    "3577": (_albers_fns, (_WGS84_A, _GRS80_F, -18.0, -36.0, 0.0, 132.0,
+                           0.0, 0.0)),
+    # ETRS89-extended / LAEA Europe
+    "3035": (_laea_fns, (_WGS84_A, _GRS80_F, 52.0, 10.0,
+                         4321000.0, 3210000.0)),
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area)
+    "6933": (_cea_fns, (_WGS84_A, _WGS84_F, 30.0, 0.0, 0.0, 0.0)),
+}
+
+
 def _crs_fns(code: str):
     """Return (from_geographic, to_geographic) for an EPSG code string."""
     if code == "4326":
@@ -421,10 +603,13 @@ def _crs_fns(code: str):
         zone = int(code[3:])
         if 1 <= zone <= 60:
             return _utm_fns(zone, south=code[:3] == "327")
+    if code in _CONIC_CRS:
+        builder, params = _CONIC_CRS[code]
+        return builder(*params)
     raise NotImplementedError(
         f"ST_Transform: unsupported CRS EPSG:{code} (supported: 4326, 3857, "
-        f"3395, UTM 32601-32660/32701-32760); arbitrary EPSG needs a proj "
-        f"database")
+        f"3395, UTM 32601-32660/32701-32760, LCC 2154/3978, Albers 5070/3577, "
+        f"LAEA 3035, CEA 6933); arbitrary EPSG needs a proj database")
 
 
 def transform_geom(g: Geometry, src: str, dst: str) -> Geometry:

@@ -262,6 +262,52 @@ def run_catalog_dml(spark: SparkSession, statement: str) -> Optional[dict]:
     return res
 
 
+_TTV_RE = re.compile(
+    r"\bFROM\s+(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)"
+    r"\s+AS\s+OF\s+(?P<v>\d+)", re.IGNORECASE)
+_TTS_RE = re.compile(
+    r"\bFROM\s+(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)"
+    r"\s+AS\s+OF\s+'(?P<ts>[^']+)'", re.IGNORECASE)
+
+
+def rewrite_time_travel(spark: SparkSession, statement: str) -> str:
+    """Iceberg's time-travel SQL spellings over catalog tables:
+    ``FROM t VERSION AS OF <n>`` / ``FROM t TIMESTAMP AS OF '<ts>'``
+    (also the ``FOR SYSTEM_VERSION/SYSTEM_TIME`` forms).  The referenced
+    snapshot is registered as a temp view and the clause rewritten to it;
+    non-catalog tables pass through untouched."""
+    def sub_version(m):
+        name = m.group("name")
+        if name not in _CATALOG:
+            return m.group(0)
+        v = int(m.group("v"))
+        view = f"{_view_name(name)}__v{v}"
+        _CATALOG[name].read(spark, version=v).createOrReplaceTempView(view)
+        return f"FROM {view}"
+
+    def sub_timestamp(m):
+        name = m.group("name")
+        if name not in _CATALOG:
+            return m.group(0)
+        from datetime import datetime, timezone
+        dt = datetime.fromisoformat(m.group("ts"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        target_ms = dt.timestamp() * 1000
+        eligible = [h["version"] for h in _CATALOG[name].history()
+                    if h["timestamp_ms"] <= target_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot of {name!r} at or before {m.group('ts')!r}")
+        v = max(eligible)
+        view = f"{_view_name(name)}__v{v}"
+        _CATALOG[name].read(spark, version=v).createOrReplaceTempView(view)
+        return f"FROM {view}"
+
+    statement = _TTV_RE.sub(sub_version, statement)
+    return _TTS_RE.sub(sub_timestamp, statement)
+
+
 def reset() -> None:
     """Drop the in-memory catalog (tests)."""
     _CATALOG.clear()

@@ -62,6 +62,8 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
 
     if ddl.is_ddl(statement):
         return ddl.run_ddl(spark, statement, run_select=spatial_sql)
+    # Iceberg time-travel spellings (VERSION AS OF / TIMESTAMP AS OF)
+    statement = ddl.rewrite_time_travel(spark, statement)
     if _re.match(r"^\s*(UPDATE|DELETE|MERGE)\b", statement, _re.IGNORECASE):
         res = ddl.run_catalog_dml(spark, statement)
         if res is not None:

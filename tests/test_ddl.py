@@ -109,3 +109,27 @@ def test_ctas_if_not_exists_and_drop(spark, app_tables):
     engine_sql(spark, f"DROP TABLE IF EXISTS {T2}")
     r = engine_sql(spark, f"DROP TABLE IF EXISTS {T2}")
     assert r["existed"] is False
+
+
+def test_time_travel_sql_spellings(spark, app_tables):
+    # two inserts happened in the fixture: v2 has one row, v3 has two
+    tbl = ddl.table(T0)
+    versions = tbl.versions()
+    v_one_row = versions[1]            # after the first INSERT
+    rows = engine_sql(spark, (
+        f"SELECT id FROM {T0} VERSION AS OF {v_one_row} ORDER BY id")).collect()
+    assert [r.id for r in rows] == [1]
+    rows = engine_sql(spark, (
+        f"SELECT id FROM {T0} FOR SYSTEM_VERSION AS OF {versions[-1]} "
+        "ORDER BY id")).collect()
+    assert [r.id for r in rows] == [1, 2]
+    # timestamp travel: the commit instant of the one-row snapshot
+    import datetime
+    ms = next(h["timestamp_ms"] for h in tbl.history()
+              if h["version"] == v_one_row)
+    ts = datetime.datetime.fromtimestamp(ms / 1000.0,
+                                         datetime.timezone.utc)
+    rows = engine_sql(spark, (
+        f"SELECT id FROM {T0} TIMESTAMP AS OF '{ts.isoformat()}' "
+        "ORDER BY id")).collect()
+    assert [r.id for r in rows] == [1]

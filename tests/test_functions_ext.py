@@ -103,3 +103,28 @@ def test_collect_and_split(spark):
     out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText('LINESTRING (0 0, 10 0)'), "
                       "ST_Point(4D, 0D)))")
     assert out == "MULTILINESTRING ((0 0, 4 0), (4 0, 10 0))"
+
+
+def test_transform_conic_and_equal_area(spark):
+    # RGF93 / Lambert-93: Paris (2.3522E, 48.8566N) — canonical grid value
+    x = sql1(spark, "ST_X(ST_Transform(ST_Point(2.3522D, 48.8566D), "
+                    "'EPSG:4326', 'EPSG:2154'))")
+    y = sql1(spark, "ST_Y(ST_Transform(ST_Point(2.3522D, 48.8566D), "
+                    "'EPSG:4326', 'EPSG:2154'))")
+    assert x == pytest.approx(652469.02, abs=1.0)
+    assert y == pytest.approx(6862035.26, abs=1.0)
+    # natural origins map exactly to the false easting/northing
+    x = sql1(spark, "ST_X(ST_Transform(ST_Point(10D, 52D), "
+                    "'EPSG:4326', 'EPSG:3035'))")
+    assert x == pytest.approx(4321000.0, abs=1e-6)
+    y = sql1(spark, "ST_Y(ST_Transform(ST_Point(-96D, 23D), "
+                    "'EPSG:4326', 'EPSG:5070'))")
+    assert y == pytest.approx(0.0, abs=1e-6)
+    # round trips, incl. the negative-n southern-hemisphere Albers
+    for code, lon, lat in (("2154", -4.5, 42.5), ("3978", -140.0, 70.0),
+                           ("5070", -120.0, 49.0), ("3577", 115.0, -32.0),
+                           ("3035", 25.0, 60.0), ("6933", -170.0, 80.0)):
+        back = sql1(spark, f"ST_Y(ST_Transform(ST_Transform("
+                           f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
+                           f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
+        assert back == pytest.approx(lat, abs=1e-9), code
