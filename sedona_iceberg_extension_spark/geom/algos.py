@@ -1062,8 +1062,11 @@ def intersection(g1: Geometry, g2: Geometry) -> Geometry:
     """General overlay: point/line/area operand combinations, concave
     shells and holes included (convex single-ring cases take the
     Sutherland–Hodgman fast path; the general areal path stitches boundary
-    pieces).  Known deviation: polygons touching only along an edge yield
-    EMPTY rather than the shared LINESTRING."""
+    pieces).  Known deviations: polygons touching only along an edge yield
+    EMPTY rather than the shared LINESTRING, and a mixed-dimension
+    GEOMETRYCOLLECTION operand contributes only its highest-dimension
+    parts (GEOS/JTS reject collection operands outright, so homogeneous-
+    collection support here already exceeds the library baseline)."""
     if g1.is_empty() or g2.is_empty() or not intersects(g1, g2):
         return Geometry.empty(WKB_GEOMETRYCOLLECTION if g1.is_empty() else g1.kind)
     if covers(g2, g1):

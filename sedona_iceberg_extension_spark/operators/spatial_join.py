@@ -271,14 +271,19 @@ def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
         # Both sides matter — sizing off the left alone would shred a
         # wide-envelope right side (e.g. points JOIN polygons) across
         # millions of cells each.
-        def _stats(df, p):
+        def _stats(df, p, pre):
             return df.select(
-                F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias("w"),
-                F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias("h"),
-                (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias("W"),
-                (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias("H"),
-            ).first()
-        ls, rs = _stats(left, lp), _stats(right, rp)
+                F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias(f"{pre}w"),
+                F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias(f"{pre}h"),
+                (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias(f"{pre}W"),
+                (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias(f"{pre}H"),
+            )
+        # ONE job for both sides (1×1 cross of two single-row aggregates) —
+        # at 100 TB this is still two scans' worth of work, but scheduled
+        # together instead of as two sequential driver round-trips
+        both = _stats(left, lp, "l").crossJoin(_stats(right, rp, "r")).first()
+        ls = {k: both[f"l{k}"] for k in ("w", "h", "W", "H")}
+        rs = {k: both[f"r{k}"] for k in ("w", "h", "W", "H")}
         lw = max(ls["w"] or 0.0, ls["h"] or 0.0)
         rw = max(rs["w"] or 0.0, rs["h"] or 0.0)
         extent = max(ls["W"] or 1.0, ls["H"] or 1.0,

@@ -489,6 +489,92 @@ ORDER BY c_custkey
 """
 
 
+def _laea_consts():
+    """EPSG:3035 (ETRS89-extended / LAEA Europe) projection constants,
+    folded once in Python so BOTH engines consume the identical doubles
+    (Snyder pp. 187-190; GRS80 ellipsoid)."""
+    import math
+    f = 1.0 / 298.257222101
+    a = 6378137.0
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+
+    def qq(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (s / (1 - e2 * s * s)
+                           - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+
+    p0 = math.radians(52.0)
+    qp = qq(math.pi / 2)
+    sb0 = qq(p0) / qp
+    cb0 = math.sqrt(1 - sb0 * sb0)
+    rq = a * math.sqrt(qp / 2)
+    m0 = math.cos(p0) / math.sqrt(1 - e2 * math.sin(p0) ** 2)
+    d = a * m0 / (rq * cb0)
+    return dict(a=a, e=e, e2=e2, qp=qp, sb0=sb0, cb0=cb0, rq=rq, d=d,
+                pi=math.pi)
+
+
+def q_spatial_transform_laea(spark, sf_dir):
+    """Equal-area CRS parity for the reference's GeoTools transform surface
+    (/root/reference/README.md:34-38): customer points projected to
+    EPSG:3035 (LAEA Europe) with PURE NATIVE arithmetic — the identical
+    Snyder formula, constant-folded identically, runs on both engines, so
+    the oracle checks values (sin β taken as q/qp algebraically, avoiding
+    an asin/sin round trip).  ``+ 0.0`` normalizes ``-0.0`` at the central
+    meridian where sin λ rounds to a signed zero."""
+    k = _laea_consts()
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
+    s = F.sin(y * F.lit(k["pi"]) / F.lit(180.0))
+    q = F.lit(1 - k["e2"]) * (
+        s / (F.lit(1.0) - F.lit(k["e2"]) * s * s)
+        - F.lit(1 / (2 * k["e"]))
+        * F.log((F.lit(1.0) - F.lit(k["e"]) * s)
+                / (F.lit(1.0) + F.lit(k["e"]) * s)))
+    sb = q / F.lit(k["qp"])
+    cb = F.sqrt(F.lit(1.0) - sb * sb)
+    lam = (x - F.lit(10.0)) * F.lit(k["pi"]) / F.lit(180.0)
+    bb = F.lit(k["rq"]) * F.sqrt(
+        F.lit(2.0) / (F.lit(1.0) + F.lit(k["sb0"]) * sb
+                      + F.lit(k["cb0"]) * cb * F.cos(lam)))
+    laea_x = F.round(F.lit(4321000.0)
+                     + bb * F.lit(k["d"]) * cb * F.sin(lam), 3) + F.lit(0.0)
+    laea_y = F.round(F.lit(3210000.0)
+                     + (bb / F.lit(k["d"])) * (F.lit(k["sb0"]) * F.lit(-1.0) * cb * F.cos(lam)
+                                               + F.lit(k["cb0"]) * sb), 3) + F.lit(0.0)
+    return (
+        cust.filter((x > F.lit(-180.0)) & (x < F.lit(-100.0))
+                    & (y > F.lit(25.0)) & (y < F.lit(75.0)))
+        .select("c_custkey",
+                laea_x.alias("laea_x"), laea_y.alias("laea_y"))
+        .orderBy("c_custkey")
+    )
+
+
+def _laea_sql() -> str:
+    k = _laea_consts()
+    s = f"sin({_CY} * {k['pi']!r} / 180.0)"
+    q = (f"({1 - k['e2']!r} * ({s} / (1.0 - {k['e2']!r} * {s} * {s}) "
+         f"- {1 / (2 * k['e'])!r} * ln((1.0 - {k['e']!r} * {s}) "
+         f"/ (1.0 + {k['e']!r} * {s}))))")
+    sb = f"({q} / {k['qp']!r})"
+    cb = f"sqrt(1.0 - {sb} * {sb})"
+    lam = f"(({_CX} - 10.0) * {k['pi']!r} / 180.0)"
+    bb = (f"({k['rq']!r} * sqrt(2.0 / (1.0 + {k['sb0']!r} * {sb} "
+          f"+ {k['cb0']!r} * {cb} * cos({lam}))))")
+    lx = f"ROUND(4321000.0 + {bb} * {k['d']!r} * {cb} * sin({lam}), 3) + 0.0"
+    ly = (f"ROUND(3210000.0 + ({bb} / {k['d']!r}) * ({k['sb0']!r} * -1.0 "
+          f"* {cb} * cos({lam}) + {k['cb0']!r} * {sb}), 3) + 0.0")
+    return f"""
+SELECT c_custkey, {lx} AS laea_x, {ly} AS laea_y
+FROM customer
+WHERE {_CX} > -180.0 AND {_CX} < -100.0 AND {_CY} > 25.0 AND {_CY} < 75.0
+ORDER BY c_custkey
+"""
+
+
 def q_spatial_join_contains(spark, sf_dir):
     """Distributed point-in-box spatial join (reference testSpatialJoin
     contract, TestSedonaIcebergExtension.scala:117-127) — grid strategy,
@@ -2093,6 +2179,7 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_transform": QueryDef(q_spatial_transform, _QTRANSFORM_SQL, False),
     "spatial_distance": QueryDef(q_spatial_distance, _QDIST_SQL, False),
     "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
+    "spatial_transform_laea": QueryDef(q_spatial_transform_laea, _laea_sql(), False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_sql_comma": QueryDef(q_spatial_join_sql_comma, _QSJCOMMA_SQL, False),

@@ -41,7 +41,7 @@ _NATIVE_QUERIES = [
     "q20_promo_suppliers", "q21_sole_fault_supplier", "window_breadth",
     "cube_revenue", "pivot_returnflag", "skew_count_distinct",
     "doc_tfidf_top_terms", "resample_ffill", "event_transitions",
-    "value_histogram", "spatial_transform",
+    "value_histogram", "spatial_transform", "spatial_transform_laea",
 ]
 
 
