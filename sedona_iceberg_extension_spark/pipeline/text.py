@@ -257,3 +257,58 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("rank") <= k)
             .select(F.col(id_col), "term", "tf",
                     F.round("tfidf", 6).alias("tfidf"), "rank"))
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-distribution entropy (nats) — the classic
+    perplexity-proxy quality score (gibberish and repeated-char boilerplate
+    score low; natural text sits in a narrow band).
+
+    Scale shape: one explode to (doc, char) rows, then TWO hash
+    aggregations with map-side partial combine — the shuffle carries
+    (doc, char) counts (≤ alphabet size per doc), never the raw characters.
+    The algebraic form ``ln n − (Σ c·ln c)/n`` needs no per-char
+    probabilities join."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(1, length(`{text_col}`)), "
+            f"i -> substr(`{text_col}`, i, 1))")).alias("_ch"))
+    freq = chars.groupBy(id_col, "_ch") \
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    return freq.groupBy(id_col).agg(
+        (F.log(F.sum("_c"))
+         - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c")).alias("entropy"))
+
+
+def top_token_share(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document share of the single most frequent token — the cheap
+    repetition/boilerplate detector (templated or looping text pushes the
+    share toward 1).  Same two-level partial-agg shape as char_entropy."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("_t")) \
+        .filter(F.col("_t") != "")
+    cnt = toks.groupBy(id_col, "_t") \
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    return cnt.groupBy(id_col).agg(
+        (F.max("_c") / F.sum("_c")).alias("top_share"),
+        F.sum("_c").cast("long").alias("n_tokens"))
+
+
+def source_mix_weights(df: DataFrame, group_col: str, text_col: str,
+                       alpha: float = 0.7) -> DataFrame:
+    """Per-source document/token tallies plus temperature-scaled sampling
+    weights ``tokens^alpha / Σ tokens^alpha`` — the standard domain-mixing
+    recipe for assembling a training corpus from heterogeneous sources.
+    One aggregation over the corpus; the normalization runs over the tiny
+    per-source result (an unpartitioned window over |sources| rows)."""
+    from pyspark.sql.window import Window
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("double").alias("_toks"))
+    w = Window.partitionBy()
+    return per.select(
+        F.col(group_col), F.col("n_docs"),
+        F.col("_toks").cast("long").alias("n_tokens"),
+        (F.pow("_toks", F.lit(alpha))
+         / F.sum(F.pow("_toks", F.lit(alpha))).over(w)).alias("mix_weight"))

@@ -1364,6 +1364,72 @@ ORDER BY doc_id, rank
 """
 
 
+def q_doc_char_entropy(spark, sf_dir):
+    """Character-entropy quality score (pipeline.text.char_entropy) — the
+    perplexity proxy; fully native explode + two-level partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.char_entropy(docs, "doc_id", "text")
+    return (out.select("doc_id", F.round("entropy", 6).alias("entropy"))
+            .orderBy("doc_id"))
+
+
+_QENT_SQL = """
+WITH freq AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+        FROM documents, unnest(generate_series(1, length(text))) AS t(i))
+  GROUP BY doc_id, ch
+)
+SELECT doc_id, ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+FROM freq GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_doc_top_token_share(spark, sf_dir):
+    """Repetition/boilerplate detector (pipeline.text.top_token_share):
+    share of the single most frequent token per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.top_token_share(docs, "doc_id", "text")
+    return (out.select("doc_id", F.round("top_share", 6).alias("top_share"),
+                       "n_tokens")
+            .orderBy("doc_id"))
+
+
+_QTOPSHARE_SQL = f"""
+WITH cnt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+  WHERE token != ''
+  GROUP BY doc_id, token
+)
+SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top_share,
+       CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_source_mix_weights(spark, sf_dir):
+    """Domain-mixing weights (pipeline.text.source_mix_weights):
+    per-source doc/token tallies + tokens^0.7 temperature weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.source_mix_weights(docs, "source", "text", alpha=0.7)
+    return (out.select("source", "n_docs", "n_tokens",
+                       F.round("mix_weight", 6).alias("mix_weight"))
+            .orderBy("source"))
+
+
+_QMIX_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS_SQL})) AS DOUBLE) AS toks
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(toks AS BIGINT) AS n_tokens,
+       ROUND(POW(toks, 0.7) / SUM(POW(toks, 0.7)) OVER (), 6) AS mix_weight
+FROM per ORDER BY source
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-duplicate *clusters*: connected components over the MinHash-LSH
     pair graph (pipeline.components) — iterative min-label propagation, one
@@ -2203,6 +2269,9 @@ QUERIES: Dict[str, QueryDef] = {
     "doc_chunks": QueryDef(q_doc_chunks, _QCHUNK_SQL, False),
     "doc_top_tokens": QueryDef(q_doc_top_tokens, _QTOPTOK_SQL, False),
     "doc_stratified_sample": QueryDef(q_doc_stratified_sample, _QSTRAT_SQL, False),
+    "doc_char_entropy": QueryDef(q_doc_char_entropy, _QENT_SQL, False),
+    "doc_top_token_share": QueryDef(q_doc_top_token_share, _QTOPSHARE_SQL, False),
+    "source_mix_weights": QueryDef(q_source_mix_weights, _QMIX_SQL, False),
     "doc_tfidf_top_terms": QueryDef(q_doc_tfidf, _QTFIDF_SQL, False),
     # dedup
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),

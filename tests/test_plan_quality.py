@@ -42,6 +42,7 @@ _NATIVE_QUERIES = [
     "cube_revenue", "pivot_returnflag", "skew_count_distinct",
     "doc_tfidf_top_terms", "resample_ffill", "event_transitions",
     "value_histogram", "spatial_transform", "spatial_transform_laea",
+    "doc_char_entropy", "doc_top_token_share", "source_mix_weights",
 ]
 
 
