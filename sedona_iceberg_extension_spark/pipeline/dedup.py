@@ -362,3 +362,25 @@ def embedding_dup_pairs_exact(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def contamination(train: DataFrame, test: DataFrame, id_col: str,
+                  text_col: str, shingle_n: int = 5) -> DataFrame:
+    """Train/test decontamination check: for each test document, how many of
+    its distinct word ``shingle_n``-grams appear ANYWHERE in the train
+    corpus (the standard benchmark-leakage test before training).
+
+    Scale shape: the train side collapses to its distinct shingle set (one
+    shuffle, map-side combine), the test side stays (doc, shingle) rows, and
+    the hit detection is a plain equi-join on the shingle string — no
+    broadcast assumption on either side, no pairwise doc comparison.  At
+    100 TB both sides hash-partition on the shingle; AQE handles the skew of
+    stop-phrases."""
+    tr = token_shingles(train, id_col, text_col, shingle_n) \
+        .select("shingle").distinct().withColumn("_hit", F.lit(1))
+    te = token_shingles(test, id_col, text_col, shingle_n)
+    hit = te.join(tr, "shingle", "left")
+    return hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+         .alias("n_contaminated"))

@@ -1430,6 +1430,46 @@ FROM per ORDER BY source
 """
 
 
+def q_corpus_contamination(spark, sf_dir):
+    """Train/test decontamination (pipeline.dedup.contamination): docs are
+    split by ``doc_id % 10`` (0-7 train, 8-9 test); each test doc reports
+    how many of its distinct 5-gram shingles leak from the train corpus.
+    Fully native — shingle equi-join, no pairwise comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    test = docs.filter(F.col("doc_id") % 10 >= 8)
+    out = dedup.contamination(train, test, "doc_id", "text", shingle_n=5)
+    return (out.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+         .alias("contamination"))
+        .orderBy("doc_id"))
+
+
+_QCONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), tr AS (
+  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t
+  WHERE doc_id % 10 < 8
+), te AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t
+  WHERE doc_id % 10 >= 8
+)
+SELECT te.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS contamination
+FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+GROUP BY te.doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-duplicate *clusters*: connected components over the MinHash-LSH
     pair graph (pipeline.components) — iterative min-label propagation, one
@@ -2272,6 +2312,7 @@ QUERIES: Dict[str, QueryDef] = {
     "doc_char_entropy": QueryDef(q_doc_char_entropy, _QENT_SQL, False),
     "doc_top_token_share": QueryDef(q_doc_top_token_share, _QTOPSHARE_SQL, False),
     "source_mix_weights": QueryDef(q_source_mix_weights, _QMIX_SQL, False),
+    "corpus_contamination": QueryDef(q_corpus_contamination, _QCONTAM_SQL, False),
     "doc_tfidf_top_terms": QueryDef(q_doc_tfidf, _QTFIDF_SQL, False),
     # dedup
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),
