@@ -173,7 +173,7 @@ def run_ddl(spark: SparkSession, statement: str,
     m = _CTAS_RE.match(statement)
     if m and not _CREATE_RE.match(statement):
         name = m.group("name")
-        df = run_select(spark, m.group("select").strip())
+        df = run_select(spark, resolve_names(m.group("select").strip()))
         path = os.path.join(_warehouse(), _view_name(name))
         _CATALOG[name] = SnapshotTable.create(spark, path, df)
         _register(spark, name)
@@ -203,7 +203,7 @@ def run_ddl(spark: SparkSession, statement: str,
         name = m.group("name")
         if name not in _CATALOG:
             raise ValueError(f"INSERT into unknown table {name!r}")
-        body = m.group("body").strip()
+        body = resolve_names(m.group("body").strip())
         if body.upper().startswith("VALUES"):
             src = spark.sql(_values_to_select(body))
         else:
@@ -253,13 +253,29 @@ def run_catalog_dml(spark: SparkSession, statement: str) -> Optional[dict]:
             update_cols = None if set_clause in ("*", "") else [
                 p.split("=", 1)[0].strip().strip("`")
                 for p in set_clause.split(",")]
+            src_name = m.group("s")
+            if src_name in _CATALOG:
+                src_name = _view_name(src_name)
             res = tbl.merge_into(
-                spark, spark.table(m.group("s")), on=m.group("k1"),
+                spark, spark.table(src_name), on=m.group("k1"),
                 update_cols=update_cols,
                 insert_when_not_matched=bool(m.group("ins")))
     if res is not None:
         _register(spark, name)
     return res
+
+
+def resolve_names(statement: str) -> str:
+    """Replace dotted catalog-table identifiers (``demo.db.t`` — the
+    reference test suite's spelling, TestSedonaIcebergExtension.scala:53+)
+    with their registered view names; Spark would otherwise resolve the
+    dots against a real catalog.  Undotted names already match their view
+    name and need nothing."""
+    for name in sorted(_CATALOG, key=len, reverse=True):
+        if "." in name and name in statement:
+            statement = re.sub(rf"(?<![\w.]){re.escape(name)}(?![\w.])",
+                               _view_name(name), statement)
+    return statement
 
 
 _TTV_RE = re.compile(

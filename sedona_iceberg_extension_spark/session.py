@@ -69,6 +69,8 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
         if res is not None:
             return res
         return sql_dml(spark, statement, tables or {})
+    # dotted catalog identifiers (demo.db.t) → registered views
+    statement = ddl.resolve_names(statement)
     return spatial_sql(spark, statement)
 
 

@@ -133,3 +133,42 @@ def test_time_travel_sql_spellings(spark, app_tables):
         f"SELECT id FROM {T0} TIMESTAMP AS OF '{ts.isoformat()}' "
         "ORDER BY id")).collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_reference_testbasic_dotted_names(spark, tmp_path, monkeypatch):
+    """The reference TEST SUITE's spelling — dotted catalog identifiers
+    (``demo.db.test_geom``) driven through every statement shape of
+    testBasic (TestSedonaIcebergExtension.scala:53-105): DDL, both UDF
+    families, range filter, spatial UPDATE, union agg, insert-from-select
+    with transformed columns."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh2"))
+    ddl.reset()
+    t = "demo.db.test_geom"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT, data STRING, geo GEOMETRY) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1, 'data_1', IcebergSTGeomFromText('POINT (10 20)'))")
+        engine_sql(spark, f"INSERT INTO {t} SELECT 2, 'data_2', ST_Point(20.0, 30.0)")
+        wkts = [r.wkt for r in engine_sql(
+            spark, f"SELECT ST_AsText(geo) AS wkt FROM {t} ORDER BY id").collect()]
+        assert wkts == ["POINT (10 20)", "POINT (20 30)"]     # scala:56-59
+        rows = engine_sql(spark, (
+            f"SELECT id FROM {t} WHERE "
+            "ST_Contains(ST_PolygonFromEnvelope(15.0, 20.0, 30.0, 40.0), geo)")).collect()
+        assert [r.id for r in rows] == [2]                    # scala:62-71
+        engine_sql(spark, (
+            f"UPDATE {t} SET data = 'updated' WHERE "
+            "ST_Intersects(geo, ST_PolygonFromEnvelope(15.0, 20.0, 30.0, 40.0))"))
+        rows = engine_sql(spark,
+                          f"SELECT id FROM {t} WHERE data = 'updated'").collect()
+        assert [r.id for r in rows] == [2]                    # scala:82-88
+        agg = engine_sql(spark, (
+            f"SELECT ST_AsText(ST_Union_Aggr(geo)) AS u FROM {t}")).collect()
+        assert agg[0].u == "MULTIPOINT ((10 20), (20 30))"    # scala:90-92
+        # insert-from-select with transformed columns (scala:99-105)
+        engine_sql(spark, (
+            f"INSERT INTO {t} SELECT id + 100, CONCAT('new_', data), "
+            f"ST_Point(ST_Y(geo), ST_X(geo)) FROM {t}"))
+        n = engine_sql(spark, f"SELECT COUNT(*) AS n FROM {t}").first().n
+        assert n == 4
+    finally:
+        ddl.reset()
