@@ -278,6 +278,22 @@ def resolve_names(statement: str) -> str:
     return statement
 
 
+def rewrite_metadata_tables(spark: SparkSession, statement: str) -> str:
+    """Iceberg's metadata-table spellings over catalog tables:
+    ``SELECT * FROM t.history`` / ``FROM t.files`` resolve to the snapshot
+    layer's history/files DataFrames, registered as views on demand."""
+    for name, tbl in list(_CATALOG.items()):
+        for meta in ("history", "files"):
+            ref = rf"(?<![\w.]){re.escape(name)}\.{meta}(?![\w.])"
+            if re.search(ref, statement):
+                view = f"{_view_name(name)}__{meta}"
+                df = (tbl.history_df(spark) if meta == "history"
+                      else tbl.files_df(spark))
+                df.createOrReplaceTempView(view)
+                statement = re.sub(ref, view, statement)
+    return statement
+
+
 _TTV_RE = re.compile(
     r"\bFROM\s+(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)"
     r"\s+AS\s+OF\s+(?P<v>\d+)", re.IGNORECASE)

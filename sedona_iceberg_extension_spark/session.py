@@ -69,7 +69,9 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
         if res is not None:
             return res
         return sql_dml(spark, statement, tables or {})
-    # dotted catalog identifiers (demo.db.t) → registered views
+    # metadata tables (t.history / t.files), then dotted catalog
+    # identifiers (demo.db.t) → registered views
+    statement = ddl.rewrite_metadata_tables(spark, statement)
     statement = ddl.resolve_names(statement)
     return spatial_sql(spark, statement)
 

@@ -172,3 +172,12 @@ def test_reference_testbasic_dotted_names(spark, tmp_path, monkeypatch):
         assert n == 4
     finally:
         ddl.reset()
+
+
+def test_metadata_table_sql_spellings(spark, app_tables):
+    hist = engine_sql(spark, (
+        f"SELECT version, operation FROM {T0}.history ORDER BY version")).collect()
+    assert [r.operation for r in hist][:3] == ["create", "append", "append"]
+    files = engine_sql(spark, (
+        f"SELECT COUNT(*) AS n FROM {T0}.files")).first().n
+    assert files >= 1
