@@ -46,7 +46,8 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s+(?P<body>(?:VALUES|SELECT)\b.+)$",
+    r"^\s*INSERT\s+(?:INTO|(?P<ow>OVERWRITE)(?:\s+TABLE)?)\s+(?P<name>[\w.]+)"
+    r"\s+(?P<body>(?:VALUES|SELECT)\b.+)$",
     re.IGNORECASE | re.DOTALL)
 _CACHE_RE = re.compile(
     r"^\s*(?P<un>UN)?CACHE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -209,10 +210,14 @@ def run_ddl(spark: SparkSession, statement: str,
         else:
             src = run_select(spark, body)
         tbl = _CATALOG[name]
-        tbl.append(spark, _align(src, tbl, spark))
+        aligned = _align(src, tbl, spark)
+        if m.group("ow"):
+            tbl.overwrite(spark, aligned)
+        else:
+            tbl.append(spark, aligned)
         _register(spark, name)
-        return {"ddl": "insert", "table": name,
-                "version": tbl.versions()[-1]}
+        return {"ddl": "insert_overwrite" if m.group("ow") else "insert",
+                "table": name, "version": tbl.versions()[-1]}
 
     m = _CACHE_RE.match(statement)
     if m:

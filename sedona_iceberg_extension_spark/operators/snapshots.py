@@ -182,6 +182,14 @@ class SnapshotTable:
         return (spark.read.option("mergeSchema", str(merge_schema).lower())
                 .parquet(*self.files(version)))
 
+    def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
+        """Full-table overwrite as ONE snapshot commit (Iceberg
+        ``INSERT OVERWRITE``): the new files replace every live file; the
+        previous snapshot stays readable via time travel until expired."""
+        added = self._ingest_staged(self._stage(df))
+        m = self._manifest()
+        return self._commit(added, "overwrite", base_version=m["version"])
+
     def append(self, spark: SparkSession, df: DataFrame,
                max_retries: int = 5, _extra: Optional[Dict] = None) -> int:
         """Append commutes with any concurrent commit, so a conflict is

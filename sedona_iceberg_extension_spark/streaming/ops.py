@@ -123,9 +123,13 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
 def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                        left_ts: str = "ts", right_ts: str = "ts",
                        within: str = "1 hour",
-                       watermark: str = "2 hours") -> DataFrame:
-    """Stream-stream inner join with a time-bound join condition — both
-    sides keep watermarked state; rows pair only within ±``within``.
+                       watermark: str = "2 hours",
+                       how: str = "inner") -> DataFrame:
+    """Stream-stream join with a time-bound join condition — both sides
+    keep watermarked state; rows pair only within ±``within``.
+    ``how``: inner (default) or left_outer — outer null-extensions emit
+    when the watermark passes the join window (Spark's standard outer
+    stream-stream semantics; the time bound makes state evictable).
     On batch inputs the same expression is a plain range-condition join."""
     l = left.select(F.col(key).alias("_k"), F.col(left_ts).alias("_lts"),
                     *[c for c in left.columns if c not in (key, left_ts)])
@@ -138,7 +142,7 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
     cond = ((l["_k"] == r["_rk"])
             & (r["_rts"] >= l["_lts"] - F.expr(f"INTERVAL {within}"))
             & (r["_rts"] <= l["_lts"] + F.expr(f"INTERVAL {within}")))
-    return (l.join(r, cond)
+    return (l.join(r, cond, how)
             .select(F.col("_k").alias(key), F.col("_lts").alias("left_ts"),
                     F.col("_rts").alias("right_ts"),
                     *[c for c in l.columns if c not in ("_k", "_lts")],

@@ -181,3 +181,16 @@ def test_metadata_table_sql_spellings(spark, app_tables):
     files = engine_sql(spark, (
         f"SELECT COUNT(*) AS n FROM {T0}.files")).first().n
     assert files >= 1
+
+
+def test_insert_overwrite(spark, app_tables):
+    before = ddl.table(T1).versions()[-1]
+    r = engine_sql(spark, (
+        f"INSERT OVERWRITE {T1} SELECT 99, ST_Point(1.0, 1.0)"))
+    assert r["ddl"] == "insert_overwrite" and r["version"] == before + 1
+    rows = engine_sql(spark, f"SELECT id FROM {T1}").collect()
+    assert [r.id for r in rows] == [99]
+    # the pre-overwrite snapshot stays readable (time travel)
+    prev = engine_sql(spark, (
+        f"SELECT id FROM {T1} VERSION AS OF {before} ORDER BY id")).collect()
+    assert [r.id for r in prev] == [10, 20]

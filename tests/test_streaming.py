@@ -150,3 +150,31 @@ def test_stream_to_snapshot_exactly_once(spark, sf_dir, tmp_path):
     assert table.append_stream_batch(batch0, 0) is None  # fenced
     assert len(table.versions()) == n_versions
     assert table.read(spark).count() == expected
+
+
+def test_stream_stream_join_left_outer_batch_parity(spark, sf_dir):
+    """``how='left_outer'``: on batch inputs the time-bound join is a plain
+    left-outer range join — clicks with no view within the hour keep a null
+    right side (the streaming path shares the identical expression; outer
+    emission timing is watermark-driven there)."""
+    from pyspark.sql import functions as F
+
+    from sedona_iceberg_extension_spark.sources import load_table
+    from sedona_iceberg_extension_spark.streaming import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    out = stream_stream_join(clicks, views, "user_id",
+                             within="60 minutes", how="left_outer")
+    n_clicks = clicks.count()
+    matched = out.filter(F.col("view_id").isNotNull())
+    unmatched = out.filter(F.col("view_id").isNull())
+    # every click appears; unmatched ones exactly once with a null view
+    assert unmatched.select("click_id").distinct().count() \
+        + matched.select("click_id").distinct().count() == n_clicks
+    inner = stream_stream_join(clicks, views, "user_id",
+                               within="60 minutes", how="inner")
+    assert matched.count() == inner.count()
