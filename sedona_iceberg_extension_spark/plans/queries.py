@@ -1430,6 +1430,48 @@ FROM per ORDER BY source
 """
 
 
+def q_hll_distinct_users(spark, sf_dir):
+    """Deterministic HyperLogLog over events.user_id (pipeline.sketch):
+    portable-hash registers make the whole sketch — ranks, harmonic mean,
+    small-range correction — reproducible in SQL, so the APPROXIMATE
+    estimate is exact-value-checked.  Output also carries the true
+    distinct count for accuracy reading."""
+    from ..pipeline import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sketch.hll_estimate(ev, "user_id", p=10)
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "n_registers", F.round("estimate", 6).alias("estimate"), "n_exact")
+
+
+_ALPHA_M2 = 0.7213 / (1 + 1.079 / 1024) * 1024 * 1024
+
+_QHLL_SQL = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'), 1, 15))::BIGINT AS h
+  FROM events
+), rr AS (
+  SELECT h % 1024 AS register,
+         MAX(CASE WHEN h // 1024 > 0
+                  THEN 50 - CAST(floor(log2(h // 1024)) AS BIGINT)
+                  ELSE 51 END) AS max_rank
+  FROM h GROUP BY h % 1024
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_registers,
+         SUM(POW(2.0, -max_rank)) AS s
+  FROM rr
+)
+SELECT n_registers,
+       ROUND(CASE WHEN {_ALPHA_M2!r} / ((1024.0 - n_registers) + s) <= 2560.0
+                   AND (1024.0 - n_registers) > 0
+             THEN 1024.0 * ln(1024.0 / (1024.0 - n_registers))
+             ELSE {_ALPHA_M2!r} / ((1024.0 - n_registers) + s) END, 6) AS estimate,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact
+FROM agg
+"""
+
+
 def q_corpus_contamination(spark, sf_dir):
     """Train/test decontamination (pipeline.dedup.contamination): docs are
     split by ``doc_id % 10`` (0-7 train, 8-9 test); each test doc reports
@@ -2313,6 +2355,7 @@ QUERIES: Dict[str, QueryDef] = {
     "doc_top_token_share": QueryDef(q_doc_top_token_share, _QTOPSHARE_SQL, False),
     "source_mix_weights": QueryDef(q_source_mix_weights, _QMIX_SQL, False),
     "corpus_contamination": QueryDef(q_corpus_contamination, _QCONTAM_SQL, False),
+    "hll_distinct_users": QueryDef(q_hll_distinct_users, _QHLL_SQL, False),
     "doc_tfidf_top_terms": QueryDef(q_doc_tfidf, _QTFIDF_SQL, False),
     # dedup
     "exact_dedup_groups": QueryDef(q_exact_dedup, _QDEDUP_SQL, True),

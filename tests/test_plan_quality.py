@@ -43,7 +43,7 @@ _NATIVE_QUERIES = [
     "doc_tfidf_top_terms", "resample_ffill", "event_transitions",
     "value_histogram", "spatial_transform", "spatial_transform_laea",
     "doc_char_entropy", "doc_top_token_share", "source_mix_weights",
-    "corpus_contamination",
+    "corpus_contamination", "hll_distinct_users",
 ]
 
 
