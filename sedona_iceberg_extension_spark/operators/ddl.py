@@ -197,13 +197,23 @@ def run_ddl(spark: SparkSession, statement: str,
         tbl = _CATALOG.pop(name, None)
         if tbl is not None:
             spark.catalog.dropTempView(_view_name(name))
+        else:
+            # a real Spark-managed table may own the name (the statement
+            # carries IF EXISTS semantics itself)
+            try:
+                spark.sql(statement)
+            except Exception:
+                pass
         return {"ddl": "drop", "table": name, "existed": tbl is not None}
 
     m = _INSERT_RE.match(statement)
     if m:
         name = m.group("name")
         if name not in _CATALOG:
-            raise ValueError(f"INSERT into unknown table {name!r}")
+            # not a catalog table — a real Spark-managed table may own the
+            # name; delegate the statement unchanged
+            spark.sql(statement)
+            return {"ddl": "insert", "table": name, "delegated": True}
         body = resolve_names(m.group("body").strip())
         if body.upper().startswith("VALUES"):
             src = spark.sql(_values_to_select(body))
