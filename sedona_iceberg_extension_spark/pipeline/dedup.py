@@ -17,11 +17,14 @@ All-native Catalyst plans (no Python UDFs).  Scale notes per operator:
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
+from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import portable_hash64, tokens
+
+_LOG = logging.getLogger(__name__)
 
 
 def spread(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
@@ -148,12 +151,66 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"))
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 16, bands: int = 4,
-                      shingle_n: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) via banded LSH: docs sharing a
-    band signature land in the same bucket; the pair join is an equi-join on
-    (band, band_hash)."""
+def _capped_bucket_pairs(banded: DataFrame, id_col: str, keys: List[str],
+                         max_bucket: Optional[int] = None,
+                         log_dropped: bool = False) -> DataFrame:
+    """Bucket-local candidate-pair generation (id_a < id_b) shared by the
+    MinHash and embedding LSH paths, with an optional bucket-size cap.
+
+    Uncapped, one pathological bucket — n near-identical docs surviving
+    exact dedup (templated boilerplate with one varying token) — makes
+    ``collect_list`` build a single n-element array on one executor (an
+    unspillable value → OOM) and then explode into n²/2 pairs.  With
+    ``max_bucket`` set, every row of an over-cap bucket is filtered out
+    BEFORE the collect via a window count over the bucket key: the window's
+    hash partitioning is exactly what the downstream groupBy needs, so the
+    plan still has one exchange, and the oversized group only ever exists
+    as spillable sorted rows, never as one in-memory array.
+
+    Dropped buckets are never silent: ``log_dropped=True`` counts them (one
+    extra job — off in declared queries) and `oversize_buckets` exposes
+    them as a DataFrame for monitoring at scale.  Members of a dropped
+    bucket still pair up through any other band whose bucket is under the
+    cap, so the cap degrades recall only for mega-families — which exact
+    dedup upstream already collapses (see `doc_dedup_pipeline`)."""
+    if max_bucket is not None:
+        sized = banded.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        if log_dropped:
+            n_drop = (sized.filter(F.col("_n") > max_bucket)
+                      .select(*keys).distinct().count())
+            if n_drop:
+                _LOG.warning(
+                    "LSH cap: dropped %d buckets over max_bucket=%d from "
+                    "candidate generation", n_drop, max_bucket)
+        banded = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+    buckets = (
+        banded.groupBy(*keys)
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+        .select(F.col("id_a"),
+                F.explode(F.filter(F.col("_ids"), lambda x: x > F.col("id_a"))).alias("id_b"))
+        .distinct()
+    )
+
+
+def oversize_buckets(banded: DataFrame, keys: List[str],
+                     max_bucket: int) -> DataFrame:
+    """(keys..., n_ids) for every LSH bucket over the cap — the monitoring
+    companion to the ``max_bucket`` filter (no silent truncation: a scale
+    run inspects/alerts on this before trusting the capped pair set)."""
+    return (banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_ids"))
+            .filter(F.col("n_ids") > max_bucket))
+
+
+def minhash_banded(df: DataFrame, id_col: str, text_col: str,
+                   num_hashes: int = 16, bands: int = 4,
+                   shingle_n: int = 3) -> DataFrame:
+    """(id, band, band_hash) — each doc's LSH bucket per band."""
     rows = num_hashes // bands
     wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
     # band hashes straight off the wide signature: per band, md5 over the
@@ -167,25 +224,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         for b in range(bands)
     ]
     stack_args = ", ".join(f"{b}, bh_{b}" for b in range(bands))
-    banded = (
+    return (
         wide.select(F.col(id_col), *band_hash)
         .select(F.col(id_col),
                 F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)"))
     )
-    # bucket-local pair generation instead of a self-join: one pass over the
-    # signature pipeline (a self-join would recompute the whole shingle+md5
-    # DAG for both sides), buckets are near-dup groups and stay small
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    return (
-        buckets.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
-        .select(F.col("id_a"),
-                F.explode(F.filter(F.col("_ids"), lambda x: x > F.col("id_a"))).alias("id_b"))
-        .distinct()
-    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3,
+                      max_bucket: Optional[int] = None,
+                      log_dropped: bool = False) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) via banded LSH: docs sharing a
+    band signature land in the same bucket; the pair join is an equi-join on
+    (band, band_hash).  Bucket-local pair generation instead of a self-join:
+    one pass over the signature pipeline (a self-join would recompute the
+    whole shingle+md5 DAG for both sides).  ``max_bucket`` bounds the worst
+    bucket (see `_capped_bucket_pairs` — the at-scale default should set
+    it; dropped buckets surface via `oversize_buckets`/``log_dropped``)."""
+    banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return _capped_bucket_pairs(banded, id_col, ["band", "band_hash"],
+                                max_bucket, log_dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -295,21 +355,11 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
-                        threshold: float = 0.85,
-                        num_bands: int = 8, planes_per_band: int = 4,
-                        dim: int = 64) -> DataFrame:
-    """Near-duplicate vectors by cosine ≥ threshold — banded cosine-LSH
-    candidates, exact cosine refinement.  Never all-pairs: per band, a
-    vector's bucket is the sign pattern of ``planes_per_band`` deterministic
-    hyperplane projections; candidate pairs share a (band, bucket), generated
-    bucket-locally like the MinHash path, then verified exactly.
-
-    Recall: a pair at cosine θ survives one band with p=(1-acos(θ)/π)^r;
-    OR-ing ``num_bands`` bands gives 1-(1-p)^b — ≥99% at the default
-    (θ=0.85, r=4, b=8), and every reported pair is exact (the refinement
-    keeps precision at 100%).  At 100 TB the shuffle is |vectors|×b bucket
-    rows plus the candidate joins — no quadratic stage anywhere."""
+def embedding_banded(df: DataFrame, id_col: str, vec_col: str,
+                     num_bands: int = 8, planes_per_band: int = 4,
+                     dim: int = 64) -> DataFrame:
+    """(id, band, bucket) — per band, a vector's bucket is the sign pattern
+    of ``planes_per_band`` deterministic hyperplane projections."""
     from .similarity import _hyperplane
 
     vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
@@ -326,20 +376,35 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                                .otherwise(F.lit(0).cast("long"))
         band_cols.append(bucket.alias(f"bk_{b}"))
     stack_args = ", ".join(f"{b}, bk_{b}" for b in range(num_bands))
-    banded = (
+    return (
         df.select(F.col(id_col), *band_cols)
         .select(F.col(id_col),
                 F.expr(f"stack({num_bands}, {stack_args}) AS (band, bucket)"))
     )
-    cand = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-        .select(F.explode("_ids").alias("id_a"), F.col("_ids"))
-        .select(F.col("id_a"),
-                F.explode(F.filter(F.col("_ids"), lambda x: x > F.col("id_a"))).alias("id_b"))
-        .distinct()
-    )
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.85,
+                        num_bands: int = 8, planes_per_band: int = 4,
+                        dim: int = 64,
+                        max_bucket: Optional[int] = None,
+                        log_dropped: bool = False) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold — banded cosine-LSH
+    candidates, exact cosine refinement.  Never all-pairs: per band, a
+    vector's bucket is the sign pattern of ``planes_per_band`` deterministic
+    hyperplane projections; candidate pairs share a (band, bucket), generated
+    bucket-locally like the MinHash path, then verified exactly.
+
+    Recall: a pair at cosine θ survives one band with p=(1-acos(θ)/π)^r;
+    OR-ing ``num_bands`` bands gives 1-(1-p)^b — ≥99% at the default
+    (θ=0.85, r=4, b=8), and every reported pair is exact (the refinement
+    keeps precision at 100%).  At 100 TB the shuffle is |vectors|×b bucket
+    rows plus the candidate joins — no quadratic stage anywhere, and
+    ``max_bucket`` bounds the worst bucket (see `_capped_bucket_pairs`)."""
+    banded = embedding_banded(df, id_col, vec_col, num_bands,
+                              planes_per_band, dim)
+    cand = _capped_bucket_pairs(banded, id_col, ["band", "bucket"],
+                                max_bucket, log_dropped)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

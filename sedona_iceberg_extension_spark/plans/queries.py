@@ -1304,24 +1304,46 @@ ORDER BY doc_id, seed
 """
 
 
+#: Bucket-size cap used by every declared LSH query — mirrored between the
+#: Spark plan (window-count filter before collect_list, dedup.py) and the
+#: oracle SQL (window COUNT(*) OVER the bucket key).  64 never binds on the
+#: driver testdata (max observed bucket: 12 at sf0.1) but bounds the
+#: pathological mega-bucket at scale.
+_LSH_MAX_BUCKET = 64
+
+
+def _lsh_pairs_cte(max_bucket: int = _LSH_MAX_BUCKET) -> str:
+    """banded → capped → pairs CTEs shared by every MinHash-LSH oracle —
+    identical semantics to dedup._capped_bucket_pairs: all rows of a bucket
+    over the cap are removed BEFORE pair generation."""
+    return f"""
+, banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(format('{{}}:{{}}', seed, minhash), ','
+             ORDER BY format('{{}}:{{}}', seed, minhash))) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+), capped AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded) s
+  WHERE _n <= {max_bucket}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return (
-        dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4,
+                                max_bucket=_LSH_MAX_BUCKET)
         .orderBy("id_a", "id_b")
     )
 
 
-_QLSH_SQL = _mh_sig_cte("") + """
-, banded AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(format('{}:{}', seed, minhash), ','
-             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+_QLSH_SQL = _mh_sig_cte("") + _lsh_pairs_cte() + """
+SELECT id_a, id_b FROM pairs
 ORDER BY id_a, id_b
 """
 
@@ -1521,7 +1543,8 @@ def q_dedup_components(spark, sf_dir):
     fixpoint, still exactly SQL-expressible)."""
     from ..pipeline import components as cc
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4,
+                                    max_bucket=_LSH_MAX_BUCKET)
     comp = cc.connected_components(pairs, "id_a", "id_b")
     return (
         comp.select(F.col("id").alias("doc_id"), "component")
@@ -1529,17 +1552,9 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
-_QCOMP_SQL = _mh_sig_cte("").replace("WITH toks", "WITH RECURSIVE toks") + """
-, banded AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(format('{}:{}', seed, minhash), ','
-             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-), edges AS (
+_QCOMP_SQL = (_mh_sig_cte("").replace("WITH toks", "WITH RECURSIVE toks")
+              + _lsh_pairs_cte()) + """
+, edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM pairs
@@ -1560,7 +1575,8 @@ def q_dedup_keep(spark, sf_dir):
     100 TB training-data pass actually writes out."""
     from ..pipeline import components as cc
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4,
+                                    max_bucket=_LSH_MAX_BUCKET)
     comp = cc.connected_components(pairs, "id_a", "id_b")
     return (
         cc.keep_canonical(comp, "id", "component")
@@ -1596,7 +1612,8 @@ def q_doc_dedup_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     stage1 = dedup.exact_dedup(docs, "doc_id", "text")
     pairs = dedup.minhash_lsh_pairs(stage1, "doc_id", "text",
-                                    num_hashes=8, bands=4)
+                                    num_hashes=8, bands=4,
+                                    max_bucket=_LSH_MAX_BUCKET)
     comp = cc.connected_components(pairs, "id_a", "id_b")
     dropped = comp.filter(F.col("id") != F.col("component")) \
         .select(F.col("id").alias("doc_id"))
@@ -1622,17 +1639,9 @@ _QPIPE_SQL = (
     ")"
     + _mh_sig_cte("").replace("WITH toks", ", toks")
                      .replace("FROM documents", "FROM survivors")
+    + _lsh_pairs_cte()
     + """
-, banded AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(format('{}:{}', seed, minhash), ','
-             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-), edges AS (
+, edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
   SELECT id_b AS u, id_a AS v FROM pairs
@@ -1790,8 +1799,30 @@ ORDER BY query_id, rank
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup via banded hyperplane LSH + exact cosine refine.
+
+    The driver's embeddings table has no natural pair at cosine ≥ 0.85 (the
+    check was 0-rows-green for four rounds — vacuous), so the declared query
+    unions in deterministic perturbed near-dups: for vec_id < 40, a clone at
+    id+1000000 with 0.01 added to the first component (pure double
+    arithmetic, replayed bit-identically in the oracle).  Every (orig,
+    clone) pair sits at cosine ≈ 0.9999+, so the oracle — exact all-pairs —
+    now checks BOTH precision and recall of the LSH path on real rows.
+
+    ``max_bucket=512`` exercises the scale cap without binding at the
+    driver SFs (max observed bucket: 60 at sf0.01, 232 at sf0.1, + ≤1 clone
+    per bucket); the all-pairs oracle would catch any capped-away pair, so
+    the green row certifies the cap is loss-free on this data."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.85)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+                 F.slice("embedding", 2, 63)).alias("embedding"))
+    out = dedup.embedding_dup_pairs(base.unionAll(pert), "vec_id", "embedding",
+                                    threshold=0.85, max_bucket=512)
     return (
         out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
@@ -1799,10 +1830,19 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 _QEMBD_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + 0.01, embedding[2:]) AS embedding
+  FROM base WHERE vec_id < 40
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.85
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.85
 ORDER BY id_a, id_b
 """
 

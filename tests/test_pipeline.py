@@ -79,6 +79,61 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_cap_bounds_adversarial_mega_bucket(spark):
+    """10k copies of one near-dup family (templated text, one varying token
+    — NOT exact dups, so exact dedup can't collapse them): uncapped this is
+    a single 10k-id collect_list array and ~50M exploded pairs; with
+    max_bucket the family's buckets are dropped BEFORE the collect and the
+    query completes with only the honest small-bucket pairs."""
+    rows = [(i, f"the shared boilerplate template text body unique{i} tail") for i in range(10_000)]
+    rows += [(20_001, "entirely different words apple banana cherry date elderberry fig"),
+             (20_002, "entirely different words apple banana cherry date elderberry grape")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    pairs = dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=16, bands=8,
+                                    max_bucket=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the mega-family never explodes into pairs…
+    assert all(a > 10_000 for a, _ in got), f"mega-bucket pairs leaked: {len(got)}"
+    # …but genuinely small buckets still pair up
+    assert (20_001, 20_002) in got
+    # and the drop is surfaced, not silent
+    banded = dedup.minhash_banded(df, "id", "t", num_hashes=16, bands=8)
+    over = dedup.oversize_buckets(banded, ["band", "band_hash"], 64)
+    assert over.count() >= 1
+    assert over.agg(F.max("n_ids")).first()[0] >= 1_000
+
+
+def test_lsh_cap_single_exchange_plan(spark):
+    """The window-count cap must not add a second shuffle: the window's
+    hash partitioning on (band, band_hash) is exactly what the collect_list
+    groupBy needs."""
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "a b c d f")], "id long, t string")
+    capped = dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=8, bands=4,
+                                     max_bucket=64)
+    uncapped = dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=8, bands=4)
+    def n_exchanges(q):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+    assert n_exchanges(capped) == n_exchanges(uncapped)
+
+
+def test_embedding_dup_cap_drops_mega_bucket(spark):
+    """Same cap contract on the embedding LSH path: a 3k-clone vector family
+    is filtered before the collect; distinct small-bucket pairs survive."""
+    import math
+    base = [math.sin(i + 1) for i in range(8)]
+    rows = [(i, [x + 1e-9 * i for x in base]) for i in range(3_000)]
+    other = [math.cos(i + 1) for i in range(8)]
+    rows += [(9_001, other), (9_002, [x + 1e-6 for x in other])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = dedup.embedding_dup_pairs(df, "id", "v", threshold=0.99,
+                                    num_bands=4, planes_per_band=4, dim=8,
+                                    max_bucket=64)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert all(a > 3_000 for a, _ in got)
+    assert (9_001, 9_002) in got
+
+
 def test_jaccard_pairs_exact(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")], "id long, t string")
