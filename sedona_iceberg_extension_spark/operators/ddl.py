@@ -35,7 +35,7 @@ _CATALOG: Dict[str, SnapshotTable] = {}
 _WAREHOUSE: list = [None]
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"\((?P<cols>.*)\)\s*USING\s+ICEBERG\s*$",
     re.IGNORECASE | re.DOTALL)
 _CTAS_RE = re.compile(
@@ -125,14 +125,26 @@ def _values_to_select(body: str) -> str:
     App.scala:46-52), which a SELECT evaluates fine."""
     rest = body[len("VALUES"):].strip()
     selects = []
-    i = 0
-    while i < len(rest):
-        if rest[i] == "(":
+    i, n = 0, len(rest)
+    while i < n:
+        c = rest[i]
+        if c == "'":
+            # skip string literal (SQL escapes ' as '' — each pair re-opens)
+            i += 1
+            while i < n and rest[i] != "'":
+                i += 1
+            i += 1
+        elif c == "(":
             depth, j = 1, i + 1
-            while j < len(rest) and depth:
-                if rest[j] == "(":
+            while j < n and depth:
+                cj = rest[j]
+                if cj == "'":
+                    j += 1
+                    while j < n and rest[j] != "'":
+                        j += 1
+                elif cj == "(":
                     depth += 1
-                elif rest[j] == ")":
+                elif cj == ")":
                     depth -= 1
                 j += 1
             if depth:
@@ -184,6 +196,13 @@ def run_ddl(spark: SparkSession, statement: str,
     if m:
         name = m.group("name")
         if name in _CATALOG:
+            if not m.group("ine"):
+                # Spark/Iceberg raise TABLE_ALREADY_EXISTS for a plain
+                # CREATE TABLE — a silent no-op would keep stale data
+                raise ValueError(
+                    f"[TABLE_OR_VIEW_ALREADY_EXISTS] Cannot create table "
+                    f"{name} because it already exists. Use CREATE TABLE "
+                    f"IF NOT EXISTS to tolerate a pre-existing table.")
             return {"ddl": "create", "table": name, "existed": True}
         empty = spark.createDataFrame([], _schema_ddl(m.group("cols")))
         path = os.path.join(_warehouse(), _view_name(name))
@@ -285,12 +304,17 @@ def resolve_names(statement: str) -> str:
     reference test suite's spelling, TestSedonaIcebergExtension.scala:53+)
     with their registered view names; Spark would otherwise resolve the
     dots against a real catalog.  Undotted names already match their view
-    name and need nothing."""
-    for name in sorted(_CATALOG, key=len, reverse=True):
-        if "." in name and name in statement:
-            statement = re.sub(rf"(?<![\w.]){re.escape(name)}(?![\w.])",
-                               _view_name(name), statement)
-    return statement
+    name and need nothing.  String literals are left untouched (a table
+    name occurring inside quoted data must not be rewritten)."""
+    parts = re.split(r"('(?:[^']|'')*')", statement)
+    for idx in range(0, len(parts), 2):   # even indices = outside literals
+        seg = parts[idx]
+        for name in sorted(_CATALOG, key=len, reverse=True):
+            if "." in name and name in seg:
+                seg = re.sub(rf"(?<![\w.]){re.escape(name)}(?![\w.])",
+                             _view_name(name), seg)
+        parts[idx] = seg
+    return "".join(parts)
 
 
 def rewrite_metadata_tables(spark: SparkSession, statement: str) -> str:

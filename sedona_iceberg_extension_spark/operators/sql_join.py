@@ -104,6 +104,11 @@ _ARG_RE = re.compile(r"^(\w+)\.(\w+)$")
 
 _VIEW_PREFIX = "__spatial_sql_join_"
 _VIEW_COUNTER = [0]
+# pair view -> its aliases in ORIGINAL FROM order (the predicate's arg order
+# decides which side is the join's left, so the view's struct order can
+# differ from the statement's FROM order — SELECT * expansion must follow
+# the latter)
+_VIEW_ALIAS_ORDER: dict = {}
 
 
 class _Match(NamedTuple):
@@ -282,6 +287,31 @@ def _split_conjuncts(s: str) -> List[str]:
     return [p for p in parts if p]
 
 
+def _has_toplevel_or(s: str) -> bool:
+    """True if the text contains an ``OR`` keyword at paren depth 0 outside
+    string literals.  AND binds tighter than OR, so a WHERE body with a
+    top-level OR is NOT a pure conjunction — removing one \"conjunct\" from
+    it (the comma-join rewrite) would silently change semantics
+    (``ST_pred AND x OR z`` parses as ``(ST_pred AND x) OR z``)."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and c in "oO" and s[i:i + 2].upper() == "OR"
+              and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+              and (i + 2 >= n or not (s[i + 2].isalnum() or s[i + 2] == "_"))):
+            return True
+        i += 1
+    return False
+
+
 def _parse_comma_from(sql: str):
     """Parse ``FROM rel [a], rel [b][, ...] WHERE <body>``; returns
     (from_start, where_body_start, where_body_end, rels, conjuncts) where
@@ -322,6 +352,11 @@ def _rewrite_comma_join(spark: SparkSession, sql: str,
     if not parsed:
         return None
     from_start, wstart, wend, rels, conjs = parsed
+    # a top-level OR means the WHERE body is not a pure conjunction — the
+    # rewrite (which removes the spatial conjunct) would be unsound, so the
+    # statement falls through to vanilla evaluation (correct, unoptimized)
+    if _has_toplevel_or(sql[wstart:wend]):
+        return None
     alias_of = {}
     for t in rels:
         alias_of[t[1] or t[0].rsplit(".", 1)[-1]] = t
@@ -365,6 +400,8 @@ def _rewrite_comma_join(spark: SparkSession, sql: str,
         view = plan_spatial_join_sql(spark, mt, strategy=strategy)
     except Exception:
         return None
+    _VIEW_ALIAS_ORDER[view] = [t[1] or t[0].rsplit(".", 1)[-1]
+                               for t in rels if t is lt or t is rt]
     rest_rels = [t[2] for t in rels if t is not lt and t is not rt]
     new_from = "FROM " + ", ".join([view] + rest_rels)
     rest_conjs = [c for i2, c in enumerate(conjs) if i2 != ci]
@@ -514,6 +551,147 @@ def _rewrite_range_predicates(spark: SparkSession, sql: str) -> str:
         return sql
 
 
+_SELECT_HEAD_RE = re.compile(r"^\s*SELECT\s+(?:DISTINCT\s+)?", re.IGNORECASE)
+
+
+def _split_top_level_commas(s: str) -> List[str]:
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def _find_toplevel_from(sql: str, start: int):
+    depth, i, n = 0, start, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and c in "fF" and sql[i:i + 4].upper() == "FROM"
+              and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+              and (i + 4 >= n or not (sql[i + 4].isalnum() or sql[i + 4] == "_"))):
+            return i
+        i += 1
+    return None
+
+
+def _pair_view_star_items(spark: SparkSession, rel: str) -> List[str]:
+    """SELECT-list items flattening a pair view back to the column set the
+    unrewritten statement would return: each alias struct expands to its
+    fields in order.  Any ``_env`` companion the source table itself carried
+    stays — the expansion must match vanilla evaluation of the same
+    statement; DDL-created reference-parity tables carry no ``_env``, so
+    there the flattened set equals upstream Sedona's."""
+    schema = spark.table(rel).schema
+    hint = _VIEW_ALIAS_ORDER.get(rel)
+    names = list(schema.fieldNames())
+    if hint and set(hint) <= set(names):
+        names = hint + [n for n in names if n not in hint]
+    items = []
+    for name in names:
+        fld = schema[name]
+        if isinstance(fld.dataType, StructType):
+            items += [f"`{fld.name}`.`{f}` AS `{f}`"
+                      for f in fld.dataType.fieldNames()]
+        else:
+            items.append(f"`{fld.name}`")
+    return items
+
+
+def _expand_star_over_views(spark: SparkSession, sql: str) -> str:
+    """After a spatial-join rewrite put a pair view (one struct column per
+    original alias) in the FROM, a bare ``*`` / ``alias.*`` select list
+    would surface the structs themselves.  Expand them back to the flat
+    column set the statement produced before the rewrite (the reference
+    App's statements are all ``SELECT * FROM t0 l, t1 r WHERE ST_...``,
+    App.scala:62-73)."""
+    if _VIEW_PREFIX not in sql:
+        return sql
+    hm = _SELECT_HEAD_RE.match(sql)
+    if not hm:
+        return sql
+    from_idx = _find_toplevel_from(sql, hm.end())
+    if from_idx is None:
+        return sql
+    items = _split_top_level_commas(sql[hm.end():from_idx])
+    if not any(it == "*" or it.endswith(".*") for it in items):
+        return sql
+    # parse the comma relation list and whether it covers the whole FROM
+    # clause (no JOIN tail — bare * can only be expanded when every FROM
+    # relation is enumerable)
+    i, n = from_idx + 4, len(sql)
+    while i < n and sql[i].isspace():
+        i += 1
+    rels = []
+    while True:
+        m = _REL_RE.match(sql, i)
+        if not m or not m.group("rel"):
+            break
+        rels.append((m.group("rel"), m.group("alias")))
+        i = m.end()
+        if i < n and sql[i] == ",":
+            i += 1
+            while i < n and sql[i].isspace():
+                i += 1
+            continue
+        break
+    covers_from = bool(re.match(
+        r"(WHERE\b|GROUP\s+BY\b|HAVING\b|ORDER\s+BY\b|LIMIT\b|UNION\b"
+        r"|EXCEPT\b|INTERSECT\b|$)", sql[i:].lstrip(), re.IGNORECASE))
+
+    def alias_struct_items(alias: str):
+        for rel, _ in rels:
+            if not rel.startswith(_VIEW_PREFIX):
+                continue
+            df = spark.table(rel)
+            if alias in df.columns and isinstance(df.schema[alias].dataType,
+                                                  StructType):
+                return [f"`{alias}`.`{f}` AS `{f}`"
+                        for f in df.schema[alias].dataType.fieldNames()]
+        return None
+
+    changed, out = False, []
+    for it in items:
+        if it == "*" and covers_from:
+            for rel, alias in rels:
+                if rel.startswith(_VIEW_PREFIX):
+                    out += _pair_view_star_items(spark, rel)
+                else:
+                    out.append(f"{alias or rel.rsplit('.', 1)[-1]}.*")
+            changed = True
+        elif it.endswith(".*") and re.fullmatch(r"\w+", it[:-2]):
+            expanded = alias_struct_items(it[:-2])
+            if expanded is None:
+                out.append(it)
+            else:
+                out += expanded
+                changed = True
+        else:
+            out.append(it)
+    if not changed:
+        return sql
+    return sql[:hm.end()] + ", ".join(out) + " " + sql[from_idx:]
+
+
 def _inject_where(tail: str, extra: str) -> str:
     """Fold a join's deferred AND-conjuncts into the statement tail: into an
     existing WHERE if present, else as a new WHERE at the clause slot after
@@ -554,6 +732,8 @@ def spatial_sql(spark: SparkSession, sql: str, strategy: str = "grid") -> DataFr
         if rewritten is None:
             break
         sql = rewritten
+    # SELECT * over a pair view must keep returning flat columns
+    sql = _expand_star_over_views(spark, sql)
     # Tier-B face for SQL text: constant-envelope range predicates over
     # shape-hinted geometry go native (no Python, filter reaches the scan)
     sql = _rewrite_range_predicates(spark, sql)

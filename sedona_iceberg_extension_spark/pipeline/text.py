@@ -269,7 +269,10 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (doc, char) counts (≤ alphabet size per doc), never the raw characters.
     The algebraic form ``ln n − (Σ c·ln c)/n`` needs no per-char
     probabilities join."""
-    chars = df.select(
+    # length > 0 guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0]
+    # (two bogus ''-char rows for an empty doc) where the oracle's
+    # generate_series(1, 0) yields none — both engines must drop empty docs
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
         F.col(id_col),
         F.explode(F.expr(
             f"transform(sequence(1, length(`{text_col}`)), "

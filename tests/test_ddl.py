@@ -174,6 +174,35 @@ def test_reference_testbasic_dotted_names(spark, tmp_path, monkeypatch):
         ddl.reset()
 
 
+def test_create_existing_table_raises(spark, app_tables):
+    # Spark/Iceberg raise TABLE_ALREADY_EXISTS on plain CREATE TABLE; the
+    # IF NOT EXISTS spelling tolerates the pre-existing table
+    with pytest.raises(Exception, match="ALREADY_EXISTS"):
+        engine_sql(spark, f"CREATE TABLE {T0} (id INT) USING ICEBERG")
+    r = engine_sql(spark,
+                   f"CREATE TABLE IF NOT EXISTS {T0} (id INT) USING ICEBERG")
+    assert r["existed"] is True
+    # data untouched
+    n = engine_sql(spark, f"SELECT COUNT(*) AS n FROM {T0}").first().n
+    assert n == 2
+
+
+def test_insert_values_with_quoted_paren_and_name(spark, tmp_path, monkeypatch):
+    # string literals containing unbalanced parens / a table name must not
+    # confuse the VALUES scanner or the dotted-name resolver
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whq"))
+    ddl.reset()
+    t = "demo.db.quoted"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT, data STRING) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1, ':-)'), (2, 'demo.db.quoted')")
+        rows = engine_sql(spark,
+                          f"SELECT id, data FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.data) for r in rows] == [(1, ":-)"), (2, "demo.db.quoted")]
+    finally:
+        ddl.reset()
+
+
 def test_metadata_table_sql_spellings(spark, app_tables):
     hist = engine_sql(spark, (
         f"SELECT version, operation FROM {T0}.history ORDER BY version")).collect()

@@ -59,6 +59,17 @@ def test_lang_id_deterministic(spark, docs):
     assert set(out1.values()) <= {"de", "en", "es", "fr", "und"}
 
 
+def test_char_entropy_drops_empty_docs(spark):
+    """Spark's sequence(1, 0) yields DESCENDING [1, 0] — an empty doc would
+    emit two ''-char rows and entropy 0.0 while the DuckDB oracle's
+    generate_series(1, 0) omits the doc entirely; both must drop it."""
+    df = spark.createDataFrame([(1, "aabb"), (2, "")], "id long, t string")
+    out = text.char_entropy(df, "id", "t").collect()
+    assert {r["id"] for r in out} == {1}
+    import math
+    assert out[0]["entropy"] == pytest.approx(math.log(2))
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")], "id long, t string")

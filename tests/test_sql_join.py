@@ -265,6 +265,70 @@ def test_app_comma_join_with_residual_conjunct(spark, ref_tables):
     assert [(r.id_l, r.id_r) for r in df.collect()] == [(2, 20)]
 
 
+def test_comma_join_top_level_or_falls_through(spark, ref_tables):
+    """AND binds tighter than OR: 'ST AND x OR z' is not a conjunction, so
+    the comma-join rewrite must skip and vanilla evaluation (which keeps
+    cross-join rows satisfying only z) must win."""
+    sql = ("SELECT l.id AS id_l, r.id AS id_r FROM test_left l, test_right r "
+           "WHERE ST_Contains(r.geo, l.geo) AND l.id = 1 OR r.id = 20 "
+           "ORDER BY id_l, id_r")
+    planned = [(r.id_l, r.id_r) for r in spatial_sql(spark, sql).collect()]
+    vanilla = [(r.id_l, r.id_r) for r in spark.sql(sql).collect()]
+    assert planned == vanilla
+    assert planned == [(1, 10), (1, 20), (2, 20)]  # (2,20) only via z
+
+
+def test_comma_join_parenthesized_or_still_plans(spark, ref_tables):
+    """OR inside parens IS a conjunct — the rewrite must still fire."""
+    sql = ("SELECT l.id AS id_l, r.id AS id_r FROM test_left l, test_right r "
+           "WHERE ST_Contains(r.geo, l.geo) AND (l.id = 1 OR r.id = 20) "
+           "ORDER BY id_l, id_r")
+    df = spatial_sql(spark, sql)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert [(r.id_l, r.id_r) for r in df.collect()] == [(1, 10), (2, 20)]
+
+
+def test_comma_join_select_star_flattens(spark, ref_tables):
+    """The App's verbatim statements are 'SELECT * FROM t0 l, t1 r WHERE
+    ST_...' (App.scala:62-73): the rewrite must keep returning the flat
+    column set, not the pair view's alias structs."""
+    sql = ("SELECT * FROM test_left l, test_right r "
+           "WHERE ST_Contains(r.geo, l.geo) ORDER BY l.id")
+    planned = spatial_sql(spark, sql)
+    vanilla = spark.sql(sql)
+    assert planned.columns == vanilla.columns  # id, data, geo, id, geo
+    assert not any("." in str(f.dataType) and f.dataType.typeName() == "struct"
+                   for f in planned.schema)
+    assert [tuple(r) for r in planned.collect()] \
+        == [tuple(r) for r in vanilla.collect()]
+    plan = _plan(planned)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_comma_join_alias_star_flattens(spark, ref_tables):
+    sql = ("SELECT l.*, r.id AS id_r FROM test_left l, test_right r "
+           "WHERE ST_Contains(r.geo, l.geo) ORDER BY l.id")
+    planned = spatial_sql(spark, sql)
+    vanilla = spark.sql(sql)
+    assert planned.columns == vanilla.columns  # id, data, geo, id_r
+    assert [tuple(r) for r in planned.collect()] \
+        == [tuple(r) for r in vanilla.collect()]
+
+
+def test_join_on_select_star_flattens(spark, ref_tables):
+    """Same contract for the JOIN ... ON spelling."""
+    sql = ("SELECT * FROM test_left l JOIN test_right r "
+           "ON ST_Contains(r.geo, l.geo) ORDER BY l.id")
+    planned = spatial_sql(spark, sql)
+    vanilla = spark.sql(sql)
+    assert planned.columns == vanilla.columns
+    assert [tuple(r) for r in planned.collect()] \
+        == [tuple(r) for r in vanilla.collect()]
+
+
 def test_comma_join_matches_vanilla_random(spark):
     """Comma spelling over seeded random data: planned result == vanilla."""
     import numpy as np
