@@ -763,10 +763,12 @@ def normalize(geom: Geometry) -> Geometry:
 
 
 def buffer(geom: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
-    """Point/multipoint buffer (circle approximation, JTS quadrantSegments=8).
-
-    General line/polygon offsetting is tier-2 (not in the declared contract);
-    distance 0 returns the input unchanged.
+    """Buffer over every OGC kind (circle approximation, JTS
+    quadrantSegments=8): point/multipoint circles, line dilation via
+    per-segment rectangles + vertex circles, polygon dilation via boundary
+    buffer dissolve, negative-distance erosion, per-part collections.
+    Distance 0 returns the input unchanged.  Total over the seven OGC
+    kinds (fuzzed in tests/test_geom_property.py::test_overlay_totality).
     """
     if dist == 0:
         return geom
@@ -834,8 +836,9 @@ def buffer(geom: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                        quad_segs)
         u = union_all([geom, grown])
         return u if u is not None else geom
-    raise NotImplementedError(
-        "ST_Buffer over this input is tier-2 in this engine (see SURVEY.md §2)")
+    # unreachable for OGC kinds: POINT/MULTIPOINT, the two dim-1 kinds, the
+    # two dim-2 kinds, and GEOMETRYCOLLECTION are all handled above
+    raise ValueError(f"corrupt geometry kind {geom.kind!r} in buffer")
 
 
 def make_valid(geom: Geometry) -> Geometry:
@@ -1142,7 +1145,10 @@ def intersection(g1: Geometry, g2: Geometry) -> Geometry:
         if all(o.kind == WKB_LINESTRING for o in out):
             return Geometry(WKB_MULTILINESTRING, [o.coords for o in out])
         return collect(out)
-    raise NotImplementedError("overlay of this operand combination is tier-2")
+    # unreachable: dimension() ∈ {0,1,2} and the branches above cover every
+    # combination — (0,*) and (*,0), (1,1), {1,2}, (2,2)
+    raise AssertionError(
+        f"overlay dimension combination ({d1}, {d2}) missed an exhaustive branch")
 
 
 def _seg_param_crossings(a: Coord, b: Coord,
@@ -1456,7 +1462,10 @@ def difference(g1: Geometry, g2: Geometry) -> Geometry:
         if len(segs) == 1:
             return Geometry(WKB_LINESTRING, segs[0], g1.srid)
         return Geometry(WKB_MULTILINESTRING, segs, g1.srid)
-    raise NotImplementedError("difference of this operand combination is tier-2")
+    # unreachable: dimension() ∈ {0,1,2}; branches cover d1==0, (1,2), (2,2),
+    # d1>d2 (covers (1,0),(2,0),(2,1)), and (1,1) — exhaustive
+    raise AssertionError(
+        "difference dimension combination missed an exhaustive branch")
 
 
 def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:

@@ -242,3 +242,73 @@ def test_utm_roundtrip_and_bounds(zone, south, phi, dlam):
     x2, y2 = inv(e, n)
     assert math.isclose(x, x2, abs_tol=1e-9)
     assert math.isclose(y, y2, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# overlay totality: every op is total over every OGC kind combination —
+# no NotImplementedError reachable from valid input (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def holed_polys(draw):
+    x0 = float(draw(st.integers(min_value=-15, max_value=15)))
+    y0 = float(draw(st.integers(min_value=-15, max_value=15)))
+    w = float(draw(st.integers(min_value=6, max_value=14)))
+    ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w), (x0, y0)]
+    q = w / 4.0
+    hole = [(x0 + q, y0 + q), (x0 + q, y0 + 2 * q), (x0 + 2 * q, y0 + 2 * q),
+            (x0 + 2 * q, y0 + q), (x0 + q, y0 + q)]
+    return Geometry(3, [ring, hole])
+
+
+@st.composite
+def multilines(draw):
+    lines = draw(st.lists(
+        st.lists(st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+                 min_size=2, max_size=4, unique=True),
+        min_size=1, max_size=3))
+    return Geometry(5, [[(float(a), float(b)) for a, b in l] for l in lines])
+
+
+@st.composite
+def multipolys(draw):
+    n = draw(st.integers(min_value=1, max_value=2))
+    polys = []
+    for i in range(n):
+        x0 = float(draw(st.integers(min_value=-15, max_value=15)))
+        y0 = float(draw(st.integers(min_value=-15, max_value=15)))
+        w = float(draw(st.integers(min_value=1, max_value=8)))
+        polys.append([[(x0, y0), (x0 + w, y0), (x0 + w, y0 + w),
+                       (x0, y0 + w), (x0, y0)]])
+    return Geometry(6, polys)
+
+
+@st.composite
+def collections(draw):
+    parts = draw(st.lists(
+        st.one_of(points(), linestrings(), rect_polys()),
+        min_size=1, max_size=3))
+    return Geometry.collection(parts)
+
+
+any_kind = st.one_of(points(), multipoints(), linestrings(), multilines(),
+                     rect_polys(), l_polys(), holed_polys(), multipolys(),
+                     collections())
+
+
+@settings(max_examples=120, deadline=None)
+@given(any_kind, any_kind,
+       st.sampled_from(["intersection", "difference", "sym_difference",
+                        "union_two"]))
+def test_overlay_totality(a, b, op):
+    from sedona_iceberg_extension_spark.geom import algos
+    out = getattr(algos, op)(a, b)
+    assert isinstance(out, Geometry)
+
+
+@settings(max_examples=60, deadline=None)
+@given(any_kind, st.sampled_from([1.5, 0.5, 0.0, -0.5]))
+def test_buffer_totality(g, d):
+    from sedona_iceberg_extension_spark.geom import algos
+    out = algos.buffer(g, d)
+    assert isinstance(out, Geometry)
