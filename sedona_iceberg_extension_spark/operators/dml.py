@@ -42,6 +42,27 @@ def _to_col(expr) -> Column:
     return F.expr(expr) if isinstance(expr, str) else expr
 
 
+def bounded_file_list(df: DataFrame, what: str = "rewrite") -> list:
+    """Driver-side matched-file list (column ``_f``) for a copy-on-write
+    commit, bounded.
+
+    The emulation layer keeps manifests driver-side, so the matched-file
+    set must land on the driver — but collected unbounded, a wide predicate
+    over a 100 TB table (millions of files) is a silent driver OOM that
+    real Iceberg avoids with distributed manifest reads.  A hard cap (env
+    ``SPARK_GRAFT_MAX_COW_FILES``, default 100k paths ≈ ~10 MB of strings)
+    turns that into a clear, actionable error instead of an OOM."""
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_COW_FILES", "100000"))
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"copy-on-write {what} matches more than {cap} data files; "
+            "this snapshot emulation keeps the matched-file manifest on "
+            "the driver — raise SPARK_GRAFT_MAX_COW_FILES if the driver "
+            "has memory for it, or narrow the predicate")
+    return [r["_f"].replace("file://", "") or r["_f"] for r in rows]
+
+
 def _table_files(spark: SparkSession, path: str, predicate) -> list:
     """Paths of data files containing at least one matching row (the
     predicate reaches the parquet scan, so stats-skipped files cost nothing)."""
@@ -49,10 +70,10 @@ def _table_files(spark: SparkSession, path: str, predicate) -> list:
     # the file name must be materialized as a column BEFORE the predicate:
     # pandas-UDF filters re-batch rows across file boundaries, making a
     # post-filter input_file_name() attribute rows to the wrong file
-    rows = (df.withColumn("_f", F.input_file_name())
-            .filter(_to_col(predicate))
-            .select("_f").distinct().collect())
-    return [r["_f"].replace("file://", "") or r["_f"] for r in rows]
+    return bounded_file_list(
+        df.withColumn("_f", F.input_file_name())
+        .filter(_to_col(predicate))
+        .select("_f").distinct(), "update/delete")
 
 
 def _swap_in(path: str, staged_dir: str, touched: list) -> int:
@@ -157,11 +178,10 @@ def merge_into(spark: SparkSession, target_path: str, source: DataFrame,
             f"MERGE: source has multiple rows for key {on}={dup[0][on]!r} "
             "(SQL MERGE forbids multiple matches per target row)")
 
-    touched = [] if not update_when_matched else [
-        r["_f"].replace("file://", "") or r["_f"] for r in
-        (target.withColumn("_f", F.input_file_name())
-         .join(keys, on, "left_semi")
-         .select("_f").distinct().collect())]
+    touched = [] if not update_when_matched else bounded_file_list(
+        target.withColumn("_f", F.input_file_name())
+        .join(keys, on, "left_semi")
+        .select("_f").distinct(), "merge")
 
     src = source.select(*[F.col(c).alias(f"_src_{c}") for c in source.columns])
     obs_u = None

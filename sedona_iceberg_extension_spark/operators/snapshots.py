@@ -243,9 +243,10 @@ class SnapshotTable:
             raise ValueError(f"UPDATE SET references unknown column(s) "
                              f"{sorted(unknown)} (table has "
                              f"{sorted(df.columns)})")
-        touched = [r["_f"].replace("file://", "") for r in
-                   (df.withColumn("_f", F.input_file_name())
-                    .filter(pred).select("_f").distinct().collect())]
+        from .dml import bounded_file_list
+        touched = bounded_file_list(
+            df.withColumn("_f", F.input_file_name())
+            .filter(pred).select("_f").distinct(), "update")
         if not touched:
             return {"version": m["version"], "files_rewritten": 0}
         sub = spark.read.parquet(*touched)
@@ -264,9 +265,10 @@ class SnapshotTable:
         m = self._manifest()
         live = [os.path.join(self.path, f) for f in m["files"]]
         df = spark.read.parquet(*live)
-        touched = [r["_f"].replace("file://", "") for r in
-                   (df.withColumn("_f", F.input_file_name())
-                    .filter(pred).select("_f").distinct().collect())]
+        from .dml import bounded_file_list
+        touched = bounded_file_list(
+            df.withColumn("_f", F.input_file_name())
+            .filter(pred).select("_f").distinct(), "delete")
         if not touched:
             return {"version": m["version"], "files_rewritten": 0}
         sub = spark.read.parquet(*touched)
@@ -309,10 +311,11 @@ class SnapshotTable:
                 "(SQL MERGE forbids multiple matches per target row)")
         keys = source.select(on).distinct()
 
-        touched = [r["_f"].replace("file://", "") for r in
-                   (target.withColumn("_f", F.input_file_name())
-                    .join(keys, on, "left_semi")
-                    .select("_f").distinct().collect())]
+        from .dml import bounded_file_list
+        touched = bounded_file_list(
+            target.withColumn("_f", F.input_file_name())
+            .join(keys, on, "left_semi")
+            .select("_f").distinct(), "merge")
 
         src = source.select(*[F.col(c).alias(f"_src_{c}")
                               for c in source.columns])

@@ -208,3 +208,19 @@ def test_merge_sql_insert_only(spark, table):
     assert after.count() == 101
     assert after.filter("id = 3 AND data = 'dupe'").count() == 0  # untouched
     assert after.filter("id = 888").count() == 1
+
+
+def test_cow_file_list_cap(spark, table, monkeypatch):
+    """The matched-file collect is bounded: with the cap below the touched
+    file count the CoW raises a clear error instead of an unbounded
+    driver-side collect (SPARK_GRAFT_MAX_COW_FILES, default 100k)."""
+    monkeypatch.setenv("SPARK_GRAFT_MAX_COW_FILES", "1")
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_MAX_COW_FILES"):
+        dml.sql_dml(spark, "UPDATE tbl SET data = 'x' WHERE id >= 0",
+                    {"tbl": table})
+    # untouched on failure: the cap fires at plan time, before any rewrite
+    assert spark.read.parquet(table).filter(F.col("data") == "x").count() == 0
+    monkeypatch.setenv("SPARK_GRAFT_MAX_COW_FILES", "100")
+    res = dml.sql_dml(spark, "UPDATE tbl SET data = 'x' WHERE id >= 0",
+                      {"tbl": table})
+    assert res["rows_updated"] == 100
