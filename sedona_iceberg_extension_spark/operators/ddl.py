@@ -34,6 +34,43 @@ from .snapshots import SnapshotTable
 _CATALOG: Dict[str, SnapshotTable] = {}
 _WAREHOUSE: list = [None]
 
+
+def iceberg_runtime_configured(extensions: str, conf: Dict[str, str]) -> bool:
+    """True when the session was launched with a REAL Iceberg runtime — the
+    reference's own launch shape (``example/launch.sh:16-20``,
+    ``TestSedonaIcebergExtension.scala:44-48``): the Iceberg session
+    extensions and/or a ``spark.sql.catalog.<name>`` bound to an Iceberg
+    SparkCatalog/SparkSessionCatalog.  Pure function of the conf so the
+    detection is unit-testable without jars."""
+    if "IcebergSparkSessionExtensions" in (extensions or ""):
+        return True
+    return any(k.startswith("spark.sql.catalog.")
+               and k.count(".") == 3       # the catalog binding itself
+               and "iceberg" in (v or "").lower()
+               for k, v in conf.items())
+
+
+def delegate_to_iceberg(spark: SparkSession) -> bool:
+    """Whether ``USING ICEBERG`` DDL/DML should be delegated to vanilla
+    ``spark.sql`` (real Iceberg jars + catalog configured) instead of the
+    snapshot-table emulation.  Cached per session; the env knob
+    ``SPARK_GRAFT_FORCE_EMULATION=1`` pins the emulation for testing."""
+    if os.environ.get("SPARK_GRAFT_FORCE_EMULATION"):
+        return False
+    cached = getattr(spark, "_graft_iceberg_delegate", None)
+    if cached is None:
+        try:
+            exts = spark.conf.get("spark.sql.extensions", "") or ""
+        except Exception:
+            exts = ""
+        try:
+            conf = dict(spark.sparkContext.getConf().getAll())
+        except Exception:
+            conf = {}
+        cached = iceberg_runtime_configured(exts, conf)
+        spark._graft_iceberg_delegate = cached
+    return cached
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"\((?P<cols>.*)\)\s*USING\s+ICEBERG\s*$",

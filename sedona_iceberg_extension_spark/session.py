@@ -60,6 +60,14 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
     from .operators.dml import sql_dml
     from .operators.sql_join import spatial_sql
 
+    if ddl.delegate_to_iceberg(spark):
+        # a REAL Iceberg runtime is on this session (jars + catalog — the
+        # reference's own launch shape): DDL/DML/time-travel belong to it
+        # verbatim; SELECTs still flow through the spatial-join planner
+        if ddl.is_ddl(statement) or _re.match(
+                r"^\s*(UPDATE|DELETE|MERGE)\b", statement, _re.IGNORECASE):
+            return spark.sql(statement)
+        return spatial_sql(spark, statement)
     if ddl.is_ddl(statement):
         return ddl.run_ddl(spark, statement, run_select=spatial_sql)
     # Iceberg time-travel spellings (VERSION AS OF / TIMESTAMP AS OF)

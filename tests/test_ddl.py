@@ -174,6 +174,42 @@ def test_reference_testbasic_dotted_names(spark, tmp_path, monkeypatch):
         ddl.reset()
 
 
+def test_iceberg_runtime_detection_pure():
+    # the reference's launch conf (example/launch.sh:16-20) → delegate
+    assert ddl.iceberg_runtime_configured(
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions", {})
+    assert ddl.iceberg_runtime_configured(
+        "", {"spark.sql.catalog.demo": "org.apache.iceberg.spark.SparkCatalog"})
+    assert ddl.iceberg_runtime_configured(
+        "", {"spark.sql.catalog.spark_catalog":
+             "org.apache.iceberg.spark.SparkSessionCatalog"})
+    # catalog SUB-keys alone (type/warehouse) are not the binding; neither
+    # is an unrelated extension or catalog impl
+    assert not ddl.iceberg_runtime_configured(
+        "", {"spark.sql.catalog.demo.warehouse": "/tmp/iceberg-wh"})
+    assert not ddl.iceberg_runtime_configured(
+        "com.example.OtherExtensions",
+        {"spark.sql.catalog.demo": "com.example.DeltaCatalog"})
+
+
+def test_iceberg_delegation_branch(spark):
+    """Exercises the delegation route end-to-end when a real Iceberg
+    runtime is configured on the session; skipped in this jar-less env."""
+    if not ddl.delegate_to_iceberg(spark):
+        pytest.skip("no Iceberg catalog runtime configured in this env")
+    engine_sql(spark, "CREATE TABLE demo.db.delegated (id INT) USING ICEBERG")
+    engine_sql(spark, "INSERT INTO demo.db.delegated VALUES (1)")
+    n = engine_sql(spark, "SELECT COUNT(*) AS n FROM demo.db.delegated").first().n
+    assert n == 1
+    engine_sql(spark, "DROP TABLE demo.db.delegated")
+
+
+def test_emulation_unaffected_without_iceberg_conf(spark, app_tables):
+    # this env has no Iceberg conf: the emulation path must stay active
+    assert ddl.delegate_to_iceberg(spark) is False
+    assert engine_sql(spark, f"SELECT COUNT(*) AS n FROM {T0}").first().n == 2
+
+
 def test_create_existing_table_raises(spark, app_tables):
     # Spark/Iceberg raise TABLE_ALREADY_EXISTS on plain CREATE TABLE; the
     # IF NOT EXISTS spelling tolerates the pre-existing table
