@@ -387,6 +387,77 @@ def _utm_fns(zone, south):
     return fwd, inv
 
 
+def _tm_consts(a, f):
+    """Krüger series constants for an arbitrary ellipsoid (same order-4
+    series as the WGS84 module constants above)."""
+    n = f / (2.0 - f)
+    A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    e1 = math.sqrt(2 * f - f * f)
+    alpha = (
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+        13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+        61 * n**3 / 240 - 103 * n**4 / 140,
+        49561 * n**4 / 161280,
+    )
+    beta = (
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360,
+        n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440,
+        17 * n**3 / 480 - 37 * n**4 / 840,
+        4397 * n**4 / 161280,
+    )
+    delta = (
+        2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45,
+        7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45,
+        56 * n**3 / 15 - 136 * n**4 / 35,
+        4279 * n**4 / 630,
+    )
+    return A, e1, alpha, beta, delta
+
+
+def _tm_fns(a, f, k0, lat0, lon0, fe, fn):
+    """Generic ellipsoidal transverse Mercator (Krüger) with natural origin
+    (lat0, lon0), scale k0, false easting/northing — the projection family
+    behind the TM state-plane zones and non-WGS84 grids like OSGB."""
+    A, e1, alpha, beta, delta = _tm_consts(a, f)
+
+    def fwd_raw(lon, lat):
+        phi = math.radians(lat)
+        dlam = math.radians(lon - lon0)
+        s = math.sin(phi)
+        t = math.sinh(math.atanh(s) - e1 * math.atanh(e1 * s))
+        xi_p = math.atan2(t, math.cos(dlam))
+        eta_p = math.asinh(math.sin(dlam) / math.hypot(t, math.cos(dlam)))
+        xi, eta = xi_p, eta_p
+        for j, c in enumerate(alpha, start=1):
+            xi += c * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+            eta += c * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+        return A * eta, A * xi
+
+    def inv_raw(x, y):
+        xi, eta = y / A, x / A
+        xi_p, eta_p = xi, eta
+        for j, c in enumerate(beta, start=1):
+            xi_p -= c * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            eta_p -= c * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        dlam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+        chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+        phi = chi
+        for j, c in enumerate(delta, start=1):
+            phi += c * math.sin(2 * j * chi)
+        return math.degrees(dlam) + lon0, math.degrees(phi)
+
+    m0 = fwd_raw(lon0, lat0)[1]      # meridian arc at the latitude of origin
+
+    def fwd(x, y):
+        e_, n_ = fwd_raw(x, y)
+        return fe + k0 * e_, fn + k0 * (n_ - m0)
+
+    def inv(x, y):
+        return inv_raw((x - fe) / k0, (y - fn) / k0 + m0)
+
+    return fwd, inv
+
+
 def _to_3857(x, y):
     return (math.radians(x) * _R_MERC,
             math.log(math.tan(math.pi / 4 + math.radians(y) / 2)) * _R_MERC)
@@ -568,7 +639,14 @@ def _cea_fns(a, f, sp, lon0, fe, fn):
     return fwd, inv
 
 
-# EPSG parameters from the public EPSG registry entries for each code
+_AIRY_A = 6377563.396                 # Airy 1830 (OSGB36)
+_AIRY_F = 1.0 / 299.3249646
+
+# EPSG parameters from the public EPSG registry entries for each code.
+# Projection arithmetic only — like the rest of this module, geographic
+# coordinates are taken in the CRS's own datum (NAD83/ETRS89 ≈ WGS84 at
+# sub-meter; OSGB36's shift from WGS84 is NOT applied — same caveat every
+# grid-less projection library documents).
 _CONIC_CRS = {
     # RGF93 / Lambert-93 (France)
     "2154": (_lcc_fns, (_WGS84_A, _GRS80_F, 44.0, 49.0, 46.5, 3.0,
@@ -587,6 +665,34 @@ _CONIC_CRS = {
                          4321000.0, 3210000.0)),
     # WGS 84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area)
     "6933": (_cea_fns, (_WGS84_A, _WGS84_F, 30.0, 0.0, 0.0, 0.0)),
+    # --- US State Plane (NAD83, meters) — LCC 2SP zones ---
+    # NAD83 / Maryland
+    "26985": (_lcc_fns, (_WGS84_A, _GRS80_F, 38.3, 39.45,
+                         37.0 + 40.0 / 60.0, -77.0, 400000.0, 0.0)),
+    # NAD83 / California zone 5
+    "26945": (_lcc_fns, (_WGS84_A, _GRS80_F, 34.0 + 2.0 / 60.0,
+                         35.0 + 28.0 / 60.0, 33.5, -118.0,
+                         2000000.0, 500000.0)),
+    # NAD83 / Texas Central
+    "32139": (_lcc_fns, (_WGS84_A, _GRS80_F, 30.0 + 7.0 / 60.0,
+                         31.0 + 53.0 / 60.0, 29.0 + 40.0 / 60.0,
+                         -(100.0 + 20.0 / 60.0), 700000.0, 3000000.0)),
+    # NAD83 / Montana
+    "32100": (_lcc_fns, (_WGS84_A, _GRS80_F, 45.0, 49.0, 44.25, -109.5,
+                         600000.0, 0.0)),
+    # NAD83 / Texas Centric Albers Equal Area
+    "3083": (_albers_fns, (_WGS84_A, _GRS80_F, 27.5, 35.0, 18.0, -100.0,
+                           1500000.0, 6000000.0)),
+    # --- State Plane TM zones + non-WGS84-ellipsoid grids ---
+    # NAD83 / Alabama East
+    "26929": (_tm_fns, (_WGS84_A, _GRS80_F, 0.99996, 30.5,
+                        -(85.0 + 50.0 / 60.0), 200000.0, 0.0)),
+    # NAD83 / Arizona East
+    "26948": (_tm_fns, (_WGS84_A, _GRS80_F, 0.9999, 31.0,
+                        -(110.0 + 10.0 / 60.0), 213360.0, 0.0)),
+    # OSGB36 / British National Grid (Airy 1830)
+    "27700": (_tm_fns, (_AIRY_A, _AIRY_F, 0.9996012717, 49.0, -2.0,
+                        400000.0, -100000.0)),
 }
 
 
@@ -603,13 +709,22 @@ def _crs_fns(code: str):
         zone = int(code[3:])
         if 1 <= zone <= 60:
             return _utm_fns(zone, south=code[:3] == "327")
+    # NAD83 / UTM zones 1N-23N (26901-26923) and ETRS89 / UTM zones
+    # 28N-38N (25828-25838): same Krüger arithmetic (GRS80 a == WGS84 a;
+    # f differs at the 1e-11 level — sub-micrometer on the grid)
+    if len(code) == 5 and code[:3] == "269" and 1 <= int(code[3:]) <= 23:
+        return _utm_fns(int(code[3:]), south=False)
+    if len(code) == 5 and code[:3] == "258" and 28 <= int(code[3:]) <= 38:
+        return _utm_fns(int(code[3:]) , south=False)
     if code in _CONIC_CRS:
         builder, params = _CONIC_CRS[code]
         return builder(*params)
     raise NotImplementedError(
         f"ST_Transform: unsupported CRS EPSG:{code} (supported: 4326, 3857, "
-        f"3395, UTM 32601-32660/32701-32760, LCC 2154/3978, Albers 5070/3577, "
-        f"LAEA 3035, CEA 6933); arbitrary EPSG needs a proj database")
+        f"3395, UTM 32601-32660/32701-32760 + NAD83 26901-26923 + ETRS89 "
+        f"25828-25838, LCC 2154/3978 + state-plane 26985/26945/32139/32100, "
+        f"Albers 5070/3577/3083, TM 26929/26948/27700, LAEA 3035, CEA 6933); "
+        f"arbitrary EPSG needs a proj database")
 
 
 def transform_geom(g: Geometry, src: str, dst: str) -> Geometry:

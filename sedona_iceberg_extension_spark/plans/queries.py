@@ -575,6 +575,84 @@ ORDER BY c_custkey
 """
 
 
+def _lcc_consts():
+    """EPSG:26985 (NAD83 / Maryland, State Plane LCC 2SP) constants folded
+    once in Python so both engines consume identical doubles (Snyder
+    pp. 104-110; GRS80)."""
+    import math
+    f = 1.0 / 298.257222101
+    a = 6378137.0
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    sp1, sp2 = math.radians(38.3), math.radians(39.45)
+    lat0, lon0 = math.radians(37.0 + 40.0 / 60.0), -77.0
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def t(phi):
+        s = math.sin(phi)
+        return (math.tan(math.pi / 4 - phi / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+    n = (math.log(m(sp1)) - math.log(m(sp2))) / (math.log(t(sp1)) - math.log(t(sp2)))
+    F_ = m(sp1) / (n * t(sp1) ** n)
+    return {"pi": math.pi, "e": e, "n": n, "aF": a * F_,
+            "rho0": a * F_ * t(lat0) ** n, "lon0": lon0,
+            "fe": 400000.0, "fn": 0.0}
+
+
+#: synthetic Maryland-domain lon/lat derived from c_custkey, identical on
+#: both engines (integer mod, then exact /10)
+_SPX = "CAST(-80 + (c_custkey % 80) AS DOUBLE) / 10.0 - 69.0"
+_SPY = "CAST(36 + ((c_custkey * 7) % 80) AS DOUBLE) / 10.0 + 32.4"
+
+
+def q_spatial_transform_stateplane(spark, sf_dir):
+    """State-plane CRS parity (EPSG:26985, NAD83 / Maryland LCC 2SP) — the
+    closed-form Snyder LCC forward runs NATIVELY on both engines with
+    identical folded constants, extending the transform oracle family
+    (Mercator, LAEA) to the conic state-plane grids the reference gets
+    from GeoTools (/root/reference/README.md:34-38)."""
+    k = _lcc_consts()
+    cust = load_table(spark, sf_dir, "customer")
+    x = (-80 + F.col("c_custkey") % 80).cast("double") / F.lit(10.0) - F.lit(69.0)
+    y = (36 + (F.col("c_custkey") * 7) % 80).cast("double") / F.lit(10.0) + F.lit(32.4)
+    phi = y * F.lit(k["pi"]) / F.lit(180.0)
+    s = F.sin(phi)
+    t = (F.tan(F.lit(k["pi"] / 4) - phi / F.lit(2.0))
+         / F.pow((F.lit(1.0) - F.lit(k["e"]) * s)
+                 / (F.lit(1.0) + F.lit(k["e"]) * s), F.lit(k["e"] / 2)))
+    rho = F.lit(k["aF"]) * F.pow(t, F.lit(k["n"]))
+    theta = F.lit(k["n"]) * (x - F.lit(k["lon0"])) * F.lit(k["pi"]) / F.lit(180.0)
+    sp_x = F.round(F.lit(k["fe"]) + rho * F.sin(theta), 3) + F.lit(0.0)
+    sp_y = F.round(F.lit(k["fn"]) + F.lit(k["rho0"]) - rho * F.cos(theta), 3) + F.lit(0.0)
+    return (
+        cust.filter(F.col("c_custkey") < 400)
+        .select("c_custkey", sp_x.alias("sp_x"), sp_y.alias("sp_y"))
+        .orderBy("c_custkey")
+    )
+
+
+def _stateplane_sql() -> str:
+    k = _lcc_consts()
+    phi = f"(({_SPY}) * {k['pi']!r} / 180.0)"
+    s = f"sin({phi})"
+    t = (f"(tan({k['pi'] / 4!r} - {phi} / 2.0) "
+         f"/ pow((1.0 - {k['e']!r} * {s}) / (1.0 + {k['e']!r} * {s}), "
+         f"{k['e'] / 2!r}))")
+    rho = f"({k['aF']!r} * pow({t}, {k['n']!r}))"
+    theta = f"({k['n']!r} * (({_SPX}) - {k['lon0']!r}) * {k['pi']!r} / 180.0)"
+    sx = f"ROUND({k['fe']!r} + {rho} * sin({theta}), 3) + 0.0"
+    sy = f"ROUND({k['fn']!r} + {k['rho0']!r} - {rho} * cos({theta}), 3) + 0.0"
+    return f"""
+SELECT c_custkey, {sx} AS sp_x, {sy} AS sp_y
+FROM customer
+WHERE c_custkey < 400
+ORDER BY c_custkey
+"""
+
+
 def q_spatial_join_contains(spark, sf_dir):
     """Distributed point-in-box spatial join (reference testSpatialJoin
     contract, TestSedonaIcebergExtension.scala:117-127) — grid strategy,
@@ -2368,6 +2446,8 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_distance": QueryDef(q_spatial_distance, _QDIST_SQL, False),
     "spatial_measures": QueryDef(q_spatial_measures, _QMEAS_SQL, False),
     "spatial_transform_laea": QueryDef(q_spatial_transform_laea, _laea_sql(), False),
+    "spatial_transform_stateplane": QueryDef(q_spatial_transform_stateplane,
+                                             _stateplane_sql(), False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_sql_comma": QueryDef(q_spatial_join_sql_comma, _QSJCOMMA_SQL, False),

@@ -128,3 +128,53 @@ def test_transform_conic_and_equal_area(spark):
                            f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
                            f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
         assert back == pytest.approx(lat, abs=1e-9), code
+
+
+def test_transform_state_plane_and_osgb(spark):
+    """The data-driven EPSG table: state-plane LCC/TM zones, Texas Centric
+    Albers, NAD83/ETRS89 UTM aliases, and a non-WGS84 ellipsoid (OSGB,
+    Airy 1830) — validated against the published OS worked example and the
+    FE/FN-at-origin identity, plus round trips."""
+    # OSGB36 worked example (OS Guide Annexe C): Caister water tower
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e = sql1(spark, f"ST_X(ST_Transform(ST_Point({lon!r}D, {lat!r}D), "
+                    "'EPSG:4326', 'EPSG:27700'))")
+    n = sql1(spark, f"ST_Y(ST_Transform(ST_Point({lon!r}D, {lat!r}D), "
+                    "'EPSG:4326', 'EPSG:27700'))")
+    assert e == pytest.approx(651409.903, abs=2e-3)
+    assert n == pytest.approx(313177.270, abs=2e-3)
+    # natural origin -> (FE, FN) for each new family
+    for code, lon0, lat0, fe, fn in (
+            ("26985", -77.0, 37 + 40 / 60, 400000.0, 0.0),      # MD LCC
+            ("32139", -(100 + 20 / 60), 29 + 40 / 60,
+             700000.0, 3000000.0),                              # TX LCC
+            ("3083", -100.0, 18.0, 1500000.0, 6000000.0),       # TX Albers
+            ("26929", -(85 + 50 / 60), 30.5, 200000.0, 0.0),    # AL TM
+            ("26948", -(110 + 10 / 60), 31.0, 213360.0, 0.0)):  # AZ TM
+        x = sql1(spark, f"ST_X(ST_Transform(ST_Point({lon0!r}D, {lat0!r}D), "
+                        f"'EPSG:4326', 'EPSG:{code}'))")
+        y = sql1(spark, f"ST_Y(ST_Transform(ST_Point({lon0!r}D, {lat0!r}D), "
+                        f"'EPSG:4326', 'EPSG:{code}'))")
+        assert x == pytest.approx(fe, abs=1e-6), code
+        assert y == pytest.approx(fn, abs=1e-6), code
+    # NAD83 / ETRS89 UTM aliases equal the WGS84 UTM grid
+    for alias, base, lon, lat in (("26918", "32618", -75.0, 40.0),
+                                  ("25832", "32632", 9.0, 48.0)):
+        xa = sql1(spark, f"ST_X(ST_Transform(ST_Point({lon}D, {lat}D), "
+                         f"'EPSG:4326', 'EPSG:{alias}'))")
+        xb = sql1(spark, f"ST_X(ST_Transform(ST_Point({lon}D, {lat}D), "
+                         f"'EPSG:4326', 'EPSG:{base}'))")
+        assert xa == xb
+    # round trips over each new code's domain
+    for code, lon, lat in (("26985", -76.2, 39.1), ("26945", -119.5, 34.7),
+                           ("32139", -98.0, 30.8), ("32100", -111.0, 46.9),
+                           ("3083", -99.0, 31.0), ("26929", -85.5, 32.4),
+                           ("26948", -109.8, 34.1), ("27700", -3.2, 55.9),
+                           ("26910", -122.3, 47.6), ("25833", 13.4, 52.5)):
+        for fn_ in ("ST_X", "ST_Y"):
+            back = sql1(spark, f"{fn_}(ST_Transform(ST_Transform("
+                               f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
+                               f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
+            want = lon if fn_ == "ST_X" else lat
+            assert back == pytest.approx(want, abs=1e-8), code
