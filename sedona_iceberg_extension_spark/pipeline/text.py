@@ -259,6 +259,31 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                     F.round("tfidf", 6).alias("tfidf"), "rank"))
 
 
+#: PII patterns chosen from the RE2-compatible subset (no lookaround) so
+#: the identical regex runs on Spark (java.util.regex) and DuckDB (RE2)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3,4}-?\d{0,4}\b"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass: emails and
+    phone-shaped numbers replaced with typed redaction tokens, plus counts
+    per document for audit.  100% native (regexp_replace /
+    regexp_extract_all in codegen — no Python in the plan); at 100 TB this
+    is a narrow map over the corpus, no shuffle at all."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(
+        scrubbed, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("text_clean"),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"))
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document character-distribution entropy (nats) — the classic
     perplexity-proxy quality score (gibberish and repeated-char boilerplate

@@ -30,6 +30,7 @@ from ..functions import udfs
 from ..functions.aggregates import centroid_finish_xy
 from ..operators import spatial_join
 from ..pipeline import dedup, similarity, text
+from ..pipeline.text import PII_EMAIL_RE as _PII_EMAIL, PII_PHONE_RE as _PII_PHONE
 from ..sources import load_table
 
 QueryDef = namedtuple("QueryDef", ["fn", "oracle", "headline"])
@@ -285,6 +286,110 @@ SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
 FROM events
 GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
 ORDER BY hour, event_type
+"""
+
+
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured extraction: parse the events table's JSON ``props``
+    column natively (``get_json_object`` — codegen, no Python) and
+    aggregate over the extracted field — the schema-on-read pattern every
+    event-log pipeline needs.  At 100 TB the parse is a narrow map; the
+    one shuffle is the bucket aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+_QJSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction audit (pipeline.text.scrub_pii).  The synthetic corpus
+    carries no natural PII (the check would be vacuous), so the query
+    plants deterministic emails/phones derived from doc_id — identical
+    string construction in the oracle — then scrubs and counts.  Output:
+    per-document redaction counts + the scrubbed text's hash-checked
+    length."""
+    from ..pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or "),
+            F.lit("call 555-01"), (F.col("doc_id") % 100).cast("string"),
+        ).alias("text"))
+    out = T.scrub_pii(planted, "doc_id", "text")
+    return (
+        out.select("doc_id", F.length("text_clean").alias("clean_len"),
+                   "n_emails", "n_phones")
+        .orderBy("doc_id")
+    )
+
+
+_QPII_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or ' || 'call 555-01'
+              || CAST(doc_id % 100 AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g') AS text_clean,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}')) AS INT) AS n_phones
+  FROM planted
+)
+SELECT doc_id, CAST(length(text_clean) AS INT) AS clean_len, n_emails, n_phones
+FROM scrubbed ORDER BY doc_id
+"""
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-language length distribution (exact interpolated quartiles of
+    n_chars) — the corpus-profiling stats a mix-curation pass reads.
+    ``percentile`` is Spark's EXACT linear-interpolation aggregate;
+    DuckDB's ``quantile_cont`` implements the same definition, so the
+    oracle value-checks the distribution, not just row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.25)"), 6).alias("p25"),
+             F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.75)"), 6).alias("p75"),
+             F.max("n_chars").alias("max_chars"))
+        .orderBy("lang")
+    )
+
+
+_QQUANT_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS DOUBLE), 6) AS p25,
+       ROUND(CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS DOUBLE), 6) AS p75,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
 """
 
 
@@ -2437,6 +2542,9 @@ QUERIES: Dict[str, QueryDef] = {
     "part_brand_stats": QueryDef(q_part_type_stats, _QPART_SQL, False),
     "window_running_spend": QueryDef(q_window_running_spend, _QWIN_SQL, False),
     "events_hourly_rollup": QueryDef(q_events_hourly, _QEVH_SQL, True),
+    "events_props_json": QueryDef(q_events_props_json, _QJSON_SQL, False),
+    "doc_pii_scrub": QueryDef(q_doc_pii_scrub, _QPII_SQL, False),
+    "doc_length_quantiles": QueryDef(q_doc_length_quantiles, _QQUANT_SQL, False),
     "sessionize_events": QueryDef(q_sessionize, _QSESS_SQL, True),
     # spatial
     "spatial_range_contains": QueryDef(q_spatial_range_contains, _QRANGE_SQL, True),

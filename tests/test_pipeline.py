@@ -70,6 +70,27 @@ def test_char_entropy_drops_empty_docs(spark):
     assert out[0]["entropy"] == pytest.approx(math.log(2))
 
 
+def test_scrub_pii_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_9@ex-ample.co.uk and x@y.io or call 555-0199 now"),
+         (2, "no pii here"),
+         (3, "edge 555-123-4567 and 12-34 not a phone")],
+        "id long, t string")
+    out = {r["id"]: r for r in
+           text.scrub_pii(df, "id", "t").collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert out[1]["text_clean"] == \
+        "mail <EMAIL> and <EMAIL> or call <PHONE> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["text_clean"] == "no pii here"
+    assert out[3]["n_phones"] == 1 and "<PHONE>" in out[3]["text_clean"]
+    assert "12-34" in out[3]["text_clean"]
+    # native plan — no Python in the scrub path
+    plan = text.scrub_pii(df, "id", "t") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_exact_dedup(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")], "id long, t string")
