@@ -639,6 +639,63 @@ def _cea_fns(a, f, sp, lon0, fe, fn):
     return fwd, inv
 
 
+def _ps_fns(a, f, lat_ts, k0, lon0, fe, fn, south):
+    """Ellipsoidal polar stereographic (Snyder §21): either a standard
+    parallel ``lat_ts`` (NSIDC sea-ice grids, Antarctic PS) or a pole
+    scale ``k0`` (UPS).  ``south=True`` computes the south aspect."""
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+
+    def tt(phi):
+        s = math.sin(phi)
+        return (math.tan(math.pi / 4 - phi / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+    if lat_ts is not None:
+        pc = math.radians(abs(lat_ts))
+        mc = math.cos(pc) / math.sqrt(1 - e2 * math.sin(pc) ** 2)
+        rho_of_t = lambda t: a * mc * t / tt(pc)           # noqa: E731
+        t_of_rho = lambda r: r * tt(pc) / (a * mc)          # noqa: E731
+    else:
+        c = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        rho_of_t = lambda t: 2 * a * k0 * t / c             # noqa: E731
+        t_of_rho = lambda r: r * c / (2 * a * k0)           # noqa: E731
+
+    # inverse conformal-latitude series (Snyder 3-5)
+    d2 = (e2 / 2 + 5 * e2**2 / 24 + e2**3 / 12 + 13 * e2**4 / 360)
+    d4 = (7 * e2**2 / 48 + 29 * e2**3 / 240 + 811 * e2**4 / 11520)
+    d6 = (7 * e2**3 / 120 + 81 * e2**4 / 1120)
+    d8 = 4279 * e2**4 / 161280
+
+    def fwd(x, y):
+        phi, lam = (-y, -x) if south else (y, x)
+        rho = rho_of_t(tt(math.radians(phi)))
+        dl = math.radians(lam - (-lon0 if south else lon0))
+        xe, yn = rho * math.sin(dl), -rho * math.cos(dl)
+        if south:
+            xe, yn = -xe, -yn
+        return fe + xe, fn + yn
+
+    def inv(x, y):
+        xe, yn = x - fe, y - fn
+        if south:
+            xe, yn = -xe, -yn
+        rho = math.hypot(xe, yn)
+        if rho == 0.0:
+            phi, lam = 90.0, (-lon0 if south else lon0)
+        else:
+            t = t_of_rho(rho)
+            chi = math.pi / 2 - 2 * math.atan(t)
+            phi_r = (chi + d2 * math.sin(2 * chi) + d4 * math.sin(4 * chi)
+                     + d6 * math.sin(6 * chi) + d8 * math.sin(8 * chi))
+            phi = math.degrees(phi_r)
+            lam = (-lon0 if south else lon0) + math.degrees(
+                math.atan2(xe, -yn))
+        return (-lam, -phi) if south else (lam, phi)
+
+    return fwd, inv
+
+
 _AIRY_A = 6377563.396                 # Airy 1830 (OSGB36)
 _AIRY_F = 1.0 / 299.3249646
 
@@ -693,6 +750,21 @@ _CONIC_CRS = {
     # OSGB36 / British National Grid (Airy 1830)
     "27700": (_tm_fns, (_AIRY_A, _AIRY_F, 0.9996012717, 49.0, -2.0,
                         400000.0, -100000.0)),
+    # --- polar stereographic family (WGS84) ---
+    # NSIDC Sea Ice Polar Stereographic North (lat_ts 70N, lon0 -45)
+    "3413": (_ps_fns, (_WGS84_A, _WGS84_F, 70.0, None, -45.0,
+                       0.0, 0.0, False)),
+    # NSIDC Sea Ice Polar Stereographic South (lat_ts 70S, lon0 0)
+    "3976": (_ps_fns, (_WGS84_A, _WGS84_F, 70.0, None, 0.0,
+                       0.0, 0.0, True)),
+    # Antarctic Polar Stereographic (lat_ts 71S, lon0 0)
+    "3031": (_ps_fns, (_WGS84_A, _WGS84_F, 71.0, None, 0.0,
+                       0.0, 0.0, True)),
+    # Universal Polar Stereographic North / South (k0 0.994 at the pole)
+    "32661": (_ps_fns, (_WGS84_A, _WGS84_F, None, 0.994, 0.0,
+                        2000000.0, 2000000.0, False)),
+    "32761": (_ps_fns, (_WGS84_A, _WGS84_F, None, 0.994, 0.0,
+                        2000000.0, 2000000.0, True)),
 }
 
 
@@ -723,7 +795,8 @@ def _crs_fns(code: str):
         f"ST_Transform: unsupported CRS EPSG:{code} (supported: 4326, 3857, "
         f"3395, UTM 32601-32660/32701-32760 + NAD83 26901-26923 + ETRS89 "
         f"25828-25838, LCC 2154/3978 + state-plane 26985/26945/32139/32100, "
-        f"Albers 5070/3577/3083, TM 26929/26948/27700, LAEA 3035, CEA 6933); "
+        f"Albers 5070/3577/3083, TM 26929/26948/27700, LAEA 3035, CEA 6933, "
+        f"polar stereographic 3413/3976/3031 + UPS 32661/32761); "
         f"arbitrary EPSG needs a proj database")
 
 

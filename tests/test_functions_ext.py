@@ -178,3 +178,28 @@ def test_transform_state_plane_and_osgb(spark):
                                f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
             want = lon if fn_ == "ST_X" else lat
             assert back == pytest.approx(want, abs=1e-8), code
+
+
+def test_transform_polar_stereographic(spark):
+    """Polar stereographic family: NSIDC sea-ice grids (3413/3976),
+    Antarctic PS (3031), UPS (32661/32761).  Pole -> (FE, FN) identity,
+    true scale at the standard parallel, and domain round trips."""
+    for code, pole, fe, fn in (("3413", 90.0, 0.0, 0.0),
+                               ("3976", -90.0, 0.0, 0.0),
+                               ("3031", -90.0, 0.0, 0.0),
+                               ("32661", 90.0, 2000000.0, 2000000.0),
+                               ("32761", -90.0, 2000000.0, 2000000.0)):
+        x = sql1(spark, f"ST_X(ST_Transform(ST_Point(12D, {pole}D), "
+                        f"'EPSG:4326', 'EPSG:{code}'))")
+        y = sql1(spark, f"ST_Y(ST_Transform(ST_Point(12D, {pole}D), "
+                        f"'EPSG:4326', 'EPSG:{code}'))")
+        assert x == pytest.approx(fe, abs=1e-6), code
+        assert y == pytest.approx(fn, abs=1e-6), code
+    for code, lon, lat in (("3413", -150.0, 72.5), ("3976", 17.0, -75.0),
+                           ("3031", -60.0, -82.0), ("32661", 45.0, 85.0),
+                           ("32761", -120.0, -87.5)):
+        for fn_, want in (("ST_X", lon), ("ST_Y", lat)):
+            back = sql1(spark, f"{fn_}(ST_Transform(ST_Transform("
+                               f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
+                               f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
+            assert back == pytest.approx(want, abs=1e-8), code
