@@ -31,8 +31,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .snapshots import SnapshotTable
 
-_CATALOG: Dict[str, SnapshotTable] = {}
-_WAREHOUSE: list = [None]
+def _state(spark: Optional[SparkSession] = None) -> dict:
+    """Per-session DDL state: ``{"catalog": {name: SnapshotTable},
+    "warehouse": path|None}``.  Scoped to the SparkSession (not the
+    module), so two sessions in one process keep separate warehouse
+    namespaces; sparkless accessors resolve the active session.  With no
+    session at all, a detached empty state is returned (read paths become
+    no-ops)."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        return {"catalog": {}, "warehouse": None}
+    st = getattr(spark, "_graft_ddl_state", None)
+    if st is None:
+        st = {"catalog": {}, "warehouse": None}
+        spark._graft_ddl_state = st
+    return st
+
+
+def _catalog(spark: Optional[SparkSession] = None) -> Dict[str, SnapshotTable]:
+    return _state(spark)["catalog"]
 
 
 def iceberg_runtime_configured(extensions: str, conf: Dict[str, str]) -> bool:
@@ -100,16 +118,17 @@ def _view_name(name: str) -> str:
     return name.replace(".", "_")
 
 
-def _warehouse() -> str:
-    if _WAREHOUSE[0] is None:
-        _WAREHOUSE[0] = (os.environ.get("SPARK_GRAFT_WAREHOUSE")
-                         or tempfile.mkdtemp(prefix="snapshot_warehouse_"))
-    os.makedirs(_WAREHOUSE[0], exist_ok=True)
-    return _WAREHOUSE[0]
+def _warehouse(spark: Optional[SparkSession] = None) -> str:
+    st = _state(spark)
+    if st["warehouse"] is None:
+        st["warehouse"] = (os.environ.get("SPARK_GRAFT_WAREHOUSE")
+                           or tempfile.mkdtemp(prefix="snapshot_warehouse_"))
+    os.makedirs(st["warehouse"], exist_ok=True)
+    return st["warehouse"]
 
 
 def _register(spark: SparkSession, name: str) -> None:
-    tbl = _CATALOG[name]
+    tbl = _catalog(spark)[name]
     tbl.read(spark).createOrReplaceTempView(_view_name(name))
 
 
@@ -195,17 +214,19 @@ def _values_to_select(body: str) -> str:
     return " UNION ALL ".join(selects)
 
 
-def dml_target(statement: str) -> Optional[str]:
+def dml_target(statement: str,
+               spark: Optional[SparkSession] = None) -> Optional[str]:
     """Catalog table name targeted by an UPDATE/DELETE/MERGE, if any."""
+    cat = _catalog(spark)
     for rx in _DML_TARGET_RES:
         m = rx.match(statement)
-        if m and m.group("name") in _CATALOG:
+        if m and m.group("name") in cat:
             return m.group("name")
     return None
 
 
-def table(name: str) -> SnapshotTable:
-    return _CATALOG[name]
+def table(name: str, spark: Optional[SparkSession] = None) -> SnapshotTable:
+    return _catalog(spark)[name]
 
 
 def is_ddl(statement: str) -> bool:
@@ -223,16 +244,16 @@ def run_ddl(spark: SparkSession, statement: str,
     m = _CTAS_RE.match(statement)
     if m and not _CREATE_RE.match(statement):
         name = m.group("name")
-        df = run_select(spark, resolve_names(m.group("select").strip()))
-        path = os.path.join(_warehouse(), _view_name(name))
-        _CATALOG[name] = SnapshotTable.create(spark, path, df)
+        df = run_select(spark, resolve_names(m.group("select").strip(), spark))
+        path = os.path.join(_warehouse(spark), _view_name(name))
+        _catalog(spark)[name] = SnapshotTable.create(spark, path, df)
         _register(spark, name)
         return {"ddl": "ctas", "table": name, "rows": df.count()}
 
     m = _CREATE_RE.match(statement)
     if m:
         name = m.group("name")
-        if name in _CATALOG:
+        if name in _catalog(spark):
             if not m.group("ine"):
                 # Spark/Iceberg raise TABLE_ALREADY_EXISTS for a plain
                 # CREATE TABLE — a silent no-op would keep stale data
@@ -242,15 +263,15 @@ def run_ddl(spark: SparkSession, statement: str,
                     f"IF NOT EXISTS to tolerate a pre-existing table.")
             return {"ddl": "create", "table": name, "existed": True}
         empty = spark.createDataFrame([], _schema_ddl(m.group("cols")))
-        path = os.path.join(_warehouse(), _view_name(name))
-        _CATALOG[name] = SnapshotTable.create(spark, path, empty)
+        path = os.path.join(_warehouse(spark), _view_name(name))
+        _catalog(spark)[name] = SnapshotTable.create(spark, path, empty)
         _register(spark, name)
         return {"ddl": "create", "table": name, "existed": False}
 
     m = _DROP_RE.match(statement)
     if m:
         name = m.group("name")
-        tbl = _CATALOG.pop(name, None)
+        tbl = _catalog(spark).pop(name, None)
         if tbl is not None:
             spark.catalog.dropTempView(_view_name(name))
         else:
@@ -265,17 +286,17 @@ def run_ddl(spark: SparkSession, statement: str,
     m = _INSERT_RE.match(statement)
     if m:
         name = m.group("name")
-        if name not in _CATALOG:
+        if name not in _catalog(spark):
             # not a catalog table — a real Spark-managed table may own the
             # name; delegate the statement unchanged
             spark.sql(statement)
             return {"ddl": "insert", "table": name, "delegated": True}
-        body = resolve_names(m.group("body").strip())
+        body = resolve_names(m.group("body").strip(), spark)
         if body.upper().startswith("VALUES"):
             src = spark.sql(_values_to_select(body))
         else:
             src = run_select(spark, body)
-        tbl = _CATALOG[name]
+        tbl = _catalog(spark)[name]
         aligned = _align(src, tbl, spark)
         if m.group("ow"):
             tbl.overwrite(spark, aligned)
@@ -288,7 +309,7 @@ def run_ddl(spark: SparkSession, statement: str,
     m = _CACHE_RE.match(statement)
     if m:
         name = m.group("name")
-        view = _view_name(name) if name in _CATALOG else name
+        view = _view_name(name) if name in _catalog(spark) else name
         if m.group("un"):
             spark.catalog.uncacheTable(view)
         else:
@@ -302,12 +323,12 @@ def run_catalog_dml(spark: SparkSession, statement: str) -> Optional[dict]:
     """Route UPDATE/DELETE/MERGE that target a catalog table through the
     snapshot table's versioned CoW DML (keeps time travel across the DML);
     None when the target isn't a catalog table."""
-    name = dml_target(statement)
+    name = dml_target(statement, spark)
     if name is None:
         return None
     from .dml import _DELETE_RE, _MERGE_RE, _UPDATE_RE, _split_assignments
 
-    tbl = _CATALOG[name]
+    tbl = _catalog(spark)[name]
     res = None
     m = _UPDATE_RE.match(statement)
     if m:
@@ -325,7 +346,7 @@ def run_catalog_dml(spark: SparkSession, statement: str) -> Optional[dict]:
                 p.split("=", 1)[0].strip().strip("`")
                 for p in set_clause.split(",")]
             src_name = m.group("s")
-            if src_name in _CATALOG:
+            if src_name in _catalog(spark):
                 src_name = _view_name(src_name)
             res = tbl.merge_into(
                 spark, spark.table(src_name), on=m.group("k1"),
@@ -336,17 +357,19 @@ def run_catalog_dml(spark: SparkSession, statement: str) -> Optional[dict]:
     return res
 
 
-def resolve_names(statement: str) -> str:
+def resolve_names(statement: str,
+                  spark: Optional[SparkSession] = None) -> str:
     """Replace dotted catalog-table identifiers (``demo.db.t`` — the
     reference test suite's spelling, TestSedonaIcebergExtension.scala:53+)
     with their registered view names; Spark would otherwise resolve the
     dots against a real catalog.  Undotted names already match their view
     name and need nothing.  String literals are left untouched (a table
     name occurring inside quoted data must not be rewritten)."""
+    cat = _catalog(spark)
     parts = re.split(r"('(?:[^']|'')*')", statement)
     for idx in range(0, len(parts), 2):   # even indices = outside literals
         seg = parts[idx]
-        for name in sorted(_CATALOG, key=len, reverse=True):
+        for name in sorted(cat, key=len, reverse=True):
             if "." in name and name in seg:
                 seg = re.sub(rf"(?<![\w.]){re.escape(name)}(?![\w.])",
                              _view_name(name), seg)
@@ -358,7 +381,7 @@ def rewrite_metadata_tables(spark: SparkSession, statement: str) -> str:
     """Iceberg's metadata-table spellings over catalog tables:
     ``SELECT * FROM t.history`` / ``FROM t.files`` resolve to the snapshot
     layer's history/files DataFrames, registered as views on demand."""
-    for name, tbl in list(_CATALOG.items()):
+    for name, tbl in list(_catalog(spark).items()):
         for meta in ("history", "files"):
             ref = rf"(?<![\w.]){re.escape(name)}\.{meta}(?![\w.])"
             if re.search(ref, statement):
@@ -386,37 +409,40 @@ def rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     non-catalog tables pass through untouched."""
     def sub_version(m):
         name = m.group("name")
-        if name not in _CATALOG:
+        if name not in _catalog(spark):
             return m.group(0)
         v = int(m.group("v"))
         view = f"{_view_name(name)}__v{v}"
-        _CATALOG[name].read(spark, version=v).createOrReplaceTempView(view)
+        _catalog(spark)[name].read(spark, version=v) \
+            .createOrReplaceTempView(view)
         return f"FROM {view}"
 
     def sub_timestamp(m):
         name = m.group("name")
-        if name not in _CATALOG:
+        if name not in _catalog(spark):
             return m.group(0)
         from datetime import datetime, timezone
         dt = datetime.fromisoformat(m.group("ts"))
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         target_ms = dt.timestamp() * 1000
-        eligible = [h["version"] for h in _CATALOG[name].history()
+        eligible = [h["version"] for h in _catalog(spark)[name].history()
                     if h["timestamp_ms"] <= target_ms]
         if not eligible:
             raise ValueError(
                 f"no snapshot of {name!r} at or before {m.group('ts')!r}")
         v = max(eligible)
         view = f"{_view_name(name)}__v{v}"
-        _CATALOG[name].read(spark, version=v).createOrReplaceTempView(view)
+        _catalog(spark)[name].read(spark, version=v) \
+            .createOrReplaceTempView(view)
         return f"FROM {view}"
 
     statement = _TTV_RE.sub(sub_version, statement)
     return _TTS_RE.sub(sub_timestamp, statement)
 
 
-def reset() -> None:
-    """Drop the in-memory catalog (tests)."""
-    _CATALOG.clear()
-    _WAREHOUSE[0] = None
+def reset(spark: Optional[SparkSession] = None) -> None:
+    """Drop the session's in-memory catalog (tests)."""
+    st = _state(spark)
+    st["catalog"].clear()
+    st["warehouse"] = None

@@ -80,7 +80,7 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
     # metadata tables (t.history / t.files), then dotted catalog
     # identifiers (demo.db.t) → registered views
     statement = ddl.rewrite_metadata_tables(spark, statement)
-    statement = ddl.resolve_names(statement)
+    statement = ddl.resolve_names(statement, spark)
     return spatial_sql(spark, statement)
 
 
