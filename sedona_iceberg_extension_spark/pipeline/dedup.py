@@ -299,12 +299,17 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  bits: int = 60, max_distance: int = 3) -> DataFrame:
+                  bits: int = 60, max_distance: int = 3,
+                  max_bucket: Optional[int] = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ max_distance,
     found with pigeonhole banding (d ≤ k ⇒ at least one of k+1 bands equal),
     so the search is an equi-join on band values, not all-pairs.  Default
     60 bits / 4×15-bit bands: each band has 2^15 possible values, so band
-    buckets stay small (selective) even on large corpora."""
+    buckets stay small (selective) even on large corpora.  ``max_bucket``
+    bounds the worst band bucket (a mega-family of identical simhashes
+    would otherwise explode quadratically through the self-join — same
+    contract as the MinHash cap: all rows of an over-cap bucket leave the
+    candidate join, via a window count on the same join keys)."""
     from .text import simhash, hamming64
 
     n_bands = max_distance + 1
@@ -322,6 +327,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     allb = bands[0]
     for x in bands[1:]:
         allb = allb.unionAll(x)
+    if max_bucket is not None:
+        allb = (allb.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bval")))
+            .filter(F.col("_n") <= max_bucket).drop("_n"))
     a = allb.alias("a")
     b = allb.alias("b")
     cand = (

@@ -1931,9 +1931,13 @@ def q_simhash_pairs(spark, sf_dir):
     60-bit simhash / 4×15-bit bands: 2^15 values per band keeps the band
     equi-join selective at corpus scale (the round-1 16-bit/4-bit form had
     16 values per band — quadratic buckets on any real corpus).  Runs over
-    the whole documents table — the banded join is what makes that cheap."""
+    the whole documents table — the banded join is what makes that cheap.
+    ``max_bucket=4096`` exercises the scale cap without binding at the
+    driver SFs; the exact all-pairs oracle would catch any capped-away
+    pair, so the green row certifies the cap is loss-free on this data."""
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.simhash_pairs(docs, "doc_id", "text", bits=60, max_distance=3)
+    out = dedup.simhash_pairs(docs, "doc_id", "text", bits=60, max_distance=3,
+                              max_bucket=4096)
     return (
         out.select(F.col("id_a"), F.col("id_b"),
                    F.col("hamming").cast("int").alias("hamming"))

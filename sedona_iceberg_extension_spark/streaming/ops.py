@@ -127,9 +127,10 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                        how: str = "inner") -> DataFrame:
     """Stream-stream join with a time-bound join condition — both sides
     keep watermarked state; rows pair only within ±``within``.
-    ``how``: inner (default) or left_outer — outer null-extensions emit
-    when the watermark passes the join window (Spark's standard outer
-    stream-stream semantics; the time bound makes state evictable).
+    ``how``: inner (default), left_outer, right_outer, or full_outer —
+    outer null-extensions emit when the watermark passes the join window
+    (Spark's standard outer stream-stream semantics; the time bound makes
+    state evictable on BOTH sides, which is what licenses full_outer).
     On batch inputs the same expression is a plain range-condition join."""
     l = left.select(F.col(key).alias("_k"), F.col(left_ts).alias("_lts"),
                     *[c for c in left.columns if c not in (key, left_ts)])

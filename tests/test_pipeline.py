@@ -166,6 +166,21 @@ def test_embedding_dup_cap_drops_mega_bucket(spark):
     assert (9_001, 9_002) in got
 
 
+def test_simhash_cap_drops_mega_bucket(spark):
+    """Identical texts share every band value: with max_bucket below the
+    family size, the family leaves the candidate join entirely; honest
+    small buckets still pair."""
+    rows = [(i, "the very same boilerplate text body repeated") for i in range(2_000)]
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows += [(9_001, base), (9_002, base.replace("tok7", "tok999"))]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_pairs(df, "id", "t", bits=60, max_distance=3,
+                               max_bucket=64).collect()}
+    assert all(a > 2_000 for a, _ in got)
+    assert (9_001, 9_002) in got
+
+
 def test_jaccard_pairs_exact(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")], "id long, t string")

@@ -178,3 +178,40 @@ def test_stream_stream_join_left_outer_batch_parity(spark, sf_dir):
     inner = stream_stream_join(clicks, views, "user_id",
                                within="60 minutes", how="inner")
     assert matched.count() == inner.count()
+
+
+def test_stream_stream_join_full_outer_batch_parity(spark, sf_dir):
+    """``how='full_outer'``: both unmatched sides survive with nulls; the
+    matched core equals the inner join (streaming path shares the
+    expression — both sides' watermarks make full-outer state evictable)."""
+    from pyspark.sql import functions as F
+
+    from sedona_iceberg_extension_spark.sources import load_table
+    from sedona_iceberg_extension_spark.streaming import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    out = stream_stream_join(clicks, views, "user_id",
+                             within="60 minutes", how="full_outer")
+    inner = stream_stream_join(clicks, views, "user_id",
+                               within="60 minutes", how="inner")
+    matched = out.filter(F.col("view_id").isNotNull()
+                         & F.col("click_id").isNotNull())
+    assert matched.count() == inner.count() > 0
+    # every click and every view appears at least once
+    assert out.select("click_id").distinct().count() >= clicks.count()
+    assert out.filter(F.col("view_id").isNotNull()) \
+        .select("view_id").distinct().count() == views.count()
+    # and the streaming form of the same expression is a valid plan
+    from sedona_iceberg_extension_spark.sources import stream_table
+    sev = stream_table(spark, sf_dir, "events")
+    sclicks = (sev.filter(F.col("event_type") == "click")
+               .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    sviews = (sev.filter(F.col("event_type") == "view")
+              .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    sout = stream_stream_join(sclicks, sviews, "user_id",
+                              within="60 minutes", how="full_outer")
+    assert sout.isStreaming
