@@ -89,6 +89,16 @@ def delegate_to_iceberg(spark: SparkSession) -> bool:
         spark._graft_iceberg_delegate = cached
     return cached
 
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(?P<cols>[^()]+?)\s*\)?\s*$", re.IGNORECASE | re.DOTALL)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$", re.IGNORECASE)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*"
+    r"\(?\s*(?P<cols>[\w\s,]+?)\s*\)?\s*$", re.IGNORECASE)
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"\((?P<cols>.*)\)\s*USING\s+ICEBERG\s*$",
@@ -231,7 +241,8 @@ def table(name: str, spark: Optional[SparkSession] = None) -> SnapshotTable:
 
 def is_ddl(statement: str) -> bool:
     return any(rx.match(statement) for rx in
-               (_CTAS_RE, _CREATE_RE, _DROP_RE, _INSERT_RE, _CACHE_RE))
+               (_CTAS_RE, _CREATE_RE, _DROP_RE, _INSERT_RE, _CACHE_RE,
+                _ALTER_ADD_RE, _ALTER_RENAME_RE, _ALTER_DROP_RE))
 
 
 def run_ddl(spark: SparkSession, statement: str,
@@ -315,6 +326,35 @@ def run_ddl(spark: SparkSession, statement: str,
         else:
             spark.catalog.cacheTable(view)
         return {"ddl": "uncache" if m.group("un") else "cache", "table": name}
+
+    for rx, kind in ((_ALTER_RENAME_RE, "rename"), (_ALTER_DROP_RE, "drop"),
+                     (_ALTER_ADD_RE, "add")):
+        m = rx.match(statement)
+        if not m:
+            continue
+        name = m.group("name")
+        if name not in _catalog(spark):
+            # a real Spark-managed table may own the name — delegate
+            spark.sql(statement)
+            return {"ddl": "alter", "table": name, "delegated": True}
+        tbl = _catalog(spark)[name]
+        if kind == "rename":
+            v = tbl.rename_column(spark, m.group("old"), m.group("new"))
+        elif kind == "drop":
+            for c in _split_top(m.group("cols")):
+                v = tbl.drop_column(spark, c.strip())
+        else:
+            for c in _split_top(m.group("cols")):
+                cm = re.match(r"^(\w+)\s+(.+)$", c.strip(), re.DOTALL)
+                if not cm:
+                    raise ValueError(f"unparseable column definition {c!r}")
+                typ = cm.group(2).strip()
+                v = tbl.add_column(spark, cm.group(1),
+                                   "BINARY" if typ.upper() == "GEOMETRY"
+                                   else typ)
+        _register(spark, name)
+        return {"ddl": f"alter_{kind}", "table": name,
+                "version": tbl.versions()[-1]}
 
     raise ValueError(f"not a DDL statement: {statement[:80]!r}")
 

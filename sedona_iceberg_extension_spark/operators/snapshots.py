@@ -106,6 +106,12 @@ class SnapshotTable:
             "timestamp_ms": int(time.time() * 1000),
             "files": sorted(files),
         }
+        if latest is not None:
+            # schema evolution ops are table metadata: carried forward by
+            # every commit (Iceberg: the schema lives on the snapshot)
+            ops = self._manifest(latest).get("schema_ops")
+            if ops:
+                manifest["schema_ops"] = ops
         if extra:
             manifest.update(extra)
         tmp = os.path.join(self.snap_dir, f".v{v}.{uuid.uuid4().hex}.tmp")
@@ -178,9 +184,63 @@ class SnapshotTable:
         show it — evolution is part of history.  (Iceberg resolves the
         schema from table metadata instead of file footers; over plain
         parquet the footer union is the equivalent, at a small
-        footer-read cost per file.)"""
-        return (spark.read.option("mergeSchema", str(merge_schema).lower())
-                .parquet(*self.files(version)))
+        footer-read cost per file.)
+
+        Manifest ``schema_ops`` (ALTER TABLE history) are applied on top:
+        adds project a typed NULL until data carries the column, renames
+        coalesce the old files' column into the new name (parquet has no
+        field IDs, so the rename is a read-side projection — the Iceberg
+        metadata-only contract with the same observable result), drops
+        hide the column.  Ops are per-version: time travel to a
+        pre-ALTER snapshot sees the old schema."""
+        m = self._manifest(version)
+        df = (spark.read.option("mergeSchema", str(merge_schema).lower())
+              .parquet(*[os.path.join(self.path, f) for f in m["files"]]))
+        for op in m.get("schema_ops", []):
+            if op["op"] == "add":
+                if op["name"] not in df.columns:
+                    df = df.withColumn(op["name"],
+                                       F.lit(None).cast(op["type"]))
+            elif op["op"] == "rename":
+                old, new = op["from"], op["to"]
+                if old in df.columns and new in df.columns:
+                    df = df.withColumn(
+                        new, F.coalesce(F.col(new), F.col(old))).drop(old)
+                elif old in df.columns:
+                    df = df.withColumnRenamed(old, new)
+            elif op["op"] == "drop":
+                if op["name"] in df.columns:
+                    df = df.drop(op["name"])
+        return df
+
+    # -- schema evolution (ALTER TABLE) -------------------------------------
+
+    def _alter(self, spark: SparkSession, op: Dict) -> int:
+        m = self._manifest()
+        cols = self.read(spark).columns
+        kind = op["op"]
+        if kind == "add" and op["name"] in cols:
+            raise ValueError(f"column {op['name']!r} already exists")
+        if kind == "rename":
+            if op["from"] not in cols:
+                raise ValueError(f"no column {op['from']!r} to rename")
+            if op["to"] in cols:
+                raise ValueError(f"column {op['to']!r} already exists")
+        if kind == "drop" and op["name"] not in cols:
+            raise ValueError(f"no column {op['name']!r} to drop")
+        ops = list(m.get("schema_ops", [])) + [op]
+        return self._commit(m["files"], "alter", base_version=m["version"],
+                            extra={"schema_ops": ops})
+
+    def add_column(self, spark: SparkSession, name: str, type_ddl: str) -> int:
+        return self._alter(spark, {"op": "add", "name": name,
+                                   "type": type_ddl})
+
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
+        return self._alter(spark, {"op": "rename", "from": old, "to": new})
+
+    def drop_column(self, spark: SparkSession, name: str) -> int:
+        return self._alter(spark, {"op": "drop", "name": name})
 
     def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
         """Full-table overwrite as ONE snapshot commit (Iceberg

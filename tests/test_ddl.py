@@ -259,3 +259,54 @@ def test_insert_overwrite(spark, app_tables):
     prev = engine_sql(spark, (
         f"SELECT id FROM {T1} VERSION AS OF {before} ORDER BY id")).collect()
     assert [r.id for r in prev] == [10, 20]
+
+
+def test_alter_table_schema_evolution(spark, tmp_path, monkeypatch):
+    """Iceberg-style schema evolution through the SQL front door: ADD is
+    additive (old rows read NULL), RENAME is metadata-only (old files'
+    column surfaces under the new name), DROP hides — and time travel to a
+    pre-ALTER version sees the old schema."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whalter"))
+    ddl.reset()
+    t = "demo.db.evolving"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT, data STRING) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b')")
+        v_before = ddl.table(t).versions()[-1]
+
+        # ADD COLUMN: old rows NULL, new insert carries it
+        engine_sql(spark, f"ALTER TABLE {t} ADD COLUMN score DOUBLE")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (3, 'c', 1.5)")
+        rows = {r.id: (r.data, r.score) for r in
+                engine_sql(spark, f"SELECT id, data, score FROM {t}").collect()}
+        assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
+        # time travel: pre-ALTER schema has no score column
+        old = engine_sql(spark, f"SELECT * FROM {t} VERSION AS OF {v_before}")
+        assert "score" not in old.columns and old.count() == 2
+
+        # RENAME COLUMN: old files' values surface under the new name
+        engine_sql(spark, f"ALTER TABLE {t} RENAME COLUMN data TO body")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (4, 'd', 2.5)")
+        rows = {r.id: r.body for r in
+                engine_sql(spark, f"SELECT id, body FROM {t}").collect()}
+        assert rows == {1: "a", 2: "b", 3: "c", 4: "d"}
+        cols = engine_sql(spark, f"SELECT * FROM {t}").columns
+        assert "data" not in cols and "body" in cols
+
+        # DROP COLUMN: hidden now, still visible via time travel
+        v_predrop = ddl.table(t).versions()[-1]
+        engine_sql(spark, f"ALTER TABLE {t} DROP COLUMN score")
+        assert "score" not in engine_sql(spark, f"SELECT * FROM {t}").columns
+        assert "score" in engine_sql(
+            spark, f"SELECT * FROM {t} VERSION AS OF {v_predrop}").columns
+
+        # history records the alters
+        ops = [h["operation"] for h in ddl.table(t).history()]
+        assert ops.count("alter") == 3
+        # invalid alters raise
+        with pytest.raises(Exception):
+            engine_sql(spark, f"ALTER TABLE {t} ADD COLUMN body STRING")
+        with pytest.raises(Exception):
+            engine_sql(spark, f"ALTER TABLE {t} RENAME COLUMN nope TO x")
+    finally:
+        ddl.reset()
