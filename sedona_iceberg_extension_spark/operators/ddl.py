@@ -99,6 +99,10 @@ _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*"
     r"\(?\s*(?P<cols>[\w\s,]+?)\s*\)?\s*$", re.IGNORECASE)
 
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?:[\w.]*\bsystem\.)?(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"\((?P<cols>.*)\)\s*USING\s+ICEBERG\s*$",
@@ -242,7 +246,72 @@ def table(name: str, spark: Optional[SparkSession] = None) -> SnapshotTable:
 def is_ddl(statement: str) -> bool:
     return any(rx.match(statement) for rx in
                (_CTAS_RE, _CREATE_RE, _DROP_RE, _INSERT_RE, _CACHE_RE,
-                _ALTER_ADD_RE, _ALTER_RENAME_RE, _ALTER_DROP_RE))
+                _ALTER_ADD_RE, _ALTER_RENAME_RE, _ALTER_DROP_RE, _CALL_RE))
+
+
+def _call_arg(s: str):
+    s = s.strip()
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1]
+    try:
+        return int(s)
+    except ValueError:
+        return s
+
+
+def _parse_call_args(argstr: str):
+    """Iceberg procedure argument syntax: positional and/or
+    ``name => value`` named arguments."""
+    pos, named = [], {}
+    for part in _split_top(argstr):
+        if "=>" in part:
+            k, v = part.split("=>", 1)
+            named[k.strip().lower()] = _call_arg(v)
+        else:
+            pos.append(_call_arg(part))
+    return pos, named
+
+
+def run_procedure(spark: SparkSession, proc: str, pos: list,
+                  named: dict) -> dict:
+    """Iceberg's maintenance procedures (``CALL catalog.system.<proc>``,
+    SparkProcedures surface) over the snapshot layer: rollback_to_snapshot,
+    expire_snapshots, rewrite_data_files (binpack default; ``strategy =>
+    'sort', sort_order => 'zorder(a, b)'`` routes to the Z-order rewrite)."""
+    name = named.get("table") or (pos[0] if pos else None)
+    if name is None:
+        raise ValueError(f"CALL {proc}: missing table argument")
+    tbl = _catalog(spark)[name]
+    if proc == "rollback_to_snapshot":
+        v = named.get("to_snapshot_id")
+        if v is None:
+            v = pos[1] if len(pos) > 1 else None
+        if v is None:
+            raise ValueError("rollback_to_snapshot needs to_snapshot_id")
+        newv = tbl.rollback(int(v))
+        _register(spark, name)
+        return {"proc": proc, "table": name, "version": newv}
+    if proc == "expire_snapshots":
+        keep = named.get("retain_last",
+                         pos[1] if len(pos) > 1 else 2)
+        res = tbl.expire(int(keep))
+        return {"proc": proc, "table": name, **res}
+    if proc == "rewrite_data_files":
+        order = str(named.get("sort_order", ""))
+        zm = re.match(r"^\s*zorder\s*\(([\w\s,]+)\)\s*$", order,
+                      re.IGNORECASE)
+        if str(named.get("strategy", "")).lower() == "sort" and zm:
+            cols = [c.strip() for c in zm.group(1).split(",")]
+            res = tbl.rewrite_zorder(spark, cols)
+        else:
+            target = int(named.get("target_file_size_bytes",
+                                   128 * 1024 * 1024))
+            res = tbl.compact(spark, target_file_bytes=target)
+        _register(spark, name)
+        return {"proc": proc, "table": name, **res}
+    raise ValueError(f"unknown procedure {proc!r} (supported: "
+                     "rollback_to_snapshot, expire_snapshots, "
+                     "rewrite_data_files)")
 
 
 def run_ddl(spark: SparkSession, statement: str,
@@ -326,6 +395,16 @@ def run_ddl(spark: SparkSession, statement: str,
         else:
             spark.catalog.cacheTable(view)
         return {"ddl": "uncache" if m.group("un") else "cache", "table": name}
+
+    m = _CALL_RE.match(statement)
+    if m:
+        pos, named = _parse_call_args(m.group("args"))
+        target = named.get("table") or (pos[0] if pos else None)
+        if target not in _catalog(spark):
+            # not a catalog table — a real Iceberg runtime may own it
+            spark.sql(statement)
+            return {"proc": m.group("proc").lower(), "delegated": True}
+        return run_procedure(spark, m.group("proc").lower(), pos, named)
 
     for rx, kind in ((_ALTER_RENAME_RE, "rename"), (_ALTER_DROP_RE, "drop"),
                      (_ALTER_ADD_RE, "add")):

@@ -495,11 +495,14 @@ class SnapshotTable:
     def rollback(self, version: int) -> int:
         """Append-only rollback: a new commit re-pointing at an old
         version's file set (the old files still exist — data files are
-        immutable until expiry)."""
-        files = self._manifest(version)["files"]
+        immutable until expiry).  The target's schema ops come along too —
+        Iceberg's rollback restores the snapshot's schema, so rolling back
+        past an ALTER undoes the ALTER."""
+        target = self._manifest(version)
         base = self._manifest()["version"]
-        return self._commit(files, f"rollback-to-{version}",
-                            base_version=base)
+        return self._commit(target["files"], f"rollback-to-{version}",
+                            base_version=base,
+                            extra={"schema_ops": target.get("schema_ops", [])})
 
     def expire(self, keep_last: int = 2) -> dict:
         """Drop all but the last ``keep_last`` manifests, then delete any

@@ -310,3 +310,44 @@ def test_alter_table_schema_evolution(spark, tmp_path, monkeypatch):
             engine_sql(spark, f"ALTER TABLE {t} RENAME COLUMN nope TO x")
     finally:
         ddl.reset()
+
+
+def test_call_maintenance_procedures(spark, tmp_path, monkeypatch):
+    """Iceberg's CALL system.* procedure spellings over the snapshot layer:
+    rollback_to_snapshot (restores data AND pre-ALTER schema),
+    rewrite_data_files (binpack compaction), expire_snapshots."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whproc"))
+    ddl.reset()
+    t = "demo.db.maint"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT, data STRING) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1, 'a')")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (2, 'b')")
+        v_two = ddl.table(t).versions()[-1]
+        engine_sql(spark, f"ALTER TABLE {t} ADD COLUMN score DOUBLE")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (3, 'c', 9.9)")
+
+        # rollback to the pre-ALTER snapshot: rows AND schema restored
+        r = engine_sql(spark, (
+            f"CALL demo.system.rollback_to_snapshot(table => '{t}', "
+            f"to_snapshot_id => {v_two})"))
+        assert r["proc"] == "rollback_to_snapshot"
+        df = engine_sql(spark, f"SELECT * FROM {t}")
+        assert sorted(rr.id for rr in df.collect()) == [1, 2]
+        assert "score" not in df.columns
+
+        # compaction: the per-insert small files binpack into one
+        r = engine_sql(spark, f"CALL demo.system.rewrite_data_files('{t}')")
+        assert r["files_compacted"] >= 2 and r["files_written"] >= 1
+        assert sorted(rr.id for rr in
+                      engine_sql(spark, f"SELECT * FROM {t}").collect()) == [1, 2]
+
+        # expire: only the last 2 manifests survive
+        r = engine_sql(spark, (
+            f"CALL demo.system.expire_snapshots(table => '{t}', "
+            "retain_last => 2)"))
+        assert len(ddl.table(t).versions()) == 2
+        assert sorted(rr.id for rr in
+                      engine_sql(spark, f"SELECT * FROM {t}").collect()) == [1, 2]
+    finally:
+        ddl.reset()
