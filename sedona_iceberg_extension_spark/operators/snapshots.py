@@ -55,6 +55,39 @@ def _to_col(expr):
     return F.expr(expr) if isinstance(expr, str) else expr
 
 
+def _project_schema(df: DataFrame, ops: List[Dict]) -> DataFrame:
+    """Apply manifest schema ops (ALTER TABLE history) to a raw file-union
+    DataFrame, yielding the table's logical schema — shared by read() and
+    every CoW path (predicates/assignments refer to logical columns)."""
+    for op in ops:
+        if op["op"] == "add":
+            phys = op.get("physical", op["name"])
+            if phys != op["name"]:
+                # column re-added after a drop of the same name: new data
+                # lives under a generation-mangled physical name (parquet
+                # has no field IDs); stale pre-drop values stay hidden
+                if op["name"] in df.columns:
+                    df = df.drop(op["name"])
+                if phys in df.columns:
+                    df = df.withColumnRenamed(phys, op["name"])
+                else:
+                    df = df.withColumn(op["name"],
+                                       F.lit(None).cast(op["type"]))
+            elif op["name"] not in df.columns:
+                df = df.withColumn(op["name"], F.lit(None).cast(op["type"]))
+        elif op["op"] == "rename":
+            old, new = op["from"], op["to"]
+            if old in df.columns and new in df.columns:
+                df = df.withColumn(
+                    new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        elif op["op"] == "drop":
+            if op["name"] in df.columns:
+                df = df.drop(op["name"])
+    return df
+
+
 class SnapshotTable:
     """A parquet directory with Iceberg-style snapshot versioning."""
 
@@ -156,6 +189,17 @@ class SnapshotTable:
         return names
 
     def _stage(self, df: DataFrame) -> str:
+        # logical -> physical mapping for re-added columns (see read());
+        # inputs carrying physical names already (raw CoW rewrites) no-op
+        try:
+            ops = self._manifest().get("schema_ops", [])
+        except FileNotFoundError:
+            ops = []
+        for op in ops:
+            phys = op.get("physical")
+            if (op["op"] == "add" and phys and phys != op["name"]
+                    and op["name"] in df.columns):
+                df = df.withColumnRenamed(op["name"], phys)
         staged = os.path.join(os.path.dirname(self.path),
                               f".staged-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staged)
@@ -196,22 +240,7 @@ class SnapshotTable:
         m = self._manifest(version)
         df = (spark.read.option("mergeSchema", str(merge_schema).lower())
               .parquet(*[os.path.join(self.path, f) for f in m["files"]]))
-        for op in m.get("schema_ops", []):
-            if op["op"] == "add":
-                if op["name"] not in df.columns:
-                    df = df.withColumn(op["name"],
-                                       F.lit(None).cast(op["type"]))
-            elif op["op"] == "rename":
-                old, new = op["from"], op["to"]
-                if old in df.columns and new in df.columns:
-                    df = df.withColumn(
-                        new, F.coalesce(F.col(new), F.col(old))).drop(old)
-                elif old in df.columns:
-                    df = df.withColumnRenamed(old, new)
-            elif op["op"] == "drop":
-                if op["name"] in df.columns:
-                    df = df.drop(op["name"])
-        return df
+        return _project_schema(df, m.get("schema_ops", []))
 
     # -- schema evolution (ALTER TABLE) -------------------------------------
 
@@ -219,8 +248,15 @@ class SnapshotTable:
         m = self._manifest()
         cols = self.read(spark).columns
         kind = op["op"]
-        if kind == "add" and op["name"] in cols:
-            raise ValueError(f"column {op['name']!r} already exists")
+        if kind == "add":
+            if op["name"] in cols:
+                raise ValueError(f"column {op['name']!r} already exists")
+            # if any live file still carries the (previously dropped) name,
+            # new data must be written under a fresh physical name
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in m["files"]])
+            if op["name"] in raw.columns:
+                op = dict(op, physical=f"{op['name']}__g{m['version'] + 1}")
         if kind == "rename":
             if op["from"] not in cols:
                 raise ValueError(f"no column {op['from']!r} to rename")
@@ -296,8 +332,10 @@ class SnapshotTable:
         untouched files are *shared* with the previous snapshot."""
         pred = _to_col(predicate)
         m = self._manifest()
+        ops = m.get("schema_ops", [])
         live = [os.path.join(self.path, f) for f in m["files"]]
-        df = spark.read.parquet(*live)
+        df = _project_schema(
+            spark.read.option("mergeSchema", "true").parquet(*live), ops)
         unknown = set(assignments) - set(df.columns)
         if unknown:
             raise ValueError(f"UPDATE SET references unknown column(s) "
@@ -309,7 +347,8 @@ class SnapshotTable:
             .filter(pred).select("_f").distinct(), "update")
         if not touched:
             return {"version": m["version"], "files_rewritten": 0}
-        sub = spark.read.parquet(*touched)
+        sub = _project_schema(
+            spark.read.option("mergeSchema", "true").parquet(*touched), ops)
         updated = sub.select(*[
             (F.when(pred, _to_col(assignments[c]).cast(sub.schema[c].dataType))
              .otherwise(F.col(c))).alias(c) if c in assignments else F.col(c)
@@ -323,15 +362,18 @@ class SnapshotTable:
     def delete_where(self, spark: SparkSession, predicate) -> dict:
         pred = _to_col(predicate)
         m = self._manifest()
+        ops = m.get("schema_ops", [])
         live = [os.path.join(self.path, f) for f in m["files"]]
-        df = spark.read.parquet(*live)
+        df = _project_schema(
+            spark.read.option("mergeSchema", "true").parquet(*live), ops)
         from .dml import bounded_file_list
         touched = bounded_file_list(
             df.withColumn("_f", F.input_file_name())
             .filter(pred).select("_f").distinct(), "delete")
         if not touched:
             return {"version": m["version"], "files_rewritten": 0}
-        sub = spark.read.parquet(*touched)
+        sub = _project_schema(
+            spark.read.option("mergeSchema", "true").parquet(*touched), ops)
         kept_rows = sub.filter(~pred | pred.isNull())
         added = self._ingest_staged(self._stage(kept_rows))
         touched_names = {os.path.basename(f) for f in touched}
@@ -353,8 +395,10 @@ class SnapshotTable:
         cardinality rules, and matched/inserted row counts ride the rewrite
         job as ``Observation`` metrics (no second scan)."""
         m = self._manifest()
+        ops = m.get("schema_ops", [])
         live = [os.path.join(self.path, f) for f in m["files"]]
-        target = spark.read.parquet(*live)
+        target = _project_schema(
+            spark.read.option("mergeSchema", "true").parquet(*live), ops)
         cols = target.columns
         update_cols = update_cols or [c for c in cols if c != on]
         unknown = set(update_cols) - set(cols)
@@ -382,7 +426,9 @@ class SnapshotTable:
         parts = []
         obs_u = obs_i = None
         if touched:
-            sub = spark.read.parquet(*touched)
+            sub = _project_schema(
+                spark.read.option("mergeSchema", "true").parquet(*touched),
+                ops)
             joined = sub.join(src, sub[on] == src[f"_src_{on}"], "left")
             obs_u = Observation()
             joined = joined.observe(obs_u,

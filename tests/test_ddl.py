@@ -351,3 +351,33 @@ def test_call_maintenance_procedures(spark, tmp_path, monkeypatch):
                       engine_sql(spark, f"SELECT * FROM {t}").collect()) == [1, 2]
     finally:
         ddl.reset()
+
+
+def test_evolved_schema_cow_dml(spark, tmp_path, monkeypatch):
+    """CoW DML addresses LOGICAL columns after evolution: update a
+    re-added column (generation-mangled physical name), update/delete via
+    a renamed column — no silent no-ops, no stale-value leaks."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whevo"))
+    ddl.reset()
+    t = "demo.db.evodml"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT, tag STRING) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1, 'old1'), (2, 'old2')")
+        engine_sql(spark, f"ALTER TABLE {t} DROP COLUMN tag")
+        engine_sql(spark, f"ALTER TABLE {t} ADD COLUMN tag STRING")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (3, 'new3')")
+        rows = {r.id: r.tag for r in
+                engine_sql(spark, f"SELECT id, tag FROM {t}").collect()}
+        assert rows == {1: None, 2: None, 3: "new3"}  # old values hidden
+        engine_sql(spark, f"UPDATE {t} SET tag = 'x' WHERE id = 3")
+        rows = {r.id: r.tag for r in
+                engine_sql(spark, f"SELECT id, tag FROM {t}").collect()}
+        assert rows == {1: None, 2: None, 3: "x"}
+        engine_sql(spark, f"ALTER TABLE {t} RENAME COLUMN tag TO label")
+        engine_sql(spark, f"UPDATE {t} SET label = 'y' WHERE id = 1")
+        engine_sql(spark, f"DELETE FROM {t} WHERE label = 'x'")
+        rows = {r.id: r.label for r in
+                engine_sql(spark, f"SELECT id, label FROM {t}").collect()}
+        assert rows == {1: "y", 2: None}
+    finally:
+        ddl.reset()
