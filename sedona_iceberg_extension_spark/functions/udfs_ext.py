@@ -875,6 +875,37 @@ def _split_line_by_point(line: Geometry, pt: Geometry) -> Geometry:
     return Geometry(WKB_MULTILINESTRING, [list(coords)])  # point not on line
 
 
+def _split_geom(g: Geometry, gb: Geometry) -> Geometry:
+    """(Multi)linestring split by a point, multipoint, or (multi)line blade
+    (blade crossings become split points; collinear overlaps are ignored,
+    matching GEOS' behavior of only splitting at point intersections)."""
+    from ..geom.algos import intersection
+
+    if g.dimension() != 1:
+        raise NotImplementedError(
+            "ST_Split supports (MULTI)LINESTRING subjects in this engine")
+    if gb.kind == WKB_POINT:
+        pts = [tuple(gb.coords)]
+    elif gb.kind == WKB_MULTIPOINT:
+        pts = [tuple(c) for c in gb.coords]
+    elif gb.dimension() == 1:
+        pts = [tuple(part.coords) for part in intersection(g, gb).flatten()
+               if part.kind == WKB_POINT and not part.is_empty()]
+    else:
+        raise NotImplementedError(
+            "ST_Split blade must be a point, multipoint, or line "
+            "in this engine")
+    parts = [ls for ls in g.flatten()
+             if ls.kind == WKB_LINESTRING and not ls.is_empty()]
+    for p in sorted(pts):
+        nxt = []
+        for ls in parts:
+            nxt.extend(x for x in
+                       _split_line_by_point(ls, Geometry.point(*p)).flatten())
+        parts = nxt
+    return Geometry(WKB_MULTILINESTRING, [list(ls.coords) for ls in parts])
+
+
 @pandas_udf(_BIN)
 def st_split(wkb: pd.Series, blade: pd.Series) -> pd.Series:
     out = []
@@ -882,12 +913,7 @@ def st_split(wkb: pd.Series, blade: pd.Series) -> pd.Series:
         if b is None or bl is None:
             out.append(None)
             continue
-        g, gb = from_wkb(b), from_wkb(bl)
-        if g.kind == WKB_LINESTRING and gb.kind == WKB_POINT:
-            out.append(to_wkb(_split_line_by_point(g, gb)))
-        else:
-            raise NotImplementedError(
-                "ST_Split supports LINESTRING split by POINT in this engine")
+        out.append(to_wkb(_split_geom(from_wkb(b), from_wkb(bl))))
     return pd.Series(out, dtype=object)
 
 

@@ -203,3 +203,19 @@ def test_transform_polar_stereographic(spark):
                                f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
                                f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
             assert back == pytest.approx(want, abs=1e-8), code
+
+
+def test_split_extended_blades(spark):
+    # multipoint blade: 3 parts
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText('LINESTRING (0 0, 10 0)'), "
+                      "ST_GeomFromText('MULTIPOINT ((3 0), (7 0))')))")
+    assert out == "MULTILINESTRING ((0 0, 3 0), (3 0, 7 0), (7 0, 10 0))"
+    # crossing line blade: split at the crossing
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText('LINESTRING (0 0, 10 0)'), "
+                      "ST_GeomFromText('LINESTRING (5 -1, 5 1)')))")
+    assert out == "MULTILINESTRING ((0 0, 5 0), (5 0, 10 0))"
+    # multilinestring subject, point blade on one part only
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'MULTILINESTRING ((0 0, 4 0), (0 1, 4 1))'), "
+                      "ST_Point(2D, 0D)))")
+    assert out == "MULTILINESTRING ((0 0, 2 0), (2 0, 4 0), (0 1, 4 1))"
