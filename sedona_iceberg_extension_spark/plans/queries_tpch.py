@@ -406,25 +406,34 @@ ORDER BY user_id, event_id
 # --- q9-ish: yearly revenue by supplier nation -------------------------------
 
 def q9_yearly_nation_revenue(spark, sf_dir):
+    """Per-item amounts become exact integer CENTS before the sum —
+    ``floor(x*100 + 0.5)`` is pure IEEE arithmetic (identical bit-for-bit
+    on both engines, unlike decimal-string ROUND, where Spark's BigDecimal
+    HALF_UP and DuckDB's numeric round can pick different cents at a
+    product midpoint), and a BIGINT cent sum is order-free — immune to the
+    partial-agg summation-order ulp that flipped a ROUND(...,2) midpoint
+    against the oracle at sf0.001."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nat = _t(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
     return (
         li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(F.round(F.sum(cents) / F.lit(100.0), 2).alias("revenue"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                 AS BIGINT)) / 100.0, 2) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
