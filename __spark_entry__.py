@@ -4,8 +4,12 @@
 ``queries``  — every implemented operator from SURVEY.md §2, spatial Tier A–D
                parity + Tier E pipeline operators (see
                sedona_iceberg_extension_spark/plans/queries.py).
-``oracle_sql`` — exactly-mirrored DuckDB SQL per query; entries without SQL
-               (LSH ANN, multimodal mapInPandas) get rows-only checks.
+``oracle_sql`` — exactly-mirrored DuckDB SQL per query: ALL 102 declared
+               queries carry an exact oracle (including the approximate
+               paths — LSH/IVF ANN regenerate their hash-derived planes/
+               codebooks in SQL; the HLL estimate is value-checked via
+               portable-hash registers; multimodal's deterministic fake
+               decode is mirrored byte-for-byte).
 """
 
 from __future__ import annotations
