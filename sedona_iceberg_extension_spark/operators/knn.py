@@ -36,10 +36,14 @@ def knn_join(
     broadcast_threshold_rows: int = 1_000_000,
     initial_radius: Optional[float] = None,
     max_rounds: int = 6,
+    tie_break: Optional[str] = None,
 ) -> DataFrame:
     """For each query point, the k nearest data points (ties broken
-    deterministically by distance, then data x, y).  Output: the data
-    columns plus ``query_id``, ``distance``, ``_rank``."""
+    deterministically by distance, then data x, y, then the optional
+    ``tie_break`` data column — pass a UNIQUE id there when data points
+    can be co-located, otherwise equal-distance ranks are partition-order
+    dependent).  Output: the data columns plus ``query_id``, ``distance``,
+    ``_rank``."""
     qx, qy = q_xy
     q = queries.select(F.col(query_id).alias("_qid"),
                        F.col(qx).alias("_qx"), F.col(qy).alias("_qy"))
@@ -59,18 +63,26 @@ def knn_join(
         except Exception:
             q_small = True
     if q_small:
-        return _knn_broadcast(q, data, k, d_xy)
-    return _knn_grid(q, data, k, d_xy, initial_radius, max_rounds)
+        return _knn_broadcast(q, data, k, d_xy, tie_break)
+    return _knn_grid(q, data, k, d_xy, initial_radius, max_rounds, tie_break)
+
+
+def _tie_order(dxc, dyc, tie_break):
+    order = [F.col("_dist").asc(), dxc.asc(), dyc.asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return order
 
 
 def _knn_broadcast(q: DataFrame, data: DataFrame, k: int,
-                   d_xy: Tuple[str, str]) -> DataFrame:
+                   d_xy: Tuple[str, str],
+                   tie_break: Optional[str] = None) -> DataFrame:
     dx, dy = d_xy
     dxc, dyc = F.col(dx), F.col(dy)
     dist2 = (dxc - F.col("_qx")) ** 2 + (dyc - F.col("_qy")) ** 2
     joined = data.join(F.broadcast(q), how="cross") \
         .withColumn("_dist", F.sqrt(dist2))
-    w = Window.partitionBy("_qid").orderBy(F.col("_dist").asc(), dxc.asc(), dyc.asc())
+    w = Window.partitionBy("_qid").orderBy(*_tie_order(dxc, dyc, tie_break))
     return (
         joined.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= k)
@@ -81,7 +93,8 @@ def _knn_broadcast(q: DataFrame, data: DataFrame, k: int,
 
 
 def _knn_grid(q: DataFrame, data: DataFrame, k: int, d_xy: Tuple[str, str],
-              initial_radius: Optional[float], max_rounds: int) -> DataFrame:
+              initial_radius: Optional[float], max_rounds: int,
+              tie_break: Optional[str] = None) -> DataFrame:
     """Adaptive-radius grid KNN: correctness rests on the circle argument —
     if ≥k data points lie within distance r of a query, the query's true k
     nearest all lie within r, and the grid join returns *every* point within
@@ -136,7 +149,7 @@ def _knn_grid(q: DataFrame, data: DataFrame, k: int, d_xy: Tuple[str, str],
         if not last:
             cand = cand.filter(F.col("_dist") <= r)
         wq = Window.partitionBy("_qid")
-        w = wq.orderBy(F.col("_dist").asc(), dxc.asc(), dyc.asc())
+        w = wq.orderBy(*_tie_order(dxc, dyc, tie_break))
         scored = cand.withColumn("_cnt", F.count(F.lit(1)).over(wq)) \
                      .withColumn("_rank", F.row_number().over(w))
         round_res = scored.filter(

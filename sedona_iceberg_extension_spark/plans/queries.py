@@ -1080,7 +1080,7 @@ def q_spatial_knn(spark, sf_dir):
         "s_suppkey",
         F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
     q = spark.createDataFrame([(0, 0.0, 0.0)], "id int, x double, y double")
-    out = knn_join(q, sup, k=5, query_id="id")
+    out = knn_join(q, sup, k=5, query_id="id", tie_break="s_suppkey")
     return (
         out.select("s_suppkey", F.round(F.col("distance"), 6).alias("distance"))
         .orderBy("distance", "s_suppkey")
@@ -1091,7 +1091,8 @@ _QKNN_SQL = f"""
 SELECT s_suppkey, distance FROM (
   SELECT s_suppkey, ROUND(SQRT({_SX} * {_SX} + {_SY} * {_SY}), 6) AS distance
   FROM supplier
-  ORDER BY SQRT({_SX} * {_SX} + {_SY} * {_SY}) ASC, {_SX} ASC, {_SY} ASC
+  ORDER BY SQRT({_SX} * {_SX} + {_SY} * {_SY}) ASC, {_SX} ASC, {_SY} ASC,
+           s_suppkey ASC
   LIMIT 5) t
 ORDER BY distance, s_suppkey
 """
@@ -1110,7 +1111,8 @@ def q_spatial_knn_grid(spark, sf_dir):
     sup = _supp_points(spark, sf_dir).select(
         "s_suppkey",
         F.col("geo_env.xmin").alias("x"), F.col("geo_env.ymin").alias("y"))
-    out = knn_join(q, sup, k=3, query_id="id", broadcast_threshold_rows=1)
+    out = knn_join(q, sup, k=3, query_id="id", broadcast_threshold_rows=1,
+                   tie_break="s_suppkey")
     return (
         out.select(F.col("query_id").alias("c_custkey"), "s_suppkey",
                    F.col("_rank").alias("rk"),
@@ -1126,7 +1128,7 @@ SELECT c_custkey, s_suppkey, rk, distance FROM (
            PARTITION BY c_custkey
            ORDER BY SQRT(({_CX} - {_SX}) * ({_CX} - {_SX})
                        + ({_CY} - {_SY}) * ({_CY} - {_SY})) ASC,
-                    {_SX} ASC, {_SY} ASC) AS BIGINT) AS rk,
+                    {_SX} ASC, {_SY} ASC, s_suppkey ASC) AS BIGINT) AS rk,
          ROUND(SQRT(({_CX} - {_SX}) * ({_CX} - {_SX})
                   + ({_CY} - {_SY}) * ({_CY} - {_SY})), 6) AS distance
   FROM customer, supplier
