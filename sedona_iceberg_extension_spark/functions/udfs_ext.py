@@ -750,6 +750,9 @@ _CONIC_CRS = {
     # OSGB36 / British National Grid (Airy 1830)
     "27700": (_tm_fns, (_AIRY_A, _AIRY_F, 0.9996012717, 49.0, -2.0,
                         400000.0, -100000.0)),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    "2193": (_tm_fns, (_WGS84_A, _GRS80_F, 0.9996, 0.0, 173.0,
+                       1600000.0, 10000000.0)),
     # --- polar stereographic family (WGS84) ---
     # NSIDC Sea Ice Polar Stereographic North (lat_ts 70N, lon0 -45)
     "3413": (_ps_fns, (_WGS84_A, _WGS84_F, 70.0, None, -45.0,
@@ -787,15 +790,19 @@ def _crs_fns(code: str):
     if len(code) == 5 and code[:3] == "269" and 1 <= int(code[3:]) <= 23:
         return _utm_fns(int(code[3:]), south=False)
     if len(code) == 5 and code[:3] == "258" and 28 <= int(code[3:]) <= 38:
-        return _utm_fns(int(code[3:]) , south=False)
+        return _utm_fns(int(code[3:]), south=False)
+    # GDA94 / MGA zones 49-56 (28349-28356): UTM south on GRS80
+    if len(code) == 5 and code[:3] == "283" and 49 <= int(code[3:]) <= 56:
+        return _utm_fns(int(code[3:]), south=True)
     if code in _CONIC_CRS:
         builder, params = _CONIC_CRS[code]
         return builder(*params)
     raise NotImplementedError(
         f"ST_Transform: unsupported CRS EPSG:{code} (supported: 4326, 3857, "
         f"3395, UTM 32601-32660/32701-32760 + NAD83 26901-26923 + ETRS89 "
-        f"25828-25838, LCC 2154/3978 + state-plane 26985/26945/32139/32100, "
-        f"Albers 5070/3577/3083, TM 26929/26948/27700, LAEA 3035, CEA 6933, "
+        f"25828-25838 + MGA 28349-28356, LCC 2154/3978 + state-plane "
+        f"26985/26945/32139/32100, Albers 5070/3577/3083, "
+        f"TM 26929/26948/27700/2193, LAEA 3035, CEA 6933, "
         f"polar stereographic 3413/3976/3031 + UPS 32661/32761); "
         f"arbitrary EPSG needs a proj database")
 

@@ -219,3 +219,31 @@ def test_split_extended_blades(spark):
                       "'MULTILINESTRING ((0 0, 4 0), (0 1, 4 1))'), "
                       "ST_Point(2D, 0D)))")
     assert out == "MULTILINESTRING ((0 0, 2 0), (2 0, 4 0), (0 1, 4 1))"
+
+
+def test_transform_nztm_and_mga(spark):
+    # NZTM origin -> (FE, FN); Wellington lands at the known grid value
+    x = sql1(spark, "ST_X(ST_Transform(ST_Point(173D, 0D), "
+                    "'EPSG:4326', 'EPSG:2193'))")
+    y = sql1(spark, "ST_Y(ST_Transform(ST_Point(173D, 0D), "
+                    "'EPSG:4326', 'EPSG:2193'))")
+    assert x == pytest.approx(1600000.0, abs=1e-6)
+    assert y == pytest.approx(10000000.0, abs=1e-6)
+    e = sql1(spark, "ST_X(ST_Transform(ST_Point(174.7762D, -41.2865D), "
+                    "'EPSG:4326', 'EPSG:2193'))")
+    n = sql1(spark, "ST_Y(ST_Transform(ST_Point(174.7762D, -41.2865D), "
+                    "'EPSG:4326', 'EPSG:2193'))")
+    assert e == pytest.approx(1748735.6, abs=1.0)
+    assert n == pytest.approx(5427916.5, abs=1.0)
+    # GDA94 MGA zone 55 == UTM 55S grid
+    xa = sql1(spark, "ST_X(ST_Transform(ST_Point(147D, -37D), "
+                     "'EPSG:4326', 'EPSG:28355'))")
+    xb = sql1(spark, "ST_X(ST_Transform(ST_Point(147D, -37D), "
+                     "'EPSG:4326', 'EPSG:32755'))")
+    assert xa == xb
+    for code, lon, lat in (("2193", 172.6, -43.5), ("28350", 116.9, -32.0)):
+        for fn_, want in (("ST_X", lon), ("ST_Y", lat)):
+            back = sql1(spark, f"{fn_}(ST_Transform(ST_Transform("
+                               f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
+                               f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
+            assert back == pytest.approx(want, abs=1e-8), code
