@@ -13,7 +13,7 @@ whichever DataFrame they're given; tests exercise both paths with
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -67,25 +67,42 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def running_user_totals_stateful(events: DataFrame) -> DataFrame:
+def running_user_totals_stateful(events: DataFrame,
+                                 ttl_ms: Optional[int] = None) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` — per-user
     running totals that survive across micro-batches (the
     ``applyInPandasWithState`` pattern from SURVEY.md §2 Tier E /
-    the driver brief's custom-stateful-operator requirement)."""
+    the driver brief's custom-stateful-operator requirement).
+
+    ``ttl_ms`` bounds state at scale: with a processing-time TTL, a user
+    idle past the horizon has their state evicted instead of living
+    forever (at 100 TB / billions of keys, NoTimeout state is a slow OOM
+    of the state store).  Totals already emitted are unaffected — a user
+    returning after eviction restarts their running count, the standard
+    TTL trade-off."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
+
     def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+        if state.hasTimedOut:
+            state.remove()
+        else:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            state.update((n, total))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [total]})
 
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(update, _RUNNING_SCHEMA, _STATE_SCHEMA,
-                                "update", GroupStateTimeout.NoTimeout)
+                                "update", timeout)
     )
 
 

@@ -73,6 +73,24 @@ def test_stateful_running_totals_stream(spark, events, sf_dir):
         assert got[u][1] == pytest.approx(want[u][1])
 
 
+def test_stateful_running_totals_with_ttl(spark, events, sf_dir):
+    """The TTL variant (processing-time state eviction for idle keys —
+    bounded state at scale) computes the same totals within one pass."""
+    from sedona_iceberg_extension_spark.sources import stream_table
+    stream = stream_table(spark, sf_dir, "events")
+    out = S.running_user_totals_stateful(stream, ttl_ms=3_600_000)
+    q = (out.writeStream.format("memory").queryName("running_totals_ttl")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["n_events"] for r in spark.sql(
+        "SELECT user_id, max(n_events) n_events "
+        "FROM running_totals_ttl GROUP BY user_id").collect()}
+    want = {r["user_id"]: r["n"] for r in
+            events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
 def test_streaming_dedup_within_watermark(spark, events, sf_dir):
     from sedona_iceberg_extension_spark.sources import stream_table
     stream = stream_table(spark, sf_dir, "events")
