@@ -272,6 +272,18 @@ def _parse_call_args(argstr: str):
     return pos, named
 
 
+def show_tables(spark: SparkSession) -> DataFrame:
+    """``SHOW TABLES`` over the snapshot catalog — Spark's result shape
+    (namespace, tableName, isTemporary), with dotted catalog names split
+    into their namespace and table parts."""
+    rows = []
+    for name in sorted(_catalog(spark)):
+        ns, _, tbl = name.rpartition(".")
+        rows.append((ns, tbl, False))
+    return spark.createDataFrame(
+        rows, "namespace string, tableName string, isTemporary boolean")
+
+
 def run_procedure(spark: SparkSession, proc: str, pos: list,
                   named: dict) -> dict:
     """Iceberg's maintenance procedures (``CALL catalog.system.<proc>``,

@@ -68,6 +68,8 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
                 r"^\s*(UPDATE|DELETE|MERGE)\b", statement, _re.IGNORECASE):
             return spark.sql(statement)
         return spatial_sql(spark, statement)
+    if _re.match(r"^\s*SHOW\s+TABLES\s*$", statement, _re.IGNORECASE):
+        return ddl.show_tables(spark)
     if ddl.is_ddl(statement):
         return ddl.run_ddl(spark, statement, run_select=spatial_sql)
     # Iceberg time-travel spellings (VERSION AS OF / TIMESTAMP AS OF)

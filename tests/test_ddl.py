@@ -381,3 +381,13 @@ def test_evolved_schema_cow_dml(spark, tmp_path, monkeypatch):
         assert rows == {1: "y", 2: None}
     finally:
         ddl.reset()
+
+
+def test_show_tables_and_describe(spark, app_tables):
+    rows = {(r.namespace, r.tableName) for r in
+            engine_sql(spark, "SHOW TABLES").collect()}
+    assert ("", T0) in rows and ("", T1) in rows
+    # DESCRIBE resolves catalog names (dotted ones via resolve_names)
+    desc = {r.col_name: r.data_type for r in
+            engine_sql(spark, f"DESCRIBE {T0}").collect()}
+    assert desc.get("id") == "int" and desc.get("geo") == "binary"
