@@ -696,6 +696,68 @@ def _ps_fns(a, f, lat_ts, k0, lon0, fe, fn, south):
     return fwd, inv
 
 
+def _somerc_fns(a, f, lat0, lon0, fe, fn):
+    """Swiss Oblique Mercator (swisstopo's published conformal-sphere
+    algorithm, EPSG method 9815 as used by CH1903/CH1903+): ellipsoid →
+    conformal sphere at the projection center, sphere rotation bringing the
+    center to the pseudo-equator origin, then an equatorial Mercator."""
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    sp0 = math.sin(p0)
+    alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(p0) ** 4)
+    rr = a * math.sqrt(1 - e2) / (1 - e2 * sp0 * sp0)
+    b0 = math.asin(sp0 / alpha)
+
+    def s_iso(phi):
+        s = math.sin(phi)
+        return (math.log(math.tan(math.pi / 4 + phi / 2))
+                - (e / 2) * math.log((1 + e * s) / (1 - e * s)))
+
+    k_const = math.log(math.tan(math.pi / 4 + b0 / 2)) - alpha * s_iso(p0)
+
+    def fwd(x, y):
+        phi, lam = math.radians(y), math.radians(x)
+        s_ = alpha * s_iso(phi) + k_const
+        b = 2 * (math.atan(math.exp(s_)) - math.pi / 4)
+        l = alpha * (lam - math.radians(lon0))
+        cb, sb = math.cos(b), math.sin(b)
+        xp = math.cos(b0) * cb * math.cos(l) + math.sin(b0) * sb
+        yp = cb * math.sin(l)
+        zp = -math.sin(b0) * cb * math.cos(l) + math.cos(b0) * sb
+        lbar = math.atan2(yp, xp)
+        sbbar = max(-1.0, min(1.0, zp))
+        east = rr * lbar
+        north = rr / 2 * math.log((1 + sbbar) / (1 - sbbar))
+        return fe + east, fn + north
+
+    def inv(x, y):
+        lbar = (x - fe) / rr
+        bbar = 2 * (math.atan(math.exp((y - fn) / rr)) - math.pi / 4)
+        cbb, sbb = math.cos(bbar), math.sin(bbar)
+        xp = math.cos(b0) * cbb * math.cos(lbar) - math.sin(b0) * sbb
+        yp = cbb * math.sin(lbar)
+        zp = math.sin(b0) * cbb * math.cos(lbar) + math.cos(b0) * sbb
+        b = math.asin(max(-1.0, min(1.0, zp)))
+        l = math.atan2(yp, xp)
+        lam = math.radians(lon0) + l / alpha
+        s_b = math.log(math.tan(math.pi / 4 + b / 2))
+        phi = b
+        for _ in range(12):
+            s = math.sin(phi)
+            phi = 2 * (math.atan(math.exp(
+                (s_b - k_const) / alpha
+                + e * math.atanh(e * s))) - math.pi / 4)
+        return math.degrees(lam), math.degrees(phi)
+
+    return fwd, inv
+
+
+_BESSEL_A = 6377397.155               # Bessel 1841 (CH1903/CH1903+)
+_BESSEL_F = 1.0 / 299.1528128
+_CH_LAT0 = 46 + 57 / 60 + 8.66 / 3600          # Bern observatory
+_CH_LON0 = 7 + 26 / 60 + 22.50 / 3600
+
 _AIRY_A = 6377563.396                 # Airy 1830 (OSGB36)
 _AIRY_F = 1.0 / 299.3249646
 
@@ -753,6 +815,11 @@ _CONIC_CRS = {
     # NZGD2000 / New Zealand Transverse Mercator 2000
     "2193": (_tm_fns, (_WGS84_A, _GRS80_F, 0.9996, 0.0, 173.0,
                        1600000.0, 10000000.0)),
+    # CH1903+ / LV95 and CH1903 / LV03 (Swiss Oblique Mercator, Bessel)
+    "2056": (_somerc_fns, (_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+                           2600000.0, 1200000.0)),
+    "21781": (_somerc_fns, (_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
+                            600000.0, 200000.0)),
     # --- polar stereographic family (WGS84) ---
     # NSIDC Sea Ice Polar Stereographic North (lat_ts 70N, lon0 -45)
     "3413": (_ps_fns, (_WGS84_A, _WGS84_F, 70.0, None, -45.0,
@@ -802,7 +869,8 @@ def _crs_fns(code: str):
         f"3395, UTM 32601-32660/32701-32760 + NAD83 26901-26923 + ETRS89 "
         f"25828-25838 + MGA 28349-28356, LCC 2154/3978 + state-plane "
         f"26985/26945/32139/32100, Albers 5070/3577/3083, "
-        f"TM 26929/26948/27700/2193, LAEA 3035, CEA 6933, "
+        f"TM 26929/26948/27700/2193, Swiss OM 2056/21781, "
+        f"LAEA 3035, CEA 6933, "
         f"polar stereographic 3413/3976/3031 + UPS 32661/32761); "
         f"arbitrary EPSG needs a proj database")
 

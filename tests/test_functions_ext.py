@@ -247,3 +247,27 @@ def test_transform_nztm_and_mga(spark):
                                f"ST_Point({lon}D, {lat}D), 'EPSG:4326', "
                                f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
             assert back == pytest.approx(want, abs=1e-8), code
+
+
+def test_transform_swiss_oblique_mercator(spark):
+    """CH1903+/LV95 (2056) and CH1903/LV03 (21781): the projection center
+    maps exactly to the false origin, and swisstopo's official 'Rigi' test
+    point reproduces to the centimeter (coordinates in the CRS's own
+    Bessel datum, like every grid-less projection library)."""
+    lat = 47 + 3 / 60 + 28.95659233 / 3600
+    lon = 8 + 29 / 60 + 11.11127154 / 3600
+    e = sql1(spark, f"ST_X(ST_Transform(ST_Point({lon!r}D, {lat!r}D), "
+                    "'EPSG:4326', 'EPSG:21781'))")
+    n = sql1(spark, f"ST_Y(ST_Transform(ST_Point({lon!r}D, {lat!r}D), "
+                    "'EPSG:4326', 'EPSG:21781'))")
+    assert e == pytest.approx(679520.05, abs=0.01)
+    assert n == pytest.approx(212273.44, abs=0.01)
+    e95 = sql1(spark, f"ST_X(ST_Transform(ST_Point({lon!r}D, {lat!r}D), "
+                      "'EPSG:4326', 'EPSG:2056'))")
+    assert e95 == pytest.approx(2679520.05, abs=0.01)
+    for code, lo, la in (("2056", 6.6, 46.5), ("21781", 9.8, 46.5)):
+        for fn_, want in (("ST_X", lo), ("ST_Y", la)):
+            back = sql1(spark, f"{fn_}(ST_Transform(ST_Transform("
+                               f"ST_Point({lo}D, {la}D), 'EPSG:4326', "
+                               f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
+            assert back == pytest.approx(want, abs=1e-8), code
