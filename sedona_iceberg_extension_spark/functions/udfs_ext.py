@@ -753,6 +753,65 @@ def _somerc_fns(a, f, lat0, lon0, fe, fn):
     return fwd, inv
 
 
+def _sterea_fns(a, f, k0, lat0, lon0, fe, fn):
+    """Oblique stereographic (EPSG method 9809, 'Double stereographic' —
+    RD New): the same Gauss conformal sphere + rotation as the Swiss
+    projection, with a stereographic final step scaled by k0."""
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    sp0 = math.sin(p0)
+    alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(p0) ** 4)
+    rr = a * math.sqrt(1 - e2) / (1 - e2 * sp0 * sp0)
+    b0 = math.asin(sp0 / alpha)
+
+    def s_iso(phi):
+        s = math.sin(phi)
+        return (math.log(math.tan(math.pi / 4 + phi / 2))
+                - (e / 2) * math.log((1 + e * s) / (1 - e * s)))
+
+    k_const = math.log(math.tan(math.pi / 4 + b0 / 2)) - alpha * s_iso(p0)
+
+    def to_sphere(phi, lam):
+        b = 2 * (math.atan(math.exp(alpha * s_iso(phi) + k_const))
+                 - math.pi / 4)
+        l = alpha * (lam - math.radians(lon0))
+        return b, l
+
+    def fwd(x, y):
+        b, l = to_sphere(math.radians(y), math.radians(x))
+        cb, sb = math.cos(b), math.sin(b)
+        xp = math.cos(b0) * cb * math.cos(l) + math.sin(b0) * sb
+        yp = cb * math.sin(l)
+        zp = -math.sin(b0) * cb * math.cos(l) + math.cos(b0) * sb
+        den = 1 + xp                      # 1 + cos(angular distance)
+        return (fe + 2 * rr * k0 * yp / den,
+                fn + 2 * rr * k0 * zp / den)
+
+    def inv(x, y):
+        xn, yn = (x - fe) / (2 * rr * k0), (y - fn) / (2 * rr * k0)
+        rho2 = xn * xn + yn * yn
+        den = 1 + rho2
+        xp = (1 - rho2) / den
+        yp = 2 * xn / den
+        zp = 2 * yn / den
+        cbb_cos = math.cos(b0) * xp - math.sin(b0) * zp
+        sbb = math.sin(b0) * xp + math.cos(b0) * zp
+        b = math.asin(max(-1.0, min(1.0, sbb)))
+        l = math.atan2(yp, cbb_cos)
+        lam = math.radians(lon0) + l / alpha
+        s_b = math.log(math.tan(math.pi / 4 + b / 2))
+        phi = b
+        for _ in range(12):
+            s = math.sin(phi)
+            phi = 2 * (math.atan(math.exp(
+                (s_b - k_const) / alpha
+                + e * math.atanh(e * s))) - math.pi / 4)
+        return math.degrees(lam), math.degrees(phi)
+
+    return fwd, inv
+
+
 _BESSEL_A = 6377397.155               # Bessel 1841 (CH1903/CH1903+)
 _BESSEL_F = 1.0 / 299.1528128
 _CH_LAT0 = 46 + 57 / 60 + 8.66 / 3600          # Bern observatory
@@ -815,6 +874,11 @@ _CONIC_CRS = {
     # NZGD2000 / New Zealand Transverse Mercator 2000
     "2193": (_tm_fns, (_WGS84_A, _GRS80_F, 0.9996, 0.0, 173.0,
                        1600000.0, 10000000.0)),
+    # Amersfoort / RD New (double stereographic, Bessel)
+    "28992": (_sterea_fns, (_BESSEL_A, _BESSEL_F, 0.9999079,
+                            52 + 9 / 60 + 22.178 / 3600,
+                            5 + 23 / 60 + 15.500 / 3600,
+                            155000.0, 463000.0)),
     # CH1903+ / LV95 and CH1903 / LV03 (Swiss Oblique Mercator, Bessel)
     "2056": (_somerc_fns, (_BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0,
                            2600000.0, 1200000.0)),
@@ -869,7 +933,7 @@ def _crs_fns(code: str):
         f"3395, UTM 32601-32660/32701-32760 + NAD83 26901-26923 + ETRS89 "
         f"25828-25838 + MGA 28349-28356, LCC 2154/3978 + state-plane "
         f"26985/26945/32139/32100, Albers 5070/3577/3083, "
-        f"TM 26929/26948/27700/2193, Swiss OM 2056/21781, "
+        f"TM 26929/26948/27700/2193, Swiss OM 2056/21781, RD 28992, "
         f"LAEA 3035, CEA 6933, "
         f"polar stereographic 3413/3976/3031 + UPS 32661/32761); "
         f"arbitrary EPSG needs a proj database")

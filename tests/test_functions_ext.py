@@ -271,3 +271,20 @@ def test_transform_swiss_oblique_mercator(spark):
                                f"ST_Point({lo}D, {la}D), 'EPSG:4326', "
                                f"'EPSG:{code}'), 'EPSG:{code}', 'EPSG:4326'))")
             assert back == pytest.approx(want, abs=1e-8), code
+
+
+def test_transform_rd_new(spark):
+    """Amersfoort / RD New (28992, double stereographic on Bessel):
+    reproduces the EPSG Guidance Note 7-2 worked example (53N 6E ->
+    196105.283, 557057.739) to the millimeter."""
+    e = sql1(spark, "ST_X(ST_Transform(ST_Point(6D, 53D), "
+                    "'EPSG:4326', 'EPSG:28992'))")
+    n = sql1(spark, "ST_Y(ST_Transform(ST_Point(6D, 53D), "
+                    "'EPSG:4326', 'EPSG:28992'))")
+    assert e == pytest.approx(196105.283, abs=1e-3)
+    assert n == pytest.approx(557057.739, abs=1e-3)
+    for fn_, want in (("ST_X", 4.9), ("ST_Y", 52.37)):
+        back = sql1(spark, f"{fn_}(ST_Transform(ST_Transform("
+                           f"ST_Point(4.9D, 52.37D), 'EPSG:4326', "
+                           f"'EPSG:28992'), 'EPSG:28992', 'EPSG:4326'))")
+        assert back == pytest.approx(want, abs=1e-8)
