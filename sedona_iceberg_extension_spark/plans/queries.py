@@ -758,6 +758,88 @@ ORDER BY c_custkey
 """
 
 
+def _somerc_consts():
+    """EPSG:2056 (CH1903+ / LV95) constants folded once in Python —
+    swisstopo's conformal-sphere algorithm (Bessel 1841)."""
+    import math
+    from ..functions.udfs_ext import _BESSEL_A, _BESSEL_F, _CH_LAT0, _CH_LON0
+    f = _BESSEL_F
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+    p0 = math.radians(_CH_LAT0)
+    sp0 = math.sin(p0)
+    alpha = math.sqrt(1 + e2 / (1 - e2) * math.cos(p0) ** 4)
+    rr = _BESSEL_A * math.sqrt(1 - e2) / (1 - e2 * sp0 * sp0)
+    b0 = math.asin(sp0 / alpha)
+    s0 = (math.log(math.tan(math.pi / 4 + p0 / 2))
+          - (e / 2) * math.log((1 + e * sp0) / (1 - e * sp0)))
+    k = math.log(math.tan(math.pi / 4 + b0 / 2)) - alpha * s0
+    return {"pi": math.pi, "e": e, "alpha": alpha, "rr": rr, "k": k,
+            "sb0": math.sin(b0), "cb0": math.cos(b0),
+            "lon0": _CH_LON0, "fe": 2600000.0, "fn": 1200000.0}
+
+
+#: synthetic Swiss-domain lon/lat from c_custkey (identical both engines)
+_CHX = "(6.0 + CAST(c_custkey % 40 AS DOUBLE) / 10.0)"
+_CHY = "(45.8 + CAST((c_custkey * 7) % 20 AS DOUBLE) / 10.0)"
+
+
+def q_spatial_transform_swiss(spark, sf_dir):
+    """Swiss Oblique Mercator parity (EPSG:2056) — swisstopo's conformal-
+    sphere algorithm runs NATIVELY on both engines with identical folded
+    constants: isometric latitude, conformal-sphere latitude via
+    2·atan(exp(·)), sphere rotation to the pseudo-equator, equatorial
+    Mercator.  Extends the transform oracle family to an oblique
+    projection (Mercator, LAEA, LCC already covered)."""
+    k = _somerc_consts()
+    cust = load_table(spark, sf_dir, "customer")
+    x = F.lit(6.0) + (F.col("c_custkey") % 40).cast("double") / F.lit(10.0)
+    y = F.lit(45.8) + ((F.col("c_custkey") * 7) % 20).cast("double") / F.lit(10.0)
+    phi = y * F.lit(k["pi"]) / F.lit(180.0)
+    s = F.sin(phi)
+    s_iso = (F.log(F.tan(F.lit(k["pi"] / 4) + phi / F.lit(2.0)))
+             - F.lit(k["e"] / 2)
+             * F.log((F.lit(1.0) + F.lit(k["e"]) * s)
+                     / (F.lit(1.0) - F.lit(k["e"]) * s)))
+    b = F.lit(2.0) * (F.atan(F.exp(F.lit(k["alpha"]) * s_iso + F.lit(k["k"])))
+                      - F.lit(k["pi"] / 4))
+    l = F.lit(k["alpha"]) * (x - F.lit(k["lon0"])) * F.lit(k["pi"]) / F.lit(180.0)
+    cb, sb = F.cos(b), F.sin(b)
+    xp = F.lit(k["cb0"]) * cb * F.cos(l) + F.lit(k["sb0"]) * sb
+    yp = cb * F.sin(l)
+    zp = F.lit(-k["sb0"]) * cb * F.cos(l) + F.lit(k["cb0"]) * sb
+    ch_e = F.round(F.lit(k["fe"]) + F.lit(k["rr"]) * F.atan2(yp, xp), 3) + F.lit(0.0)
+    ch_n = F.round(F.lit(k["fn"]) + F.lit(k["rr"] / 2)
+                   * F.log((F.lit(1.0) + zp) / (F.lit(1.0) - zp)), 3) + F.lit(0.0)
+    return (
+        cust.filter(F.col("c_custkey") < 400)
+        .select("c_custkey", ch_e.alias("ch_e"), ch_n.alias("ch_n"))
+        .orderBy("c_custkey")
+    )
+
+
+def _swiss_sql() -> str:
+    k = _somerc_consts()
+    phi = f"({_CHY} * {k['pi']!r} / 180.0)"
+    s = f"sin({phi})"
+    s_iso = (f"(ln(tan({k['pi'] / 4!r} + {phi} / 2.0)) - {k['e'] / 2!r} "
+             f"* ln((1.0 + {k['e']!r} * {s}) / (1.0 - {k['e']!r} * {s})))")
+    b = f"(2.0 * (atan(exp({k['alpha']!r} * {s_iso} + {k['k']!r})) - {k['pi'] / 4!r}))"
+    l = f"({k['alpha']!r} * ({_CHX} - {k['lon0']!r}) * {k['pi']!r} / 180.0)"
+    xp = f"({k['cb0']!r} * cos({b}) * cos({l}) + {k['sb0']!r} * sin({b}))"
+    yp = f"(cos({b}) * sin({l}))"
+    zp = f"({-k['sb0']!r} * cos({b}) * cos({l}) + {k['cb0']!r} * sin({b}))"
+    ce = f"ROUND({k['fe']!r} + {k['rr']!r} * atan2({yp}, {xp}), 3) + 0.0"
+    cn = (f"ROUND({k['fn']!r} + {k['rr'] / 2!r} "
+          f"* ln((1.0 + {zp}) / (1.0 - {zp})), 3) + 0.0")
+    return f"""
+SELECT c_custkey, {ce} AS ch_e, {cn} AS ch_n
+FROM customer
+WHERE c_custkey < 400
+ORDER BY c_custkey
+"""
+
+
 def q_spatial_join_contains(spark, sf_dir):
     """Distributed point-in-box spatial join (reference testSpatialJoin
     contract, TestSedonaIcebergExtension.scala:117-127) — grid strategy,
@@ -2562,6 +2644,8 @@ QUERIES: Dict[str, QueryDef] = {
     "spatial_transform_laea": QueryDef(q_spatial_transform_laea, _laea_sql(), False),
     "spatial_transform_stateplane": QueryDef(q_spatial_transform_stateplane,
                                              _stateplane_sql(), False),
+    "spatial_transform_swiss": QueryDef(q_spatial_transform_swiss,
+                                        _swiss_sql(), False),
     "spatial_join_contains": QueryDef(q_spatial_join_contains, _QSJC_SQL, True),
     "spatial_join_sql": QueryDef(q_spatial_join_sql, _QSJSQL_SQL, True),
     "spatial_join_sql_comma": QueryDef(q_spatial_join_sql_comma, _QSJCOMMA_SQL, False),

@@ -45,7 +45,7 @@ _NATIVE_QUERIES = [
     "doc_char_entropy", "doc_top_token_share", "source_mix_weights",
     "corpus_contamination", "hll_distinct_users",
     "spatial_transform_stateplane", "events_props_json", "doc_pii_scrub",
-    "doc_length_quantiles", "simhash_pairs",
+    "doc_length_quantiles", "simhash_pairs", "spatial_transform_swiss",
 ]
 
 
