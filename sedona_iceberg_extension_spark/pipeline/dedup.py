@@ -92,16 +92,18 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     return sh.distinct() if distinct else sh
 
 
-def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """(id, gram) — distinct character n-grams."""
+def char_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 5,
+                distinct: bool = True) -> DataFrame:
+    """(id, gram) — character n-grams (set semantics unless ``distinct``
+    is False; dedup-after-hash consumers skip the string-keyed shuffle)."""
     idx = F.explode(F.sequence(
         F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1))))
-    return (
+    out = (
         df.select(F.col(id_col), F.col(text_col))
         .select(F.col(id_col), idx.alias("_i"), F.col(text_col))
         .select(F.col(id_col), F.expr(f"substr(`{text_col}`, _i, {n})").alias("gram"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -275,29 +277,51 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     *and* from the common-count, so the reported score is exact Jaccard over
     the non-stop shingle sets (a lower bound of full-set Jaccard — sizes stay
     full-set).  Pairs connected solely by stop-shingles sit below any useful
-    threshold anyway.  Default None = exact full-set Jaccard."""
-    sh = (char_ngrams(df, id_col, text_col, char_n) if use_char_grams
-          else token_shingles(df, id_col, text_col, shingle_n))
-    sh = sh.withColumnRenamed("gram", "shingle") if "gram" in sh.columns else sh
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    posting = sh.groupBy("shingle").agg(F.collect_list(F.col(id_col)).alias("_ids"))
-    posting = posting.filter(F.size("_ids") > 1)
+    threshold anyway.  Default None = exact full-set Jaccard.
+
+    Single linear chain, sized for 100 TB: shingles are hashed to 60-bit
+    longs up front (every later shuffle carries longs, not ~30-byte
+    strings; set cardinalities are preserved w.h.p. — 2^60 space — and the
+    scores are exact Jaccard over the hashed shingle sets), the per-doc set
+    size rides along via a window count instead of a separate aggregation
+    branch (the shingle pipeline runs ONCE, and the final pair table needs
+    no join back against a |docs|-row sizes table), and candidate pairs
+    are generated bucket-locally from the posting lists, never as a
+    self-join or cross product."""
+    if use_char_grams:
+        sh = char_ngrams(spread(df), id_col, text_col, char_n,
+                         distinct=False).withColumnRenamed("gram", "shingle")
+    else:
+        sh = token_shingles(spread(df), id_col, text_col, shingle_n,
+                            distinct=False)
+    sh = sh.select(F.col(id_col),
+                   portable_hash64(F.col("shingle"), "jc").alias("_h")) \
+           .distinct()
+    # full-set size attached before the doc-freq cap (sizes stay full-set)
+    shz = sh.select(F.col(id_col), "_h",
+                    F.count(F.lit(1)).over(Window.partitionBy(id_col))
+                    .alias("_sz"))
+    posting = (
+        shz.groupBy("_h")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                     F.col("_sz").alias("s"))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
     if max_doc_freq is not None:
         posting = posting.filter(F.size("_ids") <= max_doc_freq)
     common = (
-        posting.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
-        .select(F.col("id_a"),
-                F.explode(F.filter(F.col("_ids"), lambda x: x > F.col("id_a"))).alias("id_b"))
-        .groupBy("id_a", "id_b")
+        posting.select(F.explode("_ids").alias("a"), F.col("_ids"))
+        .select("a", F.explode(
+            F.filter(F.col("_ids"), lambda x: x["i"] > F.col("a.i"))).alias("b"))
+        .groupBy(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"),
+                 F.col("a.s").alias("sz_a"), F.col("b.s").alias("sz_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard",
-                    F.col("n_common").cast("double")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"))
+        common.withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
