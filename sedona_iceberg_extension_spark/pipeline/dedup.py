@@ -259,6 +259,45 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                                 max_bucket, log_dropped)
 
 
+def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 16, bands: int = 4,
+                           shingle_n: int = 3,
+                           max_bucket: Optional[int] = None) -> DataFrame:
+    """LSH candidate pairs with their ESTIMATED Jaccard similarity — the
+    fraction of agreeing MinHash components (the estimator LSH is built
+    on).  The two sides of each (small) pair table join back against the
+    |docs|-row wide signature table on its id key; the signature pipeline
+    itself runs once and is shared by the banding and the estimate."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes,
+                                   shingle_n)
+    rows = num_hashes // bands
+    band_hash = [
+        F.md5(F.concat_ws(",", F.sort_array(F.array(*[
+            F.format_string("%d:%d", F.lit(s), F.col(f"mh_{s}"))
+            for s in range(b * rows, (b + 1) * rows)])))).alias(f"bh_{b}")
+        for b in range(bands)
+    ]
+    stack_args = ", ".join(f"{b}, bh_{b}" for b in range(bands))
+    banded = (wide.select(F.col(id_col), *band_hash)
+              .select(F.col(id_col),
+                      F.expr(f"stack({bands}, {stack_args})"
+                             " AS (band, band_hash)")))
+    pairs = _capped_bucket_pairs(banded, id_col, ["band", "band_hash"],
+                                 max_bucket, False)
+    a = wide.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"mh_{i}").alias(f"_a{i}")
+                      for i in range(num_hashes)])
+    b = wide.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"mh_{i}").alias(f"_b{i}")
+                      for i in range(num_hashes)])
+    agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+                for i in range(num_hashes))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    (agree.cast("double") / F.lit(float(num_hashes)))
+                    .alias("jaccard_est")))
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verifier / refiner)
 # ---------------------------------------------------------------------------

@@ -323,6 +323,26 @@ def top_token_share(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("_c").cast("long").alias("n_tokens"))
 
 
+def corpus_ngrams(df: DataFrame, text_col: str, n: int = 2,
+                  k: int = 50) -> DataFrame:
+    """Top-k corpus word n-grams with counts — the n-gram LM / boilerplate
+    census over a training corpus.  Narrow explode (docs with fewer than
+    ``n`` tokens emit nothing) into one count shuffle with map-side partial
+    aggregation, then a global top-k (tie-broken on the gram text so the
+    result is deterministic)."""
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    idx = F.explode(F.when(F.size("_t") >= n,
+                           F.sequence(F.lit(1), F.size("_t") - (n - 1)))
+                    .otherwise(F.array()))
+    grams = (toks.select(idx.alias("_i"), F.col("_t"))
+             .select(F.concat_ws(" ", F.slice(F.col("_t"), F.col("_i"), n))
+                     .alias("ngram")))
+    return (grams.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k))
+
+
 def source_mix_weights(df: DataFrame, group_col: str, text_col: str,
                        alpha: float = 0.7) -> DataFrame:
     """Per-source document/token tallies plus temperature-scaled sampling

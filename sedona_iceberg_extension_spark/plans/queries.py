@@ -1615,6 +1615,32 @@ ORDER BY id_a, id_b
 """
 
 
+def q_minhash_jaccard_est(spark, sf_dir):
+    """Estimated Jaccard (fraction of agreeing MinHash components) for every
+    LSH candidate pair — the score the banding scheme is built on, and the
+    cheap ranking a dedup pass uses before exact verification
+    (pipeline.dedup.minhash_estimate_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (dedup.minhash_estimate_pairs(docs, "doc_id", "text",
+                                         num_hashes=8, bands=4,
+                                         max_bucket=_LSH_MAX_BUCKET)
+            .withColumn("jaccard_est", F.round("jaccard_est", 6))
+            .orderBy("id_a", "id_b"))
+
+
+def _mh_est_sql() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(8))
+    return _mh_sig_cte("") + _lsh_pairs_cte() + f"""
+SELECT p.id_a, p.id_b,
+       ROUND(CAST({agree} AS DOUBLE) / 8.0, 6) AS jaccard_est
+FROM pairs p
+JOIN sigw a ON a.doc_id = p.id_a
+JOIN sigw b ON b.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 def q_doc_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (first 200 docs) — keyword
     extraction over the corpus, 100% native plan (text.tfidf_top_terms).
@@ -2683,6 +2709,7 @@ QUERIES: Dict[str, QueryDef] = {
     "dedup_keep": QueryDef(q_dedup_keep, _QKEEP_SQL, False),
     "doc_dedup_pipeline": QueryDef(q_doc_dedup_pipeline, _QPIPE_SQL, False),
     "ngram_jaccard_pairs": QueryDef(q_jaccard_pairs, _QJAC_SQL, True),
+    "minhash_jaccard_est": QueryDef(q_minhash_jaccard_est, _mh_est_sql(), False),
     "simhash_values": QueryDef(q_simhash, _simhash_sql(60), False),
     "simhash_pairs": QueryDef(q_simhash_pairs, _simhash_pairs_sql(60, 3), False),
     # embeddings
@@ -2710,4 +2737,10 @@ QUERIES: Dict[str, QueryDef] = {
 from .queries_tpch import TPCH_QUERIES as _TPCH  # noqa: E402
 
 for _name, (_fn, _sql, _headline) in _TPCH.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)
+
+# training-corpus quality / analytics tier — plans/queries_quality.py
+from .queries_quality import QUALITY_QUERIES as _QUAL  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _QUAL.items():
     QUERIES[_name] = QueryDef(_fn, _sql, _headline)

@@ -458,3 +458,33 @@ def test_dbscan_hand_computed(spark):
     assert out[3] == ("core", 1)
     assert out[4] == ("border", 1)
     assert out[9] == ("noise", None)
+
+
+def test_corpus_ngrams_hand_computed(spark):
+    from sedona_iceberg_extension_spark.pipeline import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")], "id long, text string")
+    out = [(r["ngram"], r["n_occurrences"])
+           for r in T.corpus_ngrams(df, "text", n=2, k=10).collect()]
+    # "a b": doc1 twice + doc2 once; "b a"/"b c" once; 1-token doc emits none
+    assert out[0] == ("a b", 3)
+    assert set(out[1:]) == {("b a", 1), ("b c", 1)}
+
+
+def test_minhash_estimate_pairs_bounds(spark):
+    """Identical docs estimate 1.0; the estimate column is always in
+    [0, 1] and pairs match the plain LSH candidate set."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in
+           dedup.minhash_estimate_pairs(df, "id", "t", num_hashes=8,
+                                        bands=4).collect()}
+    cand = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=8,
+                                    bands=4).collect()}
+    assert set(est) == cand
+    assert est[(1, 2)] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in est.values())

@@ -46,6 +46,10 @@ _NATIVE_QUERIES = [
     "corpus_contamination", "hll_distinct_users",
     "spatial_transform_stateplane", "events_props_json", "doc_pii_scrub",
     "doc_length_quantiles", "simhash_pairs", "spatial_transform_swiss",
+    "corpus_top_bigrams", "quality_filter_funnel", "token_len_histogram",
+    "dedup_rate_by_source", "customer_rfm", "orders_monthly_growth",
+    "events_anomaly_zscore", "spatial_grid_density",
+    "embedding_norm_quantiles", "minhash_jaccard_est",
 ]
 
 
