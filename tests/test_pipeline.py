@@ -488,3 +488,37 @@ def test_minhash_estimate_pairs_bounds(spark):
     assert set(est) == cand
     assert est[(1, 2)] == 1.0
     assert all(0.0 <= v <= 1.0 for v in est.values())
+
+
+def test_jaccard_pairs_matches_bruteforce_random(spark):
+    """Randomized differential check of the single-pass hashed jaccard
+    plan against a brute-force Python reference (all pairs, string
+    shingle sets) — guards the window-carried sizes and bucket-local pair
+    generation across corpus shapes."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(3, 40))))
+                for i in range(40)]
+
+        def sset(t):
+            tk = t.split()
+            return {" ".join(tk[i:i + 3]) for i in range(max(len(tk) - 2, 0))} \
+                or {" ".join(tk[:len(tk)])}
+
+        expect = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            a, b = sset(ta), sset(tb)
+            j = len(a & b) / len(a | b)
+            if j >= 0.2 and a & b:
+                expect[(ia, ib)] = round(j, 9)
+
+        df = spark.createDataFrame(docs, "id long, t string")
+        got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+               for r in dedup.jaccard_pairs(df, "id", "t", shingle_n=3,
+                                            threshold=0.2).collect()}
+        assert got == expect, f"trial {trial}: {got} != {expect}"
