@@ -34,6 +34,24 @@ def cosine_topk(queries: DataFrame, data: DataFrame, k: int,
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k — the
+    evaluation loop that decides whether an approximate index is good
+    enough to replace the brute-force scan.  Both inputs are
+    (query_id, data_id, rank) shaped; the join is key-only."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "data_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "data_id")
+    hit = (e.join(a, ["query_id", "data_id"], "left_semi")
+           .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (base.join(hit, "query_id", "left")
+            .select("query_id", F.col("n_exact").alias("k_exact"),
+                    F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_exact").cast("double"), 6)
+                    .alias("recall")))
+
+
 def _hyperplane(dim: int, plane: int) -> list:
     """Deterministic pseudo-random hyperplane from the portable hash recipe —
     reproducible across engines without any RNG state."""

@@ -1535,69 +1535,16 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-def _mh_mix_sql(i: int) -> str:
-    """DuckDB mirror of dedup._mix60 for seed i (same constants)."""
-    c, r = dedup.minhash_mix_params(i + 1)[i]
-    low = (1 << (60 - r)) - 1
-    return f"xor(((h & {low}) * {1 << r}) + (h >> {60 - r}), {c})"
-
-
-def _mh_sig_cte(where: str) -> str:
-    """Shingle → one md5 per shingle → 8 per-seed mins (wide)."""
-    mins = ", ".join(f"MIN({_mh_mix_sql(i)}) AS m{i}" for i in range(8))
-    return f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents {where}
-), shingles AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
-  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
-), hashed AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(shingle || '#mh'), 1, 15))::BIGINT AS h
-  FROM shingles
-), sigw AS (
-  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
-), sig AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {i} AS seed, m{i} AS minhash FROM sigw"
-                      for i in range(8))}
-)"""
-
+from .sql_shared import (mh_mix_sql as _mh_mix_sql,          # noqa: E402
+                         mh_sig_cte as _mh_sig_cte,
+                         lsh_pairs_cte as _lsh_pairs_cte,
+                         LSH_MAX_BUCKET as _LSH_MAX_BUCKET)
 
 _QMH_SQL = _mh_sig_cte("WHERE doc_id < 100") + """
 SELECT doc_id, CAST(seed AS INT) AS seed, minhash
 FROM sig
 ORDER BY doc_id, seed
 """
-
-
-#: Bucket-size cap used by every declared LSH query — mirrored between the
-#: Spark plan (window-count filter before collect_list, dedup.py) and the
-#: oracle SQL (window COUNT(*) OVER the bucket key).  64 never binds on the
-#: driver testdata (max observed bucket: 12 at sf0.1) but bounds the
-#: pathological mega-bucket at scale.
-_LSH_MAX_BUCKET = 64
-
-
-def _lsh_pairs_cte(max_bucket: int = _LSH_MAX_BUCKET) -> str:
-    """banded → capped → pairs CTEs shared by every MinHash-LSH oracle —
-    identical semantics to dedup._capped_bucket_pairs: all rows of a bucket
-    over the cap are removed BEFORE pair generation."""
-    return f"""
-, banded AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(format('{{}}:{{}}', seed, minhash), ','
-             ORDER BY format('{{}}:{{}}', seed, minhash))) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
-), capped AS (
-  SELECT doc_id, band, band_hash FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded) s
-  WHERE _n <= {max_bucket}
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)"""
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

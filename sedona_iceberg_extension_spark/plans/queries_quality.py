@@ -32,9 +32,7 @@ from ..pipeline import text
 from ..pipeline.dedup import spread
 from ..sources import load_table
 
-# mirrors of queries.py's shared SQL fragments (one-line, kept in sync)
-_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
-_STOP_SQL = "['" + "','".join(text._STOPWORDS) + "']"
+from .sql_shared import STOP_SQL as _STOP_SQL, TOKS_SQL as _TOKS_SQL
 
 
 # --- corpus_top_bigrams ----------------------------------------------------
@@ -353,6 +351,218 @@ FROM per GROUP BY label ORDER BY label
 """
 
 
+# --- incremental_dedup_ingest ----------------------------------------------
+
+def q_incremental_dedup_ingest(spark, sf_dir):
+    """Daily-ingest dedup (pipeline.incremental.dedup_ingest): odd doc_ids
+    play the incoming batch, even doc_ids the existing corpus; survivors
+    are incoming docs passing both the exact md5 gate and the banded
+    MinHash near-dup gate.  Key-only anti/semi joins — the text never
+    shuffles."""
+    from ..pipeline.incremental import dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return (dedup_ingest(existing, incoming, "doc_id", "text",
+                         num_hashes=8, bands=4)
+            .select("doc_id").orderBy("doc_id"))
+
+
+def _ingest_sql() -> str:
+    from .sql_shared import mh_sig_cte
+    return mh_sig_cte("") + """
+, banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(format('{}:{}', seed, minhash), ','
+             ORDER BY format('{}:{}', seed, minhash))) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+), exact_dup AS (
+  SELECT DISTINCT i.doc_id
+  FROM documents i JOIN documents e
+    ON i.doc_id % 2 = 1 AND e.doc_id % 2 = 0 AND md5(i.text) = md5(e.text)
+), near_dup AS (
+  SELECT DISTINCT i.doc_id
+  FROM banded i JOIN banded e
+    ON i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+   AND i.band = e.band AND i.band_hash = e.band_hash
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+  AND doc_id NOT IN (SELECT doc_id FROM near_dup)
+ORDER BY doc_id
+"""
+
+
+# --- ann_recall_eval ---------------------------------------------------------
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the hyperplane-LSH index against the exact cosine top-5
+    (pipeline.similarity.recall_at_k) — the evaluation every ANN deployment
+    runs before trading the brute-force scan for buckets."""
+    from ..pipeline import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    approx = similarity.lsh_topk(queries, emb, k=5, num_planes=4)
+    return (similarity.recall_at_k(approx, exact, k=5)
+            .orderBy("query_id"))
+
+
+def _ann_recall_sql(k: int = 5, num_planes: int = 4, dim: int = 64) -> str:
+    from ..pipeline.similarity import _hyperplane
+    cases = []
+    for p in range(num_planes):
+        w = _hyperplane(dim, p)
+        terms = " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w[i]!r})"
+                           for i in range(dim))
+        cases.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END")
+    bucket = " + ".join(cases)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+), exact AS (
+  SELECT query_id, data_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                d.vec_id ASC) AS INT) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings d) t
+  WHERE rank <= {k}
+), approx AS (
+  SELECT query_id, data_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                d.vec_id ASC) AS INT) AS rank
+    FROM (SELECT * FROM b WHERE vec_id < 5) q JOIN b d ON d.bucket = q.bucket) t
+  WHERE rank <= {k}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k_exact,
+       CAST(COUNT(*) FILTER (a.data_id IS NOT NULL) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(*) FILTER (a.data_id IS NOT NULL) AS DOUBLE)
+             / COUNT(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.data_id = e.data_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+# --- doc_perplexity_proxy ----------------------------------------------------
+
+def q_doc_perplexity_proxy(spark, sf_dir):
+    """Unigram-LM cross-entropy per document (nats) — the perplexity proxy
+    a quality filter uses when no neural scorer is in the loop.  The LM is
+    the corpus's own unigram distribution: one vocab-keyed count shuffle,
+    a token↔vocab join, and a per-doc aggregation; the corpus total rides
+    in via a broadcast single-row crossJoin (never a driver collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (spread(docs).select("doc_id",
+                               F.explode(text.tokens(F.col("text"))).alias("_t"))
+           .filter(F.col("_t") != ""))
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))
+    return (tok.join(freq, "_t")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(-F.avg(F.log(F.col("_c") / F.col("_n"))), 6)
+                 .alias("cross_entropy"))
+            .orderBy("doc_id"))
+
+
+_QPPL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+), tk AS (
+  SELECT doc_id, t FROM tok WHERE t != ''
+), freq AS (
+  SELECT t, COUNT(*) AS c FROM tk GROUP BY t
+), total AS (
+  SELECT SUM(c) AS n FROM freq
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(ln(CAST(c AS DOUBLE) / n)), 6) AS cross_entropy
+FROM tk JOIN freq USING (t) CROSS JOIN total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- doc_langid_confusion ----------------------------------------------------
+
+def q_doc_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the n-gram lang-id heuristic against the
+    labeled ``lang`` column — the classifier-evaluation report (the
+    documents table carries ground truth, so the detector is checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.col("lang").alias("labeled_lang"),
+                        text.lang_id(F.col("text")).alias("detected_lang"))
+            .groupBy("labeled_lang", "detected_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("labeled_lang", "detected_lang"))
+
+
+def _langid_confusion_sql() -> str:
+    scores = {}
+    for lang, lex in text.LANG_LEXICONS.items():
+        arr = "['" + "','".join(lex) + "']"
+        scores[lang] = (f"len(list_filter({_TOKS_SQL},"
+                        f" t -> list_contains({arr}, t)))")
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    case = f"CASE WHEN {mx} <= 0 THEN 'und'"
+    for lang in sorted(scores):
+        case += f" WHEN {scores[lang]} = {mx} THEN '{lang}'"
+    case += " END"
+    return f"""
+SELECT lang AS labeled_lang, {case} AS detected_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY labeled_lang, detected_lang
+ORDER BY labeled_lang, detected_lang
+"""
+
+
+# --- corpus_vocab_stats ------------------------------------------------------
+
+def q_corpus_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary census: token/type counts, type-token ratio,
+    hapax legomena — the Zipf-health numbers a corpus report leads with.
+    One vocab-keyed count shuffle, then an aggregation over the vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (spread(docs)
+           .select(F.explode(text.tokens(F.col("text"))).alias("_t"))
+           .filter(F.col("_t") != ""))
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    return freq.agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("_c").cast("double"), 6)
+        .alias("type_token_ratio"),
+        F.count_if(F.col("_c") == 1).alias("n_hapax"),
+        F.round(F.count_if(F.col("_c") == 1)
+                / F.count(F.lit(1)).cast("double"), 6).alias("hapax_share"))
+
+
+_QVOCAB_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_SQL}) AS t FROM documents
+), freq AS (
+  SELECT t, COUNT(*) AS c FROM tok WHERE t != '' GROUP BY t
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) FILTER (c = 1) AS DOUBLE) / COUNT(*), 6)
+           AS hapax_share
+FROM freq
+"""
+
+
 QUALITY_QUERIES = {
     "corpus_top_bigrams": (q_corpus_top_bigrams, _QBIGRAM_SQL, False),
     "quality_filter_funnel": (q_quality_filter_funnel, _QFUNNEL_SQL, False),
@@ -363,4 +573,9 @@ QUALITY_QUERIES = {
     "events_anomaly_zscore": (q_events_anomaly_zscore, _QZSCORE_SQL, False),
     "spatial_grid_density": (q_spatial_grid_density, _QGRID_SQL, False),
     "embedding_norm_quantiles": (q_embedding_norm_quantiles, _QNORMQ_SQL, False),
+    "incremental_dedup_ingest": (q_incremental_dedup_ingest, _ingest_sql(), False),
+    "ann_recall_eval": (q_ann_recall_eval, _ann_recall_sql(), False),
+    "doc_perplexity_proxy": (q_doc_perplexity_proxy, _QPPL_SQL, False),
+    "doc_langid_confusion": (q_doc_langid_confusion, _langid_confusion_sql(), False),
+    "corpus_vocab_stats": (q_corpus_vocab_stats, _QVOCAB_SQL, False),
 }

@@ -50,6 +50,8 @@ _NATIVE_QUERIES = [
     "dedup_rate_by_source", "customer_rfm", "orders_monthly_growth",
     "events_anomaly_zscore", "spatial_grid_density",
     "embedding_norm_quantiles", "minhash_jaccard_est",
+    "incremental_dedup_ingest", "ann_recall_eval", "doc_perplexity_proxy",
+    "doc_langid_confusion", "corpus_vocab_stats",
 ]
 
 
