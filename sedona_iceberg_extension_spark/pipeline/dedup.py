@@ -218,27 +218,31 @@ def oversize_buckets(banded: DataFrame, keys: List[str],
             .filter(F.col("n_ids") > max_bucket))
 
 
+def band_key_cols(num_hashes: int, bands: int) -> List[str]:
+    """The bucket-key column names `minhash_banded` emits alongside
+    ``band`` — the RAW per-band signature rows (no band hash: the bucket
+    key only gates equality, and tuple equality needs no hashing on either
+    engine — the DuckDB oracle joins on the same columns verbatim)."""
+    return [f"bk_{j}" for j in range(num_hashes // bands)]
+
+
 def minhash_banded(df: DataFrame, id_col: str, text_col: str,
                    num_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 3) -> DataFrame:
-    """(id, band, band_hash) — each doc's LSH bucket per band."""
+    """(id, band, bk_0..bk_{r-1}) — each doc's LSH bucket per band, keyed
+    by the band's raw signature rows (pure projection off the wide
+    signature: no md5/format/sort band-hash chain — tuple equality is the
+    same join semantics for free, and what the oracle can mirror exactly)."""
     rows = num_hashes // bands
     wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
-    # band hashes straight off the wide signature: per band, md5 over the
-    # lexicographically-sorted "seed:minhash" strings (byte-identical to the
-    # tall collect_list+sort_array formulation and to the DuckDB oracle's
-    # string_agg ORDER BY) — pure projection, no extra aggregation
-    band_hash = [
-        F.md5(F.concat_ws(",", F.sort_array(F.array(*[
-            F.format_string("%d:%d", F.lit(s), F.col(f"mh_{s}"))
-            for s in range(b * rows, (b + 1) * rows)])))).alias(f"bh_{b}")
-        for b in range(bands)
-    ]
-    stack_args = ", ".join(f"{b}, bh_{b}" for b in range(bands))
+    stack_args = ", ".join(
+        ", ".join([str(b)] + [f"mh_{b * rows + j}" for j in range(rows)])
+        for b in range(bands))
+    key_names = ", ".join(band_key_cols(num_hashes, bands))
     return (
-        wide.select(F.col(id_col), *band_hash)
-        .select(F.col(id_col),
-                F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)"))
+        wide.select(F.col(id_col),
+                    F.expr(f"stack({bands}, {stack_args})"
+                           f" AS (band, {key_names})"))
     )
 
 
@@ -249,14 +253,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       log_dropped: bool = False) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded LSH: docs sharing a
     band signature land in the same bucket; the pair join is an equi-join on
-    (band, band_hash).  Bucket-local pair generation instead of a self-join:
-    one pass over the signature pipeline (a self-join would recompute the
-    whole shingle+md5 DAG for both sides).  ``max_bucket`` bounds the worst
-    bucket (see `_capped_bucket_pairs` — the at-scale default should set
-    it; dropped buckets surface via `oversize_buckets`/``log_dropped``)."""
+    (band, bk_0..bk_{r-1}) — the band's raw signature rows.  Bucket-local
+    pair generation instead of a self-join: one pass over the signature
+    pipeline (a self-join would recompute the whole shingle+md5 DAG for
+    both sides).  ``max_bucket`` bounds the worst bucket (see
+    `_capped_bucket_pairs` — the at-scale default should set it; dropped
+    buckets surface via `oversize_buckets`/``log_dropped``)."""
     banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return _capped_bucket_pairs(banded, id_col, ["band", "band_hash"],
-                                max_bucket, log_dropped)
+    return _capped_bucket_pairs(
+        banded, id_col, ["band"] + band_key_cols(num_hashes, bands),
+        max_bucket, log_dropped)
 
 
 def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -270,20 +276,11 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,
     itself runs once and is shared by the banding and the estimate."""
     wide = minhash_signatures_wide(df, id_col, text_col, num_hashes,
                                    shingle_n)
-    rows = num_hashes // bands
-    band_hash = [
-        F.md5(F.concat_ws(",", F.sort_array(F.array(*[
-            F.format_string("%d:%d", F.lit(s), F.col(f"mh_{s}"))
-            for s in range(b * rows, (b + 1) * rows)])))).alias(f"bh_{b}")
-        for b in range(bands)
-    ]
-    stack_args = ", ".join(f"{b}, bh_{b}" for b in range(bands))
-    banded = (wide.select(F.col(id_col), *band_hash)
-              .select(F.col(id_col),
-                      F.expr(f"stack({bands}, {stack_args})"
-                             " AS (band, band_hash)")))
-    pairs = _capped_bucket_pairs(banded, id_col, ["band", "band_hash"],
-                                 max_bucket, False)
+    banded = minhash_banded(df, id_col, text_col, num_hashes, bands,
+                            shingle_n)
+    pairs = _capped_bucket_pairs(
+        banded, id_col, ["band"] + band_key_cols(num_hashes, bands),
+        max_bucket, False)
     a = wide.select(F.col(id_col).alias("id_a"),
                     *[F.col(f"mh_{i}").alias(f"_a{i}")
                       for i in range(num_hashes)])
@@ -318,24 +315,45 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     full-set).  Pairs connected solely by stop-shingles sit below any useful
     threshold anyway.  Default None = exact full-set Jaccard.
 
-    Single linear chain, sized for 100 TB: shingles are hashed to 60-bit
+    Single linear chain, sized for 100 TB: shingles are hashed to 64-bit
     longs up front (every later shuffle carries longs, not ~30-byte
-    strings; set cardinalities are preserved w.h.p. — 2^60 space — and the
+    strings; set cardinalities are preserved w.h.p. — 2^64 space — and the
     scores are exact Jaccard over the hashed shingle sets), the per-doc set
     size rides along via a window count instead of a separate aggregation
     branch (the shingle pipeline runs ONCE, and the final pair table needs
     no join back against a |docs|-row sizes table), and candidate pairs
     are generated bucket-locally from the posting lists, never as a
-    self-join or cross product."""
+    self-join or cross product.
+
+    The shingle hash is codegen'd ``xxhash64`` over the n-token tuple —
+    the shingle STRING is never materialized (no concat, no md5 → hex →
+    conv chain).  That's only possible because the hash is internal here:
+    exact Jaccard is hash-agnostic (any injective-w.h.p. keying of the
+    shingle set yields identical scores), so the DuckDB oracle, which
+    joins on shingle strings directly, still matches bit-for-bit.
+    Operators whose OUTPUT depends on hash values (MinHash, SimHash) keep
+    the portable md5 hash the oracle can reproduce."""
     if use_char_grams:
-        sh = char_ngrams(spread(df), id_col, text_col, char_n,
-                         distinct=False).withColumnRenamed("gram", "shingle")
+        sh = (char_ngrams(spread(df), id_col, text_col, char_n,
+                          distinct=False)
+              .select(F.col(id_col), F.xxhash64("gram").alias("_h"))
+              .distinct())
     else:
-        sh = token_shingles(spread(df), id_col, text_col, shingle_n,
-                            distinct=False)
-    sh = sh.select(F.col(id_col),
-                   portable_hash64(F.col("shingle"), "jc").alias("_h")) \
-           .distinct()
+        # xxhash64 over the token n-tuple: order-sensitive, and equal
+        # tuples hash equal.  Out-of-range F.get yields null, which Spark's
+        # hash functions skip — so the clamped tail shingle of a short doc
+        # (< n tokens) keys on exactly its available tokens, mirroring the
+        # string path's clamped slice.
+        tokd = spread(df).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        idx = F.explode(F.sequence(
+            F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))))
+        tokd = tokd.select(F.col(id_col), idx.alias("_i"), F.col("_toks"))
+        sh = (tokd.select(
+                F.col(id_col),
+                F.xxhash64(*[F.get(F.col("_toks"), F.col("_i") + k)
+                             for k in range(shingle_n)]).alias("_h"))
+              .distinct())
     # full-set size attached before the doc-freq cap (sizes stay full-set)
     shz = sh.select(F.col(id_col), "_h",
                     F.count(F.lit(1)).over(Window.partitionBy(id_col))

@@ -9,7 +9,7 @@ text never shuffles:
   hashes (at scale the existing side is a precomputed hash index, not a
   rescan — the plan shape is identical either way);
 - **near**: banded MinHash signatures of the incoming batch semi-joined
-  against the existing corpus's banding on (band, band_hash) — any band
+  against the existing corpus's banding on (band, bk_*) — any band
   collision marks the incoming doc as a near-dup candidate and drops it
   (the conservative ingest policy: false-positive drops cost one document,
   false-negative keeps cost a duplicate in the training set).
@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import minhash_banded
+from .dedup import band_key_cols, minhash_banded
 
 
 def dedup_ingest(existing: DataFrame, incoming: DataFrame,
@@ -35,10 +35,11 @@ def dedup_ingest(existing: DataFrame, incoming: DataFrame,
     ex_hashes = existing.select(F.md5(F.col(text_col)).alias("_md5")).distinct()
     exact_clean = (incoming.withColumn("_md5", F.md5(F.col(text_col)))
                    .join(ex_hashes, "_md5", "left_anti").drop("_md5"))
+    keys = ["band"] + band_key_cols(num_hashes, bands)
     inc_b = minhash_banded(incoming, id_col, text_col, num_hashes, bands,
                            shingle_n)
     ex_b = minhash_banded(existing, id_col, text_col, num_hashes, bands,
-                          shingle_n).select("band", "band_hash")
-    near_ids = (inc_b.join(ex_b, ["band", "band_hash"], "left_semi")
+                          shingle_n).select(*keys)
+    near_ids = (inc_b.join(ex_b, keys, "left_semi")
                 .select(id_col).distinct())
     return exact_clean.join(near_ids, id_col, "left_anti")

@@ -52,22 +52,31 @@ WITH toks AS (
 )"""
 
 
-def lsh_pairs_cte(max_bucket: int = LSH_MAX_BUCKET) -> str:
+def lsh_pairs_cte(max_bucket: int = LSH_MAX_BUCKET,
+                  num_hashes: int = 8, bands: int = 4) -> str:
     """banded → capped → pairs CTEs shared by every MinHash-LSH oracle —
     identical semantics to dedup._capped_bucket_pairs: all rows of a bucket
-    over the cap are removed BEFORE pair generation."""
+    over the cap are removed BEFORE pair generation.  Buckets are keyed by
+    the band's RAW signature rows (bk_*), mirroring dedup.minhash_banded —
+    no band hash on either engine, so no portable-hash contract to keep."""
+    rows = num_hashes // bands
+    keys = ", ".join(f"bk_{j}" for j in range(rows))
+    on = " AND ".join(["a.band = b.band"]
+                      + [f"a.bk_{j} = b.bk_{j}" for j in range(rows)])
+    banded = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cols} FROM sigw".format(
+            b=b, cols=", ".join(f"m{b * rows + j} AS bk_{j}"
+                                for j in range(rows)))
+        for b in range(bands))
     return f"""
 , banded AS (
-  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         md5(string_agg(format('{{}}:{{}}', seed, minhash), ','
-             ORDER BY format('{{}}:{{}}', seed, minhash))) AS band_hash
-  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+  {banded}
 ), capped AS (
-  SELECT doc_id, band, band_hash FROM (
-    SELECT *, COUNT(*) OVER (PARTITION BY band, band_hash) AS _n FROM banded) s
+  SELECT doc_id, band, {keys} FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, {keys}) AS _n FROM banded) s
   WHERE _n <= {max_bucket}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM capped a JOIN capped b
-    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ON {on} AND a.doc_id < b.doc_id
 )"""

@@ -130,7 +130,8 @@ def test_minhash_lsh_cap_bounds_adversarial_mega_bucket(spark):
     assert (20_001, 20_002) in got
     # and the drop is surfaced, not silent
     banded = dedup.minhash_banded(df, "id", "t", num_hashes=16, bands=8)
-    over = dedup.oversize_buckets(banded, ["band", "band_hash"], 64)
+    over = dedup.oversize_buckets(
+        banded, ["band"] + dedup.band_key_cols(16, 8), 64)
     assert over.count() >= 1
     assert over.agg(F.max("n_ids")).first()[0] >= 1_000
 
