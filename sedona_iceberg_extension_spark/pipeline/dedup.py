@@ -548,3 +548,41 @@ def contamination(train: DataFrame, test: DataFrame, id_col: str,
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
          .alias("n_contaminated"))
+
+
+def shared_window_fraction(df: DataFrame, id_col: str, text_col: str,
+                           window_n: int = 5) -> DataFrame:
+    """Per-document exact-substring duplication report: the fraction of a
+    document's distinct ``window_n``-token windows that occur in at least
+    one OTHER document — the memorization signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), where
+    repeated ~50-token spans are what a model memorizes verbatim.
+
+    Output: (id, n_windows, n_shared, shared_frac).
+
+    Scale shape: windows are keyed by codegen'd ``xxhash64`` over the
+    token tuple (the window string is never built; counts are exact
+    w.h.p., same argument as `jaccard_pairs`), the corpus-wide document
+    frequency is ONE groupBy on the uniform hash key, and the join back
+    to per-doc rows re-uses that same hash partitioning (Catalyst plans
+    it as one exchange per side, no broadcast assumption).  Nothing is
+    ever pairwise — a window shared by n docs costs n rows, not n²."""
+    tokd = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    idx = F.explode(F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - window_n, F.lit(0))))
+    tokd = tokd.select(F.col(id_col), idx.alias("_i"), F.col("_toks"))
+    win = (tokd.select(
+            F.col(id_col),
+            F.xxhash64(*[F.get(F.col("_toks"), F.col("_i") + k)
+                         for k in range(window_n)]).alias("_h"))
+           .distinct())
+    docfreq = win.groupBy("_h").agg(F.count(F.lit(1)).alias("_nd"))
+    return (win.join(docfreq, "_h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+                  .cast("long").alias("n_shared"))
+            .withColumn("shared_frac",
+                        F.round(F.col("n_shared").cast("double")
+                                / F.col("n_windows"), 6)))

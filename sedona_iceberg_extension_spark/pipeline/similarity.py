@@ -215,3 +215,95 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "data_id", "cosine", "rank")
     )
+
+
+def knn_classify(df: DataFrame, id_col: str, vec_col: str, label_col: str,
+                 k: int = 5, query_pred=None) -> DataFrame:
+    """k-nearest-neighbor majority-vote label prediction — the standard
+    embedding-space sanity check of a labeled corpus (does the embedding
+    separate the classes?).  ``query_pred`` (a boolean Column) selects the
+    query rows; everything else is the reference set.
+
+    Output: (query_id, pred_label, n_votes, top_cosine) per query row.
+
+    Scale shape: identical to `cosine_topk` — the (small) query side is
+    broadcast, scoring is native zip_with/aggregate inside whole-stage
+    codegen, the per-query top-k is one window on the broadcast-join
+    output, and the majority vote is a second tiny aggregation over
+    |queries|×k rows.  Ties break deterministically: higher vote count,
+    then higher best-cosine within the tied label, then smaller label."""
+    if query_pred is None:
+        query_pred = F.col(id_col) < 20
+    q = df.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    d = df.filter(~query_pred).select(
+        F.col(id_col).alias("data_id"), F.col(vec_col).alias("_dv"),
+        F.col(label_col).alias("_lbl"))
+    scored = (d.crossJoin(F.broadcast(q))
+              .withColumn("cosine", cosine_sim(F.col("_dv"), F.col("_qv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("data_id").asc())
+    top = scored.withColumn("rank", F.row_number().over(w)) \
+                .filter(F.col("rank") <= k)
+    votes = top.groupBy("query_id", F.col("_lbl").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cosine").alias("_best"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_best").desc(),
+        F.col("pred_label").asc())
+    return (votes.withColumn("_r", F.row_number().over(wv))
+            .filter(F.col("_r") == 1)
+            .select("query_id", "pred_label", "n_votes",
+                    F.round("_best", 6).alias("top_cosine")))
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str,
+                    dim: int) -> DataFrame:
+    """(label, centroid array<double>) — per-label mean vector.
+
+    The transpose trick: posexplode to (label, pos, component) rows, ONE
+    groupBy (label, pos) with map-side partial aggregation (the shuffle
+    carries |labels|×dim partial sums per map task, never the vectors),
+    then re-assemble the per-label array from the dim rows.  No collect,
+    no driver-side state — the centroid table stays a DataFrame small
+    enough to broadcast-join downstream."""
+    comp = df.select(F.col(label_col).alias("label"),
+                     F.posexplode(F.transform(F.col(vec_col),
+                                              lambda v: v.cast("double")))
+                     .alias("pos", "v"))
+    cent = comp.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (cent.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+            .select("label", F.transform(F.col("_pc"),
+                                         lambda s: s["c"]).alias("centroid")))
+
+
+def label_centroid_outliers(df: DataFrame, id_col: str, vec_col: str,
+                            label_col: str, dim: int,
+                            top_k: int = 5) -> DataFrame:
+    """Top-``top_k`` per-label outliers by Euclidean distance to the label
+    centroid — the mislabeled-example / embedding-drift detector a corpus
+    QA pass runs per class.
+
+    Output: (label, id, dist, rank).
+
+    Scale shape: `label_centroids` is one transpose aggregation; the
+    centroid table (|labels| rows) broadcast-joins back onto the data, the
+    distance is a native index-ordered zip_with/aggregate (deterministic
+    summation order — the DuckDB oracle's list arithmetic matches), and
+    the per-label top-k is one window partitioned by label."""
+    cents = label_centroids(df, vec_col, label_col, dim)
+    vd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(vd, F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v))
+    scored = (df.select(F.col(id_col), F.col(vec_col),
+                        F.col(label_col).alias("label"))
+              .join(F.broadcast(cents), "label")
+              .withColumn("dist", dist))
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("label", F.col(id_col),
+                    F.round("dist", 6).alias("dist"), "rank"))

@@ -360,3 +360,39 @@ def source_mix_weights(df: DataFrame, group_col: str, text_col: str,
         F.col("_toks").cast("long").alias("n_tokens"),
         (F.pow("_toks", F.lit(alpha))
          / F.sum(F.pow("_toks", F.lit(alpha))).over(w)).alias("mix_weight"))
+
+
+def zipf_slope(df: DataFrame, text_col: str, top_r: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the least-squares slope of
+    ln(frequency) against ln(rank) over the top ``top_r`` terms (natural
+    text sits near −1; templated/boilerplate corpora flatten, spam steepens
+    — a one-number corpus-health gauge).
+
+    Output: one row (n_terms, slope, intercept), rounded to 6 dp.
+
+    Scale shape: term frequencies are ONE count shuffle with map-side
+    combine; the rank window runs over only the top ``top_r`` rows (a
+    global sort of the truncated table, not the vocabulary); the closed-form
+    least-squares needs just four sums — a second tiny aggregation.  Rank
+    ties break deterministically (count desc, term asc) on both engines."""
+    from pyspark.sql.window import Window
+
+    freq = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    ranked = (freq.orderBy(F.col("n").desc(), F.col("term").asc())
+              .limit(top_r)
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("n").desc(), F.col("term").asc()))))
+    pt = ranked.select(F.log(F.col("rank").cast("double")).alias("x"),
+                       F.log(F.col("n").cast("double")).alias("y"))
+    agg = pt.agg(F.count(F.lit(1)).cast("double").alias("m"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6)
+         .alias("intercept"))

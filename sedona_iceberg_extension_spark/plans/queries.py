@@ -2691,3 +2691,9 @@ from .queries_quality import QUALITY_QUERIES as _QUAL  # noqa: E402
 
 for _name, (_fn, _sql, _headline) in _QUAL.items():
     QUERIES[_name] = QueryDef(_fn, _sql, _headline)
+
+# round-5 pipeline tier — plans/queries_r5.py
+from .queries_r5 import R5_QUERIES as _R5  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _R5.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)

@@ -1,0 +1,234 @@
+"""Round-5 pipeline-operator inventory — substring-level dedup, embedding
+classification/QA, corpus statistics, and a streaming ingest gate.  Each
+declared query has an exact DuckDB oracle (FIXTURES.md conventions: total
+ORDER BY, ROUND on float outputs, identical aliases both sides, BIGINT
+casts).
+
+- substring_dup_windows    — per-doc fraction of 5-token windows shared
+                             with another doc (Lee et al. 2022 exact-
+                             substring memorization signal)
+- knn_label_classify       — 5-NN majority-vote label prediction over the
+                             embedding space (corpus label-quality check)
+- embedding_label_outliers — per-label centroid-distance outliers
+                             (mislabeled-example detector)
+- corpus_zipf_slope        — least-squares Zipf slope of the vocabulary
+                             (corpus-health gauge)
+- streaming_ingest_gate    — stream-static ANTI join: streamed batch kept
+                             only where its content hash is absent from
+                             the static corpus (exactly-once ingest gate,
+                             run as a real availableNow stream)
+
+Scale notes: substring windows are one uniform-key groupBy + co-partitioned
+join (never pairwise); both embedding queries broadcast the small side
+(queries / centroid table) and keep scoring in whole-stage codegen; the
+Zipf fit aggregates four sums over a truncated top-k; the streaming gate is
+a map-side stream-static anti join — no state store growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..pipeline import dedup, similarity, text
+from ..sources import load_table
+
+from .sql_shared import TOKS_SQL as _TOKS_SQL
+
+
+# --- substring_dup_windows -------------------------------------------------
+
+def q_substring_dup_windows(spark, sf_dir):
+    """Per-document shared-substring report (dedup.shared_window_fraction,
+    5-token windows).  Only docs with at least one shared window are
+    returned (the report a dedup pass acts on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.shared_window_fraction(docs, "doc_id", "text", window_n=5)
+    return (out.filter(F.col("n_shared") > 0)
+            .orderBy("doc_id"))
+
+
+_QSUBDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), win AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 4), ' ') AS w
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t
+), docfreq AS (
+  SELECT w, COUNT(*) AS nd FROM win GROUP BY w
+), per AS (
+  SELECT win.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COUNT(*) FILTER (nd > 1) AS BIGINT) AS n_shared
+  FROM win JOIN docfreq USING (w)
+  GROUP BY win.doc_id
+)
+SELECT doc_id, n_windows, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+FROM per
+WHERE n_shared > 0
+ORDER BY doc_id
+"""
+
+
+# --- knn_label_classify ----------------------------------------------------
+
+def q_knn_label_classify(spark, sf_dir):
+    """5-NN majority-vote label prediction for the first 20 vectors against
+    the rest (similarity.knn_classify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (similarity.knn_classify(emb, "vec_id", "embedding", "label", k=5)
+            .withColumn("pred_label", F.col("pred_label").cast("int"))
+            .orderBy("query_id"))
+
+
+_QKNNCLS_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS data_id, d.label,
+         list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q,
+       (SELECT * FROM embeddings WHERE vec_id >= 20) d
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, data_id ASC) AS rk
+    FROM scored) t
+  WHERE rk <= 5
+), votes AS (
+  SELECT query_id, label AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS n_votes, MAX(cosine) AS best
+  FROM top GROUP BY query_id, label
+)
+SELECT query_id, CAST(pred_label AS INT) AS pred_label, n_votes,
+       ROUND(best, 6) AS top_cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, best DESC, pred_label ASC) AS r
+  FROM votes) v
+WHERE r = 1
+ORDER BY query_id
+"""
+
+
+# --- embedding_label_outliers ----------------------------------------------
+
+def q_embedding_label_outliers(spark, sf_dir):
+    """Top-3 centroid-distance outliers per label
+    (similarity.label_centroid_outliers, 64-dim embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.label_centroid_outliers(emb, "vec_id", "embedding",
+                                             "label", dim=64, top_k=3)
+    return (out.withColumn("label", F.col("label").cast("int"))
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("label", "rank"))
+
+
+_QOUTLIER_SQL = """
+WITH comp AS (
+  SELECT label, vec_id, u.v::DOUBLE AS v, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS pos) u
+), cent AS (
+  SELECT label, pos, AVG(v) AS c FROM comp GROUP BY label, pos
+), dist AS (
+  SELECT comp.label, comp.vec_id,
+         SQRT(SUM((comp.v - cent.c) * (comp.v - cent.c))) AS d
+  FROM comp JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+  GROUP BY comp.label, comp.vec_id
+)
+SELECT CAST(label AS INT) AS label, vec_id, ROUND(d, 6) AS dist,
+       CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+            ORDER BY d DESC, vec_id ASC) AS rk
+  FROM dist) t
+WHERE rk <= 3
+ORDER BY label, rank
+"""
+
+
+# --- corpus_zipf_slope -----------------------------------------------------
+
+def q_corpus_zipf_slope(spark, sf_dir):
+    """Zipf least-squares fit over the top-1000 corpus terms
+    (text.zipf_slope)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_slope(docs, "text", top_r=1000)
+
+
+_QZIPF_SQL = f"""
+WITH toks AS (
+  SELECT {_TOKS_SQL} AS tk FROM documents
+), freq AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks, LATERAL (SELECT unnest(tk) AS term) t
+  GROUP BY t.term
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+  FROM freq
+  ORDER BY n DESC, term ASC
+  LIMIT 1000
+), pt AS (
+  SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y FROM ranked
+), agg AS (
+  SELECT COUNT(*)::DOUBLE AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pt
+)
+SELECT CAST(m AS BIGINT) AS n_terms,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+         AS intercept
+FROM agg
+"""
+
+
+# --- streaming_ingest_gate -------------------------------------------------
+
+def q_streaming_ingest_gate(spark, sf_dir):
+    """Exactly the ingest gate a streaming corpus pipeline runs: the
+    incoming batch (odd doc_ids) streams in; a stream-static LEFT ANTI
+    join on md5(text) drops every document whose content already exists in
+    the static corpus (even doc_ids).  Run as a REAL availableNow stream
+    into a memory sink; with the whole batch in one trigger the kept set
+    equals the batch oracle.  The anti join is map-side against the static
+    relation — no streaming state store, so at scale ingest throughput is
+    bounded by the join, not by state growth."""
+    import tempfile
+
+    from ..sources import stream_table
+
+    static = (load_table(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") % 2 == 0)
+              .select(F.md5(F.col("text")).alias("_md5")).distinct())
+    inc = (stream_table(spark, sf_dir, "documents")
+           .filter(F.col("doc_id") % 2 == 1)
+           .withColumn("_md5", F.md5(F.col("text"))))
+    kept = inc.join(static, "_md5", "left_anti").select("doc_id")
+    name = "q_stream_ingest_gate_sink"
+    q = (kept.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT doc_id FROM {name} ORDER BY doc_id")
+
+
+_QSTREAMGATE_SQL = """
+SELECT i.doc_id
+FROM documents i
+WHERE i.doc_id % 2 = 1
+  AND md5(i.text) NOT IN (
+    SELECT md5(e.text) FROM documents e WHERE e.doc_id % 2 = 0)
+ORDER BY i.doc_id
+"""
+
+
+R5_QUERIES = {
+    "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
+    "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
+    "embedding_label_outliers": (q_embedding_label_outliers, _QOUTLIER_SQL, False),
+    "corpus_zipf_slope": (q_corpus_zipf_slope, _QZIPF_SQL, False),
+    "streaming_ingest_gate": (q_streaming_ingest_gate, _QSTREAMGATE_SQL, False),
+}

@@ -523,3 +523,59 @@ def test_jaccard_pairs_matches_bruteforce_random(spark):
                for r in dedup.jaccard_pairs(df, "id", "t", shingle_n=3,
                                             threshold=0.2).collect()}
         assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_shared_window_fraction_counts(spark):
+    """Two docs sharing a verbatim 5-token span are both flagged; an
+    unrelated doc reports zero shared windows; a doc shorter than the
+    window still produces its one clamped window."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "prefix alpha beta gamma delta epsilon tail words"),
+        (3, "totally different content with no overlap at all"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r for r in
+           dedup.shared_window_fraction(df, "id", "t", window_n=5).collect()}
+    # doc1: windows over 7 tokens -> 3; shares "alpha..epsilon" with doc2
+    assert out[1]["n_windows"] == 3 and out[1]["n_shared"] == 1
+    assert out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0
+    assert out[4]["n_windows"] == 1 and out[4]["n_shared"] == 0
+    assert abs(out[1]["shared_frac"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_knn_classify_majority_vote(spark):
+    """Queries land on the label whose cluster they sit in; k=3 majority."""
+    from sedona_iceberg_extension_spark.pipeline import similarity
+    rows = [(0, [1.0, 0.0], -1)]                      # query near x-axis
+    rows += [(i, [1.0, 0.01 * i], 7) for i in range(20, 24)]   # x cluster
+    rows += [(i, [0.0, 1.0], 9) for i in range(30, 33)]        # y cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.knn_classify(df, "vec_id", "embedding", "label",
+                                  k=3, query_pred=(F.col("vec_id") < 20)).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 7 and out[0]["n_votes"] == 3
+
+
+def test_label_centroid_outliers_picks_farthest(spark):
+    from sedona_iceberg_extension_spark.pipeline import similarity
+    rows = [(i, [1.0, 1.0], 0) for i in range(4)]
+    rows += [(99, [5.0, 5.0], 0)]                      # far outlier
+    rows += [(i, [0.0, float(i % 2)], 1) for i in range(10, 14)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.label_centroid_outliers(df, "vec_id", "embedding",
+                                             "label", dim=2, top_k=1).collect()
+    by_label = {r["label"]: r for r in out}
+    assert by_label[0]["vec_id"] == 99 and by_label[0]["rank"] == 1
+    assert by_label[0]["dist"] > 4.0
+
+
+def test_zipf_slope_exact_two_point(spark):
+    """Corpus 'a' x4, 'b' x2: slope = (ln4-ln2)/(ln1-ln2) = -1 exactly."""
+    from sedona_iceberg_extension_spark.pipeline import text as T
+    df = spark.createDataFrame([("a a a a b b",)], "t string")
+    row = T.zipf_slope(df, "t").collect()[0]
+    assert row["n_terms"] == 2
+    assert abs(row["slope"] - (-1.0)) < 1e-6
