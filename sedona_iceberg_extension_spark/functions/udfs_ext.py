@@ -1056,6 +1056,128 @@ def st_split(wkb: pd.Series, blade: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+
+
+# ---------------------------------------------------------------------------
+# affine transforms, part dumps, proximity constructors, bounding circle
+# (tier-2 Sedona surface — /root/reference/README.md:30-38; algorithms in
+# geom/algos.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType, StructField, StructType
+
+
+def _geom1(fn):
+    @pandas_udf(_BIN)
+    def f(a: pd.Series) -> pd.Series:
+        def run(b):
+            if b is None:
+                return None
+            g = fn(from_wkb(b))
+            return None if g is None else to_wkb(g)
+        return a.map(run)
+    return f
+
+
+def _geom2(fn):
+    @pandas_udf(_BIN)
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                g = fn(from_wkb(x), from_wkb(y))
+                out.append(None if g is None else to_wkb(g))
+        return pd.Series(out, dtype=object)
+    return f
+
+
+@pandas_udf(_BIN)
+def st_translate(wkb: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    out = []
+    for b, x, y in zip(wkb, dx, dy):
+        out.append(None if b is None or x is None or y is None
+                   else to_wkb(A.translate(from_wkb(b), float(x), float(y))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_scale(wkb: pd.Series, sx: pd.Series, sy: pd.Series) -> pd.Series:
+    out = []
+    for b, x, y in zip(wkb, sx, sy):
+        out.append(None if b is None or x is None or y is None
+                   else to_wkb(A.scale_geom(from_wkb(b), float(x), float(y))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_rotate(wkb: pd.Series, theta: pd.Series) -> pd.Series:
+    out = []
+    for b, t in zip(wkb, theta):
+        out.append(None if b is None or t is None
+                   else to_wkb(A.rotate(from_wkb(b), float(t))))
+    return pd.Series(out, dtype=object)
+
+
+st_multi = _geom1(A.as_multi)
+st_force_2d = _geom1(A.force_2d)
+st_closestpoint = _geom2(A.closest_point)
+st_shortestline = _geom2(A.shortest_line)
+st_minimumboundingcircle = _geom1(A.min_bounding_circle)
+
+
+@pandas_udf(ArrayType(_BIN))
+def st_dump(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None
+                   else [to_wkb(g) for g in A.dump_parts(from_wkb(b))])
+
+
+@pandas_udf(ArrayType(_BIN))
+def st_dumppoints(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None
+                   else [to_wkb(g) for g in A.dump_points(from_wkb(b))])
+
+
+@pandas_udf(StructType([StructField("center", _BIN),
+                        StructField("radius", DoubleType())]))
+def st_minimumboundingradius(wkb: pd.Series) -> pd.DataFrame:
+    centers, radii = [], []
+    for b in wkb:
+        c = None if b is None else A.min_bounding_radius(from_wkb(b))
+        if c is None:
+            centers.append(None)
+            radii.append(None)
+        else:
+            (cx, cy), r = c
+            centers.append(to_wkb(Geometry(WKB_POINT, (cx, cy))))
+            radii.append(float(r))
+    return pd.DataFrame({"center": centers, "radius": radii})
+
+
+@pandas_udf(_DBL)
+def st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
+    """Angle at vertex p2 between rays p2->p1 and p2->p3, measured
+    clockwise in [0, 2*pi) (PostGIS ST_Angle 3-point semantics)."""
+    out = []
+    for a, b, c in zip(p1, p2, p3):
+        if a is None or b is None or c is None:
+            out.append(None)
+            continue
+        ga, gb, gc = from_wkb(a), from_wkb(b), from_wkb(c)
+        if (ga.kind != WKB_POINT or gb.kind != WKB_POINT
+                or gc.kind != WKB_POINT or ga.coords is None
+                or gb.coords is None or gc.coords is None):
+            out.append(None)
+            continue
+        az1 = math.atan2(ga.coords[0] - gb.coords[0],
+                         ga.coords[1] - gb.coords[1])
+        az2 = math.atan2(gc.coords[0] - gb.coords[0],
+                         gc.coords[1] - gb.coords[1])
+        out.append((az1 - az2) % (2 * math.pi))
+    return pd.Series(out, dtype=object)
+
+
 EXT_SQL_FUNCTIONS = {
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeomFromGML": st_geomfromgml,
@@ -1069,4 +1191,17 @@ EXT_SQL_FUNCTIONS = {
     "ST_Transform": st_transform,
     "ST_Collect": st_collect,
     "ST_Split": st_split,
+    "ST_Translate": st_translate,
+    "ST_Scale": st_scale,
+    "ST_Rotate": st_rotate,
+    "ST_Multi": st_multi,
+    "ST_Force_2D": st_force_2d,
+    "ST_Force2D": st_force_2d,
+    "ST_ClosestPoint": st_closestpoint,
+    "ST_ShortestLine": st_shortestline,
+    "ST_MinimumBoundingCircle": st_minimumboundingcircle,
+    "ST_MinimumBoundingRadius": st_minimumboundingradius,
+    "ST_Dump": st_dump,
+    "ST_DumpPoints": st_dumppoints,
+    "ST_Angle": st_angle,
 }

@@ -1576,3 +1576,234 @@ def _poly_area(rings) -> float:
         return 0.0
     return (abs(_ring_signed_area2(rings[0]))
             - sum(abs(_ring_signed_area2(r)) for r in rings[1:])) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# affine transforms / part dumps / proximity constructors (Sedona tier-2
+# surface the reference exposes through its Sedona dependency —
+# /root/reference/README.md:30-38)
+# ---------------------------------------------------------------------------
+
+def _map_coords(geom: Geometry, f) -> Geometry:
+    """Apply a coordinate mapping (x, y) -> (x, y) through any nesting."""
+    def run(c):
+        if c is None:
+            return None
+        if isinstance(c, tuple):
+            return f(c)
+        return [run(x) for x in c]
+
+    if geom.kind == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([_map_coords(g, f) for g in geom.coords],
+                                   geom.srid)
+    return Geometry(geom.kind, run(geom.coords), geom.srid, z=geom.z)
+
+
+def translate(geom: Geometry, dx: float, dy: float) -> Geometry:
+    return _map_coords(geom, lambda c: (c[0] + dx, c[1] + dy))
+
+
+def scale_geom(geom: Geometry, sx: float, sy: float) -> Geometry:
+    """Scale about the origin (PostGIS/Sedona ST_Scale semantics)."""
+    return _map_coords(geom, lambda c: (c[0] * sx, c[1] * sy))
+
+
+def rotate(geom: Geometry, theta: float) -> Geometry:
+    """Counter-clockwise rotation about the origin (radians)."""
+    ct, st = math.cos(theta), math.sin(theta)
+    return _map_coords(geom, lambda c: (c[0] * ct - c[1] * st,
+                                        c[0] * st + c[1] * ct))
+
+
+def force_2d(geom: Geometry) -> Geometry:
+    """Drop the Z ordinate (the engine's algorithms are 2-D; only POINT
+    carries Z — model.py:76-79)."""
+    if geom.kind == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([force_2d(g) for g in geom.coords],
+                                   geom.srid)
+    return Geometry(geom.kind, geom.coords, geom.srid, z=None)
+
+
+_MULTI_OF = {WKB_POINT: WKB_MULTIPOINT, WKB_LINESTRING: WKB_MULTILINESTRING,
+             WKB_POLYGON: WKB_MULTIPOLYGON}
+
+
+def as_multi(geom: Geometry) -> Geometry:
+    """Wrap a single geometry in its multi-variant (ST_Multi); multi /
+    collection inputs pass through unchanged."""
+    mk = _MULTI_OF.get(geom.kind)
+    if mk is None:
+        return geom
+    if geom.is_empty():
+        return Geometry(mk, [], geom.srid)
+    return Geometry(mk, [geom.coords], geom.srid)
+
+
+def dump_parts(geom: Geometry) -> List[Geometry]:
+    """ST_Dump: the single-part components, recursively through multis and
+    collections."""
+    k = geom.kind
+    if k == WKB_GEOMETRYCOLLECTION:
+        out: List[Geometry] = []
+        for g in geom.coords:
+            out.extend(dump_parts(g))
+        return out
+    if k in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON):
+        base = {WKB_MULTIPOINT: WKB_POINT,
+                WKB_MULTILINESTRING: WKB_LINESTRING,
+                WKB_MULTIPOLYGON: WKB_POLYGON}[k]
+        return [Geometry(base, c, geom.srid) for c in geom.coords]
+    return [geom]
+
+
+def dump_points(geom: Geometry) -> List[Geometry]:
+    """ST_DumpPoints: every vertex as a POINT, in storage order."""
+    out: List[Geometry] = []
+    for g in geom.flatten():
+        if g.kind == WKB_POINT:
+            if g.coords is not None:
+                out.append(g)
+        elif g.kind == WKB_LINESTRING:
+            out.extend(Geometry(WKB_POINT, c, geom.srid) for c in g.coords)
+        elif g.kind == WKB_POLYGON:
+            for ring in g.coords:
+                out.extend(Geometry(WKB_POINT, c, geom.srid) for c in ring)
+    return out
+
+
+def _vertices(geom: Geometry) -> List[Coord]:
+    return [g.coords for g in dump_points(geom)]
+
+
+def _proj_pt_seg(p: Coord, a: Coord, b: Coord) -> Coord:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    L2 = dx * dx + dy * dy
+    if L2 <= 0:
+        return a
+    t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / L2
+    t = max(0.0, min(1.0, t))
+    return (a[0] + t * dx, a[1] + t * dy)
+
+
+def nearest_points(g1: Geometry, g2: Geometry):
+    """The closest pair (p_on_g1, p_on_g2); for intersecting inputs a common
+    point of the intersection (distance 0), matching PostGIS/JTS
+    nearestPoints semantics.  For disjoint inputs the optimum pair always
+    involves a vertex of one side projected onto a segment (or vertex) of
+    the other, so scanning vertex×segment both ways is exact."""
+    if g1.is_empty() or g2.is_empty():
+        return None
+    if intersects(g1, g2):
+        inter = intersection(g1, g2)
+        vs = _vertices(inter) if inter is not None else []
+        if vs:
+            return vs[0], vs[0]
+        # fallback: any vertex of g1 inside g2
+        for v in _vertices(g1):
+            if intersects(Geometry(WKB_POINT, v), g2):
+                return v, v
+    best, bp = math.inf, None
+    v1, v2 = _vertices(g1), _vertices(g2)
+    s1, s2 = list(_segments(g1)), list(_segments(g2))
+    for p in v1:
+        for q in v2:
+            d = _dist_pt_pt(p, q)
+            if d < best:
+                best, bp = d, (p, q)
+        for a, b in s2:
+            q = _proj_pt_seg(p, a, b)
+            d = _dist_pt_pt(p, q)
+            if d < best:
+                best, bp = d, (p, q)
+    for q in v2:
+        for a, b in s1:
+            p = _proj_pt_seg(q, a, b)
+            d = _dist_pt_pt(p, q)
+            if d < best:
+                best, bp = d, (p, q)
+    return bp
+
+
+def closest_point(g1: Geometry, g2: Geometry) -> Optional[Geometry]:
+    """The point ON g1 closest to g2 (ST_ClosestPoint)."""
+    np_ = nearest_points(g1, g2)
+    if np_ is None:
+        return None
+    return Geometry(WKB_POINT, np_[0], g1.srid)
+
+
+def shortest_line(g1: Geometry, g2: Geometry) -> Optional[Geometry]:
+    """The 2-point LineString between the closest pair (ST_ShortestLine)."""
+    np_ = nearest_points(g1, g2)
+    if np_ is None:
+        return None
+    return Geometry(WKB_LINESTRING, [np_[0], np_[1]], g1.srid)
+
+
+# -- minimum enclosing circle (Welzl, move-to-front deterministic order) ----
+
+def _circ_in(p: Coord, c) -> bool:
+    (cx, cy), r = c
+    return math.hypot(p[0] - cx, p[1] - cy) <= r + 1e-12 * (1.0 + r)
+
+
+def _circ2(a: Coord, b: Coord):
+    return ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0), _dist_pt_pt(a, b) / 2.0
+
+
+def _circ3(a: Coord, b: Coord, c: Coord):
+    ax, ay = b[0] - a[0], b[1] - a[1]
+    bx, by = c[0] - a[0], c[1] - a[1]
+    d = 2.0 * (ax * by - ay * bx)
+    if abs(d) < 1e-30:
+        # collinear: the widest 2-point circle
+        cands = [_circ2(a, b), _circ2(a, c), _circ2(b, c)]
+        return max(cands, key=lambda x: x[1])
+    ux = (by * (ax * ax + ay * ay) - ay * (bx * bx + by * by)) / d
+    uy = (ax * (bx * bx + by * by) - bx * (ax * ax + ay * ay)) / d
+    ctr = (a[0] + ux, a[1] + uy)
+    return ctr, _dist_pt_pt(ctr, a)
+
+
+def min_bounding_radius(geom: Geometry):
+    """((cx, cy), r) of the minimum enclosing circle of the geometry's
+    vertices (Welzl's algorithm with deterministic move-to-front order —
+    exact; vertex set suffices since the MEC of a polygon equals the MEC
+    of its vertices)."""
+    pts = []
+    seen = set()
+    for v in _vertices(geom):
+        if v not in seen:
+            seen.add(v)
+            pts.append(v)
+    if not pts:
+        return None
+    c = (pts[0], 0.0)
+    for i, p in enumerate(pts[1:], 1):
+        if _circ_in(p, c):
+            continue
+        c = (p, 0.0)
+        for j, q in enumerate(pts[:i]):
+            if _circ_in(q, c):
+                continue
+            c = _circ2(p, q)
+            for r_ in pts[:j]:
+                if not _circ_in(r_, c):
+                    c = _circ3(p, q, r_)
+    return c
+
+
+def min_bounding_circle(geom: Geometry, segs: int = 48) -> Optional[Geometry]:
+    """Polygon approximation of the minimum enclosing circle
+    (ST_MinimumBoundingCircle; ``segs`` perimeter vertices)."""
+    c = min_bounding_radius(geom)
+    if c is None:
+        return None
+    (cx, cy), r = c
+    if r <= 0.0:
+        return Geometry(WKB_POINT, (cx, cy), geom.srid)
+    ring = [(cx + r * math.cos(2 * math.pi * i / segs),
+             cy + r * math.sin(2 * math.pi * i / segs))
+            for i in range(segs)]
+    ring.append(ring[0])
+    return Geometry(WKB_POLYGON, [ring], geom.srid)

@@ -225,10 +225,53 @@ ORDER BY i.doc_id
 """
 
 
+# --- spatial_affine_ops ----------------------------------------------------
+
+def q_spatial_affine_ops(spark, sf_dir):
+    """Affine-transform + angle surface (ST_Translate / ST_Rotate /
+    ST_Scale / ST_Angle) end-to-end through the registered SQL names, with
+    a pure-arithmetic oracle.  Exercises the round-5 tier-2 functions the
+    reference exposes through its Sedona dependency
+    (/root/reference/README.md:30-38)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    pt = ("ST_Point(CAST(c_custkey % 360 - 180 AS DOUBLE), "
+          "CAST((c_custkey * 7) % 180 - 90 AS DOUBLE))")
+    return (cust.selectExpr(
+        "c_custkey",
+        f"ROUND(ST_X(ST_Translate({pt}, 10, 20)), 6) AS tx",
+        f"ROUND(ST_Y(ST_Translate({pt}, 10, 20)), 6) AS ty",
+        f"ROUND(ST_X(ST_Rotate({pt}, pi() / 2)), 6) AS rx",
+        f"ROUND(ST_Y(ST_Rotate({pt}, pi() / 2)), 6) AS ry",
+        f"ROUND(ST_X(ST_Scale({pt}, 2, 0.5)), 6) AS sx",
+        f"ROUND(ST_Y(ST_Scale({pt}, 2, 0.5)), 6) AS sy",
+        f"ROUND(ST_Angle({pt}, ST_Point(0, 0), ST_Point(1, 0)), 6) AS ang")
+        .orderBy("c_custkey"))
+
+
+_QAFFINE_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+         CAST((c_custkey * 7) % 180 - 90 AS DOUBLE) AS y
+  FROM customer WHERE c_custkey < 300
+)
+SELECT c_custkey,
+       ROUND(x + 10, 6) AS tx, ROUND(y + 20, 6) AS ty,
+       ROUND(x * cos(pi() / 2) - y * sin(pi() / 2), 6) AS rx,
+       ROUND(x * sin(pi() / 2) + y * cos(pi() / 2), 6) AS ry,
+       ROUND(x * 2, 6) AS sx, ROUND(y * 0.5, 6) AS sy,
+       ROUND(fmod(fmod(atan2(x, y) - atan2(1.0, 0.0), 2 * pi()) + 2 * pi(),
+                  2 * pi()), 6) AS ang
+FROM pts
+ORDER BY c_custkey
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
     "embedding_label_outliers": (q_embedding_label_outliers, _QOUTLIER_SQL, False),
     "corpus_zipf_slope": (q_corpus_zipf_slope, _QZIPF_SQL, False),
     "streaming_ingest_gate": (q_streaming_ingest_gate, _QSTREAMGATE_SQL, False),
+    "spatial_affine_ops": (q_spatial_affine_ops, _QAFFINE_SQL, False),
 }

@@ -288,3 +288,107 @@ def test_transform_rd_new(spark):
                            f"ST_Point(4.9D, 52.37D), 'EPSG:4326', "
                            f"'EPSG:28992'), 'EPSG:28992', 'EPSG:4326'))")
         assert back == pytest.approx(want, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# round-5 tier-2: affine transforms, dumps, proximity, bounding circle
+# ---------------------------------------------------------------------------
+
+def test_affine_transforms(spark):
+    assert sql1(spark, "ST_AsText(ST_Translate(ST_Point(1, 2), 10, 20))") \
+        == "POINT (11 22)"
+    assert sql1(spark, "ST_AsText(ST_Scale("
+                       "ST_GeomFromText('LINESTRING(1 1, 2 2)'), 2, 3))") \
+        == "LINESTRING (2 3, 4 6)"
+    x = sql1(spark, "ST_X(ST_Rotate(ST_Point(1, 0), pi()))")
+    y = sql1(spark, "ST_Y(ST_Rotate(ST_Point(0, 1), pi() / 2))")
+    assert x == pytest.approx(-1.0) and y == pytest.approx(0.0, abs=1e-12)
+    # polygon ring survives the mapping
+    t = sql1(spark, "ST_AsText(ST_Translate("
+                    "ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))'), 5, 5))")
+    assert t == "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"
+
+
+def test_closest_point_and_shortest_line(spark):
+    poly = "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')"
+    assert sql1(spark, f"ST_AsText(ST_ClosestPoint({poly}, ST_Point(5, 1)))") \
+        == "POINT (2 1)"
+    assert sql1(spark, f"ST_AsText(ST_ShortestLine(ST_Point(5, 1), {poly}))") \
+        == "LINESTRING (5 1, 2 1)"
+    # length of the shortest line equals ST_Distance
+    d = sql1(spark, f"ST_Length(ST_ShortestLine(ST_Point(5, 1), {poly}))"
+                    f" - ST_Distance(ST_Point(5, 1), {poly})")
+    assert d == pytest.approx(0.0, abs=1e-12)
+    # intersecting inputs -> coincident pair, distance 0
+    L = sql1(spark, f"ST_Length(ST_ShortestLine({poly}, "
+                    "ST_GeomFromText('POLYGON((1 1,3 1,3 3,1 3,1 1))')))")
+    assert L == pytest.approx(0.0, abs=1e-12)
+
+
+def test_minimum_bounding_circle_and_radius(spark):
+    r = sql1(spark, "ST_MinimumBoundingRadius("
+                    "ST_GeomFromText('LINESTRING(0 0, 10 0)')).radius")
+    assert r == pytest.approx(5.0)
+    cx = sql1(spark, "ST_X(ST_MinimumBoundingRadius("
+                     "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')).center)")
+    assert cx == pytest.approx(1.0)
+    # the circle polygon contains interior points (support vertices sit ON
+    # the circle, so the inscribed 48-gon rightly excludes them by epsilon)
+    inside = sql1(spark, "ST_Contains(ST_MinimumBoundingCircle("
+                         "ST_GeomFromText('MULTIPOINT((0 0),(4 0),(2 3))')), "
+                         "ST_Point(2, 1))")
+    assert inside is True or inside == 1
+    # 3-point MEC of an obtuse triangle = diameter circle of the long side
+    r3 = sql1(spark, "ST_MinimumBoundingRadius("
+                     "ST_GeomFromText('MULTIPOINT((0 0),(10 0),(5 1))')).radius")
+    assert r3 == pytest.approx(5.0)
+
+
+def test_dump_and_multi_and_force2d(spark):
+    n = sql1(spark, "size(ST_Dump(ST_GeomFromText("
+                    "'GEOMETRYCOLLECTION(POINT(1 1), MULTIPOINT((2 2),(3 3)))')))")
+    assert n == 3
+    first = sql1(spark, "ST_AsText(ST_Dump(ST_GeomFromText("
+                        "'MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))'))[0])")
+    assert first == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+    np_ = sql1(spark, "size(ST_DumpPoints(ST_GeomFromText("
+                      "'LINESTRING(0 0,1 1,2 2)')))")
+    assert np_ == 3
+    assert sql1(spark, "ST_AsText(ST_Multi(ST_GeomFromText("
+                       "'LINESTRING(0 0,1 1)')))") \
+        == "MULTILINESTRING ((0 0, 1 1))"
+    # already-multi passes through
+    assert sql1(spark, "ST_AsText(ST_Multi(ST_GeomFromText("
+                       "'MULTIPOINT((1 1))')))") == "MULTIPOINT ((1 1))"
+    assert sql1(spark, "ST_Z(ST_Force_2D(ST_PointZ(1, 2, 3)))") is None
+
+
+def test_angle_three_points(spark):
+    a = sql1(spark, "ST_Angle(ST_Point(1, 0), ST_Point(0, 0), ST_Point(0, 1))")
+    assert a == pytest.approx(3.14159265 / 2, abs=1e-6)
+    # collinear opposite rays -> pi
+    b = sql1(spark, "ST_Angle(ST_Point(-1, 0), ST_Point(0, 0), ST_Point(1, 0))")
+    assert b == pytest.approx(3.14159265, abs=1e-6)
+
+
+def test_mec_property_random_points(spark):
+    """Property: every vertex is inside the MEC, and the radius is minimal
+    against the pairwise-diameter lower bound."""
+    import itertools
+    import math as m
+    import random
+    rng = random.Random(11)
+    for _ in range(10):
+        pts = [(rng.uniform(-50, 50), rng.uniform(-50, 50))
+               for _ in range(rng.randint(2, 12))]
+        from sedona_iceberg_extension_spark.geom import algos as A
+        from sedona_iceberg_extension_spark.geom.model import Geometry
+        g = Geometry(4, pts)  # MULTIPOINT
+        (cx, cy), r = A.min_bounding_radius(g)
+        assert all(m.hypot(x - cx, y - cy) <= r + 1e-9 for x, y in pts)
+        lower = max(m.hypot(a[0] - b[0], a[1] - b[1])
+                    for a, b in itertools.combinations(pts, 2)) / 2
+        assert r >= lower - 1e-9
+        # upper: MEC radius never exceeds the circumradius bound of the
+        # farthest pair by more than the triangle geometry allows
+        assert r <= lower * 2 / m.sqrt(3) + 1e-9
