@@ -586,3 +586,75 @@ def shared_window_fraction(df: DataFrame, id_col: str, text_col: str,
             .withColumn("shared_frac",
                         F.round(F.col("n_shared").cast("double")
                                 / F.col("n_windows"), 6)))
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
+               gram_n: int = 8, modulus: int = 64) -> DataFrame:
+    """Content-defined chunking (LBFS/rolling-hash style): a chunk boundary
+    opens at position 1 and at every position whose ``gram_n``-char gram
+    hashes to 0 mod ``modulus`` — so chunk boundaries survive insertions
+    and deletions (the property fixed-size blocks lack, and the reason
+    storage dedup and incremental-sync systems chunk this way).
+
+    Output: (id, chunk_start, chunk) — one row per chunk, reconstructing
+    the document exactly (concat of chunks in order == text).
+
+    The boundary hash is the portable md5 recipe because boundary PLACEMENT
+    is part of the output contract (the DuckDB oracle must cut identically);
+    expected chunk length is ``modulus`` characters.
+
+    Scale shape: the position explode is narrow off the scan; the only
+    shuffle is the per-doc window ordering boundaries (keyed by the doc id,
+    uniform), and the chunk substrings are cut from the text column carried
+    on the boundary rows — no join back, no per-chunk text duplication
+    beyond the chunks themselves."""
+    from pyspark.sql.window import Window as W
+
+    base = spread(df).select(F.col(id_col), F.col(text_col).alias("_t"))
+    # guard: Spark's sequence(2, 1) is DESCENDING [2, 1] — a doc shorter
+    # than gram_n + 1 chars must contribute no interior cut candidates
+    idx = F.explode(F.when(
+        F.length("_t") >= gram_n + 1,
+        F.sequence(F.lit(2), F.length("_t") - (gram_n - 1))
+    ).otherwise(F.array().cast("array<int>")))
+    cut = (base.select(F.col(id_col), F.col("_t"), idx.alias("_i"))
+           .filter(portable_hash64(
+               F.expr(f"substr(_t, _i, {gram_n})"), "cdc") % modulus == 0))
+    starts = base.select(F.col(id_col), F.col("_t"),
+                         F.lit(1).alias("_i")).unionAll(cut)
+    w = W.partitionBy(id_col).orderBy("_i")
+    return (starts
+            .withColumn("_next", F.lead("_i").over(w))
+            .select(F.col(id_col), F.col("_i").alias("chunk_start"),
+                    F.expr("substr(_t, _i, coalesce(_next, length(_t) + 1) - _i)")
+                    .alias("chunk"))
+            .filter(F.length("chunk") > 0))
+
+
+def cdc_dedup_stats(df: DataFrame, id_col: str, text_col: str,
+                    group_col: str, gram_n: int = 8,
+                    modulus: int = 64) -> DataFrame:
+    """Per-group storage-dedup report over CDC chunks: how much of the
+    corpus is redundant at chunk granularity (the dedup ratio an
+    object-store or incremental-ingest layer would realize).
+
+    Output: (group, n_chunks, n_distinct_chunks, total_chars,
+    distinct_chars, dedup_ratio).  Chunk identity is the chunk content
+    itself (md5-keyed groupBy — longs/short strings shuffle, never the
+    corpus twice)."""
+    ch = cdc_chunks(df, id_col, text_col, gram_n, modulus)
+    joined = df.select(F.col(id_col), F.col(group_col).alias("grp")) \
+               .join(ch, id_col)
+    per_chunk = (joined.groupBy("grp", F.md5("chunk").alias("_ck"))
+                 .agg(F.count(F.lit(1)).alias("_n"),
+                      F.max(F.length("chunk")).alias("_len")))
+    return (per_chunk.groupBy("grp")
+            .agg(F.sum("_n").cast("long").alias("n_chunks"),
+                 F.count(F.lit(1)).alias("n_distinct_chunks"),
+                 F.sum(F.col("_n") * F.col("_len")).cast("long")
+                  .alias("total_chars"),
+                 F.sum("_len").cast("long").alias("distinct_chars"))
+            .withColumn("dedup_ratio",
+                        F.round(F.lit(1.0) - F.col("distinct_chars")
+                                / F.col("total_chars").cast("double"), 6))
+            .withColumnRenamed("grp", group_col))

@@ -267,6 +267,52 @@ ORDER BY c_custkey
 """
 
 
+# --- cdc_dedup_by_source ---------------------------------------------------
+
+def q_cdc_dedup_by_source(spark, sf_dir):
+    """Content-defined-chunking storage-dedup report per source
+    (dedup.cdc_dedup_stats: LBFS-style rolling boundaries, 8-char grams,
+    modulus 64 — boundaries survive insertions, unlike fixed blocks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (dedup.cdc_dedup_stats(docs, "doc_id", "text", "source")
+            .orderBy("source"))
+
+
+_QCDC_SQL = """
+WITH starts AS (
+  SELECT doc_id, 1 AS i FROM documents
+  UNION ALL
+  SELECT doc_id, t.i
+  FROM documents,
+       LATERAL (SELECT unnest(range(2, greatest(len(text) - 7, 1) + 1)) AS i) t
+  WHERE ('0x' || substr(md5(substr(text, t.i, 8) || '#cdc'), 1, 15))::BIGINT
+        % 64 = 0
+), chunks AS (
+  SELECT s.doc_id,
+         substr(d.text, s.i,
+                coalesce(lead(s.i) OVER (PARTITION BY s.doc_id ORDER BY s.i),
+                         len(d.text) + 1) - s.i) AS chunk
+  FROM starts s JOIN documents d USING (doc_id)
+), nonempty AS (
+  SELECT c.doc_id, c.chunk FROM chunks c WHERE len(c.chunk) > 0
+), per_chunk AS (
+  SELECT d.source, md5(n.chunk) AS ck,
+         CAST(COUNT(*) AS BIGINT) AS n, MAX(len(n.chunk)) AS l
+  FROM nonempty n JOIN documents d USING (doc_id)
+  GROUP BY d.source, md5(n.chunk)
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(n * l) AS BIGINT) AS total_chars,
+       CAST(SUM(l) AS BIGINT) AS distinct_chars,
+       ROUND(1.0 - SUM(l) / CAST(SUM(n * l) AS DOUBLE), 6) AS dedup_ratio
+FROM per_chunk
+GROUP BY source
+ORDER BY source
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -274,4 +320,5 @@ R5_QUERIES = {
     "corpus_zipf_slope": (q_corpus_zipf_slope, _QZIPF_SQL, False),
     "streaming_ingest_gate": (q_streaming_ingest_gate, _QSTREAMGATE_SQL, False),
     "spatial_affine_ops": (q_spatial_affine_ops, _QAFFINE_SQL, False),
+    "cdc_dedup_by_source": (q_cdc_dedup_by_source, _QCDC_SQL, False),
 }

@@ -579,3 +579,29 @@ def test_zipf_slope_exact_two_point(spark):
     row = T.zipf_slope(df, "t").collect()[0]
     assert row["n_terms"] == 2
     assert abs(row["slope"] - (-1.0)) < 1e-6
+
+
+def test_cdc_chunks_reconstruct_and_dedup(spark):
+    """CDC chunk property: chunks concatenate back to the exact text, an
+    identical doc yields identical chunks (dedup_ratio > 0 for a source of
+    clones), and boundaries survive a prefix insertion (the content-defined
+    property fixed-size blocks lack)."""
+    body = "hello world this is a longer text about spark chunks and dedup " * 4
+    rows = [(1, body, "a"), (2, body, "a"),
+            (3, "PREFIX-" + body, "a"),
+            (4, "tiny", "b"), (5, "", "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ch = dedup.cdc_chunks(df, "doc_id", "text").collect()
+    by = {}
+    for r in ch:
+        by.setdefault(r["doc_id"], []).append((r["chunk_start"], r["chunk"]))
+    for d, t, _ in rows:
+        assert "".join(c for _, c in sorted(by.get(d, []))) == t
+    # doc 3 = doc 1 with a prefix: all but the first chunk(s) realign
+    c1 = {c for _, c in by[1]}
+    c3 = {c for _, c in by[3]}
+    assert len(c1 & c3) >= len(c1) - 1
+    stats = {r["source"]: r for r in
+             dedup.cdc_dedup_stats(df, "doc_id", "text", "source").collect()}
+    assert stats["a"]["dedup_ratio"] > 0.5
+    assert stats["b"]["dedup_ratio"] == 0.0

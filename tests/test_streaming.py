@@ -233,3 +233,56 @@ def test_stream_stream_join_full_outer_batch_parity(spark, sf_dir):
     sout = stream_stream_join(sclicks, sviews, "user_id",
                               within="60 minutes", how="full_outer")
     assert sout.isStreaming
+
+
+def test_stream_stream_join_full_outer_batch_parity(spark, sf_dir):
+    """``how='full_outer'``: both unmatched sides null-extend exactly once;
+    matched rows equal the inner join (the streaming path shares the
+    identical expression — outer emission timing is watermark-driven)."""
+    from pyspark.sql import functions as F
+
+    from sedona_iceberg_extension_spark.sources import load_table
+    from sedona_iceberg_extension_spark.streaming import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    out = stream_stream_join(clicks, views, "user_id",
+                             within="60 minutes", how="full_outer")
+    inner = stream_stream_join(clicks, views, "user_id",
+                               within="60 minutes", how="inner")
+    matched = out.filter(F.col("view_id").isNotNull()
+                         & F.col("click_id").isNotNull())
+    assert matched.count() == inner.count()
+    # every click and every view appears at least once
+    assert out.filter(F.col("click_id").isNotNull()) \
+              .select("click_id").distinct().count() == clicks.count()
+    assert out.filter(F.col("view_id").isNotNull()) \
+              .select("view_id").distinct().count() == views.count()
+    left_null = out.filter(F.col("click_id").isNull())
+    right_null = out.filter(F.col("view_id").isNull())
+    # null-extended rows are exactly the keys the inner join missed
+    assert left_null.count() == views.join(
+        inner.select("view_id").distinct(), "view_id", "left_anti").count()
+    assert right_null.count() == clicks.join(
+        inner.select("click_id").distinct(), "click_id", "left_anti").count()
+
+
+def test_stream_ingest_gate_runs_as_stream(spark, sf_dir):
+    """The declared streaming_ingest_gate query: a real availableNow stream
+    whose kept set equals the batch anti-join."""
+    from sedona_iceberg_extension_spark.plans.queries_r5 import \
+        q_streaming_ingest_gate
+    from sedona_iceberg_extension_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = q_streaming_ingest_gate(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 2 == 0) \
+             .select(F.md5("text").alias("h")).distinct()
+    want = (docs.filter(F.col("doc_id") % 2 == 1)
+            .withColumn("h", F.md5("text"))
+            .join(ev, "h", "left_anti").count())
+    assert got.count() == want
