@@ -313,6 +313,115 @@ ORDER BY source
 """
 
 
+# --- customer_cohort_retention ---------------------------------------------
+
+def q_customer_cohort_retention(spark, sf_dir):
+    """Classic cohort-retention matrix: customers grouped by first-order
+    month, counted by months-since-cohort — the table every growth
+    dashboard starts from.  Two shuffles: the per-customer min (map-side
+    combined) and the cohort-cell count; the join back to orders is on the
+    customer key both sides already hash by."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select("o_custkey",
+                       F.date_trunc("month", "o_orderdate").alias("_m"))
+    first = om.groupBy("o_custkey").agg(F.min("_m").alias("_cohort"))
+    cells = (om.join(first, "o_custkey")
+             .select("_cohort",
+                     (F.months_between(F.col("_m"), F.col("_cohort"))
+                      .cast("int")).alias("months_since"),
+                     "o_custkey"))
+    return (cells.groupBy(F.date_format("_cohort", "yyyy-MM").alias("cohort"),
+                          "months_since")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"))
+            .filter(F.col("months_since") <= 6)
+            .orderBy("cohort", "months_since"))
+
+
+_QCOHORT_SQL = """
+WITH om AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders
+), first AS (
+  SELECT o_custkey, MIN(m) AS cohort FROM om GROUP BY o_custkey
+), cells AS (
+  SELECT f.cohort,
+         CAST(datediff('month', f.cohort, om.m) AS INT) AS months_since,
+         om.o_custkey
+  FROM om JOIN first f USING (o_custkey)
+)
+SELECT strftime(cohort, '%Y-%m') AS cohort, months_since,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM cells
+WHERE months_since <= 6
+GROUP BY cohort, months_since
+ORDER BY cohort, months_since
+"""
+
+
+# --- part_basket_lift -------------------------------------------------------
+
+def q_part_basket_lift(spark, sf_dir):
+    """Market-basket affinity over order line items: top-20 part-brand
+    pairs by lift (P(a,b) / P(a)P(b)) among pairs co-ordered ≥ 5 times.
+    The pair space is generated ORDER-locally (collect_set of the ≤7
+    brands per order, explode the sorted combinations) — never a
+    lineitem self-join; brand marginals and the one-row order total
+    broadcast onto the pair counts (no driver-side scalar job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(part, li.l_partkey == part.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    tot = ob.agg(F.countDistinct("l_orderkey")
+                 .cast("double").alias("_n_orders"))
+    per_order = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("_bs"))
+    pairs = (per_order
+             .select(F.explode("_bs").alias("a"), F.col("_bs"))
+             .select("a", F.explode(F.filter("_bs", lambda x: x > F.col("a")))
+                     .alias("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")))
+    marg = ob.groupBy("p_brand").agg(F.countDistinct("l_orderkey").alias("n"))
+    out = (pairs
+           .join(F.broadcast(marg.select(F.col("p_brand").alias("a"),
+                                         F.col("n").alias("n_a"))), "a")
+           .join(F.broadcast(marg.select(F.col("p_brand").alias("b"),
+                                         F.col("n").alias("n_b"))), "b")
+           .filter(F.col("n_ab") >= 5)
+           .crossJoin(F.broadcast(tot))
+           .select(F.col("a").alias("brand_a"), F.col("b").alias("brand_b"),
+                   "n_ab",
+                   F.round(F.col("n_ab") * F.col("_n_orders")
+                           / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
+                   .alias("lift")))
+    return out.orderBy(F.col("lift").desc(), "brand_a", "brand_b").limit(20)
+
+
+_QBASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM ob
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+), marg AS (
+  SELECT p_brand, COUNT(DISTINCT l_orderkey) AS n FROM ob GROUP BY p_brand
+)
+SELECT brand_a, brand_b, n_ab,
+       ROUND(n_ab * (SELECT n_orders FROM tot)
+             / CAST(ma.n * mb.n AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.p_brand = brand_a
+JOIN marg mb ON mb.p_brand = brand_b
+WHERE n_ab >= 5
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -321,4 +430,6 @@ R5_QUERIES = {
     "streaming_ingest_gate": (q_streaming_ingest_gate, _QSTREAMGATE_SQL, False),
     "spatial_affine_ops": (q_spatial_affine_ops, _QAFFINE_SQL, False),
     "cdc_dedup_by_source": (q_cdc_dedup_by_source, _QCDC_SQL, False),
+    "customer_cohort_retention": (q_customer_cohort_retention, _QCOHORT_SQL, False),
+    "part_basket_lift": (q_part_basket_lift, _QBASKET_SQL, False),
 }

@@ -52,7 +52,8 @@ _NATIVE_QUERIES = [
     "embedding_norm_quantiles", "minhash_jaccard_est",
     "incremental_dedup_ingest", "ann_recall_eval", "doc_perplexity_proxy",
     "doc_langid_confusion", "corpus_vocab_stats",
-    "substring_dup_windows", "knn_label_classify",
+    "substring_dup_windows", "knn_label_classify", "cdc_dedup_by_source",
+    "customer_cohort_retention", "part_basket_lift",
     "embedding_label_outliers", "corpus_zipf_slope",
 ]
 
