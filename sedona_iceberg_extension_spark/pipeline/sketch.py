@@ -58,3 +58,67 @@ def hll_estimate(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
            .otherwise(raw)
     return agg.select("n_registers", est.alias("estimate"))
+
+
+def bloom_filter_words(df, text_col: str, m_words: int = 1024,
+                       k: int = 4):
+    """Build a Bloom filter over a column as (word_idx, bits) rows — the
+    64-bit-word transpose of an m_words×64-bit filter.  Fully
+    deterministic: bit positions come from the portable md5 hash recipe,
+    so the DuckDB oracle sets the same bits and reproduces even the false
+    positives bit-for-bit.
+
+    Scale shape: k narrow projections per row, then ONE bit_or aggregation
+    whose shuffle carries at most m_words rows per map task (map-side
+    combine) — the filter itself is a ≤m_words-row DataFrame, broadcastable
+    to any probe side.  This is the standard pre-filter in front of exact
+    dedup: at 100 TB the filter for a billion-key corpus (m ≈ 10 bits/key)
+    stays a few GB of words, while the probe is a broadcast join instead
+    of a full shuffle of the corpus."""
+    from pyspark.sql import functions as F
+
+    from .text import portable_hash64
+
+    # 63 usable bits per word: bit 63 would need 1 << 63, which overflows
+    # a signed BIGINT on the oracle side — one spare bit costs ~1.6% space
+    nbits = m_words * 63
+    pos_cols = [
+        (portable_hash64(F.col(text_col), f"bloom{j}") % nbits).alias("p")
+        for j in range(k)
+    ]
+    exploded = (df.select(F.explode(F.array(*pos_cols)).alias("p"))
+                .select(F.floor(F.col("p") / 63).alias("word_idx"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(p % 63 AS INT))").alias("mask")))
+    return (exploded.groupBy("word_idx")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_probe(filter_words, probe_df, id_col: str, text_col: str,
+                m_words: int = 1024, k: int = 4):
+    """Probe a `bloom_filter_words` filter: (id, maybe_present).  A doc is
+    ``maybe_present`` iff ALL k of its bits are set (Bloom semantics: false
+    positives possible — deterministic here — false negatives never).
+    The filter side is broadcast; the probe is k narrow rows per doc and
+    one all-k aggregation."""
+    from pyspark.sql import functions as F
+
+    from .text import portable_hash64
+
+    nbits = m_words * 63
+    pos_cols = [
+        (portable_hash64(F.col(text_col), f"bloom{j}") % nbits).alias("p")
+        for j in range(k)
+    ]
+    probes = (probe_df.select(F.col(id_col),
+                              F.explode(F.array(*pos_cols)).alias("p"))
+              .select(F.col(id_col),
+                      F.floor(F.col("p") / 63).alias("word_idx"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(p % 63 AS INT))").alias("mask")))
+    joined = probes.join(F.broadcast(filter_words), "word_idx", "left")
+    hit = (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+           == F.col("mask"))
+    return (joined.groupBy(id_col)
+            .agg((F.sum(F.when(hit, 1).otherwise(0)) == k)
+                 .alias("maybe_present")))

@@ -422,6 +422,95 @@ LIMIT 20
 """
 
 
+# --- events_ewma ------------------------------------------------------------
+
+def q_events_ewma(spark, sf_dir):
+    """Trailing exponentially-weighted moving average (α = 0.5, 16-row
+    frame) of event values per user — the smoothing primitive of every
+    monitoring/feature pipeline.  One window shuffle on the user key; the
+    weighted sum is an index-ordered native transform/aggregate over the
+    frame list (deterministic summation order, and 0.5^i is exactly
+    representable, so the oracle matches bit-for-bit before the ROUND)."""
+    from pyspark.sql.window import Window as W
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 50))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id") \
+         .rowsBetween(-15, W.currentRow)
+    lst = F.reverse(F.collect_list("value").over(w))
+    num = F.aggregate(
+        F.transform(lst, lambda x, i: x * F.pow(F.lit(0.5), i)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    den = 2.0 * (1.0 - F.pow(F.lit(0.5), F.size(lst)))
+    return (ev.select("user_id", "event_id",
+                      F.round(F.col("value"), 6).alias("value"),
+                      F.round(num / den, 6).alias("ewma16"))
+            .orderBy("user_id", "event_id"))
+
+
+_QEWMA_SQL = """
+WITH framed AS (
+  SELECT user_id, event_id, value,
+         list_reverse(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)) AS lr
+  FROM events WHERE user_id < 50
+)
+SELECT user_id, event_id, ROUND(value, 6) AS value,
+       ROUND(list_sum(list_transform(range(1, len(lr) + 1),
+                                     i -> lr[i] * pow(0.5, i - 1)))
+             / (2.0 * (1.0 - pow(0.5, len(lr)))), 6) AS ewma16
+FROM framed
+ORDER BY user_id, event_id
+"""
+
+
+# --- bloom_ingest_gate ------------------------------------------------------
+
+def q_bloom_ingest_gate(spark, sf_dir):
+    """Deterministic Bloom-filter membership pre-filter: build the filter
+    over the even-doc_id half of the corpus, probe EVERY document.  Evens
+    must all report ``maybe_present`` (Bloom's no-false-negative
+    guarantee, checked in-band); odds exercise the false-positive surface,
+    which is bit-for-bit deterministic here (portable md5 bit positions)
+    so the oracle value-checks even the false positives.  The filter is
+    intentionally small (32 words = 2016 bits, k = 2) so the FP side is
+    non-vacuous at sf0.01."""
+    from ..pipeline.sketch import bloom_filter_words, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    fw = bloom_filter_words(docs.filter(F.col("doc_id") % 2 == 0), "text",
+                            m_words=32, k=2)
+    out = bloom_probe(fw, docs, "doc_id", "text", m_words=32, k=2)
+    return out.orderBy("doc_id")
+
+
+def _bloom_sql(m_words: int = 32, k: int = 2) -> str:
+    nbits = m_words * 63
+    pos = " UNION ALL ".join(
+        f"SELECT doc_id, ('0x' || substr(md5(text || '#bloom{j}'), 1, 15))"
+        f"::BIGINT % {nbits} AS p FROM documents"
+        for j in range(k))
+    return f"""
+WITH pos AS (
+  {pos}
+), words AS (
+  SELECT p // 63 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+  FROM pos WHERE doc_id % 2 = 0
+  GROUP BY p // 63
+)
+SELECT pos.doc_id,
+       (SUM(CASE WHEN (coalesce(w.bits, 0)
+                       & (1::BIGINT << CAST(pos.p % 63 AS INT)))
+                      = (1::BIGINT << CAST(pos.p % 63 AS INT))
+                 THEN 1 ELSE 0 END) = {k}) AS maybe_present
+FROM pos LEFT JOIN words w ON w.word_idx = pos.p // 63
+GROUP BY pos.doc_id
+ORDER BY pos.doc_id
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -432,4 +521,6 @@ R5_QUERIES = {
     "cdc_dedup_by_source": (q_cdc_dedup_by_source, _QCDC_SQL, False),
     "customer_cohort_retention": (q_customer_cohort_retention, _QCOHORT_SQL, False),
     "part_basket_lift": (q_part_basket_lift, _QBASKET_SQL, False),
+    "events_ewma": (q_events_ewma, _QEWMA_SQL, False),
+    "bloom_ingest_gate": (q_bloom_ingest_gate, _bloom_sql(), False),
 }

@@ -605,3 +605,30 @@ def test_cdc_chunks_reconstruct_and_dedup(spark):
              dedup.cdc_dedup_stats(df, "doc_id", "text", "source").collect()}
     assert stats["a"]["dedup_ratio"] > 0.5
     assert stats["b"]["dedup_ratio"] == 0.0
+
+
+def test_bloom_filter_no_false_negatives_and_determinism(spark):
+    from sedona_iceberg_extension_spark.pipeline import sketch
+    present = [(i, f"present document number {i}") for i in range(50)]
+    absent = [(1000 + i, f"absent text {i} entirely other") for i in range(200)]
+    df = spark.createDataFrame(present, "id long, t string")
+    probe = spark.createDataFrame(present + absent, "id long, t string")
+    fw = sketch.bloom_filter_words(df, "t", m_words=32, k=2)
+    out = {r["id"]: r["maybe_present"] for r in
+           sketch.bloom_probe(fw, probe, "id", "t",
+                              m_words=32, k=2).collect()}
+    # no false negatives, ever
+    assert all(out[i] for i, _ in present)
+    # deterministic: same again
+    out2 = {r["id"]: r["maybe_present"] for r in
+            sketch.bloom_probe(fw, probe, "id", "t",
+                               m_words=32, k=2).collect()}
+    assert out == out2
+    # with a larger filter the absent side is (almost) all negative
+    fw_big = sketch.bloom_filter_words(df, "t", m_words=1024, k=4)
+    out_big = {r["id"]: r["maybe_present"] for r in
+               sketch.bloom_probe(fw_big, probe, "id", "t",
+                                  m_words=1024, k=4).collect()}
+    assert all(out_big[i] for i, _ in present)
+    assert sum(1 for i, _ in absent if out_big[1000 + (i - 1000)]) == 0 or \
+        sum(1 for i, _ in absent if out_big[i]) <= 2

@@ -54,7 +54,8 @@ _NATIVE_QUERIES = [
     "doc_langid_confusion", "corpus_vocab_stats",
     "substring_dup_windows", "knn_label_classify", "cdc_dedup_by_source",
     "customer_cohort_retention", "part_basket_lift",
-    "embedding_label_outliers", "corpus_zipf_slope",
+    "embedding_label_outliers", "corpus_zipf_slope", "events_ewma",
+    "bloom_ingest_gate",
 ]
 
 
