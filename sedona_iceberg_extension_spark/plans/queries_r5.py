@@ -511,6 +511,54 @@ ORDER BY pos.doc_id
 """
 
 
+# --- streaming_window_top_event --------------------------------------------
+
+def q_streaming_window_top_event(spark, sf_dir):
+    """Complete-mode streaming aggregation — the third output mode the
+    engine's streaming tier exercises (append: joins/ingest; update:
+    stateful totals; complete: rank-over-aggregate dashboards).  Tumbling
+    1-hour windows × event_type counts run as a REAL availableNow stream;
+    the top event type per window (count desc, name asc) is ranked over
+    the complete-mode sink, which after the final trigger equals the batch
+    aggregation the oracle computes."""
+    import tempfile
+
+    from ..sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .count())
+    name = "q_stream_wintop_sink"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"""
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm') AS window_start,
+               event_type, CAST(count AS BIGINT) AS n
+        FROM (SELECT *, row_number() OVER (PARTITION BY w
+                     ORDER BY count DESC, event_type ASC) AS rk
+              FROM {name}) t
+        WHERE rk = 1
+        ORDER BY window_start""")
+
+
+_QSTREAM_WINTOP_SQL = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start, event_type, n
+FROM (SELECT *, row_number() OVER (PARTITION BY w
+             ORDER BY n DESC, event_type ASC) AS rk
+      FROM counts) t
+WHERE rk = 1
+ORDER BY window_start
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -523,4 +571,6 @@ R5_QUERIES = {
     "part_basket_lift": (q_part_basket_lift, _QBASKET_SQL, False),
     "events_ewma": (q_events_ewma, _QEWMA_SQL, False),
     "bloom_ingest_gate": (q_bloom_ingest_gate, _bloom_sql(), False),
+    "streaming_window_top_event": (q_streaming_window_top_event,
+                                   _QSTREAM_WINTOP_SQL, False),
 }
