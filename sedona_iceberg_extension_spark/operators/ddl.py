@@ -99,6 +99,10 @@ _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMNS?\s*"
     r"\(?\s*(?P<cols>[\w\s,]+?)\s*\)?\s*$", re.IGNORECASE)
 
+_ALTER_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
+    r"(?P<field>.+?)\s*$", re.IGNORECASE)
+
 _CALL_RE = re.compile(
     r"^\s*CALL\s+(?:[\w.]*\bsystem\.)?(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -246,7 +250,8 @@ def table(name: str, spark: Optional[SparkSession] = None) -> SnapshotTable:
 def is_ddl(statement: str) -> bool:
     return any(rx.match(statement) for rx in
                (_CTAS_RE, _CREATE_RE, _DROP_RE, _INSERT_RE, _CACHE_RE,
-                _ALTER_ADD_RE, _ALTER_RENAME_RE, _ALTER_DROP_RE, _CALL_RE))
+                _ALTER_ADD_RE, _ALTER_RENAME_RE, _ALTER_DROP_RE,
+                _ALTER_ADD_PART_RE, _CALL_RE))
 
 
 def _call_arg(s: str):
@@ -417,6 +422,37 @@ def run_ddl(spark: SparkSession, statement: str,
             spark.sql(statement)
             return {"proc": m.group("proc").lower(), "delegated": True}
         return run_procedure(spark, m.group("proc").lower(), pos, named)
+
+    m = _ALTER_ADD_PART_RE.match(statement)
+    if m:
+        name = m.group("name")
+        if name not in _catalog(spark):
+            spark.sql(statement)
+            return {"ddl": "alter_partition", "table": name,
+                    "delegated": True}
+        tbl = _catalog(spark)[name]
+        fld = m.group("field").strip()
+        fm = re.match(r"^(?i:bucket)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$", fld)
+        if fm:
+            v = tbl.add_partition_field(fm.group(2), f"bucket[{fm.group(1)}]")
+        else:
+            fm = re.match(r"^(?i:truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$",
+                          fld)
+            if fm:
+                v = tbl.add_partition_field(fm.group(2),
+                                            f"truncate[{fm.group(1)}]")
+            else:
+                fm = re.match(r"^(?i:years?|months?|days?)\s*\(\s*(\w+)\s*\)$",
+                              fld)
+                if fm:
+                    tr = fld.split("(")[0].strip().lower().rstrip("s")
+                    v = tbl.add_partition_field(fm.group(1), tr)
+                elif re.match(r"^\w+$", fld):
+                    v = tbl.add_partition_field(fld, "identity")
+                else:
+                    raise ValueError(f"unsupported partition field {fld!r}")
+        _register(spark, name)
+        return {"ddl": "alter_partition", "table": name, "version": v}
 
     for rx, kind in ((_ALTER_RENAME_RE, "rename"), (_ALTER_DROP_RE, "drop"),
                      (_ALTER_ADD_RE, "add")):

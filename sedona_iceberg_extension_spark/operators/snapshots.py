@@ -41,7 +41,8 @@ import time
 import uuid
 from typing import Dict, List, Optional
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import (Column, DataFrame, Observation, SparkSession,
+                         functions as F)
 
 _SNAP_DIR = "_snapshots"
 
@@ -86,6 +87,24 @@ def _project_schema(df: DataFrame, ops: List[Dict]) -> DataFrame:
             if op["name"] in df.columns:
                 df = df.drop(op["name"])
     return df
+
+
+def _partition_value(fld) -> Column:
+    """The Iceberg partition-transform expression for one spec field:
+    identity, bucket[N] (xxhash64-based), truncate[W], year/month/day."""
+    src, tr = F.col(fld["source"]), fld["transform"]
+    if tr == "identity":
+        return src
+    if tr.startswith("bucket["):
+        n = int(tr[len("bucket["):-1])
+        return F.pmod(F.xxhash64(src), F.lit(n))
+    if tr.startswith("truncate["):
+        w = int(tr[len("truncate["):-1])
+        return F.substring(src.cast("string"), 1, w)
+    if tr in ("year", "month", "day"):
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[tr]
+        return F.date_format(src, fmt)
+    raise ValueError(f"unsupported partition transform {tr!r}")
 
 
 class SnapshotTable:
@@ -140,13 +159,26 @@ class SnapshotTable:
             "files": sorted(files),
         }
         if latest is not None:
-            # schema evolution ops are table metadata: carried forward by
-            # every commit (Iceberg: the schema lives on the snapshot)
-            ops = self._manifest(latest).get("schema_ops")
+            # schema evolution ops and the partition spec are table
+            # metadata: carried forward by every commit (Iceberg: both live
+            # on the snapshot); per-file partition tuples follow their
+            # files — entries for files no longer live are dropped
+            prev = self._manifest(latest)
+            ops = prev.get("schema_ops")
             if ops:
                 manifest["schema_ops"] = ops
+            if prev.get("partition_spec"):
+                manifest["partition_spec"] = prev["partition_spec"]
+            fps = prev.get("file_partitions")
+            if fps:
+                manifest["file_partitions"] = {
+                    f: v for f, v in fps.items() if f in set(files)}
         if extra:
+            new_fps = extra.pop("new_file_partitions", None)
             manifest.update(extra)
+            if new_fps:
+                manifest["file_partitions"] = {
+                    **manifest.get("file_partitions", {}), **new_fps}
         tmp = os.path.join(self.snap_dir, f".v{v}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -174,19 +206,33 @@ class SnapshotTable:
 
     # -- data-file helpers --------------------------------------------------
 
-    def _ingest_staged(self, staged: str) -> List[str]:
+    def _ingest_staged(self, staged: str, collect_partitions: bool = False):
         """Move part files from a staging dir into the table dir under
-        unique immutable names; return their (relative) names."""
-        names = []
-        for name in os.listdir(staged):
-            if name.startswith("part-") or name.endswith(".parquet"):
-                new = f"snap-{uuid.uuid4().hex}-{name}"
-                os.rename(os.path.join(staged, name),
-                          os.path.join(self.path, new))
-                names.append(new)
+        unique immutable names; returns their (relative) names — or, with
+        ``collect_partitions``, (names, {name: partition_tuple}) parsed
+        from Hive-style ``_p_<field>=<value>`` directory components the
+        partitioned stage write produced."""
+        names, parts = [], {}
+        for root, _dirs, fnames in os.walk(staged):
+            pvals = {}
+            rel = os.path.relpath(root, staged)
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    if "=" in comp and comp.startswith("_p_"):
+                        k, v = comp.split("=", 1)
+                        from urllib.parse import unquote
+                        pvals[k[3:]] = unquote(v)
+            for name in fnames:
+                if name.startswith("part-") or name.endswith(".parquet"):
+                    new = f"snap-{uuid.uuid4().hex}-{name}"
+                    os.rename(os.path.join(root, name),
+                              os.path.join(self.path, new))
+                    names.append(new)
+                    if pvals:
+                        parts[new] = pvals
         import shutil
         shutil.rmtree(staged, ignore_errors=True)
-        return names
+        return (names, parts) if collect_partitions else names
 
     def _stage(self, df: DataFrame) -> str:
         # logical -> physical mapping for re-added columns (see read());
@@ -202,8 +248,26 @@ class SnapshotTable:
                 df = df.withColumnRenamed(op["name"], phys)
         staged = os.path.join(os.path.dirname(self.path),
                               f".staged-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staged)
+        spec = []
+        try:
+            spec = self._manifest().get("partition_spec", [])
+        except FileNotFoundError:
+            pass
+        pnames = []
+        for fld in spec:
+            if fld["source"] in df.columns:
+                df = df.withColumn(f"_p_{fld['name']}",
+                                   _partition_value(fld).cast("string"))
+                pnames.append(f"_p_{fld['name']}")
+        w = df.write.mode("overwrite")
+        if pnames:
+            # helper copies drive the directory layout; the source columns
+            # stay IN the data files, so reads need no metadata re-attach
+            w = w.partitionBy(*pnames)
+        w.parquet(staged)
         return staged
+
+
 
     # -- public surface -----------------------------------------------------
 
@@ -214,8 +278,9 @@ class SnapshotTable:
         if t.versions():
             raise FileExistsError(f"snapshot table already exists at {path}")
         os.makedirs(t.path, exist_ok=True)
-        names = t._ingest_staged(t._stage(df))
-        t._commit(names, "create")
+        names, fps = t._ingest_staged(t._stage(df), collect_partitions=True)
+        t._commit(names, "create",
+                  extra={"new_file_partitions": fps} if fps else None)
         return t
 
     def read(self, spark: SparkSession, version: Optional[int] = None,
@@ -278,25 +343,90 @@ class SnapshotTable:
     def drop_column(self, spark: SparkSession, name: str) -> int:
         return self._alter(spark, {"op": "drop", "name": name})
 
+
+    # -- partition evolution (Iceberg partition spec) ------------------------
+
+    def partition_spec(self, version: Optional[int] = None) -> List[Dict]:
+        """The active partition spec fields as of ``version``."""
+        try:
+            return self._manifest(version).get("partition_spec", [])
+        except FileNotFoundError:
+            return []
+
+    def add_partition_field(self, source: str, transform: str = "identity",
+                            name: Optional[str] = None) -> int:
+        """Iceberg partition evolution (``ALTER TABLE ... ADD PARTITION
+        FIELD``): a metadata-only commit appending a field to the spec.
+        Existing files are untouched and carry no partition tuple — scans
+        always include them (Iceberg's multi-spec scan contract); files
+        written AFTER the change carry per-file partition values in the
+        manifest and become prunable."""
+        _partition_value({"source": source, "transform": transform})  # validate
+        spec = self.partition_spec() + [{
+            "source": source, "transform": transform,
+            "name": name or (source if transform == "identity"
+                             else f"{source}_{transform.split('[')[0]}")}]
+        m = self._manifest()
+        return self._commit(m["files"], "set-partition-spec",
+                            base_version=m["version"],
+                            extra={"partition_spec": spec})
+
+    def pruned_files(self, equality: Dict[str, object],
+                     version: Optional[int] = None) -> List[str]:
+        """Live files that can match the given partition-field equality
+        values.  A file with no recorded tuple for a queried field predates
+        the spec (or came from a rewrite) and is always kept — pruning is
+        an optimization, never a correctness filter."""
+        m = self._manifest(version)
+        fps = m.get("file_partitions", {})
+        keep = []
+        for f in m["files"]:
+            vals = fps.get(f, {})
+            if all(k not in vals or vals[k] == str(v)
+                   for k, v in equality.items()):
+                keep.append(os.path.join(self.path, f))
+        return keep
+
+    def read_partition(self, spark: SparkSession,
+                       equality: Dict[str, object],
+                       version: Optional[int] = None) -> DataFrame:
+        """Partition-pruned read: only manifest-matched files are opened
+        (callers still apply their exact predicate — identity-transform
+        equality is exact, bucket/truncate/date transforms are
+        conservative file filters, same as Iceberg scan planning)."""
+        m = self._manifest(version)
+        files = self.pruned_files(equality, version)
+        if not files:
+            return self.read(spark, version).limit(0)
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        return _project_schema(df, m.get("schema_ops", []))
+
     def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
         """Full-table overwrite as ONE snapshot commit (Iceberg
         ``INSERT OVERWRITE``): the new files replace every live file; the
         previous snapshot stays readable via time travel until expired."""
-        added = self._ingest_staged(self._stage(df))
+        added, fps = self._ingest_staged(self._stage(df),
+                                         collect_partitions=True)
         m = self._manifest()
-        return self._commit(added, "overwrite", base_version=m["version"])
+        return self._commit(added, "overwrite", base_version=m["version"],
+                            extra={"new_file_partitions": fps} if fps else None)
 
     def append(self, spark: SparkSession, df: DataFrame,
                max_retries: int = 5, _extra: Optional[Dict] = None) -> int:
         """Append commutes with any concurrent commit, so a conflict is
         rebased automatically: re-read the (new) live file list and retry
         the commit — the staged data files are written exactly once."""
-        added = self._ingest_staged(self._stage(df))
+        added, fps = self._ingest_staged(self._stage(df),
+                                         collect_partitions=True)
         for attempt in range(max_retries + 1):
             m = self._manifest()
             try:
+                extra = dict(_extra or {})
+                if fps:
+                    extra["new_file_partitions"] = fps
                 return self._commit(m["files"] + added, "append",
-                                    base_version=m["version"], extra=_extra)
+                                    base_version=m["version"],
+                                    extra=extra or None)
             except CommitConflictError:
                 if attempt == max_retries:
                     raise
@@ -534,9 +664,14 @@ class SnapshotTable:
                  version: Optional[int] = None) -> DataFrame:
         """Live data files of a snapshot with sizes — Iceberg's
         ``SELECT * FROM t.files`` metadata table."""
-        rows = [(os.path.basename(f), os.path.getsize(f))
+        m = self._manifest(version)
+        fps = m.get("file_partitions", {})
+        rows = [(os.path.basename(f), os.path.getsize(f),
+                 json.dumps(fps.get(os.path.basename(f), {}),
+                            sort_keys=True))
                 for f in self.files(version)]
-        return spark.createDataFrame(rows, "file_name string, size_bytes long")
+        return spark.createDataFrame(
+            rows, "file_name string, size_bytes long, partition string")
 
     def rollback(self, version: int) -> int:
         """Append-only rollback: a new commit re-pointing at an old

@@ -307,3 +307,66 @@ def test_additive_schema_evolution(spark, table):
     # time travel to v1: the column doesn't exist yet
     assert "tag" not in table.read(spark, version=1).columns
     assert v == 2
+
+
+def test_partition_evolution_prunes_new_files(spark, tmp_path):
+    """Iceberg partition evolution: ADD PARTITION FIELD is metadata-only;
+    files written before the spec carry no tuple and are always scanned,
+    files written after are pruned by manifest partition values — and the
+    pruned read returns exactly the full-scan answer."""
+    from pyspark.sql import functions as F
+
+    from sedona_iceberg_extension_spark.operators.snapshots import SnapshotTable
+
+    df0 = spark.range(10).select("id", (F.col("id") % 3).alias("k"))
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df0)
+    pre_files = set(t.files())
+    t.add_partition_field("k")
+    assert t.partition_spec() == [
+        {"source": "k", "transform": "identity", "name": "k"}]
+    t.append(spark, spark.range(100, 160)
+             .select("id", (F.col("id") % 3).alias("k")))
+    total = t.files()
+    pruned = t.pruned_files({"k": 1})
+    # old files all kept (no tuple), new files pruned to the k=1 subset
+    assert pre_files <= set(pruned)
+    assert len(pruned) < len(total)
+    want = sorted(r["id"] for r in
+                  t.read(spark).filter(F.col("k") == 1).collect())
+    got = sorted(r["id"] for r in
+                 t.read_partition(spark, {"k": 1})
+                 .filter(F.col("k") == 1).collect())
+    assert got == want and len(want) >= 20
+    # partition column data survives in the files (no metadata re-attach)
+    assert "k" in t.read(spark).columns
+    # files metadata table exposes the tuples
+    parts = {r["partition"] for r in t.files_df(spark).collect()}
+    assert any('"k": "1"' in p for p in parts)
+
+
+def test_partition_evolution_bucket_and_ddl_spelling(spark, tmp_path,
+                                                     monkeypatch):
+    from sedona_iceberg_extension_spark import session as S
+    from sedona_iceberg_extension_spark.operators import ddl
+
+    name = "part_evo_t"
+    ddl._catalog(spark).pop(name, None)
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    try:
+        S.sql(spark, f"CREATE TABLE {name} (id INT, grp STRING) USING ICEBERG")
+        S.sql(spark, f"INSERT INTO {name} VALUES (1, 'a'), (2, 'b')")
+        res = S.sql(spark, f"ALTER TABLE {name} ADD PARTITION FIELD bucket(4, id)")
+        assert res["ddl"] == "alter_partition"
+        t = ddl.table(name, spark)
+        assert t.partition_spec()[0]["transform"] == "bucket[4]"
+        S.sql(spark, f"INSERT INTO {name} VALUES (3, 'c'), (4, 'd')")
+        # bucketed pruning is conservative but effective on the new files
+        n_all = len(t.files())
+        from pyspark.sql import functions as F2
+        got = {r["id"] for r in t.read(spark).collect()}
+        assert got == {1, 2, 3, 4}
+        bucket_of_3 = t.files_df(spark).filter(
+            F2.col("partition").contains("id_bucket")).count()
+        assert bucket_of_3 >= 1
+    finally:
+        ddl._catalog(spark).pop(name, None)
