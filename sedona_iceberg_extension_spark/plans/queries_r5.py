@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from ..pipeline import dedup, similarity, text
 from ..sources import load_table
 
-from .sql_shared import TOKS_SQL as _TOKS_SQL
+from .sql_shared import (LSH_MAX_BUCKET as _LSH_MAX_BUCKET,
+                         TOKS_SQL as _TOKS_SQL)
 
 
 # --- substring_dup_windows -------------------------------------------------
@@ -559,6 +560,117 @@ ORDER BY window_start
 """
 
 
+# --- brand_graph_triangles --------------------------------------------------
+
+def q_brand_graph_triangles(spark, sf_dir):
+    """Distributed triangle counting over the brand co-purchase graph
+    (nodes = part brands, edges = brand pairs co-ordered ≥ 20 times) —
+    the standard graph-clustering primitive, done the MapReduce way: each
+    edge (a < b) joins against the adjacency of its lower endpoint, and a
+    wedge (a-b, a-c) closes iff edge (b, c) exists.  Per-node triangle
+    counts come out of one final aggregation.
+
+    Scale shape: the edge table is the small derived graph (bounded by
+    brands², not rows); the wedge join and closing join are equi-joins on
+    edge keys with AQE handling skew — never an all-pairs product over
+    nodes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (li.join(part, li.l_partkey == part.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    per_order = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("_bs"))
+    edges = (per_order
+             .select(F.explode("_bs").alias("a"), F.col("_bs"))
+             .select("a", F.explode(F.filter("_bs", lambda x: x > F.col("a")))
+                     .alias("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= 20)
+             .select("a", "b"))
+    wedges = (edges.alias("e1")
+              .join(edges.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+              .filter(F.col("e1.b") < F.col("e2.b"))
+              .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                      F.col("e2.b").alias("z")))
+    tris = wedges.join(edges,
+                       (F.col("y") == edges.a) & (F.col("z") == edges.b))
+    per_node = (tris.select(F.explode(F.array("x", "y", "z")).alias("brand"))
+                .groupBy("brand").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return per_node.orderBy("brand")
+
+
+_QTRI_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS a, b.p_brand AS b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 20
+), tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+), nodes AS (
+  SELECT x AS brand FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY brand
+ORDER BY brand
+"""
+
+
+# --- near_dup_rate_by_source ------------------------------------------------
+
+def q_near_dup_rate_by_source(spark, sf_dir):
+    """Per-source near-duplication rate: the fraction of each source's
+    documents that sit in some MinHash-LSH candidate pair — the per-feed
+    quality gauge a corpus ingest dashboard tracks (composes the LSH pair
+    operator with the source dimension; one extra semi-join + count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_hashes=8, bands=4,
+                                    max_bucket=_LSH_MAX_BUCKET)
+    dup_ids = (pairs.select(F.col("id_a").alias("doc_id"))
+               .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+               .distinct())
+    flagged = docs.join(dup_ids, "doc_id", "left_semi") \
+                  .groupBy("source").agg(F.count(F.lit(1)).alias("n_dup"))
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (base.join(flagged, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+                    .alias("n_near_dup"),
+                    F.round(F.coalesce(F.col("n_dup"), F.lit(0))
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("near_dup_rate"))
+            .orderBy("source"))
+
+
+def _near_dup_rate_sql() -> str:
+    from .sql_shared import lsh_pairs_cte, mh_sig_cte
+    return mh_sig_cte("") + lsh_pairs_cte() + """
+, dup_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b FROM pairs) u
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (d.doc_id IN (SELECT doc_id FROM dup_ids))
+            AS BIGINT) AS n_near_dup,
+       ROUND(CAST(COUNT(*) FILTER (d.doc_id IN (SELECT doc_id FROM dup_ids))
+                  AS DOUBLE) / COUNT(*), 6) AS near_dup_rate
+FROM documents d
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -573,4 +685,7 @@ R5_QUERIES = {
     "bloom_ingest_gate": (q_bloom_ingest_gate, _bloom_sql(), False),
     "streaming_window_top_event": (q_streaming_window_top_event,
                                    _QSTREAM_WINTOP_SQL, False),
+    "brand_graph_triangles": (q_brand_graph_triangles, _QTRI_SQL, False),
+    "near_dup_rate_by_source": (q_near_dup_rate_by_source,
+                                _near_dup_rate_sql(), False),
 }

@@ -55,7 +55,7 @@ _NATIVE_QUERIES = [
     "substring_dup_windows", "knn_label_classify", "cdc_dedup_by_source",
     "customer_cohort_retention", "part_basket_lift",
     "embedding_label_outliers", "corpus_zipf_slope", "events_ewma",
-    "bloom_ingest_gate",
+    "bloom_ingest_gate", "brand_graph_triangles", "near_dup_rate_by_source",
 ]
 
 
