@@ -1178,6 +1178,79 @@ def st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _u2ext(fn, ret):
+    @pandas_udf(ret)
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            out.append(None if x is None or y is None
+                       else fn(from_wkb(x), from_wkb(y)))
+        return pd.Series(out, dtype=object)
+    return f
+
+
+st_longestline = _geom2(A.longest_line)
+st_maxdistance = _u2ext(A.max_distance, _DBL)
+
+
+@pandas_udf(_DBL)
+def st_linelocatepoint(line: pd.Series, pt: pd.Series) -> pd.Series:
+    out = []
+    for l, p in zip(line, pt):
+        out.append(None if l is None or p is None
+                   else A.line_locate_point(from_wkb(l), from_wkb(p)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_affine(wkb: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
+              e: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+    out = []
+    for g, *ps in zip(wkb, a, b, d, e, xoff, yoff):
+        if g is None or any(p is None for p in ps):
+            out.append(None)
+        else:
+            out.append(to_wkb(A.affine(from_wkb(g), *(float(p) for p in ps))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_project(pt: pd.Series, dist: pd.Series, az: pd.Series) -> pd.Series:
+    out = []
+    for g, dd, aa in zip(pt, dist, az):
+        if g is None or dd is None or aa is None:
+            out.append(None)
+            continue
+        r = A.project_point(from_wkb(g), float(dd), float(aa))
+        out.append(None if r is None else to_wkb(r))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_collectionextract(wkb: pd.Series, dim: pd.Series) -> pd.Series:
+    out = []
+    for g, t in zip(wkb, dim):
+        if g is None or t is None:
+            out.append(None)
+            continue
+        r = A.collection_extract(from_wkb(g), int(t))
+        out.append(None if r is None else to_wkb(r))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_DBL)
+def st_perimeter(wkb: pd.Series) -> pd.Series:
+    def run(b):
+        if b is None:
+            return None
+        g = from_wkb(b)
+        # perimeter: boundary length of areal geometries, 0 otherwise
+        if g.kind in (WKB_POLYGON, WKB_MULTIPOLYGON):
+            return A.length(g)
+        return 0.0
+    return wkb.map(run)
+
+
 EXT_SQL_FUNCTIONS = {
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeomFromGML": st_geomfromgml,
@@ -1204,4 +1277,11 @@ EXT_SQL_FUNCTIONS = {
     "ST_Dump": st_dump,
     "ST_DumpPoints": st_dumppoints,
     "ST_Angle": st_angle,
+    "ST_LongestLine": st_longestline,
+    "ST_MaxDistance": st_maxdistance,
+    "ST_LineLocatePoint": st_linelocatepoint,
+    "ST_Affine": st_affine,
+    "ST_Project": st_project,
+    "ST_CollectionExtract": st_collectionextract,
+    "ST_Perimeter": st_perimeter,
 }

@@ -1807,3 +1807,86 @@ def min_bounding_circle(geom: Geometry, segs: int = 48) -> Optional[Geometry]:
             for i in range(segs)]
     ring.append(ring[0])
     return Geometry(WKB_POLYGON, [ring], geom.srid)
+
+
+def farthest_points(g1: Geometry, g2: Geometry):
+    """The farthest pair (p_on_g1, p_on_g2).  Distance is convex along a
+    segment, so its maximum over any segment is at an endpoint — the
+    vertex×vertex scan is exact (JTS MaxDistance semantics)."""
+    if g1.is_empty() or g2.is_empty():
+        return None
+    best, bp = -1.0, None
+    for p in _vertices(g1):
+        for q in _vertices(g2):
+            d = _dist_pt_pt(p, q)
+            if d > best:
+                best, bp = d, (p, q)
+    return bp
+
+
+def longest_line(g1: Geometry, g2: Geometry) -> Optional[Geometry]:
+    """2-point LineString between the farthest pair (ST_LongestLine)."""
+    fp = farthest_points(g1, g2)
+    if fp is None:
+        return None
+    return Geometry(WKB_LINESTRING, [fp[0], fp[1]], g1.srid)
+
+
+def max_distance(g1: Geometry, g2: Geometry) -> Optional[float]:
+    fp = farthest_points(g1, g2)
+    return None if fp is None else _dist_pt_pt(fp[0], fp[1])
+
+
+def line_locate_point(line: Geometry, pt: Geometry) -> Optional[float]:
+    """Fraction of ``line``'s length at the point on the line closest to
+    ``pt`` (ST_LineLocatePoint)."""
+    if line.kind != WKB_LINESTRING or len(line.coords) < 2 \
+            or pt.kind != WKB_POINT or pt.coords is None:
+        return None
+    total = length(line)
+    if total <= 0:
+        return 0.0
+    best, best_at, acc = math.inf, 0.0, 0.0
+    for i in range(len(line.coords) - 1):
+        a, b = line.coords[i], line.coords[i + 1]
+        L = math.hypot(b[0] - a[0], b[1] - a[1])
+        q = _proj_pt_seg(pt.coords, a, b)
+        d = _dist_pt_pt(pt.coords, q)
+        if d < best:
+            best = d
+            best_at = acc + math.hypot(q[0] - a[0], q[1] - a[1])
+        acc += L
+    return max(0.0, min(1.0, best_at / total))
+
+
+_EXTRACT_KIND = {1: (WKB_POINT, WKB_MULTIPOINT),
+                 2: (WKB_LINESTRING, WKB_MULTILINESTRING),
+                 3: (WKB_POLYGON, WKB_MULTIPOLYGON)}
+
+
+def collection_extract(geom: Geometry, dim: int) -> Optional[Geometry]:
+    """ST_CollectionExtract: the multi-geometry of all components of the
+    requested dimension class (1 point, 2 line, 3 polygon)."""
+    if dim not in _EXTRACT_KIND:
+        return None
+    base, multi = _EXTRACT_KIND[dim]
+    parts = [g for g in dump_parts(geom) if g.kind == base]
+    return Geometry(multi, [g.coords for g in parts], geom.srid)
+
+
+def affine(geom: Geometry, a: float, b: float, d: float, e: float,
+           xoff: float, yoff: float) -> Geometry:
+    """2-D affine transform (PostGIS ST_Affine):
+    x' = a*x + b*y + xoff;  y' = d*x + e*y + yoff."""
+    return _map_coords(geom, lambda c: (a * c[0] + b * c[1] + xoff,
+                                        d * c[0] + e * c[1] + yoff))
+
+
+def project_point(pt: Geometry, dist: float, azimuth: float) -> Optional[Geometry]:
+    """ST_Project: the point ``dist`` away along ``azimuth`` (radians
+    clockwise from north — planar version)."""
+    if pt.kind != WKB_POINT or pt.coords is None:
+        return None
+    x, y = pt.coords
+    return Geometry(WKB_POINT, (x + dist * math.sin(azimuth),
+                                y + dist * math.cos(azimuth)), pt.srid)

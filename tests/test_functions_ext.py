@@ -392,3 +392,45 @@ def test_mec_property_random_points(spark):
         # upper: MEC radius never exceeds the circumradius bound of the
         # farthest pair by more than the triangle geometry allows
         assert r <= lower * 2 / m.sqrt(3) + 1e-9
+
+
+def test_longest_line_and_max_distance(spark):
+    poly = "ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))')"
+    assert sql1(spark, f"ST_AsText(ST_LongestLine({poly}, ST_Point(5, 1)))") \
+        == "LINESTRING (0 0, 5 1)"
+    md = sql1(spark, "ST_MaxDistance(ST_GeomFromText('LINESTRING(0 0,10 0)'),"
+                     " ST_Point(0, 5))")
+    assert md == pytest.approx((10**2 + 5**2) ** 0.5)
+    # max >= min distance always
+    d = sql1(spark, f"ST_MaxDistance({poly}, ST_Point(5, 1))"
+                    f" - ST_Distance({poly}, ST_Point(5, 1))")
+    assert d > 0
+
+
+def test_line_locate_project_affine(spark):
+    assert sql1(spark, "ST_LineLocatePoint(ST_GeomFromText("
+                       "'LINESTRING(0 0,10 0)'), ST_Point(2.5, 3))") \
+        == pytest.approx(0.25)
+    assert sql1(spark, "ST_AsText(ST_Affine(ST_Point(1, 2), 2,0,0,2, 10,20))") \
+        == "POINT (12 24)"
+    x = sql1(spark, "ST_X(ST_Project(ST_Point(0, 0), 10, pi() / 2))")
+    y = sql1(spark, "ST_Y(ST_Project(ST_Point(0, 0), 10, 0))")
+    assert x == pytest.approx(10.0) and y == pytest.approx(10.0)
+    # locate+interpolate round-trip
+    loc = sql1(spark, "ST_AsText(ST_LineInterpolatePoint(ST_GeomFromText("
+                      "'LINESTRING(0 0,10 0)'), ST_LineLocatePoint("
+                      "ST_GeomFromText('LINESTRING(0 0,10 0)'), "
+                      "ST_Point(7, 4))))")
+    assert loc == "POINT (7 0)"
+
+
+def test_collection_extract_and_perimeter(spark):
+    gc = ("ST_GeomFromText('GEOMETRYCOLLECTION(POINT(1 1), "
+          "LINESTRING(0 0,1 1), POLYGON((0 0,1 0,1 1,0 0)))')")
+    assert sql1(spark, f"ST_AsText(ST_CollectionExtract({gc}, 1))") \
+        == "MULTIPOINT ((1 1))"
+    assert sql1(spark, f"ST_AsText(ST_CollectionExtract({gc}, 3))") \
+        == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"
+    assert sql1(spark, "ST_Perimeter(ST_GeomFromText("
+                       "'POLYGON((0 0,3 0,3 4,0 0))'))") == pytest.approx(12.0)
+    assert sql1(spark, "ST_Perimeter(ST_Point(1, 1))") == 0.0
