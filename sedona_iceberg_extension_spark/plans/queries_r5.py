@@ -671,6 +671,84 @@ ORDER BY d.source
 """
 
 
+# --- spatial_kmeans ---------------------------------------------------------
+
+def q_spatial_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over customer points (K = 4, 2 iterations,
+    deterministic seed = the 4 smallest custkeys' points) — the spatial
+    clustering companion to DBSCAN.  Fully distributed: each iteration is
+    one broadcast of the 4-row centroid table + one window argmin + one
+    mean aggregation — NO driver-side collect anywhere; centroids round to
+    6 dp per iteration so both engines assign from identical values
+    (coordinates are integers, so rounded-boundary ties are broken by the
+    shared (distance, cell) ordering)."""
+    from pyspark.sql.window import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select("c_custkey",
+                      (F.col("c_custkey") % 360 - 180).cast("double").alias("x"),
+                      ((F.col("c_custkey") * 7) % 180 - 90).cast("double").alias("y"))
+    cents = (pts.orderBy("c_custkey").limit(4)
+             .select((F.row_number().over(W.orderBy("c_custkey")) - 1)
+                     .alias("cell"),
+                     F.col("x").alias("cx"), F.col("y").alias("cy")))
+
+    def assign(c):
+        j = pts.crossJoin(F.broadcast(c))
+        d2 = ((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+              + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")))
+        w = W.partitionBy("c_custkey").orderBy(d2.asc(), F.col("cell").asc())
+        return (j.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("c_custkey", "x", "y", "cell"))
+
+    for _ in range(2):
+        cents = (assign(cents).groupBy("cell")
+                 .agg(F.round(F.avg("x"), 6).alias("cx"),
+                      F.round(F.avg("y"), 6).alias("cy")))
+    return (assign(cents).groupBy(F.col("cell").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.round(F.avg("x"), 6).alias("cx"),
+                 F.round(F.avg("y"), 6).alias("cy"))
+            .orderBy("cluster"))
+
+
+def _kmeans_sql() -> str:
+    assign = """
+  SELECT custkey, x, y, cell FROM (
+    SELECT p.custkey, p.x, p.y, c.cell,
+           row_number() OVER (PARTITION BY p.custkey
+             ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                    + (p.y - c.cy) * (p.y - c.cy), c.cell) AS rn
+    FROM pts p, {cents} c) t
+  WHERE rn = 1"""
+    step = """
+  SELECT cell, ROUND(AVG(x), 6) AS cx, ROUND(AVG(y), 6) AS cy
+  FROM {assigned} GROUP BY cell"""
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS custkey,
+         CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+         CAST((c_custkey * 7) % 180 - 90 AS DOUBLE) AS y
+  FROM customer
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY custkey) - 1 AS INT) AS cell,
+         x AS cx, y AS cy
+  FROM (SELECT * FROM pts ORDER BY custkey LIMIT 4)
+), a0 AS ({assign.format(cents="c0")}
+), c1 AS ({step.format(assigned="a0")}
+), a1 AS ({assign.format(cents="c1")}
+), c2 AS ({step.format(assigned="a1")}
+), a2 AS ({assign.format(cents="c2")}
+)
+SELECT cell AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(x), 6) AS cx, ROUND(AVG(y), 6) AS cy
+FROM a2
+GROUP BY cell
+ORDER BY cluster
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -688,4 +766,5 @@ R5_QUERIES = {
     "brand_graph_triangles": (q_brand_graph_triangles, _QTRI_SQL, False),
     "near_dup_rate_by_source": (q_near_dup_rate_by_source,
                                 _near_dup_rate_sql(), False),
+    "spatial_kmeans": (q_spatial_kmeans, _kmeans_sql(), False),
 }
