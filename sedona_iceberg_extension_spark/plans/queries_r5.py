@@ -1,28 +1,34 @@
-"""Round-5 pipeline-operator inventory — substring-level dedup, embedding
-classification/QA, corpus statistics, and a streaming ingest gate.  Each
-declared query has an exact DuckDB oracle (FIXTURES.md conventions: total
-ORDER BY, ROUND on float outputs, identical aliases both sides, BIGINT
-casts).
+"""Round-5 operator inventory — substring-level dedup, embedding
+classification/QA, corpus statistics, streaming gates, CDC storage dedup,
+graph/cluster analytics.  Each declared query has an exact DuckDB oracle
+(FIXTURES.md conventions: total ORDER BY, ROUND on float outputs,
+identical aliases both sides, BIGINT casts).
 
-- substring_dup_windows    — per-doc fraction of 5-token windows shared
-                             with another doc (Lee et al. 2022 exact-
-                             substring memorization signal)
-- knn_label_classify       — 5-NN majority-vote label prediction over the
-                             embedding space (corpus label-quality check)
-- embedding_label_outliers — per-label centroid-distance outliers
-                             (mislabeled-example detector)
-- corpus_zipf_slope        — least-squares Zipf slope of the vocabulary
-                             (corpus-health gauge)
-- streaming_ingest_gate    — stream-static ANTI join: streamed batch kept
-                             only where its content hash is absent from
-                             the static corpus (exactly-once ingest gate,
-                             run as a real availableNow stream)
+- substring_dup_windows      — per-doc fraction of 5-token windows shared
+                               with another doc (Lee et al. 2022 exact-
+                               substring memorization signal)
+- knn_label_classify         — 5-NN majority-vote label prediction
+- embedding_label_outliers   — per-label centroid-distance outliers
+- corpus_zipf_slope          — least-squares Zipf slope of the vocabulary
+- streaming_ingest_gate      — stream-static content-hash ANTI join as a
+                               real availableNow stream
+- spatial_affine_ops         — ST_Translate/Rotate/Scale/Angle end-to-end
+- cdc_dedup_by_source        — content-defined-chunking storage dedup
+- customer_cohort_retention  — first-order-month cohort matrix
+- part_basket_lift           — market-basket brand-pair lift
+- events_ewma                — trailing EWMA window operator
+- bloom_ingest_gate          — deterministic Bloom membership pre-filter
+- streaming_window_top_event — complete-mode windowed top-k stream
+- brand_graph_triangles      — distributed triangle counting
+- near_dup_rate_by_source    — LSH near-dup rate per source feed
+- spatial_kmeans             — distributed Lloyd k-means, no collects
 
-Scale notes: substring windows are one uniform-key groupBy + co-partitioned
-join (never pairwise); both embedding queries broadcast the small side
-(queries / centroid table) and keep scoring in whole-stage codegen; the
-Zipf fit aggregates four sums over a truncated top-k; the streaming gate is
-a map-side stream-static anti join — no state store growth.
+Scale notes: substring windows are one uniform-key groupBy +
+co-partitioned join (never pairwise); embedding queries broadcast the
+small side and keep scoring in whole-stage codegen; basket/triangle pair
+spaces generate order-locally or over the derived edge table, never a
+fact self-join; the Bloom filter shuffles ≤ m_words rows; k-means keeps
+centroids as broadcastable DataFrames end to end.
 """
 
 from __future__ import annotations
