@@ -755,6 +755,147 @@ ORDER BY cluster
 """
 
 
+# --- events_autocorrelation -------------------------------------------------
+
+def q_events_autocorrelation(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of the hourly event-count series per
+    event type — the seasonality probe a metrics pipeline runs before
+    choosing a forecast model.  One rollup shuffle builds the series; the
+    lags are window ``lead`` columns over it (no self-join); the Pearson
+    terms are exact BIGINT sums, so the correlation is bit-reproducible."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = series.select(
+        "event_type", "n",
+        *[F.lead("n", k).over(w).alias(f"n{k}") for k in (1, 2, 3)])
+    outs = []
+    for k in (1, 2, 3):
+        pair = lagged.filter(F.col(f"n{k}").isNotNull())
+        agg = pair.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("m"),
+            F.sum("n").cast("double").alias("sx"),
+            F.sum(f"n{k}").cast("double").alias("sy"),
+            F.sum(F.col("n") * F.col(f"n{k}")).cast("double").alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
+            F.sum(F.col(f"n{k}") * F.col(f"n{k}")).cast("double").alias("syy"))
+        r = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                      * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))))
+        outs.append(agg.select("event_type", F.lit(k).alias("lag"),
+                               F.round(r, 6).alias("autocorr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("event_type", "lag")
+
+
+def _autocorr_sql() -> str:
+    lags = []
+    for k in (1, 2, 3):
+        lags.append(f"""
+  SELECT event_type, {k} AS lag,
+         ROUND((m * sxy - sx * sy)
+               / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+           AS autocorr
+  FROM (
+    SELECT event_type, COUNT(*)::DOUBLE AS m, SUM(n)::DOUBLE AS sx,
+           SUM(n{k})::DOUBLE AS sy, SUM(n * n{k})::DOUBLE AS sxy,
+           SUM(n * n)::DOUBLE AS sxx, SUM(n{k} * n{k})::DOUBLE AS syy
+    FROM lagged WHERE n{k} IS NOT NULL GROUP BY event_type) t""")
+    return f"""
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, n,
+         lead(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS n1,
+         lead(n, 2) OVER (PARTITION BY event_type ORDER BY h) AS n2,
+         lead(n, 3) OVER (PARTITION BY event_type ORDER BY h) AS n3
+  FROM series
+)
+{" UNION ALL ".join(lags)}
+ORDER BY event_type, lag
+"""
+
+
+# --- weighted_sample_docs ---------------------------------------------------
+
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each doc draws u from the portable hash (so both
+    engines draw the SAME u) and keeps key u^(1/w) with w = doc length;
+    the global top-100 keys are the sample.  The length-biased sample a
+    curation pipeline takes when longer documents deserve proportionally
+    more slots — reproducible across engines, runs, and retries.
+
+    Scale shape: one narrow projection + a global top-k (TakeOrdered — no
+    full sort of the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (text.portable_hash64(F.col("text"), "wsample") + 1).cast("double") \
+        / F.lit(float(1 << 60))
+    w = F.length("text").cast("double")
+    key = F.pow(u, 1.0 / w)
+    return (docs.select("doc_id", F.round(key, 9).alias("sample_key"))
+            .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+            .limit(100))
+
+
+_QWSAMPLE_SQL = """
+SELECT doc_id,
+       ROUND(pow((('0x' || substr(md5(text || '#wsample'), 1, 15))::BIGINT + 1)
+                 / CAST(1152921504606846976 AS DOUBLE),
+                 1.0 / len(text)), 9) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+"""
+
+
+# --- lsh_edit_distance_verify -----------------------------------------------
+
+def q_lsh_edit_distance_verify(spark, sf_dir):
+    """Second exact verifier for LSH candidates: Levenshtein edit distance
+    (native in BOTH engines) over every MinHash candidate pair, with a
+    relative-distance score — the character-level complement to the
+    token-level Jaccard verifier.  The candidate join fetches each side's
+    text by id (two hash joins on the doc key); the quadratic-in-length
+    edit-distance work happens only on the candidate set, never the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_hashes=8, bands=4,
+                                    max_bucket=_LSH_MAX_BUCKET)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("_ta", "_tb").alias("edit_dist"),
+                    F.round(F.levenshtein("_ta", "_tb").cast("double")
+                            / F.greatest(F.length("_ta"), F.length("_tb")), 6)
+                    .alias("rel_dist"))
+            .orderBy("id_a", "id_b"))
+
+
+def _edit_verify_sql() -> str:
+    from .sql_shared import lsh_pairs_cte, mh_sig_cte
+    return mh_sig_cte("") + lsh_pairs_cte() + """
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+       ROUND(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+             / greatest(len(a.text), len(b.text)), 6) AS rel_dist
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -773,4 +914,8 @@ R5_QUERIES = {
     "near_dup_rate_by_source": (q_near_dup_rate_by_source,
                                 _near_dup_rate_sql(), False),
     "spatial_kmeans": (q_spatial_kmeans, _kmeans_sql(), False),
+    "events_autocorrelation": (q_events_autocorrelation, _autocorr_sql(), False),
+    "weighted_sample_docs": (q_weighted_sample_docs, _QWSAMPLE_SQL, False),
+    "lsh_edit_distance_verify": (q_lsh_edit_distance_verify,
+                                 _edit_verify_sql(), False),
 }

@@ -56,7 +56,8 @@ _NATIVE_QUERIES = [
     "customer_cohort_retention", "part_basket_lift",
     "embedding_label_outliers", "corpus_zipf_slope", "events_ewma",
     "bloom_ingest_gate", "brand_graph_triangles", "near_dup_rate_by_source",
-    "spatial_kmeans",
+    "spatial_kmeans", "events_autocorrelation", "weighted_sample_docs",
+    "lsh_edit_distance_verify",
 ]
 
 
