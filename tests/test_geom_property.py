@@ -312,3 +312,67 @@ def test_buffer_totality(g, d):
     from sedona_iceberg_extension_spark.geom import algos
     out = algos.buffer(g, d)
     assert isinstance(out, Geometry)
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms, st.floats(-1e3, 1e3), st.floats(-1e3, 1e3))
+def test_translate_roundtrip_and_invariants(g, dx, dy):
+    from sedona_iceberg_extension_spark.geom import algos as A
+    t = A.translate(g, dx, dy)
+    back = A.translate(t, -dx, -dy)
+    for a, b in zip(A._vertices(g), A._vertices(back)):
+        assert math.isclose(a[0], b[0], abs_tol=1e-6)
+        assert math.isclose(a[1], b[1], abs_tol=1e-6)
+    # translation preserves length and area (tolerance scaled: shoelace
+    # cancellation at 1e6-magnitude coordinates costs ~1e-9 relative)
+    assert math.isclose(A.length(g), A.length(t), rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(A.area(g), A.area(t), rel_tol=1e-6, abs_tol=1e-5)
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms, st.floats(-math.pi, math.pi))
+def test_rotate_preserves_metrics(g, theta):
+    from sedona_iceberg_extension_spark.geom import algos as A
+    r = A.rotate(g, theta)
+    assert math.isclose(A.length(g), A.length(r), rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(A.area(g), A.area(r), rel_tol=1e-6, abs_tol=1e-5)
+    # distance of every vertex to the origin is invariant
+    for a, b in zip(A._vertices(g), A._vertices(r)):
+        assert math.isclose(math.hypot(*a), math.hypot(*b),
+                            rel_tol=1e-9, abs_tol=1e-6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms, geoms)
+def test_nearest_points_agree_with_distance(g1, g2):
+    from sedona_iceberg_extension_spark.geom import algos as A
+    np_ = A.nearest_points(g1, g2)
+    d = A.distance(g1, g2)
+    if np_ is None or d is None:
+        return
+    got = math.hypot(np_[0][0] - np_[1][0], np_[0][1] - np_[1][1])
+    assert math.isclose(got, d, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(geoms)
+def test_mec_contains_all_vertices(g):
+    from sedona_iceberg_extension_spark.geom import algos as A
+    c = A.min_bounding_radius(g)
+    if c is None:
+        return
+    (cx, cy), r = c
+    scale = max(1.0, abs(cx), abs(cy), r)
+    for v in A._vertices(g):
+        assert math.hypot(v[0] - cx, v[1] - cy) <= r + 1e-9 * scale
+
+
+@settings(max_examples=100, deadline=None)
+@given(geoms)
+def test_dump_parts_reassemble(g):
+    from sedona_iceberg_extension_spark.geom import algos as A
+    parts = A.dump_parts(g)
+    # every part is simple-kinded and their vertex multiset matches
+    assert all(p.kind in (1, 2, 3) for p in parts)
+    vs = sorted(v for p in parts for v in A._vertices(p))
+    assert vs == sorted(A._vertices(g))
