@@ -896,6 +896,65 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+# --- grouping_sets_revenue --------------------------------------------------
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form of ROLLUP/CUBE (both
+    already declared): revenue by (returnflag, linestatus), by returnflag
+    alone, and the grand total, tagged with grouping_id.  Exact
+    integer-cents sums; Spark expands the sets into ONE Expand + hash
+    aggregate — a single scan, not three."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_r5_lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS revenue_cents
+        FROM _r5_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")
+
+
+_QGSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+# --- unpivot_part_metrics ---------------------------------------------------
+
+def q_unpivot_part_metrics(spark, sf_dir):
+    """UNPIVOT (wide→tall) — the inverse of the declared pivot query:
+    per-part numeric metrics stacked into (p_partkey, metric, value)
+    rows.  Native ``stack`` generator, one narrow pass."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (part.select(
+        "p_partkey",
+        F.expr("stack(2, 'size', CAST(p_size AS DOUBLE), "
+               "'retailprice', CAST(p_retailprice AS DOUBLE)) "
+               "AS (metric, value)"))
+        .withColumn("value", F.round("value", 2))
+        .orderBy("p_partkey", "metric"))
+
+
+_QUNPIVOT_SQL = """
+SELECT p_partkey, metric, ROUND(value, 2) AS value
+FROM (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+  FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE)
+  FROM part WHERE p_partkey <= 200) u
+ORDER BY p_partkey, metric
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -918,4 +977,6 @@ R5_QUERIES = {
     "weighted_sample_docs": (q_weighted_sample_docs, _QWSAMPLE_SQL, False),
     "lsh_edit_distance_verify": (q_lsh_edit_distance_verify,
                                  _edit_verify_sql(), False),
+    "grouping_sets_revenue": (q_grouping_sets_revenue, _QGSETS_SQL, False),
+    "unpivot_part_metrics": (q_unpivot_part_metrics, _QUNPIVOT_SQL, False),
 }

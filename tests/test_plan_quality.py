@@ -57,7 +57,7 @@ _NATIVE_QUERIES = [
     "embedding_label_outliers", "corpus_zipf_slope", "events_ewma",
     "bloom_ingest_gate", "brand_graph_triangles", "near_dup_rate_by_source",
     "spatial_kmeans", "events_autocorrelation", "weighted_sample_docs",
-    "lsh_edit_distance_verify",
+    "lsh_edit_distance_verify", "grouping_sets_revenue", "unpivot_part_metrics",
 ]
 
 
