@@ -195,3 +195,13 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["knn_label_classify",
+                                  "embedding_label_outliers",
+                                  "part_basket_lift", "spatial_kmeans"])
+def test_small_side_broadcast(spark, sf_dir, name):
+    """Queries whose design broadcasts the small side (query vectors,
+    centroid tables, marginals) must actually plan a BroadcastExchange."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastExchange" in plan, f"{name}: no broadcast planned"
