@@ -122,3 +122,79 @@ def bloom_probe(filter_words, probe_df, id_col: str, text_col: str,
     return (joined.groupBy(id_col)
             .agg((F.sum(F.when(hit, 1).otherwise(0)) == k)
                  .alias("maybe_present")))
+
+
+def hll_registers_grouped(df: DataFrame, group_cols, key_col: str,
+                          p: int = 10) -> DataFrame:
+    """(group..., register, max_rank) — one HLL sketch PER GROUP, the shape
+    a 100 TB rollup actually materializes (per-day / per-source sketches,
+    merged later by register-wise max instead of rescanning)."""
+    m = 1 << p
+    bits = 60 - p
+    h = portable_hash64(F.col(key_col).cast("string"), "hll")
+    reg = F.pmod(h, F.lit(m)).alias("register")
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(bits) - F.floor(F.log2(w))) \
+           .otherwise(F.lit(bits + 1)).cast("long")
+    return (df.select(*group_cols, reg, rho.alias("_rho"))
+            .groupBy(*group_cols, "register")
+            .agg(F.max("_rho").alias("max_rank")))
+
+
+def hll_estimate_grouped(df: DataFrame, group_cols, key_col: str,
+                         p: int = 10) -> DataFrame:
+    """(group..., n_registers, estimate) — per-group cardinality estimates
+    from the grouped registers (bias-corrected harmonic mean + the
+    small-range linear-counting correction, per group)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    regs = hll_registers_grouped(df, group_cols, key_col, p)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("_s"))
+    raw = (F.lit(alpha * m * m)
+           / ((F.lit(float(m)) - F.col("n_registers")) + F.col("_s")))
+    zeros = F.lit(float(m)) - F.col("n_registers")
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
+           .otherwise(raw)
+    return agg.select(*group_cols, "n_registers",
+                      est.alias("estimate"))
+
+
+def hll_set_estimates(df_a: DataFrame, df_b: DataFrame, key_col: str,
+                      p: int = 10) -> DataFrame:
+    """Approximate set algebra from two HLL sketches WITHOUT rescanning
+    either input: |A|, |B|, |A ∪ B| (register-wise max merge — the HLL
+    union is exact over sketches), and |A ∩ B| by inclusion–exclusion.
+    One row: (est_a, est_b, est_union, est_intersection).  This is the
+    sketch-merge pattern that lets a 100 TB pipeline answer overlap
+    questions from per-partition summaries."""
+    def agg_of(regs):
+        m = 1 << p
+        alpha = 0.7213 / (1 + 1.079 / m)
+        a = regs.agg(
+            F.count(F.lit(1)).cast("double").alias("nr"),
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("s"))
+        raw = (F.lit(alpha * m * m)
+               / ((F.lit(float(m)) - F.col("nr")) + F.col("s")))
+        zeros = F.lit(float(m)) - F.col("nr")
+        return a.select(
+            F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                   F.lit(float(m)) * F.log(F.lit(float(m)) / zeros))
+            .otherwise(raw).alias("est"))
+
+    ra = hll_registers(df_a, key_col, p)
+    rb = hll_registers(df_b, key_col, p)
+    merged = (ra.unionAll(rb).groupBy("register")
+              .agg(F.max("max_rank").alias("max_rank")))
+    ea = agg_of(ra).select(F.col("est").alias("est_a"))
+    eb = agg_of(rb).select(F.col("est").alias("est_b"))
+    eu = agg_of(merged).select(F.col("est").alias("est_union"))
+    return (ea.crossJoin(eb).crossJoin(eu)
+            .select(F.round("est_a", 6).alias("est_a"),
+                    F.round("est_b", 6).alias("est_b"),
+                    F.round("est_union", 6).alias("est_union"),
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 6)
+                    .alias("est_intersection")))

@@ -955,6 +955,110 @@ ORDER BY p_partkey, metric
 """
 
 
+# --- grouped HLL + HLL set algebra ------------------------------------------
+
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / 1024) * 1024 * 1024
+
+_HLL_REG_SQL = """
+  SELECT {extra} h % 1024 AS register,
+         MAX(CASE WHEN h // 1024 > 0
+                  THEN 50 - CAST(floor(log2(h // 1024)) AS BIGINT)
+                  ELSE 51 END) AS max_rank
+  FROM {src} GROUP BY {extra} h % 1024"""
+
+_HLL_EST_SQL = ("CASE WHEN {am2!r} / ((1024.0 - nr) + s) <= 2560.0"
+                " AND (1024.0 - nr) > 0"
+                " THEN 1024.0 * ln(1024.0 / (1024.0 - nr))"
+                " ELSE {am2!r} / ((1024.0 - nr) + s) END")
+
+
+def q_hll_users_by_type(spark, sf_dir):
+    """Per-event-type distinct-user HLL estimates — the grouped-sketch
+    rollup a 100 TB pipeline materializes instead of rescanning
+    (pipeline.sketch.hll_estimate_grouped).  The approximate estimate
+    itself is value-checked; the exact count rides along for accuracy."""
+    from ..pipeline import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    est = sketch.hll_estimate_grouped(ev, ["event_type"], "user_id", p=10)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_registers",
+                    F.round("estimate", 6).alias("estimate"), "n_exact")
+            .orderBy("event_type"))
+
+
+_QHLLG_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'), 1, 15))
+           ::BIGINT AS h
+  FROM events
+), rr AS ({_HLL_REG_SQL.format(src="h", extra="event_type,")}
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         COUNT(*)::DOUBLE AS nr, SUM(POW(2.0, -max_rank)) AS s
+  FROM rr GROUP BY event_type
+)
+SELECT a.event_type, a.n_registers,
+       ROUND({_HLL_EST_SQL.format(am2=_HLL_ALPHA_M2)}, 6) AS estimate,
+       e.n_exact
+FROM agg a
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type) e USING (event_type)
+ORDER BY a.event_type
+"""
+
+
+def q_hll_click_view_overlap(spark, sf_dir):
+    """HLL set algebra from SKETCHES, not rescans: clicker and viewer
+    audiences, their union by register-wise max merge (exact over
+    sketches), and the intersection by inclusion–exclusion
+    (pipeline.sketch.hll_set_estimates) — the audience-overlap question
+    answered from mergeable per-partition summaries."""
+    from ..pipeline import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return sketch.hll_set_estimates(clicks, views, "user_id", p=10)
+
+
+_QHLLSET_SQL = f"""
+WITH ha AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'), 1, 15))
+           ::BIGINT AS h
+  FROM events WHERE event_type = 'click'
+), hb AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#hll'), 1, 15))
+           ::BIGINT AS h
+  FROM events WHERE event_type = 'view'
+), ra AS ({_HLL_REG_SQL.format(src="ha", extra="")}
+), rb AS ({_HLL_REG_SQL.format(src="hb", extra="")}
+), rm AS (
+  SELECT register, MAX(max_rank) AS max_rank
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) u
+  GROUP BY register
+), ests AS (
+  SELECT
+    (SELECT {_HLL_EST_SQL.format(am2=_HLL_ALPHA_M2)} FROM
+      (SELECT COUNT(*)::DOUBLE AS nr, SUM(POW(2.0, -max_rank)) AS s FROM ra) t
+    ) AS est_a,
+    (SELECT {_HLL_EST_SQL.format(am2=_HLL_ALPHA_M2)} FROM
+      (SELECT COUNT(*)::DOUBLE AS nr, SUM(POW(2.0, -max_rank)) AS s FROM rb) t
+    ) AS est_b,
+    (SELECT {_HLL_EST_SQL.format(am2=_HLL_ALPHA_M2)} FROM
+      (SELECT COUNT(*)::DOUBLE AS nr, SUM(POW(2.0, -max_rank)) AS s FROM rm) t
+    ) AS est_union
+)
+SELECT ROUND(est_a, 6) AS est_a, ROUND(est_b, 6) AS est_b,
+       ROUND(est_union, 6) AS est_union,
+       ROUND(est_a + est_b - est_union, 6) AS est_intersection
+FROM ests
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -979,4 +1083,6 @@ R5_QUERIES = {
                                  _edit_verify_sql(), False),
     "grouping_sets_revenue": (q_grouping_sets_revenue, _QGSETS_SQL, False),
     "unpivot_part_metrics": (q_unpivot_part_metrics, _QUNPIVOT_SQL, False),
+    "hll_users_by_type": (q_hll_users_by_type, _QHLLG_SQL, False),
+    "hll_click_view_overlap": (q_hll_click_view_overlap, _QHLLSET_SQL, False),
 }
