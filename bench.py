@@ -111,6 +111,18 @@ def main():
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+    # prime the OS page cache for the testdata (~20 MB) so run 1 isn't an
+    # outlier that drags the median: a long-running cluster's data is
+    # buffer-cached; cold-disk I/O is not what this suite measures
+    try:
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet"):
+                with open(os.path.join(sf_dir, name), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+    except Exception:
+        pass
+
     # every run is a fresh, symmetric subprocess JVM — the parent never
     # builds a SparkSession, so no idle 8 GB JVM skews the later runs
     cold_runs, warm = [], None

@@ -324,9 +324,12 @@ def test_translate_roundtrip_and_invariants(g, dx, dy):
         assert math.isclose(a[0], b[0], abs_tol=1e-6)
         assert math.isclose(a[1], b[1], abs_tol=1e-6)
     # translation preserves length and area (tolerance scaled: shoelace
-    # cancellation at 1e6-magnitude coordinates costs ~1e-9 relative)
-    assert math.isclose(A.length(g), A.length(t), rel_tol=1e-6, abs_tol=1e-6)
-    assert math.isclose(A.area(g), A.area(t), rel_tol=1e-6, abs_tol=1e-5)
+    # cancellation follows |coord|^2 * eps, not the result magnitude)
+    cmax = max([1.0] + [max(abs(v[0]), abs(v[1])) for v in A._vertices(t)])
+    tol = 64 * 2.3e-16 * cmax * cmax + 1e-9
+    assert math.isclose(A.length(g), A.length(t), rel_tol=1e-6,
+                        abs_tol=64 * 2.3e-16 * cmax + 1e-9)
+    assert abs(A.area(g) - A.area(t)) <= max(tol, 1e-6 * A.area(g))
 
 
 @settings(max_examples=150, deadline=None)
@@ -334,8 +337,13 @@ def test_translate_roundtrip_and_invariants(g, dx, dy):
 def test_rotate_preserves_metrics(g, theta):
     from sedona_iceberg_extension_spark.geom import algos as A
     r = A.rotate(g, theta)
-    assert math.isclose(A.length(g), A.length(r), rel_tol=1e-6, abs_tol=1e-6)
-    assert math.isclose(A.area(g), A.area(r), rel_tol=1e-6, abs_tol=1e-5)
+    # shoelace/hypot cancellation scales with |coord|^2 * eps — tolerance
+    # must follow the coordinate magnitude, not the result magnitude
+    cmax = max([1.0] + [max(abs(v[0]), abs(v[1])) for v in A._vertices(g)])
+    tol = 64 * 2.3e-16 * cmax * cmax + 1e-9
+    assert math.isclose(A.length(g), A.length(r), rel_tol=1e-6,
+                        abs_tol=64 * 2.3e-16 * cmax + 1e-9)
+    assert abs(A.area(g) - A.area(r)) <= max(tol, 1e-6 * A.area(g))
     # distance of every vertex to the origin is invariant
     for a, b in zip(A._vertices(g), A._vertices(r)):
         assert math.isclose(math.hypot(*a), math.hypot(*b),
