@@ -1251,6 +1251,15 @@ def st_perimeter(wkb: pd.Series) -> pd.Series:
     return wkb.map(run)
 
 
+@pandas_udf(_BIN)
+def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
+    out = []
+    for b, ml in zip(wkb, max_len):
+        out.append(None if b is None or ml is None
+                   else to_wkb(A.segmentize(from_wkb(b), float(ml))))
+    return pd.Series(out, dtype=object)
+
+
 EXT_SQL_FUNCTIONS = {
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeomFromGML": st_geomfromgml,
@@ -1284,4 +1293,5 @@ EXT_SQL_FUNCTIONS = {
     "ST_Project": st_project,
     "ST_CollectionExtract": st_collectionextract,
     "ST_Perimeter": st_perimeter,
+    "ST_Segmentize": st_segmentize,
 }

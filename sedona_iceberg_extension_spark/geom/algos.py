@@ -1890,3 +1890,40 @@ def project_point(pt: Geometry, dist: float, azimuth: float) -> Optional[Geometr
     x, y = pt.coords
     return Geometry(WKB_POINT, (x + dist * math.sin(azimuth),
                                 y + dist * math.cos(azimuth)), pt.srid)
+
+
+def segmentize(geom: Geometry, max_len: float) -> Geometry:
+    """ST_Segmentize: insert vertices so no segment exceeds ``max_len``
+    (points and degenerate inputs pass through)."""
+    if max_len <= 0:
+        return geom
+
+    def densify(ring):
+        out = []
+        for i in range(len(ring) - 1):
+            a, b = ring[i], ring[i + 1]
+            seg = _dist_pt_pt(a, b)
+            n = max(1, math.ceil(seg / max_len - 1e-12))
+            out.append(a)
+            for j in range(1, n):
+                t = j / n
+                out.append((a[0] + (b[0] - a[0]) * t,
+                            a[1] + (b[1] - a[1]) * t))
+        out.append(ring[-1])
+        return out
+
+    k = geom.kind
+    if k == WKB_LINESTRING:
+        return Geometry(k, densify(geom.coords), geom.srid) \
+            if len(geom.coords) >= 2 else geom
+    if k == WKB_POLYGON:
+        return Geometry(k, [densify(r) for r in geom.coords], geom.srid)
+    if k == WKB_MULTILINESTRING:
+        return Geometry(k, [densify(l) for l in geom.coords], geom.srid)
+    if k == WKB_MULTIPOLYGON:
+        return Geometry(k, [[densify(r) for r in p] for p in geom.coords],
+                        geom.srid)
+    if k == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection([segmentize(g, max_len)
+                                    for g in geom.coords], geom.srid)
+    return geom

@@ -1059,6 +1059,28 @@ FROM ests
 """
 
 
+# --- doc_hash_sample --------------------------------------------------------
+
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample (pipeline.sample.hash_sample):
+    shuffle-free, retry-stable, identical across engines — the sampling a
+    100 TB pipeline uses where ``rand()`` would break retries and audits."""
+    from ..pipeline.sample import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (hash_sample(docs, "doc_id", pct=10, seed="samp")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+_QHSAMPLE_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#samp'), 1, 15))
+        ::BIGINT % 100 < 10
+ORDER BY doc_id
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1085,4 +1107,5 @@ R5_QUERIES = {
     "unpivot_part_metrics": (q_unpivot_part_metrics, _QUNPIVOT_SQL, False),
     "hll_users_by_type": (q_hll_users_by_type, _QHLLG_SQL, False),
     "hll_click_view_overlap": (q_hll_click_view_overlap, _QHLLSET_SQL, False),
+    "doc_hash_sample": (q_doc_hash_sample, _QHSAMPLE_SQL, False),
 }

@@ -434,3 +434,21 @@ def test_collection_extract_and_perimeter(spark):
     assert sql1(spark, "ST_Perimeter(ST_GeomFromText("
                        "'POLYGON((0 0,3 0,3 4,0 0))'))") == pytest.approx(12.0)
     assert sql1(spark, "ST_Perimeter(ST_Point(1, 1))") == 0.0
+
+
+def test_segmentize(spark):
+    assert sql1(spark, "ST_AsText(ST_Segmentize(ST_GeomFromText("
+                       "'LINESTRING(0 0, 4 0)'), 2))") \
+        == "LINESTRING (0 0, 2 0, 4 0)"
+    # no segment exceeds max_len; length preserved
+    n = sql1(spark, "ST_NPoints(ST_Segmentize(ST_GeomFromText("
+                    "'LINESTRING(0 0, 10 0)'), 3))")
+    assert n == 5
+    L = sql1(spark, "ST_Length(ST_Segmentize(ST_GeomFromText("
+                    "'POLYGON((0 0,9 0,9 9,0 9,0 0))'), 2.5))"
+                    " - ST_Length(ST_GeomFromText("
+                    "'POLYGON((0 0,9 0,9 9,0 9,0 0))'))")
+    assert abs(L) < 1e-9
+    # points pass through
+    assert sql1(spark, "ST_AsText(ST_Segmentize(ST_Point(1, 2), 1))") \
+        == "POINT (1 2)"
