@@ -1081,6 +1081,52 @@ ORDER BY doc_id
 """
 
 
+# --- streaming_burst_detect -------------------------------------------------
+
+def q_streaming_burst_detect(spark, sf_dir):
+    """SLIDING-window streaming aggregation (10-minute windows, 5-minute
+    slide): users with ≥ 2 events inside any window — the burst/abuse
+    detector shape.  Run as a REAL availableNow stream (complete mode);
+    each event lands in exactly two windows, and after the final trigger
+    the sink equals the batch sliding aggregation the oracle rebuilds by
+    unioning the two window alignments."""
+    import tempfile
+
+    from ..sources import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                      "user_id").count())
+    name = "q_stream_burst_sink"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"""
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm') AS window_start,
+               user_id, CAST(count AS BIGINT) AS n_events
+        FROM {name}
+        WHERE count >= 2
+        ORDER BY window_start, user_id""")
+
+
+_QSTREAM_BURST_SQL = """
+WITH wins AS (
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS ws, user_id FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 5 MINUTES, ts) - INTERVAL 5 MINUTES, user_id
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM wins
+GROUP BY ws, user_id
+HAVING COUNT(*) >= 2
+ORDER BY window_start, user_id
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1108,4 +1154,6 @@ R5_QUERIES = {
     "hll_users_by_type": (q_hll_users_by_type, _QHLLG_SQL, False),
     "hll_click_view_overlap": (q_hll_click_view_overlap, _QHLLSET_SQL, False),
     "doc_hash_sample": (q_doc_hash_sample, _QHSAMPLE_SQL, False),
+    "streaming_burst_detect": (q_streaming_burst_detect,
+                               _QSTREAM_BURST_SQL, False),
 }
