@@ -370,3 +370,29 @@ def test_partition_evolution_bucket_and_ddl_spelling(spark, tmp_path,
         assert bucket_of_3 >= 1
     finally:
         ddl._catalog(spark).pop(name, None)
+
+
+def test_changes_changelog_between_snapshots(spark, tmp_path):
+    """CDC changelog: appends show as inserts; a CoW UPDATE shows as its
+    delete + insert pair; shared files are never read (file-granular)."""
+    from pyspark.sql import functions as F
+
+    from sedona_iceberg_extension_spark.operators.snapshots import SnapshotTable
+
+    df0 = spark.range(5).select("id", F.lit("a").alias("v"))
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df0)
+    v1 = t.versions()[-1]
+    t.append(spark, spark.range(5, 8).select("id", F.lit("b").alias("v")))
+    t.update_where(spark, {"v": F.lit("z")}, F.col("id") == 1)
+    ch = t.changes(spark, v1).collect()
+    ins = {(r["id"], r["v"]) for r in ch if r["_change_type"] == "insert"}
+    dels = {(r["id"], r["v"]) for r in ch if r["_change_type"] == "delete"}
+    assert {(5, "b"), (6, "b"), (7, "b"), (1, "z")} <= ins
+    assert (1, "a") in dels
+    # rows untouched by the update that lived in the rewritten file appear
+    # on neither side (exceptAll cancels them); rows in untouched files
+    # are never read at all
+    assert (0, "a") not in ins and (0, "a") not in dels
+    # self-diff is empty
+    v_now = t.versions()[-1]
+    assert t.changes(spark, v_now, v_now).count() == 0
