@@ -1260,6 +1260,17 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+st_pointonsurface = _geom1(A.point_on_surface)
+
+
+@pandas_udf("boolean")
+def st_iscollection(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None else
+                   from_wkb(b).kind in (WKB_MULTIPOINT, WKB_MULTILINESTRING,
+                                        WKB_MULTIPOLYGON,
+                                        WKB_GEOMETRYCOLLECTION))
+
+
 EXT_SQL_FUNCTIONS = {
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeomFromGML": st_geomfromgml,
@@ -1294,4 +1305,6 @@ EXT_SQL_FUNCTIONS = {
     "ST_CollectionExtract": st_collectionextract,
     "ST_Perimeter": st_perimeter,
     "ST_Segmentize": st_segmentize,
+    "ST_PointOnSurface": st_pointonsurface,
+    "ST_IsCollection": st_iscollection,
 }

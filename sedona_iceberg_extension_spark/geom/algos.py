@@ -1927,3 +1927,39 @@ def segmentize(geom: Geometry, max_len: float) -> Geometry:
         return Geometry.collection([segmentize(g, max_len)
                                     for g in geom.coords], geom.srid)
     return geom
+
+
+def point_on_surface(geom: Geometry) -> Optional[Geometry]:
+    """A point guaranteed ON the geometry (JTS getInteriorPoint contract):
+    centroid if it lies on the geometry, else — for areal inputs — the
+    midpoint of the widest centroid-scanline crossing (always interior for
+    valid polygons), a vertex otherwise."""
+    if geom.is_empty():
+        return None
+    c = centroid(geom)
+    if c is not None and not c.is_empty() \
+            and intersects(Geometry(WKB_POINT, c.coords), geom):
+        return Geometry(WKB_POINT, c.coords, geom.srid)
+    kinds = {g.kind for g in geom.flatten()}
+    if kinds & {WKB_POLYGON}:
+        cy = c.coords[1] if c is not None and c.coords else 0.0
+        # crossings of the horizontal line y=cy with every polygon edge
+        xs = []
+        for g in geom.flatten():
+            if g.kind != WKB_POLYGON:
+                continue
+            for ring in g.coords:
+                for i in range(len(ring) - 1):
+                    (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+                    if (y1 > cy) != (y2 > cy):
+                        xs.append(x1 + (cy - y1) * (x2 - x1) / (y2 - y1))
+        xs.sort()
+        best, bx = -1.0, None
+        for i in range(0, len(xs) - 1, 2):   # inside spans by parity
+            if xs[i + 1] - xs[i] > best:
+                best = xs[i + 1] - xs[i]
+                bx = (xs[i] + xs[i + 1]) / 2.0
+        if bx is not None:
+            return Geometry(WKB_POINT, (bx, cy), geom.srid)
+    vs = _vertices(geom)
+    return Geometry(WKB_POINT, vs[0], geom.srid) if vs else None

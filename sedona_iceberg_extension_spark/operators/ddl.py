@@ -289,6 +289,23 @@ def show_tables(spark: SparkSession) -> DataFrame:
         rows, "namespace string, tableName string, isTemporary boolean")
 
 
+def describe_table(spark: SparkSession, name: str) -> DataFrame:
+    """``DESCRIBE TABLE t`` over the snapshot catalog — Spark's result
+    shape (col_name, data_type, comment), resolved from the table's
+    CURRENT logical schema (post-ALTER evolution); the active partition
+    spec follows Spark's "# Partition Information" section convention."""
+    tbl = _catalog(spark)[name]
+    df = tbl.read(spark)
+    rows = [(f.name, f.dataType.simpleString(), None) for f in df.schema.fields]
+    spec = tbl.partition_spec()
+    if spec:
+        rows.append(("# Partition Information", "", None))
+        for fld in spec:
+            rows.append((fld["name"], fld["transform"], None))
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string")
+
+
 def run_procedure(spark: SparkSession, proc: str, pos: list,
                   named: dict) -> dict:
     """Iceberg's maintenance procedures (``CALL catalog.system.<proc>``,

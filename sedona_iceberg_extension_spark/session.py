@@ -70,6 +70,10 @@ def sql(spark: SparkSession, statement: str, tables: dict | None = None):
         return spatial_sql(spark, statement)
     if _re.match(r"^\s*SHOW\s+TABLES\s*$", statement, _re.IGNORECASE):
         return ddl.show_tables(spark)
+    dm = _re.match(r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*$",
+                   statement, _re.IGNORECASE)
+    if dm and dm.group("name") in ddl._catalog(spark):
+        return ddl.describe_table(spark, dm.group("name"))
     if ddl.is_ddl(statement):
         return ddl.run_ddl(spark, statement, run_select=spatial_sql)
     # Iceberg time-travel spellings (VERSION AS OF / TIMESTAMP AS OF)

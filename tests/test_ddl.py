@@ -391,3 +391,26 @@ def test_show_tables_and_describe(spark, app_tables):
     desc = {r.col_name: r.data_type for r in
             engine_sql(spark, f"DESCRIBE {T0}").collect()}
     assert desc.get("id") == "int" and desc.get("geo") == "binary"
+
+
+def test_describe_table_shows_schema_and_partition_spec(spark, tmp_path,
+                                                        monkeypatch):
+    from sedona_iceberg_extension_spark import session as S
+    from sedona_iceberg_extension_spark.operators import ddl
+
+    name = "desc_t_test"
+    ddl._catalog(spark).pop(name, None)
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    try:
+        S.sql(spark, f"CREATE TABLE {name} (id INT, g STRING) USING ICEBERG")
+        S.sql(spark, f"INSERT INTO {name} VALUES (1, 'a')")
+        S.sql(spark, f"ALTER TABLE {name} ADD PARTITION FIELD bucket(4, id)")
+        rows = S.sql(spark, f"DESCRIBE TABLE {name}").collect()
+        cols = [(r["col_name"], r["data_type"]) for r in rows]
+        assert ("id", "int") in cols and ("g", "string") in cols
+        assert ("id_bucket", "bucket[4]") in cols
+        assert any(c == "# Partition Information" for c, _ in cols)
+        # the short spelling works too
+        assert len(S.sql(spark, f"DESC {name}").collect()) == len(rows)
+    finally:
+        ddl._catalog(spark).pop(name, None)

@@ -452,3 +452,19 @@ def test_segmentize(spark):
     # points pass through
     assert sql1(spark, "ST_AsText(ST_Segmentize(ST_Point(1, 2), 1))") \
         == "POINT (1 2)"
+
+
+def test_point_on_surface_and_is_collection(spark):
+    # centroid of a donut falls in the hole; result must still be ON it
+    donut = ("ST_GeomFromText('POLYGON((0 0,10 0,10 10,0 10,0 0),"
+             "(2 2,8 2,8 8,2 8,2 2))')")
+    inside = sql1(spark, f"ST_Contains({donut}, ST_PointOnSurface({donut}))")
+    assert inside is True or inside == 1
+    assert sql1(spark, "ST_AsText(ST_PointOnSurface(ST_GeomFromText("
+                       "'POLYGON((0 0,4 0,4 4,0 4,0 0))')))") == "POINT (2 2)"
+    assert sql1(spark, "ST_AsText(ST_PointOnSurface("
+                       "ST_GeomFromText('LINESTRING(0 0, 2 0)')))") \
+        == "POINT (1 0)"
+    assert sql1(spark, "ST_IsCollection(ST_GeomFromText("
+                       "'GEOMETRYCOLLECTION(POINT(1 1))'))") in (True, 1)
+    assert sql1(spark, "ST_IsCollection(ST_Point(1, 1))") in (False, 0)
