@@ -1127,6 +1127,85 @@ ORDER BY window_start, user_id
 """
 
 
+# --- snapshot_changelog -----------------------------------------------------
+
+def q_snapshot_changelog(spark, sf_dir):
+    """CDC changelog through the snapshot layer, end-to-end: build a table
+    from nation (v1), append two derived rows, CoW-update one row, then
+    read ``changes(v1)``.  ``exceptAll`` cancels the rewritten file's
+    untouched rows, so the delta is exactly {old updated row} as delete +
+    {new updated row, appended rows} as inserts — independent of file
+    layout, hence oracle-able from the base tables alone."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation") \
+        .select("n_nationkey", "n_name")
+    t = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="chlog_") + "/t", nation)
+    v1 = t.versions()[-1]
+    t.append(spark, spark.createDataFrame(
+        [(1001, "ATLANTIS"), (1002, "ELDORADO")],
+        "n_nationkey int, n_name string"))
+    t.update_where(spark, {"n_name": F.lit("RENAMED")},
+                   F.col("n_nationkey") == 3)
+    return (t.changes(spark, v1)
+            .select("n_nationkey", "n_name", "_change_type")
+            .orderBy("_change_type", "n_nationkey"))
+
+
+_QCHLOG_SQL = """
+SELECT n_nationkey, n_name, _change_type FROM (
+  SELECT CAST(1001 AS INT) AS n_nationkey, 'ATLANTIS' AS n_name,
+         'insert' AS _change_type
+  UNION ALL SELECT 1002, 'ELDORADO', 'insert'
+  UNION ALL SELECT 3, 'RENAMED', 'insert'
+  UNION ALL SELECT n_nationkey, n_name, 'delete'
+  FROM nation WHERE n_nationkey = 3) u
+ORDER BY _change_type, n_nationkey
+"""
+
+
+# --- partition_pruned_scan --------------------------------------------------
+
+def q_partition_pruned_scan(spark, sf_dir):
+    """Partition evolution in the checked surface: events land in a
+    snapshot table, the spec adds an identity field on event_type, a
+    second batch writes WITH partition tuples, and the equality-pruned
+    scan (only manifest-matched + pre-spec files read) must equal the
+    plain filter.  Output: per-type counts from the pruned reads."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "user_id")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    t = SnapshotTable.create(
+        spark, tempfile.mkdtemp(prefix="pprune_") + "/t", first)
+    t.add_partition_field("event_type")
+    t.append(spark, second)
+    out = None
+    for et in ("click", "view", "purchase"):
+        part = (t.read_partition(spark, {"event_type": et})
+                .filter(F.col("event_type") == et)
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(F.lit(et).alias("event_type"), "n_events"))
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("event_type")
+
+
+_QPPRUNE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1156,4 +1235,6 @@ R5_QUERIES = {
     "doc_hash_sample": (q_doc_hash_sample, _QHSAMPLE_SQL, False),
     "streaming_burst_detect": (q_streaming_burst_detect,
                                _QSTREAM_BURST_SQL, False),
+    "snapshot_changelog": (q_snapshot_changelog, _QCHLOG_SQL, False),
+    "partition_pruned_scan": (q_partition_pruned_scan, _QPPRUNE_SQL, False),
 }

@@ -58,6 +58,7 @@ _NATIVE_QUERIES = [
     "bloom_ingest_gate", "brand_graph_triangles", "near_dup_rate_by_source",
     "spatial_kmeans", "events_autocorrelation", "weighted_sample_docs",
     "lsh_edit_distance_verify", "grouping_sets_revenue", "unpivot_part_metrics",
+    "snapshot_changelog", "partition_pruned_scan",
     "hll_users_by_type", "hll_click_view_overlap", "doc_hash_sample",
 ]
 
