@@ -16,7 +16,7 @@ from typing import Optional
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, StringType
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, StringType
 
 from ..geom import algos as A
 from ..geom.io import from_wkb, to_wkb
@@ -1263,7 +1263,7 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
 st_pointonsurface = _geom1(A.point_on_surface)
 
 
-@pandas_udf("boolean")
+@pandas_udf(BooleanType())
 def st_iscollection(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else
                    from_wkb(b).kind in (WKB_MULTIPOINT, WKB_MULTILINESTRING,
