@@ -1206,6 +1206,143 @@ ORDER BY event_type
 """
 
 
+# --- source_lang_diversity --------------------------------------------------
+
+def q_source_lang_diversity(spark, sf_dir):
+    """Shannon entropy of each source's language mix — the diversity
+    gauge a multilingual-corpus dashboard tracks per feed.  Two map-side-
+    combined shuffles ((source, lang) counts, then per-source entropy
+    from exact BIGINT counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = sl.groupBy("source").agg(F.sum("n").alias("nt"),
+                                   F.count(F.lit(1)).alias("n_langs"))
+    ent = (sl.join(tot, "source")
+           .withColumn("_p", F.col("n") / F.col("nt").cast("double"))
+           .groupBy("source")
+           .agg(F.round(-F.sum(F.col("_p") * F.log2("_p")), 6)
+                .alias("lang_entropy"),
+                F.max("n_langs").cast("long").alias("n_langs"),
+                F.max("nt").cast("long").alias("n_docs")))
+    return ent.select("source", "n_docs", "n_langs", "lang_entropy") \
+              .orderBy("source")
+
+
+_QLANGDIV_SQL = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT source, SUM(n) AS nt, CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM sl GROUP BY source
+)
+SELECT sl.source, CAST(MAX(tot.nt) AS BIGINT) AS n_docs,
+       MAX(tot.n_langs) AS n_langs,
+       ROUND(-SUM((sl.n / CAST(tot.nt AS DOUBLE))
+                  * log2(sl.n / CAST(tot.nt AS DOUBLE))), 6) AS lang_entropy
+FROM sl JOIN tot USING (source)
+GROUP BY sl.source
+ORDER BY sl.source
+"""
+
+
+# --- customer_abc_pareto ----------------------------------------------------
+
+def q_customer_abc_pareto(spark, sf_dir):
+    """ABC/Pareto classification: customers ranked by revenue, classed A
+    while the running share is under 50%, B under 80%, else C — with the
+    per-class totals the 80/20 review reads.  Exact integer-cents money;
+    the cumulative share is one window over the (already reduced)
+    per-customer totals."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).cast("long")
+         .alias("cents"))
+    tot = per.agg(F.sum("cents").alias("t"))
+    w = W.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    classed = (per.crossJoin(F.broadcast(tot))
+               .withColumn("_cum", F.sum("cents").over(w))
+               .withColumn("_share", F.col("_cum") / F.col("t").cast("double"))
+               .withColumn("abc", F.when(F.col("_share") <= 0.5, "A")
+                                   .when(F.col("_share") <= 0.8, "B")
+                                   .otherwise("C")))
+    return (classed.groupBy("abc")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").cast("long").alias("revenue_cents"))
+            .orderBy("abc"))
+
+
+_QABC_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), classed AS (
+  SELECT cents,
+         CASE WHEN SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC)
+                   / CAST((SELECT SUM(cents) FROM per) AS DOUBLE) <= 0.5
+              THEN 'A'
+              WHEN SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC)
+                   / CAST((SELECT SUM(cents) FROM per) AS DOUBLE) <= 0.8
+              THEN 'B' ELSE 'C' END AS abc
+  FROM per
+)
+SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM classed
+GROUP BY abc
+ORDER BY abc
+"""
+
+
+# --- weekly_retention -------------------------------------------------------
+
+def q_weekly_retention(spark, sf_dir):
+    """Week-over-week user retention from the events stream: of the users
+    active in week w, the fraction also active in week w+1 — the
+    top-of-dashboard engagement metric.  Distinct (user, week) pairs
+    self-join on the shifted week key (both sides pre-reduced, key-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (ev.select("user_id",
+                    F.date_trunc("week", "ts").alias("w")).distinct())
+    nxt = uw.select("user_id", (F.col("w") - F.expr("INTERVAL 7 DAYS"))
+                    .alias("w"))
+    base = uw.groupBy("w").agg(F.countDistinct("user_id").alias("n_active"))
+    ret = (uw.join(nxt, ["user_id", "w"], "left_semi")
+           .groupBy("w").agg(F.countDistinct("user_id").alias("n_retained")))
+    return (base.join(ret, "w", "left")
+            .select(F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+                    "n_active",
+                    F.coalesce(F.col("n_retained"), F.lit(0)).cast("long")
+                    .alias("n_retained"),
+                    F.round(F.coalesce(F.col("n_retained"), F.lit(0))
+                            / F.col("n_active").cast("double"), 6)
+                    .alias("retention"))
+            .orderBy("week_start"))
+
+
+_QRETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), ret AS (
+  SELECT a.w, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_retained
+  FROM uw a JOIN uw b
+    ON b.user_id = a.user_id AND b.w = a.w + INTERVAL 7 DAYS
+  GROUP BY a.w
+)
+SELECT strftime(uw.w, '%Y-%m-%d') AS week_start,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active,
+       COALESCE(MAX(ret.n_retained), 0) AS n_retained,
+       ROUND(COALESCE(MAX(ret.n_retained), 0)
+             / CAST(COUNT(DISTINCT uw.user_id) AS DOUBLE), 6) AS retention
+FROM uw LEFT JOIN ret ON ret.w = uw.w
+GROUP BY uw.w
+ORDER BY week_start
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1237,4 +1374,7 @@ R5_QUERIES = {
                                _QSTREAM_BURST_SQL, False),
     "snapshot_changelog": (q_snapshot_changelog, _QCHLOG_SQL, False),
     "partition_pruned_scan": (q_partition_pruned_scan, _QPPRUNE_SQL, False),
+    "source_lang_diversity": (q_source_lang_diversity, _QLANGDIV_SQL, False),
+    "customer_abc_pareto": (q_customer_abc_pareto, _QABC_SQL, False),
+    "weekly_retention": (q_weekly_retention, _QRETENTION_SQL, False),
 }
