@@ -24,11 +24,23 @@ from pyspark.sql.window import Window
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: Optional[List[str]] = None,
-              suffix: str = "_r") -> DataFrame:
-    """Backward-inclusive as-of join.  ``value_cols``: right columns carried
-    to the matched left row (default: all non-key, non-ts right columns),
-    renamed with ``suffix``.  Left rows with no prior right row keep nulls
-    (left-outer semantics, same as DuckDB ``ASOF LEFT JOIN``)."""
+              suffix: str = "_r",
+              direction: str = "backward") -> DataFrame:
+    """As-of join with a ``direction``:
+
+    - ``backward`` (default): most recent right row with right_ts <=
+      left_ts (DuckDB ``ASOF LEFT JOIN ... ON l.ts >= r.ts``);
+    - ``forward``: earliest right row with right_ts >= left_ts (the
+      reversed window order — same single-shuffle plan);
+    - ``nearest``: whichever of the two sits closer in time, ties to the
+      backward match (both fills computed in the same plan — still ONE
+      shuffle: the windows share the union's partitioning).
+
+    ``value_cols``: right columns carried to the matched left row
+    (default: all non-key, non-ts right columns), renamed with
+    ``suffix``.  Unmatched left rows keep nulls (left-outer semantics)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     value_cols = value_cols or [c for c in right.columns
                                 if c not in (on, right_ts)]
     l = left.withColumn("_src", F.lit(1)) \
@@ -36,25 +48,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # ONE struct carries all right values: the window fills whole right ROWS,
     # so every carried value comes from the same (latest) right row and a
     # NULL field in that row stays NULL instead of falling back to an older
-    # row's value (per-column last(ignorenulls) would mix rows)
+    # row's value (per-column last(ignorenulls) would mix rows).  The
+    # matched right ts rides along for the ``nearest`` arbitration.
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_src"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("_rvals"))
+        F.struct(F.col(right_ts).alias("_mts"),
+                 *[F.col(c) for c in value_cols]).alias("_rvals"))
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows (_src=0) order before left rows at the same timestamp →
-    # equal-ts right rows are visible to the left row (inclusive match);
-    # among several right rows at the same ts the last by union order wins,
+    # right rows (_src=0) order before left rows at the same timestamp in
+    # BOTH directions → equal-ts right rows are inclusive matches; among
+    # several right rows at the same ts the last by union order wins,
     # matching ASOF's "most recent" semantics
-    w = (Window.partitionBy(on).orderBy(F.col("_ats").asc(), F.col("_src").asc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    filled = u.withColumn(
-        "_rvals", F.last(F.col("_rvals"), ignorenulls=True).over(w))
+    wb = (Window.partitionBy(on)
+          .orderBy(F.col("_ats").asc(), F.col("_src").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(on)
+          .orderBy(F.col("_ats").desc(), F.col("_src").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    if direction == "backward":
+        filled = u.withColumn(
+            "_rv", F.last(F.col("_rvals"), ignorenulls=True).over(wb))
+    elif direction == "forward":
+        filled = u.withColumn(
+            "_rv", F.last(F.col("_rvals"), ignorenulls=True).over(wf))
+    else:
+        both = (u.withColumn("_rb", F.last(F.col("_rvals"),
+                                           ignorenulls=True).over(wb))
+                .withColumn("_rf", F.last(F.col("_rvals"),
+                                          ignorenulls=True).over(wf)))
+        db = F.abs(F.col("_ats").cast("double")
+                   - F.col("_rb._mts").cast("double"))
+        df_ = F.abs(F.col("_rf._mts").cast("double")
+                    - F.col("_ats").cast("double"))
+        filled = both.withColumn(
+            "_rv", F.when(F.col("_rb").isNull(), F.col("_rf"))
+                    .when(F.col("_rf").isNull(), F.col("_rb"))
+                    .when(df_ < db, F.col("_rf")).otherwise(F.col("_rb"))) \
+            .drop("_rb", "_rf")
     return (filled.filter(F.col("_src") == 1)
-            .select("*", *[F.col("_rvals")[c].alias(f"{c}{suffix}")
+            .select("*", *[F.col("_rv")[c].alias(f"{c}{suffix}")
                            for c in value_cols])
-            .drop("_src", "_ats", "_rvals"))
+            .drop("_src", "_ats", "_rv"))
 
 
 def resample_ffill(df: DataFrame, on: str, ts_col: str,

@@ -1343,6 +1343,38 @@ ORDER BY week_start
 """
 
 
+# --- asof_forward_purchase --------------------------------------------------
+
+def q_asof_forward_purchase(spark, sf_dir):
+    """FORWARD as-of join (operators.asof_join direction='forward'): every
+    click is matched to the user's next purchase at-or-after it — the
+    click-to-conversion attribution query.  Same single union+window
+    shuffle as the backward direction; DuckDB's ASOF JOIN with the
+    reversed inequality is the oracle."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .filter(F.col("user_id") < 200)
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    out = asof_join(clicks, purchases, "user_id", direction="forward")
+    return (out.select("click_id", "user_id",
+                       F.round("value_r", 6).alias("purchase_value"))
+            .orderBy("click_id"))
+
+
+_QASOF_FWD_SQL = """
+SELECT c.event_id AS click_id, c.user_id,
+       ROUND(p.value, 6) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 200) c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY click_id
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1377,4 +1409,5 @@ R5_QUERIES = {
     "source_lang_diversity": (q_source_lang_diversity, _QLANGDIV_SQL, False),
     "customer_abc_pareto": (q_customer_abc_pareto, _QABC_SQL, False),
     "weekly_retention": (q_weekly_retention, _QRETENTION_SQL, False),
+    "asof_forward_purchase": (q_asof_forward_purchase, _QASOF_FWD_SQL, False),
 }

@@ -298,3 +298,26 @@ def test_resample_ffill_grid_and_fill(spark):
     assert out[(1, u1[2])] == 10.0        # still 10 until 02:50
     u2 = sorted(t for (u, t) in out if u == 2)
     assert len(u2) == 1 and out[(2, u2[0])] is None
+
+
+def test_asof_join_directions(spark):
+    """forward picks the earliest at-or-after row; nearest picks the
+    closer side and ties go backward."""
+    from sedona_iceberg_extension_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (1, 30, "c")], "k long, ts long, v string")
+    fwd = {r["ts"]: r["v_r"] for r in
+           asof_join(left, right, "k", direction="forward").collect()}
+    assert fwd == {10: "b", 25: "c", 100: None}
+    near = {r["ts"]: r["v_r"] for r in
+            asof_join(left, right, "k", direction="nearest").collect()}
+    # ts=10: back a(5) d=5, fwd b(20) d=10 -> a; ts=25: back b d=5, fwd c
+    # d=5 -> tie -> backward b; ts=100: only backward c
+    assert near == {10: "a", 25: "b", 100: "c"}
+    # exact-ts hit is inclusive in both directions
+    hit = asof_join(spark.createDataFrame([(1, 20)], "k long, ts long"),
+                    right, "k", direction="forward").collect()[0]
+    assert hit["v_r"] == "b"
