@@ -1271,6 +1271,72 @@ def st_iscollection(wkb: pd.Series) -> pd.Series:
                                         WKB_GEOMETRYCOLLECTION))
 
 
+from pyspark.sql.types import IntegerType
+
+
+@pandas_udf(IntegerType())
+def st_ndims(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None
+                   else (3 if from_wkb(b).z is not None else 2))
+
+
+def _dedupe_consecutive(coords):
+    out = [coords[0]]
+    for c in coords[1:]:
+        if c != out[-1]:
+            out.append(c)
+    return out
+
+
+@pandas_udf(_BIN)
+def st_removerepeatedpoints(wkb: pd.Series) -> pd.Series:
+    def run(b):
+        if b is None:
+            return None
+        g = from_wkb(b)
+        k = g.kind
+        if k == WKB_LINESTRING and len(g.coords) >= 2:
+            return to_wkb(Geometry(k, _dedupe_consecutive(g.coords), g.srid))
+        if k == WKB_POLYGON:
+            return to_wkb(Geometry(
+                k, [_dedupe_consecutive(r) for r in g.coords], g.srid))
+        if k == WKB_MULTILINESTRING:
+            return to_wkb(Geometry(
+                k, [_dedupe_consecutive(l) for l in g.coords], g.srid))
+        if k == WKB_MULTIPOLYGON:
+            return to_wkb(Geometry(
+                k, [[_dedupe_consecutive(r) for r in p] for p in g.coords],
+                g.srid))
+        return b
+    return wkb.map(run)
+
+
+@pandas_udf(_BIN)
+def st_setpoint(wkb: pd.Series, idx: pd.Series, pt: pd.Series) -> pd.Series:
+    """Replace vertex ``idx`` of a LineString (negative counts from the
+    end, PostGIS semantics)."""
+    out = []
+    for b, i, p in zip(wkb, idx, pt):
+        if b is None or i is None or p is None:
+            out.append(None)
+            continue
+        g, np_ = from_wkb(b), from_wkb(p)
+        if g.kind != WKB_LINESTRING or np_.kind != WKB_POINT \
+                or np_.coords is None:
+            out.append(None)
+            continue
+        coords = list(g.coords)
+        i = int(i)
+        if i < 0:
+            i += len(coords)
+        if not 0 <= i < len(coords):
+            out.append(None)
+            continue
+        coords[i] = np_.coords
+        out.append(to_wkb(Geometry(WKB_LINESTRING, coords, g.srid)))
+    return pd.Series(out, dtype=object)
+
+
 EXT_SQL_FUNCTIONS = {
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeomFromGML": st_geomfromgml,
@@ -1307,4 +1373,7 @@ EXT_SQL_FUNCTIONS = {
     "ST_Segmentize": st_segmentize,
     "ST_PointOnSurface": st_pointonsurface,
     "ST_IsCollection": st_iscollection,
+    "ST_NDims": st_ndims,
+    "ST_RemoveRepeatedPoints": st_removerepeatedpoints,
+    "ST_SetPoint": st_setpoint,
 }

@@ -468,3 +468,20 @@ def test_point_on_surface_and_is_collection(spark):
     assert sql1(spark, "ST_IsCollection(ST_GeomFromText("
                        "'GEOMETRYCOLLECTION(POINT(1 1))'))") in (True, 1)
     assert sql1(spark, "ST_IsCollection(ST_Point(1, 1))") in (False, 0)
+
+
+def test_ndims_removerepeated_setpoint(spark):
+    assert sql1(spark, "ST_NDims(ST_PointZ(1, 2, 3))") == 3
+    assert sql1(spark, "ST_NDims(ST_Point(1, 2))") == 2
+    assert sql1(spark, "ST_AsText(ST_RemoveRepeatedPoints(ST_GeomFromText("
+                       "'LINESTRING(0 0,0 0,1 1,1 1,2 2)')))") \
+        == "LINESTRING (0 0, 1 1, 2 2)"
+    assert sql1(spark, "ST_AsText(ST_SetPoint(ST_GeomFromText("
+                       "'LINESTRING(0 0,1 1,2 2)'), 1, ST_Point(9, 9)))") \
+        == "LINESTRING (0 0, 9 9, 2 2)"
+    assert sql1(spark, "ST_AsText(ST_SetPoint(ST_GeomFromText("
+                       "'LINESTRING(0 0,1 1,2 2)'), -1, ST_Point(5, 5)))") \
+        == "LINESTRING (0 0, 1 1, 5 5)"
+    # out-of-range index -> NULL
+    assert sql1(spark, "ST_SetPoint(ST_GeomFromText("
+                       "'LINESTRING(0 0,1 1)'), 7, ST_Point(5, 5))") is None
