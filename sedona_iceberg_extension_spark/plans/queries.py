@@ -1961,24 +1961,8 @@ def q_simhash(spark, sf_dir):
 
 
 def _simhash_sql(bits: int = 60, where: str = "WHERE doc_id < 100") -> str:
-    # hash each token ONCE (CTE), then take the 60 per-bit majority votes
-    terms = []
-    for b in range(bits):
-        vote = ("list_sum(list_transform(hs, "
-                f"x -> CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
-        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
-    expr = " + ".join(terms)
-    return f"""
-WITH h AS (
-  SELECT doc_id,
-         list_transform({_TOKS_SQL},
-                        t -> ('0x' || substr(md5(t || '#sim'), 1, 15))::BIGINT) AS hs
-  FROM documents {where}
-)
-SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
-FROM h
-ORDER BY doc_id
-"""
+    from .sql_shared import simhash_sql
+    return simhash_sql(bits, where)
 
 
 def q_simhash_pairs(spark, sf_dir):

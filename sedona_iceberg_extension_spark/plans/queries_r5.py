@@ -1375,6 +1375,55 @@ ORDER BY click_id
 """
 
 
+# --- simhash_clusters -------------------------------------------------------
+
+def q_simhash_clusters(spark, sf_dir):
+    """Near-duplicate clusters over the SIMHASH pair graph (Hamming ≤ 3,
+    pigeonhole-banded equi-join) closed by distributed min-label
+    propagation — the character-level complement of the MinHash cluster
+    query, value-checked against a brute-force + recursive-closure
+    oracle.  Output: one row per multi-doc cluster (canonical id, size)."""
+    from ..pipeline import components as cc
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", bits=60,
+                                max_distance=3)
+    comp = cc.connected_components(pairs.select("id_a", "id_b"),
+                                   "id_a", "id_b")
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .orderBy("component"))
+
+
+def _simhash_clusters_sql() -> str:
+    from .sql_shared import simhash_sql
+    inner = simhash_sql(60, where="").replace("ORDER BY doc_id", "")
+    return f"""
+WITH RECURSIVE s AS ({inner}
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+), reach(u, w) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.w FROM edges e JOIN reach r ON r.u = e.v
+), comp AS (
+  SELECT u AS doc_id, MIN(w) AS component FROM reach GROUP BY u
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM comp
+GROUP BY component
+HAVING COUNT(*) >= 2
+ORDER BY component
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1410,4 +1459,5 @@ R5_QUERIES = {
     "customer_abc_pareto": (q_customer_abc_pareto, _QABC_SQL, False),
     "weekly_retention": (q_weekly_retention, _QRETENTION_SQL, False),
     "asof_forward_purchase": (q_asof_forward_purchase, _QASOF_FWD_SQL, False),
+    "simhash_clusters": (q_simhash_clusters, _simhash_clusters_sql(), False),
 }

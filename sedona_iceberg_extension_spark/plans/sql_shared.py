@@ -80,3 +80,25 @@ def lsh_pairs_cte(max_bucket: int = LSH_MAX_BUCKET,
   FROM capped a JOIN capped b
     ON {on} AND a.doc_id < b.doc_id
 )"""
+
+
+def simhash_sql(bits: int = 60, where: str = "WHERE doc_id < 100") -> str:
+    """DuckDB mirror of pipeline.text.simhash: one md5 per token, 60
+    per-bit majority votes (shared by the simhash pair/cluster oracles)."""
+    terms = []
+    for b in range(bits):
+        vote = ("list_sum(list_transform(hs, "
+                f"x -> CASE WHEN ((x >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END")
+    expr = " + ".join(terms)
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform({TOKS_SQL},
+                        t -> ('0x' || substr(md5(t || '#sim'), 1, 15))::BIGINT) AS hs
+  FROM documents {where}
+)
+SELECT doc_id, CAST({expr} AS BIGINT) AS simhash
+FROM h
+ORDER BY doc_id
+"""
