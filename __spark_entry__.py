@@ -4,7 +4,7 @@
 ``queries``  — every implemented operator from SURVEY.md §2, spatial Tier A–D
                parity + Tier E pipeline operators (see
                sedona_iceberg_extension_spark/plans/queries.py).
-``oracle_sql`` — exactly-mirrored DuckDB SQL per query: ALL 149 declared
+``oracle_sql`` — exactly-mirrored DuckDB SQL per query: ALL 151 declared
                queries carry an exact oracle (including the approximate
                paths — LSH/IVF ANN regenerate their hash-derived planes/
                codebooks in SQL; the HLL estimate is value-checked via

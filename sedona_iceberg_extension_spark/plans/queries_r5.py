@@ -1424,6 +1424,118 @@ ORDER BY component
 """
 
 
+# --- order_backlog_sweepline ------------------------------------------------
+
+def q_order_backlog_sweepline(spark, sf_dir):
+    """Open-order backlog per month by SWEEP-LINE: each order contributes
+    a +1 event at its order month and a −1 after its last ship month;
+    the backlog is the running sum over month boundaries.  The classic
+    interval-overlap counting shape — O(|orders|) events and ONE ordered
+    window, never an order×month range join."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closed = li.groupBy("l_orderkey").agg(
+        F.max(F.date_trunc("month", "l_shipdate")).alias("_end"))
+    spans = (orders.join(closed,
+                         orders.o_orderkey == closed.l_orderkey)
+             .select(F.date_trunc("month", "o_orderdate").alias("_start"),
+                     F.add_months(F.col("_end"), 1).alias("_stop")))
+    ev = (spans.select(F.col("_start").alias("m"), F.lit(1).alias("d"))
+          .unionAll(spans.select(F.col("_stop").alias("m"),
+                                 F.lit(-1).alias("d"))))
+    per_month = ev.groupBy("m").agg(F.sum("d").alias("delta"))
+    w = W.orderBy("m")
+    return (per_month
+            .withColumn("backlog", F.sum("delta").over(w))
+            .select(F.date_format("m", "yyyy-MM").alias("month"),
+                    F.col("delta").cast("long").alias("delta"),
+                    F.col("backlog").cast("long").alias("open_orders"))
+            .orderBy("month"))
+
+
+_QBACKLOG_SQL = """
+WITH closed AS (
+  SELECT l_orderkey, MAX(date_trunc('month', l_shipdate)) AS e
+  FROM lineitem GROUP BY l_orderkey
+), spans AS (
+  SELECT date_trunc('month', o.o_orderdate) AS s,
+         c.e + INTERVAL 1 MONTH AS p
+  FROM orders o JOIN closed c ON o.o_orderkey = c.l_orderkey
+), ev AS (
+  SELECT s AS m, 1 AS d FROM spans
+  UNION ALL SELECT p, -1 FROM spans
+), per AS (
+  SELECT m, CAST(SUM(d) AS BIGINT) AS delta FROM ev GROUP BY m
+)
+SELECT strftime(m, '%Y-%m') AS month, delta,
+       CAST(SUM(delta) OVER (ORDER BY m) AS BIGINT) AS open_orders
+FROM per
+ORDER BY month
+"""
+
+
+# --- corpus_novelty_decay ---------------------------------------------------
+
+def q_corpus_novelty_decay(spark, sf_dir):
+    """Novelty decay: per 100-doc ingest batch (doc_id order), the share
+    of its distinct bigrams never seen in ANY earlier document — the
+    curve that tells a corpus pipeline when a source has run dry.  First
+    sight is ONE min-aggregation over the bigram key (hashed — counts
+    are hash-agnostic, same argument as `jaccard_pairs`); no
+    batch-to-batch scan dependency."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = dedup.spread(docs).select(
+        F.col("doc_id"), text.tokens(F.col("text")).alias("_toks"))
+    idx = F.explode(F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 2, F.lit(0))))
+    grams = (tokd.select("doc_id", idx.alias("_i"), "_toks")
+             .select("doc_id",
+                     F.xxhash64(F.get("_toks", F.col("_i")),
+                                F.get("_toks", F.col("_i") + 1)).alias("_h"))
+             .distinct())
+    first = grams.groupBy("_h").agg(F.min("doc_id").alias("_first"))
+    per_doc = (grams.join(first, "_h")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("_first") == F.col("doc_id"), 1)
+                          .otherwise(0)).alias("novel")))
+    return (per_doc.groupBy((F.floor(F.col("doc_id") / 100))
+                            .cast("long").alias("batch"))
+            .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                 F.sum("novel").cast("long").alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel")
+                                / F.col("n_bigrams").cast("double"), 6))
+            .orderBy("batch"))
+
+
+_QNOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 1), ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1) + 1)) AS i) t
+), first AS (
+  SELECT g, MIN(doc_id) AS f FROM grams GROUP BY g
+), per AS (
+  SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (first.f = grams.doc_id) AS BIGINT) AS novel
+  FROM grams JOIN first USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT CAST(doc_id // 100 AS BIGINT) AS batch,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(novel) / CAST(SUM(n) AS DOUBLE), 6) AS novelty
+FROM per
+GROUP BY doc_id // 100
+ORDER BY batch
+"""
+
+
 R5_QUERIES = {
     "substring_dup_windows": (q_substring_dup_windows, _QSUBDUP_SQL, False),
     "knn_label_classify": (q_knn_label_classify, _QKNNCLS_SQL, False),
@@ -1460,4 +1572,6 @@ R5_QUERIES = {
     "weekly_retention": (q_weekly_retention, _QRETENTION_SQL, False),
     "asof_forward_purchase": (q_asof_forward_purchase, _QASOF_FWD_SQL, False),
     "simhash_clusters": (q_simhash_clusters, _simhash_clusters_sql(), False),
+    "order_backlog_sweepline": (q_order_backlog_sweepline, _QBACKLOG_SQL, False),
+    "corpus_novelty_decay": (q_corpus_novelty_decay, _QNOVELTY_SQL, False),
 }

@@ -60,7 +60,8 @@ _NATIVE_QUERIES = [
     "lsh_edit_distance_verify", "grouping_sets_revenue", "unpivot_part_metrics",
     "snapshot_changelog", "partition_pruned_scan",
     "source_lang_diversity", "customer_abc_pareto", "weekly_retention",
-    "asof_forward_purchase", "simhash_clusters",
+    "asof_forward_purchase", "simhash_clusters", "order_backlog_sweepline",
+    "corpus_novelty_decay",
     "hll_users_by_type", "hll_click_view_overlap", "doc_hash_sample",
 ]
 
