@@ -315,15 +315,23 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     full-set).  Pairs connected solely by stop-shingles sit below any useful
     threshold anyway.  Default None = exact full-set Jaccard.
 
-    Single linear chain, sized for 100 TB: shingles are hashed to 64-bit
-    longs up front (every later shuffle carries longs, not ~30-byte
+    Sized for 100 TB — ONE wide shuffle total.  Shingles are hashed to
+    64-bit longs up front (later shuffles carry longs, not ~30-byte
     strings; set cardinalities are preserved w.h.p. — 2^64 space — and the
-    scores are exact Jaccard over the hashed shingle sets), the per-doc set
-    size rides along via a window count instead of a separate aggregation
-    branch (the shingle pipeline runs ONCE, and the final pair table needs
-    no join back against a |docs|-row sizes table), and candidate pairs
-    are generated bucket-locally from the posting lists, never as a
-    self-join or cross product.
+    scores are exact Jaccard over the hashed shingle sets).  Set semantics
+    come from ``collect_set`` in the posting aggregation itself: its
+    partial (map-side) merge dedups before the exchange, so the classic
+    full-table ``distinct()`` shuffle disappears and the only wide shuffle
+    left is the posting-list ``groupBy(hash)``.  Per-doc set sizes are
+    derived from the UNFILTERED posting lists (explode → count), riding
+    the same exchange (ReusedExchange) — |docs|-row output joined onto the
+    (small) pair table, never a window count over the full shingle table
+    (the round-5 regression: an extra full-table hash-partition+sort that
+    also widened the big shuffle with a size column).  No broadcast hint:
+    both join inputs are tiny and AQE picks the broadcast side at runtime
+    — at extreme doc counts a forced broadcast of |docs| rows would be the
+    wrong call.  Candidate pairs are generated bucket-locally from the
+    posting lists, never as a self-join or cross product.
 
     The shingle hash is codegen'd ``xxhash64`` over the n-token tuple —
     the shingle STRING is never materialized (no concat, no md5 → hex →
@@ -336,8 +344,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     if use_char_grams:
         sh = (char_ngrams(spread(df), id_col, text_col, char_n,
                           distinct=False)
-              .select(F.col(id_col), F.xxhash64("gram").alias("_h"))
-              .distinct())
+              .select(F.col(id_col), F.xxhash64("gram").alias("_h")))
     else:
         # xxhash64 over the token n-tuple: order-sensitive, and equal
         # tuples hash equal.  Out-of-range F.get yields null, which Spark's
@@ -349,33 +356,35 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         idx = F.explode(F.sequence(
             F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))))
         tokd = tokd.select(F.col(id_col), idx.alias("_i"), F.col("_toks"))
-        sh = (tokd.select(
-                F.col(id_col),
-                F.xxhash64(*[F.get(F.col("_toks"), F.col("_i") + k)
-                             for k in range(shingle_n)]).alias("_h"))
-              .distinct())
-    # full-set size attached before the doc-freq cap (sizes stay full-set)
-    shz = sh.select(F.col(id_col), "_h",
-                    F.count(F.lit(1)).over(Window.partitionBy(id_col))
-                    .alias("_sz"))
-    posting = (
-        shz.groupBy("_h")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
-                                     F.col("_sz").alias("s"))).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
+        sh = tokd.select(
+            F.col(id_col),
+            F.xxhash64(*[F.get(F.col("_toks"), F.col("_i") + k)
+                         for k in range(shingle_n)]).alias("_h"))
+    # collect_set dedups map-side -- the raw (with-duplicates) shingle
+    # stream never needs its own distinct() exchange
+    posting_all = (sh.groupBy("_h")
+                   .agg(F.collect_set(F.col(id_col)).alias("_ids")))
+    posting = posting_all.filter(F.size("_ids") > 1)
     if max_doc_freq is not None:
         posting = posting.filter(F.size("_ids") <= max_doc_freq)
     common = (
         posting.select(F.explode("_ids").alias("a"), F.col("_ids"))
         .select("a", F.explode(
-            F.filter(F.col("_ids"), lambda x: x["i"] > F.col("a.i"))).alias("b"))
-        .groupBy(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"),
-                 F.col("a.s").alias("sz_a"), F.col("b.s").alias("sz_b"))
+            F.filter(F.col("_ids"), lambda x: x > F.col("a"))).alias("b"))
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # full-set sizes from the UNFILTERED posting lists (the doc-freq cap
+    # never shrinks them): one row per distinct (hash, id) membership,
+    # map-side-combinable count, riding the posting exchange (Catalyst
+    # ReusedExchange / AQE stage reuse -- the shingle pipeline runs once)
+    sizes = (posting_all.select(F.explode("_ids").alias("_id"))
+             .groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")))
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
     return (
-        common.withColumn(
+        common.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"))
