@@ -192,16 +192,92 @@ def test_iceberg_runtime_detection_pure():
         {"spark.sql.catalog.demo": "com.example.DeltaCatalog"})
 
 
-def test_iceberg_delegation_branch(spark):
-    """Exercises the delegation route end-to-end when a real Iceberg
-    runtime is configured on the session; skipped in this jar-less env."""
-    if not ddl.delegate_to_iceberg(spark):
-        pytest.skip("no Iceberg catalog runtime configured in this env")
-    engine_sql(spark, "CREATE TABLE demo.db.delegated (id INT) USING ICEBERG")
-    engine_sql(spark, "INSERT INTO demo.db.delegated VALUES (1)")
-    n = engine_sql(spark, "SELECT COUNT(*) AS n FROM demo.db.delegated").first().n
-    assert n == 1
-    engine_sql(spark, "DROP TABLE demo.db.delegated")
+class _SqlSpy:
+    """Records every statement handed to ``spark.sql`` and returns a
+    sentinel DataFrame, so pass-through can be asserted verbatim without
+    Iceberg jars."""
+
+    def __init__(self, spark):
+        self.calls = []
+        self.sentinel = spark.range(1)
+
+    def __call__(self, statement, *args, **kwargs):
+        self.calls.append(statement)
+        return self.sentinel
+
+
+@pytest.fixture()
+def delegated_spy(spark, monkeypatch):
+    """Force the delegation decision on (as if jars + catalog were
+    configured) and spy on ``spark.sql``."""
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_EMULATION", raising=False)
+    monkeypatch.setattr(spark, "_graft_iceberg_delegate", True,
+                        raising=False)
+    spy = _SqlSpy(spark)
+    monkeypatch.setattr(spark, "sql", spy)
+    yield spy
+
+
+# every DDL/DML shape the front door recognizes must reach the real
+# Iceberg runtime VERBATIM when one is configured (the reference's launch
+# shape, example/launch.sh:16-20 — its extension never rewrites SQL text)
+_DELEGATED_STATEMENTS = [
+    "CREATE TABLE demo.db.delegated (id INT, data STRING) USING ICEBERG",
+    "CREATE TABLE IF NOT EXISTS demo.db.delegated (id INT) USING ICEBERG",
+    "CREATE TABLE demo.db.ctas USING ICEBERG AS SELECT 1 AS id",
+    "DROP TABLE demo.db.delegated",
+    "DROP TABLE IF EXISTS demo.db.delegated",
+    "INSERT INTO demo.db.delegated VALUES (1, 'a')",
+    "INSERT INTO demo.db.delegated SELECT id + 1, data FROM demo.db.other",
+    "CACHE TABLE delegated_cache",
+    "ALTER TABLE demo.db.delegated ADD COLUMNS (score DOUBLE)",
+    "ALTER TABLE demo.db.delegated RENAME COLUMN data TO payload",
+    "ALTER TABLE demo.db.delegated DROP COLUMN score",
+    "ALTER TABLE demo.db.delegated ADD PARTITION FIELD bucket(16, id)",
+    "CALL demo.system.rollback_to_snapshot('demo.db.delegated', 42)",
+    "UPDATE demo.db.delegated SET data = 'x' WHERE id = 1",
+    "DELETE FROM demo.db.delegated WHERE id = 2",
+    ("MERGE INTO demo.db.delegated t USING demo.db.other s ON t.id = s.id "
+     "WHEN MATCHED THEN UPDATE SET *"),
+]
+
+
+@pytest.mark.parametrize("statement", _DELEGATED_STATEMENTS)
+def test_iceberg_delegation_passes_statements_verbatim(
+        spark, delegated_spy, statement):
+    out = engine_sql(spark, statement)
+    assert delegated_spy.calls == [statement]
+    assert out is delegated_spy.sentinel
+
+
+def test_iceberg_delegation_selects_still_use_spatial_planner(
+        spark, delegated_spy):
+    # non-DDL flows through spatial_sql; a statement with no spatial join
+    # falls through to vanilla spark.sql unchanged
+    out = engine_sql(spark, "SELECT 1 AS x")
+    assert delegated_spy.calls == ["SELECT 1 AS x"]
+    assert out is delegated_spy.sentinel
+
+
+def test_force_emulation_overrides_configured_runtime(spark, monkeypatch):
+    # the env knob pins the emulation even when the session looks
+    # Iceberg-configured (cache says delegate)
+    monkeypatch.setattr(spark, "_graft_iceberg_delegate", True,
+                        raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_EMULATION", "1")
+    assert ddl.delegate_to_iceberg(spark) is False
+
+
+def test_delegation_decision_cached_per_session(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_EMULATION", raising=False)
+    monkeypatch.setattr(spark, "_graft_iceberg_delegate", None,
+                        raising=False)
+    # this env has no Iceberg conf → computed False, then cached
+    assert ddl.delegate_to_iceberg(spark) is False
+    assert spark._graft_iceberg_delegate is False
+    # a cached True short-circuits conf inspection entirely
+    monkeypatch.setattr(spark, "_graft_iceberg_delegate", True)
+    assert ddl.delegate_to_iceberg(spark) is True
 
 
 def test_emulation_unaffected_without_iceberg_conf(spark, app_tables):
