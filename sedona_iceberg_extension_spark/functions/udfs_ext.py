@@ -1017,12 +1017,25 @@ def _split_line_by_point(line: Geometry, pt: Geometry) -> Geometry:
 def _split_geom(g: Geometry, gb: Geometry) -> Geometry:
     """(Multi)linestring split by a point, multipoint, or (multi)line blade
     (blade crossings become split points; collinear overlaps are ignored,
-    matching GEOS' behavior of only splitting at point intersections)."""
-    from ..geom.algos import intersection
+    matching GEOS' behavior of only splitting at point intersections);
+    (multi)polygon split by a (multi)line blade via planar-arrangement
+    face walking (PostGIS semantics — see algos.split_polygon_by_line).
+    PostGIS wraps results in a GEOMETRYCOLLECTION; this engine uses the
+    typed MULTI* equivalent."""
+    from ..geom.algos import intersection, split_polygon_by_line
+    from ..geom.model import WKB_MULTIPOLYGON
 
+    if g.dimension() == 2:
+        if gb.dimension() != 1:
+            raise ValueError(
+                "ST_Split: a (multi)polygon can only be split by a "
+                "(multi)linestring blade (PostGIS semantics)")
+        parts = split_polygon_by_line(g, gb)
+        return Geometry(WKB_MULTIPOLYGON, [p.coords for p in parts], g.srid)
     if g.dimension() != 1:
         raise NotImplementedError(
-            "ST_Split supports (MULTI)LINESTRING subjects in this engine")
+            "ST_Split supports (MULTI)LINESTRING and (MULTI)POLYGON "
+            "subjects in this engine")
     if gb.kind == WKB_POINT:
         pts = [tuple(gb.coords)]
     elif gb.kind == WKB_MULTIPOINT:

@@ -1579,6 +1579,127 @@ def _poly_area(rings) -> float:
 
 
 # ---------------------------------------------------------------------------
+# polygon splitting by a line blade (ST_Split on area subjects — PostGIS
+# splits a polygon with a (multi)linestring; point blades are unsupported
+# for areas in PostGIS too)
+# ---------------------------------------------------------------------------
+
+def _strip_spurs(ring: List[Coord]) -> List[Coord]:
+    """Remove out-and-back excursions (…, x, tip, x, …) from a closed ring
+    — dangling blade edges that entered the face walk but bound no area.
+    Returns a closed ring, or [] if nothing two-dimensional remains."""
+    pts = list(ring[:-1]) if ring and ring[0] == ring[-1] else list(ring)
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        n = len(pts)
+        for i in range(n):
+            if pts[(i - 1) % n] == pts[(i + 1) % n]:
+                j = (i + 1) % n
+                for k in sorted({i, j}, reverse=True):
+                    pts.pop(k)
+                changed = True
+                break
+    dedup = [p for k, p in enumerate(pts) if p != pts[k - 1]] if pts else []
+    if len(dedup) < 3:
+        return []
+    return dedup + [dedup[0]]
+
+
+def _polygonize_faces(segs: List[List[Coord]]) -> List[List[Coord]]:
+    """Faces of the planar arrangement of fully-noded segments, by the
+    standard half-edge walk: at each node take the clockwise-next edge
+    after the reversed incoming edge.  Bounded faces come out CCW; the
+    unbounded face (CW, negative area) is filtered by the caller."""
+    adj: dict = {}
+    edges = set()
+    for a, b in segs:
+        if a == b:
+            continue
+        if (a, b) in edges:
+            continue
+        edges.add((a, b))
+        edges.add((b, a))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    order = {v: sorted(nbrs, key=lambda w: math.atan2(w[1] - v[1],
+                                                      w[0] - v[0]))
+             for v, nbrs in adj.items()}
+    visited = set()
+    faces = []
+    for e in sorted(edges):
+        if e in visited:
+            continue
+        ring = [e[0]]
+        cur = e
+        for _ in range(4 * len(edges) + 4):  # bound: each half-edge once
+            visited.add(cur)
+            u, v = cur
+            ring.append(v)
+            nbrs = order[v]
+            i = nbrs.index(u)
+            cur = (v, nbrs[(i - 1) % len(nbrs)])
+            if cur == e:
+                break
+        faces.append(ring)
+    return faces
+
+
+def split_polygon_by_line(g: Geometry, gb: Geometry) -> List[Geometry]:
+    """Split a (multi)polygon by a (multi)linestring blade → list of
+    polygon pieces (PostGIS ST_Split semantics: the interior is cut along
+    every blade segment crossing it; blade parts along the boundary or
+    outside split nothing; a polygon the blade misses comes back whole).
+
+    Per input polygon: node the boundary rings against the blade and the
+    blade against the polygon (keeping interior pieces only), walk the
+    planar faces of the arrangement, keep CCW faces whose interior point
+    is inside the polygon, and for subjects with holes intersect each
+    piece with the original polygon so holes untouched by the blade are
+    subtracted exactly."""
+    blades = [list(part.coords) for part in gb.flatten()
+              if part.kind == WKB_LINESTRING]
+    blades = [[_snap(p) for p in bc] for bc in blades]
+    out: List[Geometry] = []
+    for poly in g.flatten():
+        if poly.kind != WKB_POLYGON or poly.is_empty():
+            continue
+        rings = [[_snap(p) for p in r] for r in poly.coords]
+        interior_pieces = []
+        for bc in blades:
+            for s in _clip_line_to_polygon(bc, rings, keep="in"):
+                mid = ((s[0][0] + s[1][0]) / 2, (s[0][1] + s[1][1]) / 2)
+                if locate_in_polygon(mid, rings) == 2:
+                    interior_pieces.append(s)
+        if not interior_pieces:
+            out.append(poly)
+            continue
+        segs = _boundary_pieces(rings, blades) + interior_pieces
+        added = False
+        for face in _polygonize_faces(segs):
+            if len(face) < 4 or face[0] != face[-1]:
+                continue
+            ring = _strip_spurs(face)
+            if len(ring) < 4 or _ring_signed_area2(ring) <= EPS:
+                continue
+            ip = _poly_interior_point([ring])
+            if ip is None or locate_in_polygon(ip, rings) != 2:
+                continue
+            piece = Geometry(WKB_POLYGON, [ring], poly.srid)
+            if len(rings) > 1:
+                for sub in intersection(piece, poly).flatten():
+                    if sub.kind == WKB_POLYGON and not sub.is_empty():
+                        out.append(sub)
+                        added = True
+            else:
+                out.append(piece)
+                added = True
+        if not added:
+            out.append(poly)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # affine transforms / part dumps / proximity constructors (Sedona tier-2
 # surface the reference exposes through its Sedona dependency —
 # /root/reference/README.md:30-38)

@@ -221,6 +221,80 @@ def test_split_extended_blades(spark):
     assert out == "MULTILINESTRING ((0 0, 2 0), (2 0, 4 0), (0 1, 4 1))"
 
 
+def test_split_polygon_subjects(spark):
+    # PostGIS golden set: square cut by a vertical line
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), "
+                      "ST_GeomFromText('LINESTRING (5 -1, 5 11)')))")
+    assert out == ("MULTIPOLYGON (((0 0, 5 0, 5 10, 0 10, 0 0)), "
+                   "((5 0, 10 0, 10 10, 5 10, 5 0)))")
+    # blade missing the polygon → unchanged subject
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), "
+                      "ST_GeomFromText('LINESTRING (20 0, 20 10)')))")
+    assert out == "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)))"
+    # hole crossed on both sides: each half keeps its notch (areas 48+48)
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                      "(4 4, 6 4, 6 6, 4 6, 4 4))'), "
+                      "ST_GeomFromText('LINESTRING (5 -1, 5 11)')))")
+    assert out == ("MULTIPOLYGON (((0 0, 5 0, 5 4, 4 4, 4 6, 5 6, 5 10, "
+                   "0 10, 0 0)), ((5 0, 10 0, 10 10, 5 10, 5 6, 6 6, 6 4, "
+                   "5 4, 5 0)))")
+    # untouched hole stays subtracted from its piece
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                      "(1 1, 2 1, 2 2, 1 2, 1 1))'), "
+                      "ST_GeomFromText('LINESTRING (5 -1, 5 11)')))")
+    assert out == ("MULTIPOLYGON (((0 0, 5 0, 5 10, 0 10, 0 0), "
+                   "(1 1, 2 1, 2 2, 1 2, 1 1)), "
+                   "((5 0, 10 0, 10 10, 5 10, 5 0)))")
+    # multipolygon subject: only the crossed part splits
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+                      "((5 0, 7 0, 7 2, 5 2, 5 0)))'), "
+                      "ST_GeomFromText('LINESTRING (1 -1, 1 3)')))")
+    assert out == ("MULTIPOLYGON (((0 0, 1 0, 1 2, 0 2, 0 0)), "
+                   "((1 0, 2 0, 2 2, 1 2, 1 0)), "
+                   "((5 0, 7 0, 7 2, 5 2, 5 0)))")
+    # dangling blade (ends inside) splits nothing — PostGIS semantics
+    out = sql1(spark, "ST_AsText(ST_Split(ST_GeomFromText("
+                      "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), "
+                      "ST_GeomFromText('LINESTRING (5 -1, 5 5)')))")
+    from sedona_iceberg_extension_spark.geom.algos import area
+    from sedona_iceberg_extension_spark.geom.io import from_wkt
+    g = from_wkt(out)
+    assert g.num_geometries() == 1 and area(g) == pytest.approx(100.0)
+
+
+def test_split_polygon_property_fuzz():
+    """Conservation fuzz: random convex polygons cut by random full-crossing
+    chords — piece areas sum to the subject's area and every piece interior
+    stays inside the subject."""
+    import random
+
+    from sedona_iceberg_extension_spark.geom.algos import (
+        area, convex_hull, locate_in_polygon, split_polygon_by_line,
+        _poly_interior_point)
+    from sedona_iceberg_extension_spark.geom.model import Geometry
+
+    rnd = random.Random(20260814)
+    for trial in range(40):
+        pts = [(rnd.uniform(0, 10), rnd.uniform(0, 10)) for _ in range(8)]
+        hull = convex_hull(Geometry.multipoint(pts))
+        if hull.kind != 3 or area(hull) < 1.0:
+            continue
+        blade = Geometry.linestring([(rnd.uniform(0, 10), -20.0),
+                                     (rnd.uniform(0, 10), 30.0)])
+        parts = split_polygon_by_line(hull, blade)
+        assert sum(area(p) for p in parts) == pytest.approx(
+            area(hull), rel=1e-9), trial
+        for p in parts:
+            ip = _poly_interior_point(p.coords)
+            assert ip is not None and locate_in_polygon(
+                ip, hull.coords) == 2, trial
+
+
 def test_transform_nztm_and_mga(spark):
     # NZTM origin -> (FE, FN); Wellington lands at the known grid value
     x = sql1(spark, "ST_X(ST_Transform(ST_Point(173D, 0D), "
