@@ -42,21 +42,29 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .select("id", F.col("id").alias("component")))
 
     prev_sum: object = object()  # sentinel != any sum
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels.withColumnRenamed("id", "v"), "v")
-            .groupBy("u").agg(F.min("component").alias("_nbr"))
-            .withColumnRenamed("u", "id")
-        )
-        labels = (
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least("component",
-                                  F.coalesce("_nbr", F.col("component")))
-                    .alias("component"))
-            .localCheckpoint(eager=True)
-        )
+    # Two propagation rounds per driver-side convergence check: the
+    # checkpoints are LAZY, so the scalar sum job materializes the whole
+    # batch at once — one Spark job per two rounds instead of one per
+    # round (each driver round-trip is a full job at 100 TB).  Labels
+    # only decrease, so an unchanged sum across the batch == fixpoint.
+    it = 0
+    while it < max_iter:
+        for _ in range(min(2, max_iter - it)):
+            nbr_min = (
+                und.join(labels.withColumnRenamed("id", "v"), "v")
+                .groupBy("u").agg(F.min("component").alias("_nbr"))
+                .withColumnRenamed("u", "id")
+            )
+            labels = (
+                labels.join(nbr_min, "id", "left")
+                .select("id", F.least("component",
+                                      F.coalesce("_nbr", F.col("component")))
+                        .alias("component"))
+                .localCheckpoint(eager=False)
+            )
+            it += 1
         s = labels.agg(F.sum("component")).collect()[0][0]
-        if s == prev_sum:  # labels only decrease; equal sum == fixpoint
+        if s == prev_sum:
             break
         prev_sum = s
     return labels
