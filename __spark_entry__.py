@@ -78,6 +78,8 @@ _NEVER_DRIVER_SAMPLED = [
     "partition_pruned_scan", "source_lang_diversity",
     "customer_abc_pareto", "weekly_retention", "asof_forward_purchase",
     "simhash_clusters", "order_backlog_sweepline", "corpus_novelty_decay",
+    # new in round 6 (never sampled by construction)
+    "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
 ]
 
 

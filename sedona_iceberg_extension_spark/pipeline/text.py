@@ -396,3 +396,76 @@ def zipf_slope(df: DataFrame, text_col: str, top_r: int = 1000) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 6)
          .alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# within-document n-gram repetition (Gopher-style quality rule) and
+# token-budget shard packing (training-shard manifest)
+# ---------------------------------------------------------------------------
+
+def ngram_repetition(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 2) -> DataFrame:
+    """Per-document duplicate n-gram fraction — the Gopher repetition
+    signal ("fraction of n-grams that are repeats"; Rae et al. 2021 §A1.1
+    filter family).  A doc whose text loops boilerplate shows a high
+    fraction even when no other doc shares it, so this catches what
+    cross-doc dedup cannot.
+
+    Output: (id, n_grams, n_distinct, dup_fraction).
+
+    Scale shape: two shuffles, both shrunk by map-side partial
+    aggregation — (id, gram) counts first (near-distinct rows out of the
+    combiner), then a per-doc rollup of |docs|·distinct rows down to
+    |docs|.  No windows, no joins."""
+    from .dedup import spread, token_shingles
+
+    sh = token_shingles(spread(df), id_col, text_col, n, distinct=False)
+    per = sh.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_c"))
+    return (per.groupBy(id_col)
+            .agg(F.sum("_c").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct"))
+            .select(F.col(id_col), "n_grams", "n_distinct",
+                    ((F.col("n_grams") - F.col("n_distinct"))
+                     / F.col("n_grams").cast("double"))
+                    .alias("dup_fraction")))
+
+
+def shard_packing(df: DataFrame, id_col: str, text_col: str,
+                  budget_tokens: int, chunk: int = 4096) -> DataFrame:
+    """Assign documents (in ``id_col`` order) to contiguous training
+    shards of ``budget_tokens`` tokens: shard = floor(tokens-before / B).
+    The manifest a training run shards its corpus with — deterministic,
+    order-preserving, budget-balanced to one document.
+
+    Scale shape: a global ordered cumsum WITHOUT a single-partition
+    window.  Docs are coarse-bucketed by ``floor(id / chunk)``; the
+    in-bucket cumsum is a window partitioned by bucket (parallel across
+    buckets), bucket totals collapse to a |buckets|-row table whose
+    running offset is the only single-partition window (tiny by
+    construction), and the offsets broadcast-join back.  This is the
+    classic two-level scan — the same plan works at 10^10 docs.
+
+    Output: (shard_id, n_docs, shard_tokens, first_id, last_id)."""
+    from pyspark.sql.window import Window as W
+
+    t = df.select(F.col(id_col),
+                  token_count(F.col(text_col)).alias("_nt"),
+                  F.floor(F.col(id_col) / chunk).alias("_b"))
+    w_in = W.partitionBy("_b").orderBy(id_col)
+    local = t.withColumn("_cum_in", F.sum("_nt").over(w_in))
+    offsets = (t.groupBy("_b").agg(F.sum("_nt").alias("_bt"))
+               .withColumn("_off",
+                           F.coalesce(F.sum("_bt").over(
+                               W.orderBy("_b").rowsBetween(
+                                   W.unboundedPreceding, -1)),
+                               F.lit(0))))
+    packed = (local.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+              .withColumn("_before", F.col("_off") + F.col("_cum_in")
+                          - F.col("_nt"))
+              .withColumn("shard_id",
+                          F.floor(F.col("_before") / budget_tokens)))
+    return (packed.groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("shard_tokens"),
+                 F.min(id_col).alias("first_id"),
+                 F.max(id_col).alias("last_id")))

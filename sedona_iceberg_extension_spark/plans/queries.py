@@ -2681,3 +2681,9 @@ from .queries_r5 import R5_QUERIES as _R5  # noqa: E402
 
 for _name, (_fn, _sql, _headline) in _R5.items():
     QUERIES[_name] = QueryDef(_fn, _sql, _headline)
+
+# round-6 pipeline tier — plans/queries_r6.py
+from .queries_r6 import R6_QUERIES as _R6  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _R6.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)

@@ -1,0 +1,167 @@
+"""Round-6 operator inventory — within-doc repetition quality rule,
+training-shard packing, product-quantization ANN.  Each declared query has
+an exact DuckDB oracle (FIXTURES.md conventions: total ORDER BY, ROUND on
+float outputs, identical aliases both sides, BIGINT casts).
+
+- doc_ngram_repetition    — Gopher-style duplicate-bigram fraction per doc
+                            (within-doc boilerplate that cross-doc dedup
+                            cannot see)
+- training_shard_packing  — token-budget shard manifest via the two-level
+                            scan (no single-partition global window)
+- pq_ann_topk             — product-quantization ADC top-k with a
+                            deterministic codebook (the memory-compressed
+                            ANN scale path: m code bytes per vector, per-
+                            query LUT built before the broadcast join)
+
+Scale notes: repetition is two map-side-combinable aggregations and
+nothing else; shard packing's only single-partition window runs over the
+|buckets|-row totals table (tiny by construction); PQ encodes the corpus
+in one narrow codegen pass and scores candidates with m array lookups per
+pair instead of a dim-wide dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..pipeline import similarity, text
+from ..sources import load_table
+
+from .sql_shared import TOKS_SQL as _TOKS_SQL
+
+
+# --- doc_ngram_repetition ---------------------------------------------------
+
+def q_doc_ngram_repetition(spark, sf_dir):
+    """Per-doc duplicate-bigram fraction (text.ngram_repetition) — the
+    Gopher repetition filter signal, full corpus, total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.ngram_repetition(docs, "doc_id", "text", n=2)
+    return (out.select("doc_id", "n_grams", "n_distinct",
+                       F.round("dup_fraction", 6).alias("dup_fraction"))
+            .orderBy("doc_id"))
+
+
+# token_shingles(n=2): indices 1..greatest(len-1, 1), shingle = the
+# (clamped) 2-token slice joined by one space — mirrored exactly
+_QREP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1) + 1)) AS i) t
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6) AS dup_fraction
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- training_shard_packing -------------------------------------------------
+
+def q_training_shard_packing(spark, sf_dir):
+    """Token-budget shard manifest (text.shard_packing, 2000 tokens/shard,
+    256-doc scan buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.shard_packing(docs, "doc_id", "text",
+                             budget_tokens=2000, chunk=256)
+    return out.orderBy("shard_id")
+
+
+_QSHARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS nt FROM documents
+), cum AS (
+  SELECT doc_id, nt,
+         COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM tok
+)
+SELECT CAST(FLOOR(before / 2000.0) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_id,
+       MAX(doc_id) AS last_id
+FROM cum
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+# --- pq_ann_topk ------------------------------------------------------------
+
+def q_pq_ann_topk(spark, sf_dir):
+    """PQ asymmetric-distance ANN (similarity.pq_adc_topk): 4 sub-spaces x
+    16 dims, 8 codes each, DETERMINISTIC codebook = sub-vectors of the 8
+    smallest vec_ids — so encoding, the per-query LUT, and the ADC ranking
+    are all reproducible in SQL and the oracle checks values.  (As with
+    ivf_ann_topk, a trained codebook only shifts recall; the encode/LUT/
+    scoring machinery is identical.)  Sub-distances fold left over the
+    same doubles in both engines; the oracle fixes its ADC summation order
+    to sub-space order to match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(8).collect())
+    m, sub = 4, 16
+    codebooks = [[[float(v) for v in r["embedding"][s * sub:(s + 1) * sub]]
+                  for r in rows] for s in range(m)]
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.pq_adc_topk(queries, emb, k=5, codebooks=codebooks)
+    return (out.select("query_id", "data_id",
+                       F.round("adc_dist", 6).alias("adc_dist"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+_QPQ_SQL = """
+WITH cb AS (
+  SELECT s.sub,
+         CAST(row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id) - 1
+              AS INT) AS code,
+         list_slice(e.embedding::DOUBLE[], s.sub * 16 + 1,
+                    s.sub * 16 + 16) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) e
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+), enc AS (
+  SELECT vec_id AS data_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+             list_sum(list_transform(range(1, 17),
+               i -> (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])))
+             ASC, c.code ASC) AS rn
+    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1
+), qlut AS (
+  SELECT e.vec_id AS query_id, c.sub, c.code,
+         list_sum(list_transform(range(1, 17),
+           i -> (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+              * (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])))
+           AS d2
+  FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 5
+), adc AS (
+  SELECT q.query_id, x.data_id,
+         list_sum(list(q.d2 ORDER BY q.sub)) AS adc_dist
+  FROM enc x JOIN qlut q ON q.sub = x.sub AND q.code = x.code
+  GROUP BY 1, 2
+)
+SELECT query_id, data_id, ROUND(adc_dist, 6) AS adc_dist, rank
+FROM (
+  SELECT query_id, data_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, data_id ASC) AS INT) AS rank
+  FROM adc) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+R6_QUERIES = {
+    "doc_ngram_repetition": (q_doc_ngram_repetition, _QREP_SQL, False),
+    "training_shard_packing": (q_training_shard_packing, _QSHARD_SQL, False),
+    "pq_ann_topk": (q_pq_ann_topk, _QPQ_SQL, False),
+}

@@ -632,3 +632,78 @@ def test_bloom_filter_no_false_negatives_and_determinism(spark):
     assert all(out_big[i] for i, _ in present)
     assert sum(1 for i, _ in absent if out_big[1000 + (i - 1000)]) == 0 or \
         sum(1 for i, _ in absent if out_big[i]) <= 2
+
+
+def test_ngram_repetition_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),      # bigrams: ab, ba, ab, ba -> 4 total, 2 distinct
+         (2, "x y z"),          # xy, yz -> all distinct
+         (3, "w")],             # clamped single "bigram"
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in
+            text.ngram_repetition(df, "doc_id", "text", n=2).collect()}
+    assert (rows[1].n_grams, rows[1].n_distinct) == (4, 2)
+    assert rows[1].dup_fraction == pytest.approx(0.5)
+    assert (rows[2].n_grams, rows[2].n_distinct) == (2, 2)
+    assert rows[2].dup_fraction == 0.0
+    assert (rows[3].n_grams, rows[3].n_distinct) == (1, 1)
+
+
+def test_shard_packing_budget_and_contiguity(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * (5 + i % 7))) for i in range(200)],
+        ["doc_id", "text"])
+    out = (text.shard_packing(df, "doc_id", "text",
+                              budget_tokens=50, chunk=16)
+           .orderBy("shard_id").collect())
+    # every doc assigned exactly once
+    assert sum(r.n_docs for r in out) == 200
+    # shards are contiguous, in order, non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a.last_id + 1 == b.first_id
+        assert b.shard_id == a.shard_id + 1
+    # budget respected to one document: tokens-before each shard's first
+    # doc lands inside [shard_id*B, (shard_id+1)*B)
+    toks = {r.doc_id: 5 + r.doc_id % 7 for r in df.select("doc_id").collect()}
+    cum = 0
+    bounds = {}
+    for i in range(200):
+        bounds[i] = cum
+        cum += toks[i]
+    for r in out:
+        assert r.shard_id * 50 <= bounds[r.first_id] < (r.shard_id + 1) * 50
+        assert r.shard_tokens == sum(toks[i]
+                                     for i in range(r.first_id, r.last_id + 1))
+
+
+def test_pq_adc_matches_bruteforce_code_distances(spark):
+    import random
+    rnd = random.Random(7)
+    data = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"])
+    # codebooks: 2 sub-spaces x 4 dims, 3 codes = sub-vectors of vectors 0-2
+    cbs = [[[float(v) for v in data[j][1][s * 4:(s + 1) * 4]]
+            for j in range(3)] for s in range(2)]
+    out = similarity.pq_adc_topk(df.filter(F.col("vec_id") < 2), df, k=3,
+                                 codebooks=cbs)
+    got = {(r.query_id, r.rank): (r.data_id, r.adc_dist)
+           for r in out.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def encode(v):
+        return [min(range(3), key=lambda j: (d2(v[s * 4:(s + 1) * 4],
+                                                cbs[s][j]), j))
+                for s in range(2)]
+
+    for qid in (0, 1):
+        qv = data[qid][1]
+        scored = sorted(
+            ((sum(d2(qv[s * 4:(s + 1) * 4], cbs[s][encode(v)[s]])
+                  for s in range(2)), i) for i, v in data))
+        for rank in (1, 2, 3):
+            want_dist, want_id = scored[rank - 1]
+            got_id, got_dist = got[(qid, rank)]
+            assert got_id == want_id, (qid, rank)
+            assert got_dist == pytest.approx(want_dist, rel=1e-9)

@@ -63,6 +63,7 @@ _NATIVE_QUERIES = [
     "asof_forward_purchase", "simhash_clusters", "order_backlog_sweepline",
     "corpus_novelty_decay",
     "hll_users_by_type", "hll_click_view_overlap", "doc_hash_sample",
+    "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
 ]
 
 
@@ -204,7 +205,8 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
 
 @pytest.mark.parametrize("name", ["knn_label_classify",
                                   "embedding_label_outliers",
-                                  "part_basket_lift", "spatial_kmeans"])
+                                  "part_basket_lift", "spatial_kmeans",
+                                  "pq_ann_topk"])
 def test_small_side_broadcast(spark, sf_dir, name):
     """Queries whose design broadcasts the small side (query vectors,
     centroid tables, marginals) must actually plan a BroadcastExchange."""
