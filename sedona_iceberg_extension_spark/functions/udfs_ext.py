@@ -1293,6 +1293,33 @@ def st_ndims(wkb: pd.Series) -> pd.Series:
                    else (3 if from_wkb(b).z is not None else 2))
 
 
+st_buildarea = _geom1(A.build_area)
+st_linefrommultipoint = _geom1(A.line_from_multipoint)
+
+
+def _z_extreme(pick):
+    """Min/max Z over a geometry's point components that carry a Z
+    (Sedona returns null when no Z exists — this model stores Z on
+    points, so areal/line inputs yield null)."""
+    def run(b):
+        if b is None:
+            return None
+        zs = [g.z for g in from_wkb(b).flatten()
+              if g.kind == WKB_POINT and g.z is not None]
+        return pick(zs) if zs else None
+    return run
+
+
+@pandas_udf(_DBL)
+def st_zmax(wkb: pd.Series) -> pd.Series:
+    return wkb.map(_z_extreme(max))
+
+
+@pandas_udf(_DBL)
+def st_zmin(wkb: pd.Series) -> pd.Series:
+    return wkb.map(_z_extreme(min))
+
+
 def _dedupe_consecutive(coords):
     out = [coords[0]]
     for c in coords[1:]:
@@ -1389,4 +1416,8 @@ EXT_SQL_FUNCTIONS = {
     "ST_NDims": st_ndims,
     "ST_RemoveRepeatedPoints": st_removerepeatedpoints,
     "ST_SetPoint": st_setpoint,
+    "ST_BuildArea": st_buildarea,
+    "ST_LineFromMultiPoint": st_linefrommultipoint,
+    "ST_ZMax": st_zmax,
+    "ST_ZMin": st_zmin,
 }

@@ -1699,6 +1699,59 @@ def split_polygon_by_line(g: Geometry, gb: Geometry) -> List[Geometry]:
     return out
 
 
+def build_area(geom: Geometry) -> Geometry:
+    """PostGIS/GEOS ST_BuildArea: assemble the areal geometry enclosed by
+    (noded, closed) linework.  Faces come from the same planar half-edge
+    walk as ST_Split's polygon path; nesting depth decides shell vs hole
+    (even → shell, odd → hole of its tightest container — GEOS'
+    odd-even containment rule).  Dangling or unclosed linework bounds no
+    face and is dropped, as in GEOS."""
+    segs: List[List[Coord]] = []
+    for part in geom.flatten():
+        if part.kind == WKB_LINESTRING:
+            c = [_snap(p) for p in part.coords]
+            segs.extend([c[i], c[i + 1]] for i in range(len(c) - 1))
+    rings = []
+    for face in _polygonize_faces(segs):
+        if len(face) < 4 or face[0] != face[-1]:
+            continue
+        r = _strip_spurs(face)
+        if len(r) >= 4 and _ring_signed_area2(r) > EPS:
+            rings.append(r)
+    if not rings:
+        return Geometry.empty(WKB_GEOMETRYCOLLECTION, geom.srid)
+    order = sorted(range(len(rings)),
+                   key=lambda i: -abs(_ring_signed_area2(rings[i])))
+    depth, parents = {}, {}
+    for pos, i in enumerate(order):
+        containers = [j for j in order[:pos]
+                      if _ring_interior_side(rings[i], rings[j]) == 2]
+        depth[i] = len(containers)
+        parents[i] = (min(containers,
+                          key=lambda j: abs(_ring_signed_area2(rings[j])))
+                      if containers else None)
+    polys = {}
+    for i in order:
+        if depth[i] % 2 == 0:
+            polys[i] = [rings[i]]
+    for i in order:
+        if depth[i] % 2 == 1 and parents[i] in polys:
+            polys[parents[i]].append(rings[i])
+    out = list(polys.values())
+    if len(out) == 1:
+        return Geometry(WKB_POLYGON, out[0], geom.srid)
+    return Geometry(WKB_MULTIPOLYGON, out, geom.srid)
+
+
+def line_from_multipoint(geom: Geometry) -> Geometry:
+    """Sedona ST_LineFromMultiPoint: the linestring through a multipoint's
+    coordinates in order (null for other inputs, matching Sedona)."""
+    if geom.kind != WKB_MULTIPOINT or geom.is_empty():
+        return None
+    return Geometry(WKB_LINESTRING,
+                    [c for c in geom.coords if c is not None], geom.srid)
+
+
 # ---------------------------------------------------------------------------
 # affine transforms / part dumps / proximity constructors (Sedona tier-2
 # surface the reference exposes through its Sedona dependency —

@@ -295,6 +295,42 @@ def test_split_polygon_property_fuzz():
                 ip, hull.coords) == 2, trial
 
 
+def test_buildarea_linefrommultipoint_zminmax(spark):
+    # BuildArea: closed linework with a hole → polygon with hole
+    out = sql1(spark, "ST_AsText(ST_BuildArea(ST_GeomFromText("
+                      "'MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                      "(2 2, 8 2, 8 8, 2 8, 2 2))')))")
+    assert out == ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                   "(2 2, 8 2, 8 8, 2 8, 2 2))")
+    # segments forming a ring assemble; dangling linework bounds nothing
+    out = sql1(spark, "ST_AsText(ST_BuildArea(ST_GeomFromText("
+                      "'MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), "
+                      "(1 1, 0 1), (0 1, 0 0))')))")
+    assert out == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert sql1(spark, "ST_AsText(ST_BuildArea(ST_GeomFromText("
+                       "'LINESTRING (0 0, 5 5)')))") \
+        == "GEOMETRYCOLLECTION EMPTY"
+    # island nesting: ring inside a hole becomes its own shell
+    out = sql1(spark, "ST_AsText(ST_BuildArea(ST_GeomFromText("
+                      "'MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                      "(2 2, 8 2, 8 8, 2 8, 2 2), "
+                      "(4 4, 6 4, 6 6, 4 6, 4 4))')))")
+    assert out == ("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), "
+                   "(2 2, 8 2, 8 8, 2 8, 2 2)), "
+                   "((4 4, 6 4, 6 6, 4 6, 4 4)))")
+    # LineFromMultiPoint: coordinate order preserved; non-multipoint → null
+    assert sql1(spark, "ST_AsText(ST_LineFromMultiPoint(ST_GeomFromText("
+                       "'MULTIPOINT ((0 0), (1 1), (2 0))')))") \
+        == "LINESTRING (0 0, 1 1, 2 0)"
+    assert sql1(spark,
+                "ST_LineFromMultiPoint(ST_Point(1D, 2D))") is None
+    # ZMax/ZMin: Z on points; 2-D inputs → null (Sedona semantics)
+    assert sql1(spark, "ST_ZMax(ST_PointZ(1D, 2D, 3D))") == 3.0
+    assert sql1(spark, "ST_ZMin(ST_PointZ(1D, 2D, -4.5D))") == -4.5
+    assert sql1(spark, "ST_ZMax(ST_GeomFromText("
+                       "'LINESTRING (0 0, 1 1)'))") is None
+
+
 def test_transform_nztm_and_mga(spark):
     # NZTM origin -> (FE, FN); Wellington lands at the known grid value
     x = sql1(spark, "ST_X(ST_Transform(ST_Point(173D, 0D), "
