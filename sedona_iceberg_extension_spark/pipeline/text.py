@@ -469,3 +469,32 @@ def shard_packing(df: DataFrame, id_col: str, text_col: str,
                  F.sum("_nt").alias("shard_tokens"),
                  F.min(id_col).alias("first_id"),
                  F.max(id_col).alias("last_id")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, top_k: int = 20) -> DataFrame:
+    """One round of byte-pair-encoding merge-candidate counting: the
+    corpus-wide frequency of adjacent character pairs within words, the
+    statistic a BPE tokenizer trainer maximizes at each merge step
+    (Sennrich et al. 2016).
+
+    Output: (pair, n, rank) — the ``top_k`` most frequent pairs.
+
+    Scale shape — the classic BPE trick, which is also the right Spark
+    plan: aggregate the corpus to a word-frequency table FIRST (vocab-
+    sized, orders of magnitude smaller than the token stream), then
+    explode character pairs over the distinct vocabulary only, weighting
+    each pair by its word's corpus frequency.  The expensive per-word
+    char work runs once per TYPE, not once per token occurrence."""
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wf")))
+    idx = F.explode(F.sequence(F.lit(1), F.length("w") - 1))
+    pairs = (vocab.select("wf", idx.alias("_i"), "w")
+             .select(F.substring(F.col("w"), F.col("_i"), F.lit(2))
+                     .alias("pair"), "wf"))
+    counted = pairs.groupBy("pair").agg(F.sum("wf").alias("n"))
+    from pyspark.sql.window import Window as W
+    w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (counted.orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(top_k)
+            .withColumn("rank", F.row_number().over(w)))

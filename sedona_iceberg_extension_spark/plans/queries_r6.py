@@ -165,3 +165,33 @@ R6_QUERIES = {
     "training_shard_packing": (q_training_shard_packing, _QSHARD_SQL, False),
     "pq_ann_topk": (q_pq_ann_topk, _QPQ_SQL, False),
 }
+
+
+# --- bpe_pair_counts --------------------------------------------------------
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-20 BPE merge candidates over the corpus (text.bpe_pair_counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (text.bpe_pair_counts(docs, "text", top_k=20)
+            .select("pair", "n", "rank").orderBy("rank"))
+
+
+_QBPE_SQL = f"""
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair, wf
+  FROM vocab, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY SUM(wf) DESC, pair ASC) AS INT) AS rank
+FROM pairs
+GROUP BY pair
+ORDER BY rank
+LIMIT 20
+"""
+
+R6_QUERIES["bpe_pair_counts"] = (q_bpe_pair_counts, _QBPE_SQL, False)

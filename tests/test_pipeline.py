@@ -707,3 +707,15 @@ def test_pq_adc_matches_bruteforce_code_distances(spark):
             got_id, got_dist = got[(qid, rank)]
             assert got_id == want_id, (qid, rank)
             assert got_dist == pytest.approx(want_dist, rel=1e-9)
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "abab ab cd"), (2, "ab x cd")],  # 'x' and 1-char words drop
+        ["doc_id", "text"])
+    rows = {r.pair: r.n for r in
+            text.bpe_pair_counts(df, "text", top_k=10).collect()}
+    # 'ab': abab has pairs ab,ba,ab (x1 word) + ab (x2 words) -> 2+2=4
+    assert rows["ab"] == 4
+    assert rows["ba"] == 1
+    assert rows["cd"] == 2
