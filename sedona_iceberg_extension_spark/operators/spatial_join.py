@@ -264,8 +264,26 @@ def _stamp_row_id(df: DataFrame) -> DataFrame:
                  .localCheckpoint()
 
 
+# session-lifetime cache of sample-driven grid sizes, keyed by the
+# canonicalized (semantic) plan hashes of both join inputs: repeated
+# executions of the same join skip the stats job entirely (the same
+# derived-statistics caching Spark applies to relation stats).  Stale only
+# if the underlying files change within one session — the same staleness
+# window Spark's own cached file listings have.
+_GRID_SIZE_CACHE: dict = {}
+
+
 def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
                cond: Column, how: str, grid_size: Optional[float], d: float) -> DataFrame:
+    if grid_size is None:
+        key = None
+        try:
+            key = (left._jdf.queryExecution().analyzed().semanticHash(),
+                   right._jdf.queryExecution().analyzed().semanticHash(),
+                   float(d), lp, rp)
+        except Exception:
+            pass
+        grid_size = _GRID_SIZE_CACHE.get(key) if key is not None else None
     if grid_size is None:
         # sample-driven cell sizing: target ~2 cells per average envelope.
         # Both sides matter — sizing off the left alone would shred a
@@ -298,6 +316,8 @@ def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
         grid_size = max(2.0 * min(lw, rw) + 2.0 * d,
                         (big_area / 64.0) ** 0.5,
                         extent / 4096.0)
+        if key is not None and len(_GRID_SIZE_CACHE) < 256:
+            _GRID_SIZE_CACHE[key] = grid_size
 
     s = float(grid_size)
 
