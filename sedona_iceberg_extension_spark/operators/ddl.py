@@ -311,7 +311,8 @@ def run_procedure(spark: SparkSession, proc: str, pos: list,
     """Iceberg's maintenance procedures (``CALL catalog.system.<proc>``,
     SparkProcedures surface) over the snapshot layer: rollback_to_snapshot,
     expire_snapshots, rewrite_data_files (binpack default; ``strategy =>
-    'sort', sort_order => 'zorder(a, b)'`` routes to the Z-order rewrite)."""
+    'sort', sort_order => 'zorder(a, b)'`` routes to the Z-order rewrite),
+    set_current_snapshot, cherrypick_snapshot, remove_orphan_files."""
     name = named.get("table") or (pos[0] if pos else None)
     if name is None:
         raise ValueError(f"CALL {proc}: missing table argument")
@@ -343,9 +344,31 @@ def run_procedure(spark: SparkSession, proc: str, pos: list,
             res = tbl.compact(spark, target_file_bytes=target)
         _register(spark, name)
         return {"proc": proc, "table": name, **res}
+    if proc == "set_current_snapshot":
+        v = named.get("snapshot_id")
+        if v is None:
+            v = pos[1] if len(pos) > 1 else None
+        if v is None:
+            raise ValueError("set_current_snapshot needs snapshot_id")
+        newv = tbl.set_current(int(v))
+        _register(spark, name)
+        return {"proc": proc, "table": name, "version": newv}
+    if proc == "cherrypick_snapshot":
+        v = named.get("snapshot_id")
+        if v is None:
+            v = pos[1] if len(pos) > 1 else None
+        if v is None:
+            raise ValueError("cherrypick_snapshot needs snapshot_id")
+        newv = tbl.cherrypick(int(v))
+        _register(spark, name)
+        return {"proc": proc, "table": name, "version": newv}
+    if proc == "remove_orphan_files":
+        res = tbl.remove_orphans()
+        return {"proc": proc, "table": name, **res}
     raise ValueError(f"unknown procedure {proc!r} (supported: "
                      "rollback_to_snapshot, expire_snapshots, "
-                     "rewrite_data_files)")
+                     "rewrite_data_files, set_current_snapshot, "
+                     "cherrypick_snapshot, remove_orphan_files)")
 
 
 def run_ddl(spark: SparkSession, statement: str,

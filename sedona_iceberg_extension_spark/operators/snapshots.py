@@ -728,6 +728,57 @@ class SnapshotTable:
                             base_version=base,
                             extra={"schema_ops": target.get("schema_ops", [])})
 
+    def set_current(self, version: int) -> int:
+        """Re-point the table at ``version``'s file set + schema.  Unlike
+        Iceberg's ``rollback_to_snapshot`` (ancestors only), Iceberg's
+        ``set_current_snapshot`` accepts any snapshot — this layer's
+        linear history makes the mechanics identical, so only the
+        operation label differs."""
+        target = self._manifest(version)
+        base = self._manifest()["version"]
+        return self._commit(target["files"], f"set-current-to-{version}",
+                            base_version=base,
+                            extra={"schema_ops":
+                                   target.get("schema_ops", [])})
+
+    def cherrypick(self, version: int) -> int:
+        """Apply ``version``'s delta against its parent onto the CURRENT
+        snapshot (Iceberg's ``cherrypick_snapshot``): files the snapshot
+        added come in, files it removed go out, everything else in the
+        current file set stays."""
+        vs = self.versions()
+        if version not in vs:
+            raise ValueError(f"unknown snapshot {version}")
+        idx = vs.index(version)
+        parent = (set(self._manifest(vs[idx - 1])["files"])
+                  if idx > 0 else set())
+        target = set(self._manifest(version)["files"])
+        added, removed = target - parent, parent - target
+        cur = self._manifest()
+        new_files = ([f for f in cur["files"] if f not in removed]
+                     + sorted(added - set(cur["files"])))
+        return self._commit(new_files, f"cherrypick-{version}",
+                            base_version=cur["version"])
+
+    def remove_orphans(self) -> dict:
+        """Delete data files in the table directory referenced by NO
+        retained manifest (Iceberg's ``remove_orphan_files``) — the
+        cleanup for crashed writes' leftovers.  Unlike ``expire``, no
+        manifest is dropped, so time travel is unaffected."""
+        referenced = set()
+        for v in self.versions():
+            referenced.update(self._manifest(v)["files"])
+        n_removed = 0
+        for name in os.listdir(self.path):
+            if name == _SNAP_DIR or not (
+                    name.startswith(("snap-", "part-"))
+                    or name.endswith(".parquet")):
+                continue
+            if name not in referenced:
+                os.remove(os.path.join(self.path, name))
+                n_removed += 1
+        return {"files_removed": n_removed}
+
     def expire(self, keep_last: int = 2) -> dict:
         """Drop all but the last ``keep_last`` manifests, then delete any
         data file no retained manifest references (orphan cleanup)."""

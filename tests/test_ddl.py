@@ -429,6 +429,52 @@ def test_call_maintenance_procedures(spark, tmp_path, monkeypatch):
         ddl.reset()
 
 
+def test_call_snapshot_ref_procedures(spark, tmp_path, monkeypatch):
+    """set_current_snapshot (re-point at ANY snapshot), cherrypick_snapshot
+    (replay one snapshot's delta onto current), remove_orphan_files
+    (unreferenced-file cleanup that preserves time travel)."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whref"))
+    ddl.reset()
+    t = "demo.db.refs"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1)")
+        v1 = ddl.table(t).versions()[-1]
+        engine_sql(spark, f"INSERT INTO {t} VALUES (2)")
+        v2 = ddl.table(t).versions()[-1]
+        engine_sql(spark, f"INSERT INTO {t} VALUES (3)")
+
+        # set_current back to v1, then cherry-pick v2's delta (row 2) onto
+        # it: 1 and 2 present, 3 absent
+        r = engine_sql(spark, (
+            f"CALL demo.system.set_current_snapshot(table => '{t}', "
+            f"snapshot_id => {v1})"))
+        assert r["proc"] == "set_current_snapshot"
+        assert sorted(rr.id for rr in
+                      engine_sql(spark, f"SELECT * FROM {t}").collect()) == [1]
+        r = engine_sql(spark, (
+            f"CALL demo.system.cherrypick_snapshot(table => '{t}', "
+            f"snapshot_id => {v2})"))
+        assert r["proc"] == "cherrypick_snapshot"
+        assert sorted(rr.id for rr in
+                      engine_sql(spark, f"SELECT * FROM {t}").collect()) == [1, 2]
+
+        # remove_orphan_files: a crashed write's leftover is deleted;
+        # every retained snapshot still reads (time travel intact)
+        tbl = ddl.table(t)
+        orphan = os.path.join(tbl.path, "part-orphan-crashed.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"junk")
+        r = engine_sql(spark,
+                       f"CALL demo.system.remove_orphan_files('{t}')")
+        assert r["files_removed"] == 1 and not os.path.exists(orphan)
+        assert sorted(rr.id for rr in tbl.read(spark, v2).collect()) == [1, 2]
+    finally:
+        ddl.reset()
+
+
 def test_evolved_schema_cow_dml(spark, tmp_path, monkeypatch):
     """CoW DML addresses LOGICAL columns after evolution: update a
     re-added column (generation-mangled physical name), update/delete via
