@@ -103,6 +103,11 @@ _ALTER_ADD_PART_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
     r"(?P<field>.+?)\s*$", re.IGNORECASE)
 
+_ALTER_REF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+"
+    r"(?P<op>CREATE|DROP)\s+(?P<kind>BRANCH|TAG)\s+(?P<ref>\w+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(?P<v>\d+))?\s*$", re.IGNORECASE)
+
 _CALL_RE = re.compile(
     r"^\s*CALL\s+(?:[\w.]*\bsystem\.)?(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -251,7 +256,7 @@ def is_ddl(statement: str) -> bool:
     return any(rx.match(statement) for rx in
                (_CTAS_RE, _CREATE_RE, _DROP_RE, _INSERT_RE, _CACHE_RE,
                 _ALTER_ADD_RE, _ALTER_RENAME_RE, _ALTER_DROP_RE,
-                _ALTER_ADD_PART_RE, _CALL_RE))
+                _ALTER_ADD_PART_RE, _ALTER_REF_RE, _CALL_RE))
 
 
 def _call_arg(s: str):
@@ -365,10 +370,20 @@ def run_procedure(spark: SparkSession, proc: str, pos: list,
     if proc == "remove_orphan_files":
         res = tbl.remove_orphans()
         return {"proc": proc, "table": name, **res}
+    if proc == "fast_forward":
+        branch = named.get("branch", pos[1] if len(pos) > 1 else None)
+        to = named.get("to", pos[2] if len(pos) > 2 else None)
+        if branch is None or to is None:
+            raise ValueError("fast_forward needs branch and to")
+        v = tbl.fast_forward(str(branch), str(to))
+        _register(spark, name)
+        return {"proc": proc, "table": name, "branch": branch,
+                "version": v}
     raise ValueError(f"unknown procedure {proc!r} (supported: "
                      "rollback_to_snapshot, expire_snapshots, "
                      "rewrite_data_files, set_current_snapshot, "
-                     "cherrypick_snapshot, remove_orphan_files)")
+                     "cherrypick_snapshot, remove_orphan_files, "
+                     "fast_forward)")
 
 
 def run_ddl(spark: SparkSession, statement: str,
@@ -462,6 +477,24 @@ def run_ddl(spark: SparkSession, statement: str,
             spark.sql(statement)
             return {"proc": m.group("proc").lower(), "delegated": True}
         return run_procedure(spark, m.group("proc").lower(), pos, named)
+
+    m = _ALTER_REF_RE.match(statement)
+    if m:
+        name = m.group("name")
+        if name not in _catalog(spark):
+            spark.sql(statement)
+            return {"ddl": "alter_ref", "table": name, "delegated": True}
+        tbl = _catalog(spark)[name]
+        kind = m.group("kind").lower()
+        ref = m.group("ref")
+        if m.group("op").upper() == "CREATE":
+            v = tbl.create_ref(ref, kind,
+                               int(m.group("v")) if m.group("v") else None)
+            return {"ddl": "alter_ref", "table": name, "op": "create",
+                    "kind": kind, "ref": ref, "version": v}
+        tbl.drop_ref(ref)
+        return {"ddl": "alter_ref", "table": name, "op": "drop",
+                "kind": kind, "ref": ref}
 
     m = _ALTER_ADD_PART_RE.match(statement)
     if m:
@@ -606,6 +639,9 @@ _TTV_RE = re.compile(
 _TTS_RE = re.compile(
     r"\bFROM\s+(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_TIME|TIMESTAMP)"
     r"\s+AS\s+OF\s+'(?P<ts>[^']+)'", re.IGNORECASE)
+_TTR_RE = re.compile(
+    r"\bFROM\s+(?P<name>[\w.]+)\s+(?:FOR\s+)?(?:SYSTEM_VERSION|VERSION)"
+    r"\s+AS\s+OF\s+'(?P<ref>\w+)'", re.IGNORECASE)
 
 
 def rewrite_time_travel(spark: SparkSession, statement: str) -> str:
@@ -644,7 +680,21 @@ def rewrite_time_travel(spark: SparkSession, statement: str) -> str:
             .createOrReplaceTempView(view)
         return f"FROM {view}"
 
+    def sub_ref(m):
+        name = m.group("name")
+        if name not in _catalog(spark):
+            return m.group(0)
+        tbl = _catalog(spark)[name]
+        v = tbl.resolve_ref(m.group("ref"))
+        if v is None:
+            raise ValueError(f"unknown branch/tag {m.group('ref')!r} "
+                             f"on {name!r}")
+        view = f"{_view_name(name)}__v{v}"
+        tbl.read(spark, version=v).createOrReplaceTempView(view)
+        return f"FROM {view}"
+
     statement = _TTV_RE.sub(sub_version, statement)
+    statement = _TTR_RE.sub(sub_ref, statement)
     return _TTS_RE.sub(sub_timestamp, statement)
 
 

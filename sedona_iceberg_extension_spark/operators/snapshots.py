@@ -728,6 +728,84 @@ class SnapshotTable:
                             base_version=base,
                             extra={"schema_ops": target.get("schema_ops", [])})
 
+    # ---- named refs (branches / tags) --------------------------------
+    # Iceberg refs are mutable table-level pointers into the snapshot log
+    # (metadata.refs) — stored here as a sidecar refs.json.  Branch WRITES
+    # (divergent histories) are out of scope for this layer's linear
+    # optimistic-concurrency model; branches behave as movable read
+    # pointers (tags are immutable ones), with ``fast_forward`` advancing
+    # a branch — the publish half of a write-audit-publish flow whose
+    # audit half reads ``VERSION AS OF '<ref>'``.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.snap_dir, "refs.json")
+
+    def refs(self) -> Dict[str, Dict]:
+        try:
+            with open(self._refs_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: Dict[str, Dict]) -> None:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        tmp = f"{self._refs_path()}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.replace(tmp, self._refs_path())
+
+    def create_ref(self, name: str, kind: str,
+                   version: Optional[int] = None) -> int:
+        if kind not in ("branch", "tag"):
+            raise ValueError(f"ref kind must be branch or tag, got {kind!r}")
+        refs = self.refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists "
+                             f"(a {refs[name]['type']})")
+        v = int(version) if version is not None \
+            else self._manifest()["version"]
+        if v not in self.versions():
+            raise ValueError(f"unknown snapshot {v}")
+        refs[name] = {"version": v, "type": kind}
+        self._write_refs(refs)
+        return v
+
+    def drop_ref(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del refs[name]
+        self._write_refs(refs)
+
+    def resolve_ref(self, name: str) -> Optional[int]:
+        r = self.refs().get(name)
+        return None if r is None else r["version"]
+
+    def fast_forward(self, branch: str, to: str) -> int:
+        """Advance ``branch`` to another ref's (or ``'latest'``'s)
+        snapshot — Iceberg's ``fast_forward`` procedure.  Tags are
+        immutable and refuse to move.  Fast-forwarding ``main`` also
+        re-points the table head (publish)."""
+        refs = self.refs()
+        ent = refs.get(branch)
+        if ent is not None and ent["type"] == "tag":
+            raise ValueError(f"cannot fast-forward tag {branch!r}")
+        target = (self.versions()[-1] if to == "latest"
+                  else self.resolve_ref(to))
+        if target is None:
+            raise ValueError(f"unknown target ref {to!r}")
+        if branch == "main":
+            newv = self.set_current(target)
+            if ent is not None:
+                refs[branch] = {"version": newv, "type": "branch"}
+                self._write_refs(refs)
+            return newv
+        if ent is None:
+            raise ValueError(f"unknown branch {branch!r}")
+        refs[branch] = {"version": target, "type": "branch"}
+        self._write_refs(refs)
+        return target
+
     def set_current(self, version: int) -> int:
         """Re-point the table at ``version``'s file set + schema.  Unlike
         Iceberg's ``rollback_to_snapshot`` (ancestors only), Iceberg's

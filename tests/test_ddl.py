@@ -475,6 +475,64 @@ def test_call_snapshot_ref_procedures(spark, tmp_path, monkeypatch):
         ddl.reset()
 
 
+def test_branch_tag_refs_and_fast_forward(spark, tmp_path, monkeypatch):
+    """Iceberg ref surface: CREATE/DROP BRANCH and TAG, reading
+    ``VERSION AS OF '<ref>'`` by name, and the fast_forward procedure
+    (publish half of write-audit-publish).  Branches are movable read
+    pointers in this layer; tags are immutable."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whbr"))
+    ddl.reset()
+    t = "demo.db.branchy"
+    try:
+        engine_sql(spark, f"CREATE TABLE {t} (id INT) USING ICEBERG")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (1)")
+        v1 = ddl.table(t).versions()[-1]
+        engine_sql(spark, f"ALTER TABLE {t} CREATE TAG release_v1")
+        engine_sql(spark, f"INSERT INTO {t} VALUES (2)")
+        engine_sql(spark,
+                   f"ALTER TABLE {t} CREATE BRANCH audit AS OF VERSION {v1}")
+
+        # named-ref reads resolve independently of the current head
+        rows = engine_sql(
+            spark, f"SELECT id FROM {t} VERSION AS OF 'release_v1' "
+                   "ORDER BY id").collect()
+        assert [r.id for r in rows] == [1]
+        rows = engine_sql(
+            spark, f"SELECT id FROM {t} VERSION AS OF 'audit' "
+                   "ORDER BY id").collect()
+        assert [r.id for r in rows] == [1]
+        assert [r.id for r in engine_sql(
+            spark, f"SELECT id FROM {t} ORDER BY id").collect()] == [1, 2]
+
+        # fast-forward the branch to the current head ('latest')
+        r = engine_sql(spark, (
+            f"CALL demo.system.fast_forward(table => '{t}', "
+            "branch => 'audit', to => 'latest')"))
+        assert r["proc"] == "fast_forward"
+        rows = engine_sql(
+            spark, f"SELECT id FROM {t} VERSION AS OF 'audit' "
+                   "ORDER BY id").collect()
+        assert [r.id for r in rows] == [1, 2]
+
+        # tags are immutable; duplicate refs refuse; drop works
+        with pytest.raises(Exception, match="fast-forward tag"):
+            engine_sql(spark, (
+                f"CALL demo.system.fast_forward(table => '{t}', "
+                "branch => 'release_v1', to => 'latest')"))
+        with pytest.raises(Exception, match="already exists"):
+            engine_sql(spark, f"ALTER TABLE {t} CREATE BRANCH release_v1")
+        engine_sql(spark, f"ALTER TABLE {t} DROP TAG release_v1")
+        with pytest.raises(Exception, match="unknown branch/tag"):
+            engine_sql(spark,
+                       f"SELECT id FROM {t} VERSION AS OF 'release_v1'")
+        # numeric time travel is unaffected by the string-ref spelling
+        rows = engine_sql(
+            spark, f"SELECT id FROM {t} VERSION AS OF {v1}").collect()
+        assert [r.id for r in rows] == [1]
+    finally:
+        ddl.reset()
+
+
 def test_evolved_schema_cow_dml(spark, tmp_path, monkeypatch):
     """CoW DML addresses LOGICAL columns after evolution: update a
     re-added column (generation-mangled physical name), update/delete via
