@@ -4,7 +4,7 @@
 ``queries``  — every implemented operator from SURVEY.md §2, spatial Tier A–D
                parity + Tier E pipeline operators (see
                sedona_iceberg_extension_spark/plans/queries.py).
-``oracle_sql`` — exactly-mirrored DuckDB SQL per query: ALL 151 declared
+``oracle_sql`` — exactly-mirrored DuckDB SQL per query: ALL declared
                queries carry an exact oracle (including the approximate
                paths — LSH/IVF ANN regenerate their hash-derived planes/
                codebooks in SQL; the HLL estimate is value-checked via
@@ -80,7 +80,7 @@ _NEVER_DRIVER_SAMPLED = [
     "simhash_clusters", "order_backlog_sweepline", "corpus_novelty_decay",
     # new in round 6 (never sampled by construction)
     "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
-    "bpe_pair_counts",
+    "bpe_pair_counts", "doc_bigram_lm_ppl",
 ]
 
 

@@ -195,3 +195,65 @@ LIMIT 20
 """
 
 R6_QUERIES["bpe_pair_counts"] = (q_bpe_pair_counts, _QBPE_SQL, False)
+
+
+# --- doc_bigram_lm_ppl ------------------------------------------------------
+
+def q_doc_bigram_lm_ppl(spark, sf_dir):
+    """Per-document cross-entropy under an add-k-smoothed BIGRAM language
+    model trained on the corpus itself (k = 0.5) — the CCNet-style LM
+    quality filter, one step up from the unigram proxy: template/boiler-
+    plate docs score low, token-salad docs score high.
+
+    Scale shape: the bigram-count and head-count tables are vocab²-/vocab-
+    keyed aggregations with map-side combine; the doc-bigram stream joins
+    them co-partitioned on the same keys; the vocabulary size rides in as
+    a broadcast single-row crossJoin (never a driver collect)."""
+    from ..pipeline.dedup import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = (spread(docs)
+            .select("doc_id", text.tokens(F.col("text")).alias("_toks"))
+            .filter(F.size("_toks") >= 2))
+    idx = F.explode(F.sequence(F.lit(0), F.size("_toks") - 2))
+    big = (tokd.select("doc_id", idx.alias("_i"), "_toks")
+           .select("doc_id",
+                   F.get("_toks", F.col("_i")).alias("w1"),
+                   F.get("_toks", F.col("_i") + 1).alias("w2")))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    ucnt = big.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = (big.select(F.col("w1").alias("w"))
+             .union(big.select(F.col("w2").alias("w")))
+             .agg(F.count_distinct("w").alias("v")))
+    nll = -F.log((F.col("bc") + 0.5) / (F.col("uc") + 0.5 * F.col("v")))
+    return (big.join(bcnt, ["w1", "w2"]).join(ucnt, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(nll), 6).alias("cross_entropy"))
+            .orderBy("doc_id"))
+
+
+_QBLM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), big AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) t
+  WHERE len(tk) >= 2
+), bcnt AS (
+  SELECT w1, w2, COUNT(*) AS bc FROM big GROUP BY w1, w2
+), ucnt AS (
+  SELECT w1, COUNT(*) AS uc FROM big GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM big UNION ALL SELECT w2 AS w FROM big)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln((bc + 0.5) / (uc + 0.5 * v))), 6) AS cross_entropy
+FROM big JOIN bcnt USING (w1, w2) JOIN ucnt USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+R6_QUERIES["doc_bigram_lm_ppl"] = (q_doc_bigram_lm_ppl, _QBLM_SQL, False)
