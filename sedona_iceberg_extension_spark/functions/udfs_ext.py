@@ -902,8 +902,110 @@ _CONIC_CRS = {
 }
 
 
+_PROJ_ELLPS = {
+    "WGS84": (_WGS84_A, _WGS84_F),
+    "GRS80": (_WGS84_A, _GRS80_F),
+    "AIRY": (_AIRY_A, _AIRY_F),
+    "BESSEL": (_BESSEL_A, _BESSEL_F),
+    "INTL": (6378388.0, 1.0 / 297.0),          # International 1924
+    "CLRK66": (6378206.4, 1.0 / 294.9786982),  # Clarke 1866
+    "CLRK80": (6378249.145, 1.0 / 293.465),    # Clarke 1880
+    "SPHERE": (6370997.0, 0.0),
+}
+
+
+def _parse_proj4(s: str):
+    """PROJ.4 string → (from_geographic, to_geographic), routed to the
+    engine's parameterized projection families — arbitrary-CRS support
+    without a proj database: any CRS of an implemented family works by
+    supplying its proj string (``+proj=tmerc +lat_0=... +k=...``).
+    Datum SHIFTS are out of scope: a non-zero ``+towgs84`` raises (grid/
+    Helmert shifts need datum data this container does not carry);
+    coordinates are interpreted on the stated ellipsoid, matching the
+    EPSG-table entries' behavior."""
+    kv = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k.lower()] = v
+        elif tok:
+            kv[tok.lower()] = True
+
+    tw = kv.get("towgs84")
+    if tw and any(abs(float(x)) > 1e-12 for x in str(tw).split(",")):
+        raise NotImplementedError(
+            "ST_Transform: +towgs84 datum shifts need a proj database")
+    if "a" in kv:
+        a = float(kv["a"])
+        f = 1.0 / float(kv["rf"]) if "rf" in kv else (
+            0.0 if float(kv.get("b", a)) == a
+            else 1.0 - float(kv["b"]) / a)
+    else:
+        ell = str(kv.get("ellps", kv.get("datum", "WGS84"))).upper()
+        if ell not in _PROJ_ELLPS:
+            raise NotImplementedError(
+                f"ST_Transform: unknown ellipsoid {ell!r} "
+                f"(supported: {sorted(_PROJ_ELLPS)})")
+        a, f = _PROJ_ELLPS[ell]
+
+    def num(key, default=0.0):
+        return float(kv.get(key, default))
+
+    proj = str(kv.get("proj", "")).lower()
+    if proj in ("longlat", "latlong", "lonlat"):
+        ident = lambda x, y: (x, y)  # noqa: E731
+        return ident, ident
+    if proj == "utm":
+        return _utm_fns(int(kv["zone"]), south="south" in kv)
+    if proj == "tmerc":
+        return _tm_fns(a, f, num("k", num("k_0", 1.0)), num("lat_0"),
+                       num("lon_0"), num("x_0"), num("y_0"))
+    if proj == "lcc":
+        sp1 = num("lat_1")
+        sp2 = num("lat_2", sp1)
+        return _lcc_fns(a, f, sp1, sp2, num("lat_0"), num("lon_0"),
+                        num("x_0"), num("y_0"))
+    if proj == "aea":
+        return _albers_fns(a, f, num("lat_1"), num("lat_2"), num("lat_0"),
+                           num("lon_0"), num("x_0"), num("y_0"))
+    if proj == "laea":
+        return _laea_fns(a, f, num("lat_0"), num("lon_0"),
+                         num("x_0"), num("y_0"))
+    if proj == "cea":
+        return _cea_fns(a, f, num("lat_ts"), num("lon_0"),
+                        num("x_0"), num("y_0"))
+    if proj == "sterea":
+        return _sterea_fns(a, f, num("k", 1.0), num("lat_0"), num("lon_0"),
+                           num("x_0"), num("y_0"))
+    if proj == "somerc":
+        return _somerc_fns(a, f, num("lat_0"), num("lon_0"),
+                           num("x_0"), num("y_0"))
+    if proj == "stere":
+        lat0 = num("lat_0", 90.0)
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            raise NotImplementedError(
+                "ST_Transform: +proj=stere supported at the poles only "
+                "(use +proj=sterea for oblique)")
+        lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
+        k0 = float(kv["k"]) if "k" in kv else (None if lat_ts else 1.0)
+        return _ps_fns(a, f, abs(lat_ts) if lat_ts else None, k0,
+                       num("lon_0"), num("x_0"), num("y_0"), lat0 < 0)
+    if proj == "webmerc":
+        return _to_3857, _to_4326
+    if proj == "merc":
+        return _to_3395, _from_3395
+    raise NotImplementedError(
+        f"ST_Transform: unsupported +proj={proj!r} (supported: longlat, "
+        "utm, tmerc, lcc, aea, laea, cea, sterea, somerc, stere, "
+        "webmerc, merc)")
+
+
 def _crs_fns(code: str):
-    """Return (from_geographic, to_geographic) for an EPSG code string."""
+    """Return (from_geographic, to_geographic) for an EPSG code string
+    or a PROJ.4 string (``+proj=...``)."""
+    if code.lstrip().startswith("+"):
+        return _parse_proj4(code)
     if code == "4326":
         ident = lambda x, y: (x, y)  # noqa: E731
         return ident, ident
@@ -940,8 +1042,10 @@ def _crs_fns(code: str):
 
 
 def transform_geom(g: Geometry, src: str, dst: str) -> Geometry:
-    src_n = src.upper().replace("EPSG:", "")
-    dst_n = dst.upper().replace("EPSG:", "")
+    def norm(c):
+        c = c.strip()
+        return c if c.startswith("+") else c.upper().replace("EPSG:", "")
+    src_n, dst_n = norm(src), norm(dst)
     if src_n == dst_n:
         return g
     _, src_inv = _crs_fns(src_n)
@@ -960,10 +1064,11 @@ def transform_geom(g: Geometry, src: str, dst: str) -> Geometry:
             return fn(*c)
         return [mapc(x) for x in c]
 
+    out_srid = int(dst_n) if dst_n.isdigit() else 0
     if g.kind == WKB_GEOMETRYCOLLECTION:
         return Geometry.collection([transform_geom(x, src, dst) for x in g.coords],
-                                   int(dst_n))
-    out = Geometry(g.kind, mapc(g.coords), int(dst_n))
+                                   out_srid)
+    out = Geometry(g.kind, mapc(g.coords), out_srid)
     out.z = g.z
     return out
 

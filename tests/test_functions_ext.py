@@ -295,6 +295,40 @@ def test_split_polygon_property_fuzz():
                 ip, hull.coords) == 2, trial
 
 
+def test_transform_proj4_strings(spark):
+    """Arbitrary-CRS support via PROJ.4 strings: any CRS of an implemented
+    projection family works without a proj database.  Each proj-string
+    spelling must land exactly on its EPSG-table twin; +towgs84 datum
+    shifts raise a labeled error."""
+    pairs = [
+        ("27700", "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                  "+x_0=400000 +y_0=-100000 +ellps=airy"),
+        ("32633", "+proj=utm +zone=33 +ellps=WGS84"),
+        ("2154", "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+                 "+x_0=700000 +y_0=6600000 +ellps=GRS80"),
+        ("3035", "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 "
+                 "+y_0=3210000 +ellps=GRS80"),
+    ]
+    for code, pstr in pairs:
+        for fn in ("ST_X", "ST_Y"):
+            a = sql1(spark, f"{fn}(ST_Transform(ST_Point(7.45D, 46.95D), "
+                            f"'EPSG:4326', 'EPSG:{code}'))")
+            b = sql1(spark, f"{fn}(ST_Transform(ST_Point(7.45D, 46.95D), "
+                            f"'EPSG:4326', '{pstr}'))")
+            assert b == pytest.approx(a, abs=1e-6), (code, fn)
+    # longlat round trip through a proj-string CRS
+    back = sql1(spark, "ST_X(ST_Transform(ST_Transform("
+                       "ST_Point(16.37D, 48.2D), "
+                       "'+proj=longlat +ellps=WGS84', "
+                       "'+proj=utm +zone=33 +ellps=WGS84'), "
+                       "'+proj=utm +zone=33 +ellps=WGS84', "
+                       "'+proj=longlat +ellps=WGS84'))")
+    assert back == pytest.approx(16.37, abs=1e-8)
+    with pytest.raises(Exception, match="towgs84"):
+        sql1(spark, "ST_X(ST_Transform(ST_Point(1D, 2D), 'EPSG:4326', "
+                    "'+proj=tmerc +ellps=bessel +towgs84=674.4,15.1,405.3'))")
+
+
 def test_buildarea_linefrommultipoint_zminmax(spark):
     # BuildArea: closed linework with a hole → polygon with hole
     out = sql1(spark, "ST_AsText(ST_BuildArea(ST_GeomFromText("
