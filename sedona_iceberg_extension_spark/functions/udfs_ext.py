@@ -1402,6 +1402,29 @@ st_buildarea = _geom1(A.build_area)
 st_linefrommultipoint = _geom1(A.line_from_multipoint)
 
 
+@pandas_udf(_BIN)
+def st_concavehull(wkb: pd.Series, pct: pd.Series) -> pd.Series:
+    out = []
+    for b, r in zip(wkb, pct):
+        if b is None or r is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(A.concave_hull(from_wkb(b), float(r))))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_delaunaytriangles(wkb: pd.Series) -> pd.Series:
+    def run(b):
+        if b is None:
+            return None
+        tris = A.delaunay_triangles(from_wkb(b))
+        return to_wkb(Geometry(
+            WKB_GEOMETRYCOLLECTION,
+            [Geometry(WKB_POLYGON, [[a, c, d, a]]) for a, c, d in tris]))
+    return wkb.map(run)
+
+
 def _z_extreme(pick):
     """Min/max Z over a geometry's point components that carry a Z
     (Sedona returns null when no Z exists — this model stores Z on
@@ -1523,6 +1546,8 @@ EXT_SQL_FUNCTIONS = {
     "ST_SetPoint": st_setpoint,
     "ST_BuildArea": st_buildarea,
     "ST_LineFromMultiPoint": st_linefrommultipoint,
+    "ST_ConcaveHull": st_concavehull,
+    "ST_DelaunayTriangles": st_delaunaytriangles,
     "ST_ZMax": st_zmax,
     "ST_ZMin": st_zmin,
 }

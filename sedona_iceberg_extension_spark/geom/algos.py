@@ -1743,6 +1743,129 @@ def build_area(geom: Geometry) -> Geometry:
     return Geometry(WKB_MULTIPOLYGON, out, geom.srid)
 
 
+def delaunay_triangles(geom: Geometry) -> List[Tuple[Coord, Coord, Coord]]:
+    """Delaunay triangulation of the geometry's distinct vertices by
+    Bowyer–Watson incremental insertion with a super-triangle (public
+    textbook algorithm).  Returns CCW triangles; fewer than 3 distinct
+    non-collinear points → []."""
+    pts = sorted({_snap(c) for part in geom.flatten()
+                  for c in ([part.coords] if part.kind == WKB_POINT
+                            else [p for r in part.coords for p in r]
+                            if part.kind == WKB_POLYGON else part.coords)
+                  if c is not None})
+    if len(pts) < 3:
+        return []
+    xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+    cx, cy = (min(xs) + max(xs)) / 2, (min(ys) + max(ys)) / 2
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1.0) * 16
+    sup = [(cx - span, cy - span / 2), (cx + span, cy - span / 2),
+           (cx, cy + span)]
+
+    def circum_contains(tri, p):
+        (ax, ay), (bx, by), (cx_, cy_) = tri
+        d = 2 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+        if abs(d) < 1e-30:
+            return False
+        ux = ((ax * ax + ay * ay) * (by - cy_) + (bx * bx + by * by)
+              * (cy_ - ay) + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx_ - bx) + (bx * bx + by * by)
+              * (ax - cx_) + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        return (p[0] - ux) ** 2 + (p[1] - uy) ** 2 < r2 - 1e-12
+
+    tris = [tuple(sup)]
+    for p in pts:
+        bad = [t for t in tris if circum_contains(t, p)]
+        edges: dict = {}
+        for t in bad:
+            for i in range(3):
+                e = (t[i], t[(i + 1) % 3])
+                k = (min(e), max(e))
+                edges[k] = None if k in edges else e
+        tris = [t for t in tris if t not in bad]
+        for e in edges.values():
+            if e is not None:
+                tris.append((e[0], e[1], p))
+    sup_set = set(sup)
+    out = []
+    for t in tris:
+        if sup_set & set(t):
+            continue
+        a2 = _ring_signed_area2([t[0], t[1], t[2], t[0]])
+        if abs(a2) <= EPS:
+            continue
+        out.append(t if a2 > 0 else (t[0], t[2], t[1]))
+    return out
+
+
+def concave_hull(geom: Geometry, pct_convex: float = 0.3) -> Geometry:
+    """Concave hull of the geometry's vertices by border-triangle erosion
+    of the Delaunay triangulation (the GEOS/Sedona ConcaveHullOfPoints
+    design, re-derived from its published description): starting from the
+    convex hull (= all Delaunay triangles), repeatedly remove the border
+    triangle whose outer edge is longest, while that edge is longer than
+    ``maxLen = shortest + pct_convex * (longest - shortest)`` over the
+    triangulation's edges and removal keeps the region simply connected
+    (the removed triangle's opposite vertex must not already lie on the
+    boundary).  pct_convex 1 → convex hull; smaller → tighter hull.
+    Exact triangle-set equality with GEOS is not guaranteed (erosion
+    order may differ on ties); the containment and edge-length contracts
+    are."""
+    tris = delaunay_triangles(geom)
+    if not tris:
+        return convex_hull(geom)
+    if not 0.0 <= pct_convex <= 1.0:
+        raise ValueError("pct_convex must be in [0, 1]")
+
+    def elen(e):
+        return math.hypot(e[0][0] - e[1][0], e[0][1] - e[1][1])
+
+    all_edges = {tuple(sorted((t[i], t[(i + 1) % 3])))
+                 for t in tris for i in range(3)}
+    lens = [elen(e) for e in all_edges]
+    max_len = min(lens) + pct_convex * (max(lens) - min(lens))
+
+    alive = set(range(len(tris)))
+    edge_tris: dict = {}
+    for i, t in enumerate(tris):
+        for k in range(3):
+            e = tuple(sorted((t[k], t[(k + 1) % 3])))
+            edge_tris.setdefault(e, []).append(i)
+
+    def boundary_edges():
+        return {e for e, ts in edge_tris.items()
+                if sum(1 for i in ts if i in alive) == 1}
+
+    changed = True
+    while changed:
+        changed = False
+        bnd = boundary_edges()
+        bnd_pts = {p for e in bnd for p in e}
+        # longest-border-edge-first erosion
+        for e in sorted(bnd, key=elen, reverse=True):
+            if elen(e) <= max_len:
+                break
+            i = next((i for i in edge_tris[e] if i in alive), None)
+            if i is None:
+                continue
+            opp = next(p for p in tris[i] if p not in e)
+            if opp in bnd_pts:      # would pinch the region — skip
+                continue
+            alive.discard(i)
+            changed = True
+            break
+    segs = [[list(e)[0], list(e)[1]] for e, ts in edge_tris.items()
+            if sum(1 for i in ts if i in alive) == 1]
+    rings = [r for r in (_strip_spurs(f) for f in _polygonize_faces(segs))
+             if len(r) >= 4 and _ring_signed_area2(r) > EPS]
+    if not rings:
+        return convex_hull(geom)
+    if len(rings) == 1:
+        return Geometry(WKB_POLYGON, rings, geom.srid)
+    order = sorted(rings, key=lambda r: -abs(_ring_signed_area2(r)))
+    return Geometry(WKB_POLYGON, [order[0]], geom.srid)
+
+
 def line_from_multipoint(geom: Geometry) -> Geometry:
     """Sedona ST_LineFromMultiPoint: the linestring through a multipoint's
     coordinates in order (null for other inputs, matching Sedona)."""

@@ -295,6 +295,47 @@ def test_split_polygon_property_fuzz():
                 ip, hull.coords) == 2, trial
 
 
+def test_concavehull_and_delaunay(spark):
+    import math
+    import random
+
+    from sedona_iceberg_extension_spark.geom.algos import (
+        area, concave_hull, convex_hull, covered_by, delaunay_triangles)
+    from sedona_iceberg_extension_spark.geom.model import Geometry
+
+    # Delaunay over a unit grid tiles it exactly
+    g = Geometry.multipoint([(x, y) for x in range(4) for y in range(4)])
+    tris = delaunay_triangles(g)
+    assert len(tris) == 18
+    total = sum(abs((b[0] - a[0]) * (c[1] - a[1])
+                    - (c[0] - a[0]) * (b[1] - a[1])) / 2
+                for a, b, c in tris)
+    assert total == pytest.approx(9.0)
+
+    # concave hull contracts: tighter than convex on a C-shaped cloud,
+    # still covers every input point; pct=1 ~ convex hull (mod slivers)
+    rnd = random.Random(3)
+    pts = []
+    for _ in range(200):
+        t = rnd.uniform(0.25 * math.pi, 1.75 * math.pi)
+        r = rnd.uniform(3, 4)
+        pts.append((r * math.cos(t), r * math.sin(t)))
+    cloud = Geometry.multipoint(pts)
+    cc = concave_hull(cloud, 0.1)
+    assert area(cc) < 0.5 * area(convex_hull(cloud))
+    assert all(covered_by(Geometry.point(*p), cc) for p in pts)
+    assert area(concave_hull(cloud, 1.0)) == pytest.approx(
+        area(convex_hull(cloud)), rel=1e-2)
+
+    # SQL surface
+    out = sql1(spark, "ST_AsText(ST_ConcaveHull(ST_GeomFromText("
+                      "'MULTIPOINT ((0 0),(4 0),(4 4),(0 4),(2 1))'), 1.0))")
+    assert out == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    n = sql1(spark, "ST_NumGeometries(ST_DelaunayTriangles(ST_GeomFromText("
+                    "'MULTIPOINT ((0 0),(1 0),(0 1),(1 1))')))")
+    assert n == 2
+
+
 def test_transform_proj4_strings(spark):
     """Arbitrary-CRS support via PROJ.4 strings: any CRS of an implemented
     projection family works without a proj database.  Each proj-string
