@@ -80,7 +80,7 @@ _NEVER_DRIVER_SAMPLED = [
     "simhash_clusters", "order_backlog_sweepline", "corpus_novelty_decay",
     # new in round 6 (never sampled by construction)
     "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
-    "bpe_pair_counts", "doc_bigram_lm_ppl",
+    "bpe_pair_counts", "doc_bigram_lm_ppl", "spatial_split_boxes",
 ]
 
 

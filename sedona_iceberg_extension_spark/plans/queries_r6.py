@@ -257,3 +257,52 @@ ORDER BY doc_id
 """
 
 R6_QUERIES["doc_bigram_lm_ppl"] = (q_doc_bigram_lm_ppl, _QBLM_SQL, False)
+
+
+# --- spatial_split_boxes ----------------------------------------------------
+
+def q_spatial_split_boxes(spark, sf_dir):
+    """Polygon ST_Split end-to-end with a VALUE-checked oracle: each nation
+    box (14 x 180 degrees) is split by a meridian at a per-key fraction
+    ((k % 7 + 1)/8 of the width), so the two piece areas are pure
+    arithmetic the plain-SQL oracle reproduces — the planar-arrangement
+    face walk is checked on every row, not just in unit tests."""
+    from ..functions import api as ST
+
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    xmin = (k * 14 - 180).cast("double")
+    w = ((k % 7) + 1).cast("double") * F.lit(14.0) / F.lit(8.0)
+    boxes = ST.with_box_geometry(
+        nation.select("n_nationkey"),
+        xmin, F.lit(-90.0), (k * 14 - 166).cast("double"), F.lit(90.0))
+    bx = F.col("_bx").cast("string")
+    split = (boxes
+             .withColumn("_bx", (xmin + w))
+             .withColumn("_blade", F.concat(
+                 F.lit("LINESTRING ("), bx, F.lit(" -91, "),
+                 bx, F.lit(" 91)")))
+             .withColumn("_parts", F.expr(
+                 "ST_Split(geo, ST_GeomFromText(_blade))")))
+    a0 = F.expr("ST_Area(ST_GeometryN(_parts, 0))")
+    a1 = F.expr("ST_Area(ST_GeometryN(_parts, 1))")
+    return (split.select(
+        "n_nationkey",
+        F.expr("ST_NumGeometries(_parts)").alias("n_parts"),
+        F.round(F.least(a0, a1), 6).alias("min_part_area"),
+        F.round(a0 + a1, 6).alias("total_area"))
+        .orderBy("n_nationkey"))
+
+
+_QSPLITBOX_SQL = """
+SELECT n_nationkey,
+       2 AS n_parts,
+       ROUND(LEAST(w, 14.0 - w) * 180.0, 6) AS min_part_area,
+       ROUND(2520.0, 6) AS total_area
+FROM (SELECT n_nationkey,
+             CAST((n_nationkey % 7) + 1 AS DOUBLE) * 14.0 / 8.0 AS w
+      FROM nation)
+ORDER BY n_nationkey
+"""
+
+R6_QUERIES["spatial_split_boxes"] = (q_spatial_split_boxes, _QSPLITBOX_SQL, False)
