@@ -306,3 +306,56 @@ ORDER BY n_nationkey
 """
 
 R6_QUERIES["spatial_split_boxes"] = (q_spatial_split_boxes, _QSPLITBOX_SQL, False)
+
+
+# --- spatial_buildarea_donuts -----------------------------------------------
+
+def q_spatial_buildarea_donuts(spark, sf_dir):
+    """ST_BuildArea end-to-end with a VALUE-checked oracle: per nation, a
+    multilinestring of two concentric box boundaries (outer 14 x 180, hole
+    inset by a per-key margin m = (k % 5 + 1) degrees) assembles into a
+    polygon-with-hole whose area = 2520 - hole area — pure arithmetic the
+    plain-SQL oracle reproduces, so the half-edge face assembly and
+    odd-even nesting are checked on every row."""
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = (k * 14 - 180).cast("double")
+    m = ((k % 5) + 1).cast("double")
+
+    def s(c):
+        return c.cast("string")
+
+    ring = lambda xa, ya, xb, yb: F.concat(  # noqa: E731
+        F.lit("("), s(xa), F.lit(" "), s(ya), F.lit(", "),
+        s(xb), F.lit(" "), s(ya), F.lit(", "),
+        s(xb), F.lit(" "), s(yb), F.lit(", "),
+        s(xa), F.lit(" "), s(yb), F.lit(", "),
+        s(xa), F.lit(" "), s(ya), F.lit(")"))
+    wkt = F.concat(F.lit("MULTILINESTRING ("),
+                   ring(x0, F.lit(-90.0), x0 + 14.0, F.lit(90.0)),
+                   F.lit(", "),
+                   ring(x0 + m, -90.0 + m * 10, x0 + 14.0 - m,
+                        90.0 - m * 10),
+                   F.lit(")"))
+    built = (nation.select("n_nationkey")
+             .withColumn("_wkt", wkt)
+             .withColumn("_poly", F.expr(
+                 "ST_BuildArea(ST_GeomFromText(_wkt))")))
+    return (built.select(
+        "n_nationkey",
+        F.expr("ST_NumInteriorRings(_poly)").alias("n_holes"),
+        F.round(F.expr("ST_Area(_poly)"), 6).alias("area"))
+        .orderBy("n_nationkey"))
+
+
+_QBUILDAREA_SQL = """
+SELECT n_nationkey,
+       1 AS n_holes,
+       ROUND(2520.0 - (14.0 - 2 * m) * (180.0 - 20 * m), 6) AS area
+FROM (SELECT n_nationkey, CAST((n_nationkey % 5) + 1 AS DOUBLE) AS m
+      FROM nation)
+ORDER BY n_nationkey
+"""
+
+R6_QUERIES["spatial_buildarea_donuts"] = (
+    q_spatial_buildarea_donuts, _QBUILDAREA_SQL, False)
