@@ -1,0 +1,30 @@
+"""Driver-contract invariants for __spark_entry__: every declared query is
+callable, every oracle key names a declared query, and the rotation list
+contains no stale names (a typo there would silently skip the intended
+front-of-sample ordering)."""
+
+import __spark_entry__ as entry
+
+
+def test_rotation_list_names_are_declared():
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+
+    missing = [n for n in entry._NEVER_DRIVER_SAMPLED if n not in QUERIES]
+    assert not missing, f"rotation list has unknown names: {missing}"
+
+
+def test_rotation_list_has_no_duplicates():
+    names = entry._NEVER_DRIVER_SAMPLED
+    assert len(names) == len(set(names))
+
+
+def test_queries_and_oracles_line_up():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the engine's standing claim: every declared query has an exact oracle
+    assert set(oracles) == set(qs)
+    # rotation front: never-sampled names lead the dict ordering
+    order = list(qs)
+    front = [n for n in entry._NEVER_DRIVER_SAMPLED if n in qs]
+    assert order[:len(front)] == front
