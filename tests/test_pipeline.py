@@ -719,3 +719,25 @@ def test_bpe_pair_counts_hand_computed(spark):
     assert rows["ab"] == 4
     assert rows["ba"] == 1
     assert rows["cd"] == 2
+
+
+def test_jaccard_pairs_char_grams_vs_bruteforce(spark):
+    docs = [(1, "abcdefghij"), (2, "abcdefghXj"), (3, "zzzzyyyyxxxx"),
+            (4, "abcdefghij"), (5, "qq")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           dedup.jaccard_pairs(df, "doc_id", "text", use_char_grams=True,
+                               char_n=5, threshold=0.0).collect()}
+
+    def grams(t):
+        return {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+
+    want = {}
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1:]:
+            inter = grams(ta) & grams(tb)
+            if inter:
+                want[(ida, idb)] = len(inter) / len(grams(ta) | grams(tb))
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v), k
