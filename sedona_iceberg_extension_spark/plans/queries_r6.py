@@ -359,3 +359,75 @@ ORDER BY n_nationkey
 
 R6_QUERIES["spatial_buildarea_donuts"] = (
     q_spatial_buildarea_donuts, _QBUILDAREA_SQL, False)
+
+
+# --- minhash_calibration_curve ----------------------------------------------
+
+def q_minhash_calibration_curve(spark, sf_dir):
+    """Estimated-vs-exact Jaccard calibration for the LSH candidate set:
+    per estimator value (fraction of agreeing MinHash seeds, 8 seeds →
+    ninths of 1/8), the count of candidate pairs and the avg/min/max of
+    their EXACT Jaccard — the table a dedup operator reads to pick a
+    banding threshold at corpus scale.  Candidates with no shared shingle
+    (pure banding hash luck) score exact 0 via the left join."""
+    from ..pipeline import dedup as D
+    from .sql_shared import LSH_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = D.minhash_estimate_pairs(docs, "doc_id", "text", num_hashes=8,
+                                   bands=4, max_bucket=LSH_MAX_BUCKET)
+    exact = D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+                            threshold=0.0)
+    joined = (est.join(exact, ["id_a", "id_b"], "left")
+              .withColumn("_ex", F.coalesce("jaccard", F.lit(0.0))))
+    return (joined.groupBy(F.round("jaccard_est", 6).alias("jaccard_est"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("_ex"), 6).alias("avg_exact"),
+                 F.round(F.min("_ex"), 6).alias("min_exact"),
+                 F.round(F.max("_ex"), 6).alias("max_exact"))
+            .orderBy("jaccard_est"))
+
+
+def _mh_calibration_sql() -> str:
+    from .sql_shared import lsh_pairs_cte, mh_sig_cte
+
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(8))
+    return mh_sig_cte("") + lsh_pairs_cte() + f"""
+, est AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(CAST({agree} AS DOUBLE) / 8.0, 6) AS jaccard_est
+  FROM pairs p
+  JOIN sigw a ON a.doc_id = p.id_a
+  JOIN sigw b ON b.doc_id = p.id_b
+), toksx AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toksx, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shing GROUP BY doc_id
+), com AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shing a JOIN shing b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), ex AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS exact_j
+  FROM com
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT jaccard_est, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(COALESCE(exact_j, 0)), 6) AS avg_exact,
+       ROUND(MIN(COALESCE(exact_j, 0)), 6) AS min_exact,
+       ROUND(MAX(COALESCE(exact_j, 0)), 6) AS max_exact
+FROM est LEFT JOIN ex USING (id_a, id_b)
+GROUP BY jaccard_est
+ORDER BY jaccard_est
+"""
+
+
+R6_QUERIES["minhash_calibration_curve"] = (
+    q_minhash_calibration_curve, _mh_calibration_sql(), False)

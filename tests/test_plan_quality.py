@@ -64,7 +64,7 @@ _NATIVE_QUERIES = [
     "corpus_novelty_decay",
     "hll_users_by_type", "hll_click_view_overlap", "doc_hash_sample",
     "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
-    "bpe_pair_counts", "doc_bigram_lm_ppl",
+    "bpe_pair_counts", "doc_bigram_lm_ppl", "minhash_calibration_curve",
 ]
 
 
