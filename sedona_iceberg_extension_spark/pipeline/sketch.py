@@ -198,3 +198,49 @@ def hll_set_estimates(df_a: DataFrame, df_b: DataFrame, key_col: str,
                     F.round(F.col("est_a") + F.col("est_b")
                             - F.col("est_union"), 6)
                     .alias("est_intersection")))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — the frequency member of the mergeable-summary trio
+# (HLL = cardinality, Bloom = membership, CMS = frequency)
+# ---------------------------------------------------------------------------
+
+def cms_cells(df: DataFrame, key_col: str, width: int = 256,
+              depth: int = 4) -> DataFrame:
+    """(r, c, cnt) cells of a depth x width count-min sketch over the
+    occurrences of ``key_col`` (Cormode & Muthukrishnan 2005).  Fully
+    deterministic: each row's hash comes from the portable md5 recipe
+    with seed ``cms<r>``, so an oracle reproduces every cell — including
+    collision inflation — and estimates are value-checkable.
+
+    Scale shape: depth narrow projections per row, then ONE count
+    aggregation whose shuffle carries at most depth x width cell rows per
+    map task (map-side combine).  Sketches merge by cell-wise sum, so
+    per-partition sketches combine without rescans — the reason to keep a
+    CMS next to the data at 100 TB instead of re-running heavy-hitter
+    group-bys."""
+    k = F.col(key_col).cast("string")
+    ex = df.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (portable_hash64(k, f"cms{r}") % width).alias("c"))
+        for r in range(depth)])).alias("_rc"))
+    return (ex.groupBy(F.col("_rc.r").alias("r"), F.col("_rc.c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(cells: DataFrame, probe_df: DataFrame, key_col: str,
+                 width: int = 256, depth: int = 4) -> DataFrame:
+    """(key, est_count) count-min estimates: min over the depth addressed
+    cells — an upper bound on the true count (never under).  The sketch
+    side broadcasts; the probe is depth narrow rows per key and one min
+    aggregation."""
+    k = F.col(key_col).cast("string")
+    probes = probe_df.select(F.col(key_col), F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (portable_hash64(k, f"cms{r}") % width).alias("c"))
+        for r in range(depth)])).alias("_rc"))
+    return (probes.select(F.col(key_col), F.col("_rc.r").alias("r"),
+                          F.col("_rc.c").alias("c"))
+            .join(F.broadcast(cells), ["r", "c"])
+            .groupBy(key_col)
+            .agg(F.min("cnt").alias("est_count")))

@@ -431,3 +431,58 @@ ORDER BY jaccard_est
 
 R6_QUERIES["minhash_calibration_curve"] = (
     q_minhash_calibration_curve, _mh_calibration_sql(), False)
+
+
+# --- cms_user_event_counts --------------------------------------------------
+
+def q_cms_user_event_counts(spark, sf_dir):
+    """Count-min-sketch frequency estimates for users 0-49 from a 4 x 256
+    sketch over the whole event stream, next to the true counts — the
+    overestimate is collision inflation, deterministic and value-checked
+    cell by cell (sketch.cms_cells / cms_estimate)."""
+    from ..pipeline import sketch as SK
+
+    events = load_table(spark, sf_dir, "events")
+    cells = SK.cms_cells(events, "user_id", width=256, depth=4)
+    probe = (events.filter(F.col("user_id") < 50)
+             .select("user_id").distinct())
+    est = SK.cms_estimate(cells, probe, "user_id", width=256, depth=4)
+    truth = (events.filter(F.col("user_id") < 50)
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count")))
+    return (est.join(truth, "user_id")
+            .select("user_id", "est_count", "true_count")
+            .orderBy("user_id"))
+
+
+_QCMS_SQL = """
+WITH ks AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+), rows_ AS (
+  SELECT unnest(range(0, 4)) AS r
+), cell AS (
+  SELECT r.r,
+         ('0x' || substr(md5(ks.k || '#cms' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 256 AS c,
+         COUNT(*) AS cnt
+  FROM ks CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), probe AS (
+  SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id < 50
+), pc AS (
+  SELECT p.user_id, r.r,
+         ('0x' || substr(md5(p.k || '#cms' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+  FROM probe p CROSS JOIN rows_ r
+), est AS (
+  SELECT user_id, CAST(MIN(cnt) AS BIGINT) AS est_count
+  FROM pc JOIN cell USING (r, c)
+  GROUP BY user_id
+)
+SELECT e.user_id, e.est_count, CAST(t.cnt AS BIGINT) AS true_count
+FROM est e
+JOIN (SELECT user_id, COUNT(*) AS cnt FROM events
+      WHERE user_id < 50 GROUP BY user_id) t USING (user_id)
+ORDER BY user_id
+"""
+
+R6_QUERIES["cms_user_event_counts"] = (
+    q_cms_user_event_counts, _QCMS_SQL, False)

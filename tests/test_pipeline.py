@@ -741,3 +741,21 @@ def test_jaccard_pairs_char_grams_vs_bruteforce(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v), k
+
+
+def test_cms_never_underestimates(spark):
+    from sedona_iceberg_extension_spark.pipeline import sketch as SK
+
+    df = spark.createDataFrame(
+        [(i % 17,) for i in range(500)] + [(99,)] * 40, ["k"])
+    cells = SK.cms_cells(df, "k", width=32, depth=4)  # tight → collisions
+    probe = df.select("k").distinct()
+    est = {r.k: r.est_count for r in
+           SK.cms_estimate(cells, probe, "k", width=32, depth=4).collect()}
+    truth = {r.k: r.cnt for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert est[k] >= t, k          # CMS upper-bound invariant
+    # total inflation bounded: sum of overestimates < sum of counts
+    assert sum(est[k] - truth[k] for k in truth) < sum(truth.values())

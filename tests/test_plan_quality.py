@@ -65,6 +65,7 @@ _NATIVE_QUERIES = [
     "hll_users_by_type", "hll_click_view_overlap", "doc_hash_sample",
     "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
     "bpe_pair_counts", "doc_bigram_lm_ppl", "minhash_calibration_curve",
+    "cms_user_event_counts",
 ]
 
 
