@@ -82,7 +82,7 @@ _NEVER_DRIVER_SAMPLED = [
     "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
     "bpe_pair_counts", "doc_bigram_lm_ppl", "spatial_split_boxes",
     "spatial_buildarea_donuts", "minhash_calibration_curve",
-    "cms_user_event_counts",
+    "cms_user_event_counts", "streaming_cms_cells",
 ]
 
 

@@ -486,3 +486,53 @@ ORDER BY user_id
 
 R6_QUERIES["cms_user_event_counts"] = (
     q_cms_user_event_counts, _QCMS_SQL, False)
+
+
+# --- streaming_cms_cells ----------------------------------------------------
+
+def q_streaming_cms_cells(spark, sf_dir):
+    """Count-min sketch maintained BY A STREAM: the cell table is a
+    streaming groupBy aggregation in update mode (cell-wise counts are
+    mergeable, so state = the sketch itself, bounded at depth x width
+    rows regardless of stream length).  availableNow over the events
+    table; the final cell table equals the batch sketch, so the oracle is
+    exact.  Returns the top 40 heaviest cells (stable tie-break) — the
+    heavy-hitter fingerprint a monitoring job would alert on."""
+    import tempfile
+
+    from ..pipeline import sketch as SK
+    from ..sources import stream_table
+
+    stream = stream_table(spark, sf_dir, "events")
+    cells = SK.cms_cells(stream, "user_id", width=256, depth=4)
+    name = "q_stream_cms_sink"
+    q = (cells.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT r, c, cnt FROM {name} "
+        f"ORDER BY cnt DESC, r ASC, c ASC LIMIT 40")
+
+
+_QSTREAM_CMS_SQL = """
+WITH ks AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+), rows_ AS (
+  SELECT unnest(range(0, 4)) AS r
+), cell AS (
+  SELECT r.r,
+         ('0x' || substr(md5(ks.k || '#cms' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 256 AS c,
+         COUNT(*) AS cnt
+  FROM ks CROSS JOIN rows_ r
+  GROUP BY 1, 2
+)
+SELECT CAST(r AS INT) AS r, CAST(c AS BIGINT) AS c, CAST(cnt AS BIGINT) AS cnt
+FROM cell
+ORDER BY cnt DESC, r ASC, c ASC
+LIMIT 40
+"""
+
+R6_QUERIES["streaming_cms_cells"] = (
+    q_streaming_cms_cells, _QSTREAM_CMS_SQL, False)
