@@ -1,23 +1,41 @@
-"""Round-6 operator inventory — within-doc repetition quality rule,
-training-shard packing, product-quantization ANN.  Each declared query has
-an exact DuckDB oracle (FIXTURES.md conventions: total ORDER BY, ROUND on
-float outputs, identical aliases both sides, BIGINT casts).
+"""Round-6 operator inventory.  Each declared query has an exact DuckDB
+oracle (FIXTURES.md conventions: total ORDER BY, ROUND on float outputs,
+identical aliases both sides, BIGINT casts).
 
-- doc_ngram_repetition    — Gopher-style duplicate-bigram fraction per doc
-                            (within-doc boilerplate that cross-doc dedup
-                            cannot see)
-- training_shard_packing  — token-budget shard manifest via the two-level
-                            scan (no single-partition global window)
-- pq_ann_topk             — product-quantization ADC top-k with a
-                            deterministic codebook (the memory-compressed
-                            ANN scale path: m code bytes per vector, per-
-                            query LUT built before the broadcast join)
+- doc_ngram_repetition      — Gopher-style duplicate-bigram fraction per
+                              doc (within-doc boilerplate that cross-doc
+                              dedup cannot see)
+- training_shard_packing    — token-budget shard manifest via the
+                              two-level scan (no single-partition global
+                              window)
+- pq_ann_topk               — product-quantization ADC top-k with a
+                              deterministic codebook (m code bytes per
+                              vector; per-query LUT built before the
+                              broadcast join)
+- bpe_pair_counts           — BPE merge-candidate counts over the
+                              VOCABULARY, weighted by word frequency
+- doc_bigram_lm_ppl         — CCNet-style add-k bigram-LM cross-entropy
+                              quality score
+- spatial_split_boxes       — polygon ST_Split with arithmetic-mirrored
+                              piece areas (face walk value-checked per row)
+- spatial_buildarea_donuts  — ST_BuildArea hole nesting value-checked per
+                              row the same way
+- minhash_calibration_curve — estimated-vs-exact Jaccard per estimator
+                              value over the LSH candidate set (the
+                              banding-threshold table)
+- cms_user_event_counts     — count-min frequency estimates vs truth
+                              (deterministic cells, collisions included)
+- streaming_cms_cells       — the same sketch maintained by a real
+                              availableNow stream (state = the sketch,
+                              bounded at depth x width rows)
 
 Scale notes: repetition is two map-side-combinable aggregations and
 nothing else; shard packing's only single-partition window runs over the
 |buckets|-row totals table (tiny by construction); PQ encodes the corpus
 in one narrow codegen pass and scores candidates with m array lookups per
-pair instead of a dim-wide dot product.
+pair instead of a dim-wide dot product; the LM/BPE aggregations shuffle
+vocab-sized tables, never the token stream; the sketch queries shuffle at
+most depth x width cells.
 """
 
 from __future__ import annotations
