@@ -906,12 +906,112 @@ _PROJ_ELLPS = {
     "WGS84": (_WGS84_A, _WGS84_F),
     "GRS80": (_WGS84_A, _GRS80_F),
     "AIRY": (_AIRY_A, _AIRY_F),
+    "MOD_AIRY": (6377340.189, 1.0 - 6356034.446 / 6377340.189),
     "BESSEL": (_BESSEL_A, _BESSEL_F),
     "INTL": (6378388.0, 1.0 / 297.0),          # International 1924
     "CLRK66": (6378206.4, 1.0 / 294.9786982),  # Clarke 1866
     "CLRK80": (6378249.145, 1.0 / 293.465),    # Clarke 1880
+    "CLRK80IGN": (6378249.2, 1.0 / 293.4660212936269),  # Clarke 1880 IGN
     "SPHERE": (6370997.0, 0.0),
 }
+
+#: PROJ's built-in ``+datum=`` shortcuts that expand to ellipsoid +
+#: towgs84 Helmert parameters (proj's datum registry — public constants).
+#: NAD27's grid-shift (NADCON) datum is NOT Helmert-expressible and stays
+#: unsupported.
+_PROJ_DATUMS = {
+    "WGS84": ("WGS84", (0.0, 0.0, 0.0)),
+    "NAD83": ("GRS80", (0.0, 0.0, 0.0)),
+    "GGRS87": ("GRS80", (-199.87, 74.79, 246.62)),
+    "POTSDAM": ("BESSEL", (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+    "CARTHAGE": ("CLRK80IGN", (-263.0, 6.0, 431.0)),
+    "HERMANNSKOGEL": ("BESSEL",
+                      (577.326, 90.129, 463.919, 5.137, 1.474, 5.297,
+                       2.4232)),
+    "IRE65": ("MOD_AIRY",
+              (482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15)),
+    "NZGD49": ("INTL", (59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993)),
+    "OSGB36": ("AIRY",
+               (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+                -20.4894)),
+}
+
+
+def _geodetic_to_ecef(lon, lat, a, f):
+    """Geodetic (degrees, h=0) → geocentric ECEF on ellipsoid (a, f)."""
+    phi, lam = math.radians(lat), math.radians(lon)
+    e2 = f * (2.0 - f)
+    s = math.sin(phi)
+    n = a / math.sqrt(1.0 - e2 * s * s)
+    cp = math.cos(phi)
+    return (n * cp * math.cos(lam), n * cp * math.sin(lam),
+            n * (1.0 - e2) * s)
+
+
+def _ecef_to_geodetic(x, y, z, a, f):
+    """ECEF → geodetic (degrees) via Bowring's one-shot formula —
+    non-iterative, ~0.1 µm near the surface, and expressible verbatim in
+    the DuckDB oracle (no fixed-point loop to mirror)."""
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = math.hypot(x, y)
+    th = math.atan2(z * a, p * b)
+    st, ct = math.sin(th), math.cos(th)
+    phi = math.atan2(z + ep2 * b * st * st * st,
+                     p - e2 * a * ct * ct * ct)
+    return math.degrees(math.atan2(y, x)), math.degrees(phi)
+
+
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def _helmert_fns(params, a_src, f_src):
+    """7-parameter (or 3-parameter) Helmert datum shift, position-vector
+    convention — PROJ's ``+towgs84=dx,dy,dz[,rx,ry,rz,s]`` semantics
+    (source datum → WGS84).  Closed-form geocentric arithmetic: geodetic →
+    ECEF on the source ellipsoid, translate/rotate/scale, ECEF → geodetic
+    on WGS84 — no proj database needed.  Heights are taken as 0 (2D
+    geometries), the standard convention for 2D datum shifts.
+
+    Returns ``(src_to_wgs84, wgs84_to_src)`` over (lon, lat) degrees.
+    The reverse direction inverts the Helmert matrix EXACTLY (adjugate of
+    the small-angle matrix), not by negating parameters, so round-trips
+    close to machine precision."""
+    vals = [float(v) for v in params] + [0.0] * (7 - len(params))
+    dx, dy, dz = vals[0], vals[1], vals[2]
+    rx, ry, rz = (vals[3] * _ARCSEC, vals[4] * _ARCSEC, vals[5] * _ARCSEC)
+    m = 1.0 + vals[6] * 1e-6
+    # position-vector rotation matrix rows (scaled by m)
+    r = ((m, -m * rz, m * ry),
+         (m * rz, m, -m * rx),
+         (-m * ry, m * rx, m))
+    # exact inverse via adjugate / determinant
+    det = (r[0][0] * (r[1][1] * r[2][2] - r[1][2] * r[2][1])
+           - r[0][1] * (r[1][0] * r[2][2] - r[1][2] * r[2][0])
+           + r[0][2] * (r[1][0] * r[2][1] - r[1][1] * r[2][0]))
+    ri = tuple(
+        tuple(((r[(j + 1) % 3][(i + 1) % 3] * r[(j + 2) % 3][(i + 2) % 3]
+                - r[(j + 1) % 3][(i + 2) % 3] * r[(j + 2) % 3][(i + 1) % 3])
+               / det) for j in range(3))
+        for i in range(3))
+
+    def src_to_wgs84(lon, lat):
+        x, y, z = _geodetic_to_ecef(lon, lat, a_src, f_src)
+        xp = dx + r[0][0] * x + r[0][1] * y + r[0][2] * z
+        yp = dy + r[1][0] * x + r[1][1] * y + r[1][2] * z
+        zp = dz + r[2][0] * x + r[2][1] * y + r[2][2] * z
+        return _ecef_to_geodetic(xp, yp, zp, _WGS84_A, _WGS84_F)
+
+    def wgs84_to_src(lon, lat):
+        x, y, z = _geodetic_to_ecef(lon, lat, _WGS84_A, _WGS84_F)
+        u, v, w = x - dx, y - dy, z - dz
+        xp = ri[0][0] * u + ri[0][1] * v + ri[0][2] * w
+        yp = ri[1][0] * u + ri[1][1] * v + ri[1][2] * w
+        zp = ri[2][0] * u + ri[2][1] * v + ri[2][2] * w
+        return _ecef_to_geodetic(xp, yp, zp, a_src, f_src)
+
+    return src_to_wgs84, wgs84_to_src
 
 
 def _parse_proj4(s: str):
@@ -919,10 +1019,11 @@ def _parse_proj4(s: str):
     engine's parameterized projection families — arbitrary-CRS support
     without a proj database: any CRS of an implemented family works by
     supplying its proj string (``+proj=tmerc +lat_0=... +k=...``).
-    Datum SHIFTS are out of scope: a non-zero ``+towgs84`` raises (grid/
-    Helmert shifts need datum data this container does not carry);
-    coordinates are interpreted on the stated ellipsoid, matching the
-    EPSG-table entries' behavior."""
+    A ``+towgs84`` datum shift composes a closed-form geocentric Helmert
+    transform (position-vector convention) around the projection, so
+    non-WGS84-datum CRSs (OSGB36, CH1903, ED50, ...) transform onto true
+    WGS84 geographic coordinates rather than being interpreted
+    ellipsoid-locally."""
     kv = {}
     for tok in s.split():
         tok = tok.lstrip("+")
@@ -932,17 +1033,28 @@ def _parse_proj4(s: str):
         elif tok:
             kv[tok.lower()] = True
 
-    tw = kv.get("towgs84")
-    if tw and any(abs(float(x)) > 1e-12 for x in str(tw).split(",")):
-        raise NotImplementedError(
-            "ST_Transform: +towgs84 datum shifts need a proj database")
+    datum = str(kv.get("datum", "")).upper()
+    tw_params = None
+    if "towgs84" in kv:
+        tw_params = [float(x) for x in str(kv["towgs84"]).split(",")]
+    elif datum:
+        if datum not in _PROJ_DATUMS:
+            raise NotImplementedError(
+                f"ST_Transform: unknown +datum={datum!r} (supported: "
+                f"{sorted(_PROJ_DATUMS)}; NAD27 needs NADCON grids)")
+        ell_name, tw_params = _PROJ_DATUMS[datum]
+        kv.setdefault("ellps", ell_name)
+        tw_params = list(tw_params)
+    if tw_params is not None and not any(
+            abs(v) > 1e-12 for v in tw_params):
+        tw_params = None  # all-zero shift == WGS84-equivalent datum
     if "a" in kv:
         a = float(kv["a"])
         f = 1.0 / float(kv["rf"]) if "rf" in kv else (
             0.0 if float(kv.get("b", a)) == a
             else 1.0 - float(kv["b"]) / a)
     else:
-        ell = str(kv.get("ellps", kv.get("datum", "WGS84"))).upper()
+        ell = str(kv.get("ellps", "WGS84")).upper()
         if ell not in _PROJ_ELLPS:
             raise NotImplementedError(
                 f"ST_Transform: unknown ellipsoid {ell!r} "
@@ -952,53 +1064,80 @@ def _parse_proj4(s: str):
     def num(key, default=0.0):
         return float(kv.get(key, default))
 
-    proj = str(kv.get("proj", "")).lower()
-    if proj in ("longlat", "latlong", "lonlat"):
-        ident = lambda x, y: (x, y)  # noqa: E731
-        return ident, ident
-    if proj == "utm":
-        return _utm_fns(int(kv["zone"]), south="south" in kv)
-    if proj == "tmerc":
-        return _tm_fns(a, f, num("k", num("k_0", 1.0)), num("lat_0"),
-                       num("lon_0"), num("x_0"), num("y_0"))
-    if proj == "lcc":
-        sp1 = num("lat_1")
-        sp2 = num("lat_2", sp1)
-        return _lcc_fns(a, f, sp1, sp2, num("lat_0"), num("lon_0"),
-                        num("x_0"), num("y_0"))
-    if proj == "aea":
-        return _albers_fns(a, f, num("lat_1"), num("lat_2"), num("lat_0"),
+    def route():
+        proj = str(kv.get("proj", "")).lower()
+        if proj in ("longlat", "latlong", "lonlat"):
+            ident = lambda x, y: (x, y)  # noqa: E731
+            return ident, ident
+        if proj == "utm":
+            if abs(a - _WGS84_A) > 1e-6 or abs(f - _WGS84_F) > 1e-12:
+                # UTM on a stated non-WGS84 ellipsoid (e.g. ED50 on
+                # intl): same Krüger series, ellipsoid-parameterized
+                zone = int(kv["zone"])
+                return _tm_fns(a, f, 0.9996, 0.0, zone * 6.0 - 183.0,
+                               500000.0,
+                               10000000.0 if "south" in kv else 0.0)
+            return _utm_fns(int(kv["zone"]), south="south" in kv)
+        if proj == "tmerc":
+            return _tm_fns(a, f, num("k", num("k_0", 1.0)), num("lat_0"),
                            num("lon_0"), num("x_0"), num("y_0"))
-    if proj == "laea":
-        return _laea_fns(a, f, num("lat_0"), num("lon_0"),
-                         num("x_0"), num("y_0"))
-    if proj == "cea":
-        return _cea_fns(a, f, num("lat_ts"), num("lon_0"),
-                        num("x_0"), num("y_0"))
-    if proj == "sterea":
-        return _sterea_fns(a, f, num("k", 1.0), num("lat_0"), num("lon_0"),
-                           num("x_0"), num("y_0"))
-    if proj == "somerc":
-        return _somerc_fns(a, f, num("lat_0"), num("lon_0"),
-                           num("x_0"), num("y_0"))
-    if proj == "stere":
-        lat0 = num("lat_0", 90.0)
-        if abs(abs(lat0) - 90.0) > 1e-9:
-            raise NotImplementedError(
-                "ST_Transform: +proj=stere supported at the poles only "
-                "(use +proj=sterea for oblique)")
-        lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
-        k0 = float(kv["k"]) if "k" in kv else (None if lat_ts else 1.0)
-        return _ps_fns(a, f, abs(lat_ts) if lat_ts else None, k0,
-                       num("lon_0"), num("x_0"), num("y_0"), lat0 < 0)
-    if proj == "webmerc":
-        return _to_3857, _to_4326
-    if proj == "merc":
-        return _to_3395, _from_3395
-    raise NotImplementedError(
-        f"ST_Transform: unsupported +proj={proj!r} (supported: longlat, "
-        "utm, tmerc, lcc, aea, laea, cea, sterea, somerc, stere, "
-        "webmerc, merc)")
+        if proj == "lcc":
+            sp1 = num("lat_1")
+            sp2 = num("lat_2", sp1)
+            return _lcc_fns(a, f, sp1, sp2, num("lat_0"), num("lon_0"),
+                            num("x_0"), num("y_0"))
+        if proj == "aea":
+            return _albers_fns(a, f, num("lat_1"), num("lat_2"),
+                               num("lat_0"), num("lon_0"),
+                               num("x_0"), num("y_0"))
+        if proj == "laea":
+            return _laea_fns(a, f, num("lat_0"), num("lon_0"),
+                             num("x_0"), num("y_0"))
+        if proj == "cea":
+            return _cea_fns(a, f, num("lat_ts"), num("lon_0"),
+                            num("x_0"), num("y_0"))
+        if proj == "sterea":
+            return _sterea_fns(a, f, num("k", 1.0), num("lat_0"),
+                               num("lon_0"), num("x_0"), num("y_0"))
+        if proj == "somerc":
+            return _somerc_fns(a, f, num("lat_0"), num("lon_0"),
+                               num("x_0"), num("y_0"))
+        if proj == "stere":
+            lat0 = num("lat_0", 90.0)
+            if abs(abs(lat0) - 90.0) > 1e-9:
+                raise NotImplementedError(
+                    "ST_Transform: +proj=stere supported at the poles "
+                    "only (use +proj=sterea for oblique)")
+            lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
+            k0 = float(kv["k"]) if "k" in kv else (None if lat_ts else 1.0)
+            return _ps_fns(a, f, abs(lat_ts) if lat_ts else None, k0,
+                           num("lon_0"), num("x_0"), num("y_0"), lat0 < 0)
+        if proj == "webmerc":
+            return _to_3857, _to_4326
+        if proj == "merc":
+            return _to_3395, _from_3395
+        raise NotImplementedError(
+            f"ST_Transform: unsupported +proj={proj!r} (supported: "
+            "longlat, utm, tmerc, lcc, aea, laea, cea, sterea, somerc, "
+            "stere, webmerc, merc)")
+
+    fwd, inv = route()
+    if tw_params is None:
+        return fwd, inv
+    # Compose the datum shift around the projection: "geographic" in this
+    # engine always means WGS84 lon/lat (transform_geom pivots through
+    # 4326), so from_geographic = WGS84 → source datum → project, and
+    # to_geographic = unproject → source datum → WGS84.
+    to_wgs84, from_wgs84 = _helmert_fns(tw_params, a, f)
+    fwd0, inv0 = fwd, inv
+
+    def from_geog(lon, lat):
+        return fwd0(*from_wgs84(lon, lat))
+
+    def to_geog(x, y):
+        return to_wgs84(*inv0(x, y))
+
+    return from_geog, to_geog
 
 
 def _crs_fns(code: str):

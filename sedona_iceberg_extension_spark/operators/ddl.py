@@ -368,7 +368,11 @@ def run_procedure(spark: SparkSession, proc: str, pos: list,
         _register(spark, name)
         return {"proc": proc, "table": name, "version": newv}
     if proc == "remove_orphan_files":
-        res = tbl.remove_orphans()
+        grace = named.get("older_than_seconds")
+        if grace is None:
+            res = tbl.remove_orphans()
+        else:
+            res = tbl.remove_orphans(older_than_seconds=float(grace))
         return {"proc": proc, "table": name, **res}
     if proc == "fast_forward":
         branch = named.get("branch", pos[1] if len(pos) > 1 else None)
@@ -492,7 +496,7 @@ def run_ddl(spark: SparkSession, statement: str,
                                int(m.group("v")) if m.group("v") else None)
             return {"ddl": "alter_ref", "table": name, "op": "create",
                     "kind": kind, "ref": ref, "version": v}
-        tbl.drop_ref(ref)
+        tbl.drop_ref(ref, kind=kind)
         return {"ddl": "alter_ref", "table": name, "op": "drop",
                 "kind": kind, "ref": ref}
 

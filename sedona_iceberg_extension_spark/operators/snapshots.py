@@ -770,10 +770,17 @@ class SnapshotTable:
         self._write_refs(refs)
         return v
 
-    def drop_ref(self, name: str) -> None:
+    def drop_ref(self, name: str, kind: Optional[str] = None) -> None:
+        """Drop a branch or tag.  When ``kind`` is given (``'branch'`` /
+        ``'tag'`` — the spelling the user typed in ``DROP BRANCH|TAG``),
+        refuse to drop a ref of the other kind, matching real Iceberg:
+        ``DROP TAG x`` must not silently delete a branch named ``x``."""
         refs = self.refs()
         if name not in refs:
             raise ValueError(f"unknown ref {name!r}")
+        if kind is not None and refs[name]["type"] != kind:
+            raise ValueError(
+                f"ref {name!r} is a {refs[name]['type']}, not a {kind}")
         del refs[name]
         self._write_refs(refs)
 
@@ -838,24 +845,40 @@ class SnapshotTable:
         return self._commit(new_files, f"cherrypick-{version}",
                             base_version=cur["version"])
 
-    def remove_orphans(self) -> dict:
+    def remove_orphans(self,
+                       older_than_seconds: float = 3 * 24 * 3600) -> dict:
         """Delete data files in the table directory referenced by NO
         retained manifest (Iceberg's ``remove_orphan_files``) — the
         cleanup for crashed writes' leftovers.  Unlike ``expire``, no
-        manifest is dropped, so time travel is unaffected."""
+        manifest is dropped, so time travel is unaffected.
+
+        Files whose mtime is within ``older_than_seconds`` (default 3
+        days, Iceberg's own default for ``older_than``) are kept: a
+        concurrent in-flight append stages its data file BEFORE
+        committing the manifest, so an ungated sweep in that window
+        would delete a file the imminent commit references."""
         referenced = set()
         for v in self.versions():
             referenced.update(self._manifest(v)["files"])
-        n_removed = 0
+        cutoff = time.time() - max(float(older_than_seconds), 0.0)
+        n_removed, n_kept_recent = 0, 0
         for name in os.listdir(self.path):
             if name == _SNAP_DIR or not (
                     name.startswith(("snap-", "part-"))
                     or name.endswith(".parquet")):
                 continue
             if name not in referenced:
-                os.remove(os.path.join(self.path, name))
+                full = os.path.join(self.path, name)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        n_kept_recent += 1
+                        continue
+                    os.remove(full)
+                except FileNotFoundError:
+                    continue
                 n_removed += 1
-        return {"files_removed": n_removed}
+        return {"files_removed": n_removed,
+                "files_kept_recent": n_kept_recent}
 
     def expire(self, keep_last: int = 2) -> dict:
         """Drop all but the last ``keep_last`` manifests, then delete any

@@ -2273,7 +2273,8 @@ def q_streaming_user_totals(spark, sf_dir):
          .outputMode("update")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(
         f"SELECT user_id, MAX(n_events) AS n_events, "
         f"ROUND(MAX(total_value), 6) AS total_value FROM {name} "
@@ -2308,7 +2309,8 @@ def q_streaming_sessionize(spark, sf_dir):
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(
         f"SELECT user_id, COUNT(*) AS n_sessions, "
         f"CAST(SUM(n_events) AS BIGINT) AS n_events, "
@@ -2453,7 +2455,8 @@ def q_streaming_dedup(spark, sf_dir):
          .outputMode("append")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(
         f"SELECT user_id, COUNT(*) AS n_types FROM {name} "
         f"GROUP BY user_id ORDER BY user_id")
@@ -2489,7 +2492,8 @@ def q_streaming_enrich(spark, sf_dir):
          .outputMode("append")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(
         f"SELECT segment, COUNT(*) AS n_events, "
         f"ROUND(SUM(value), 6) AS total_value FROM {name} "
@@ -2528,7 +2532,8 @@ def q_streaming_click_view_join(spark, sf_dir):
          .outputMode("append")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(
         f"SELECT user_id, COUNT(*) AS n_pairs, "
         f"CAST(SUM(ABS(timestampdiff(MICROSECOND, right_ts, left_ts))) AS BIGINT)"

@@ -218,7 +218,8 @@ def q_streaming_ingest_gate(spark, sf_dir):
          .outputMode("append")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(f"SELECT doc_id FROM {name} ORDER BY doc_id")
 
 
@@ -263,12 +264,12 @@ WITH pts AS (
   FROM customer WHERE c_custkey < 300
 )
 SELECT c_custkey,
-       ROUND(x + 10, 6) AS tx, ROUND(y + 20, 6) AS ty,
-       ROUND(x * cos(pi() / 2) - y * sin(pi() / 2), 6) AS rx,
-       ROUND(x * sin(pi() / 2) + y * cos(pi() / 2), 6) AS ry,
-       ROUND(x * 2, 6) AS sx, ROUND(y * 0.5, 6) AS sy,
+       ROUND(x + 10, 6) + 0.0 AS tx, ROUND(y + 20, 6) + 0.0 AS ty,
+       ROUND(x * cos(pi() / 2) - y * sin(pi() / 2), 6) + 0.0 AS rx,
+       ROUND(x * sin(pi() / 2) + y * cos(pi() / 2), 6) + 0.0 AS ry,
+       ROUND(x * 2, 6) + 0.0 AS sx, ROUND(y * 0.5, 6) + 0.0 AS sy,
        ROUND(fmod(fmod(atan2(x, y) - atan2(1.0, 0.0), 2 * pi()) + 2 * pi(),
-                  2 * pi()), 6) AS ang
+                  2 * pi()), 6) + 0.0 AS ang
 FROM pts
 ORDER BY c_custkey
 """
@@ -540,7 +541,8 @@ def q_streaming_window_top_event(spark, sf_dir):
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(f"""
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm') AS window_start,
                event_type, CAST(count AS BIGINT) AS n
@@ -1102,7 +1104,8 @@ def q_streaming_burst_detect(spark, sf_dir):
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)
     return spark.sql(f"""
         SELECT date_format(w.start, 'yyyy-MM-dd HH:mm') AS window_start,
                user_id, CAST(count AS BIGINT) AS n_events

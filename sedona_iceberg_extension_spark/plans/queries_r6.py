@@ -394,7 +394,19 @@ def q_minhash_calibration_curve(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     est = D.minhash_estimate_pairs(docs, "doc_id", "text", num_hashes=8,
                                    bands=4, max_bucket=LSH_MAX_BUCKET)
-    exact = D.jaccard_pairs(docs, "doc_id", "text", shingle_n=3,
+    # The exact side only annotates the (small) candidate set — semi-join
+    # the corpus down to candidate docs BEFORE the posting groupBy, so the
+    # exact-Jaccard pipeline runs at |candidates| scale, never generating
+    # corpus-wide pairs (at 100 TB the uncapped posting explode is
+    # quadratic in stop-shingle bucket size — the scale-killer
+    # jaccard_pairs' own docstring warns about).  est is persisted because
+    # it is consumed twice (candidate ids + the left join).
+    est = est.persist()
+    cand_ids = (est.select(F.col("id_a").alias("doc_id"))
+                .unionByName(est.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    docs_cand = docs.join(cand_ids, "doc_id", "left_semi")
+    exact = D.jaccard_pairs(docs_cand, "doc_id", "text", shingle_n=3,
                             threshold=0.0)
     joined = (est.join(exact, ["id_a", "id_b"], "left")
               .withColumn("_ex", F.coalesce("jaccard", F.lit(0.0))))
@@ -418,8 +430,14 @@ def _mh_calibration_sql() -> str:
   FROM pairs p
   JOIN sigw a ON a.doc_id = p.id_a
   JOIN sigw b ON b.doc_id = p.id_b
+), cand AS (
+  SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs
 ), toksx AS (
+  -- mirror of the Spark-side semi-join: exact Jaccard only over docs in
+  -- the candidate set (restricting the corpus does not change a pair's
+  -- shared shingles or either doc's full shingle-set size)
   SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM cand)
 ), shing AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
@@ -510,7 +528,7 @@ R6_QUERIES["cms_user_event_counts"] = (
 
 def q_streaming_cms_cells(spark, sf_dir):
     """Count-min sketch maintained BY A STREAM: the cell table is a
-    streaming groupBy aggregation in update mode (cell-wise counts are
+    streaming groupBy aggregation in complete mode (cell-wise counts are
     mergeable, so state = the sketch itself, bounded at depth x width
     rows regardless of stream length).  availableNow over the events
     table; the final cell table equals the batch sketch, so the oracle is
@@ -528,7 +546,8 @@ def q_streaming_cms_cells(spark, sf_dir):
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    from ..streaming import drain as _drain
+    _drain(q)  # raises on timeout — a partial sketch must not be read
     return spark.sql(
         f"SELECT r, c, cnt FROM {name} "
         f"ORDER BY cnt DESC, r ASC, c ASC LIMIT 40")

@@ -165,3 +165,16 @@ def stream_stream_join(left: DataFrame, right: DataFrame, key: str,
                     F.col("_rts").alias("right_ts"),
                     *[c for c in l.columns if c not in ("_k", "_lts")],
                     *[c for c in r.columns if c not in ("_rk", "_rts")]))
+
+
+def drain(query, timeout_sec: int = 300) -> None:
+    """Block until an availableNow streaming query finishes, raising on
+    timeout instead of returning with the sink half-filled.
+    ``awaitTermination(t)`` returns False on timeout — a caller that
+    ignores the boolean silently reads a PARTIAL result from the sink
+    (round-7 advice item).  Every declared streaming query drains
+    through here."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise RuntimeError(
+            f"streaming query did not drain within {timeout_sec}s")

@@ -461,14 +461,20 @@ def test_call_snapshot_ref_procedures(spark, tmp_path, monkeypatch):
         assert sorted(rr.id for rr in
                       engine_sql(spark, f"SELECT * FROM {t}").collect()) == [1, 2]
 
-        # remove_orphan_files: a crashed write's leftover is deleted;
-        # every retained snapshot still reads (time travel intact)
+        # remove_orphan_files: a crashed write's leftover is deleted —
+        # but only past the in-flight-append grace window (Iceberg's
+        # older_than default): a just-staged file survives an ungated CALL
         tbl = ddl.table(t)
         orphan = os.path.join(tbl.path, "part-orphan-crashed.parquet")
         with open(orphan, "wb") as fh:
             fh.write(b"junk")
         r = engine_sql(spark,
                        f"CALL demo.system.remove_orphan_files('{t}')")
+        assert r["files_removed"] == 0 and r["files_kept_recent"] == 1
+        assert os.path.exists(orphan)
+        r = engine_sql(spark, (
+            f"CALL demo.system.remove_orphan_files(table => '{t}', "
+            "older_than_seconds => 0)"))
         assert r["files_removed"] == 1 and not os.path.exists(orphan)
         assert sorted(rr.id for rr in tbl.read(spark, v2).collect()) == [1, 2]
     finally:
@@ -521,6 +527,12 @@ def test_branch_tag_refs_and_fast_forward(spark, tmp_path, monkeypatch):
                 "branch => 'release_v1', to => 'latest')"))
         with pytest.raises(Exception, match="already exists"):
             engine_sql(spark, f"ALTER TABLE {t} CREATE BRANCH release_v1")
+        # kind-checked drops: DROP BRANCH must not delete a tag (and
+        # vice versa) — real Iceberg raises on the mismatch
+        with pytest.raises(Exception, match="is a tag, not a branch"):
+            engine_sql(spark, f"ALTER TABLE {t} DROP BRANCH release_v1")
+        with pytest.raises(Exception, match="is a branch, not a tag"):
+            engine_sql(spark, f"ALTER TABLE {t} DROP TAG audit")
         engine_sql(spark, f"ALTER TABLE {t} DROP TAG release_v1")
         with pytest.raises(Exception, match="unknown branch/tag"):
             engine_sql(spark,

@@ -7,7 +7,9 @@ Usage: python tools/diff_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import decimal
 import math
+import struct
 import sys
 import time
 
@@ -15,10 +17,17 @@ sys.path.insert(0, ".")
 
 
 def canon(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        # Bit-pattern the rounded float so -0.0 != 0.0 locally, matching the
+        # driver's string/hash sensitivity (round-6 lesson: Spark's ROUND via
+        # BigDecimal drops the sign of tiny negatives, DuckDB preserves IEEE
+        # -0.0; plain round()/== both hid the difference and the driver's
+        # hash caught it — spatial_affine_ops, CORRECTNESS_r06).
+        return struct.pack(">d", round(v, 9)).hex()
     if isinstance(v, bytes):
         return v.hex()
     return v
