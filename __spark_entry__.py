@@ -71,10 +71,9 @@ _NEVER_DRIVER_SAMPLED = [
     "spatial_buildarea_donuts", "minhash_calibration_curve",
     "cms_user_event_counts", "streaming_cms_cells",
     # new in round 7 (never sampled by construction)
-    "spatial_transform_towgs84", "doc_chunk_rag", "stratified_sample_docs",
-    "doc_template_mining", "suffix_lcp_dup_score", "tfidf_doc_keywords",
-    "dp_noisy_topk_brands", "ivfpq_ann_recall", "order_fill_rate_asof",
-    "lineitem_bitmap_rollup",
+    "spatial_transform_towgs84", "ivfpq_ann_recall", "doc_max_dup_ngram",
+    "doc_template_mining", "dp_noisy_topk_brands", "events_cusum_drift",
+    "token_pmi_pairs", "ngram_containment_pairs",
 ]
 
 

@@ -299,13 +299,14 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,
 # exact n-gram Jaccard (verifier / refiner)
 # ---------------------------------------------------------------------------
 
-def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                  shingle_n: int = 3, threshold: float = 0.5,
-                  use_char_grams: bool = False, char_n: int = 5,
-                  max_doc_freq: Optional[int] = None) -> DataFrame:
-    """Exact Jaccard similarity over shingle sets for every pair sharing at
-    least one shingle.  Candidate pairs are generated bucket-locally per
-    shingle (one pass over the shingling pipeline — a self-join would run it
+def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                   shingle_n: int = 3,
+                   use_char_grams: bool = False, char_n: int = 5,
+                   max_doc_freq: Optional[int] = None) -> DataFrame:
+    """Shared overlap core of ``jaccard_pairs`` / ``containment_pairs``:
+    (id_a, id_b, n_common, sz_a, sz_b) for every pair sharing at least one
+    shingle.  Candidate pairs are generated bucket-locally per shingle
+    (one pass over the shingling pipeline — a self-join would run it
     twice), never as a cross product.
 
     ``max_doc_freq``: at 100 TB, ultra-frequent shingles create quadratic
@@ -382,14 +383,48 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")))
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
+    return common.join(sz_a, "id_a").join(sz_b, "id_b")
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 3, threshold: float = 0.5,
+                  use_char_grams: bool = False, char_n: int = 5,
+                  max_doc_freq: Optional[int] = None) -> DataFrame:
+    """Exact Jaccard over shingle sets — the ``_overlap_pairs`` core with
+    the symmetric |A∩B| / |A∪B| finish."""
+    ov = _overlap_pairs(df, id_col, text_col, shingle_n,
+                        use_char_grams, char_n, max_doc_freq)
     return (
-        common.join(sz_a, "id_a").join(sz_b, "id_b")
-        .withColumn(
+        ov.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      use_char_grams: bool = False, char_n: int = 5,
+                      max_doc_freq: Optional[int] = None) -> DataFrame:
+    """ASYMMETRIC shingle containment — |A∩B| / |A| and |A∩B| / |B| per
+    pair.  Detects quotation / subset duplication that Jaccard misses: a
+    short doc fully embedded in a long one has containment ~1.0 in one
+    direction while its Jaccard stays near |A|/|B| (tiny).  A training
+    corpus dedups on this to drop excerpts of already-kept documents.
+    Same single-shuffle ``_overlap_pairs`` core and scale shape as
+    ``jaccard_pairs``; a pair is kept when EITHER direction clears the
+    threshold."""
+    ov = _overlap_pairs(df, id_col, text_col, shingle_n,
+                        use_char_grams, char_n, max_doc_freq)
+    return (
+        ov.withColumn("cont_ab", F.col("n_common").cast("double")
+                      / F.col("sz_a").cast("double"))
+        .withColumn("cont_ba", F.col("n_common").cast("double")
+                    / F.col("sz_b").cast("double"))
+        .filter(F.greatest("cont_ab", "cont_ba") >= threshold)
+        .select("id_a", "id_b", "cont_ab", "cont_ba")
     )
 
 

@@ -389,3 +389,59 @@ def pq_adc_topk(queries: DataFrame, data: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "data_id", "adc_dist", "rank"))
+
+
+def ivfpq_adc_topk(queries: DataFrame, data: DataFrame, k: int,
+                   centroids: list, codebooks: list, nprobe: int = 4,
+                   q_id: str = "vec_id", q_vec: str = "embedding",
+                   d_id: str = "vec_id", d_vec: str = "embedding") -> DataFrame:
+    """IVF + PQ — the full FAISS-style ``IVFx,PQy`` architecture: a coarse
+    quantizer prunes the corpus to the ``nprobe`` nearest inverted-file
+    cells, and candidates inside those cells are scored by PQ asymmetric
+    distance (per-query LUT, m array lookups per pair).
+
+    Scale shape: the data side is ONE narrow codegen'd pass producing
+    (cell, m codes) per vector — at 100 TB, write the corpus bucketed by
+    cell and the probe becomes a partition-pruned scan of m-byte codes;
+    neither raw vectors nor any shuffle of them appear after encoding.
+    The query side (tiny) carries its probe list and LUTs through a
+    broadcast equi-join on cell.
+
+    Output: (query_id, data_id, adc_dist, rank) — ADC ascending, ties by
+    data_id, top-k per query."""
+    m = len(codebooks)
+    d = ivf_assign(
+        data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv")),
+        "_dv", centroids, "cell")
+    enc = pq_encode(d, "_dv", codebooks).drop("_dv")
+
+    q = queries.select(F.col(q_id).alias("query_id"),
+                       F.col(q_vec).alias("_qv"))
+    qd = F.transform(F.col("_qv"), lambda v: v.cast("double"))
+    cell_dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(qd, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("d"),
+            F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)])
+    probes = F.slice(F.array_sort(cell_dists), 1, nprobe)
+    for s, cb in enumerate(codebooks):
+        sub_dim = len(cb[0])
+        offset = s * sub_dim + 1
+        q = q.withColumn(f"_lut{s}", F.array(
+            *[_sub_d2(F.col("_qv"), c, offset) for c in cb]))
+    qp = (q.withColumn("cell", F.explode(
+            F.transform(probes, lambda s: s["cell"])))
+          .drop("_qv"))
+
+    adc = sum(F.element_at(F.col(f"_lut{s}"), F.col(f"code_{s}") + 1)
+              for s in range(m))
+    scored = (enc.join(F.broadcast(qp), "cell")
+              .withColumn("adc_dist", adc))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(),
+                                               F.col("data_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "data_id", "adc_dist", "rank"))

@@ -2692,3 +2692,9 @@ from .queries_r6 import R6_QUERIES as _R6  # noqa: E402
 
 for _name, (_fn, _sql, _headline) in _R6.items():
     QUERIES[_name] = QueryDef(_fn, _sql, _headline)
+
+# round-7 pipeline tier — plans/queries_r7.py
+from .queries_r7 import R7_QUERIES as _R7  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _R7.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)

@@ -1,0 +1,561 @@
+"""Round-7 operator inventory.  Each declared query has an exact DuckDB
+oracle (FIXTURES.md conventions: total ORDER BY, ROUND on float outputs,
+identical aliases both sides, BIGINT casts, ``+ 0.0`` on sign-risky
+rounded floats — the round-6 negative-zero lesson).
+
+- spatial_transform_towgs84 — 7-parameter Helmert datum shift (+towgs84,
+                              position-vector) applied end-to-end through
+                              ST_Transform; the oracle re-derives the full
+                              geodetic→ECEF→Helmert→Bowring arithmetic
+- ivfpq_ann_recall          — the FAISS-style IVF+PQ composition: coarse
+                              cells prune, PQ-ADC scores the probed
+                              candidates, recall@5 vs the exact top-5
+- doc_max_dup_ngram         — longest duplicated token n-gram per doc at
+                              power-of-two resolution (within-doc
+                              boilerplate beyond the bigram fraction)
+- doc_template_mining       — frequent 5-token prefixes across docs
+                              (shared boilerplate headers / templates)
+- dp_noisy_topk_brands      — differential-privacy-style noisy count
+                              release (inverse-CDF Laplace from the
+                              portable hash, so the release is exactly
+                              reproducible by the oracle)
+- events_cusum_drift        — CUSUM change detection over the daily event
+                              series via the prefix-sum/running-min
+                              identity (no recursion needed)
+- token_pmi_pairs           — collocation mining: PMI of adjacent word
+                              pairs against unigram independence
+- ngram_containment_pairs   — ASYMMETRIC shingle containment (quote /
+                              excerpt detection that Jaccard misses)
+
+Scale notes: the Helmert shift is per-row closed-form arithmetic inside
+the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
+side is one narrow codegen pass to (cell, m codes) and candidates flow
+through a broadcast equi-join on cell; dup-ngram/template/PMI queries
+shuffle hash- or vocab-keyed aggregates with map-side combine, never
+raw token streams twice; CUSUM's windows run on the |type × day|
+pre-aggregate (tiny), not on raw events; containment reuses the
+single-shuffle overlap core of ``jaccard_pairs`` with the same
+stop-shingle doc-frequency cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..pipeline import dedup, similarity, text
+from ..pipeline.dedup import spread
+from ..pipeline.text import portable_hash64
+from ..sources import load_table
+
+from .sql_shared import TOKS_SQL as _TOKS_SQL
+
+R7_QUERIES = {}
+
+
+# --- spatial_transform_towgs84 ----------------------------------------------
+
+_OSGB_TOWGS84 = "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894"
+_SRC_CRS = f"+proj=longlat +ellps=airy +towgs84={_OSGB_TOWGS84}"
+
+
+def q_spatial_transform_towgs84(spark, sf_dir):
+    """OSGB36 geographic → WGS84 via the native 7-parameter Helmert path
+    (functions/udfs_ext._helmert_fns): geodetic→ECEF on Airy 1830,
+    position-vector translate/rotate/scale, Bowring one-shot back on
+    WGS84 — the closed-form datum shift the reference gets from GeoTools
+    (/root/reference/README.md:34-38), no proj database needed.  The
+    oracle replays the identical arithmetic with the matrix entries
+    interpolated as literals, so every coordinate is value-checked."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    pt = ("ST_Point(CAST(c_custkey % 110 AS DOUBLE) / 10.0 - 8.0, "
+          "49.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0)")
+    return (cust.selectExpr(
+        "c_custkey",
+        f"ROUND(ST_X(ST_Transform({pt}, '{_SRC_CRS}', 'EPSG:4326')), 6) AS wlon",
+        f"ROUND(ST_Y(ST_Transform({pt}, '{_SRC_CRS}', 'EPSG:4326')), 6) AS wlat")
+        .orderBy("c_custkey"))
+
+
+def _towgs84_sql() -> str:
+    from ..functions.udfs_ext import (_AIRY_A, _AIRY_F, _ARCSEC, _WGS84_A,
+                                      _WGS84_F)
+    p = [float(v) for v in _OSGB_TOWGS84.split(",")]
+    dx, dy, dz = p[0], p[1], p[2]
+    rx, ry, rz = p[3] * _ARCSEC, p[4] * _ARCSEC, p[5] * _ARCSEC
+    m = 1.0 + p[6] * 1e-6
+    r = ((m, -m * rz, m * ry), (m * rz, m, -m * rx), (-m * ry, m * rx, m))
+    e2s = _AIRY_F * (2.0 - _AIRY_F)
+    e2w = _WGS84_F * (2.0 - _WGS84_F)
+    bw = _WGS84_A * (1.0 - _WGS84_F)
+    ep2bw = (e2w / (1.0 - e2w)) * bw     # ep2 * b, same product order
+    e2aw = e2w * _WGS84_A                # e2 * a
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         radians(49.0 + CAST(c_custkey % 90 AS DOUBLE) / 10.0) AS phi,
+         radians(CAST(c_custkey % 110 AS DOUBLE) / 10.0 - 8.0) AS lam
+  FROM customer WHERE c_custkey < 400
+), nrm AS (
+  SELECT c_custkey, phi, lam,
+         {_AIRY_A!r} / sqrt(1.0 - {e2s!r} * sin(phi) * sin(phi)) AS n
+  FROM pts
+), xyz AS (
+  SELECT c_custkey,
+         n * cos(phi) * cos(lam) AS x,
+         n * cos(phi) * sin(lam) AS y,
+         n * (1.0 - {e2s!r}) * sin(phi) AS z
+  FROM nrm
+), hel AS (
+  SELECT c_custkey,
+         {dx!r} + {r[0][0]!r} * x + {r[0][1]!r} * y + {r[0][2]!r} * z AS xp,
+         {dy!r} + {r[1][0]!r} * x + {r[1][1]!r} * y + {r[1][2]!r} * z AS yp,
+         {dz!r} + {r[2][0]!r} * x + {r[2][1]!r} * y + {r[2][2]!r} * z AS zp
+  FROM xyz
+), bow AS (
+  SELECT c_custkey, xp, yp, zp,
+         sqrt(xp * xp + yp * yp) AS pp,
+         atan2(zp * {_WGS84_A!r}, sqrt(xp * xp + yp * yp) * {bw!r}) AS th
+  FROM hel
+)
+SELECT c_custkey,
+       ROUND(degrees(atan2(yp, xp)), 6) + 0.0 AS wlon,
+       ROUND(degrees(atan2(
+           zp + {ep2bw!r} * sin(th) * sin(th) * sin(th),
+           pp - {e2aw!r} * cos(th) * cos(th) * cos(th))), 6) + 0.0 AS wlat
+FROM bow
+ORDER BY c_custkey
+"""
+
+
+R7_QUERIES["spatial_transform_towgs84"] = (
+    q_spatial_transform_towgs84, _towgs84_sql(), False)
+
+
+# --- ivfpq_ann_recall -------------------------------------------------------
+
+def q_ivfpq_ann_recall(spark, sf_dir):
+    """Recall@5 of the full IVF+PQ index (similarity.ivfpq_adc_topk:
+    8 coarse cells, nprobe 3, 4x16-dim PQ sub-spaces) against the exact
+    cosine top-5 — the end-to-end evaluation of the architecture every
+    billion-vector deployment runs (FAISS ``IVF8,PQ4``).  Both codebooks
+    are DETERMINISTIC (the 8 smallest vec_ids' vectors / sub-vectors), so
+    cell assignment, probing, ADC ranking, and the recall fractions are
+    all reproduced exactly by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(8).collect())
+    cents = [[float(v) for v in r["embedding"]] for r in rows]
+    m, sub = 4, 16
+    codebooks = [[[float(v) for v in r["embedding"][s * sub:(s + 1) * sub]]
+                  for r in rows] for s in range(m)]
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = similarity.ivfpq_adc_topk(queries, emb, k=5, centroids=cents,
+                                       codebooks=codebooks, nprobe=3)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    return similarity.recall_at_k(approx, exact, k=5).orderBy("query_id")
+
+
+_QIVFPQ_SQL = """
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), d2c AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2c) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2c WHERE vec_id < 5) WHERE rn <= 3
+), cb AS (
+  SELECT s.sub,
+         CAST(row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id) - 1
+              AS INT) AS code,
+         list_slice(e.embedding::DOUBLE[], s.sub * 16 + 1,
+                    s.sub * 16 + 16) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) e
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+), enc AS (
+  SELECT vec_id AS data_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+             list_sum(list_transform(range(1, 17),
+               i -> (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])))
+             ASC, c.code ASC) AS rn
+    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1
+), qlut AS (
+  SELECT e.vec_id AS query_id, c.sub, c.code,
+         list_sum(list_transform(range(1, 17),
+           i -> (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+              * (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])))
+           AS d2
+  FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 5
+), adc AS (
+  SELECT q.query_id, x.data_id,
+         list_sum(list(q.d2 ORDER BY q.sub)) AS adc_dist
+  FROM enc x
+  JOIN assign a ON a.vec_id = x.data_id
+  JOIN qprobe p ON p.cell = a.cell
+  JOIN qlut q ON q.query_id = p.query_id
+            AND q.sub = x.sub AND q.code = x.code
+  GROUP BY 1, 2
+), approx AS (
+  SELECT query_id, data_id FROM (
+    SELECT query_id, data_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, data_id ASC) AS rank
+    FROM adc) WHERE rank <= 5
+), exact AS (
+  SELECT query_id, data_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                d.vec_id ASC) AS INT) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, embeddings d) t
+  WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k_exact,
+       CAST(COUNT(*) FILTER (a.data_id IS NOT NULL) AS BIGINT) AS n_hit,
+       ROUND(CAST(COUNT(*) FILTER (a.data_id IS NOT NULL) AS DOUBLE)
+             / COUNT(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.data_id = e.data_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+R7_QUERIES["ivfpq_ann_recall"] = (q_ivfpq_ann_recall, _QIVFPQ_SQL, False)
+
+
+# --- doc_max_dup_ngram ------------------------------------------------------
+
+def q_doc_max_dup_ngram(spark, sf_dir):
+    """Longest duplicated token n-gram per document at power-of-two
+    resolution (k in 2..32): the within-doc boilerplate signal Gopher's
+    repetition filters threshold on for n > 2.  ONE pass over the token
+    stream emits all five gram ladders (position explode x 5 widths,
+    codegen'd slice/concat/md5 — no per-element lambda), then one
+    hash-keyed count shuffle with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = spread(docs).select("doc_id", text.tokens(F.col("text")).alias("_tk"))
+    pos = tokd.select(
+        "doc_id", "_tk",
+        F.explode(F.sequence(F.lit(1), F.size("_tk"))).alias("i"))
+    kd = (pos.select(
+            "doc_id", "_tk", "i",
+            F.explode(F.array(*[F.lit(k) for k in (2, 4, 8, 16, 32)]))
+             .alias("k"))
+          .filter(F.col("i") + F.col("k") - 1 <= F.size("_tk")))
+    grams = kd.select(
+        "doc_id", "k",
+        portable_hash64(
+            F.concat_ws(" ", F.slice("_tk", F.col("i"), F.col("k"))),
+            "dupg").alias("h"))
+    dup = (grams.groupBy("doc_id", "k", "h")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") > 1)
+           .groupBy("doc_id").agg(F.max("k").alias("mk")))
+    return (docs.select("doc_id").join(dup, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("mk"), F.lit(0)).cast("int")
+                     .alias("max_dup_k"))
+            .orderBy("doc_id"))
+
+
+_QDUPNG_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), g AS (
+  SELECT doc_id, ks.k,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(tk, t.i, t.i + ks.k - 1), ' ') || '#dupg'), 1, 15)
+         )::BIGINT AS h
+  FROM tok,
+       (SELECT unnest([2, 4, 8, 16, 32]) AS k) ks,
+       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) t
+  WHERE t.i + ks.k - 1 <= len(tk)
+), d AS (
+  SELECT doc_id, k FROM g GROUP BY doc_id, k, h HAVING COUNT(*) > 1
+), m AS (
+  SELECT doc_id, MAX(k) AS mk FROM d GROUP BY doc_id
+)
+SELECT doc.doc_id, CAST(COALESCE(m.mk, 0) AS INT) AS max_dup_k
+FROM documents doc LEFT JOIN m ON m.doc_id = doc.doc_id
+ORDER BY doc.doc_id
+"""
+
+R7_QUERIES["doc_max_dup_ngram"] = (q_doc_max_dup_ngram, _QDUPNG_SQL, False)
+
+
+# --- doc_template_mining ----------------------------------------------------
+
+def q_doc_template_mining(spark, sf_dir):
+    """Boilerplate template mining: 5-token document prefixes shared by
+    >= 3 documents, with how many sources they span — the signal a corpus
+    cleaner uses to strip shared headers/banners before dedup (a template
+    spanning many sources is site chrome, not content).  One prefix-keyed
+    count shuffle with map-side combine; COUNT(DISTINCT source) is exact
+    over the tiny source set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = spread(docs).select(
+        "source",
+        F.concat_ws(" ", F.slice(text.tokens(F.col("text")), 1, 5))
+         .alias("prefix"))
+    return (pre.groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"))
+            .filter(F.col("n_docs") >= 3)
+            .orderBy(F.desc("n_docs"), "prefix")
+            .limit(30))
+
+
+_QTPL_SQL = f"""
+WITH pre AS (
+  SELECT source,
+         array_to_string(list_slice({_TOKS_SQL}, 1, 5), ' ') AS prefix
+  FROM documents
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM pre
+GROUP BY prefix
+HAVING COUNT(*) >= 3
+ORDER BY n_docs DESC, prefix
+LIMIT 30
+"""
+
+R7_QUERIES["doc_template_mining"] = (q_doc_template_mining, _QTPL_SQL, False)
+
+
+# --- dp_noisy_topk_brands ---------------------------------------------------
+
+def q_dp_noisy_topk_brands(spark, sf_dir):
+    """Differential-privacy-style noisy count release: per-brand part
+    counts plus Laplace(b=2) noise drawn by inverse CDF from a
+    DETERMINISTIC uniform (the portable hash of the brand), then the
+    noisy top-10 — the private-release pipeline shape (noise added before
+    ranking), exactly reproducible by the oracle because the 'draw' is
+    the same 60-bit hash both engines compute.  One brand-keyed count
+    shuffle; noise and ranking run on the |brands|-row aggregate."""
+    parts = load_table(spark, sf_dir, "part")
+    cnt = parts.groupBy("p_brand").agg(F.count(F.lit(1)).alias("true_n"))
+    u = ((portable_hash64(F.col("p_brand"), "dp") % 99999)
+         .cast("double") - F.lit(49999.0)) / F.lit(100000.0)
+    noisy = (F.col("true_n").cast("double")
+             + F.lit(-2.0) * F.signum(u)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)))
+    w = Window.orderBy(F.desc("noisy_n"), F.asc("p_brand"))
+    return (cnt.withColumn("noisy_n", noisy)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("p_brand", "true_n",
+                    F.round("noisy_n", 6).alias("noisy_n"), "rank")
+            .orderBy("rank"))
+
+
+_QDP_SQL = """
+WITH cnt AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS true_n FROM part GROUP BY p_brand
+), uu AS (
+  SELECT p_brand, true_n,
+         (CAST(('0x' || substr(md5(p_brand || '#dp'), 1, 15))::BIGINT % 99999
+               AS DOUBLE) - 49999.0) / 100000.0 AS u
+  FROM cnt
+), noisy AS (
+  SELECT p_brand, true_n,
+         CAST(true_n AS DOUBLE)
+         + (-2.0) * sign(u) * ln(1.0 - 2.0 * abs(u)) AS noisy_n
+  FROM uu
+)
+SELECT p_brand, true_n, ROUND(noisy_n, 6) AS noisy_n,
+       CAST(row_number() OVER (ORDER BY noisy_n DESC, p_brand ASC) AS INT)
+         AS rank
+FROM noisy
+ORDER BY rank
+LIMIT 10
+"""
+
+R7_QUERIES["dp_noisy_topk_brands"] = (q_dp_noisy_topk_brands, _QDP_SQL, False)
+
+
+# --- events_cusum_drift -----------------------------------------------------
+
+def q_events_cusum_drift(spark, sf_dir):
+    """CUSUM drift statistic over each event type's daily count series —
+    change-point detection without recursion via the identity
+    s_i = p_i - min(0, min_{j<=i} p_j) where p is the prefix sum of
+    (count - series mean).  The raw stream collapses in one
+    (type, day)-keyed count shuffle; both windows then run over the tiny
+    |types x days| aggregate (the round-5 lesson: never window the raw
+    table when a pre-aggregate suffices)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    avg = daily.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("_a"))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    j = daily.join(avg, "event_type")
+    j = j.withColumn("_p", F.sum(F.col("n") - F.col("_a")).over(w))
+    j = j.withColumn("_minp", F.min("_p").over(w))
+    return (j.select(
+        "event_type", "day", "n",
+        F.round(F.col("_p") - F.least(F.col("_minp"), F.lit(0.0)), 6)
+         .alias("cusum"))
+        .orderBy("event_type", "day"))
+
+
+_QCUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), av AS (
+  SELECT event_type, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS a
+  FROM daily GROUP BY 1
+), c1 AS (
+  SELECT d.event_type, d.day, d.n,
+         SUM(d.n - v.a) OVER (PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM daily d JOIN av v USING (event_type)
+), c2 AS (
+  SELECT *, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minp
+  FROM c1
+)
+SELECT event_type, day, n,
+       ROUND(p - least(minp, 0.0), 6) + 0.0 AS cusum
+FROM c2
+ORDER BY event_type, day
+"""
+
+R7_QUERIES["events_cusum_drift"] = (q_events_cusum_drift, _QCUSUM_SQL, False)
+
+
+# --- token_pmi_pairs --------------------------------------------------------
+
+def q_token_pmi_pairs(spark, sf_dir):
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs, ln(p(ab) / (p(a) p(b))), for the 20 most frequent bigrams with
+    count >= 5 — the statistic that separates true collocations from
+    frequent-word coincidence.  Two vocab-keyed count shuffles (unigrams,
+    bigrams) with map-side combine; totals ride in as broadcast
+    single-row crossJoins, never a driver collect; ranking is by the
+    integer count (float PMI is annotation, not sort key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = spread(docs).select(text.tokens(F.col("text")).alias("tk"))
+    uni = (tk.select(F.explode("tk").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    nt = uni.agg(F.sum("cw").alias("nt"))
+    pairs = (tk.filter(F.size("tk") >= 2)
+             .select(F.col("tk"),
+                     F.explode(F.sequence(F.lit(0), F.size("tk") - 2))
+                      .alias("i"))
+             .select(F.get("tk", F.col("i")).alias("w1"),
+                     F.get("tk", F.col("i") + 1).alias("w2")))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    nb = big.agg(F.sum("n_pair").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = (F.log(
+        (F.col("n_pair").cast("double") / F.col("nb").cast("double"))
+        / ((F.col("c1").cast("double") / F.col("nt").cast("double"))
+           * (F.col("c2").cast("double") / F.col("nt").cast("double")))))
+    return (big.filter(F.col("n_pair") >= 5)
+            .join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nt))
+            .select("w1", "w2", "n_pair", F.round(pmi, 6).alias("pmi"))
+            .orderBy(F.desc("n_pair"), "w1", "w2")
+            .limit(20))
+
+
+_QPMI_SQL = f"""
+WITH tok AS (
+  SELECT {_TOKS_SQL} AS tk FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(cw) AS BIGINT) AS nt FROM uni
+), big AS (
+  SELECT tk[i + 1] AS w1, tk[i + 2] AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM tok, LATERAL (SELECT unnest(range(0, greatest(len(tk) - 1, 0))) AS i) t
+  GROUP BY 1, 2
+), totb AS (
+  SELECT CAST(SUM(n_pair) AS BIGINT) AS nb FROM big
+)
+SELECT b.w1, b.w2, b.n_pair,
+       ROUND(ln((CAST(b.n_pair AS DOUBLE) / CAST(tb.nb AS DOUBLE))
+                / ((CAST(u1.cw AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+                   * (CAST(u2.cw AS DOUBLE) / CAST(tt.nt AS DOUBLE)))), 6)
+         AS pmi
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN totb tb CROSS JOIN tot tt
+WHERE b.n_pair >= 5
+ORDER BY b.n_pair DESC, b.w1, b.w2
+LIMIT 20
+"""
+
+R7_QUERIES["token_pmi_pairs"] = (q_token_pmi_pairs, _QPMI_SQL, False)
+
+
+# --- ngram_containment_pairs ------------------------------------------------
+
+def q_ngram_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (dedup.containment_pairs): pairs
+    where either |A∩B|/|A| or |A∩B|/|B| >= 0.5 — the quote/excerpt
+    detector that symmetric Jaccard misses (a short doc embedded in a
+    long one).  Same single-shuffle overlap core and 256-doc stop-shingle
+    cap as ngram_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.containment_pairs(docs, "doc_id", "text", shingle_n=3,
+                                  threshold=0.5, max_doc_freq=256)
+    return (out.select("id_a", "id_b",
+                       F.round("cont_ab", 9).alias("cont_ab"),
+                       F.round("cont_ba", 9).alias("cont_ba"))
+            .orderBy("id_a", "id_b"))
+
+
+_QCONT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 256
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON r.shingle = a.shingle
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE), 9) AS cont_ab,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE), 9) AS cont_ba
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+               CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+R7_QUERIES["ngram_containment_pairs"] = (
+    q_ngram_containment_pairs, _QCONT_SQL, False)

@@ -340,7 +340,7 @@ def test_transform_proj4_strings(spark):
     """Arbitrary-CRS support via PROJ.4 strings: any CRS of an implemented
     projection family works without a proj database.  Each proj-string
     spelling must land exactly on its EPSG-table twin; +towgs84 datum
-    shifts raise a labeled error."""
+    shifts compose a closed-form Helmert transform (round 7)."""
     pairs = [
         ("27700", "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
                   "+x_0=400000 +y_0=-100000 +ellps=airy"),
@@ -365,9 +365,60 @@ def test_transform_proj4_strings(spark):
                        "'+proj=utm +zone=33 +ellps=WGS84', "
                        "'+proj=longlat +ellps=WGS84'))")
     assert back == pytest.approx(16.37, abs=1e-8)
-    with pytest.raises(Exception, match="towgs84"):
+
+
+_OSGB_P4 = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy "
+            "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894")
+
+
+def test_transform_towgs84_helmert(spark):
+    """7-parameter Helmert datum shifts (+towgs84, position-vector) —
+    closed-form geocentric arithmetic, validated against the published
+    Greenwich separation and analytic pure-translation cases."""
+    import math
+
+    from sedona_iceberg_extension_spark.functions.udfs_ext import (
+        _AIRY_A, _AIRY_F, _WGS84_A, _WGS84_F, _helmert_fns, _parse_proj4)
+
+    # (1) the famous ~102-112 m Greenwich offset: the OSGB36 zero meridian
+    # at Greenwich latitude sits ~5-6 arcsec WEST of WGS84 zero (the
+    # published EPSG 7-param transform gives about -5.8")
+    to_w, from_w = _helmert_fns(
+        [446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894],
+        _AIRY_A, _AIRY_F)
+    glon, glat = to_w(0.0, 51.4779)
+    assert -0.0017 < glon < -0.0014          # 5.0"-6.1" W
+    assert 0.0004 < glat - 51.4779 < 0.0008  # ~50-90 m N
+    # (2) round-trip through the full projected CRS closes to ~1e-7 deg
+    fwd, inv = _parse_proj4(_OSGB_P4)
+    x, y = fwd(-0.1278, 51.5074)
+    lon2, lat2 = inv(x, y)
+    assert abs(lon2 - (-0.1278)) < 1e-7 and abs(lat2 - 51.5074) < 1e-7
+    # (3) pure-translation analytic case: +100 m along ECEF X at
+    # (lon=90, lat=0) moves longitude to exactly atan2(a, 100)
+    to_t, _ = _helmert_fns([100.0, 0.0, 0.0], _WGS84_A, _WGS84_F)
+    lo, la = to_t(90.0, 0.0)
+    assert lo == pytest.approx(math.degrees(math.atan2(_WGS84_A, 100.0)),
+                               abs=1e-12)
+    assert la == pytest.approx(0.0, abs=1e-12)
+    # (4) all-zero shift is the identity
+    f0, i0 = _parse_proj4("+proj=longlat +ellps=WGS84 +towgs84=0,0,0")
+    assert f0(12.5, 41.9) == (12.5, 41.9)
+    # (5) +datum=OSGB36 expands to airy + the same 7 params
+    fd, _ = _parse_proj4("+proj=tmerc +lat_0=49 +lon_0=-2 "
+                         "+k=0.9996012717 +x_0=400000 +y_0=-100000 "
+                         "+datum=OSGB36")
+    xd, yd = fd(-0.1278, 51.5074)
+    assert xd == pytest.approx(x, abs=1e-9) and yd == pytest.approx(y, abs=1e-9)
+    # (6) the SQL surface end-to-end (inverse direction: WGS84 -> OSGB36)
+    osgb_lon = sql1(spark, "ST_X(ST_Transform(ST_Point(-0.1278D, 51.5074D), "
+                           f"'EPSG:4326', '{_OSGB_P4}'))")
+    assert 529900 < osgb_lon < 530150  # London easting on the National Grid
+    # (7) NAD27 needs NADCON grids -> labeled error, not silent wrongness
+    with pytest.raises(Exception, match="datum"):
         sql1(spark, "ST_X(ST_Transform(ST_Point(1D, 2D), 'EPSG:4326', "
-                    "'+proj=tmerc +ellps=bessel +towgs84=674.4,15.1,405.3'))")
+                    "'+proj=longlat +datum=NAD27'))")
 
 
 def test_buildarea_linefrommultipoint_zminmax(spark):

@@ -759,3 +759,85 @@ def test_cms_never_underestimates(spark):
         assert est[k] >= t, k          # CMS upper-bound invariant
     # total inflation bounded: sum of overestimates < sum of counts
     assert sum(est[k] - truth[k] for k in truth) < sum(truth.values())
+
+
+def test_containment_vs_bruteforce(spark):
+    """containment_pairs against a Python set computation: the embedded
+    short doc scores ~1.0 in its direction while Jaccard stays small."""
+    long = "the quick brown fox jumps over the lazy dog again and again today"
+    short = "quick brown fox jumps over"          # fully inside `long`
+    other = "completely different words entirely here now"
+    rows = [(1, long), (2, short), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): (r["cont_ab"], r["cont_ba"])
+           for r in dedup.containment_pairs(
+               df, "doc_id", "text", shingle_n=3, threshold=0.3).collect()}
+
+    def sh(t):
+        tk = t.lower().split()
+        return {" ".join(tk[i:i + 3]) for i in range(max(len(tk) - 2, 1))}
+
+    a, b = sh(long), sh(short)
+    inter = len(a & b)
+    assert out[(1, 2)] == pytest.approx((inter / len(a), inter / len(b)))
+    assert out[(1, 2)][1] == pytest.approx(1.0)   # short fully contained
+    # Jaccard on the same pair is far below the containment signal
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(df, "doc_id", "text", shingle_n=3,
+                                        threshold=0.0).collect()}
+    assert jac[(1, 2)] == pytest.approx(inter / len(a | b))
+    assert jac[(1, 2)] < out[(1, 2)][1]
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_cusum_identity_matches_recursion(spark, sf_dir):
+    """The prefix-sum/running-min CUSUM identity equals the recursive
+    definition s_i = max(0, s_{i-1} + (x_i - mean)) on the real series."""
+    from sedona_iceberg_extension_spark.plans.queries_r7 import (
+        q_events_cusum_drift)
+
+    rows = q_events_cusum_drift(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) >= 2
+    for t, series in by_type.items():
+        xs = [r["n"] for r in series]
+        mean = sum(xs) / len(xs)
+        s = 0.0
+        for r, x in zip(series, xs):
+            s = max(0.0, s + (x - mean))
+            assert r["cusum"] == pytest.approx(round(s, 6), abs=1e-6), t
+
+
+def test_max_dup_ngram_hand_cases(spark):
+    rows = [
+        (1, "a b c a b c a b"),           # "a b c a b" window? dup 2- and 4-grams
+        (2, "x y z w v u t s"),           # no repeats at all
+        (3, ("p q r s " * 10).strip()),   # long period-4 repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # run the query body against this tiny frame via the same pipeline
+    from sedona_iceberg_extension_spark.pipeline import text as T
+    from sedona_iceberg_extension_spark.pipeline.text import portable_hash64
+    tokd = df.select("doc_id", T.tokens(F.col("text")).alias("_tk"))
+    pos = tokd.select("doc_id", "_tk",
+                      F.explode(F.sequence(F.lit(1), F.size("_tk"))).alias("i"))
+    kd = (pos.select("doc_id", "_tk", "i",
+                     F.explode(F.array(*[F.lit(k) for k in (2, 4, 8, 16, 32)]))
+                      .alias("k"))
+          .filter(F.col("i") + F.col("k") - 1 <= F.size("_tk")))
+    grams = kd.select("doc_id", "k",
+                      portable_hash64(F.concat_ws(
+                          " ", F.slice("_tk", F.col("i"), F.col("k"))),
+                          "dupg").alias("h"))
+    dup = (grams.groupBy("doc_id", "k", "h").count()
+           .filter(F.col("count") > 1)
+           .groupBy("doc_id").agg(F.max("k").alias("mk")))
+    got = {r["doc_id"]: r["mk"] for r in dup.collect()}
+    # doc 1: "a b c a b" repeats "a b" (k=2) and "c a"... longest dup run
+    # is the 2-gram "a b" (3x) and "b c a b"? tokens: a b c a b c a b ->
+    # 4-gram "a b c a" appears at pos 1 and 4 -> dup at k=4; k=8 needs 9+
+    assert got[1] == 4
+    assert 2 not in got                       # all grams unique
+    assert got[3] == 32                       # 40 tokens, period 4: dup 32-gram

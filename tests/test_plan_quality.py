@@ -66,6 +66,9 @@ _NATIVE_QUERIES = [
     "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
     "bpe_pair_counts", "doc_bigram_lm_ppl", "minhash_calibration_curve",
     "cms_user_event_counts",
+    "ivfpq_ann_recall", "doc_max_dup_ngram", "doc_template_mining",
+    "dp_noisy_topk_brands", "events_cusum_drift", "token_pmi_pairs",
+    "ngram_containment_pairs",
 ]
 
 
