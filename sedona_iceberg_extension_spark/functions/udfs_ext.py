@@ -812,6 +812,60 @@ def _sterea_fns(a, f, k0, lat0, lon0, fe, fn):
     return fwd, inv
 
 
+def _oblique_stere_fns(a, f, k0, lat0, lon0, fe, fn):
+    """Oblique/equatorial ellipsoidal stereographic (Snyder 1987,
+    eq. 21-27..21-37, 'single' stereographic — PROJ's ``+proj=stere``
+    at non-polar centers, as distinct from the EPSG 9809 double
+    stereographic ``+proj=sterea``).  Conformal-latitude sphere +
+    stereographic step; inverse recovers φ from χ by the standard
+    fixed-point iteration (Snyder 3-4)."""
+    e2 = 2 * f - f * f
+    e = math.sqrt(e2)
+
+    def chi_of(phi):
+        s = math.sin(phi)
+        return 2.0 * math.atan(
+            math.tan(math.pi / 4 + phi / 2)
+            * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0)) - math.pi / 2
+
+    p0 = math.radians(lat0)
+    chi1 = chi_of(p0)
+    m1 = math.cos(p0) / math.sqrt(1.0 - e2 * math.sin(p0) ** 2)
+    sx1, cx1 = math.sin(chi1), math.cos(chi1)
+    ak = 2.0 * a * k0 * m1
+
+    def fwd(lon, lat):
+        chi = chi_of(math.radians(lat))
+        dlam = math.radians(lon - lon0)
+        sx, cx = math.sin(chi), math.cos(chi)
+        aa = ak / (cx1 * (1.0 + sx1 * sx + cx1 * cx * math.cos(dlam)))
+        return (fe + aa * cx * math.sin(dlam),
+                fn + aa * (cx1 * sx - sx1 * cx * math.cos(dlam)))
+
+    def inv(x, y):
+        xp, yp = x - fe, y - fn
+        rho = math.hypot(xp, yp)
+        if rho == 0.0:
+            chi, dlam = chi1, 0.0
+        else:
+            ce = 2.0 * math.atan(rho * cx1 / ak)
+            sce, cce = math.sin(ce), math.cos(ce)
+            chi = math.asin(max(-1.0, min(1.0,
+                cce * sx1 + yp * sce * cx1 / rho)))
+            dlam = math.atan2(xp * sce,
+                              rho * cx1 * cce - yp * sx1 * sce)
+        t = math.tan(math.pi / 4 + chi / 2)
+        phi = chi
+        for _ in range(10):
+            s = math.sin(phi)
+            phi = 2.0 * math.atan(
+                t * math.pow((1.0 + e * s) / (1.0 - e * s), e / 2.0)
+            ) - math.pi / 2
+        return math.degrees(math.radians(lon0) + dlam), math.degrees(phi)
+
+    return fwd, inv
+
+
 _BESSEL_A = 6377397.155               # Bessel 1841 (CH1903/CH1903+)
 _BESSEL_F = 1.0 / 299.1528128
 _CH_LAT0 = 46 + 57 / 60 + 8.66 / 3600          # Bern observatory
@@ -1105,9 +1159,11 @@ def _parse_proj4(s: str):
         if proj == "stere":
             lat0 = num("lat_0", 90.0)
             if abs(abs(lat0) - 90.0) > 1e-9:
-                raise NotImplementedError(
-                    "ST_Transform: +proj=stere supported at the poles "
-                    "only (use +proj=sterea for oblique)")
+                # oblique/equatorial single stereographic (Snyder);
+                # the EPSG 9809 double variant stays +proj=sterea
+                return _oblique_stere_fns(a, f, num("k", 1.0), lat0,
+                                          num("lon_0"), num("x_0"),
+                                          num("y_0"))
             lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
             k0 = float(kv["k"]) if "k" in kv else (None if lat_ts else 1.0)
             return _ps_fns(a, f, abs(lat_ts) if lat_ts else None, k0,

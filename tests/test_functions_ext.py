@@ -721,3 +721,42 @@ def test_ndims_removerepeated_setpoint(spark):
     # out-of-range index -> NULL
     assert sql1(spark, "ST_SetPoint(ST_GeomFromText("
                        "'LINESTRING(0 0,1 1)'), 7, ST_Point(5, 5))") is None
+
+
+def test_oblique_stereographic(spark):
+    """Oblique/equatorial +proj=stere (Snyder single stereographic via
+    conformal latitude) — center lands on the false origin, round trips
+    close to machine precision, and the local scale at the center is k0."""
+    import math
+
+    from sedona_iceberg_extension_spark.functions.udfs_ext import _parse_proj4
+
+    fwd, inv = _parse_proj4("+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 "
+                            "+x_0=155000 +y_0=463000 +ellps=WGS84")
+    x0, y0 = fwd(5.0, 52.0)
+    assert x0 == pytest.approx(155000.0, abs=1e-6)
+    assert y0 == pytest.approx(463000.0, abs=1e-6)
+    x, y = fwd(6.2, 53.1)
+    lon, lat = inv(x, y)
+    assert lon == pytest.approx(6.2, abs=1e-10)
+    assert lat == pytest.approx(53.1, abs=1e-10)
+    # meridional scale at the center equals k0
+    e2 = 0.00669437999014
+    a_m = 6378137.0 * (1 - e2) / (1 - e2 * math.sin(math.radians(52)) ** 2) ** 1.5
+    x1, y1 = fwd(5.0, 52.0001)
+    k = math.hypot(x1 - x0, y1 - y0) / (a_m * math.radians(0.0001))
+    assert k == pytest.approx(0.9999, abs=1e-6)
+    # equatorial aspect
+    f2, i2 = _parse_proj4("+proj=stere +lat_0=0 +lon_0=-30 +k=1 +ellps=GRS80")
+    lon, lat = i2(*f2(-25.0, 10.0))
+    assert lon == pytest.approx(-25.0, abs=1e-10)
+    assert lat == pytest.approx(10.0, abs=1e-10)
+    # SQL surface: transform + back through the oblique CRS
+    back = sql1(spark, "ST_Y(ST_Transform(ST_Transform("
+                       "ST_Point(6.2D, 53.1D), 'EPSG:4326', "
+                       "'+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 "
+                       "+x_0=155000 +y_0=463000 +ellps=WGS84'), "
+                       "'+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 "
+                       "+x_0=155000 +y_0=463000 +ellps=WGS84', "
+                       "'EPSG:4326'))")
+    assert back == pytest.approx(53.1, abs=1e-9)
