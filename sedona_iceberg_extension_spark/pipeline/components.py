@@ -79,3 +79,39 @@ def keep_canonical(components: DataFrame, id_col: str = "id",
         .agg(F.min(id_col).alias("keep_id"),
              (F.count(F.lit(1)) - 1).alias("n_dropped"))
     )
+
+
+def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+             damping: float = 0.85, iterations: int = 10) -> DataFrame:
+    """Synchronous PageRank over an undirected edge list, fixed iteration
+    count — the canonical iterative-algorithm shape next to label
+    propagation.  Input edges are one row per unordered pair; they are
+    symmetrized here.  No dangling-node handling is needed because every
+    vertex of an undirected edge has out-degree >= 1.
+
+    Each iteration is one (vertex-keyed) join + one groupBy(sum) — the
+    same two-shuffle round as connected_components.  Lineage is truncated
+    with localCheckpoint every iteration (on a cluster use a fault-
+    tolerant checkpoint dir); ranks stay a |V|-row table throughout.
+    Returns (id, rank) with sum(rank) ~= 1."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("u").alias("id"))
+    n = nodes.count()
+    ranks = nodes.select("id", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    base = (1.0 - damping) / float(n)
+    for _ in range(iterations):
+        contrib = (sym.join(ranks.withColumnRenamed("id", "u"), "u")
+                   .join(deg, "u")
+                   .select(F.col("v").alias("id"),
+                           (F.col("rank") / F.col("deg")).alias("c")))
+        ranks = (nodes.join(
+            contrib.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+            .select("id", (F.lit(base) + F.lit(damping)
+                           * F.coalesce(F.col("s"), F.lit(0.0)))
+                    .alias("rank")))
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -244,3 +244,22 @@ def cms_estimate(cells: DataFrame, probe_df: DataFrame, key_col: str,
             .join(F.broadcast(cells), ["r", "c"])
             .groupBy(key_col)
             .agg(F.min("cnt").alias("est_count")))
+
+
+def kmv_bottom_k(df: DataFrame, key_col: str, k: int = 256,
+                 seed: str = "kmv", keep_cols=()) -> DataFrame:
+    """Bottom-k (KMV) sketch: the ``k`` rows whose portable hash of
+    ``key_col`` is smallest — a deterministic uniform sample that is also
+    MERGEABLE (bottom-k of a union = bottom-k of the concatenated
+    sketches), completing the mergeable-summary family next to HLL
+    (distinct), CMS (frequency), and Bloom (membership): KMV serves both
+    distinct-count estimation ((k-1) * H / h_k, Bar-Yossef et al. 2002)
+    and sample-based quantiles over any carried value column.
+
+    Scale shape: Spark compiles orderBy(h).limit(k) to
+    TakeOrderedAndProject — a per-partition k-heap merged at the driver,
+    exactly the sketch-merge tree; the full table is never sorted.
+    ``keep_cols`` ride along for sample-based statistics."""
+    h = portable_hash64(F.col(key_col).cast("string"), seed)
+    return (df.select(h.alias("h"), *[F.col(c) for c in keep_cols])
+            .orderBy("h").limit(k))

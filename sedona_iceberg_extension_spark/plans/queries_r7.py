@@ -559,3 +559,139 @@ ORDER BY id_a, id_b
 
 R7_QUERIES["ngram_containment_pairs"] = (
     q_ngram_containment_pairs, _QCONT_SQL, False)
+
+
+# --- kmv_value_quantiles ----------------------------------------------------
+
+def q_kmv_value_quantiles(spark, sf_dir):
+    """KMV bottom-k sketch report (sketch.kmv_bottom_k): sample-based p50
+    and p90 of the events value column from a 256-row deterministic
+    bottom-hash sample, plus the classic KMV distinct-count estimate of
+    users ((k-1) * H / h_k) next to the exact count — the mergeable
+    quantile+distinct summary that completes the sketch family (HLL,
+    CMS, Bloom, KMV).  The sketch build is a per-partition k-heap
+    (TakeOrderedAndProject), never a full sort; all finishing runs on
+    256-row tables."""
+    from ..pipeline import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    samp = SK.kmv_bottom_k(ev, "event_id", k=256, seed="kmv",
+                           keep_cols=("value",))
+    w = Window.orderBy(F.col("value").asc(), F.col("h").asc())
+    q = (samp.withColumn("rn", F.row_number().over(w))
+         .agg(F.max(F.when(F.col("rn") == 128, F.col("value"))).alias("p50s"),
+              F.max(F.when(F.col("rn") == 230, F.col("value"))).alias("p90s")))
+    du = (ev.select(portable_hash64(F.col("user_id").cast("string"), "kmvd")
+                    .alias("h"))
+          .distinct().orderBy("h").limit(256))
+    est = du.agg(
+        F.count(F.lit(1)).alias("nk"), F.max("h").alias("hk")).select(
+        F.when(F.col("nk") < 256, F.col("nk").cast("double"))
+         .otherwise(F.lit(255.0) * F.lit(float(2 ** 60))
+                    / F.col("hk").cast("double"))
+         .alias("est_users"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (q.crossJoin(est).crossJoin(exact)
+            .select(F.lit(256).cast("int").alias("k"),
+                    F.round("p50s", 6).alias("p50_sample"),
+                    F.round("p90s", 6).alias("p90_sample"),
+                    F.round("est_users", 6).alias("est_distinct_users"),
+                    F.col("exact_users").cast("long").alias("exact_distinct_users")))
+
+
+_QKMV_SQL = """
+WITH samp AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#kmv'), 1, 15))::BIGINT AS h,
+         value
+  FROM events ORDER BY h LIMIT 256
+), ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value ASC, h ASC) AS rn FROM samp
+), q AS (
+  SELECT MAX(CASE WHEN rn = 128 THEN value END) AS p50s,
+         MAX(CASE WHEN rn = 230 THEN value END) AS p90s
+  FROM ranked
+), du AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#kmvd'), 1, 15))::BIGINT AS h
+  FROM events
+), bu AS (
+  SELECT h FROM du ORDER BY h LIMIT 256
+), est AS (
+  SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE)
+         END AS est_users
+  FROM bu
+), ex AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events
+)
+SELECT CAST(256 AS INT) AS k,
+       ROUND(q.p50s, 6) + 0.0 AS p50_sample,
+       ROUND(q.p90s, 6) + 0.0 AS p90_sample,
+       ROUND(est.est_users, 6) + 0.0 AS est_distinct_users,
+       ex.exact_users AS exact_distinct_users
+FROM q CROSS JOIN est CROSS JOIN ex
+"""
+
+R7_QUERIES["kmv_value_quantiles"] = (
+    q_kmv_value_quantiles, _QKMV_SQL, False)
+
+
+# --- brand_pagerank ---------------------------------------------------------
+
+def q_brand_pagerank(spark, sf_dir):
+    """PageRank over the brand co-purchase graph (components.pagerank):
+    brands are connected when bought in the same order; 10 synchronous
+    iterations, damping 0.85.  The iterative-algorithm shape next to
+    label propagation — each round is one vertex-keyed join + one
+    groupBy(sum), ranks stay a |V|-row table, lineage truncated per
+    round.  The oracle unrolls the same 10 iterations as chained CTEs
+    (no recursion needed for a fixed iteration count)."""
+    from ..pipeline import components as C
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bo = (li.join(pt, li.l_partkey == pt.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    a = bo.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    b = bo.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bb"))
+    edges = (a.join(b, "ok").filter(F.col("ba") < F.col("bb"))
+             .select(F.col("ba").alias("id_a"), F.col("bb").alias("id_b"))
+             .distinct())
+    pr = C.pagerank(edges, damping=0.85, iterations=10)
+    return (pr.select(F.col("id").alias("p_brand"),
+                      F.round("rank", 6).alias("rank"))
+            .orderBy("p_brand"))
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    sql = """
+WITH bo AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), e0 AS (
+  SELECT DISTINCT a.p_brand AS u, b.p_brand AS v
+  FROM bo a JOIN bo b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+), sym AS (
+  SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+), r0 AS (
+  SELECT u AS id, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn
+)"""
+    for i in range(iters):
+        sql += f""", r{i + 1} AS (
+  SELECT d.u AS id,
+         ((1.0 - 0.85) / nn.n) + 0.85 * COALESCE(s.s, 0.0) AS rank
+  FROM deg d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.v AS id, SUM(r.rank / dd.deg) AS s
+    FROM sym e JOIN r{i} r ON r.id = e.u JOIN deg dd ON dd.u = e.u
+    GROUP BY e.v) s ON s.id = d.u
+)"""
+    sql += (f"\nSELECT id AS p_brand, ROUND(rank, 6) + 0.0 AS rank "
+            f"FROM r{iters} ORDER BY p_brand")
+    return sql
+
+
+R7_QUERIES["brand_pagerank"] = (q_brand_pagerank, _pagerank_sql(), False)

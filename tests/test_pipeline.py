@@ -841,3 +841,42 @@ def test_max_dup_ngram_hand_cases(spark):
     assert got[1] == 4
     assert 2 not in got                       # all grams unique
     assert got[3] == 32                       # 40 tokens, period 4: dup 32-gram
+
+
+def test_kmv_sketch_mergeable_and_uniform(spark, sf_dir):
+    """Bottom-k of a union equals bottom-k of concatenated sketches (the
+    mergeability that licenses per-partition heaps), and the sketch is
+    the k globally-smallest hashes."""
+    from sedona_iceberg_extension_spark.pipeline import sketch as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full = sorted(r["h"] for r in
+                  SK.kmv_bottom_k(ev, "event_id", k=64).collect())
+    a = SK.kmv_bottom_k(ev.filter(F.col("event_id") % 2 == 0),
+                        "event_id", k=64)
+    b = SK.kmv_bottom_k(ev.filter(F.col("event_id") % 2 == 1),
+                        "event_id", k=64)
+    merged = sorted(r["h"] for r in
+                    a.unionByName(b).orderBy("h").limit(64).collect())
+    assert merged == full
+    assert len(full) == 64 and full == sorted(set(full))
+
+
+def test_pagerank_invariants(spark):
+    """Fixed-point sanity on a hand graph: ranks sum to 1, the hub of a
+    star outranks the leaves, and symmetric positions tie exactly."""
+    from sedona_iceberg_extension_spark.pipeline import components as C
+
+    # star: center 0 connected to 1..4
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a int, id_b int")
+    pr = {r["id"]: r["rank"]
+          for r in C.pagerank(edges, iterations=20).collect()}
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(pr[0] > pr[i] for i in range(1, 5))
+    leaves = [pr[i] for i in range(1, 5)]
+    assert max(leaves) - min(leaves) < 1e-12   # symmetry ties exactly
+    # two-node graph: exact fixed point is 0.5 / 0.5
+    e2 = spark.createDataFrame([(7, 8)], "id_a int, id_b int")
+    pr2 = {r["id"]: r["rank"] for r in C.pagerank(e2, iterations=5).collect()}
+    assert pr2[7] == pytest.approx(0.5) and pr2[8] == pytest.approx(0.5)

@@ -68,7 +68,7 @@ _NATIVE_QUERIES = [
     "cms_user_event_counts",
     "ivfpq_ann_recall", "doc_max_dup_ngram", "doc_template_mining",
     "dp_noisy_topk_brands", "events_cusum_drift", "token_pmi_pairs",
-    "ngram_containment_pairs",
+    "ngram_containment_pairs", "kmv_value_quantiles", "brand_pagerank",
 ]
 
 
