@@ -966,6 +966,13 @@ _PROJ_ELLPS = {
     "CLRK66": (6378206.4, 1.0 / 294.9786982),  # Clarke 1866
     "CLRK80": (6378249.145, 1.0 / 293.465),    # Clarke 1880
     "CLRK80IGN": (6378249.2, 1.0 / 293.4660212936269),  # Clarke 1880 IGN
+    "KRASS": (6378245.0, 1.0 / 298.3),         # Krassovsky 1940
+    "EVRST30": (6377276.345, 1.0 / 300.8017),  # Everest 1830
+    "GRS67": (6378160.0, 1.0 / 298.2471674270),
+    "AUST_SA": (6378160.0, 1.0 / 298.25),      # Australian National
+    "HELMERT": (6378200.0, 1.0 / 298.3),       # Helmert 1906
+    "WGS72": (6378135.0, 1.0 / 298.26),
+    "WGS66": (6378145.0, 1.0 / 298.25),
     "SPHERE": (6370997.0, 0.0),
 }
 
@@ -989,6 +996,87 @@ _PROJ_DATUMS = {
                (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
                 -20.4894)),
 }
+
+
+def _eqc_fns(a, lat_ts, lon0, fe, fn):
+    """Equirectangular / plate carrée (spherical, PROJ ``eqc``)."""
+    c = math.cos(math.radians(lat_ts))
+
+    def fwd(lon, lat):
+        return (fe + a * math.radians(lon - lon0) * c,
+                fn + a * math.radians(lat))
+
+    def inv(x, y):
+        return (lon0 + math.degrees((x - fe) / (a * c)),
+                math.degrees((y - fn) / a))
+
+    return fwd, inv
+
+
+def _sinu_fns(a, lon0, fe, fn):
+    """Sinusoidal equal-area, spherical (PROJ ``sinu`` with ``+R`` — the
+    MODIS land grid: ``+proj=sinu +R=6371007.181``)."""
+    def fwd(lon, lat):
+        phi = math.radians(lat)
+        return (fe + a * math.radians(lon - lon0) * math.cos(phi),
+                fn + a * phi)
+
+    def inv(x, y):
+        phi = (y - fn) / a
+        c = math.cos(phi)
+        lon = lon0 if c == 0 else lon0 + math.degrees((x - fe) / (a * c))
+        return lon, math.degrees(phi)
+
+    return fwd, inv
+
+
+def _moll_fns(a, lon0, fe, fn):
+    """Mollweide equal-area (spherical); theta by Newton iteration on
+    2θ + sin 2θ = π sin φ (Snyder eq. 31-1..31-8)."""
+    rt2 = math.sqrt(2.0)
+
+    def theta_of(phi):
+        t = phi
+        for _ in range(15):
+            d = (2.0 * t + math.sin(2.0 * t) - math.pi * math.sin(phi))
+            dd = 2.0 + 2.0 * math.cos(2.0 * t)
+            if dd == 0.0:
+                break
+            t -= d / dd
+        return t
+
+    def fwd(lon, lat):
+        th = theta_of(math.radians(lat))
+        return (fe + (2.0 * rt2 / math.pi) * a
+                * math.radians(lon - lon0) * math.cos(th),
+                fn + rt2 * a * math.sin(th))
+
+    def inv(x, y):
+        th = math.asin(max(-1.0, min(1.0, (y - fn) / (rt2 * a))))
+        phi = math.asin(max(-1.0, min(1.0,
+            (2.0 * th + math.sin(2.0 * th)) / math.pi)))
+        c = math.cos(th)
+        lon = lon0 if c == 0 else lon0 + math.degrees(
+            (x - fe) * math.pi / (2.0 * rt2 * a * c))
+        return lon, math.degrees(phi)
+
+    return fwd, inv
+
+
+def _mill_fns(a, lon0, fe, fn):
+    """Miller cylindrical (spherical, PROJ ``mill``)."""
+    def fwd(lon, lat):
+        phi = math.radians(lat)
+        return (fe + a * math.radians(lon - lon0),
+                fn + a * 1.25 * math.log(math.tan(
+                    math.pi / 4 + 0.4 * phi)))
+
+    def inv(x, y):
+        return (lon0 + math.degrees((x - fe) / a),
+                math.degrees(2.5 * (math.atan(
+                    math.exp(0.8 * (y - fn) / a)) - math.pi / 4)))
+
+    return fwd, inv
 
 
 def _geodetic_to_ecef(lon, lat, a, f):
@@ -1102,7 +1190,9 @@ def _parse_proj4(s: str):
     if tw_params is not None and not any(
             abs(v) > 1e-12 for v in tw_params):
         tw_params = None  # all-zero shift == WGS84-equivalent datum
-    if "a" in kv:
+    if "r" in kv:                       # +R= explicit sphere (MODIS sinu)
+        a, f = float(kv["r"]), 0.0
+    elif "a" in kv:
         a = float(kv["a"])
         f = 1.0 / float(kv["rf"]) if "rf" in kv else (
             0.0 if float(kv.get("b", a)) == a
@@ -1172,10 +1262,19 @@ def _parse_proj4(s: str):
             return _to_3857, _to_4326
         if proj == "merc":
             return _to_3395, _from_3395
+        if proj == "eqc":
+            return _eqc_fns(a, num("lat_ts"), num("lon_0"),
+                            num("x_0"), num("y_0"))
+        if proj == "sinu":
+            return _sinu_fns(a, num("lon_0"), num("x_0"), num("y_0"))
+        if proj == "moll":
+            return _moll_fns(a, num("lon_0"), num("x_0"), num("y_0"))
+        if proj == "mill":
+            return _mill_fns(a, num("lon_0"), num("x_0"), num("y_0"))
         raise NotImplementedError(
             f"ST_Transform: unsupported +proj={proj!r} (supported: "
             "longlat, utm, tmerc, lcc, aea, laea, cea, sterea, somerc, "
-            "stere, webmerc, merc)")
+            "stere, webmerc, merc, eqc, sinu, moll, mill)")
 
     fwd, inv = route()
     if tw_params is None:

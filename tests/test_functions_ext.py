@@ -760,3 +760,46 @@ def test_oblique_stereographic(spark):
                        "+x_0=155000 +y_0=463000 +ellps=WGS84', "
                        "'EPSG:4326'))")
     assert back == pytest.approx(53.1, abs=1e-9)
+
+
+def test_spherical_projection_families(spark):
+    """eqc / sinu (+R sphere — the MODIS land grid) / moll / mill:
+    closed-form spherical identities and machine-precision round trips."""
+    import math
+
+    from sedona_iceberg_extension_spark.functions.udfs_ext import _parse_proj4
+
+    # MODIS sinusoidal: x = R lam cos(phi), y = R phi, exactly
+    f, i = _parse_proj4("+proj=sinu +R=6371007.181")
+    x, y = f(100.0, 40.0)
+    assert x == 6371007.181 * math.radians(100) * math.cos(math.radians(40))
+    assert y == 6371007.181 * math.radians(40)
+    lon, lat = i(x, y)
+    assert lon == pytest.approx(100.0, abs=1e-12)
+    assert lat == pytest.approx(40.0, abs=1e-12)
+    # plate carree: x = a lam
+    f2, i2 = _parse_proj4("+proj=eqc +ellps=WGS84")
+    assert f2(90.0, 45.0)[0] == 6378137.0 * math.pi / 2
+    l, p = i2(*f2(13.0, -22.0))
+    assert l == pytest.approx(13.0, abs=1e-12)
+    assert p == pytest.approx(-22.0, abs=1e-12)
+    # mollweide: equator/pole identities + round trip (incl. near-pole)
+    f3, i3 = _parse_proj4("+proj=moll +ellps=WGS84")
+    assert f3(0.0, 0.0) == (0.0, 0.0)
+    assert f3(0.0, 90.0)[1] == pytest.approx(math.sqrt(2) * 6378137.0,
+                                             rel=1e-12)
+    for lon0, lat0 in ((-70.0, 33.3), (120.0, -80.0), (10.0, 89.5)):
+        l, p = i3(*f3(lon0, lat0))
+        assert l == pytest.approx(lon0, abs=1e-8)
+        assert p == pytest.approx(lat0, abs=1e-8)
+    # miller round trip at high latitude
+    f4, i4 = _parse_proj4("+proj=mill +ellps=WGS84")
+    l, p = i4(*f4(12.0, 75.0))
+    assert l == pytest.approx(12.0, abs=1e-12)
+    assert p == pytest.approx(75.0, abs=1e-9)
+    # SQL surface through the sinusoidal grid
+    back = sql1(spark, "ST_Y(ST_Transform(ST_Transform("
+                       "ST_Point(100D, 40D), 'EPSG:4326', "
+                       "'+proj=sinu +R=6371007.181'), "
+                       "'+proj=sinu +R=6371007.181', 'EPSG:4326'))")
+    assert back == pytest.approx(40.0, abs=1e-10)
