@@ -26,6 +26,12 @@ rounded floats — the round-6 negative-zero lesson).
                               pairs against unigram independence
 - ngram_containment_pairs   — ASYMMETRIC shingle containment (quote /
                               excerpt detection that Jaccard misses)
+- kmv_value_quantiles       — mergeable bottom-k (KMV) sketch: sample
+                              quantiles + the (k-1)*H/h_k distinct
+                              estimate from one deterministic sample
+- brand_pagerank            — synchronous PageRank over the brand
+                              co-purchase graph, 10 iterations; oracle
+                              unrolls the iterations as chained CTEs
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -35,7 +41,9 @@ shuffle hash- or vocab-keyed aggregates with map-side combine, never
 raw token streams twice; CUSUM's windows run on the |type × day|
 pre-aggregate (tiny), not on raw events; containment reuses the
 single-shuffle overlap core of ``jaccard_pairs`` with the same
-stop-shingle doc-frequency cap.
+stop-shingle doc-frequency cap; the KMV sketch builds as a
+per-partition k-heap (TakeOrderedAndProject), never a full sort;
+PageRank keeps ranks a |V|-row table with lineage truncated per round.
 """
 
 from __future__ import annotations
