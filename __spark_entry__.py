@@ -74,7 +74,7 @@ _NEVER_DRIVER_SAMPLED = [
     "spatial_transform_towgs84", "ivfpq_ann_recall", "doc_max_dup_ngram",
     "doc_template_mining", "dp_noisy_topk_brands", "events_cusum_drift",
     "token_pmi_pairs", "ngram_containment_pairs", "kmv_value_quantiles",
-    "brand_pagerank",
+    "brand_pagerank", "ship_survival_km", "spatial_kde_heatmap",
 ]
 
 

@@ -32,6 +32,12 @@ rounded floats — the round-6 negative-zero lesson).
 - brand_pagerank            — synchronous PageRank over the brand
                               co-purchase graph, 10 iterations; oracle
                               unrolls the iterations as chained CTEs
+- ship_survival_km          — Kaplan-Meier survival of order->ship
+                              latency with right censoring at 60 days,
+                              cumulative product via exp(cumsum(ln))
+- spatial_kde_heatmap       — Gaussian KDE with a bounded 3x3-cell
+                              kernel: a 9-way explode + one cell-keyed
+                              shuffle, never an all-pairs sum
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -703,3 +709,144 @@ WITH bo AS (
 
 
 R7_QUERIES["brand_pagerank"] = (q_brand_pagerank, _pagerank_sql(), False)
+
+
+# --- ship_survival_km -------------------------------------------------------
+
+def q_ship_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of order->ship latency with right
+    censoring at 60 days — the survival-analysis operator class (lifetime
+    of an open order; 'still unshipped at the analysis horizon' is a
+    censored observation, dropped from no risk set it belongs to).  The
+    estimator S(t) = prod(1 - d_i/n_i) is computed without a cumulative
+    product primitive via exp(cumsum(ln ...)).  The raw join collapses in
+    one duration-keyed count shuffle; both windows then run over the
+    <= 61-row day table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(od, li.l_orderkey == od.o_orderkey)
+    dr = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    # the synthetic shipdate is independent of orderdate, so negative
+    # "durations" exist — a survival model drops them as data-quality
+    # rejects (a real pipeline would alert on them)
+    tab = (j.select(dr.alias("dr")).filter(F.col("dr") >= 0)
+           .select(F.least(F.col("dr"), F.lit(60)).alias("t"),
+                   (F.col("dr") <= 60).cast("int").alias("e")))
+    g = tab.groupBy("t").agg(F.count(F.lit(1)).alias("n_at"),
+                             F.sum("e").alias("d"))
+    tot = tab.agg(F.count(F.lit(1)).alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = (g.crossJoin(F.broadcast(tot))
+         .withColumn("n_risk", F.col("n")
+                     - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))))
+    s = r.withColumn("surv", F.exp(F.sum(
+        F.log(F.lit(1.0) - F.col("d").cast("double")
+              / F.col("n_risk").cast("double"))).over(w_cum)))
+    return (s.select(F.col("t").cast("int").alias("t_days"),
+                     "n_risk", F.col("d").alias("d_events"),
+                     F.round("surv", 6).alias("surv"))
+            .orderBy("t_days"))
+
+
+_QKM_SQL = """
+WITH j AS (
+  SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS dr
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), tab AS (
+  SELECT least(dr, 60) AS t, CASE WHEN dr <= 60 THEN 1 ELSE 0 END AS e
+  FROM j WHERE dr >= 0
+), g AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at, CAST(SUM(e) AS BIGINT) AS d
+  FROM tab GROUP BY t
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tab
+), r AS (
+  SELECT g.t, g.n_at, g.d,
+         tot.n - COALESCE(SUM(g.n_at) OVER (ORDER BY g.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM g CROSS JOIN tot
+), s AS (
+  SELECT t, n_risk, d,
+         exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)) AS surv
+  FROM r
+)
+SELECT CAST(t AS INT) AS t_days, n_risk, d AS d_events,
+       ROUND(surv, 6) + 0.0 AS surv
+FROM s
+ORDER BY t_days
+"""
+
+R7_QUERIES["ship_survival_km"] = (q_ship_survival_km, _QKM_SQL, False)
+
+
+# --- spatial_kde_heatmap ----------------------------------------------------
+
+def q_spatial_kde_heatmap(spark, sf_dir):
+    """Gaussian KDE heatmap over the customer point grid with a BOUNDED
+    kernel: each point contributes to its own 15-degree cell and the 8
+    neighbors only (h = 10 deg, so the kernel mass beyond one cell is
+    negligible) — the scale trick that turns KDE's all-pairs sum into a
+    9-way explode + ONE cell-keyed shuffle, never a cross join.  Cell
+    centers are exact integer-derived arithmetic, mirrored verbatim."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
+    pts = cust.select(
+        x.alias("x"), y.alias("y"),
+        F.floor(x / 15).cast("long").alias("cx"),
+        F.floor(y / 15).cast("long").alias("cy"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    e = pts.select("x", "y", "cx", "cy", F.explode(offs).alias("o"))
+    gx = F.col("cx") + F.col("o.dx")
+    gy = F.col("cy") + F.col("o.dy")
+    ctrx = (gx.cast("double") + 0.5) * 15.0
+    ctry = (gy.cast("double") + 0.5) * 15.0
+    w = F.exp(-(((F.col("x") - ctrx) * (F.col("x") - ctrx))
+                + ((F.col("y") - ctry) * (F.col("y") - ctry))) / 200.0)
+    return (e.select(gx.alias("gx"), gy.alias("gy"), w.alias("w"))
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n_contrib"),
+                 F.round(F.sum("w"), 6).alias("density"))
+            .select(F.col("gx").cast("int").alias("cell_x"),
+                    F.col("gy").cast("int").alias("cell_y"),
+                    "n_contrib", "density")
+            .orderBy("cell_x", "cell_y"))
+
+
+_QKDE_SQL = """
+WITH pts AS (
+  SELECT CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+         CAST((c_custkey * 7) % 180 - 90 AS DOUBLE) AS y
+  FROM customer
+), p2 AS (
+  SELECT x, y,
+         CAST(floor(x / 15) AS BIGINT) AS cx,
+         CAST(floor(y / 15) AS BIGINT) AS cy
+  FROM pts
+), o AS (
+  SELECT dxs.dx, dys.dy
+  FROM (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+       (SELECT unnest([-1, 0, 1]) AS dy) dys
+), c AS (
+  SELECT p.cx + o.dx AS gx, p.cy + o.dy AS gy,
+         exp(-(((p.x - (CAST(p.cx + o.dx AS DOUBLE) + 0.5) * 15.0)
+                * (p.x - (CAST(p.cx + o.dx AS DOUBLE) + 0.5) * 15.0))
+               + ((p.y - (CAST(p.cy + o.dy AS DOUBLE) + 0.5) * 15.0)
+                  * (p.y - (CAST(p.cy + o.dy AS DOUBLE) + 0.5) * 15.0)))
+             / 200.0) AS w
+  FROM p2 p CROSS JOIN o
+)
+SELECT CAST(gx AS INT) AS cell_x, CAST(gy AS INT) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n_contrib,
+       ROUND(SUM(w), 6) + 0.0 AS density
+FROM c
+GROUP BY gx, gy
+ORDER BY cell_x, cell_y
+"""
+
+R7_QUERIES["spatial_kde_heatmap"] = (q_spatial_kde_heatmap, _QKDE_SQL, False)
