@@ -384,3 +384,25 @@ def test_dump_parts_reassemble(g):
     assert all(p.kind in (1, 2, 3) for p in parts)
     vs = sorted(v for p in parts for v in A._vertices(p))
     assert vs == sorted(A._vertices(g))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.floats(-179.0, 179.0), st.floats(-85.0, 85.0),
+    st.lists(st.floats(-1000.0, 1000.0), min_size=3, max_size=3),
+    st.lists(st.floats(-10.0, 10.0), min_size=3, max_size=3),
+    st.floats(-50.0, 50.0),
+)
+def test_helmert_roundtrip_property(lon, lat, txyz, rxyz, ppm):
+    """fwd∘inv identity for arbitrary 7-parameter Helmert shifts.  The
+    matrix inverse is exact, so the only residual is Bowring's one-shot
+    ECEF→geodetic step: ~1e-7 deg for real datum parameters (|r| ≤ ~5
+    arcsec), up to ~1e-6 deg (≈ 10 cm) at this strategy's adversarial
+    ±10-arcsec rotations near the poles — assert the sub-meter bound."""
+    from sedona_iceberg_extension_spark.functions.udfs_ext import (
+        _AIRY_A, _AIRY_F, _helmert_fns)
+
+    to_w, from_w = _helmert_fns(txyz + rxyz + [ppm], _AIRY_A, _AIRY_F)
+    wlon, wlat = to_w(lon, lat)
+    lon2, lat2 = from_w(wlon, wlat)
+    assert abs(lon2 - lon) < 5e-6 and abs(lat2 - lat) < 5e-6
