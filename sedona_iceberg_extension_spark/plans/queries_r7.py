@@ -38,6 +38,14 @@ rounded floats — the round-6 negative-zero lesson).
 - spatial_kde_heatmap       — Gaussian KDE with a bounded 3x3-cell
                               kernel: a 9-way explode + one cell-keyed
                               shuffle, never an all-pairs sum
+- source_minhash_similarity — source-level MinHash via groupBy(source):
+                              signatures merge by element-wise min, so
+                              the estimator composes across grouping
+                              levels in the same single shuffle
+- rrf_ann_fusion            — reciprocal-rank fusion of the LSH / IVF /
+                              PQ indexes; fused score folds the SORTED
+                              rank list so both engines sum in the same
+                              order
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -850,3 +858,215 @@ ORDER BY cell_x, cell_y
 """
 
 R7_QUERIES["spatial_kde_heatmap"] = (q_spatial_kde_heatmap, _QKDE_SQL, False)
+
+
+# --- source_minhash_similarity ----------------------------------------------
+
+def q_source_minhash_similarity(spark, sf_dir):
+    """Pairwise vocabulary similarity BETWEEN SOURCES from source-level
+    MinHash signatures — the sketch-mergeability payoff: passing
+    ``source`` as the signature key makes ``groupBy(min)`` compute the
+    MinHash of the UNION of each source's shingle sets in the same one
+    narrow pass + one |sources|-row shuffle as doc-level signatures
+    (signatures merge by element-wise min, so the estimator composes
+    across any grouping level).  The 20x20 pair table is trivially
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = dedup.minhash_signatures_wide(docs, "source", "text",
+                                         num_hashes=8, shingle_n=3)
+    a = wide.select(F.col("source").alias("src_a"),
+                    *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(8)])
+    b = wide.select(F.col("source").alias("src_b"),
+                    *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(8)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(8))
+    return (a.join(b, F.col("src_a") < F.col("src_b"))
+            .select("src_a", "src_b",
+                    F.round(agree.cast("double") / F.lit(8.0), 6)
+                     .alias("jaccard_est"))
+            .orderBy("src_a", "src_b"))
+
+
+def _source_mh_sql() -> str:
+    from .sql_shared import TOKS_SQL, mh_mix_sql
+    mins = ", ".join(f"MIN({mh_mix_sql(i)}) AS m{i}" for i in range(8))
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(8))
+    return f"""
+WITH toks AS (
+  SELECT source, {TOKS_SQL} AS tk FROM documents
+), shingles AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t
+), hashed AS (
+  SELECT source,
+         ('0x' || substr(md5(shingle || '#mh'), 1, 15))::BIGINT AS h
+  FROM shingles
+), sig AS (
+  SELECT source, {mins} FROM hashed GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       ROUND(CAST({agree} AS DOUBLE) / 8.0, 6) AS jaccard_est
+FROM sig a JOIN sig b ON a.source < b.source
+ORDER BY src_a, src_b
+"""
+
+
+R7_QUERIES["source_minhash_similarity"] = (
+    q_source_minhash_similarity, _source_mh_sql(), False)
+
+
+# --- rrf_ann_fusion ---------------------------------------------------------
+
+def q_rrf_ann_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of THREE ANN indexes (hyperplane-LSH, IVF,
+    PQ-ADC): score(q, d) = sum over lists of 1/(60 + rank) — the standard
+    ensemble-retrieval combiner (Cormack et al., SIGIR'09) a production
+    search stack runs over heterogeneous indexes.  The fused score is
+    computed by folding the SORTED rank list (array_sort + ordered fold)
+    so both engines sum the same doubles in the same order — a groupBy
+    SUM would be order-nondeterministic at the last ulp and could flip
+    near-tied rankings.  Each index's candidate generation keeps its own
+    scale shape; the fusion itself is one (query, candidate)-keyed
+    aggregate over <= 15 rows per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (emb.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(8).collect())
+    cents = [[float(v) for v in r["embedding"]] for r in rows]
+    m, sub = 4, 16
+    codebooks = [[[float(v) for v in r["embedding"][s * sub:(s + 1) * sub]]
+                  for r in rows] for s in range(m)]
+    queries = emb.filter(F.col("vec_id") < 5)
+    lsh = similarity.lsh_topk(queries, emb, k=5, num_planes=4)
+    ivf = similarity.ivf_topk(queries, emb, k=5, num_cells=8, nprobe=3,
+                              centroids=cents)
+    pq = similarity.pq_adc_topk(queries, emb, k=5, codebooks=codebooks)
+    un = (lsh.select("query_id", "data_id", "rank")
+          .unionByName(ivf.select("query_id", "data_id", "rank"))
+          .unionByName(pq.select("query_id", "data_id", "rank")))
+    g = (un.groupBy("query_id", "data_id")
+         .agg(F.array_sort(F.collect_list("rank")).alias("rs")))
+    rrf = F.aggregate(
+        F.transform(F.col("rs"),
+                    lambda r: F.lit(1.0) / (F.lit(60.0) + r.cast("double"))),
+        F.lit(0.0), lambda a, b: a + b)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("data_id"))
+    return (g.withColumn("n_lists", F.size("rs"))
+            .withColumn("rrf", rrf)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "data_id", "n_lists",
+                    F.round("rrf", 6).alias("rrf"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+def _rrf_sql(num_planes: int = 4, dim: int = 64) -> str:
+    from ..pipeline.similarity import _hyperplane
+    cases = []
+    for p in range(num_planes):
+        wv = _hyperplane(dim, p)
+        terms = " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * ({wv[i]!r})"
+                           for i in range(dim))
+        cases.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** p} ELSE 0 END")
+    bucket = " + ".join(cases)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+), lshr AS (
+  SELECT query_id, data_id, rank FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_cosine_similarity(d.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                d.vec_id ASC) AS INT) AS rank
+    FROM (SELECT * FROM b WHERE vec_id < 5) q JOIN b d ON d.bucket = q.bucket) t
+  WHERE rank <= 5
+), cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), d2c AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2c) WHERE rn = 1
+), qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM d2c WHERE vec_id < 5) WHERE rn <= 3
+), ivfr AS (
+  SELECT query_id, data_id, rank FROM (
+    SELECT c.query_id, c.data_id,
+           CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+                list_cosine_similarity(de.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC,
+                c.data_id ASC) AS INT) AS rank
+    FROM (SELECT p.query_id, a.vec_id AS data_id
+          FROM qprobe p JOIN assign a ON a.cell = p.cell) c
+    JOIN embeddings de ON de.vec_id = c.data_id
+    JOIN embeddings qe ON qe.vec_id = c.query_id) t
+  WHERE rank <= 5
+), cb AS (
+  SELECT s.sub,
+         CAST(row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id) - 1
+              AS INT) AS code,
+         list_slice(e.embedding::DOUBLE[], s.sub * 16 + 1,
+                    s.sub * 16 + 16) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) e
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+), enc AS (
+  SELECT vec_id AS data_id, sub, code FROM (
+    SELECT e.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+             list_sum(list_transform(range(1, 17),
+               i -> (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])))
+             ASC, c.code ASC) AS rn
+    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1
+), qlut AS (
+  SELECT e.vec_id AS query_id, c.sub, c.code,
+         list_sum(list_transform(range(1, 17),
+           i -> (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])
+              * (CAST(e.embedding[c.sub * 16 + i] AS DOUBLE) - c.cvec[i])))
+           AS d2
+  FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 5
+), adc AS (
+  SELECT q.query_id, x.data_id,
+         list_sum(list(q.d2 ORDER BY q.sub)) AS adc_dist
+  FROM enc x JOIN qlut q ON q.sub = x.sub AND q.code = x.code
+  GROUP BY 1, 2
+), pqr AS (
+  SELECT query_id, data_id, rank FROM (
+    SELECT query_id, data_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, data_id ASC) AS INT) AS rank
+    FROM adc) WHERE rank <= 5
+), un AS (
+  SELECT * FROM lshr UNION ALL SELECT * FROM ivfr UNION ALL SELECT * FROM pqr
+), g AS (
+  SELECT query_id, data_id,
+         list(rank ORDER BY rank) AS rs
+  FROM un GROUP BY query_id, data_id
+)
+SELECT query_id, data_id, n_lists, ROUND(rrf, 6) + 0.0 AS rrf, rank
+FROM (
+  SELECT query_id, data_id,
+         CAST(len(rs) AS INT) AS n_lists,
+         list_sum(list_transform(rs, r -> 1.0 / (60.0 + CAST(r AS DOUBLE)))) AS rrf,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+              list_sum(list_transform(rs, r -> 1.0 / (60.0 + CAST(r AS DOUBLE)))) DESC,
+              data_id ASC) AS INT) AS rank
+  FROM g) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+R7_QUERIES["rrf_ann_fusion"] = (q_rrf_ann_fusion, _rrf_sql(), False)

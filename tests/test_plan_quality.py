@@ -69,7 +69,8 @@ _NATIVE_QUERIES = [
     "ivfpq_ann_recall", "doc_max_dup_ngram", "doc_template_mining",
     "dp_noisy_topk_brands", "events_cusum_drift", "token_pmi_pairs",
     "ngram_containment_pairs", "kmv_value_quantiles", "brand_pagerank",
-    "ship_survival_km", "spatial_kde_heatmap",
+    "ship_survival_km", "spatial_kde_heatmap", "source_minhash_similarity",
+    "rrf_ann_fusion",
 ]
 
 
