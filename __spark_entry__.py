@@ -75,7 +75,7 @@ _NEVER_DRIVER_SAMPLED = [
     "doc_template_mining", "dp_noisy_topk_brands", "events_cusum_drift",
     "token_pmi_pairs", "ngram_containment_pairs", "kmv_value_quantiles",
     "brand_pagerank", "ship_survival_km", "spatial_kde_heatmap",
-    "source_minhash_similarity", "rrf_ann_fusion",
+    "source_minhash_similarity", "rrf_ann_fusion", "spatial_tier2_metrics",
 ]
 
 

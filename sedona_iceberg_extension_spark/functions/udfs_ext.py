@@ -1799,6 +1799,58 @@ def st_setpoint(wkb: pd.Series, idx: pd.Series, pt: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+st_geometricmedian = _geom1(A.geometric_median)
+st_boundingdiagonal = _geom1(A.bounding_diagonal)
+st_shiftlongitude = _geom1(A.shift_longitude)
+st_unaryunion = _geom1(A.unary_union)
+st_polygonize = _geom1(A.polygonize)
+
+
+@pandas_udf(_DBL)
+def st_hausdorffdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        out.append(None if x is None or y is None
+                   else A.hausdorff_distance(from_wkb(x), from_wkb(y)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_DBL)
+def st_frechetdistance(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        out.append(None if x is None or y is None
+                   else A.frechet_distance(from_wkb(x), from_wkb(y)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(_BIN)
+def st_simplifyvw(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for b, t in zip(wkb, tol):
+        out.append(None if b is None or t is None
+                   else to_wkb(A.simplify_vw(from_wkb(b), float(t))))
+    return pd.Series(out, dtype=object)
+
+
+def _sph_ll(lon1, lat1, lon2, lat2):
+    return _spheroid_dist(Geometry.point(lon1, lat1),
+                          Geometry.point(lon2, lat2))
+
+
+@pandas_udf(_DBL)
+def st_lengthspheroid(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None
+                   else A.length_spheroid(from_wkb(b), _sph_ll))
+
+
+@pandas_udf(IntegerType())
+def st_bestsrid(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else A.best_srid(from_wkb(b)) for b in wkb],
+        dtype=object)
+
+
 EXT_SQL_FUNCTIONS = {
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_GeomFromGML": st_geomfromgml,
@@ -1844,4 +1896,14 @@ EXT_SQL_FUNCTIONS = {
     "ST_DelaunayTriangles": st_delaunaytriangles,
     "ST_ZMax": st_zmax,
     "ST_ZMin": st_zmin,
+    "ST_GeometricMedian": st_geometricmedian,
+    "ST_BoundingDiagonal": st_boundingdiagonal,
+    "ST_ShiftLongitude": st_shiftlongitude,
+    "ST_UnaryUnion": st_unaryunion,
+    "ST_Polygonize": st_polygonize,
+    "ST_HausdorffDistance": st_hausdorffdistance,
+    "ST_FrechetDistance": st_frechetdistance,
+    "ST_SimplifyVW": st_simplifyvw,
+    "ST_LengthSpheroid": st_lengthspheroid,
+    "ST_BestSRID": st_bestsrid,
 }

@@ -2260,3 +2260,224 @@ def point_on_surface(geom: Geometry) -> Optional[Geometry]:
             return Geometry(WKB_POINT, (bx, cy), geom.srid)
     vs = _vertices(geom)
     return Geometry(WKB_POINT, vs[0], geom.srid) if vs else None
+
+
+# ---------------------------------------------------------------------------
+# round-7 tier-2 batch: geometric median, discrete Hausdorff / Frechet,
+# Visvalingam-Whyatt simplification, unary union / polygonize, bounding
+# diagonal, shifted longitude, spheroid length, best-SRID suggestion
+# (the remaining commonly-used Sedona scalar names —
+# /root/reference/README.md:30-38 pulls them in via the Sedona catalog)
+# ---------------------------------------------------------------------------
+
+def geometric_median(geom: Geometry, max_iter: int = 200,
+                     tol: float = 1e-12) -> Optional[Geometry]:
+    """Weiszfeld iteration for the point minimizing the sum of distances
+    to the input's vertices (Sedona's ST_GeometricMedian).  The classic
+    vertex-collision singularity is handled with an epsilon-smoothed
+    distance (sqrt(d^2 + 1e-30)), which converges to the same optimum
+    within ``tol``."""
+    pts = _vertices(geom)
+    pts = [p for p in pts if p is not None]
+    if not pts:
+        return None
+    x = sum(p[0] for p in pts) / len(pts)
+    y = sum(p[1] for p in pts) / len(pts)
+    for _ in range(max_iter):
+        sw = sx = sy = 0.0
+        for px, py in pts:
+            d = math.sqrt((px - x) ** 2 + (py - y) ** 2 + 1e-30)
+            w = 1.0 / d
+            sw += w
+            sx += px * w
+            sy += py * w
+        nx, ny = sx / sw, sy / sw
+        if abs(nx - x) <= tol and abs(ny - y) <= tol:
+            x, y = nx, ny
+            break
+        x, y = nx, ny
+    return Geometry.point(x, y, geom.srid)
+
+
+def bounding_diagonal(geom: Geometry) -> Geometry:
+    """LINESTRING(xmin ymin, xmax ymax) of the envelope (PostGIS/Sedona
+    ST_BoundingDiagonal); EMPTY input -> LINESTRING EMPTY."""
+    env = geom.envelope()
+    if env is None:
+        return Geometry(WKB_LINESTRING, [], geom.srid)
+    xmin, ymin, xmax, ymax = env
+    return Geometry.linestring([(xmin, ymin), (xmax, ymax)], geom.srid)
+
+
+def shift_longitude(geom: Geometry) -> Geometry:
+    """Map x in [-180, 0) to [180, 360) (Sedona ST_ShiftLongitude) — the
+    dateline-wrapping normalization for Pacific-centric maps."""
+    return _map_coords(
+        geom, lambda c: (c[0] + 360.0 if c[0] < 0.0 else c[0], c[1]))
+
+
+def hausdorff_distance(g1: Geometry, g2: Geometry) -> Optional[float]:
+    """Discrete Hausdorff distance over the vertex sets, both directions
+    (JTS DiscreteHausdorffDistance with densify 1.0 — the semantics
+    Sedona's ST_HausdorffDistance exposes by default): the exact value
+    is vertex-to-GEOMETRY, so each vertex is measured against the other
+    side's full point/segment set via the engine's exact distance."""
+    v1, v2 = _vertices(g1), _vertices(g2)
+    if not v1 or not v2:
+        return None
+
+    def one_way(vs, other):
+        worst = 0.0
+        for p in vs:
+            d = distance(Geometry.point(p[0], p[1]), other)
+            if d is None:
+                return None
+            worst = max(worst, d)
+        return worst
+
+    a, b = one_way(v1, g2), one_way(v2, g1)
+    return None if a is None or b is None else max(a, b)
+
+
+def frechet_distance(g1: Geometry, g2: Geometry) -> Optional[float]:
+    """Discrete Frechet distance between the two vertex SEQUENCES
+    (dog-walking distance; Eiter & Mannila 1994 dynamic program) —
+    order-sensitive, unlike Hausdorff, so reversed trajectories score
+    differently.  O(n*m) table over vertices."""
+    p, q = _vertices(g1), _vertices(g2)
+    if not p or not q:
+        return None
+
+    def d(i, j):
+        return math.hypot(p[i][0] - q[j][0], p[i][1] - q[j][1])
+
+    n, m = len(p), len(q)
+    prev = [0.0] * m
+    for i in range(n):
+        cur = [0.0] * m
+        for j in range(m):
+            dij = d(i, j)
+            if i == 0 and j == 0:
+                cur[j] = dij
+            elif i == 0:
+                cur[j] = max(cur[j - 1], dij)
+            elif j == 0:
+                cur[j] = max(prev[j], dij)
+            else:
+                cur[j] = max(min(prev[j], prev[j - 1], cur[j - 1]), dij)
+        prev = cur
+    return prev[m - 1]
+
+
+def _vw_ring(coords, tol_area, closed):
+    """Visvalingam-Whyatt: repeatedly drop the vertex whose triangle with
+    its neighbours has the smallest effective area, until every remaining
+    vertex's area >= tol_area.  Endpoints (or the ring closure) are kept."""
+    pts = list(coords)
+    if closed and len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    min_keep = 3 if closed else 2
+
+    def tri_area(a, b, c):
+        return abs((b[0] - a[0]) * (c[1] - a[1])
+                   - (c[0] - a[0]) * (b[1] - a[1])) / 2.0
+
+    while len(pts) > min_keep:
+        best_i, best_a = -1, None
+        rng = range(len(pts)) if closed else range(1, len(pts) - 1)
+        for i in rng:
+            a = pts[i - 1] if i > 0 else pts[-1]
+            c = pts[(i + 1) % len(pts)]
+            ar = tri_area(a, pts[i], c)
+            if best_a is None or ar < best_a:
+                best_i, best_a = i, ar
+        if best_a is None or best_a >= tol_area:
+            break
+        pts.pop(best_i)
+    if closed:
+        pts = pts + [pts[0]]
+    return pts
+
+
+def simplify_vw(geom: Geometry, tol_area: float) -> Geometry:
+    """Visvalingam-Whyatt simplification (Sedona/PostGIS ST_SimplifyVW):
+    the tolerance is an AREA, not a distance — vertices forming triangles
+    smaller than ``tol_area`` with their neighbours are dropped."""
+    if geom.kind == WKB_LINESTRING:
+        return Geometry(WKB_LINESTRING,
+                        _vw_ring(geom.coords, tol_area, closed=False)
+                        if geom.coords else [], geom.srid)
+    if geom.kind == WKB_POLYGON:
+        return Geometry(WKB_POLYGON,
+                        [_vw_ring(r, tol_area, closed=True)
+                         for r in geom.coords], geom.srid)
+    if geom.kind == WKB_MULTILINESTRING:
+        return Geometry(WKB_MULTILINESTRING,
+                        [_vw_ring(r, tol_area, closed=False)
+                         for r in geom.coords], geom.srid)
+    if geom.kind == WKB_MULTIPOLYGON:
+        return Geometry(WKB_MULTIPOLYGON,
+                        [[_vw_ring(r, tol_area, closed=True) for r in poly]
+                         for poly in geom.coords], geom.srid)
+    if geom.kind == WKB_GEOMETRYCOLLECTION:
+        return Geometry.collection(
+            [simplify_vw(g, tol_area) for g in geom.coords], geom.srid)
+    return geom
+
+
+def unary_union(geom: Geometry) -> Optional[Geometry]:
+    """Union of a single input's components (ST_UnaryUnion): dissolves
+    overlapping members of a multi/collection; a simple geometry unions
+    with itself (fixing self-overlap where the union core handles it)."""
+    parts = dump_parts(geom)
+    if not parts:
+        return Geometry.empty(WKB_GEOMETRYCOLLECTION, geom.srid)
+    return union_all(parts)
+
+
+def polygonize(geom: Geometry) -> Geometry:
+    """GEOMETRYCOLLECTION of the polygons formed by the input linework
+    (ST_Polygonize) — the face-walking core of ST_BuildArea, re-wrapped
+    with the PostGIS return convention (a collection, holes' faces kept
+    as their own polygons is NOT done here: matching BuildArea's
+    odd-even nesting, interior faces become holes)."""
+    built = build_area(geom)
+    if built is None or built.is_empty():
+        return Geometry.collection([], geom.srid)
+    polys = [g for g in dump_parts(built) if g.kind == WKB_POLYGON]
+    return Geometry.collection(polys, geom.srid)
+
+
+def length_spheroid(geom: Geometry, dist_fn) -> Optional[float]:
+    """Geodesic length: the sum of spheroid distances over consecutive
+    vertices of every line component.  ``dist_fn(lon1, lat1, lon2, lat2)``
+    is injected (the WGS84 geodesic lives in functions/udfs_ext)."""
+    total = 0.0
+    seen = False
+    for part in dump_parts(geom):
+        rings = []
+        if part.kind == WKB_LINESTRING:
+            rings = [part.coords]
+        elif part.kind == WKB_POLYGON:
+            rings = part.coords
+        for ring in rings:
+            seen = True
+            for a, b in zip(ring, ring[1:]):
+                total += dist_fn(a[0], a[1], b[0], b[1])
+    return total if seen else 0.0
+
+
+def best_srid(geom: Geometry) -> Optional[int]:
+    """Suggested planar EPSG for measuring this geometry (the PostGIS
+    _ST_BestSRID convention): UPS North (32661) above 84N, UPS South
+    (32761) below 80S, else the centroid's UTM zone (326xx / 327xx)."""
+    c = centroid(geom)
+    if c is None or c.coords is None:
+        return None
+    lon, lat = c.coords
+    if lat > 84.0:
+        return 32661
+    if lat < -80.0:
+        return 32761
+    zone = min(60, max(1, int(math.floor((lon + 180.0) / 6.0)) + 1))
+    return (32600 if lat >= 0 else 32700) + zone

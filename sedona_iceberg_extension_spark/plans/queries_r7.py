@@ -46,6 +46,10 @@ rounded floats — the round-6 negative-zero lesson).
                               PQ indexes; fused score folds the SORTED
                               rank list so both engines sum in the same
                               order
+- spatial_tier2_metrics     — the round-7 tier-2 scalar batch
+                              (BoundingDiagonal, ShiftLongitude,
+                              BestSRID, discrete Hausdorff / Frechet)
+                              value-checked per row by arithmetic
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1070,3 +1074,58 @@ ORDER BY query_id, rank
 
 
 R7_QUERIES["rrf_ann_fusion"] = (q_rrf_ann_fusion, _rrf_sql(), False)
+
+
+# --- spatial_tier2_metrics --------------------------------------------------
+
+def q_spatial_tier2_metrics(spark, sf_dir):
+    """Round-7 tier-2 function batch end-to-end through the SQL names:
+    ST_BoundingDiagonal endpoint, ST_ShiftLongitude, ST_BestSRID (UTM
+    zone arithmetic), and the discrete ST_HausdorffDistance /
+    ST_FrechetDistance on per-row parallel segments (Hausdorff = the
+    separation d; Frechet of the REVERSED twin = hypot(3, d) — the
+    order-sensitivity check) — each mirrored as plain arithmetic."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    x = "CAST(c_custkey % 360 - 180 AS DOUBLE)"
+    y = "CAST((c_custkey * 7) % 160 - 80 AS DOUBLE)"
+    d = "CAST(c_custkey % 7 + 1 AS DOUBLE)"
+    seg = f"ST_GeomFromText(CONCAT('LINESTRING(', {x}, ' ', {y}, ',', {x} + 3, ' ', {y}, ')'))"
+    seg_up = (f"ST_GeomFromText(CONCAT('LINESTRING(', {x}, ' ', {y} + {d}, "
+              f"',', {x} + 3, ' ', {y} + {d}, ')'))")
+    seg_up_rev = (f"ST_GeomFromText(CONCAT('LINESTRING(', {x} + 3, ' ', "
+                  f"{y} + {d}, ',', {x}, ' ', {y} + {d}, ')'))")
+    box = f"ST_PolygonFromEnvelope({x}, {y}, {x} + 2, {y} + 2)"
+    return (cust.selectExpr(
+        "c_custkey",
+        f"ROUND(ST_X(ST_EndPoint(ST_BoundingDiagonal({box}))), 6) AS bd_x",
+        f"ROUND(ST_Y(ST_EndPoint(ST_BoundingDiagonal({box}))), 6) AS bd_y",
+        f"ROUND(ST_X(ST_ShiftLongitude(ST_Point({x}, {y}))), 6) AS shifted_lon",
+        f"ST_BestSRID(ST_Point({x}, {y})) AS best_srid",
+        f"ROUND(ST_HausdorffDistance({seg}, {seg_up}), 6) AS hd",
+        f"ROUND(ST_FrechetDistance({seg}, {seg_up_rev}), 6) AS fd")
+        .orderBy("c_custkey"))
+
+
+_QT2_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+         CAST((c_custkey * 7) % 160 - 80 AS DOUBLE) AS y,
+         CAST(c_custkey % 7 + 1 AS DOUBLE) AS d
+  FROM customer WHERE c_custkey < 200
+)
+SELECT c_custkey,
+       ROUND(x + 2, 6) + 0.0 AS bd_x,
+       ROUND(y + 2, 6) + 0.0 AS bd_y,
+       ROUND(CASE WHEN x < 0 THEN x + 360.0 ELSE x END, 6) + 0.0 AS shifted_lon,
+       CAST(CASE WHEN y >= 0 THEN 32600 ELSE 32700 END
+            + least(60, greatest(1, CAST(floor((x + 180.0) / 6.0) AS INT) + 1))
+            AS INT) AS best_srid,
+       ROUND(d, 6) + 0.0 AS hd,
+       ROUND(sqrt(3.0 * 3.0 + d * d), 6) + 0.0 AS fd
+FROM pts
+ORDER BY c_custkey
+"""
+
+R7_QUERIES["spatial_tier2_metrics"] = (
+    q_spatial_tier2_metrics, _QT2_SQL, False)

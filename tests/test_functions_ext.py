@@ -803,3 +803,57 @@ def test_spherical_projection_families(spark):
                        "'+proj=sinu +R=6371007.181'), "
                        "'+proj=sinu +R=6371007.181', 'EPSG:4326'))")
     assert back == pytest.approx(40.0, abs=1e-10)
+
+
+def test_round7_tier2_batch(spark):
+    """ST_GeometricMedian / BoundingDiagonal / ShiftLongitude /
+    Hausdorff / Frechet / SimplifyVW / UnaryUnion / Polygonize /
+    LengthSpheroid / BestSRID — hand-verified values."""
+    # Fermat point of the isoceles triangle (0,0),(10,0),(5,100) is
+    # (5, 5/sqrt(3)) — all three 120-degree angles meet there
+    out = sql1(spark, "ST_AsText(ST_GeometricMedian(ST_GeomFromText("
+                      "'MULTIPOINT((0 0),(10 0),(5 100))')))")
+    x, y = map(float, out[len("POINT ("):-1].split())
+    assert x == pytest.approx(5.0, abs=1e-9)
+    assert y == pytest.approx(5.0 / math.sqrt(3.0), abs=1e-6)
+    assert sql1(spark, "ST_AsText(ST_BoundingDiagonal(ST_GeomFromText("
+                       "'POLYGON((1 2,5 2,5 8,1 8,1 2))')))") \
+        == "LINESTRING (1 2, 5 8)"
+    assert sql1(spark, "ST_AsText(ST_ShiftLongitude("
+                       "ST_Point(-170.0D, 10.0D)))") == "POINT (190 10)"
+    assert sql1(spark, "ST_HausdorffDistance("
+                       "ST_GeomFromText('LINESTRING(0 0,10 0)'), "
+                       "ST_GeomFromText('LINESTRING(0 3,10 3)'))") == 3.0
+    # Frechet is ORDER-sensitive: same line reversed jumps to hypot(10,1)
+    fwd = sql1(spark, "ST_FrechetDistance("
+                      "ST_GeomFromText('LINESTRING(0 0,10 0)'), "
+                      "ST_GeomFromText('LINESTRING(0 1,10 1)'))")
+    rev = sql1(spark, "ST_FrechetDistance("
+                      "ST_GeomFromText('LINESTRING(0 0,10 0)'), "
+                      "ST_GeomFromText('LINESTRING(10 1,0 1)'))")
+    assert fwd == 1.0 and rev == pytest.approx(math.hypot(10, 1))
+    # VW drops the small-area bump but keeps the big bend
+    assert sql1(spark, "ST_AsText(ST_SimplifyVW(ST_GeomFromText("
+                       "'LINESTRING(0 0,5 0.1,10 0,15 20)'), 5.0))") \
+        == "LINESTRING (0 0, 10 0, 15 20)"
+    # overlapping members dissolve into one polygon
+    uu = sql1(spark, "ST_AsText(ST_UnaryUnion(ST_GeomFromText("
+                     "'MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),"
+                     "((2 2,6 2,6 6,2 6,2 2)))')))")
+    assert uu.startswith("POLYGON")
+    area = sql1(spark, "ST_Area(ST_UnaryUnion(ST_GeomFromText("
+                       "'MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),"
+                       "((2 2,6 2,6 6,2 6,2 2)))')))")
+    assert area == pytest.approx(28.0)      # 16 + 16 - 4 overlap
+    assert sql1(spark, "ST_AsText(ST_Polygonize(ST_GeomFromText("
+                       "'MULTILINESTRING((0 0,1 0),(1 0,1 1),"
+                       "(1 1,0 1),(0 1,0 0))')))") \
+        == "GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+    # one degree of longitude on the equator: the canonical 111.32 km
+    d = sql1(spark, "ST_LengthSpheroid(ST_GeomFromText("
+                    "'LINESTRING(0 0,1 0)'))")
+    assert d == pytest.approx(111319.49, abs=1.0)
+    # UTM zone picks, incl. southern hemisphere and UPS North
+    assert sql1(spark, "ST_BestSRID(ST_Point(15.0D, 60.0D))") == 32633
+    assert sql1(spark, "ST_BestSRID(ST_Point(151.2D, -33.8D))") == 32756
+    assert sql1(spark, "ST_BestSRID(ST_Point(0.0D, 89.0D))") == 32661
