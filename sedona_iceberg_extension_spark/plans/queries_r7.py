@@ -50,6 +50,10 @@ rounded floats — the round-6 negative-zero lesson).
                               (BoundingDiagonal, ShiftLongitude,
                               BestSRID, discrete Hausdorff / Frechet)
                               value-checked per row by arithmetic
+- streaming_cdc_upsert      — foreachBatch MERGE into the snapshot
+                              layer with stale-update rejection
+                              (last-writer-wins by event time — exact
+                              under any batch split)
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1129,3 +1133,85 @@ ORDER BY c_custkey
 
 R7_QUERIES["spatial_tier2_metrics"] = (
     q_spatial_tier2_metrics, _QT2_SQL, False)
+
+
+# --- streaming_cdc_upsert ---------------------------------------------------
+
+def q_streaming_cdc_upsert(spark, sf_dir):
+    """Streaming CDC upsert into the snapshot layer: an availableNow event
+    stream MERGEs into a seeded table via foreachBatch — per micro-batch
+    the changeset collapses to the latest row per key, STALE updates are
+    dropped by comparing (ts, event_id) against the table's current row
+    (last-writer-wins by EVENT time, so the result is identical under any
+    batch split / arrival order — the out-of-order-safe CDC contract),
+    then WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT commits one
+    snapshot.  Users 0-24 are pre-seeded so both merge branches execute.
+    Scale shape: merge touches only files containing matched keys
+    (semi-join file pruning in SnapshotTable.merge_into); the per-batch
+    window runs on the batch, not the table."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+    from ..sources import stream_table
+    from ..streaming import drain as _drain
+
+    base = tempfile.mkdtemp(prefix="cdc_upsert_") + "/t"
+    seed = spark.range(0, 25).select(
+        F.col("id").alias("user_id"), F.lit(0.0).alias("value"),
+        F.lit(0).cast("long").alias("last_event"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("last_ts"))
+    tbl = SnapshotTable.create(spark, base, seed)
+
+    ev = (stream_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 60)
+          .select("user_id", "value",
+                  F.col("event_id").alias("last_event"),
+                  F.col("ts").alias("last_ts")))
+
+    def do_merge(df, _bid):
+        sp = df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts"), F.desc("last_event"))
+        latest = (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        cur = tbl.read(sp).select(
+            F.col("user_id"), F.col("last_ts").alias("_cur_ts"),
+            F.col("last_event").alias("_cur_ev"))
+        fresh = (latest.join(cur, "user_id", "left")
+                 .filter(F.col("_cur_ts").isNull()
+                         | (F.col("last_ts") > F.col("_cur_ts"))
+                         | ((F.col("last_ts") == F.col("_cur_ts"))
+                            & (F.col("last_event") > F.col("_cur_ev"))))
+                 .drop("_cur_ts", "_cur_ev"))
+        tbl.merge_into(sp, fresh, "user_id")
+
+    q = (ev.writeStream.foreachBatch(do_merge)
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+    return (tbl.read(spark)
+            .select("user_id", F.round("value", 6).alias("value"),
+                    "last_event")
+            .orderBy("user_id"))
+
+
+_QCDCUP_SQL = """
+WITH ev AS (
+  SELECT user_id, value, event_id, ts FROM events WHERE user_id < 60
+), lat AS (
+  SELECT user_id, value, event_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+), seed AS (
+  SELECT unnest(range(0, 25)) AS user_id
+)
+SELECT COALESCE(l.user_id, s.user_id) AS user_id,
+       ROUND(COALESCE(l.value, 0.0), 6) + 0.0 AS value,
+       CAST(COALESCE(l.event_id, 0) AS BIGINT) AS last_event
+FROM seed s FULL OUTER JOIN lat l ON l.user_id = s.user_id
+ORDER BY user_id
+"""
+
+R7_QUERIES["streaming_cdc_upsert"] = (
+    q_streaming_cdc_upsert, _QCDCUP_SQL, False)
