@@ -54,6 +54,10 @@ rounded floats — the round-6 negative-zero lesson).
                               layer with stale-update rejection
                               (last-writer-wins by event time — exact
                               under any batch split)
+- embedding_logreg_irls     — distributed GLM training: logistic
+                              regression by 4 Newton/IRLS steps, each
+                              ONE sufficient-statistics aggregation;
+                              oracle unrolls the steps as chained CTEs
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1215,3 +1219,88 @@ ORDER BY user_id
 
 R7_QUERIES["streaming_cdc_upsert"] = (
     q_streaming_cdc_upsert, _QCDCUP_SQL, False)
+
+
+# --- embedding_logreg_irls --------------------------------------------------
+
+def q_embedding_logreg_irls(spark, sf_dir):
+    """Distributed GLM training: logistic regression (is label 0?) on the
+    embedding L2 norm, fit by 4 Newton/IRLS steps — the canonical
+    driver-holds-the-coefficients shape (each step is ONE map-side-
+    combinable aggregation of the 5 sufficient statistics {sum w,
+    sum w*x, sum w*x^2, sum (y-p), sum (y-p)*x}; the 2x2 Newton solve is
+    closed-form scalar arithmetic).  At 100 TB each step stays a single
+    aggregation job over the feature pass — no per-row model state, no
+    shuffle beyond the partial-agg combine.  The per-row feature is
+    rounded (ROUND 9) before use, per the norm-mirroring convention.  The
+    oracle unrolls the same 4 steps as chained CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"))), 9)
+    d = emb.select(
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+        norm.alias("x"))
+    d = d.persist()
+    b0 = b1 = 0.0
+    for _ in range(4):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        w = p * (1.0 - p)
+        r = d.agg(F.sum(w).alias("h11"),
+                  F.sum(w * F.col("x")).alias("h12"),
+                  F.sum(w * F.col("x") * F.col("x")).alias("h22"),
+                  F.sum(F.col("y") - p).alias("g1"),
+                  F.sum((F.col("y") - p) * F.col("x")).alias("g2")).first()
+        det = r["h11"] * r["h22"] - r["h12"] * r["h12"]
+        b0 = b0 + (r["h22"] * r["g1"] - r["h12"] * r["g2"]) / det
+        b1 = b1 + (r["h11"] * r["g2"] - r["h12"] * r["g1"]) / det
+    pf = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+    return d.agg(
+        F.round(F.lit(b0), 6).alias("b0"),
+        F.round(F.lit(b1), 6).alias("b1"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.avg(F.when((pf >= 0.5) == (F.col("y") == 1.0), 1.0)
+                      .otherwise(0.0)), 6).alias("train_acc"))
+
+
+_QIRLS_SQL = """
+WITH d AS (
+  SELECT CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+         ROUND(sqrt(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 9) AS x
+  FROM embeddings
+), bt0 AS (
+  SELECT 0.0 AS b0, 0.0 AS b1
+)"""
+for _i in range(4):
+    _QIRLS_SQL += f""", s{_i + 1} AS (
+  SELECT SUM(p * (1.0 - p)) AS h11,
+         SUM(p * (1.0 - p) * x) AS h12,
+         SUM(p * (1.0 - p) * x * x) AS h22,
+         SUM(y - p) AS g1,
+         SUM((y - p) * x) AS g2
+  FROM (SELECT y, x,
+               1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
+        FROM d CROSS JOIN bt{_i} b)
+), bt{_i + 1} AS (
+  SELECT b.b0 + (s.h22 * s.g1 - s.h12 * s.g2)
+               / (s.h11 * s.h22 - s.h12 * s.h12) AS b0,
+         b.b1 + (s.h11 * s.g2 - s.h12 * s.g1)
+               / (s.h11 * s.h22 - s.h12 * s.h12) AS b1
+  FROM bt{_i} b CROSS JOIN s{_i + 1} s
+)"""
+_QIRLS_SQL += """
+SELECT ROUND(b.b0, 6) + 0.0 AS b0,
+       ROUND(b.b1, 6) + 0.0 AS b1,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(AVG(CASE WHEN (1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) >= 0.5)
+                       = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) + 0.0
+         AS train_acc
+FROM d CROSS JOIN bt4 b
+GROUP BY b.b0, b.b1
+"""
+
+R7_QUERIES["embedding_logreg_irls"] = (
+    q_embedding_logreg_irls, _QIRLS_SQL, False)
