@@ -76,7 +76,7 @@ _NEVER_DRIVER_SAMPLED = [
     "token_pmi_pairs", "ngram_containment_pairs", "kmv_value_quantiles",
     "brand_pagerank", "ship_survival_km", "spatial_kde_heatmap",
     "source_minhash_similarity", "rrf_ann_fusion", "spatial_tier2_metrics",
-    "streaming_cdc_upsert", "embedding_logreg_irls",
+    "streaming_cdc_upsert", "embedding_logreg_irls", "nb_lang_classifier",
 ]
 
 

@@ -58,6 +58,11 @@ rounded floats — the round-6 negative-zero lesson).
                               regression by 4 Newton/IRLS steps, each
                               ONE sufficient-statistics aggregation;
                               oracle unrolls the steps as chained CTEs
+- nb_lang_classifier        — multinomial Naive Bayes language ID
+                              (add-1 smoothing), train/test split,
+                              confusion matrix; scores ROUNDed before
+                              the argmax so summation-order wobble
+                              cannot flip a prediction between engines
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1304,3 +1309,115 @@ GROUP BY b.b0, b.b1
 
 R7_QUERIES["embedding_logreg_irls"] = (
     q_embedding_logreg_irls, _QIRLS_SQL, False)
+
+
+# --- nb_lang_classifier -----------------------------------------------------
+
+def q_nb_lang_classifier(spark, sf_dir):
+    """Trained generative classifier: multinomial Naive Bayes language ID
+    with add-1 smoothing — TRAIN on even doc_ids, classify odd doc_ids,
+    report the confusion matrix.  The model is two vocab-keyed count
+    aggregations (token-class counts, class totals) joined into a
+    |V| x |classes| log-prob table; scoring joins the test token stream
+    against it and sums log-probs per (doc, class) — all map-side-
+    combinable, no per-row model state.  Scores are ROUNDed to 9 before
+    the argmax so the last-ulp summation-order wobble can never flip a
+    prediction between engines; ties break by class name."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+
+    tr_tok = spread(train).select(
+        "lang", F.explode(text.tokens(F.col("text"))).alias("t"))
+    cls = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    tot = cls.agg(F.sum("nd").alias("ntot"))
+    prior = (cls.crossJoin(F.broadcast(tot))
+             .select(F.col("lang").alias("c"),
+                     F.log(F.col("nd").cast("double")
+                           / F.col("ntot").cast("double")).alias("prior")))
+    cnt = tr_tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("ct"))
+    nt = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("nt"))
+    vocab = tr_tok.select("t").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    lp = (vocab.crossJoin(cls.select(F.col("lang").alias("c")))
+          .join(cnt.select(F.col("lang").alias("c"), "t", "ct"),
+                ["c", "t"], "left")
+          .join(nt.select(F.col("lang").alias("c"), "nt"), "c")
+          .crossJoin(F.broadcast(vsize))
+          .select("c", "t", F.log(
+              (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+              / (F.col("nt").cast("double") + F.col("v").cast("double")))
+              .alias("lp")))
+
+    te_tok = spread(test).select(
+        "doc_id", F.col("lang").alias("true_lang"),
+        F.explode(text.tokens(F.col("text"))).alias("t"))
+    scored = (te_tok.join(lp, "t")
+              .groupBy("doc_id", "true_lang", "c")
+              .agg(F.sum("lp").alias("slp"))
+              .join(prior, "c")
+              .select("doc_id", "true_lang", "c",
+                      F.round(F.col("prior") + F.col("slp"), 9)
+                       .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
+    pred = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (pred.groupBy("true_lang", F.col("c").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+_QNB_SQL = f"""
+WITH train AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+), test AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+), tr_tok AS (
+  SELECT lang, unnest({_TOKS_SQL}) AS t FROM train
+), cls AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM train GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(nd) AS BIGINT) AS ntot FROM cls
+), prior AS (
+  SELECT lang AS c, ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior
+  FROM cls CROSS JOIN tot
+), cnt AS (
+  SELECT lang AS c, t, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM tr_tok GROUP BY lang, t
+), nt AS (
+  SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS nt FROM tr_tok GROUP BY lang
+), vocab AS (
+  SELECT DISTINCT t FROM tr_tok
+), vs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+), lp AS (
+  SELECT k.c, vo.t,
+         ln(CAST(COALESCE(cn.ct, 0) + 1 AS DOUBLE)
+            / (CAST(n.nt AS DOUBLE) + CAST(vs.v AS DOUBLE))) AS lp
+  FROM vocab vo
+  CROSS JOIN (SELECT lang AS c FROM cls) k
+  LEFT JOIN cnt cn ON cn.c = k.c AND cn.t = vo.t
+  JOIN nt n ON n.c = k.c
+  CROSS JOIN vs
+), te_tok AS (
+  SELECT doc_id, lang AS true_lang, unnest({_TOKS_SQL}) AS t FROM test
+), scored AS (
+  SELECT s.doc_id, s.true_lang, s.c,
+         ROUND(p.prior + s.slp, 9) AS score
+  FROM (SELECT tt.doc_id, tt.true_lang, l.c, SUM(l.lp) AS slp
+        FROM te_tok tt JOIN lp l ON l.t = tt.t
+        GROUP BY tt.doc_id, tt.true_lang, l.c) s
+  JOIN prior p ON p.c = s.c
+), pred AS (
+  SELECT doc_id, true_lang, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, c ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT true_lang, c AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred
+GROUP BY true_lang, c
+ORDER BY true_lang, pred_lang
+"""
+
+R7_QUERIES["nb_lang_classifier"] = (q_nb_lang_classifier, _QNB_SQL, False)

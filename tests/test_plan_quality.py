@@ -70,7 +70,7 @@ _NATIVE_QUERIES = [
     "dp_noisy_topk_brands", "events_cusum_drift", "token_pmi_pairs",
     "ngram_containment_pairs", "kmv_value_quantiles", "brand_pagerank",
     "ship_survival_km", "spatial_kde_heatmap", "source_minhash_similarity",
-    "rrf_ann_fusion", "embedding_logreg_irls",
+    "rrf_ann_fusion", "embedding_logreg_irls", "nb_lang_classifier",
 ]
 
 
