@@ -63,6 +63,9 @@ rounded floats — the round-6 negative-zero lesson).
                               confusion matrix; scores ROUNDed before
                               the argmax so summation-order wobble
                               cannot flip a prediction between engines
+- spatial_areal_interp      — areal interpolation onto a 10-degree
+                              grid: axis-aligned overlap is closed-form,
+                              bounded fan-out + one cell-keyed sum
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1421,3 +1424,84 @@ ORDER BY true_lang, pred_lang
 """
 
 R7_QUERIES["nb_lang_classifier"] = (q_nb_lang_classifier, _QNB_SQL, False)
+
+
+# --- spatial_areal_interp ---------------------------------------------------
+
+def q_spatial_areal_interp(spark, sf_dir):
+    """Areal interpolation (dasymetric reweighting): each source box's
+    value (order count) is distributed onto a 10-degree analysis grid in
+    proportion to overlap area — the standard GIS method for re-basing a
+    measure from one zonal system onto another.  Axis-aligned overlap is
+    closed-form (clamped rectangle intersection), so every contribution
+    is exact arithmetic on both engines.  Scale shape: each box explodes
+    only to the grid cells its envelope spans (bounded fan-out like the
+    KDE kernel), then ONE cell-keyed sum — never a polygon-polygon join."""
+    cust = load_table(spark, sf_dir, "customer")
+    x0 = (F.col("c_custkey") % 340 - 170).cast("double")
+    y0 = ((F.col("c_custkey") * 7) % 160 - 80).cast("double")
+    w = (F.col("c_custkey") % 13 + 2).cast("double")
+    h = (F.col("c_custkey") % 9 + 2).cast("double")
+    val = (F.col("c_custkey") % 50 + 1).cast("double")
+    boxes = cust.select(x0.alias("x0"), y0.alias("y0"),
+                        (x0 + w).alias("x1"), (y0 + h).alias("y1"),
+                        val.alias("v"))
+    gx = F.explode(F.sequence(
+        F.floor(F.col("x0") / 10).cast("int"),
+        F.floor((F.col("x1") - F.lit(1e-9)) / 10).cast("int"))).alias("gx")
+    b2 = boxes.select("x0", "y0", "x1", "y1", "v", gx)
+    gy = F.explode(F.sequence(
+        F.floor(F.col("y0") / 10).cast("int"),
+        F.floor((F.col("y1") - F.lit(1e-9)) / 10).cast("int"))).alias("gy")
+    b3 = b2.select("x0", "y0", "x1", "y1", "v", "gx", gy)
+    ox = (F.least(F.col("x1"), (F.col("gx") + 1).cast("double") * 10.0)
+          - F.greatest(F.col("x0"), F.col("gx").cast("double") * 10.0))
+    oy = (F.least(F.col("y1"), (F.col("gy") + 1).cast("double") * 10.0)
+          - F.greatest(F.col("y0"), F.col("gy").cast("double") * 10.0))
+    area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    contrib = F.col("v") * (ox * oy) / area
+    return (b3.select("gx", "gy", contrib.alias("c"))
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n_boxes"),
+                 F.round(F.sum("c"), 6).alias("value"))
+            .orderBy("gx", "gy"))
+
+
+_QAREAL_SQL = """
+WITH boxes AS (
+  SELECT CAST(c_custkey % 340 - 170 AS DOUBLE) AS x0,
+         CAST((c_custkey * 7) % 160 - 80 AS DOUBLE) AS y0,
+         CAST(c_custkey % 340 - 170 AS DOUBLE)
+           + CAST(c_custkey % 13 + 2 AS DOUBLE) AS x1,
+         CAST((c_custkey * 7) % 160 - 80 AS DOUBLE)
+           + CAST(c_custkey % 9 + 2 AS DOUBLE) AS y1,
+         CAST(c_custkey % 50 + 1 AS DOUBLE) AS v
+  FROM customer
+), cells AS (
+  SELECT b.x0, b.y0, b.x1, b.y1, b.v, gxs.gx, gys.gy
+  FROM boxes b,
+       LATERAL (SELECT unnest(range(
+         CAST(floor(b.x0 / 10) AS INT),
+         CAST(floor((b.x1 - 0.000000001) / 10) AS INT) + 1)) AS gx) gxs,
+       LATERAL (SELECT unnest(range(
+         CAST(floor(b.y0 / 10) AS INT),
+         CAST(floor((b.y1 - 0.000000001) / 10) AS INT) + 1)) AS gy) gys
+), contrib AS (
+  SELECT gx, gy,
+         v * ((least(x1, CAST(gx + 1 AS DOUBLE) * 10.0)
+               - greatest(x0, CAST(gx AS DOUBLE) * 10.0))
+              * (least(y1, CAST(gy + 1 AS DOUBLE) * 10.0)
+                 - greatest(y0, CAST(gy AS DOUBLE) * 10.0)))
+           / ((x1 - x0) * (y1 - y0)) AS c
+  FROM cells
+)
+SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+       CAST(COUNT(*) AS BIGINT) AS n_boxes,
+       ROUND(SUM(c), 6) + 0.0 AS value
+FROM contrib
+GROUP BY gx, gy
+ORDER BY gx, gy
+"""
+
+R7_QUERIES["spatial_areal_interp"] = (
+    q_spatial_areal_interp, _QAREAL_SQL, False)
