@@ -394,15 +394,22 @@ def test_dump_parts_reassemble(g):
     st.floats(-50.0, 50.0),
 )
 def test_helmert_roundtrip_property(lon, lat, txyz, rxyz, ppm):
-    """fwd∘inv identity for arbitrary 7-parameter Helmert shifts.  The
-    matrix inverse is exact, so the only residual is Bowring's one-shot
-    ECEF→geodetic step: ~1e-7 deg for real datum parameters (|r| ≤ ~5
-    arcsec), up to ~1e-6 deg (≈ 10 cm) at this strategy's adversarial
-    ±10-arcsec rotations near the poles — assert the sub-meter bound."""
+    """fwd∘inv identity for arbitrary 7-parameter Helmert shifts,
+    measured in METERS (a degree of longitude shrinks by cos(lat), so a
+    degree bound over-penalizes high latitudes).  The matrix inverse is
+    exact and Bowring's one-shot matches the exact iteration to machine
+    precision here; the only residual is the 2D convention itself —
+    both directions assume h = 0, and a shifted point sits a few hundred
+    meters off the target ellipsoid, leaking ~centimeters horizontally
+    (PROJ's 2D pipelines share this).  Assert sub-20-cm closure."""
+    import math as m
+
     from sedona_iceberg_extension_spark.functions.udfs_ext import (
         _AIRY_A, _AIRY_F, _helmert_fns)
 
     to_w, from_w = _helmert_fns(txyz + rxyz + [ppm], _AIRY_A, _AIRY_F)
     wlon, wlat = to_w(lon, lat)
     lon2, lat2 = from_w(wlon, wlat)
-    assert abs(lon2 - lon) < 5e-6 and abs(lat2 - lat) < 5e-6
+    dlon_m = abs(lon2 - lon) * 111320.0 * m.cos(m.radians(lat))
+    dlat_m = abs(lat2 - lat) * 111320.0
+    assert dlon_m < 0.2 and dlat_m < 0.2
