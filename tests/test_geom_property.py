@@ -412,4 +412,11 @@ def test_helmert_roundtrip_property(lon, lat, txyz, rxyz, ppm):
     lon2, lat2 = from_w(wlon, wlat)
     dlon_m = abs(lon2 - lon) * 111320.0 * m.cos(m.radians(lat))
     dlat_m = abs(lat2 - lat) * 111320.0
-    assert dlon_m < 0.2 and dlat_m < 0.2
+    # the h-drop leak is proportional to the point's effective height off
+    # the target ellipsoid: |translation| plus up to ~600 m of Airy/WGS84
+    # surface separation, times ~2e-4 rad of normal tilt.  Bound with
+    # margin; realistic datum shifts (<= ~700 m) close to ~mm (see
+    # test_transform_towgs84_helmert's 1e-7-deg assertion).
+    t_norm = m.sqrt(sum(v * v for v in txyz))
+    bound = 3e-4 * (t_norm + 600.0)
+    assert dlon_m < bound and dlat_m < bound
