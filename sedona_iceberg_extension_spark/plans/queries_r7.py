@@ -1232,23 +1232,26 @@ R7_QUERIES["streaming_cdc_upsert"] = (
 # --- embedding_logreg_irls --------------------------------------------------
 
 def q_embedding_logreg_irls(spark, sf_dir):
-    """Distributed GLM training: logistic regression (is label 0?) on the
-    embedding L2 norm, fit by 4 Newton/IRLS steps — the canonical
-    driver-holds-the-coefficients shape (each step is ONE map-side-
-    combinable aggregation of the 5 sufficient statistics {sum w,
-    sum w*x, sum w*x^2, sum (y-p), sum (y-p)*x}; the 2x2 Newton solve is
-    closed-form scalar arithmetic).  At 100 TB each step stays a single
-    aggregation job over the feature pass — no per-row model state, no
-    shuffle beyond the partial-agg combine.  The per-row feature is
-    rounded (ROUND 9) before use, per the norm-mirroring convention.  The
-    oracle unrolls the same 4 steps as chained CTEs."""
+    """Distributed GLM training: RIDGE-regularized logistic regression
+    (is label 0?) on the first embedding dimension, fit by 4 Newton/IRLS
+    steps —
+    the canonical driver-holds-the-coefficients shape (each step is ONE
+    map-side-combinable aggregation of the 5 sufficient statistics
+    {sum w, sum w*x, sum w*x^2, sum (y-p), sum (y-p)*x}; the 2x2 Newton
+    solve is closed-form scalar arithmetic).  The L2 penalty (lambda=1)
+    is what makes the optimum FINITE under complete separation — the
+    unpenalized MLE diverges on separable data and Newton blows up into
+    engine-dependent garbage (caught by the sf0.001 differential soak:
+    betas hit +-5e6 and the two engines' last-ulp summation differences
+    amplified into the 4th significant digit).  At 100 TB each step
+    stays a single aggregation job; feature rounded (ROUND 9) per the
+    norm-mirroring convention; oracle unrolls the same 4 steps."""
     emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.round(F.sqrt(F.aggregate(
-        "embedding", F.lit(0.0),
-        lambda acc, v: acc + v.cast("double") * v.cast("double"))), 9)
+    # feature = the first embedding dimension (the L2 norm is constant
+    # 1.0 on unit-normalized vectors — collinear with the intercept)
     d = emb.select(
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
-        norm.alias("x"))
+        F.round(F.get("embedding", 0).cast("double"), 9).alias("x"))
     d = d.persist()
     b0 = b1 = 0.0
     for _ in range(4):
@@ -1259,9 +1262,12 @@ def q_embedding_logreg_irls(spark, sf_dir):
                   F.sum(w * F.col("x") * F.col("x")).alias("h22"),
                   F.sum(F.col("y") - p).alias("g1"),
                   F.sum((F.col("y") - p) * F.col("x")).alias("g2")).first()
-        det = r["h11"] * r["h22"] - r["h12"] * r["h12"]
-        b0 = b0 + (r["h22"] * r["g1"] - r["h12"] * r["g2"]) / det
-        b1 = b1 + (r["h11"] * r["g2"] - r["h12"] * r["g1"]) / det
+        det = (r["h11"] + 1.0) * (r["h22"] + 1.0) - r["h12"] * r["h12"]
+        nb0 = b0 + ((r["h22"] + 1.0) * (r["g1"] - b0)
+                    - r["h12"] * (r["g2"] - b1)) / det
+        nb1 = b1 + ((r["h11"] + 1.0) * (r["g2"] - b1)
+                    - r["h12"] * (r["g1"] - b0)) / det
+        b0, b1 = nb0, nb1
     pf = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
     return d.agg(
         F.round(F.lit(b0), 6).alias("b0"),
@@ -1275,8 +1281,7 @@ def q_embedding_logreg_irls(spark, sf_dir):
 _QIRLS_SQL = """
 WITH d AS (
   SELECT CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
-         ROUND(sqrt(list_sum(list_transform(embedding,
-               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 9) AS x
+         ROUND(CAST(embedding[1] AS DOUBLE), 9) AS x
   FROM embeddings
 ), bt0 AS (
   SELECT 0.0 AS b0, 0.0 AS b1
@@ -1292,10 +1297,10 @@ for _i in range(4):
                1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
         FROM d CROSS JOIN bt{_i} b)
 ), bt{_i + 1} AS (
-  SELECT b.b0 + (s.h22 * s.g1 - s.h12 * s.g2)
-               / (s.h11 * s.h22 - s.h12 * s.h12) AS b0,
-         b.b1 + (s.h11 * s.g2 - s.h12 * s.g1)
-               / (s.h11 * s.h22 - s.h12 * s.h12) AS b1
+  SELECT b.b0 + ((s.h22 + 1.0) * (s.g1 - b.b0) - s.h12 * (s.g2 - b.b1))
+               / ((s.h11 + 1.0) * (s.h22 + 1.0) - s.h12 * s.h12) AS b0,
+         b.b1 + ((s.h11 + 1.0) * (s.g2 - b.b1) - s.h12 * (s.g1 - b.b0))
+               / ((s.h11 + 1.0) * (s.h22 + 1.0) - s.h12 * s.h12) AS b1
   FROM bt{_i} b CROSS JOIN s{_i + 1} s
 )"""
 _QIRLS_SQL += """
