@@ -66,6 +66,9 @@ rounded floats — the round-6 negative-zero lesson).
 - spatial_areal_interp      — areal interpolation onto a 10-degree
                               grid: axis-aligned overlap is closed-form,
                               bounded fan-out + one cell-keyed sum
+- dq_profile_lineitem       — Deequ-style one-pass data-quality profile
+                              (nulls, exact distincts, min/max/mean per
+                              column), unpivoted to a per-column report
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1510,3 +1513,56 @@ ORDER BY gx, gy
 
 R7_QUERIES["spatial_areal_interp"] = (
     q_spatial_areal_interp, _QAREAL_SQL, False)
+
+
+# --- dq_profile_lineitem ----------------------------------------------------
+
+def q_dq_profile_lineitem(spark, sf_dir):
+    """Data-quality profile (the Deequ/expectation-suite shape): per
+    numeric column of lineitem — row count, null count, exact distinct
+    count, min/max/mean — computed in ONE pass (a single aggregation with
+    per-column conditional aggregates; count-distincts expand to Spark's
+    standard expand-aggregate, still one scan), then unpivoted to the
+    one-row-per-column report a DQ gate consumes.  At 100 TB this is the
+    profile job every ingest pipeline schedules; nothing here shuffles
+    more than the aggregation's partial buffers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c), 6).alias(f"{c}__mn"),
+            F.round(F.max(c), 6).alias(f"{c}__mx"),
+            F.round(F.avg(c), 6).alias(f"{c}__av"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__av" for c in cols)
+    return (one.selectExpr(
+        "n", f"stack({len(cols)}, {stack}) AS "
+             "(col_name, n_null, n_distinct, min_v, max_v, avg_v)")
+        .select("col_name", F.col("n").cast("long").alias("n"),
+                F.col("n_null").cast("long").alias("n_null"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "min_v", "max_v", "avg_v")
+        .orderBy("col_name"))
+
+
+def _dq_sql() -> str:
+    parts = []
+    for c in ("l_discount", "l_extendedprice", "l_quantity", "l_tax"):
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       ROUND(MIN({c}), 6) + 0.0 AS min_v,
+       ROUND(MAX({c}), 6) + 0.0 AS max_v,
+       ROUND(AVG({c}), 6) + 0.0 AS avg_v
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+R7_QUERIES["dq_profile_lineitem"] = (q_dq_profile_lineitem, _dq_sql(), False)

@@ -71,7 +71,7 @@ _NATIVE_QUERIES = [
     "ngram_containment_pairs", "kmv_value_quantiles", "brand_pagerank",
     "ship_survival_km", "spatial_kde_heatmap", "source_minhash_similarity",
     "rrf_ann_fusion", "embedding_logreg_irls", "nb_lang_classifier",
-    "spatial_areal_interp",
+    "spatial_areal_interp", "dq_profile_lineitem",
 ]
 
 
