@@ -77,7 +77,7 @@ _NEVER_DRIVER_SAMPLED = [
     "brand_pagerank", "ship_survival_km", "spatial_kde_heatmap",
     "source_minhash_similarity", "rrf_ann_fusion", "spatial_tier2_metrics",
     "streaming_cdc_upsert", "embedding_logreg_irls", "nb_lang_classifier",
-    "spatial_areal_interp", "dq_profile_lineitem",
+    "spatial_areal_interp", "dq_profile_lineitem", "multimodal_resize",
 ]
 
 

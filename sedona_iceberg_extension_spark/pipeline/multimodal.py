@@ -100,3 +100,52 @@ def frame_sample_plan(df: DataFrame, id_col: str, payload_col: str,
             F.coalesce(F.col("media_meta.duration_ms"), F.lit(0).cast("long")),
             F.lit(every_ms).cast("long"))))
     )
+
+
+_RESIZE_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, id_col: str, payload_col: str,
+                  width: int = 8, height: int = 8,
+                  fake: bool = True) -> DataFrame:
+    """Image resize over binary payloads via ``mapInPandas`` — the third
+    multimodal stage next to decode/feature-extract and frame-sample.
+    Arrow batches of bytes into Python, fixed-size resized payloads out;
+    input pruned to id+payload before the Python boundary.
+
+    ``fake=True`` produces the deterministic stand-in 'resample': the
+    source bytes cycled to exactly width*height bytes (so the output
+    payload is value-checkable byte-for-byte by the oracle);
+    ``fake=False`` raises DecodeNotAvailable where PIL/libvips would
+    run.  The schema/batching/partitioning contract is identical either
+    way — swapping in a real codec changes only the inner loop."""
+    target = int(width) * int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise DecodeNotAvailable(
+                    "image codecs not installed; run with fake=True or add PIL")
+            outs = []
+            for b in pdf[payload_col]:
+                if b is None or len(b) == 0:
+                    outs.append(None)
+                    continue
+                reps = (target + len(b) - 1) // len(b)
+                outs.append((bytes(b) * reps)[:target])
+            yield pd.DataFrame({
+                "id": pdf[id_col],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "n_bytes": [len(o) if o is not None else 0 for o in outs],
+                "payload": outs,
+            })
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(run, _RESIZE_SCHEMA)

@@ -69,6 +69,10 @@ rounded floats — the round-6 negative-zero lesson).
 - dq_profile_lineitem       — Deequ-style one-pass data-quality profile
                               (nulls, exact distincts, min/max/mean per
                               column), unpivoted to a per-column report
+- multimodal_resize         — the resize stage of the multimodal
+                              pipeline: Arrow-batched mapInPandas with a
+                              deterministic fake codec, resized payload
+                              checked byte-for-byte
 
 Scale notes: the Helmert shift is per-row closed-form arithmetic inside
 the existing Arrow-batched transform UDF (no new shuffle); IVFPQ's data
@@ -1566,3 +1570,34 @@ FROM lineitem""")
 
 
 R7_QUERIES["dq_profile_lineitem"] = (q_dq_profile_lineitem, _dq_sql(), False)
+
+
+# --- multimodal_resize ------------------------------------------------------
+
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing (multimodal.resize_images): deterministic
+    synthetic payloads (16 md5 bytes of the text) 'resampled' to an 8x8
+    byte grid through the real Arrow-batched mapInPandas boundary.  The
+    fake codec cycles source bytes, so the resized payload is checked
+    BYTE-FOR-BYTE: its hex equals the source md5 hex repeated — the oracle
+    states that identity directly."""
+    from ..pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    out = mm.resize_images(payloads, "doc_id", "payload", width=8, height=8)
+    return (out.select(F.col("id").alias("doc_id"), "width", "height",
+                       "n_bytes",
+                       F.substring(F.hex("payload"), 1, 24).alias("hex_prefix"))
+            .orderBy("doc_id"))
+
+
+_QRESIZE_SQL = """
+SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(64 AS BIGINT) AS n_bytes,
+       substr(upper(md5(text) || md5(text)), 1, 24) AS hex_prefix
+FROM documents WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+R7_QUERIES["multimodal_resize"] = (q_multimodal_resize, _QRESIZE_SQL, False)
