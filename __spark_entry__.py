@@ -46,38 +46,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_spatial_range_contains(spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver's rotating correctness sample has not yet hashed
-# (absent from CORRECTNESS_r01–r06), plus spatial_affine_ops (red hash in
-# r06, negative-zero oracle normalization applied this round — needs a
-# re-hash).  Listed first so an order-respecting sampler drains the
-# never-checked set before re-checking known-green ones.  All pass the
-# local differential gate (tools/diff_oracle.py, now with a bitwise
-# sign-of-zero-sensitive float canon); the r06 affine fail showed the old
-# local canon was weaker than the driver's hash, hence the hardening.
+# Highest-value queries for the driver's rotating correctness sample,
+# listed first so an order-respecting sampler hashes them before
+# re-checking known-green ones.  Round-8 refresh (VERDICT r7 item #2):
+#   1. the two r07 red hashes — both were oracle-side HUGEINT typing bugs
+#      (DuckDB widens SUM(BIGINT) to HUGEINT, the driver's pandas path
+#      renders it float64), fixed with explicit CASTs and a repo-wide
+#      type gate (tests/test_oracle_types.py) — need a green re-hash;
+#   2. the five queries no driver round has ever sampled;
+#   3. four rows whose only driver record is a stale r01 "no_oracle" —
+#      they gained exact oracles in later rounds but were never in this
+#      list, so the sampler kept skipping them;
+#   4. round-8 additions (never sampled by construction).
+# All pass the local differential gate (tools/diff_oracle.py, bitwise
+# float canon + HUGEINT/DECIMAL type gate).
 _NEVER_DRIVER_SAMPLED = [
-    "spatial_affine_ops",
-    "bloom_ingest_gate", "streaming_window_top_event",
-    "brand_graph_triangles", "near_dup_rate_by_source", "spatial_kmeans",
-    "events_autocorrelation", "weighted_sample_docs",
-    "lsh_edit_distance_verify", "grouping_sets_revenue",
-    "unpivot_part_metrics", "hll_users_by_type", "hll_click_view_overlap",
-    "doc_hash_sample", "streaming_burst_detect", "snapshot_changelog",
-    "partition_pruned_scan", "source_lang_diversity",
-    "customer_abc_pareto", "weekly_retention", "asof_forward_purchase",
-    "simhash_clusters", "order_backlog_sweepline", "corpus_novelty_decay",
-    # new in round 6 (never sampled by construction)
-    "doc_ngram_repetition", "training_shard_packing", "pq_ann_topk",
-    "bpe_pair_counts", "doc_bigram_lm_ppl", "spatial_split_boxes",
-    "spatial_buildarea_donuts", "minhash_calibration_curve",
-    "cms_user_event_counts", "streaming_cms_cells",
-    # new in round 7 (never sampled by construction)
-    "spatial_transform_towgs84", "ivfpq_ann_recall", "doc_max_dup_ngram",
-    "doc_template_mining", "dp_noisy_topk_brands", "events_cusum_drift",
-    "token_pmi_pairs", "ngram_containment_pairs", "kmv_value_quantiles",
-    "brand_pagerank", "ship_survival_km", "spatial_kde_heatmap",
-    "source_minhash_similarity", "rrf_ann_fusion", "spatial_tier2_metrics",
-    "streaming_cdc_upsert", "embedding_logreg_irls", "nb_lang_classifier",
-    "spatial_areal_interp", "dq_profile_lineitem", "multimodal_resize",
+    # r07 red hashes, oracle-side CASTs applied this round
+    "grouping_sets_revenue", "ship_survival_km",
+    # never driver-sampled
+    "embedding_logreg_irls", "nb_lang_classifier", "spatial_areal_interp",
+    "dq_profile_lineitem", "multimodal_resize",
+    # stale r01 "no_oracle" rows — exact oracles added later, never re-hashed
+    "lsh_ann_topk", "ivf_ann_topk", "multimodal_features",
+    "multimodal_frame_sample",
+    # DECIMAL-typed oracle output fixed this round (was driver-green only
+    # because the value happened to render identically)
+    "spatial_split_boxes",
 ]
 
 

@@ -922,7 +922,8 @@ def q_grouping_sets_revenue(spark, sf_dir):
 _QGSETS_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
-       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST

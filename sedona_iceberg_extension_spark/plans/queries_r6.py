@@ -316,7 +316,7 @@ _QSPLITBOX_SQL = """
 SELECT n_nationkey,
        2 AS n_parts,
        ROUND(LEAST(w, 14.0 - w) * 180.0, 6) AS min_part_area,
-       ROUND(2520.0, 6) AS total_area
+       ROUND(CAST(2520.0 AS DOUBLE), 6) + 0.0 AS total_area
 FROM (SELECT n_nationkey,
              CAST((n_nationkey % 7) + 1 AS DOUBLE) * 14.0 / 8.0 AS w
       FROM nation)

@@ -799,8 +799,9 @@ WITH j AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tab
 ), r AS (
   SELECT g.t, g.n_at, g.d,
-         tot.n - COALESCE(SUM(g.n_at) OVER (ORDER BY g.t
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+         CAST(tot.n - COALESCE(SUM(g.n_at) OVER (ORDER BY g.t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
   FROM g CROSS JOIN tot
 ), s AS (
   SELECT t, n_risk, d,

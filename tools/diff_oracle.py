@@ -3,12 +3,19 @@ DuckDB oracle, compare row count / schema / values — the same gate the
 driver applies (CORRECTNESS_r{N}.json), runnable during development.
 
 Usage: python tools/diff_oracle.py [sf_dir] [query_name ...]
+
+Env knobs (round-8, VERDICT r7 item #3 — rehearse at driver parallelism
+before the driver's first hash; summation order differs between local[8]/16
+shuffle partitions and the driver's local[32]):
+  SPARK_GRAFT_MASTER   spark master (default local[8])
+  SPARK_GRAFT_SHUFFLE  spark.sql.shuffle.partitions (default 16)
 """
 
 from __future__ import annotations
 
 import decimal
 import math
+import os
 import struct
 import sys
 import time
@@ -41,7 +48,10 @@ def main():
     import __spark_entry__ as entrymod
     from sedona_iceberg_extension_spark.session import get_session
 
-    spark = get_session(master="local[8]", shuffle_partitions=16)
+    master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
+    spark = get_session(master=master, shuffle_partitions=shuffle)
+    print(f"# master={master} shuffle_partitions={shuffle}")
 
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -69,9 +79,22 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols_raw = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            # Type gate (round-7 driver lesson): DuckDB widens SUM(BIGINT) to
+            # HUGEINT, and the driver's hash path materializes HUGEINT via
+            # pandas as float64 (123 -> 123.0) while fetchall() returns Python
+            # ints that compare equal — so an uncast SUM passes here but fails
+            # the driver hash. Reject the whole type class locally.
+            bad_types = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                         if str(t).upper().split("(")[0]
+                         in ("HUGEINT", "UHUGEINT", "DECIMAL")]
+            if bad_types:
+                failures.append(name)
+                print(f"FAIL {name}: oracle output type drift "
+                      f"(wrap in CAST): {bad_types}")
+                continue
+            ocols_raw = list(rel.columns)
+            orows = rel.fetchall()
             ocols = sorted(ocols_raw)
             idx = [ocols_raw.index(c) for c in ocols]
             odata = sorted(tuple(canon(r[i]) for i in idx) for r in orows)
