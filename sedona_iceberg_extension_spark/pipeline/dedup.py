@@ -27,7 +27,8 @@ from .text import portable_hash64, tokens
 _LOG = logging.getLogger(__name__)
 
 
-def spread(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+def spread(df: DataFrame, min_partitions: Optional[int] = None,
+           by: Optional[str] = None) -> DataFrame:
     """Ensure a CPU-heavy narrow stage downstream has enough partitions to
     use every core.  At 100 TB the scan's input splits already provide
     parallelism and this is a no-op; on a small local table (one parquet
@@ -39,13 +40,28 @@ def spread(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
     a driver-side catalog lookup (~ms) where ``df.rdd.getNumPartitions()``
     builds the physical RDD (~0.8 s cold, measured).  Few-but-huge files
     split into many partitions anyway, so the worst case of the proxy is
-    one redundant (still correct, still cheap) repartition."""
+    one redundant (still correct, still cheap) repartition.
+
+    ``by``: pipelines whose output feeds MORE THAN ONE downstream consumer
+    (e.g. the exact-Jaccard posting lists read by both the pair count and
+    the set sizes) must pass a key column here.  A ``repartition(N)``
+    (round-robin, REPARTITION_BY_NUM) defeats AQE's stage cache — the
+    bottom stage misses, and because every parent stage embeds its child
+    stage object, the miss cascades so the whole heavy narrow stage
+    re-executes once per consumer (measured: 2× the 32-task shingle
+    stages on the exact-Jaccard query; a two-consumer toy goes 49 → 97
+    tasks the moment a REPARTITION_BY_NUM appears below the shared
+    exchange).  ``repartition(col)`` without an explicit count
+    (REPARTITION_BY_COL) keeps the stage cache hitting, so the shared
+    pipeline runs once."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
         pass
+    if by is not None:
+        return df.repartition(F.col(by))
     return df.repartition(target)
 
 
@@ -141,7 +157,8 @@ def minhash_signatures_wide(df: DataFrame, id_col: str, text_col: str,
     so the one shuffle carries |docs| rows of k longs — at 100 TB that is
     the difference between shuffling the corpus ×k and shuffling just the
     signature matrix."""
-    sh = token_shingles(spread(df), id_col, text_col, shingle_n, distinct=False)
+    sh = token_shingles(spread(df, by=id_col), id_col, text_col, shingle_n,
+                        distinct=False)
     hashed = sh.select(F.col(id_col),
                        portable_hash64(F.col("shingle"), "mh").alias("_h"))
     mins = [
@@ -343,7 +360,7 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     Operators whose OUTPUT depends on hash values (MinHash, SimHash) keep
     the portable md5 hash the oracle can reproduce."""
     if use_char_grams:
-        sh = (char_ngrams(spread(df), id_col, text_col, char_n,
+        sh = (char_ngrams(spread(df, by=id_col), id_col, text_col, char_n,
                           distinct=False)
               .select(F.col(id_col), F.xxhash64("gram").alias("_h")))
     else:
@@ -352,7 +369,7 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
         # hash functions skip — so the clamped tail shingle of a short doc
         # (< n tokens) keys on exactly its available tokens, mirroring the
         # string path's clamped slice.
-        tokd = spread(df).select(
+        tokd = spread(df, by=id_col).select(
             F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         idx = F.explode(F.sequence(
             F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))))

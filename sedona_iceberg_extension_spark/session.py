@@ -106,6 +106,14 @@ def get_session(app_name: str = "sedona-iceberg-extension-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # With parallelismFirst (default), AQE coalesces small shuffles to
+        # max(bytes/defaultParallelism, THIS floor): the 1 MB default
+        # serializes the CPU-heavy shingle stages behind the keyed
+        # spread() repartition on sub-32 MB local inputs.  64k keeps those
+        # stages at ~defaultParallelism tasks; at cluster scale
+        # bytes/parallelism >> 1 MB, so this floor never engages.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions
                     or os.environ.get("SPARK_GRAFT_SHUFFLE")
