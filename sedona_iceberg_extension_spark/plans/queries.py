@@ -2698,3 +2698,9 @@ from .queries_r7 import R7_QUERIES as _R7  # noqa: E402
 
 for _name, (_fn, _sql, _headline) in _R7.items():
     QUERIES[_name] = QueryDef(_fn, _sql, _headline)
+
+# round-8 pipeline tier — plans/queries_r8.py
+from .queries_r8 import R8_QUERIES as _R8  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _R8.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)
