@@ -81,6 +81,33 @@ def keep_canonical(components: DataFrame, id_col: str = "id",
     )
 
 
+def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
+             src: str = "u", dst: str = "v") -> DataFrame:
+    """Multi-source BFS over an undirected edge list, fixed round count:
+    returns (id, dist) for every vertex reachable from any seed within
+    ``rounds`` hops.  ``seeds``: a DataFrame with an ``id`` column
+    (distance 0).
+
+    Each round is one vertex-keyed join + one groupBy(min) — the same
+    two-shuffle iteration shape as connected_components / pagerank; the
+    frontier table stays bounded by |V| rows and lineage is truncated with
+    localCheckpoint per round (use a fault-tolerant checkpoint dir on a
+    cluster)."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    dist = seeds.select("id", F.lit(0).cast("int").alias("dist"))
+    for _ in range(rounds):
+        nd = (sym.join(dist.withColumnRenamed("id", "u"), "u")
+              .select(F.col("v").alias("id"),
+                      (F.col("dist") + 1).cast("int").alias("dist")))
+        dist = (dist.unionByName(nd)
+                .groupBy("id").agg(F.min("dist").alias("dist")))
+        dist = dist.localCheckpoint(eager=False)
+    return dist
+
+
 def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
              damping: float = 0.85, iterations: int = 10) -> DataFrame:
     """Synchronous PageRank over an undirected edge list, fixed iteration

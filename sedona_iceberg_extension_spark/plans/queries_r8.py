@@ -281,3 +281,344 @@ ORDER BY channel
 """
 
 R8_QUERIES["attribution_last_touch"] = (q_attribution_last_touch, _QATTR_SQL, False)
+
+
+# --- events_psi_drift -------------------------------------------------------
+
+def q_events_psi_drift(spark, sf_dir):
+    """Population-stability-index drift monitor: decile bins of the event
+    value distribution are FROZEN on a baseline window (first two weeks),
+    then baseline-vs-current proportions per bin yield the per-bin PSI
+    contribution — the standard production drift check for features and
+    label distributions, reported per event_type and bin (the sum over
+    bins is the headline PSI; per-bin rows keep the output
+    summation-order-free and more diagnostic).
+
+    Scale shape: the cut table is 5 rows x 9 doubles (broadcast); binning
+    is a fixed-order chain of comparisons (native, no UDF); ONE pass over
+    events feeds both periods' counts via conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    split = F.lit("2024-01-15").cast("timestamp")
+    base = ev.filter(F.col("ts") < split)
+    qs = ",".join(str(i / 10) for i in range(1, 10))
+    # cuts are ROUNDed to 6 before any comparison: percentile interpolation
+    # can differ between engines in the last ulp ((1-f)*a + f*b vs
+    # a + f*(b-a)), and a 2-decimal data value sitting exactly on a decile
+    # would flip bins — at the 1e-6 grain both engines agree and no data
+    # value can straddle the wobble
+    cuts = base.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({qs}))").alias("cs"))
+    j = ev.join(F.broadcast(cuts), "event_type")
+    b = F.lit(0)
+    for k in range(9):
+        b = b + (F.col("value") >= F.round(F.get("cs", k), 6)).cast("int")
+    cnt = (j.select("event_type", "ts", b.alias("bin"))
+           .groupBy("event_type", "bin")
+           .agg(F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+                 .cast("long").alias("cb"),
+                F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+                 .cast("long").alias("cc")))
+    wt = Window.partitionBy("event_type")
+    pb = F.col("cb").cast("double") / F.sum("cb").over(wt).cast("double")
+    pc = F.col("cc").cast("double") / F.sum("cc").over(wt).cast("double")
+    psi = (F.when((F.col("cb") == 0) | (F.col("cc") == 0), F.lit(0.0))
+           .otherwise((pc - pb) * F.log(pc / pb)))
+    return (cnt.select("event_type", F.col("bin").cast("int").alias("bin"),
+                       "cb", "cc", F.round(psi, 9).alias("psi_term"))
+            .orderBy("event_type", "bin"))
+
+
+_QPSI_SQL = """
+WITH base AS (
+  SELECT event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-15'
+), cuts AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+  FROM base GROUP BY event_type
+), b AS (
+  SELECT e.event_type,
+         CASE WHEN e.ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS isb,
+         (CASE WHEN e.value >= ROUND(cs[1], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[2], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[3], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[4], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[5], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[6], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[7], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[8], 6) THEN 1 ELSE 0 END
+        + CASE WHEN e.value >= ROUND(cs[9], 6) THEN 1 ELSE 0 END) AS bin
+  FROM events e JOIN cuts c ON c.event_type = e.event_type
+), cnt AS (
+  SELECT event_type, bin,
+         CAST(SUM(isb) AS BIGINT) AS cb,
+         CAST(SUM(1 - isb) AS BIGINT) AS cc
+  FROM b GROUP BY event_type, bin
+), tot AS (
+  SELECT event_type, bin, cb, cc,
+         CAST(cb AS DOUBLE) / CAST(SUM(cb) OVER (PARTITION BY event_type)
+                                   AS DOUBLE) AS pb,
+         CAST(cc AS DOUBLE) / CAST(SUM(cc) OVER (PARTITION BY event_type)
+                                   AS DOUBLE) AS pc
+  FROM cnt
+)
+SELECT event_type, CAST(bin AS INT) AS bin, cb, cc,
+       ROUND(CASE WHEN cb = 0 OR cc = 0 THEN 0.0
+                  ELSE (pc - pb) * ln(pc / pb) END, 9) + 0.0 AS psi_term
+FROM tot
+ORDER BY event_type, bin
+"""
+
+R8_QUERIES["events_psi_drift"] = (q_events_psi_drift, _QPSI_SQL, False)
+
+
+# --- lineitem_robust_stats --------------------------------------------------
+
+def q_lineitem_robust_stats(spark, sf_dir):
+    """Robust statistics pass per return flag: p01/p99-winsorized mean and
+    stddev of extended price, plus the MAD (median absolute deviation)
+    and the count of 3-sigma-equivalent MAD outliers
+    (|x - median| > 3 * 1.4826 * MAD) — the outlier-hardened profile that
+    complements the moment-based DQ profile.
+
+    Determinism: winsorized sums run on price/1e5 (so partial sums stay
+    O(1e3) and cross-engine summation-order wobble lands around 1e-10,
+    far below the ROUND 6 output grain — unscaled, sum(x^2) reaches 1e13
+    and the wobble would surface in the 5th decimal of the stddev);
+    variance is finished from {n, s1, s2} with an identical expression
+    shape on both engines.
+
+    Scale shape: three full passes (quantiles; MAD + winsorized sums;
+    outlier count), each ONE map-side-combinable aggregation with the
+    3-row stat table broadcast back — no sort of the fact table beyond
+    percentile's internal partial."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").alias("x"))
+    s1t = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(x, array(0.01, 0.5, 0.99))").alias("ps"))
+    j = li.join(F.broadcast(s1t), "l_returnflag")
+    # ps values are ROUNDed to 6 before every downstream use: percentile
+    # interpolation can differ between engines in the last ulp, and a raw
+    # median/bound feeding clip / dev / threshold comparisons would let
+    # that wobble flip a comparison — at the 1e-6 grain both engines agree
+    p01 = F.round(F.get("ps", 0), 6)
+    med = F.round(F.get("ps", 1), 6)
+    p99 = F.round(F.get("ps", 2), 6)
+    xs = F.least(F.greatest(F.col("x"), p01), p99) / F.lit(100000.0)
+    s2t = (j.select("l_returnflag",
+                    F.abs(F.col("x") - med).alias("dev"),
+                    xs.alias("xs"))
+           .groupBy("l_returnflag")
+           .agg(F.expr("percentile(dev, 0.5)").alias("mad"),
+                F.sum("xs").alias("s1"),
+                F.sum(F.col("xs") * F.col("xs")).alias("s2")))
+    j2 = li.join(F.broadcast(s1t), "l_returnflag").join(
+        F.broadcast(s2t), "l_returnflag")
+    outl = (j2.groupBy("l_returnflag")
+            .agg(F.sum((F.abs(F.col("x") - F.round(F.get("ps", 1), 6))
+                        > F.lit(3.0) * F.lit(1.4826)
+                          * F.round(F.col("mad"), 6))
+                       .cast("int")).cast("long").alias("n_outliers")))
+    nd = F.col("n").cast("double")
+    mean = F.col("s1") / nd * F.lit(100000.0)
+    var = ((F.col("s2") - F.col("s1") * F.col("s1") / nd)
+           / (nd - F.lit(1.0)) * F.lit(10000000000.0))
+    return (s1t.join(s2t, "l_returnflag").join(outl, "l_returnflag")
+            .select("l_returnflag", "n",
+                    F.round(F.get("ps", 0), 6).alias("p01"),
+                    F.round(F.get("ps", 1), 6).alias("p50"),
+                    F.round(F.get("ps", 2), 6).alias("p99"),
+                    F.round(mean, 6).alias("wins_mean"),
+                    F.round(F.sqrt(var), 6).alias("wins_std"),
+                    F.round(F.col("mad"), 6).alias("mad"),
+                    "n_outliers")
+            .orderBy("l_returnflag"))
+
+
+_QROBUST_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_extendedprice AS x FROM lineitem
+), s1t AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_cont(x, [0.01, 0.5, 0.99]) AS ps
+  FROM li GROUP BY l_returnflag
+), s2t AS (
+  SELECT li.l_returnflag,
+         quantile_cont(abs(x - ROUND(ps[2], 6)), 0.5) AS mad,
+         SUM(LEAST(GREATEST(x, ROUND(ps[1], 6)), ROUND(ps[3], 6)) / 100000.0) AS s1,
+         SUM((LEAST(GREATEST(x, ROUND(ps[1], 6)), ROUND(ps[3], 6)) / 100000.0)
+             * (LEAST(GREATEST(x, ROUND(ps[1], 6)), ROUND(ps[3], 6)) / 100000.0)) AS s2
+  FROM li JOIN s1t ON s1t.l_returnflag = li.l_returnflag
+  GROUP BY li.l_returnflag
+), outl AS (
+  SELECT li.l_returnflag,
+         CAST(SUM(CASE WHEN abs(x - ROUND(ps[2], 6))
+                            > 3.0 * 1.4826 * ROUND(mad, 6)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM li JOIN s1t ON s1t.l_returnflag = li.l_returnflag
+          JOIN s2t ON s2t.l_returnflag = li.l_returnflag
+  GROUP BY li.l_returnflag
+)
+SELECT a.l_returnflag, a.n,
+       ROUND(ps[1], 6) + 0.0 AS p01,
+       ROUND(ps[2], 6) + 0.0 AS p50,
+       ROUND(ps[3], 6) + 0.0 AS p99,
+       ROUND(s1 / CAST(n AS DOUBLE) * 100000.0, 6) + 0.0 AS wins_mean,
+       ROUND(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0) * 10000000000.0), 6) + 0.0
+         AS wins_std,
+       ROUND(mad, 6) + 0.0 AS mad,
+       o.n_outliers
+FROM s1t a JOIN s2t b ON b.l_returnflag = a.l_returnflag
+JOIN outl o ON o.l_returnflag = a.l_returnflag
+ORDER BY a.l_returnflag
+"""
+
+R8_QUERIES["lineitem_robust_stats"] = (q_lineitem_robust_stats, _QROBUST_SQL, False)
+
+
+# --- kmv_intersection_estimate ----------------------------------------------
+
+def q_kmv_intersection_estimate(spark, sf_dir):
+    """Theta-sketch-style set intersection from two mergeable KMV bottom-k
+    sketches (k = 64, so the sketch math engages on the 150-user sets):
+    theta = the union sketch's k-th smallest hash; the intersection
+    estimate is |S_A ∩ S_B ∩ {h <= theta}| / k scaled by the union's KMV
+    distinct estimate (Beyer et al. 2002 composed with the theta-sketch
+    intersection rule) — reported next to the exact overlap.
+
+    Scale shape: each sketch is a TakeOrderedAndProject k-heap (never a
+    full sort); all set algebra runs on <=64-row tables."""
+    from ..pipeline.sketch import kmv_bottom_k
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 64
+    hbig = 1152921504606846976.0  # 2^60 hash space
+    sa = kmv_bottom_k(ev.filter(F.col("event_type") == "click")
+                      .select("user_id").distinct(), "user_id", k=k,
+                      seed="kmvi")
+    sb = kmv_bottom_k(ev.filter(F.col("event_type") == "view")
+                      .select("user_id").distinct(), "user_id", k=k,
+                      seed="kmvi")
+    un = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    th = un.agg(F.count(F.lit(1)).alias("ku"), F.max("h").alias("theta"))
+    inter = (sa.join(sb, "h").crossJoin(F.broadcast(th))
+             .filter(F.col("h") <= F.col("theta"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    exact = clicks.join(views, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersection"))
+    u_est = (F.when(F.col("ku") < k, F.col("ku").cast("double"))
+             .otherwise(F.lit(float(k - 1)) * F.lit(hbig)
+                        / F.col("theta").cast("double")))
+    return (th.crossJoin(inter).crossJoin(exact)
+            .select(F.lit(k).cast("int").alias("k"),
+                    F.col("ku").cast("long").alias("ku"),
+                    F.col("c").cast("long").alias("c"),
+                    F.round(F.col("c").cast("double")
+                            / F.col("ku").cast("double") * u_est, 6)
+                     .alias("est_intersection"),
+                    F.col("exact_intersection").cast("long")
+                     .alias("exact_intersection")))
+
+
+_QKMVI_SQL = """
+WITH sa AS (
+  SELECT h FROM (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#kmvi'),
+                     1, 15))::BIGINT AS h
+    FROM events WHERE event_type = 'click')
+  ORDER BY h LIMIT 64
+), sb AS (
+  SELECT h FROM (
+    SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#kmvi'),
+                     1, 15))::BIGINT AS h
+    FROM events WHERE event_type = 'view')
+  ORDER BY h LIMIT 64
+), un AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT 64
+), th AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ku, MAX(h) AS theta FROM un
+), inter AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM sa JOIN sb USING (h) CROSS JOIN th
+  WHERE h <= th.theta
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+  JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') b
+    USING (user_id)
+)
+SELECT CAST(64 AS INT) AS k, th.ku, inter.c,
+       ROUND(CAST(inter.c AS DOUBLE) / CAST(th.ku AS DOUBLE)
+             * CASE WHEN th.ku < 64 THEN CAST(th.ku AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0
+                         / CAST(th.theta AS DOUBLE) END, 6) + 0.0
+         AS est_intersection,
+       ex.exact_intersection
+FROM th CROSS JOIN inter CROSS JOIN ex
+"""
+
+R8_QUERIES["kmv_intersection_estimate"] = (
+    q_kmv_intersection_estimate, _QKMVI_SQL, False)
+
+
+# --- brand_bfs_distance -----------------------------------------------------
+
+def q_part_bfs_distance(spark, sf_dir):
+    """Multi-source BFS (components.bfs_hops) over the part co-purchase
+    graph: parts are connected when they appear in the same order at
+    least twice (the >=2 support threshold keeps the graph sparse, avg
+    degree ~4); seeds are all parts with key <= 20; 4 fixed rounds give
+    min-hop distances — the graph-traversal shape next to connected
+    components / PageRank (each round one vertex-keyed join + one
+    groupBy(min), |V|-row state, lineage truncated per round).  The
+    oracle unrolls the same 4 relaxation rounds as chained CTEs."""
+    from ..pipeline.components import bfs_hops
+
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    verts = (edges.select(F.col("u").alias("id"))
+             .unionByName(edges.select(F.col("v").alias("id"))).distinct())
+    seeds = verts.filter(F.col("id") <= 20)
+    out = bfs_hops(edges, seeds, rounds=4)
+    return (out.select(F.col("id").alias("p_partkey"), "dist")
+            .orderBy("p_partkey"))
+
+
+def _bfs_sql(rounds: int = 4) -> str:
+    sql = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), d0 AS (
+  SELECT DISTINCT u AS id, CAST(0 AS INT) AS dist FROM sym WHERE u <= 20
+)"""
+    for i in range(rounds):
+        sql += f""", d{i + 1} AS (
+  SELECT id, CAST(MIN(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM d{i}
+    UNION ALL
+    SELECT s.v AS id, d.dist + 1 AS dist
+    FROM sym s JOIN d{i} d ON d.id = s.u) GROUP BY id
+)"""
+    sql += f"""
+SELECT id AS p_partkey, dist FROM d{rounds} ORDER BY p_partkey
+"""
+    return sql
+
+
+R8_QUERIES["part_bfs_distance"] = (q_part_bfs_distance, _bfs_sql(), False)
