@@ -313,6 +313,32 @@ def label_centroid_outliers(df: DataFrame, id_col: str, vec_col: str,
 # Product quantization (PQ) ANN — the memory-compressed scale path
 # ---------------------------------------------------------------------------
 
+def semdedup_drop(df: DataFrame, id_col: str, vec_col: str, centroids: list,
+                  threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (semantic dedup, Abbas et al. 2023): coarse quantization
+    bounds the pairwise work — vectors are assigned to k-means cells, and
+    only WITHIN a cell are pairwise cosines computed; any vector with a
+    near-duplicate (cosine >= threshold) of smaller id is dropped.
+    Returns one row per dropped id: (id, cell, dup_of, cosine) with
+    ``dup_of`` the smallest qualifying partner and ``cosine`` the best
+    (max) duplicate similarity.
+
+    Scale shape: the cell equi-join replaces the all-pairs cross join —
+    quadratic work is bounded per cell (cell count is the knob; cap or
+    re-split oversized cells at 100 TB), one shuffle on the cell key."""
+    asn = ivf_assign(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec", centroids)
+    a = asn.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("_va"))
+    b = asn.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("_vb"))
+    pairs = (a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+             .filter(F.col("cosine") >= F.lit(threshold)))
+    return (pairs.groupBy("cell", F.col("id_b").alias("id"))
+            .agg(F.min("id_a").alias("dup_of"), F.max("cosine").alias("cosine"))
+            .select("id", "cell", "dup_of", "cosine"))
+
+
 def _sub_d2(vec_col: Column, centroid: list, offset: int) -> Column:
     """Squared L2 distance between a sub-vector slice of ``vec_col``
     (1-based ``offset``, len(centroid) wide) and a literal centroid —

@@ -622,3 +622,264 @@ SELECT id AS p_partkey, dist FROM d{rounds} ORDER BY p_partkey
 
 
 R8_QUERIES["part_bfs_distance"] = (q_part_bfs_distance, _bfs_sql(), False)
+
+
+# --- dsir_importance_weights ------------------------------------------------
+
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023): per-document mean
+    unigram log-likelihood ratio between a target domain (lang = 'en')
+    and the raw corpus, with add-1 smoothing over the corpus vocabulary —
+    the data-selection weight used to resample a raw crawl toward a
+    target distribution.
+
+    Scale shape: the two probability tables are vocab-keyed aggregations
+    with map-side combine; the token stream joins them co-partitioned on
+    the token key; corpus scalars (N_target, N_all, V) ride in as a
+    broadcast single-row crossJoin — never a driver collect."""
+    from ..pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang",
+                      F.explode(T.tokens(F.col("text"))).alias("w"))
+    ct = (tok.filter(F.col("lang") == "en")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("ct")))
+    cs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    scal = (cs.agg(F.sum("cs").cast("long").alias("ns"),
+                   F.count(F.lit(1)).cast("long").alias("v"))
+            .crossJoin(ct.agg(F.sum("ct").cast("long").alias("nt"))))
+    probs = (cs.join(ct, "w", "left")
+             .crossJoin(F.broadcast(scal))
+             .select("w",
+                     (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                            .cast("double")
+                            / (F.col("nt") + F.col("v")).cast("double"))
+                      - F.log((F.col("cs") + 1).cast("double")
+                              / (F.col("ns") + F.col("v")).cast("double")))
+                     .alias("llr")))
+    return (tok.join(probs, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("llr"), 6).alias("avg_llr"))
+            .orderBy("doc_id"))
+
+
+_QDSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), ct AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+  WHERE lang = 'en' GROUP BY w
+), cs AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cs FROM tok GROUP BY w
+), scal AS (
+  SELECT CAST(SUM(cs) AS BIGINT) AS ns,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM ct) AS nt
+  FROM cs
+), probs AS (
+  SELECT w,
+         ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+       - ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)) AS llr
+  FROM cs LEFT JOIN ct USING (w) CROSS JOIN scal
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(llr), 6) + 0.0 AS avg_llr
+FROM tok JOIN probs USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+R8_QUERIES["dsir_importance_weights"] = (
+    q_dsir_importance_weights, _QDSIR_SQL, False)
+
+
+# --- semdedup_prune ---------------------------------------------------------
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup pruning (similarity.semdedup_drop): k-means cells bound the
+    pairwise cosine check; within a cell, every vector with a near-
+    duplicate (cosine >= 0.95) of smaller id is dropped.  Deterministic
+    codebook (embeddings of the 8 smallest vec_ids) and planted clones
+    (vec_id < 40 perturbed by +0.01 on the first component, the
+    embedding_dup_pairs convention) make the check non-vacuous AND the
+    cells + drops exactly reproducible in SQL — precision and recall of
+    the cell-bounded path are both value-checked against the oracle's
+    identical construction."""
+    from ..pipeline import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("embedding"))
+    pert = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(F.element_at("embedding", 1) + F.lit(0.01)),
+                 F.slice("embedding", 2, 63)).alias("embedding"))
+    cents = [[float(v) for v in r["embedding"]]
+             for r in emb.select("vec_id", "embedding")
+                         .orderBy("vec_id").limit(8).collect()]
+    out = SIM.semdedup_drop(base.unionAll(pert), "vec_id", "embedding",
+                            cents, threshold=0.95)
+    return (out.select(F.col("id").alias("vec_id"),
+                       F.col("cell").cast("int").alias("cell"),
+                       "dup_of", F.round("cosine", 6).alias("cosine"))
+            .orderBy("vec_id"))
+
+
+_QSEMDD_SQL = """
+WITH basev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + 0.01, embedding[2:]) AS embedding
+  FROM basev WHERE vec_id < 40
+), allv AS (
+  SELECT * FROM basev UNION ALL SELECT * FROM pert
+), cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+), d2 AS (
+  SELECT v.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+           i -> (v.embedding[i] - c.cvec[i])
+              * (v.embedding[i] - c.cvec[i]))) AS d2
+  FROM allv v CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC)
+             AS rn
+    FROM d2) WHERE rn = 1
+), pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(va.embedding, vb.embedding) AS cosine
+  FROM assign a
+  JOIN assign b ON b.cell = a.cell AND a.vec_id < b.vec_id
+  JOIN allv va ON va.vec_id = a.vec_id
+  JOIN allv vb ON vb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(va.embedding, vb.embedding) >= 0.95
+)
+SELECT id_b AS vec_id, CAST(cell AS INT) AS cell,
+       MIN(id_a) AS dup_of, ROUND(MAX(cosine), 6) AS cosine
+FROM pairs
+GROUP BY id_b, cell
+ORDER BY vec_id
+"""
+
+R8_QUERIES["semdedup_prune"] = (q_semdedup_prune, _QSEMDD_SQL, False)
+
+
+# --- embedding_pca_power ----------------------------------------------------
+
+def q_embedding_pca_power(spark, sf_dir):
+    """Distributed PCA on the first 8 embedding dimensions: ONE sufficient-
+    statistics aggregation (count + 8 sums + 36 upper-triangle product
+    sums, all map-side combinable) yields the covariance on the driver —
+    the canonical distributed-covariance shape (the 100 TB pass is the
+    same single aggregation job); the top eigenvector then comes from 12
+    fixed-order power iterations on the 8x8 matrix (pure scalar
+    arithmetic, like the IRLS Newton solve).
+
+    Determinism: inputs are ROUNDed to 9 (norm-mirroring convention);
+    covariance entries are ROUNDed to 9 AFTER the n-division (aggregation
+    wobble ~1e-16 at that point), so the iteration runs on bit-identical
+    matrices in both engines; every matvec/norm folds left-to-right; the
+    oracle unrolls the same 12 iterations as chained single-row CTEs.
+    Sign is canonicalized on the first component; outputs carry the
+    ``+ 0.0`` negative-zero guard."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 8
+    x = [F.round(F.get("embedding", i).cast("double"), 9) for i in range(d)]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(x[i]).alias(f"s{i}") for i in range(d)]
+    aggs += [F.sum(x[i] * x[j]).alias(f"q{i}_{j}")
+             for i in range(d) for j in range(i, d)]
+    r = emb.agg(*aggs).first()
+    n = float(r["n"])
+    mu = [r[f"s{i}"] / n for i in range(d)]
+    cov = [[0.0] * d for _ in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            c = round(r[f"q{i}_{j}"] / n - mu[i] * mu[j], 9)
+            cov[i][j] = cov[j][i] = c
+    v = [1.0 / math.sqrt(8.0)] * d
+    lam = 0.0
+    for _ in range(12):
+        y = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc = acc + cov[i][j] * v[j]
+            y.append(acc)
+        nrm = 0.0
+        for i in range(d):
+            nrm = nrm + y[i] * y[i]
+        lam = math.sqrt(nrm)
+        v = [y[i] / lam for i in range(d)]
+    if v[0] < 0:
+        v = [-c for c in v]
+    trace = 0.0
+    for i in range(d):
+        trace = trace + cov[i][i]
+    row = [F.round(F.lit(v[i]), 6) + F.lit(0.0) for i in range(d)]
+    return (spark.range(1)
+            .select(*[row[i].alias(f"v{i}") for i in range(d)],
+                    (F.round(F.lit(lam), 6) + F.lit(0.0)).alias("eigval"),
+                    (F.round(F.lit(lam / trace), 6) + F.lit(0.0))
+                    .alias("var_share")))
+
+
+def _pca_sql(d: int = 8, iters: int = 12) -> str:
+    xs = [f"ROUND(CAST(embedding[{i + 1}] AS DOUBLE), 9)" for i in range(d)]
+    aggs = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    aggs += [f"SUM({xs[i]}) AS s{i}" for i in range(d)]
+    aggs += [f"SUM({xs[i]} * {xs[j]}) AS q{i}_{j}"
+             for i in range(d) for j in range(i, d)]
+    covs = []
+    for i in range(d):
+        for j in range(i, d):
+            covs.append(
+                f"ROUND(q{i}_{j} / n - (s{i} / n) * (s{j} / n), 9) AS c{i}_{j}")
+
+    def cref(i, j):
+        return f"c{min(i, j)}_{max(i, j)}"
+
+    sql = f"""
+WITH suff AS (
+  SELECT {', '.join(aggs)} FROM embeddings
+), cov AS (
+  SELECT {', '.join(covs)} FROM suff
+), it0 AS (
+  SELECT {', '.join(f'1.0 / sqrt(8.0) AS v{i}' for i in range(d))}
+)"""
+    for k in range(1, iters + 1):
+        mv = [" + ".join(f"{cref(i, j)} * v{j}" for j in range(d))
+              for i in range(d)]
+        nrm = " + ".join(f"y{i} * y{i}" for i in range(d))
+        sql += f""", y{k} AS (
+  SELECT {', '.join(f'{mv[i]} AS y{i}' for i in range(d))}
+  FROM it{k - 1} CROSS JOIN cov
+), it{k} AS (
+  SELECT {', '.join(f'y{i} / sqrt({nrm}) AS v{i}' for i in range(d))},
+         sqrt({nrm}) AS lam
+  FROM y{k}
+)"""
+    trace = " + ".join(f"c{i}_{i}" for i in range(d))
+    flip = [f"ROUND(CASE WHEN v0 < 0 THEN -v{i} ELSE v{i} END, 6) + 0.0 "
+            f"AS v{i}" for i in range(d)]
+    sql += f"""
+SELECT {', '.join(flip)},
+       ROUND(lam, 6) + 0.0 AS eigval,
+       ROUND(lam / ({trace}), 6) + 0.0 AS var_share
+FROM it{iters} CROSS JOIN cov
+"""
+    return sql
+
+
+R8_QUERIES["embedding_pca_power"] = (q_embedding_pca_power, _pca_sql(), False)
