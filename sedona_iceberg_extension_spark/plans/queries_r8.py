@@ -883,3 +883,69 @@ FROM it{iters} CROSS JOIN cov
 
 
 R8_QUERIES["embedding_pca_power"] = (q_embedding_pca_power, _pca_sql(), False)
+
+
+# --- streaming_outer_join_watermark -----------------------------------------
+
+def q_streaming_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join run as a REAL stream: clicks LEFT JOIN
+    views per user within ±60 minutes, availableNow, append mode.  The
+    outer semantics are the point: an unmatched click emits its
+    null-extended row only when the watermark passes its join window
+    (state eviction) — inner results still emit eagerly.
+
+    Exactness under the batch oracle: ALL clicks flow through the stream
+    (so the click-side watermark is driven by the true max event time —
+    filtering the stream itself would cap the watermark at the filtered
+    max and strand late-window state, the first cut of this query lost
+    exactly the last hour's 13 unmatched clicks that way), but the final
+    aggregation keeps only clicks before 19:00 on the last day: their
+    join windows (+60 min) close 57 minutes BEFORE the final watermark
+    (max event time - 3 h), so Spark's no-data final micro-batch provably
+    evicts-and-emits every one of them and the eviction boundary's
+    strictness never matters."""
+    import tempfile
+
+    from ..sources import stream_table
+    from ..streaming import drain, stream_stream_join
+
+    cutoff = "2024-01-30 19:00:00"
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    out = stream_stream_join(clicks, views, "user_id",
+                             within="60 minutes", watermark="3 hours",
+                             how="left_outer")
+    name = "q_stream_loj_sink"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+         .trigger(availableNow=True).start())
+    drain(q)
+    return spark.sql(
+        f"SELECT user_id, COUNT(*) AS n_rows, "
+        f"CAST(SUM(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_unmatched FROM {name} "
+        f"WHERE left_ts < TIMESTAMP '{cutoff}' "
+        f"GROUP BY user_id ORDER BY user_id")
+
+
+_QSTREAM_LOJ_SQL = """
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM (SELECT user_id, ts FROM events
+      WHERE event_type = 'click'
+        AND ts < TIMESTAMP '2024-01-30 19:00:00') c
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = c.user_id
+ AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+ AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+R8_QUERIES["streaming_outer_join_watermark"] = (
+    q_streaming_outer_join, _QSTREAM_LOJ_SQL, False)

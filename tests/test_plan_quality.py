@@ -72,6 +72,11 @@ _NATIVE_QUERIES = [
     "ship_survival_km", "spatial_kde_heatmap", "source_minhash_similarity",
     "rrf_ann_fusion", "embedding_logreg_irls", "nb_lang_classifier",
     "spatial_areal_interp", "dq_profile_lineitem",
+    # round 8
+    "scd2_customer_history", "source_capped_sample", "order_interval_overlap",
+    "attribution_last_touch", "events_psi_drift", "lineitem_robust_stats",
+    "kmv_intersection_estimate", "part_bfs_distance",
+    "dsir_importance_weights", "semdedup_prune", "embedding_pca_power",
 ]
 
 
