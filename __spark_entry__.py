@@ -72,6 +72,12 @@ _NEVER_DRIVER_SAMPLED = [
     # DECIMAL-typed oracle output fixed this round (was driver-green only
     # because the value happened to render identically)
     "spatial_split_boxes",
+    # round-8 additions (never sampled by construction)
+    "scd2_customer_history", "source_capped_sample", "order_interval_overlap",
+    "attribution_last_touch", "events_psi_drift", "lineitem_robust_stats",
+    "kmv_intersection_estimate", "part_bfs_distance",
+    "dsir_importance_weights", "semdedup_prune", "embedding_pca_power",
+    "streaming_outer_join_watermark",
 ]
 
 

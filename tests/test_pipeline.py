@@ -880,3 +880,41 @@ def test_pagerank_invariants(spark):
     e2 = spark.createDataFrame([(7, 8)], "id_a int, id_b int")
     pr2 = {r["id"]: r["rank"] for r in C.pagerank(e2, iterations=5).collect()}
     assert pr2[7] == pytest.approx(0.5) and pr2[8] == pytest.approx(0.5)
+
+
+def test_bfs_hops_hand_graph(spark):
+    """BFS on a hand path-plus-branch graph: exact hop counts, 4-round
+    horizon, unreachable vertices absent."""
+    from sedona_iceberg_extension_spark.pipeline import components as C
+
+    # path 0-1-2-3-4-5 plus branch 2-10; 100-101 disconnected
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (100, 101)],
+        "u int, v int")
+    seeds = spark.createDataFrame([(0,)], "id int")
+    got = {r["id"]: r["dist"] for r in C.bfs_hops(edges, seeds, rounds=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 10: 3, 4: 4}
+    # multi-source: both endpoints seeded meet in the middle
+    seeds2 = spark.createDataFrame([(0,), (5,)], "id int")
+    got2 = {r["id"]: r["dist"] for r in C.bfs_hops(edges, seeds2, rounds=2).collect()}
+    assert got2[2] == 2 and got2[3] == 2 and got2[0] == 0 and got2[5] == 0
+
+
+def test_semdedup_drop_planted(spark):
+    """SemDeDup: planted within-cell near-dup is dropped (smaller id kept);
+    vectors in different cells are never compared even if similar."""
+    from sedona_iceberg_extension_spark.pipeline import similarity as S
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [0.9, 0.1]),      # cell 0
+        (2, [0.91, 0.1]),     # cell 0, near-dup of 1 -> dropped
+        (3, [0.1, 0.95]),     # cell 1
+        (4, [0.6, 0.59]),     # cell 0 (just), but dissimilar enough
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["id"]: (r["dup_of"], r["cell"]) for r in
+           S.semdedup_drop(df, "vec_id", "embedding", cents,
+                           threshold=0.999).collect()}
+    assert set(out) == {2}
+    assert out[2][0] == 1 and out[2][1] == 0
