@@ -77,7 +77,8 @@ _NEVER_DRIVER_SAMPLED = [
     "attribution_last_touch", "events_psi_drift", "lineitem_robust_stats",
     "kmv_intersection_estimate", "part_bfs_distance",
     "dsir_importance_weights", "semdedup_prune", "embedding_pca_power",
-    "streaming_outer_join_watermark",
+    "streaming_outer_join_watermark", "value_equidepth_histogram",
+    "join_cardinality_sketch", "partkey_skew_gini", "bpe_merge_rounds",
 ]
 
 

@@ -949,3 +949,255 @@ ORDER BY c.user_id
 
 R8_QUERIES["streaming_outer_join_watermark"] = (
     q_streaming_outer_join, _QSTREAM_LOJ_SQL, False)
+
+
+# --- value_equidepth_histogram ----------------------------------------------
+
+def q_value_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram of the event value per event type: ntile(10)
+    over a total order (value, event_id) gives bins of equal row count —
+    the optimizer-statistics dual of the equi-width value_histogram.
+
+    Scale shape: one event_type-keyed exchange + sort; bin stats are a
+    map-side-combinable reaggregation of the windowed output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (ev.select("event_type", "value",
+                      F.ntile(10).over(w).alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.round(F.min("value"), 6).alias("lo"),
+                 F.round(F.max("value"), 6).alias("hi"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bin"))
+
+
+_QEQD_SQL = """
+SELECT event_type, CAST(bin AS INT) AS bin,
+       ROUND(MIN(value), 6) + 0.0 AS lo,
+       ROUND(MAX(value), 6) + 0.0 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type, value, event_id,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bin
+  FROM events)
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+R8_QUERIES["value_equidepth_histogram"] = (
+    q_value_equidepth_histogram, _QEQD_SQL, False)
+
+
+# --- join_cardinality_sketch ------------------------------------------------
+
+def q_join_cardinality_sketch(spark, sf_dir):
+    """Join-cardinality estimation by deterministic key sampling — the
+    optimizer-statistics primitive: |lineitem self-join on partkey| =
+    sum_k f(k)^2 is estimated from the 1/64 key universe whose portable
+    hash lands in stratum 0 (exact per-key contributions on the sample,
+    scaled by 64), next to the exact value and the relative error.
+
+    Scale shape: the sample-side aggregation reads ~1/64 of the keys (at
+    scale, pushable into a bucketed layout); both sums are single
+    map-side-combinable aggregations — no join is ever executed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    h = portable_hash64(F.col("l_partkey").cast("string"), "jc")
+    samp = (f.filter(h % 64 == 0)
+            .agg(F.count(F.lit(1)).alias("n_sampled_keys"),
+                 (F.sum(F.col("f") * F.col("f")) * 64).cast("long")
+                 .alias("est_join_rows")))
+    exact = f.agg(F.sum(F.col("f") * F.col("f")).cast("long")
+                  .alias("exact_join_rows"))
+    return (samp.crossJoin(exact)
+            .select("n_sampled_keys", "est_join_rows", "exact_join_rows",
+                    F.round((F.col("est_join_rows").cast("double")
+                             - F.col("exact_join_rows").cast("double"))
+                            / F.col("exact_join_rows").cast("double"), 6)
+                    .alias("rel_err")))
+
+
+_QJCARD_SQL = """
+WITH f AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem
+  GROUP BY l_partkey
+), samp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_keys,
+         CAST(SUM(f * f) * 64 AS BIGINT) AS est_join_rows
+  FROM f
+  WHERE ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '#jc'), 1, 15))::BIGINT
+        % 64 = 0
+), ex AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS exact_join_rows FROM f
+)
+SELECT n_sampled_keys, est_join_rows, exact_join_rows,
+       ROUND((CAST(est_join_rows AS DOUBLE) - CAST(exact_join_rows AS DOUBLE))
+             / CAST(exact_join_rows AS DOUBLE), 6) + 0.0 AS rel_err
+FROM samp CROSS JOIN ex
+"""
+
+R8_QUERIES["join_cardinality_sketch"] = (
+    q_join_cardinality_sketch, _QJCARD_SQL, False)
+
+
+# --- partkey_skew_gini ------------------------------------------------------
+
+def q_partkey_skew_gini(spark, sf_dir):
+    """Key-skew diagnostic for the join planner: Gini coefficient of the
+    per-partkey row-count distribution in lineitem (rank-weighted sum
+    over counts sorted ascending — all-integer arithmetic, so the only
+    float is the final division), plus the top-1 / top-10 key shares.
+    This is the statistic that decides salting / AQE-skew-join
+    thresholds.
+
+    Scale shape: one key-keyed aggregation; the rank window runs over the
+    (key-count)-sized table, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").asc(), F.col("l_partkey").asc())
+    ranked = f.select("f", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("f").cast("long").alias("total"),
+        F.sum(F.col("i").cast("long") * F.col("f")).cast("long").alias("iw"))
+    wd = Window.orderBy(F.col("f").desc(), F.col("l_partkey").asc())
+    top = (f.select("f", F.row_number().over(wd).alias("r"))
+           .filter(F.col("r") <= 10)
+           .agg(F.max(F.when(F.col("r") == 1, F.col("f"))).cast("long")
+                .alias("top1"),
+                F.sum("f").cast("long").alias("top10")))
+    nd = F.col("n_keys").cast("double")
+    gini = (F.lit(2.0) * F.col("iw").cast("double")
+            / (nd * F.col("total").cast("double"))
+            - (nd + F.lit(1.0)) / nd)
+    return (agg.crossJoin(top)
+            .select("n_keys", "total",
+                    F.round(gini, 9).alias("gini"),
+                    F.round(F.col("top1").cast("double")
+                            / F.col("total").cast("double"), 9)
+                    .alias("top1_share"),
+                    F.round(F.col("top10").cast("double")
+                            / F.col("total").cast("double"), 9)
+                    .alias("top10_share")))
+
+
+_QGINI_SQL = """
+WITH f AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem
+  GROUP BY l_partkey
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f ASC, l_partkey ASC) AS i FROM f
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(f) AS BIGINT) AS total,
+         CAST(SUM(CAST(i AS BIGINT) * f) AS BIGINT) AS iw
+  FROM ranked
+), top AS (
+  SELECT CAST(MAX(CASE WHEN r = 1 THEN f END) AS BIGINT) AS top1,
+         CAST(SUM(f) AS BIGINT) AS top10
+  FROM (SELECT f, row_number() OVER (ORDER BY f DESC, l_partkey ASC) AS r
+        FROM f)
+  WHERE r <= 10
+)
+SELECT n_keys, total,
+       ROUND(2.0 * CAST(iw AS DOUBLE)
+             / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+             - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 9)
+         + 0.0 AS gini,
+       ROUND(CAST(top1 AS DOUBLE) / CAST(total AS DOUBLE), 9) + 0.0
+         AS top1_share,
+       ROUND(CAST(top10 AS DOUBLE) / CAST(total AS DOUBLE), 9) + 0.0
+         AS top10_share
+FROM agg CROSS JOIN top
+"""
+
+R8_QUERIES["partkey_skew_gini"] = (q_partkey_skew_gini, _QGINI_SQL, False)
+
+
+# --- bpe_merge_rounds -------------------------------------------------------
+
+def q_bpe_merge_rounds(spark, sf_dir):
+    """Tokenizer TRAINING, not just candidate counting: three real BPE merge
+    rounds over the corpus word-frequency table (top-200 lowercase words,
+    chars space-separated).  Each round is (a) one map-side-combinable
+    pair-count aggregation weighted by word frequency, (b) a 1-row argmax
+    (ties to the lexicographically smallest pair), (c) a narrow literal
+    string merge applied with sentinel-space padding so multi-char symbols
+    never match across symbol boundaries.  Merge application is
+    non-overlapping left-to-right (both engines' literal replace) — the
+    standard fast approximation, identical cross-engine on degenerate
+    repeats.
+
+    Scale shape: the vocab table is the merge state (vocab-sized, not
+    corpus-sized — real BPE trainers work exactly this way); each round's
+    pair count is ONE aggregation; the argmax collect is 1 row (the IRLS
+    convention).  The oracle unrolls the same three rounds as chained
+    CTEs."""
+    from ..pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+             .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+             .orderBy(F.col("wf").desc(), F.col("w").asc()).limit(200))
+    v = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("ws"), "wf")
+    v = v.persist()
+    merges = []
+    for rnd in range(1, 4):
+        arr = F.split("ws", " ")
+        pairs = (v.select(arr.alias("arr"), "wf",
+                          F.explode(F.sequence(F.lit(0), F.size(arr) - 2))
+                          .alias("i"))
+                 .select(F.concat(F.get("arr", F.col("i")), F.lit(" "),
+                                  F.get("arr", F.col("i") + 1)).alias("pair"),
+                         "wf"))
+        best = (pairs.groupBy("pair").agg(F.sum("wf").alias("s"))
+                .orderBy(F.col("s").desc(), F.col("pair").asc())
+                .limit(1).collect()[0])
+        pair, s = best["pair"], int(best["s"])
+        merged = pair.replace(" ", "")
+        merges.append((rnd, pair, merged, s))
+        v = v.select(
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("ws"), F.lit(" ")),
+                F.lit(f" {pair} "), F.lit(f" {merged} "))).alias("ws"),
+            "wf").persist()
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, n long") \
+        .orderBy("round")
+
+
+def _bpe_merge_sql(rounds: int = 3) -> str:
+    sql = """
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+  GROUP BY w ORDER BY wf DESC, w ASC LIMIT 200
+), v0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS ws, wf FROM words
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""", p{r} AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS pair, wf
+  FROM (SELECT string_split(ws, ' ') AS arr, wf FROM v{r - 1}),
+       LATERAL (SELECT unnest(range(1, len(arr))) AS i) t
+), b{r} AS (
+  SELECT pair, replace(pair, ' ', '') AS merged,
+         CAST(SUM(wf) AS BIGINT) AS s
+  FROM p{r} GROUP BY pair ORDER BY s DESC, pair ASC LIMIT 1
+), v{r} AS (
+  SELECT trim(replace(' ' || ws || ' ', ' ' || b.pair || ' ',
+                      ' ' || b.merged || ' ')) AS ws, wf
+  FROM v{r - 1} CROSS JOIN b{r} b
+)"""
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, pair, merged, s AS n FROM b{r}"
+        for r in range(1, rounds + 1))
+    return sql + f"\n{parts}\nORDER BY round\n"
+
+
+R8_QUERIES["bpe_merge_rounds"] = (q_bpe_merge_rounds, _bpe_merge_sql(), False)
