@@ -79,6 +79,8 @@ _NEVER_DRIVER_SAMPLED = [
     "dsir_importance_weights", "semdedup_prune", "embedding_pca_power",
     "streaming_outer_join_watermark", "value_equidepth_histogram",
     "join_cardinality_sketch", "partkey_skew_gini", "bpe_merge_rounds",
+    "part_label_propagation", "orders_forecast_seasonal",
+    "session_funnel_conversion",
 ]
 
 

@@ -1201,3 +1201,238 @@ WITH words AS (
 
 
 R8_QUERIES["bpe_merge_rounds"] = (q_bpe_merge_rounds, _bpe_merge_sql(), False)
+
+
+# --- part_label_propagation -------------------------------------------------
+
+def q_part_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the part
+    co-purchase graph (support >= 2, the BFS graph): labels start as own
+    ids; each of 3 rounds reassigns every vertex the MODE of its
+    neighbors' labels (ties to the smallest label) — the classic
+    near-linear community algorithm, made deterministic by the
+    tie rule and synchronous rounds.
+
+    Scale shape: each round is one vertex-keyed join + one (v, label)
+    count + one windowed argmax over the |V|-bounded label table;
+    lineage truncated per round.  The oracle unrolls the same 3 rounds."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    labels = (sym.select(F.col("u").alias("id")).distinct()
+              .select("id", F.col("id").alias("label")))
+    for _ in range(3):
+        nbr = (sym.join(labels.withColumnRenamed("id", "u"), "u")
+               .groupBy(F.col("v").alias("id"), "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(),
+                                             F.col("label").asc())
+        labels = (nbr.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).select("id", "label"))
+        labels = labels.localCheckpoint(eager=False)
+    return (labels.select(F.col("id").alias("p_partkey"), "label")
+            .orderBy("p_partkey"))
+
+
+def _labelprop_sql(rounds: int = 3) -> str:
+    sql = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), l0 AS (
+  SELECT DISTINCT u AS id, u AS label FROM sym
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""", l{r} AS (
+  SELECT id, label FROM (
+    SELECT s.v AS id, p.label,
+           row_number() OVER (PARTITION BY s.v
+                              ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM sym s JOIN l{r - 1} p ON p.id = s.u
+    GROUP BY s.v, p.label) WHERE rn = 1
+)"""
+    sql += f"""
+SELECT id AS p_partkey, label FROM l{rounds} ORDER BY p_partkey
+"""
+    return sql
+
+
+R8_QUERIES["part_label_propagation"] = (
+    q_part_label_propagation, _labelprop_sql(), False)
+
+
+# --- orders_forecast_seasonal -----------------------------------------------
+
+def q_orders_forecast_seasonal(spark, sf_dir):
+    """Seasonal-naive revenue forecasting with backtest: forecast(day) =
+    mean of the same-weekday revenue 7/14/21 days earlier (calendar
+    joins, not row lags, so gaps never misalign the season), evaluated
+    against the actual — the baseline every forecasting system is
+    measured against, with the absolute percentage error per day.
+
+    Determinism: daily revenues are ROUNDed to 6 BEFORE entering the
+    forecast mean, so cross-engine summation-order wobble in the daily
+    sums cannot reach the forecast arithmetic.
+
+    Scale shape: one date-keyed aggregation; the three seasonal joins run
+    on the day-count-sized table."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                            .alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 6).alias("rev")))
+    d = daily.alias("d")
+    l7 = daily.select(F.col("day").alias("d7"), F.col("rev").alias("r7"))
+    l14 = daily.select(F.col("day").alias("d14"), F.col("rev").alias("r14"))
+    l21 = daily.select(F.col("day").alias("d21"), F.col("rev").alias("r21"))
+    dd = F.to_date("day")
+    j = (d.join(l7, F.date_format(F.date_sub(dd, 7), "yyyy-MM-dd") == F.col("d7"))
+         .join(l14, F.date_format(F.date_sub(dd, 14), "yyyy-MM-dd") == F.col("d14"))
+         .join(l21, F.date_format(F.date_sub(dd, 21), "yyyy-MM-dd") == F.col("d21")))
+    fc = (F.col("r7") + F.col("r14") + F.col("r21")) / F.lit(3.0)
+    return (j.select("day", F.col("rev").alias("actual"),
+                     F.round(fc, 6).alias("forecast"),
+                     F.round(F.abs(F.col("rev") - fc) / F.col("rev"), 6)
+                     .alias("abs_pct_err"))
+            .orderBy("day"))
+
+
+_QSEAS_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT d.day, d.rev AS actual,
+       ROUND((l7.rev + l14.rev + l21.rev) / 3.0, 6) + 0.0 AS forecast,
+       ROUND(abs(d.rev - (l7.rev + l14.rev + l21.rev) / 3.0) / d.rev, 6)
+         + 0.0 AS abs_pct_err
+FROM daily d
+JOIN daily l7  ON l7.day  = strftime(strptime(d.day, '%Y-%m-%d')
+                                     - INTERVAL 7 DAY,  '%Y-%m-%d')
+JOIN daily l14 ON l14.day = strftime(strptime(d.day, '%Y-%m-%d')
+                                     - INTERVAL 14 DAY, '%Y-%m-%d')
+JOIN daily l21 ON l21.day = strftime(strptime(d.day, '%Y-%m-%d')
+                                     - INTERVAL 21 DAY, '%Y-%m-%d')
+ORDER BY d.day
+"""
+
+R8_QUERIES["orders_forecast_seasonal"] = (
+    q_orders_forecast_seasonal, _QSEAS_SQL, False)
+
+
+# --- session_funnel_conversion ----------------------------------------------
+
+def q_session_funnel_conversion(spark, sf_dir):
+    """Ordered in-session funnel: within 30-minute-gap sessions, a session
+    converts step by step only if view -> click -> purchase happen IN
+    ORDER (first view, then the first click after it, then the first
+    purchase after that) — the product-analytics metric that a plain
+    per-type count gets wrong.  One summary row: session counts per
+    funnel depth and the step conversion rates.
+
+    Scale shape: sessionization is the standard gaps-and-islands window
+    (one user-keyed exchange + sort); the ordered-step logic is three
+    conditional MIN aggregations per session — no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)) >= 1800000000
+    marked = ev.withColumn(
+        "new_s", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    per = (sess.groupBy("user_id", "sid")
+           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+                .alias("t_view"),
+                *[F.min(F.when(F.col("event_type") == t, F.col("ts")))
+                  .alias(f"_t_{t}") for t in ("click", "purchase")]))
+    # ordered steps: first click AFTER the first view needs the raw events
+    # again — do it with conditional mins over (session, step) instead
+    steps = (sess.join(per.select("user_id", "sid", "t_view"),
+                       ["user_id", "sid"])
+             .groupBy("user_id", "sid")
+             .agg(F.min("t_view").alias("tv"),
+                  F.min(F.when((F.col("event_type") == "click")
+                               & (F.col("ts") >= F.col("t_view")),
+                               F.col("ts"))).alias("tc")))
+    steps2 = (sess.join(steps, ["user_id", "sid"])
+              .groupBy("user_id", "sid")
+              .agg(F.min("tv").alias("tv"), F.min("tc").alias("tc"),
+                   F.min(F.when((F.col("event_type") == "purchase")
+                                & (F.col("ts") >= F.col("tc")),
+                                F.col("ts"))).alias("tp")))
+    n = F.count(F.lit(1))
+    nv = F.sum(F.col("tv").isNotNull().cast("int")).cast("long")
+    nc = F.sum(F.col("tc").isNotNull().cast("int")).cast("long")
+    np_ = F.sum(F.col("tp").isNotNull().cast("int")).cast("long")
+    return steps2.agg(
+        n.alias("n_sessions"), nv.alias("n_view"),
+        nc.alias("n_view_click"), np_.alias("n_full_funnel"),
+        F.round(nc.cast("double") / nv.cast("double"), 6)
+         .alias("click_rate"),
+        F.round(np_.cast("double") / nc.cast("double"), 6)
+         .alias("purchase_rate"))
+
+
+_QFUNNEL_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), pv AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM sess GROUP BY user_id, sid
+), pc AS (
+  SELECT s.user_id, s.sid, MIN(p.t_view) AS tv,
+         MIN(CASE WHEN s.event_type = 'click' AND s.ts >= p.t_view
+                  THEN s.ts END) AS tc
+  FROM sess s JOIN pv p ON p.user_id = s.user_id AND p.sid = s.sid
+  GROUP BY s.user_id, s.sid
+), pp AS (
+  SELECT s.user_id, s.sid, MIN(c.tv) AS tv, MIN(c.tc) AS tc,
+         MIN(CASE WHEN s.event_type = 'purchase' AND s.ts >= c.tc
+                  THEN s.ts END) AS tp
+  FROM sess s JOIN pc c ON c.user_id = s.user_id AND c.sid = s.sid
+  GROUP BY s.user_id, s.sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel,
+       ROUND(CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) + 0.0 AS click_rate,
+       ROUND(CAST(SUM(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) + 0.0 AS purchase_rate
+FROM pp
+"""
+
+R8_QUERIES["session_funnel_conversion"] = (
+    q_session_funnel_conversion, _QFUNNEL_SQL, False)

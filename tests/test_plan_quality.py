@@ -78,7 +78,8 @@ _NATIVE_QUERIES = [
     "kmv_intersection_estimate", "part_bfs_distance",
     "dsir_importance_weights", "semdedup_prune", "embedding_pca_power",
     "value_equidepth_histogram", "join_cardinality_sketch",
-    "partkey_skew_gini", "bpe_merge_rounds",
+    "partkey_skew_gini", "bpe_merge_rounds", "part_label_propagation",
+    "orders_forecast_seasonal", "session_funnel_conversion",
 ]
 
 
