@@ -80,7 +80,8 @@ _NEVER_DRIVER_SAMPLED = [
     "streaming_outer_join_watermark", "value_equidepth_histogram",
     "join_cardinality_sketch", "partkey_skew_gini", "bpe_merge_rounds",
     "part_label_propagation", "orders_forecast_seasonal",
-    "session_funnel_conversion",
+    "session_funnel_conversion", "jl_projection_distortion",
+    "embedding_int8_quant_error", "doc_stitch_pairs",
 ]
 
 

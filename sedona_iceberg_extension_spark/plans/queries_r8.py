@@ -1436,3 +1436,225 @@ FROM pp
 
 R8_QUERIES["session_funnel_conversion"] = (
     q_session_funnel_conversion, _QFUNNEL_SQL, False)
+
+
+# --- jl_projection_distortion -----------------------------------------------
+
+def q_jl_projection_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit: project the 64-dim
+    embeddings onto 8 deterministic hash-derived directions (the engine's
+    portable-hyperplane recipe, no RNG state) and measure pairwise
+    L2-distance distortion (projected/original ratio) over a 20 x 200
+    query-data pair grid — the dimensionality-reduction quality check run
+    before replacing full vectors with sketches.
+
+    Scale shape: projection is one narrow map (8 fixed-order fold
+    expressions); the pair grid broadcasts the 20-row query side; the
+    distortion stats are one aggregation."""
+    from ..pipeline.similarity import _hyperplane
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda v: v.cast("double"))
+    planes = [_hyperplane(64, 100 + j) for j in range(8)]
+
+    def proj(j):
+        return F.aggregate(
+            F.zip_with(vd, F.array(*[F.lit(x) for x in planes[j]]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    p = emb.select("vec_id", vd.alias("v"),
+                   *[proj(j).alias(f"p{j}") for j in range(8)])
+    q = (p.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                 *[F.col(f"p{j}").alias(f"qp{j}") for j in range(8)]))
+    d = (p.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 220))
+         .select(F.col("vec_id").alias("did"), F.col("v").alias("dv"),
+                 *[F.col(f"p{j}").alias(f"dp{j}") for j in range(8)]))
+    d_orig = F.sqrt(F.aggregate(
+        F.zip_with(F.col("qv"), F.col("dv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v))
+    dp2 = F.lit(0.0)
+    for j in range(8):
+        dp2 = dp2 + (F.col(f"qp{j}") - F.col(f"dp{j}")) \
+            * (F.col(f"qp{j}") - F.col(f"dp{j}"))
+    ratio = F.sqrt(dp2) / d_orig
+    return (d.crossJoin(F.broadcast(q))
+            .select(ratio.alias("r"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("r"), 6).alias("mean_ratio"),
+                 F.round(F.min("r"), 6).alias("min_ratio"),
+                 F.round(F.max("r"), 6).alias("max_ratio")))
+
+
+def _jl_sql() -> str:
+    from ..pipeline.similarity import _hyperplane
+    projs = []
+    for j in range(8):
+        w = _hyperplane(64, 100 + j)
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w[i]!r})"
+            for i in range(64))
+        projs.append(f"({terms}) AS p{j}")
+    dp2 = " + ".join(f"(q.p{j} - d.p{j}) * (q.p{j} - d.p{j})"
+                     for j in range(8))
+    return f"""
+WITH p AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {', '.join(projs)}
+  FROM embeddings
+), pairs AS (
+  SELECT sqrt({dp2})
+         / sqrt(list_sum(list_transform(range(1, 65),
+             i -> (q.v[i] - d.v[i]) * (q.v[i] - d.v[i])))) AS r
+  FROM (SELECT * FROM p WHERE vec_id >= 20 AND vec_id < 220) d
+  CROSS JOIN (SELECT * FROM p WHERE vec_id < 20) q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(r), 6) + 0.0 AS mean_ratio,
+       ROUND(MIN(r), 6) + 0.0 AS min_ratio,
+       ROUND(MAX(r), 6) + 0.0 AS max_ratio
+FROM pairs
+"""
+
+
+R8_QUERIES["jl_projection_distortion"] = (
+    q_jl_projection_distortion, _jl_sql(), False)
+
+
+# --- embedding_int8_quant_error ---------------------------------------------
+
+def q_embedding_int8_quant_error(spark, sf_dir):
+    """Symmetric int8 quantization audit: per-dimension scale =
+    max(|min|, |max|)/127 from ONE stats aggregation, then quantize /
+    dequantize every vector and report reconstruction error (mean / max
+    absolute) and mean cosine between original and dequantized vectors —
+    the precision check run before shipping int8 embeddings to serving.
+
+    Scale shape: the 128-stat aggregation is map-side combinable; the
+    64-wide scale row broadcasts back; error folding is a narrow map."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = [F.get("embedding", i).cast("double") for i in range(64)]
+    stats = emb.agg(*[F.min(xs[i]).alias(f"mn{i}") for i in range(64)],
+                    *[F.max(xs[i]).alias(f"mx{i}") for i in range(64)])
+    j = emb.crossJoin(F.broadcast(stats))
+    scales = [F.greatest(F.abs(F.col(f"mn{i}")), F.abs(F.col(f"mx{i}")))
+              / F.lit(127.0) for i in range(64)]
+    deq = [F.round(xs[i] / scales[i], 0) * scales[i] for i in range(64)]
+    abs_err_sum = F.lit(0.0)
+    dot = F.lit(0.0)
+    na = F.lit(0.0)
+    nb = F.lit(0.0)
+    max_err = F.lit(0.0)
+    for i in range(64):
+        e = F.abs(xs[i] - deq[i])
+        abs_err_sum = abs_err_sum + e
+        max_err = F.greatest(max_err, e)
+        dot = dot + xs[i] * deq[i]
+        na = na + xs[i] * xs[i]
+        nb = nb + deq[i] * deq[i]
+    per = j.select(
+        (abs_err_sum / F.lit(64.0)).alias("mean_err"),
+        max_err.alias("max_err"),
+        (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cos"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mean_err"), 9).alias("mean_abs_err"),
+        F.round(F.max("max_err"), 9).alias("max_abs_err"),
+        F.round(F.avg("cos"), 6).alias("mean_cosine"))
+
+
+def _int8_sql() -> str:
+    mins = ", ".join(
+        f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}" for i in range(64))
+    maxs = ", ".join(
+        f"MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}" for i in range(64))
+    x = [f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(64)]
+    sc = [f"(GREATEST(abs(mn{i}), abs(mx{i})) / 127.0)" for i in range(64)]
+    dq = [f"(ROUND({x[i]} / {sc[i]}, 0) * {sc[i]})" for i in range(64)]
+    err_sum = " + ".join(f"abs({x[i]} - {dq[i]})" for i in range(64))
+    max_err = "GREATEST(" + ", ".join(
+        f"abs({x[i]} - {dq[i]})" for i in range(64)) + ")"
+    dot = " + ".join(f"{x[i]} * {dq[i]}" for i in range(64))
+    na = " + ".join(f"{x[i]} * {x[i]}" for i in range(64))
+    nb = " + ".join(f"{dq[i]} * {dq[i]}" for i in range(64))
+    return f"""
+WITH stats AS (
+  SELECT {mins}, {maxs} FROM embeddings
+), per AS (
+  SELECT ({err_sum}) / 64.0 AS mean_err,
+         {max_err} AS max_err,
+         ({dot}) / (sqrt({na}) * sqrt({nb})) AS cos
+  FROM embeddings CROSS JOIN stats
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(mean_err), 9) + 0.0 AS mean_abs_err,
+       ROUND(MAX(max_err), 9) + 0.0 AS max_abs_err,
+       ROUND(AVG(cos), 6) + 0.0 AS mean_cosine
+FROM per
+"""
+
+
+R8_QUERIES["embedding_int8_quant_error"] = (
+    q_embedding_int8_quant_error, _int8_sql(), False)
+
+
+# --- doc_stitch_pairs -------------------------------------------------------
+
+def q_doc_stitch_pairs(spark, sf_dir):
+    """Chunk-boundary stitching detection: a doc whose first 5 tokens equal
+    another doc's LAST 5 tokens is (part of) a split document — the
+    suffix/prefix equi-join that exact-substring dedup misses because the
+    overlap sits at chunk edges.  Planted continuations (doc_id < 20
+    cloned at +2000000 with text = source's last 5 tokens + a marker)
+    make precision AND recall checkable; the join key is the raw 5-token
+    string, so no hash collision can fake a match.
+
+    Scale shape: two narrow maps (head/tail key extraction) + ONE
+    equi-join on the boundary key — never a substring scan across pairs."""
+    from ..pipeline import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("tk")) \
+        .filter(F.size("tk") >= 10)
+    planted = toks.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.array_join(F.slice("tk", -5, 5), " "),
+                 F.lit(" synthetic continuation marker")).alias("text"))
+    allv = (toks.select("doc_id", F.array_join("tk", " ").alias("text"))
+            .unionByName(planted)
+            .select("doc_id", F.split("text", " ").alias("tk")))
+    heads = allv.select(F.col("doc_id").alias("b_doc"),
+                        F.array_join(F.slice("tk", 1, 5), " ").alias("k"))
+    tails = allv.select(F.col("doc_id").alias("a_doc"),
+                        F.array_join(F.slice("tk", -5, 5), " ").alias("k"))
+    return (tails.join(heads, "k")
+            .filter(F.col("a_doc") != F.col("b_doc"))
+            .select("a_doc", "b_doc", F.col("k").alias("boundary"))
+            .orderBy("a_doc", "b_doc"))
+
+
+_QSTITCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, tk FROM toks WHERE len(tk) >= 10
+), planted AS (
+  SELECT doc_id + 2000000 AS doc_id,
+         string_split(array_to_string(tk[-5:], ' ')
+                      || ' synthetic continuation marker', ' ') AS tk
+  FROM base WHERE doc_id < 20
+), allv AS (
+  SELECT doc_id, tk FROM base UNION ALL SELECT doc_id, tk FROM planted
+), heads AS (
+  SELECT doc_id AS b_doc, array_to_string(tk[1:5], ' ') AS k FROM allv
+), tails AS (
+  SELECT doc_id AS a_doc, array_to_string(tk[-5:], ' ') AS k FROM allv
+)
+SELECT a_doc, b_doc, k AS boundary
+FROM tails JOIN heads USING (k)
+WHERE a_doc <> b_doc
+ORDER BY a_doc, b_doc
+"""
+
+R8_QUERIES["doc_stitch_pairs"] = (q_doc_stitch_pairs, _QSTITCH_SQL, False)

@@ -80,6 +80,8 @@ _NATIVE_QUERIES = [
     "value_equidepth_histogram", "join_cardinality_sketch",
     "partkey_skew_gini", "bpe_merge_rounds", "part_label_propagation",
     "orders_forecast_seasonal", "session_funnel_conversion",
+    "jl_projection_distortion", "embedding_int8_quant_error",
+    "doc_stitch_pairs",
 ]
 
 
