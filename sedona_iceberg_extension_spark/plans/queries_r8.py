@@ -1658,3 +1658,141 @@ ORDER BY a_doc, b_doc
 """
 
 R8_QUERIES["doc_stitch_pairs"] = (q_doc_stitch_pairs, _QSTITCH_SQL, False)
+
+
+# --- colbert_maxsim_topk ----------------------------------------------------
+
+def q_colbert_maxsim_topk(spark, sf_dir):
+    """Late-interaction (ColBERT-style) MaxSim retrieval: each 64-dim
+    embedding is treated as 8 token sub-vectors of 8 dims; the relevance
+    of data vector D to query Q is sum over Q's sub-vectors of the MAX
+    cosine against D's sub-vectors — the multi-vector scoring operator
+    that single-vector ANN cannot express, run top-5 for 5 queries.
+
+    Scale shape: sub-vector norms are precomputed once in the same narrow
+    map; the 8x8 interaction folds in fixed order inside one projection;
+    query side broadcasts; top-k via the standard window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.select("vec_id", vd.alias("v"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    d = base.select(F.col("vec_id").alias("data_id"), F.col("v").alias("dv"))
+
+    def sub(col, t):  # 8-dim sub-vector t (0..7) as a slice
+        return F.slice(col, t * 8 + 1, 8)
+
+    def dot8(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    score = F.lit(0.0)
+    for qt in range(8):
+        best = F.lit(-1e9)
+        for dt in range(8):
+            qa, da = sub(F.col("qv"), qt), sub(F.col("dv"), dt)
+            cos = dot8(qa, da) / (F.sqrt(dot8(qa, qa)) * F.sqrt(dot8(da, da)))
+            best = F.greatest(best, cos)
+        score = score + best
+    scored = (d.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("data_id"))
+              .select("query_id", "data_id", score.alias("maxsim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("data_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "data_id",
+                    F.round("maxsim", 6).alias("maxsim"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+def _colbert_sql() -> str:
+    def dot(a, b, t, u):
+        return " + ".join(
+            f"{a}[{t * 8 + i}] * {b}[{u * 8 + i}]" for i in range(1, 9))
+
+    terms = []
+    for qt in range(8):
+        coss = ", ".join(
+            f"({dot('q.v', 'd.v', qt, dt)})"
+            f" / (sqrt({dot('q.v', 'q.v', qt, qt)})"
+            f" * sqrt({dot('d.v', 'd.v', dt, dt)}))"
+            for dt in range(8))
+        terms.append(f"GREATEST({coss})")
+    score = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS data_id,
+         {score} AS maxsim
+  FROM base d CROSS JOIN (SELECT * FROM base WHERE vec_id < 5) q
+  WHERE q.vec_id <> d.vec_id
+)
+SELECT query_id, data_id, ROUND(maxsim, 6) + 0.0 AS maxsim,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, data_id, maxsim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, data_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+R8_QUERIES["colbert_maxsim_topk"] = (q_colbert_maxsim_topk, _colbert_sql(), False)
+
+
+# --- source_lang_kl ---------------------------------------------------------
+
+def q_source_lang_kl(spark, sf_dir):
+    """Per-source language-mix drift: KL divergence of each source's
+    language distribution against the corpus-wide mix (add-1 smoothing
+    over the observed language set), reported per (source, lang) term so
+    the output stays summation-order-free — the corpus-composition
+    monitor next to the PSI value-drift check.
+
+    Scale shape: two tiny keyed aggregations + a broadcast join of the
+    5-row corpus mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    stot = sl.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    langs = sl.groupBy("lang").agg(F.count(F.lit(1)).alias("_x")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    ctot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cc"))
+    call = docs.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    p = (sl.join(stot, "source")
+         .join(F.broadcast(ctot), "lang")
+         .crossJoin(F.broadcast(call)).crossJoin(F.broadcast(langs)))
+    ps = (F.col("c") + 1).cast("double") / (F.col("ns") + F.col("v")).cast("double")
+    pc = (F.col("cc") + 1).cast("double") / (F.col("nc") + F.col("v")).cast("double")
+    return (p.select("source", "lang",
+                     F.col("c").cast("long").alias("n_docs"),
+                     F.round(ps * F.log(ps / pc), 9).alias("kl_term"))
+            .orderBy("source", "lang"))
+
+
+_QKL_SQL = """
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sl GROUP BY source
+), langs AS (
+  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS v FROM sl
+), ctot AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS cc FROM documents GROUP BY lang
+), call AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM documents
+)
+SELECT source, lang, c AS n_docs,
+       ROUND((CAST(c + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+             * ln((CAST(c + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))
+                  / (CAST(cc + 1 AS DOUBLE) / CAST(nc + v AS DOUBLE))), 9)
+         + 0.0 AS kl_term
+FROM sl JOIN stot USING (source) JOIN ctot USING (lang)
+CROSS JOIN call CROSS JOIN langs
+ORDER BY source, lang
+"""
+
+R8_QUERIES["source_lang_kl"] = (q_source_lang_kl, _QKL_SQL, False)

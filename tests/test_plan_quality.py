@@ -81,7 +81,7 @@ _NATIVE_QUERIES = [
     "partkey_skew_gini", "bpe_merge_rounds", "part_label_propagation",
     "orders_forecast_seasonal", "session_funnel_conversion",
     "jl_projection_distortion", "embedding_int8_quant_error",
-    "doc_stitch_pairs",
+    "doc_stitch_pairs", "colbert_maxsim_topk", "source_lang_kl",
 ]
 
 
