@@ -899,17 +899,28 @@ def q_streaming_outer_join(spark, sf_dir):
     filtering the stream itself would cap the watermark at the filtered
     max and strand late-window state, the first cut of this query lost
     exactly the last hour's 13 unmatched clicks that way), but the final
-    aggregation keeps only clicks before 19:00 on the last day: their
-    join windows (+60 min) close 57 minutes BEFORE the final watermark
-    (max event time - 3 h), so Spark's no-data final micro-batch provably
-    evicts-and-emits every one of them and the eviction boundary's
-    strictness never matters."""
+    aggregation keeps only clicks older than the final watermark minus
+    the join window minus a 30-minute margin — derived FROM THE DATA
+    (min of the two sides' max event times - 4 h 30 m), not hardcoded
+    (a literal cutoff tuned at sf0.01 stranded 3 users' state at the
+    sf0.001 soak's sparser tail): those clicks' join windows provably
+    close before the final watermark, Spark's no-data final micro-batch
+    evicts-and-emits every one, and the eviction boundary's strictness
+    never matters."""
     import tempfile
 
     from ..sources import stream_table
     from ..streaming import drain, stream_stream_join
 
-    cutoff = "2024-01-30 19:00:00"
+    batch = load_table(spark, sf_dir, "events")
+    mx = (batch.filter(F.col("event_type").isin("click", "view"))
+          .groupBy("event_type").agg(F.max("ts").alias("m"))
+          .agg(F.min("m").alias("mm"))
+          .select(F.date_format(
+              F.col("mm").cast("timestamp") - F.expr("INTERVAL 4 HOURS 30 MINUTES"),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c"))
+          .first())
+    cutoff = mx["c"]
     ev = stream_table(spark, sf_dir, "events")
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("user_id", "ts", F.col("event_id").alias("click_id")))
@@ -938,7 +949,10 @@ SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
          AS n_unmatched
 FROM (SELECT user_id, ts FROM events
       WHERE event_type = 'click'
-        AND ts < TIMESTAMP '2024-01-30 19:00:00') c
+        AND ts < (SELECT MIN(m) - INTERVAL '4 hours 30 minutes' FROM (
+                    SELECT event_type, MAX(ts) AS m FROM events
+                    WHERE event_type IN ('click', 'view')
+                    GROUP BY event_type))) c
 LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
   ON v.user_id = c.user_id
  AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
