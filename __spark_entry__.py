@@ -82,7 +82,8 @@ _NEVER_DRIVER_SAMPLED = [
     "part_label_propagation", "orders_forecast_seasonal",
     "session_funnel_conversion", "jl_projection_distortion",
     "embedding_int8_quant_error", "doc_stitch_pairs",
-    "colbert_maxsim_topk", "source_lang_kl",
+    "colbert_maxsim_topk", "source_lang_kl", "snapshot_files_stats",
+    "spatial_hexbin_density", "events_ks_test",
 ]
 
 

@@ -1810,3 +1810,202 @@ ORDER BY source, lang
 """
 
 R8_QUERIES["source_lang_kl"] = (q_source_lang_kl, _QKL_SQL, False)
+
+
+# --- snapshot_files_stats ---------------------------------------------------
+
+def q_snapshot_files_stats(spark, sf_dir):
+    """The snapshot layer's METADATA tables driven as a query: create a
+    versioned table (4 files), append (2 more), then bin-pack compaction
+    (down to 1) — and report, per snapshot, the operation, live file
+    count (history metadata table) and row count (time-travel read).
+    File counts are deterministic because every write declares its
+    partitioning; row counts are pure data.  This is the
+    `SELECT * FROM t.history` / maintenance-procedure surface of the
+    reference's Iceberg side exercised through the declared-query gate
+    (file sizes are intentionally NOT reported — parquet encoding bytes
+    are engine detail, not semantics)."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="snapfq_") + "/nation"
+    t = SnapshotTable.create(spark, path, nation.repartition(4))
+    t.append(spark, nation.filter(F.col("n_regionkey") == 0).repartition(2))
+    t.compact(spark)
+    hist = t.history_df(spark).select("version", "operation", "n_files")
+    rows = None
+    for v in t.versions():
+        c = (t.read(spark, version=v)
+             .groupBy().agg(F.count(F.lit(1)).alias("n_rows"))
+             .select(F.lit(v).cast("long").alias("version"), "n_rows"))
+        rows = c if rows is None else rows.unionByName(c)
+    return (hist.join(rows, "version")
+            .select("version", "operation", "n_files",
+                    F.col("n_rows").cast("long").alias("n_rows"))
+            .orderBy("version"))
+
+
+_QSNAPF_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation),
+     r AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation
+           WHERE n_regionkey = 0)
+SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+       CAST(4 AS BIGINT) AS n_files, n.c AS n_rows
+FROM n
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'append', CAST(6 AS BIGINT), n.c + r.c
+FROM n CROSS JOIN r
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'compact', CAST(1 AS BIGINT), n.c + r.c
+FROM n CROSS JOIN r
+ORDER BY version
+"""
+
+R8_QUERIES["snapshot_files_stats"] = (q_snapshot_files_stats, _QSNAPF_SQL, False)
+
+
+# --- spatial_hexbin_density -------------------------------------------------
+
+def q_spatial_hexbin_density(spark, sf_dir):
+    """Hexagonal binning of the customer point cloud (pointy-top axial
+    coordinates, size 15 degrees, exact cube rounding) — the hex
+    aggregation every geo-viz stack runs, done natively: axial transform,
+    cube round with branch fix-up, one (q, r)-keyed aggregation.  The
+    floor(v + 0.5) spelling avoids round-half tie semantics entirely, and
+    every arithmetic step is mirrored token-for-token in the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = ((F.col("c_custkey") * 7) % 180 - 90).cast("double")
+    s = F.lit(15.0)
+    qf = (F.sqrt(F.lit(3.0)) / 3 * x - y / 3) / s
+    rf = (F.lit(2.0) / 3 * y) / s
+    xc, zc = qf, rf
+    yc = -qf - rf
+    rx = F.floor(xc + 0.5)
+    ry = F.floor(yc + 0.5)
+    rz = F.floor(zc + 0.5)
+    dx = F.abs(rx - xc)
+    dy = F.abs(ry - yc)
+    dz = F.abs(rz - zc)
+    hq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    hr = F.when((dx > dy) & (dx > dz), rz) \
+        .when(dy > dz, rz).otherwise(-rx - ry)
+    return (cust.select(hq.cast("long").alias("hq"),
+                        hr.cast("long").alias("hr"))
+            .groupBy("hq", "hr").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("hq", "hr"))
+
+
+_QHEX_SQL = """
+WITH pts AS (
+  SELECT CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+         CAST((c_custkey * 7) % 180 - 90 AS DOUBLE) AS y
+  FROM customer
+), ax AS (
+  SELECT (sqrt(3.0) / 3 * x - y / 3) / 15.0 AS xc,
+         (2.0 / 3 * y) / 15.0 AS zc,
+         -((sqrt(3.0) / 3 * x - y / 3) / 15.0)
+           - ((2.0 / 3 * y) / 15.0) AS yc
+  FROM pts
+), rr AS (
+  SELECT xc, yc, zc,
+         floor(xc + 0.5) AS rx, floor(yc + 0.5) AS ry, floor(zc + 0.5) AS rz,
+         abs(floor(xc + 0.5) - xc) AS dx,
+         abs(floor(yc + 0.5) - yc) AS dy,
+         abs(floor(zc + 0.5) - zc) AS dz
+  FROM ax
+)
+SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END
+            AS BIGINT) AS hq,
+       CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+                 WHEN dy > dz THEN rz ELSE -rx - ry END AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM rr
+GROUP BY 1, 2
+ORDER BY hq, hr
+"""
+
+R8_QUERIES["spatial_hexbin_density"] = (
+    q_spatial_hexbin_density, _QHEX_SQL, False)
+
+
+# --- events_ks_test ---------------------------------------------------------
+
+def q_events_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions: D = max |F1(v) - F2(v)| over the pooled
+    support, with the achieving value (ties to the smallest) — the
+    distribution-equality test behind drift alarms, computed exactly from
+    integer cumulative counts (the only floats are two final divisions).
+
+    Scale shape: one value-keyed count per side, one full-outer merge,
+    one ordered window for the cumulatives — all on the distinct-value
+    table, never the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_type") == "click")
+         .groupBy("value").agg(F.count(F.lit(1)).alias("ca")))
+    b = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("value").agg(F.count(F.lit(1)).alias("cb")))
+    m = (a.join(b, "value", "full")
+         .select("value", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = m.select("value",
+                   F.sum("ca").over(w).cast("long").alias("c1"),
+                   F.sum("cb").over(w).cast("long").alias("c2"))
+    tot = (ev.agg(
+        F.sum((F.col("event_type") == "click").cast("int")).cast("long")
+        .alias("n1"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).cast("long")
+        .alias("n2")))
+    d = F.abs(F.col("c1").cast("double") / F.col("n1").cast("double")
+              - F.col("c2").cast("double") / F.col("n2").cast("double"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select("n1", "n2", d.alias("d"), "value")
+            .orderBy(F.col("d").desc(), F.col("value").asc())
+            .limit(1)
+            .select("n1", "n2", F.round("d", 9).alias("ks_d"),
+                    F.round("value", 6).alias("at_value")))
+
+
+_QKS_SQL = """
+WITH a AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS ca FROM events
+  WHERE event_type = 'click' GROUP BY value
+), b AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cb FROM events
+  WHERE event_type = 'purchase' GROUP BY value
+), m AS (
+  SELECT COALESCE(a.value, b.value) AS value,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.value = b.value
+), cum AS (
+  SELECT value,
+         CAST(SUM(ca) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c1,
+         CAST(SUM(cb) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c2
+  FROM m
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM events
+)
+SELECT n1, n2,
+       ROUND(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)), 9) + 0.0
+         AS ks_d,
+       ROUND(value, 6) + 0.0 AS at_value
+FROM cum CROSS JOIN tot
+ORDER BY abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) DESC, value ASC
+LIMIT 1
+"""
+
+R8_QUERIES["events_ks_test"] = (q_events_ks_test, _QKS_SQL, False)

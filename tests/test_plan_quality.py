@@ -82,6 +82,7 @@ _NATIVE_QUERIES = [
     "orders_forecast_seasonal", "session_funnel_conversion",
     "jl_projection_distortion", "embedding_int8_quant_error",
     "doc_stitch_pairs", "colbert_maxsim_topk", "source_lang_kl",
+    "snapshot_files_stats", "spatial_hexbin_density", "events_ks_test",
 ]
 
 
