@@ -83,7 +83,8 @@ _NEVER_DRIVER_SAMPLED = [
     "session_funnel_conversion", "jl_projection_distortion",
     "embedding_int8_quant_error", "doc_stitch_pairs",
     "colbert_maxsim_topk", "source_lang_kl", "snapshot_files_stats",
-    "spatial_hexbin_density", "events_ks_test",
+    "spatial_hexbin_density", "events_ks_test", "lineitem_group_ols",
+    "part_also_bought_topk", "user_transition_entropy",
 ]
 
 

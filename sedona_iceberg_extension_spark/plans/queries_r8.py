@@ -2009,3 +2009,166 @@ LIMIT 1
 """
 
 R8_QUERIES["events_ks_test"] = (q_events_ks_test, _QKS_SQL, False)
+
+
+# --- lineitem_group_ols -----------------------------------------------------
+
+def q_lineitem_group_ols(spark, sf_dir):
+    """Grouped closed-form OLS: per return flag, regress extended price on
+    quantity from the five sufficient statistics {n, Sx, Sy, Sxy, Sxx} in
+    ONE aggregation — the grouped-model-fitting shape (segment-level
+    elasticities, per-tenant trends) next to the global IRLS fit.
+    Inputs are scaled (x/50, y/1e5) so partial sums stay O(1e3) and
+    summation-order wobble lands below the ROUND grain; slope/intercept
+    are de-scaled in the finish expression, identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") / F.lit(50.0)
+    y = F.col("l_extendedprice") / F.lit(100000.0)
+    s = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx")))
+    nd = F.col("n").cast("double")
+    slope_s = ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+               / (nd * F.col("sxx") - F.col("sx") * F.col("sx")))
+    inter_s = (F.col("sy") - slope_s * F.col("sx")) / nd
+    return (s.select("l_returnflag", "n",
+                     F.round(slope_s * F.lit(2000.0), 6).alias("slope"),
+                     F.round(inter_s * F.lit(100000.0), 6).alias("intercept"))
+            .orderBy("l_returnflag"))
+
+
+_QOLS_SQL = """
+WITH s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(l_quantity / 50.0) AS sx,
+         SUM(l_extendedprice / 100000.0) AS sy,
+         SUM((l_quantity / 50.0) * (l_extendedprice / 100000.0)) AS sxy,
+         SUM((l_quantity / 50.0) * (l_quantity / 50.0)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+              / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 2000.0, 6) + 0.0
+         AS slope,
+       ROUND(((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+              / CAST(n AS DOUBLE)) * 100000.0, 6) + 0.0 AS intercept
+FROM s
+ORDER BY l_returnflag
+"""
+
+R8_QUERIES["lineitem_group_ols"] = (q_lineitem_group_ols, _QOLS_SQL, False)
+
+
+# --- part_also_bought_topk --------------------------------------------------
+
+def q_part_also_bought_topk(spark, sf_dir):
+    """Item-item recommender surface: for each of the first 50 parts, the
+    top-3 co-purchased parts by support (ties to the smaller partkey) —
+    the "customers also bought" panel, computed from the order-local pair
+    table (equi-join on the order key bounds pair generation, the
+    part_basket_lift shape) with a per-item window for the top-k.
+
+    Scale shape: one order-keyed equi-join + one (item, item) count + one
+    item-keyed window — never an all-pairs product."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("q"))
+    co = (a.join(b, "ok").filter(F.col("p") != F.col("q"))
+          .groupBy("p", "q").agg(F.count(F.lit(1)).alias("supp")))
+    w = Window.partitionBy("p").orderBy(F.col("supp").desc(), F.col("q").asc())
+    return (co.filter(F.col("p") <= 50)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("p").alias("p_partkey"),
+                    F.col("q").alias("also_bought"),
+                    F.col("supp").cast("long").alias("supp"),
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("p_partkey", "rank"))
+
+
+_QALSO_SQL = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), co AS (
+  SELECT a.l_partkey AS p, b.l_partkey AS q,
+         CAST(COUNT(*) AS BIGINT) AS supp
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p AS p_partkey, q AS also_bought, supp, CAST(rank AS INT) AS rank
+FROM (SELECT p, q, supp,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY supp DESC, q ASC) AS rank
+      FROM co WHERE p <= 50)
+WHERE rank <= 3
+ORDER BY p_partkey, rank
+"""
+
+R8_QUERIES["part_also_bought_topk"] = (
+    q_part_also_bought_topk, _QALSO_SQL, False)
+
+
+# --- user_transition_entropy ------------------------------------------------
+
+def q_user_transition_entropy(spark, sf_dir):
+    """Behavioral predictability per user: the entropy RATE of each user's
+    event-type Markov chain — sum over observed transitions of
+    -p(a) p(b|a) log2 p(b|a), from one lag window + two keyed counts —
+    low entropy = scripted/bot-like sequences, high = diverse behavior
+    (the per-user drill-down of the global event_transitions matrix).
+    Reported per (user, from-state) term so the output stays
+    summation-order-free; users < 100 bound the declared output."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (ev.withColumn("nxt", F.lead("event_type").over(w))
+          .filter(F.col("nxt").isNotNull())
+          .select("user_id", F.col("event_type").alias("a"),
+                  F.col("nxt").alias("b")))
+    ab = tr.groupBy("user_id", "a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    at = ab.groupBy("user_id", "a").agg(F.sum("cab").cast("long").alias("ca"))
+    ut = at.groupBy("user_id").agg(F.sum("ca").cast("long").alias("cu"))
+    j = ab.join(at, ["user_id", "a"]).join(ut, "user_id")
+    pa = F.col("ca").cast("double") / F.col("cu").cast("double")
+    pba = F.col("cab").cast("double") / F.col("ca").cast("double")
+    term = -pa * pba * F.log2(pba)
+    return (j.groupBy("user_id", "a")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_targets"),
+                 F.round(F.sum(term), 9).alias("h_term"))
+            .orderBy("user_id", "a"))
+
+
+_QTRANSH_SQL = """
+WITH tr AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events WHERE user_id < 100
+), t2 AS (
+  SELECT user_id, a, b FROM tr WHERE b IS NOT NULL
+), ab AS (
+  SELECT user_id, a, b, CAST(COUNT(*) AS BIGINT) AS cab
+  FROM t2 GROUP BY user_id, a, b
+), at AS (
+  SELECT user_id, a, CAST(SUM(cab) AS BIGINT) AS ca FROM ab
+  GROUP BY user_id, a
+), ut AS (
+  SELECT user_id, CAST(SUM(ca) AS BIGINT) AS cu FROM at GROUP BY user_id
+)
+SELECT ab.user_id AS user_id, ab.a AS a,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       ROUND(SUM(-(CAST(ca AS DOUBLE) / CAST(cu AS DOUBLE))
+                 * (CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))
+                 * log2(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE))), 9)
+         + 0.0 AS h_term
+FROM ab JOIN at ON at.user_id = ab.user_id AND at.a = ab.a
+JOIN ut ON ut.user_id = ab.user_id
+GROUP BY ab.user_id, ab.a
+ORDER BY ab.user_id, ab.a
+"""
+
+R8_QUERIES["user_transition_entropy"] = (
+    q_user_transition_entropy, _QTRANSH_SQL, False)
