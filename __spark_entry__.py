@@ -85,6 +85,7 @@ _NEVER_DRIVER_SAMPLED = [
     "colbert_maxsim_topk", "source_lang_kl", "snapshot_files_stats",
     "spatial_hexbin_density", "events_ks_test", "lineitem_group_ols",
     "part_also_bought_topk", "user_transition_entropy",
+    "multimodal_audio_chunks", "part_link_prediction", "ivm_orders_agg",
 ]
 
 

@@ -149,3 +149,49 @@ def resize_images(df: DataFrame, id_col: str, payload_col: str,
 
     return df.select(F.col(id_col), F.col(payload_col)) \
         .mapInPandas(run, _RESIZE_SCHEMA)
+
+
+_CHUNK_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_bytes", LongType()),
+    StructField("energy", LongType()),
+])
+
+
+def audio_chunk_energy(df: DataFrame, id_col: str, payload_col: str,
+                       frame_bytes: int = 8, fake: bool = True) -> DataFrame:
+    """Audio framing + per-frame energy over binary payloads via
+    ``mapInPandas`` — the fourth multimodal stage (decode/feature,
+    frame-sample, resize, now framing): Arrow batches of bytes in, one
+    narrow row per fixed-size frame out (1 -> N fan-out INSIDE the Python
+    stage, so the binary column is never exploded engine-side).
+
+    ``fake=True`` computes the deterministic stand-in energy (sum of the
+    frame's byte values); ``fake=False`` raises DecodeNotAvailable where
+    a real PCM decode would run.  Partial trailing frames are dropped —
+    the fixed-frame contract real audio featurizers use."""
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not fake:
+                raise DecodeNotAvailable(
+                    "audio codecs not installed; run with fake=True")
+            ids, idxs, nbs, ens = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                nf = len(b) // frame_bytes
+                for k in range(nf):
+                    fr = b[k * frame_bytes:(k + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(k)
+                    nbs.append(len(fr))
+                    ens.append(int(sum(fr)))
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "n_bytes": nbs,
+                 "energy": ens})
+
+    return df.select(F.col(id_col), F.col(payload_col)) \
+        .mapInPandas(run, _CHUNK_SCHEMA)

@@ -2172,3 +2172,185 @@ ORDER BY ab.user_id, ab.a
 
 R8_QUERIES["user_transition_entropy"] = (
     q_user_transition_entropy, _QTRANSH_SQL, False)
+
+
+# --- multimodal_audio_chunks ------------------------------------------------
+
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Audio framing plumbing (multimodal.audio_chunk_energy): 32-byte
+    deterministic synthetic payloads (md5 of the text, twice) framed into
+    8-byte chunks through the real Arrow-batched mapInPandas boundary,
+    one row per frame with its byte-sum energy — value-checked per frame
+    by the oracle's identical hex arithmetic (the fourth multimodal
+    stage; the 1->N fan-out happens inside the Python stage, never as an
+    engine-side explode of the binary column)."""
+    from ..pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5("text"))).alias("payload"))
+    out = mm.audio_chunk_energy(payloads, "doc_id", "payload", frame_bytes=8)
+    return (out.select(F.col("id").alias("doc_id"), "frame_idx",
+                       "n_bytes", "energy")
+            .orderBy("doc_id", "frame_idx"))
+
+
+def _audio_sql() -> str:
+    frames = []
+    for k in range(4):
+        terms = " + ".join(
+            f"('0x' || substr(h, {(k * 8 + i) * 2 + 1}, 2))::BIGINT"
+            for i in range(8))
+        frames.append(
+            f"SELECT doc_id, CAST({k} AS INT) AS frame_idx, "
+            f"CAST(8 AS BIGINT) AS n_bytes, "
+            f"CAST({terms} AS BIGINT) AS energy "
+            f"FROM h")
+    return """
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text) AS h FROM documents
+  WHERE doc_id < 100
+)
+""" + "\nUNION ALL\n".join(frames) + "\nORDER BY doc_id, frame_idx\n"
+
+
+R8_QUERIES["multimodal_audio_chunks"] = (
+    q_multimodal_audio_chunks, _audio_sql(), False)
+
+
+# --- part_link_prediction ---------------------------------------------------
+
+def q_part_link_prediction(spark, sf_dir):
+    """Link prediction on the part co-purchase graph: common-neighbor
+    Jaccard over 2-hop pairs that are NOT already edges — the classic
+    recommender/graph-completion score (cn / (deg_u + deg_v - cn)),
+    top-20 predicted links.
+
+    Scale shape: candidate pairs come from a wedge join (two edge-keyed
+    joins through the shared middle vertex — work is sum of squared
+    degrees, bounded for sparse graphs; cap hub degrees at 100 TB),
+    existing edges removed with an anti-join, degrees broadcast."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    w2 = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    cn = (w1.join(w2, "w").filter(F.col("a") < F.col("b"))
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn")))
+    cand = cn.join(edges, (cn.a == edges.u) & (cn.b == edges.v), "left_anti")
+    scored = (cand
+              .join(deg.select(F.col("u").alias("a"),
+                               F.col("deg").alias("da")), "a")
+              .join(deg.select(F.col("u").alias("b"),
+                               F.col("deg").alias("db")), "b")
+              .select("a", "b", F.col("cn").cast("long").alias("cn"),
+                      (F.col("cn").cast("double")
+                       / (F.col("da") + F.col("db") - F.col("cn"))
+                       .cast("double")).alias("j")))
+    return (scored.orderBy(F.col("j").desc(), F.col("a").asc(),
+                           F.col("b").asc())
+            .limit(20)
+            .select(F.col("a").alias("u"), F.col("b").alias("v"), "cn",
+                    F.round("j", 9).alias("jaccard")))
+
+
+_QLINK_SQL = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), cn AS (
+  SELECT w1.u AS a, w2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym w1 JOIN sym w2 ON w2.u = w1.v AND w1.u < w2.v
+  GROUP BY 1, 2
+), cand AS (
+  SELECT a, b, cn FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+)
+SELECT a AS u, b AS v, cn,
+       ROUND(CAST(cn AS DOUBLE)
+             / CAST(da.deg + db.deg - cn AS DOUBLE), 9) + 0.0 AS jaccard
+FROM cand
+JOIN deg da ON da.u = cand.a
+JOIN deg db ON db.u = cand.b
+ORDER BY CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) DESC,
+         a ASC, b ASC
+LIMIT 20
+"""
+
+R8_QUERIES["part_link_prediction"] = (q_part_link_prediction, _QLINK_SQL, False)
+
+
+# --- ivm_orders_agg ---------------------------------------------------------
+
+def q_ivm_orders_agg(spark, sf_dir):
+    """Incremental view maintenance over the CDC changelog: a revenue-by-
+    priority aggregate is maintained from snapshot v1 to v2 by applying
+    ONLY the changelog delta (changes(1, 2) insert/delete rows, signed
+    and re-aggregated) to the v1 aggregate — never rescanning the base
+    table — and the query RETURNS the IVM-maintained result, which must
+    equal the oracle's direct aggregate over the v2 contents.  This is
+    the materialized-view refresh path every warehouse needs at 100 TB
+    (delta-sized work per refresh, the SUM/COUNT monoid refreshed via
+    +1/-1 signs).
+
+    The maintained sum groups addends differently than a direct rescan
+    (base-sum + delta-sum), so the result is rounded to CENTS — 1e-2 is
+    ~5 orders of magnitude above the worst summation-order wobble at
+    this revenue magnitude, where a 1e-4 grain would sit only ~250x
+    above it."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="ivmq_") + "/orders"
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 3 == 0)
+    t = SnapshotTable.create(spark, path, base.repartition(4))
+    agg_v1 = (t.read(spark, version=1)
+              .groupBy("o_orderpriority")
+              .agg(F.sum("o_totalprice").alias("rev"),
+                   F.count(F.lit(1)).alias("n")))
+    t.append(spark, delta.repartition(2))
+    ch = t.changes(spark, 1, 2)
+    sgn = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    d_agg = (ch.groupBy("o_orderpriority")
+             .agg(F.sum(sgn * F.col("o_totalprice")).alias("d_rev"),
+                  F.sum(sgn).cast("long").alias("d_n")))
+    merged = (agg_v1.join(d_agg, "o_orderpriority", "full")
+              .select("o_orderpriority",
+                      (F.coalesce("rev", F.lit(0.0))
+                       + F.coalesce("d_rev", F.lit(0.0))).alias("rev"),
+                      (F.coalesce("n", F.lit(0))
+                       + F.coalesce("d_n", F.lit(0))).cast("long").alias("n")))
+    return (merged.select("o_orderpriority",
+                          F.round("rev", 2).alias("revenue"),
+                          "n")
+            .orderBy("o_orderpriority"))
+
+
+_QIVM_SQL = """
+SELECT o_orderpriority, ROUND(SUM(o_totalprice), 2) + 0.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+R8_QUERIES["ivm_orders_agg"] = (q_ivm_orders_agg, _QIVM_SQL, False)

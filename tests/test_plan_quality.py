@@ -84,7 +84,7 @@ _NATIVE_QUERIES = [
     "doc_stitch_pairs", "colbert_maxsim_topk", "source_lang_kl",
     "snapshot_files_stats", "spatial_hexbin_density", "events_ks_test",
     "lineitem_group_ols", "part_also_bought_topk",
-    "user_transition_entropy",
+    "user_transition_entropy", "part_link_prediction", "ivm_orders_agg",
 ]
 
 
