@@ -86,6 +86,7 @@ _NEVER_DRIVER_SAMPLED = [
     "spatial_hexbin_density", "events_ks_test", "lineitem_group_ols",
     "part_also_bought_topk", "user_transition_entropy",
     "multimodal_audio_chunks", "part_link_prediction", "ivm_orders_agg",
+    "lineitem_discount_did", "events_rate_intervals",
 ]
 
 

@@ -2354,3 +2354,130 @@ ORDER BY o_orderpriority
 """
 
 R8_QUERIES["ivm_orders_agg"] = (q_ivm_orders_agg, _QIVM_SQL, False)
+
+
+# --- lineitem_discount_did --------------------------------------------------
+
+def q_lineitem_discount_did(spark, sf_dir):
+    """Difference-in-differences estimate: the change in average revenue
+    per line for discounted (> 5%) vs non-discounted lines, before vs
+    after a ship-date cutoff — the 2x2 causal baseline, computed from
+    FOUR conditional sums in ONE aggregation pass.  Inputs scaled by 1e5
+    so the conditional partial sums stay O(1e3) under the ROUND-6 output
+    grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    treated = F.col("l_discount") > 0.05
+    post = F.col("l_shipdate") >= cut
+    y = F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.lit(100000.0)
+
+    def cell(cond, name):
+        return [F.sum(F.when(cond, y)).alias(f"s_{name}"),
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                .alias(f"n_{name}")]
+
+    agg = li.agg(*cell(treated & post, "tp"), *cell(treated & ~post, "tq"),
+                 *cell(~treated & post, "cp"), *cell(~treated & ~post, "cq"))
+    m = {k: F.col(f"s_{k}") / F.col(f"n_{k}").cast("double") * F.lit(100000.0)
+         for k in ("tp", "tq", "cp", "cq")}
+    did = (m["tp"] - m["tq"]) - (m["cp"] - m["cq"])
+    return agg.select(
+        F.col("n_tp").alias("n_treated_post"),
+        F.col("n_tq").alias("n_treated_pre"),
+        F.col("n_cp").alias("n_control_post"),
+        F.col("n_cq").alias("n_control_pre"),
+        F.round(m["tp"] - m["tq"], 6).alias("treated_delta"),
+        F.round(m["cp"] - m["cq"], 6).alias("control_delta"),
+        F.round(did, 6).alias("did"))
+
+
+_QDID_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN l_discount > 0.05 AND l_shipdate >= TIMESTAMP '1997-01-01'
+             THEN l_extendedprice * (1 - l_discount) / 100000.0 END) AS s_tp,
+    CAST(SUM(CASE WHEN l_discount > 0.05
+                   AND l_shipdate >= TIMESTAMP '1997-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    SUM(CASE WHEN l_discount > 0.05 AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN l_extendedprice * (1 - l_discount) / 100000.0 END) AS s_tq,
+    CAST(SUM(CASE WHEN l_discount > 0.05
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+    SUM(CASE WHEN l_discount <= 0.05 AND l_shipdate >= TIMESTAMP '1997-01-01'
+             THEN l_extendedprice * (1 - l_discount) / 100000.0 END) AS s_cp,
+    CAST(SUM(CASE WHEN l_discount <= 0.05
+                   AND l_shipdate >= TIMESTAMP '1997-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+    SUM(CASE WHEN l_discount <= 0.05 AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN l_extendedprice * (1 - l_discount) / 100000.0 END) AS s_cq,
+    CAST(SUM(CASE WHEN l_discount <= 0.05
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cq
+  FROM lineitem
+)
+SELECT n_tp AS n_treated_post, n_tq AS n_treated_pre,
+       n_cp AS n_control_post, n_cq AS n_control_pre,
+       ROUND(s_tp / CAST(n_tp AS DOUBLE) * 100000.0
+             - s_tq / CAST(n_tq AS DOUBLE) * 100000.0, 6) + 0.0
+         AS treated_delta,
+       ROUND(s_cp / CAST(n_cp AS DOUBLE) * 100000.0
+             - s_cq / CAST(n_cq AS DOUBLE) * 100000.0, 6) + 0.0
+         AS control_delta,
+       ROUND((s_tp / CAST(n_tp AS DOUBLE) * 100000.0
+              - s_tq / CAST(n_tq AS DOUBLE) * 100000.0)
+             - (s_cp / CAST(n_cp AS DOUBLE) * 100000.0
+                - s_cq / CAST(n_cq AS DOUBLE) * 100000.0), 6) + 0.0 AS did
+FROM agg
+"""
+
+R8_QUERIES["lineitem_discount_did"] = (
+    q_lineitem_discount_did, _QDID_SQL, False)
+
+
+# --- events_rate_intervals --------------------------------------------------
+
+def q_events_rate_intervals(spark, sf_dir):
+    """Per-type event rate with a normal-approximation Poisson interval:
+    events per hour over the observed span, +- 1.96 * sqrt(n)/hours —
+    the alerting-threshold primitive (is this type's rate compatible
+    with baseline?), all closed-form from one aggregation (span from
+    min/max event time, integer counts, deterministic scalar finish)."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        (F.unix_micros(F.max(F.col("ts")).cast("timestamp"))
+         - F.unix_micros(F.min(F.col("ts")).cast("timestamp"))).alias("us"))
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    hours = F.col("us").cast("double") / F.lit(3600000000.0)
+    rate = F.col("n").cast("double") / hours
+    half = F.lit(1.96) * F.sqrt(F.col("n").cast("double")) / hours
+    return (cnt.crossJoin(F.broadcast(span))
+            .select("event_type", "n",
+                    F.round(rate, 9).alias("rate_per_hour"),
+                    F.round(rate - half, 9).alias("lo"),
+                    F.round(rate + half, 9).alias("hi"))
+            .orderBy("event_type"))
+
+
+_QRATE_SQL = """
+WITH span AS (
+  SELECT epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS us FROM events
+), cnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n AS DOUBLE) / (CAST(us AS DOUBLE) / 3600000000.0), 9)
+         + 0.0 AS rate_per_hour,
+       ROUND(CAST(n AS DOUBLE) / (CAST(us AS DOUBLE) / 3600000000.0)
+             - 1.96 * sqrt(CAST(n AS DOUBLE))
+               / (CAST(us AS DOUBLE) / 3600000000.0), 9) + 0.0 AS lo,
+       ROUND(CAST(n AS DOUBLE) / (CAST(us AS DOUBLE) / 3600000000.0)
+             + 1.96 * sqrt(CAST(n AS DOUBLE))
+               / (CAST(us AS DOUBLE) / 3600000000.0), 9) + 0.0 AS hi
+FROM cnt CROSS JOIN span
+ORDER BY event_type
+"""
+
+R8_QUERIES["events_rate_intervals"] = (
+    q_events_rate_intervals, _QRATE_SQL, False)

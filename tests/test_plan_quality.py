@@ -85,6 +85,7 @@ _NATIVE_QUERIES = [
     "snapshot_files_stats", "spatial_hexbin_density", "events_ks_test",
     "lineitem_group_ols", "part_also_bought_topk",
     "user_transition_entropy", "part_link_prediction", "ivm_orders_agg",
+    "lineitem_discount_did", "events_rate_intervals",
 ]
 
 
