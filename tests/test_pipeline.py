@@ -918,3 +918,19 @@ def test_semdedup_drop_planted(spark):
                            threshold=0.999).collect()}
     assert set(out) == {2}
     assert out[2][0] == 1 and out[2][1] == 0
+
+
+def test_audio_chunk_energy_plumbing(spark):
+    """Audio framing: fixed 4-byte frames, partial tail dropped, per-frame
+    byte-sum energy exact; real-decode path declares itself unavailable."""
+    from sedona_iceberg_extension_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(10)))), (2, bytearray(b"\xff" * 4))],
+        "id long, payload binary")
+    out = mm.audio_chunk_energy(df, "id", "payload", frame_bytes=4)
+    rows = {(r["id"], r["frame_idx"]): r["energy"] for r in out.collect()}
+    # id 1: frames [0..3]=6, [4..7]=22; tail [8,9] dropped
+    assert rows == {(1, 0): 6, (1, 1): 22, (2, 0): 1020}
+    with pytest.raises(Exception):
+        mm.audio_chunk_energy(df, "id", "payload", fake=False).collect()
