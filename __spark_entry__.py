@@ -87,6 +87,8 @@ _NEVER_DRIVER_SAMPLED = [
     "part_also_bought_topk", "user_transition_entropy",
     "multimodal_audio_chunks", "part_link_prediction", "ivm_orders_agg",
     "lineitem_discount_did", "events_rate_intervals",
+    "doc_blocklist_rate", "events_changepoint_binseg",
+    "embedding_matryoshka_recall", "part_kcore",
 ]
 
 

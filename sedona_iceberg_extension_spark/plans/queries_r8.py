@@ -2481,3 +2481,256 @@ ORDER BY event_type
 
 R8_QUERIES["events_rate_intervals"] = (
     q_events_rate_intervals, _QRATE_SQL, False)
+
+
+# --- doc_blocklist_rate -----------------------------------------------------
+
+def q_doc_blocklist_rate(spark, sf_dir):
+    """Safety-filter pass: per-source rate of documents hitting a content
+    blocklist (native regexp over a word-boundary alternation — the same
+    RE2-compatible pattern both engines run), with hit and doc counts —
+    the policy-filter stage every corpus pipeline runs next to PII
+    scrubbing.  The blocklist here is a deterministic stand-in (common
+    word stems) so the rate is non-trivially between 0 and 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(danger|risk|attack|broken|fail)\w*"
+    hit = F.when(F.lower("text").rlike(pat), 1).otherwise(0)
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(hit).cast("long").alias("n_hits"))
+            .select("source", "n_docs", "n_hits",
+                    F.round(F.col("n_hits").cast("double")
+                            / F.col("n_docs").cast("double"), 9)
+                    .alias("hit_rate"))
+            .orderBy("source"))
+
+
+_QBLOCK_SQL = r"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(lower(text),
+                 '\b(danger|risk|attack|broken|fail)\w*')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN regexp_matches(lower(text),
+                 '\b(danger|risk|attack|broken|fail)\w*')
+                 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) + 0.0 AS hit_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+R8_QUERIES["doc_blocklist_rate"] = (q_doc_blocklist_rate, _QBLOCK_SQL, False)
+
+
+# --- events_changepoint_binseg ----------------------------------------------
+
+def q_events_changepoint_binseg(spark, sf_dir):
+    """Binary-segmentation changepoint (first split) over the daily event
+    value series: the split day t maximizing the scaled mean shift
+    |mean(1..t) - mean(t+1..n)| * sqrt(t*(n-t)/n) — the other classic
+    next to CUSUM, computed from prefix sums over the day-count-sized
+    table (one window pass + one argmax; ties to the earliest day).
+    Daily means are ROUNDed to 6 before the shift arithmetic so
+    cross-engine summation wobble in the daily sums can't reach the
+    argmax comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("m")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (daily.select("day", "m",
+                        F.sum("m").over(w).alias("ps"),
+                        F.row_number().over(Window.orderBy("day")).alias("t")))
+    tot = pre.agg(F.max("t").cast("long").alias("n"),
+                  F.sum("m").alias("s"))
+    j = pre.crossJoin(F.broadcast(tot)).filter(F.col("t") < F.col("n"))
+    td = F.col("t").cast("double")
+    nd = F.col("n").cast("double")
+    shift = F.abs(F.col("ps") / td - (F.col("s") - F.col("ps")) / (nd - td)) \
+        * F.sqrt(td * (nd - td) / nd)
+    return (j.select("day", F.col("t").cast("int").alias("t"),
+                     shift.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("day").asc())
+            .limit(1)
+            .select("day", "t", F.round("score", 9).alias("score")))
+
+
+_QBINSEG_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, ROUND(AVG(value), 6) AS m
+  FROM events GROUP BY 1
+), pre AS (
+  SELECT day, m,
+         SUM(m) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+         row_number() OVER (ORDER BY day) AS t
+  FROM daily
+), tot AS (
+  SELECT CAST(MAX(t) AS BIGINT) AS n, SUM(m) AS s FROM pre
+)
+SELECT day, CAST(t AS INT) AS t,
+       ROUND(abs(ps / CAST(t AS DOUBLE)
+                 - (s - ps) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))
+             * sqrt(CAST(t AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 9) + 0.0 AS score
+FROM pre CROSS JOIN tot
+WHERE t < n
+ORDER BY abs(ps / CAST(t AS DOUBLE)
+             - (s - ps) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))
+         * sqrt(CAST(t AS DOUBLE)
+                * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+                / CAST(n AS DOUBLE)) DESC, day ASC
+LIMIT 1
+"""
+
+R8_QUERIES["events_changepoint_binseg"] = (
+    q_events_changepoint_binseg, _QBINSEG_SQL, False)
+
+
+# --- embedding_matryoshka_recall --------------------------------------------
+
+def q_embedding_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation audit: recall@5 of cosine ranking using only
+    the FIRST 16 of 64 dimensions against the full-vector ranking, per
+    query — the dimension-truncation quality check (the cheap-prefilter
+    dual of the int8 audit: precision in fewer dims vs fewer bits).
+
+    Scale shape: both rankings share one broadcast of the 10-row query
+    side; rank windows per query; recall joins the two 5-row top lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda v: v.cast("double"))
+    base = emb.select("vec_id", vd.alias("v"), F.slice(vd, 1, 16).alias("v16"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("v16").alias("qv16"))
+    d = base.select(F.col("vec_id").alias("did"), F.col("v").alias("dv"),
+                    F.col("v16").alias("dv16"))
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                                F.lit(0.0), lambda acc, v: acc + v))
+        return dot / (na * nb)
+
+    pairs = (d.crossJoin(F.broadcast(q))
+             .filter(F.col("qid") != F.col("did"))
+             .select("qid", "did",
+                     cos(F.col("qv"), F.col("dv")).alias("c_full"),
+                     cos(F.col("qv16"), F.col("dv16")).alias("c_trunc")))
+    wf = Window.partitionBy("qid").orderBy(F.col("c_full").desc(),
+                                           F.col("did").asc())
+    wt = Window.partitionBy("qid").orderBy(F.col("c_trunc").desc(),
+                                           F.col("did").asc())
+    top_f = pairs.withColumn("r", F.row_number().over(wf)) \
+        .filter(F.col("r") <= 5).select("qid", "did")
+    top_t = pairs.withColumn("r", F.row_number().over(wt)) \
+        .filter(F.col("r") <= 5).select("qid", "did")
+    hit = top_f.join(top_t, ["qid", "did"]).groupBy("qid") \
+        .agg(F.count(F.lit(1)).alias("hits"))
+    return (top_f.groupBy("qid").agg(F.count(F.lit(1)).alias("k"))
+            .join(hit, "qid", "left")
+            .select(F.col("qid").alias("query_id"),
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+                    F.round(F.coalesce("hits", F.lit(0)).cast("double")
+                            / F.lit(5.0), 6).alias("recall_at_5"))
+            .orderBy("query_id"))
+
+
+_QMATRYOSHKA_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, (embedding::DOUBLE[])[1:16] AS v16
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS qid, d.vec_id AS did,
+         list_cosine_similarity(q.v, d.v) AS c_full,
+         list_cosine_similarity(q.v16, d.v16) AS c_trunc
+  FROM base d CROSS JOIN (SELECT * FROM base WHERE vec_id < 10) q
+  WHERE q.vec_id <> d.vec_id
+), top_f AS (
+  SELECT qid, did FROM (
+    SELECT qid, did, row_number() OVER (PARTITION BY qid
+           ORDER BY c_full DESC, did ASC) AS r FROM pairs) WHERE r <= 5
+), top_t AS (
+  SELECT qid, did FROM (
+    SELECT qid, did, row_number() OVER (PARTITION BY qid
+           ORDER BY c_trunc DESC, did ASC) AS r FROM pairs) WHERE r <= 5
+), hit AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM top_f JOIN top_t USING (qid, did) GROUP BY qid
+)
+SELECT f.qid AS query_id, COALESCE(h.hits, 0) AS hits,
+       ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5.0, 6) + 0.0
+         AS recall_at_5
+FROM (SELECT DISTINCT qid FROM top_f) f
+LEFT JOIN hit h ON h.qid = f.qid
+ORDER BY query_id
+"""
+
+R8_QUERIES["embedding_matryoshka_recall"] = (
+    q_embedding_matryoshka_recall, _QMATRYOSHKA_SQL, False)
+
+
+# --- part_kcore -------------------------------------------------------------
+
+def q_part_kcore(spark, sf_dir):
+    """k-core decomposition (k = 4, three peeling rounds) of the part
+    co-purchase graph: iteratively drop vertices with degree < 4 and
+    report the surviving core membership with final in-core degrees —
+    the density-mining primitive (community cores, spam rings) next to
+    components/PageRank/BFS.  Three fixed rounds make the oracle an
+    unrolled CTE chain; each round is one degree count + one semi-join.
+    """
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    cur = sym
+    for _ in range(3):
+        keep = (cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= 4).select("u"))
+        cur = (cur.join(keep, "u")
+               .join(keep.withColumnRenamed("u", "v"), "v")
+               .select("u", "v"))
+        cur = cur.localCheckpoint(eager=False)
+    return (cur.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
+            .select(F.col("u").alias("p_partkey"),
+                    F.col("core_deg").cast("long").alias("core_deg"))
+            .orderBy("p_partkey"))
+
+
+def _kcore_sql(rounds: int = 3, k: int = 4) -> str:
+    sql = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), g0 AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+)"""
+    for r in range(1, rounds + 1):
+        sql += f""", k{r} AS (
+  SELECT u FROM g{r - 1} GROUP BY u HAVING COUNT(*) >= {k}
+), g{r} AS (
+  SELECT g.u, g.v FROM g{r - 1} g
+  JOIN k{r} a ON a.u = g.u JOIN k{r} b ON b.u = g.v
+)"""
+    sql += f"""
+SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM g{rounds} GROUP BY u ORDER BY p_partkey
+"""
+    return sql
+
+
+R8_QUERIES["part_kcore"] = (q_part_kcore, _kcore_sql(), False)

@@ -86,6 +86,8 @@ _NATIVE_QUERIES = [
     "lineitem_group_ols", "part_also_bought_topk",
     "user_transition_entropy", "part_link_prediction", "ivm_orders_agg",
     "lineitem_discount_did", "events_rate_intervals",
+    "doc_blocklist_rate", "events_changepoint_binseg",
+    "embedding_matryoshka_recall", "part_kcore",
 ]
 
 
