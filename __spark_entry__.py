@@ -89,6 +89,8 @@ _NEVER_DRIVER_SAMPLED = [
     "lineitem_discount_did", "events_rate_intervals",
     "doc_blocklist_rate", "events_changepoint_binseg",
     "embedding_matryoshka_recall", "part_kcore",
+    "tfidf_cosine_pairs", "dataset_three_way_split",
+    "spatial_box_overlay_matrix", "orders_weekday_anova",
 ]
 
 

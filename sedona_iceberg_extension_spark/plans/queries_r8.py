@@ -2734,3 +2734,251 @@ FROM g{rounds} GROUP BY u ORDER BY p_partkey
 
 
 R8_QUERIES["part_kcore"] = (q_part_kcore, _kcore_sql(), False)
+
+
+# --- tfidf_cosine_pairs -----------------------------------------------------
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """SPARSE document similarity: cosine in TF-IDF space computed through
+    a token-keyed posting-list self-join (sum of weight products over
+    shared tokens, norms from a per-doc aggregation) — the sparse dual
+    of the dense embedding cosine, and the shape that scales: work is
+    bounded by posting-list sizes, never |docs|^2.  Top-10 pairs above
+    0.5, docs restricted to one source to bound the candidate set.
+    Weights are ROUNDed to 6 before the products so cross-engine ln/
+    division ulps can't reach the pair sums."""
+    from ..pipeline import text as T
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("source") == "src0"))
+    tok = (docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    df_ = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wt = (tok.join(df_, "w").crossJoin(F.broadcast(n))
+          .select("doc_id", "w",
+                  F.round(F.col("tf").cast("double")
+                          * F.log((F.col("n") + 1).cast("double")
+                                  / (F.col("df") + 1).cast("double")), 6)
+                  .alias("x")))
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nn"))
+    a = wt.select(F.col("doc_id").alias("a"), "w", F.col("x").alias("xa"))
+    b = wt.select(F.col("doc_id").alias("b"), "w", F.col("x").alias("xb"))
+    dots = (a.join(b, "w").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot")))
+    cos = (dots.join(nrm.select(F.col("doc_id").alias("a"),
+                                F.col("nn").alias("na")), "a")
+           .join(nrm.select(F.col("doc_id").alias("b"),
+                            F.col("nn").alias("nb")), "b")
+           .select("a", "b",
+                   (F.col("dot") / (F.col("na") * F.col("nb"))).alias("c"))
+           .filter(F.col("c") >= 0.5))
+    return (cos.orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(10)
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                    F.round("c", 6).alias("cosine")))
+
+
+_QTFIDFCOS_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE source = 'src0'
+), tok AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM docs)
+  GROUP BY doc_id, w
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs
+), dfq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY w
+), wt AS (
+  SELECT doc_id, w,
+         ROUND(CAST(tf AS DOUBLE)
+               * ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS x
+  FROM tok JOIN dfq USING (w) CROSS JOIN nn
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(x * x)) AS nn FROM wt GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.x * b.x) AS dot
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cos AS (
+  SELECT a, b, dot / (na.nn * nb.nn) AS c
+  FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
+)
+SELECT a AS doc_a, b AS doc_b, ROUND(c, 6) + 0.0 AS cosine
+FROM cos WHERE c >= 0.5
+ORDER BY c DESC, a ASC, b ASC
+LIMIT 10
+"""
+
+R8_QUERIES["tfidf_cosine_pairs"] = (q_tfidf_cosine_pairs, _QTFIDFCOS_SQL, False)
+
+
+# --- dataset_three_way_split ------------------------------------------------
+
+def q_dataset_three_way_split(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5 by portable hash, so the
+    assignment is reproducible on any engine and stable under
+    re-partitioning) with per-language composition check — the dataset
+    materialization step; the output is the audit table (per lang x
+    split: count and within-lang share)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"), "split") % 100
+    split = (F.when(h < 90, "train").when(h < 95, "val")
+             .otherwise("test"))
+    cnt = (docs.select("lang", split.alias("split"))
+           .groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("lang")
+    return (cnt.select("lang", "split", "n",
+                       F.round(F.col("n").cast("double")
+                               / F.sum("n").over(tot).cast("double"), 9)
+                       .alias("share"))
+            .orderBy("lang", "split"))
+
+
+_QSPLIT3_SQL = """
+WITH s AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+                    1, 15))::BIGINT % 100 < 90 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'),
+                    1, 15))::BIGINT % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), cnt AS (
+  SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n FROM s
+  GROUP BY lang, split
+)
+SELECT lang, split, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 9) + 0.0
+         AS share
+FROM cnt
+ORDER BY lang, split
+"""
+
+R8_QUERIES["dataset_three_way_split"] = (
+    q_dataset_three_way_split, _QSPLIT3_SQL, False)
+
+
+# --- spatial_box_overlay_matrix ---------------------------------------------
+
+def q_spatial_box_overlay_matrix(spark, sf_dir):
+    """Polygon-layer overlay matrix: intersection AREA between every
+    region zone (36-degree longitude bands) and nation box (axis-aligned
+    rectangles derived from keys) — the zonal-overlay aggregation
+    (land-use x admin areas) with closed-form axis-aligned clip
+    arithmetic, candidate pairs bounded by an interval-overlap
+    predicate, never refined per-vertex."""
+    nation = load_table(spark, sf_dir, "nation")
+    # nation boxes: x in [k*14 - 180, k*14 - 180 + 20], y in [k*6 - 80, +30]
+    nb = nation.select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 14 - 180).cast("double").alias("nx0"),
+        (F.col("n_nationkey") * 14 - 160).cast("double").alias("nx1"),
+        (F.col("n_nationkey") * 6 - 80).cast("double").alias("ny0"),
+        (F.col("n_nationkey") * 6 - 50).cast("double").alias("ny1"))
+    region = load_table(spark, sf_dir, "region")
+    rb = region.select(
+        "r_regionkey",
+        (F.col("r_regionkey") * 72 - 180).cast("double").alias("rx0"),
+        (F.col("r_regionkey") * 72 - 108).cast("double").alias("rx1"),
+        F.lit(-90.0).alias("ry0"), F.lit(90.0).alias("ry1"))
+    j = nb.crossJoin(F.broadcast(rb)).filter(
+        (F.col("nx0") < F.col("rx1")) & (F.col("rx0") < F.col("nx1")))
+    ix = F.least("nx1", "rx1") - F.greatest("nx0", "rx0")
+    iy = F.least("ny1", "ry1") - F.greatest("ny0", "ry0")
+    return (j.select("r_regionkey", "n_nationkey",
+                     F.round(ix * iy, 6).alias("overlap_area"))
+            .filter(F.col("overlap_area") > 0)
+            .orderBy("r_regionkey", "n_nationkey"))
+
+
+_QOVERLAY_SQL = """
+WITH nb AS (
+  SELECT n_nationkey,
+         CAST(n_nationkey * 14 - 180 AS DOUBLE) AS nx0,
+         CAST(n_nationkey * 14 - 160 AS DOUBLE) AS nx1,
+         CAST(n_nationkey * 6 - 80 AS DOUBLE) AS ny0,
+         CAST(n_nationkey * 6 - 50 AS DOUBLE) AS ny1
+  FROM nation
+), rb AS (
+  SELECT r_regionkey,
+         CAST(r_regionkey * 72 - 180 AS DOUBLE) AS rx0,
+         CAST(r_regionkey * 72 - 108 AS DOUBLE) AS rx1,
+         CAST(-90 AS DOUBLE) AS ry0, CAST(90 AS DOUBLE) AS ry1
+  FROM region
+)
+SELECT r_regionkey, n_nationkey,
+       ROUND((LEAST(nx1, rx1) - GREATEST(nx0, rx0))
+             * (LEAST(ny1, ry1) - GREATEST(ny0, ry0)), 6) + 0.0
+         AS overlap_area
+FROM nb CROSS JOIN rb
+WHERE nx0 < rx1 AND rx0 < nx1
+  AND (LEAST(nx1, rx1) - GREATEST(nx0, rx0))
+      * (LEAST(ny1, ry1) - GREATEST(ny0, ry0)) > 0
+ORDER BY r_regionkey, n_nationkey
+"""
+
+R8_QUERIES["spatial_box_overlay_matrix"] = (
+    q_spatial_box_overlay_matrix, _QOVERLAY_SQL, False)
+
+
+# --- orders_weekday_anova ---------------------------------------------------
+
+def q_orders_weekday_anova(spark, sf_dir):
+    """One-way ANOVA across weekdays: does mean order value differ by day
+    of week?  F = (SSB/(k-1)) / (SSW/(n-k)) from per-group sufficient
+    statistics {n_g, S_g, Q_g} in ONE aggregation (inputs scaled /1e5 so
+    the squared sums stay O(1e3)); the per-weekday means ride along.
+    The finish arithmetic is an identical expression chain on both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice") / F.lit(100000.0)
+    g = (orders.groupBy(F.dayofweek("o_orderdate").alias("dow"))
+         .agg(F.count(F.lit(1)).alias("ng"),
+              F.sum(y).alias("sg"), F.sum(y * y).alias("qg")))
+    tot = g.agg(F.sum("ng").cast("long").alias("n"),
+                F.sum("sg").alias("s"), F.sum("qg").alias("q"),
+                F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum(F.col("sg") * F.col("sg")
+                      / F.col("ng").cast("double")).alias("ssb_part"))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("ssb_part") - F.col("s") * F.col("s") / nd
+    ssw = F.col("q") - F.col("ssb_part")
+    fstat = (ssb / (kd - 1)) / (ssw / (nd - kd))
+    return tot.select(
+        "n", "k",
+        F.round(ssb, 6).alias("ssb"),
+        F.round(ssw, 6).alias("ssw"),
+        F.round(fstat, 4).alias("f_stat"))
+
+
+_QANOVA_SQL = """
+WITH g AS (
+  SELECT dayofweek(o_orderdate) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS ng,
+         SUM(o_totalprice / 100000.0) AS sg,
+         SUM((o_totalprice / 100000.0) * (o_totalprice / 100000.0)) AS qg
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s, SUM(qg) AS q,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(sg * sg / CAST(ng AS DOUBLE)) AS ssb_part
+  FROM g
+)
+SELECT n, k,
+       ROUND(ssb_part - s * s / CAST(n AS DOUBLE), 6) + 0.0 AS ssb,
+       ROUND(q - ssb_part, 6) + 0.0 AS ssw,
+       ROUND(((ssb_part - s * s / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+             / ((q - ssb_part) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 4)
+         + 0.0 AS f_stat
+FROM tot
+"""
+
+R8_QUERIES["orders_weekday_anova"] = (
+    q_orders_weekday_anova, _QANOVA_SQL, False)
