@@ -2982,3 +2982,223 @@ FROM tot
 
 R8_QUERIES["orders_weekday_anova"] = (
     q_orders_weekday_anova, _QANOVA_SQL, False)
+
+
+# --- lineitem_spearman ------------------------------------------------------
+
+def q_lineitem_spearman(spark, sf_dir):
+    """Spearman rank correlation between quantity and extended price:
+    ranks are total-ordered (value, then line identity for ties — the
+    same tiebreak on both engines, so ranks are integers and the
+    correlation is exact integer arithmetic until two final divisions),
+    then Pearson over ranks from sufficient statistics scaled by n.
+
+    Scale shape: two global rank windows (sort-based, spillable) + ONE
+    aggregation; at 100 TB use approximate ranks (percentile buckets) —
+    the exact path is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    wq = Window.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wp = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    r = li.select(F.row_number().over(wq).cast("double").alias("rx"),
+                  F.row_number().over(wp).cast("double").alias("ry"))
+    n = F.count(F.lit(1)).cast("double")
+    a = r.agg(n.alias("n"),
+              F.sum((F.col("rx") / 100000.0) * (F.col("ry") / 100000.0))
+              .alias("sxy"),
+              F.sum((F.col("rx") / 100000.0) * (F.col("rx") / 100000.0))
+              .alias("sxx"),
+              F.sum(F.col("rx") / 100000.0).alias("sx"),
+              F.sum(F.col("ry") / 100000.0).alias("sy"))
+    rho = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+           / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    * (F.col("sxx") - F.col("sy") * F.col("sy") / F.col("n"))))
+    return a.select(F.col("n").cast("long").alias("n"),
+                    F.round(rho, 6).alias("spearman_rho"))
+
+
+_QSPEAR_SQL = """
+WITH r AS (
+  SELECT CAST(row_number() OVER (ORDER BY l_quantity, l_orderkey,
+                                 l_linenumber) AS DOUBLE) AS rx,
+         CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                 l_linenumber) AS DOUBLE) AS ry
+  FROM lineitem
+), a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM((rx / 100000.0) * (ry / 100000.0)) AS sxy,
+         SUM((rx / 100000.0) * (rx / 100000.0)) AS sxx,
+         SUM(rx / 100000.0) AS sx,
+         SUM(ry / 100000.0) AS sy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (sxx - sy * sy / n)), 6) + 0.0
+         AS spearman_rho
+FROM a
+"""
+
+R8_QUERIES["lineitem_spearman"] = (q_lineitem_spearman, _QSPEAR_SQL, False)
+
+
+# --- lang_source_mutual_info ------------------------------------------------
+
+def q_lang_source_mutual_info(spark, sf_dir):
+    """Mutual information between language and source from the contingency
+    table: per-cell MI terms p(l,s) * log2(p(l,s) / (p(l) p(s))) — the
+    dependence-structure check (is the corpus's language mix independent
+    of its source?), reported per cell so the output stays
+    summation-order-free; all probabilities are exact integer ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    lt = Window.partitionBy("lang")
+    st = Window.partitionBy("source")
+    tt = Window.partitionBy()
+    cl = F.sum("c").over(lt).cast("double")
+    cs = F.sum("c").over(st).cast("double")
+    ct = F.sum("c").over(tt).cast("double")
+    p = F.col("c").cast("double") / ct
+    mi = p * F.log2(p / ((cl / ct) * (cs / ct)))
+    return (cell.select("lang", "source", F.col("c").cast("long").alias("n"),
+                        F.round(mi, 9).alias("mi_term"))
+            .orderBy("lang", "source"))
+
+
+_QMI_SQL = """
+WITH cell AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, c AS n,
+       ROUND((CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE))
+             * log2((CAST(c AS DOUBLE) / CAST(SUM(c) OVER () AS DOUBLE))
+                    / ((CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE)
+                        / CAST(SUM(c) OVER () AS DOUBLE))
+                       * (CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE)
+                          / CAST(SUM(c) OVER () AS DOUBLE)))), 9) + 0.0
+         AS mi_term
+FROM cell
+ORDER BY lang, source
+"""
+
+R8_QUERIES["lang_source_mutual_info"] = (
+    q_lang_source_mutual_info, _QMI_SQL, False)
+
+
+# --- price_benford ----------------------------------------------------------
+
+def q_price_benford(spark, sf_dir):
+    """Benford's-law audit of line revenue: observed first-digit
+    distribution vs log10(1 + 1/d), with the per-digit chi-square
+    contribution — the fraud/data-entry anomaly screen.  First digit via
+    floor(x / 10^floor(log10 x)) (pure arithmetic, no string
+    formatting), exact integer counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    cnt = (li.filter(x > 0).groupBy(digit.alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    exp = F.log10(F.lit(1.0) + 1.0 / F.col("digit").cast("double"))
+    nt = F.sum("n").over(tot).cast("double")
+    chi = (obs - exp) * (obs - exp) / exp * nt
+    return (cnt.select("digit", "n",
+                       F.round(obs, 9).alias("observed_share"),
+                       F.round(exp, 9).alias("benford_share"),
+                       F.round(chi, 6).alias("chi_term"))
+            .orderBy("digit"))
+
+
+_QBENFORD_SQL = """
+WITH cnt AS (
+  SELECT CAST(FLOOR(l_extendedprice
+              / POW(10.0, FLOOR(log10(l_extendedprice)))) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_extendedprice > 0
+  GROUP BY 1
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 9) + 0.0
+         AS observed_share,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) + 0.0
+         AS benford_share,
+       ROUND((CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+              - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             * (CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             / log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+             * CAST(SUM(n) OVER () AS DOUBLE), 6) + 0.0 AS chi_term
+FROM cnt
+ORDER BY digit
+"""
+
+R8_QUERIES["price_benford"] = (q_price_benford, _QBENFORD_SQL, False)
+
+
+# --- part_degree_assortativity ----------------------------------------------
+
+def q_part_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over (directed) edges — do
+    high-degree parts co-occur with other high-degree parts?  One
+    degree table broadcast twice onto the edge list, sufficient
+    statistics scaled /100, closed-form finish — the graph-topology
+    summary next to k-core / link prediction."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e = (sym.join(F.broadcast(deg), "u")
+         .withColumnRenamed("d", "du")
+         .join(F.broadcast(deg.withColumnRenamed("u", "v")
+                           .withColumnRenamed("d", "dv")), "v"))
+    x = F.col("du").cast("double") / 100.0
+    y = F.col("dv").cast("double") / 100.0
+    agg = e.agg(F.count(F.lit(1)).cast("double").alias("m"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy"))
+    r = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+         / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+                  * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("m"))))
+    return agg.select(F.col("m").cast("long").alias("n_directed_edges"),
+                      F.round(r, 6).alias("assortativity"))
+
+
+_QASSORT_SQL = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), ed AS (
+  SELECT CAST(du.d AS DOUBLE) / 100.0 AS x, CAST(dv.d AS DOUBLE) / 100.0 AS y
+  FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+), agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM ed
+)
+SELECT CAST(m AS BIGINT) AS n_directed_edges,
+       ROUND((sxy - sx * sy / m)
+             / sqrt((sxx - sx * sx / m) * (syy - sy * sy / m)), 6) + 0.0
+         AS assortativity
+FROM agg
+"""
+
+R8_QUERIES["part_degree_assortativity"] = (
+    q_part_degree_assortativity, _QASSORT_SQL, False)

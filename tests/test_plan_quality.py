@@ -90,6 +90,8 @@ _NATIVE_QUERIES = [
     "embedding_matryoshka_recall", "part_kcore",
     "tfidf_cosine_pairs", "dataset_three_way_split",
     "spatial_box_overlay_matrix", "orders_weekday_anova",
+    "lineitem_spearman", "lang_source_mutual_info", "price_benford",
+    "part_degree_assortativity",
 ]
 
 
