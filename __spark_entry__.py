@@ -92,7 +92,8 @@ _NEVER_DRIVER_SAMPLED = [
     "tfidf_cosine_pairs", "dataset_three_way_split",
     "spatial_box_overlay_matrix", "orders_weekday_anova",
     "lineitem_spearman", "lang_source_mutual_info", "price_benford",
-    "part_degree_assortativity",
+    "part_degree_assortativity", "cohort_ltv_matrix",
+    "part_graph_modularity",
 ]
 
 

@@ -3202,3 +3202,169 @@ FROM agg
 
 R8_QUERIES["part_degree_assortativity"] = (
     q_part_degree_assortativity, _QASSORT_SQL, False)
+
+
+# --- cohort_ltv_matrix ------------------------------------------------------
+
+def q_cohort_ltv_matrix(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month; cell (cohort, age) = CUMULATIVE revenue per cohort member
+    through that month-age — the LTV curve next to the retention matrix
+    (same cohort spine, money instead of presence).  Cumulative sums run
+    over the cohort-month grid (tiny), never the fact table; revenue is
+    rounded at the cell grain AFTER the cumulative (the addends are
+    identical month sums on both engines, rounded to 6 before
+    accumulation over <=13 rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = (orders.groupBy("o_custkey")
+             .agg(F.min("o_orderdate").alias("f")))
+    j = (orders.join(first, "o_custkey")
+         .select(F.date_format("f", "yyyy-MM").alias("cohort"),
+                 (F.months_between(F.date_trunc("month", "o_orderdate"),
+                                   F.date_trunc("month", "f"))
+                  .cast("int")).alias("age"),
+                 "o_totalprice", "o_custkey"))
+    cell = (j.groupBy("cohort", "age")
+            .agg(F.round(F.sum("o_totalprice"), 6).alias("rev")))
+    size = (first.groupBy(F.date_format("f", "yyyy-MM").alias("cohort"))
+            .agg(F.count(F.lit(1)).alias("n_members")))
+    w = (Window.partitionBy("cohort").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.withColumn("cum_rev", F.sum("rev").over(w))
+            .join(size, "cohort")
+            .select("cohort", "age", "n_members",
+                    F.round(F.col("cum_rev")
+                            / F.col("n_members").cast("double"), 4)
+                    .alias("ltv_per_member"))
+            .orderBy("cohort", "age"))
+
+
+_QLTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS f FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT strftime(f, '%Y-%m') AS cohort,
+         CAST(datediff('month', date_trunc('month', f),
+                       date_trunc('month', o_orderdate)) AS INT) AS age,
+         o_totalprice
+  FROM orders JOIN first USING (o_custkey)
+), cell AS (
+  SELECT cohort, age, ROUND(SUM(o_totalprice), 6) AS rev
+  FROM j GROUP BY cohort, age
+), sz AS (
+  SELECT strftime(f, '%Y-%m') AS cohort, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM first GROUP BY 1
+)
+SELECT cohort, age, n_members,
+       ROUND(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(n_members AS DOUBLE), 4) + 0.0 AS ltv_per_member
+FROM cell JOIN sz USING (cohort)
+ORDER BY cohort, age
+"""
+
+R8_QUERIES["cohort_ltv_matrix"] = (q_cohort_ltv_matrix, _QLTV_SQL, False)
+
+
+# --- part_graph_modularity --------------------------------------------------
+
+def q_part_graph_modularity(spark, sf_dir):
+    """Community-quality capstone: Newman modularity Q = sum_c (e_c/m -
+    (d_c/2m)^2) of the 3-round label-propagation communities on the part
+    co-purchase graph — the metric that says whether the communities the
+    engine found are real structure.  Per-community terms are reported
+    (summation-order-free); e_c (intra-community edges) comes from one
+    label-keyed join over the edge list, d_c from the degree table."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    labels = (sym.select(F.col("u").alias("id")).distinct()
+              .select("id", F.col("id").alias("label")))
+    for _ in range(3):
+        nbr = (sym.join(labels.withColumnRenamed("id", "u"), "u")
+               .groupBy(F.col("v").alias("id"), "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        wl = Window.partitionBy("id").orderBy(F.col("c").desc(),
+                                              F.col("label").asc())
+        labels = (nbr.withColumn("rn", F.row_number().over(wl))
+                  .filter(F.col("rn") == 1).select("id", "label"))
+        labels = labels.localCheckpoint(eager=False)
+    m2 = sym.agg(F.count(F.lit(1)).cast("long").alias("m2"))  # 2m
+    lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    e_in = (sym.join(lab_u, "u").join(lab_v, "v")
+            .filter(F.col("lu") == F.col("lv"))
+            .groupBy(F.col("lu").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("e2_in")))  # 2*e_c
+    dsum = (sym.join(lab_u, "u")
+            .groupBy(F.col("lu").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d_c")))
+    q = (dsum.join(e_in, "label", "left").crossJoin(F.broadcast(m2))
+         .select("label",
+                 F.coalesce("e2_in", F.lit(0)).cast("long").alias("e2_in"),
+                 "d_c",
+                 F.round(F.coalesce("e2_in", F.lit(0)).cast("double")
+                         / F.col("m2").cast("double")
+                         - (F.col("d_c").cast("double")
+                            / F.col("m2").cast("double"))
+                         * (F.col("d_c").cast("double")
+                            / F.col("m2").cast("double")), 9)
+                 .alias("q_term")))
+    return q.orderBy("label")
+
+
+def _modularity_sql() -> str:
+    sql = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), l0 AS (
+  SELECT DISTINCT u AS id, u AS label FROM sym
+)"""
+    for r in range(1, 4):
+        sql += f""", l{r} AS (
+  SELECT id, label FROM (
+    SELECT s.v AS id, p.label,
+           row_number() OVER (PARTITION BY s.v
+                              ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM sym s JOIN l{r - 1} p ON p.id = s.u
+    GROUP BY s.v, p.label) WHERE rn = 1
+)"""
+    sql += """, m2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym
+), ein AS (
+  SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS e2_in
+  FROM sym JOIN l3 lu ON lu.id = sym.u JOIN l3 lv ON lv.id = sym.v
+  WHERE lu.label = lv.label
+  GROUP BY lu.label
+), dsum AS (
+  SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS d_c
+  FROM sym JOIN l3 lu ON lu.id = sym.u
+  GROUP BY lu.label
+)
+SELECT d.label, COALESCE(e.e2_in, 0) AS e2_in, d.d_c,
+       ROUND(CAST(COALESCE(e.e2_in, 0) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+             - (CAST(d.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+               * (CAST(d.d_c AS DOUBLE) / CAST(m2.m2 AS DOUBLE)), 9) + 0.0
+         AS q_term
+FROM dsum d LEFT JOIN ein e ON e.label = d.label CROSS JOIN m2
+ORDER BY d.label
+"""
+    return sql
+
+
+R8_QUERIES["part_graph_modularity"] = (
+    q_part_graph_modularity, _modularity_sql(), False)
