@@ -3214,7 +3214,12 @@ def q_cohort_ltv_matrix(spark, sf_dir):
     over the cohort-month grid (tiny), never the fact table; revenue is
     rounded at the cell grain AFTER the cumulative (the addends are
     identical month sums on both engines, rounded to 6 before
-    accumulation over <=13 rows)."""
+    accumulation).  The per-member division is ROUNDed to 6, NOT 4:
+    cents divided by a power-of-two cohort size lands EXACTLY on
+    4-decimal ties (the 1/1600 lattice — .43625 etc.), where the two
+    engines' half-up implementations legitimately diverge; at 6 decimals
+    that lattice is exactly representable and no tie exists (caught by
+    the sf0.001 soak, 14 cells)."""
     orders = load_table(spark, sf_dir, "orders")
     first = (orders.groupBy("o_custkey")
              .agg(F.min("o_orderdate").alias("f")))
@@ -3234,7 +3239,7 @@ def q_cohort_ltv_matrix(spark, sf_dir):
             .join(size, "cohort")
             .select("cohort", "age", "n_members",
                     F.round(F.col("cum_rev")
-                            / F.col("n_members").cast("double"), 4)
+                            / F.col("n_members").cast("double"), 6)
                     .alias("ltv_per_member"))
             .orderBy("cohort", "age"))
 
@@ -3258,7 +3263,7 @@ WITH first AS (
 SELECT cohort, age, n_members,
        ROUND(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / CAST(n_members AS DOUBLE), 4) + 0.0 AS ltv_per_member
+             / CAST(n_members AS DOUBLE), 6) + 0.0 AS ltv_per_member
 FROM cell JOIN sz USING (cohort)
 ORDER BY cohort, age
 """
