@@ -72,28 +72,33 @@ _NEVER_DRIVER_SAMPLED = [
     # DECIMAL-typed oracle output fixed this round (was driver-green only
     # because the value happened to render identically)
     "spatial_split_boxes",
-    # round-8 additions (never sampled by construction)
-    "scd2_customer_history", "source_capped_sample", "order_interval_overlap",
-    "attribution_last_touch", "events_psi_drift", "lineitem_robust_stats",
-    "kmv_intersection_estimate", "part_bfs_distance",
-    "dsir_importance_weights", "semdedup_prune", "embedding_pca_power",
-    "streaming_outer_join_watermark", "value_equidepth_histogram",
-    "join_cardinality_sketch", "partkey_skew_gini", "bpe_merge_rounds",
-    "part_label_propagation", "orders_forecast_seasonal",
-    "session_funnel_conversion", "jl_projection_distortion",
-    "embedding_int8_quant_error", "doc_stitch_pairs",
-    "colbert_maxsim_topk", "source_lang_kl", "snapshot_files_stats",
-    "spatial_hexbin_density", "events_ks_test", "lineitem_group_ols",
-    "part_also_bought_topk", "user_transition_entropy",
-    "multimodal_audio_chunks", "part_link_prediction", "ivm_orders_agg",
-    "lineitem_discount_did", "events_rate_intervals",
-    "doc_blocklist_rate", "events_changepoint_binseg",
-    "embedding_matryoshka_recall", "part_kcore",
-    "tfidf_cosine_pairs", "dataset_three_way_split",
-    "spatial_box_overlay_matrix", "orders_weekday_anova",
-    "lineitem_spearman", "lang_source_mutual_info", "price_benford",
-    "part_degree_assortativity", "cohort_ltv_matrix",
-    "part_graph_modularity",
+    # round-8 additions (never sampled by construction), FLOAT-HEAVY /
+    # tie-prone first: the driver hashes ~50 rows per round, so the
+    # queries whose risk class is summation-order or rounding-tie (the
+    # ones a driver-parallelism rehearsal can't fully retire) must land
+    # inside the sample; the integer-exact ones (BFS, k-core, splits,
+    # stitch pairs) are deterministic end-to-end and can safely wait a
+    # round
+    "cohort_ltv_matrix", "orders_weekday_anova", "lineitem_spearman",
+    "embedding_pca_power", "ivm_orders_agg", "events_changepoint_binseg",
+    "part_graph_modularity", "lineitem_robust_stats", "events_psi_drift",
+    "lineitem_group_ols", "lineitem_discount_did", "dsir_importance_weights",
+    "tfidf_cosine_pairs", "events_ks_test", "jl_projection_distortion",
+    "embedding_int8_quant_error", "colbert_maxsim_topk",
+    "embedding_matryoshka_recall", "source_lang_kl",
+    "lang_source_mutual_info", "price_benford", "part_degree_assortativity",
+    "user_transition_entropy", "orders_forecast_seasonal",
+    "attribution_last_touch", "session_funnel_conversion",
+    "events_rate_intervals", "kmv_intersection_estimate",
+    "partkey_skew_gini", "join_cardinality_sketch", "semdedup_prune",
+    "streaming_outer_join_watermark", "scd2_customer_history",
+    "value_equidepth_histogram", "spatial_hexbin_density",
+    "spatial_box_overlay_matrix", "part_link_prediction", "bpe_merge_rounds",
+    # integer-exact / byte-exact outputs — no float risk class, next round
+    "order_interval_overlap", "source_capped_sample", "part_bfs_distance",
+    "part_label_propagation", "part_kcore", "part_also_bought_topk",
+    "doc_stitch_pairs", "doc_blocklist_rate", "dataset_three_way_split",
+    "multimodal_audio_chunks", "snapshot_files_stats",
 ]
 
 
