@@ -3373,3 +3373,207 @@ ORDER BY d.label
 
 R8_QUERIES["part_graph_modularity"] = (
     q_part_graph_modularity, _modularity_sql(), False)
+
+
+# --- customer_hhi_by_nation -------------------------------------------------
+
+def q_customer_hhi_by_nation(spark, sf_dir):
+    """Market-concentration audit: Herfindahl-Hirschman index of customer
+    spend per nation — sum over customers of squared spend share, from
+    two keyed aggregations (customer spend, then nation totals ride in
+    via a window).  Customer spend is ROUNDed to 6 before shares so the
+    order-sensitive per-customer sums can't leak into the squared
+    ratios; the HHI itself is reported per nation at ROUND 9."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 6).alias("s"))
+             .join(cust, F.col("o_custkey") == F.col("c_custkey")))
+    wt = Window.partitionBy("c_nationkey")
+    share = F.col("s") / F.sum("s").over(wt)
+    hhi_term = share * share
+    return (spend.select("c_nationkey", hhi_term.alias("h"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("h"), 9).alias("hhi"))
+            .orderBy("c_nationkey"))
+
+
+_QHHI_SQL = """
+WITH spend AS (
+  SELECT c.c_nationkey, ROUND(SUM(o.o_totalprice), 6) AS s
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+), sh AS (
+  SELECT c_nationkey,
+         (s / SUM(s) OVER (PARTITION BY c_nationkey))
+         * (s / SUM(s) OVER (PARTITION BY c_nationkey)) AS h
+  FROM spend
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(h), 9) + 0.0 AS hhi
+FROM sh
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+R8_QUERIES["customer_hhi_by_nation"] = (
+    q_customer_hhi_by_nation, _QHHI_SQL, False)
+
+
+# --- lineitem_welch_ttest ---------------------------------------------------
+
+def q_lineitem_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-test: is mean revenue per line different for
+    discounted (> 5%) vs non-discounted lines under unequal variances?
+    t and the Welch-Satterthwaite degrees of freedom from the two
+    groups' sufficient statistics in ONE aggregation (inputs scaled /1e5
+    per the robust-stats convention; variances finished with identical
+    expression chains)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice") * (1 - F.col("l_discount")) / F.lit(100000.0)
+    t = F.col("l_discount") > 0.05
+
+    def grp(cond, tag):
+        return [F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                .alias(f"n{tag}"),
+                F.sum(F.when(cond, y)).alias(f"s{tag}"),
+                F.sum(F.when(cond, y * y)).alias(f"q{tag}")]
+
+    a = li.agg(*grp(t, "1"), *grp(~t, "2"))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1") / n1
+    m2 = F.col("s2") / n2
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    v2 = (F.col("q2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    tstat = (m1 - m2) / F.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                       + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    return a.select(
+        F.col("n1").alias("n_discounted"), F.col("n2").alias("n_regular"),
+        F.round(m1 * 100000.0, 4).alias("mean_discounted"),
+        F.round(m2 * 100000.0, 4).alias("mean_regular"),
+        F.round(tstat, 4).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"))
+
+
+_QWELCH_SQL = """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    SUM(CASE WHEN l_discount > 0.05
+        THEN l_extendedprice * (1 - l_discount) / 100000.0 END) AS s1,
+    SUM(CASE WHEN l_discount > 0.05
+        THEN (l_extendedprice * (1 - l_discount) / 100000.0)
+             * (l_extendedprice * (1 - l_discount) / 100000.0) END) AS q1,
+    CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    SUM(CASE WHEN l_discount <= 0.05
+        THEN l_extendedprice * (1 - l_discount) / 100000.0 END) AS s2,
+    SUM(CASE WHEN l_discount <= 0.05
+        THEN (l_extendedprice * (1 - l_discount) / 100000.0)
+             * (l_extendedprice * (1 - l_discount) / 100000.0) END) AS q2
+  FROM lineitem
+)
+SELECT n1 AS n_discounted, n2 AS n_regular,
+       ROUND(s1 / CAST(n1 AS DOUBLE) * 100000.0, 4) + 0.0
+         AS mean_discounted,
+       ROUND(s2 / CAST(n2 AS DOUBLE) * 100000.0, 4) + 0.0 AS mean_regular,
+       ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+             / sqrt(((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) - 1)) / CAST(n1 AS DOUBLE)
+                    + ((q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                       / (CAST(n2 AS DOUBLE) - 1)) / CAST(n2 AS DOUBLE)), 4)
+         + 0.0 AS t_stat,
+       ROUND((((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) - 1)) / CAST(n1 AS DOUBLE)
+              + ((q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                 / (CAST(n2 AS DOUBLE) - 1)) / CAST(n2 AS DOUBLE))
+             * (((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) - 1)) / CAST(n1 AS DOUBLE)
+                + ((q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) - 1)) / CAST(n2 AS DOUBLE))
+             / ((((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) - 1)) / CAST(n1 AS DOUBLE))
+                * (((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1)) / CAST(n1 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) - 1)
+                + (((q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) - 1)) / CAST(n2 AS DOUBLE))
+                  * (((q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) - 1)) / CAST(n2 AS DOUBLE))
+                  / (CAST(n2 AS DOUBLE) - 1)), 2) + 0.0 AS welch_dof
+FROM a
+"""
+
+R8_QUERIES["lineitem_welch_ttest"] = (
+    q_lineitem_welch_ttest, _QWELCH_SQL, False)
+
+
+# --- events_runs_test -------------------------------------------------------
+
+def q_events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily event-value
+    series: code each day above/below the series median (median from the
+    engine-portable percentile at ROUND 6, strictly-above coding), count
+    runs with a lag window, and report the closed-form z against the
+    expected run count — the sequence-randomness screen next to
+    autocorrelation/CUSUM, all on the day-count-sized table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("m")))
+    med = daily.agg(F.round(F.expr("percentile(m, 0.5)"), 6).alias("md"))
+    coded = (daily.crossJoin(F.broadcast(med))
+             .select("day", (F.col("m") > F.col("md")).cast("int").alias("s")))
+    w = Window.orderBy("day")
+    runs = (coded.withColumn("chg", F.when(
+        F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")), 1)
+        .otherwise(0))
+        .agg(F.sum("chg").cast("long").alias("r"),
+             F.sum("s").cast("long").alias("n1"),
+             F.sum(1 - F.col("s")).cast("long").alias("n2")))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    vr = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+          / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+    z = (F.col("r").cast("double") - er) / F.sqrt(vr)
+    return runs.select("r", "n1", "n2",
+                       F.round(er, 6).alias("expected_runs"),
+                       F.round(z, 6).alias("z"))
+
+
+_QRUNS_SQL = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, ROUND(AVG(value), 6) AS m
+  FROM events GROUP BY 1
+), med AS (
+  SELECT ROUND(quantile_cont(m, 0.5), 6) AS md FROM daily
+), coded AS (
+  SELECT day, CAST(m > md AS INT) AS s FROM daily CROSS JOIN med
+), runs AS (
+  SELECT CAST(SUM(chg) AS BIGINT) AS r, CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n2
+  FROM (SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                        OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS chg
+        FROM coded)
+)
+SELECT r, n1, n2,
+       ROUND(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0, 6) + 0.0
+         AS expected_runs,
+       ROUND((CAST(r AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+             / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))),
+             6) + 0.0 AS z
+FROM runs
+"""
+
+R8_QUERIES["events_runs_test"] = (q_events_runs_test, _QRUNS_SQL, False)

@@ -92,7 +92,8 @@ _NATIVE_QUERIES = [
     "spatial_box_overlay_matrix", "orders_weekday_anova",
     "lineitem_spearman", "lang_source_mutual_info", "price_benford",
     "part_degree_assortativity", "cohort_ltv_matrix",
-    "part_graph_modularity",
+    "part_graph_modularity", "customer_hhi_by_nation",
+    "lineitem_welch_ttest", "events_runs_test",
 ]
 
 
