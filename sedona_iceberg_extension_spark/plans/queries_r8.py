@@ -3577,3 +3577,217 @@ FROM runs
 """
 
 R8_QUERIES["events_runs_test"] = (q_events_runs_test, _QRUNS_SQL, False)
+
+
+# --- spatial_getis_hotspot --------------------------------------------------
+
+def q_spatial_getis_hotspot(spark, sf_dir):
+    """Getis-Ord Gi* hotspot statistic over the customer point grid: for
+    each occupied 30-degree cell, z-score of the 3x3-neighborhood count
+    sum against the global mean/variance of cell counts — the spatial
+    hotspot test (crime/disease clustering) on the same bounded-kernel
+    shape as the KDE heatmap: a 9-way neighbor join over the CELL table,
+    never a point-pair sum.  Global moments are computed over occupied
+    cells; all arithmetic is exact integers until the final z division."""
+    cust = load_table(spark, sf_dir, "customer")
+    cx = F.floor((F.col("c_custkey") % 360 - 180) / 30).cast("long")
+    cy = F.floor(((F.col("c_custkey") * 7) % 180 - 90) / 30).cast("long")
+    cells = cust.groupBy(cx.alias("gx"), cy.alias("gy")).agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                    F.sum("n").cast("long").alias("s"),
+                    F.sum(F.col("n") * F.col("n")).cast("long").alias("q"))
+    # 9-way neighborhood: offsets join on the occupied-cell table
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nb = None
+    for dx, dy in offs:
+        t = cells.select((F.col("gx") + dx).alias("gx"),
+                         (F.col("gy") + dy).alias("gy"),
+                         F.col("n").alias("nn"))
+        nb = t if nb is None else nb.unionByName(t)
+    neigh = (nb.groupBy("gx", "gy")
+             .agg(F.sum("nn").cast("long").alias("wsum"),
+                  F.count(F.lit(1)).cast("long").alias("w")))
+    j = (cells.join(neigh, ["gx", "gy"]).crossJoin(F.broadcast(tot)))
+    kd = F.col("k").cast("double")
+    mean = F.col("s").cast("double") / kd
+    var = F.col("q").cast("double") / kd - mean * mean
+    wd = F.col("w").cast("double")
+    num = F.col("wsum").cast("double") - mean * wd
+    den = F.sqrt(var * (kd * wd - wd * wd) / (kd - 1.0))
+    return (j.select("gx", "gy", "n", "w", "wsum",
+                     F.round(num / den, 6).alias("gi_z"))
+            .orderBy("gx", "gy"))
+
+
+_QGETIS_SQL = """
+WITH cells AS (
+  SELECT CAST(FLOOR(CAST(c_custkey % 360 - 180 AS DOUBLE) / 30) AS BIGINT)
+           AS gx,
+         CAST(FLOOR(CAST((c_custkey * 7) % 180 - 90 AS DOUBLE) / 30)
+              AS BIGINT) AS gy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS q
+  FROM cells
+), nb AS (
+  SELECT c.gx + d.dx AS gx, c.gy + d.dy AS gy, c.n AS nn
+  FROM cells c CROSS JOIN (
+    SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+                       (VALUES (-1), (0), (1)) b(dy)) d
+), neigh AS (
+  SELECT gx, gy, CAST(SUM(nn) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM nb GROUP BY gx, gy
+)
+SELECT c.gx, c.gy, c.n, ne.w, ne.wsum,
+       ROUND((CAST(ne.wsum AS DOUBLE)
+              - (CAST(t.s AS DOUBLE) / CAST(t.k AS DOUBLE))
+                * CAST(ne.w AS DOUBLE))
+             / sqrt((CAST(t.q AS DOUBLE) / CAST(t.k AS DOUBLE)
+                     - (CAST(t.s AS DOUBLE) / CAST(t.k AS DOUBLE))
+                       * (CAST(t.s AS DOUBLE) / CAST(t.k AS DOUBLE)))
+                    * (CAST(t.k AS DOUBLE) * CAST(ne.w AS DOUBLE)
+                       - CAST(ne.w AS DOUBLE) * CAST(ne.w AS DOUBLE))
+                    / (CAST(t.k AS DOUBLE) - 1.0)), 6) + 0.0 AS gi_z
+FROM cells c JOIN neigh ne ON ne.gx = c.gx AND ne.gy = c.gy
+CROSS JOIN tot t
+ORDER BY c.gx, c.gy
+"""
+
+R8_QUERIES["spatial_getis_hotspot"] = (
+    q_spatial_getis_hotspot, _QGETIS_SQL, False)
+
+
+# --- orders_bootstrap_ci ----------------------------------------------------
+
+def q_orders_bootstrap_ci(spark, sf_dir):
+    """ONE-PASS Poisson bootstrap: 32 bootstrap replicates of mean order
+    value computed simultaneously — each row's weight in replicate b is
+    Poisson(1), drawn by inverse-CDF from the portable hash of (row, b),
+    so the resample is deterministic and engine-portable; the CI is the
+    [2.5%, 97.5%] range of the 32 replicate means (exact order
+    statistics of a 32-row table).  This is the standard
+    distributed-bootstrap shape: no resampled copies of the data ever
+    materialize, just 32 weighted sums in one aggregation.
+    Replicate means are ROUNDed to 6 before the order statistics so
+    summation wobble can't reorder them."""
+    orders = load_table(spark, sf_dir, "orders")
+    B = 32
+    hbig = 1152921504606846976.0
+    y = F.col("o_totalprice") / F.lit(100000.0)
+    aggs = []
+    for b_ in range(B):
+        u = (portable_hash64(F.col("o_orderkey").cast("string"),
+                             f"boot{b_}").cast("double") / F.lit(hbig))
+        wt = (F.when(u < 0.36787944117144233, 0)
+              .when(u < 0.7357588823428847, 1)
+              .when(u < 0.9196986029286058, 2)
+              .when(u < 0.9810118431238462, 3)
+              .when(u < 0.9963401531726563, 4)
+              .otherwise(5))
+        aggs.append(F.sum(wt * y).alias(f"s{b_}"))
+        aggs.append(F.sum(wt).cast("long").alias(f"n{b_}"))
+    a = orders.agg(*aggs)
+    reps = None
+    for b_ in range(B):
+        r = a.select(F.lit(b_).cast("int").alias("b"),
+                     F.round(F.col(f"s{b_}")
+                             / F.col(f"n{b_}").cast("double")
+                             * F.lit(100000.0), 6).alias("m"))
+        reps = r if reps is None else reps.unionByName(r)
+    w = Window.orderBy("m", "b")
+    ranked = reps.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.lit(B).cast("int").alias("n_replicates"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.max(F.when(F.col("rk") == 1, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == B, F.col("m"))).alias("ci_hi"))
+
+
+def _boot_sql(B: int = 32) -> str:
+    reps = []
+    for b_ in range(B):
+        u = (f"(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+             f"|| '#boot{b_}'), 1, 15))::BIGINT::DOUBLE "
+             f"/ 1152921504606846976.0)")
+        wt = (f"CASE WHEN {u} < 0.36787944117144233 THEN 0 "
+              f"WHEN {u} < 0.7357588823428847 THEN 1 "
+              f"WHEN {u} < 0.9196986029286058 THEN 2 "
+              f"WHEN {u} < 0.9810118431238462 THEN 3 "
+              f"WHEN {u} < 0.9963401531726563 THEN 4 ELSE 5 END")
+        reps.append(
+            f"SELECT CAST({b_} AS INT) AS b, "
+            f"ROUND(SUM({wt} * (o_totalprice / 100000.0)) "
+            f"/ CAST(SUM({wt}) AS DOUBLE) * 100000.0, 6) AS m FROM orders")
+    un = "\nUNION ALL\n".join(reps)
+    return f"""
+WITH reps AS (
+{un}
+), ranked AS (
+  SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM reps
+)
+SELECT CAST({B} AS INT) AS n_replicates,
+       ROUND(AVG(m), 6) + 0.0 AS boot_mean,
+       MAX(CASE WHEN rk = 1 THEN m END) + 0.0 AS ci_lo,
+       MAX(CASE WHEN rk = {B} THEN m END) + 0.0 AS ci_hi
+FROM ranked
+"""
+
+
+R8_QUERIES["orders_bootstrap_ci"] = (q_orders_bootstrap_ci, _boot_sql(), False)
+
+
+# --- priority_status_chisq --------------------------------------------------
+
+def q_priority_status_chisq(spark, sf_dir):
+    """Chi-square test of independence on the order priority x status
+    contingency table: per-cell (observed - expected)^2 / expected terms
+    from exact integer marginals (the categorical dual of the ANOVA /
+    Welch tests; the per-cell report keeps the output summation-order-
+    free and shows WHERE the dependence lives)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cell = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("o_orderpriority")
+    wc = Window.partitionBy("o_orderstatus")
+    wt = Window.partitionBy()
+    exp = (F.sum("c").over(wr).cast("double")
+           * F.sum("c").over(wc).cast("double")
+           / F.sum("c").over(wt).cast("double"))
+    chi = (F.col("c").cast("double") - exp) * (F.col("c").cast("double") - exp) / exp
+    return (cell.select("o_orderpriority", "o_orderstatus",
+                        F.col("c").cast("long").alias("observed"),
+                        F.round(exp, 6).alias("expected"),
+                        F.round(chi, 9).alias("chi_term"))
+            .orderBy("o_orderpriority", "o_orderstatus"))
+
+
+_QCHISQ_SQL = """
+WITH cell AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, o_orderstatus, c AS observed,
+       ROUND(CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             * CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+             / CAST(SUM(c) OVER () AS DOUBLE), 6) + 0.0 AS expected,
+       ROUND((CAST(c AS DOUBLE)
+              - CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                * CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                / CAST(SUM(c) OVER () AS DOUBLE))
+             * (CAST(c AS DOUBLE)
+                - CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                  * CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                  / CAST(SUM(c) OVER () AS DOUBLE))
+             / (CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                * CAST(SUM(c) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                / CAST(SUM(c) OVER () AS DOUBLE)), 9) + 0.0 AS chi_term
+FROM cell
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+R8_QUERIES["priority_status_chisq"] = (
+    q_priority_status_chisq, _QCHISQ_SQL, False)

@@ -93,7 +93,8 @@ _NATIVE_QUERIES = [
     "lineitem_spearman", "lang_source_mutual_info", "price_benford",
     "part_degree_assortativity", "cohort_ltv_matrix",
     "part_graph_modularity", "customer_hhi_by_nation",
-    "lineitem_welch_ttest", "events_runs_test",
+    "lineitem_welch_ttest", "events_runs_test", "spatial_getis_hotspot",
+    "orders_bootstrap_ci", "priority_status_chisq",
 ]
 
 
