@@ -91,6 +91,7 @@ _NEVER_DRIVER_SAMPLED = [
     "attribution_last_touch", "session_funnel_conversion",
     "customer_hhi_by_nation", "lineitem_welch_ttest", "events_runs_test",
     "orders_bootstrap_ci", "spatial_getis_hotspot", "priority_status_chisq",
+    "part_abc_xyz_matrix", "events_skyline",
     "events_rate_intervals", "kmv_intersection_estimate",
     "partkey_skew_gini", "join_cardinality_sketch", "semdedup_prune",
     "streaming_outer_join_watermark", "scd2_customer_history",

@@ -3791,3 +3791,136 @@ ORDER BY o_orderpriority, o_orderstatus
 
 R8_QUERIES["priority_status_chisq"] = (
     q_priority_status_chisq, _QCHISQ_SQL, False)
+
+
+# --- events_skyline ---------------------------------------------------------
+
+def q_events_skyline(spark, sf_dir):
+    """Skyline (Pareto-front) operator: per event type, the events not
+    dominated in (value, recency) — an event is on the front iff no
+    other event of the type has BOTH higher value and later timestamp.
+    Computed with the sort-scan identity: order by value desc, keep rows
+    whose ts exceeds the running max ts of all higher-value rows — one
+    window pass, never a pairwise dominance join (the classic skyline
+    shape for 2 dimensions).  Ties ordered by (value desc, ts desc,
+    event_id) so the running max is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.col("value").desc(), F.col("ts").desc(),
+                  F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (ev.withColumn("prev_max_ts", F.max("ts").over(w))
+           .filter(F.col("prev_max_ts").isNull()
+                   | (F.col("ts") > F.col("prev_max_ts")))
+           .select("event_type", "event_id",
+                   F.round("value", 6).alias("value"),
+                   F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                   .alias("ts")))
+    return out.orderBy("event_type", F.col("value").desc(), "event_id")
+
+
+_QSKYLINE_SQL = """
+WITH m AS (
+  SELECT event_type, event_id, value, ts,
+         MAX(ts) OVER (PARTITION BY event_type
+                       ORDER BY value DESC, ts DESC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_ts
+  FROM events
+)
+SELECT event_type, event_id, ROUND(value, 6) + 0.0 AS value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+FROM m
+WHERE prev_max_ts IS NULL OR ts > prev_max_ts
+ORDER BY event_type, value DESC, event_id
+"""
+
+R8_QUERIES["events_skyline"] = (q_events_skyline, _QSKYLINE_SQL, False)
+
+
+# --- part_abc_xyz_matrix ----------------------------------------------------
+
+def q_part_abc_xyz_matrix(spark, sf_dir):
+    """ABC-XYZ inventory matrix: parts classified by revenue contribution
+    (A = cumulative top 70%, B = next 25%, C = tail — window over the
+    revenue-ranked part table) crossed with demand variability (X/Y/Z by
+    weekly-demand coefficient of variation at 0.6/1.0 cuts) — the
+    planner's 3x3 segmentation, as the cell-count matrix.  Weekly sums
+    are exact (integer quantities); CV uses the sufficient-statistics
+    variance with the same expression shape both sides, and the CV cuts
+    are far from any data atom's wobble."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 6).alias("rev")))
+    wr = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+    tot = Window.partitionBy()
+    abc = (rev.withColumn(
+        "cum", F.sum("rev").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("share", F.col("cum") / F.sum("rev").over(tot))
+        .select("l_partkey",
+                F.when(F.col("share") <= 0.7, "A")
+                .when(F.col("share") <= 0.95, "B").otherwise("C")
+                .alias("abc")))
+    wk = (li.groupBy("l_partkey",
+                     F.weekofyear("l_shipdate").alias("wk"),
+                     F.year("l_shipdate").alias("yr"))
+          .agg(F.sum("l_quantity").alias("d")))
+    st = (wk.groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).alias("nw"),
+               F.sum("d").alias("s"), F.sum(F.col("d") * F.col("d")).alias("q")))
+    nw = F.col("nw").cast("double")
+    mean = F.col("s") / nw
+    var = F.col("q") / nw - mean * mean
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    xyz = st.select("l_partkey",
+                    F.when(cv <= 0.6, "X").when(cv <= 1.0, "Y")
+                    .otherwise("Z").alias("xyz"))
+    return (abc.join(xyz, "l_partkey")
+            .groupBy("abc", "xyz").agg(F.count(F.lit(1)).alias("n_parts"))
+            .orderBy("abc", "xyz"))
+
+
+_QABCXYZ_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS rev
+  FROM lineitem GROUP BY l_partkey
+), abc AS (
+  SELECT l_partkey,
+         CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / SUM(rev) OVER () <= 0.7 THEN 'A'
+              WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / SUM(rev) OVER () <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM rev
+), wk AS (
+  SELECT l_partkey, weekofyear(l_shipdate) AS wk, year(l_shipdate) AS yr,
+         SUM(l_quantity) AS d
+  FROM lineitem GROUP BY 1, 2, 3
+), st AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nw, SUM(d) AS s,
+         SUM(d * d) AS q
+  FROM wk GROUP BY l_partkey
+), xyz AS (
+  SELECT l_partkey,
+         CASE WHEN sqrt(GREATEST(q / CAST(nw AS DOUBLE)
+                        - (s / CAST(nw AS DOUBLE)) * (s / CAST(nw AS DOUBLE)),
+                        0.0)) / (s / CAST(nw AS DOUBLE)) <= 0.6 THEN 'X'
+              WHEN sqrt(GREATEST(q / CAST(nw AS DOUBLE)
+                        - (s / CAST(nw AS DOUBLE)) * (s / CAST(nw AS DOUBLE)),
+                        0.0)) / (s / CAST(nw AS DOUBLE)) <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM st
+)
+SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY abc, xyz
+ORDER BY abc, xyz
+"""
+
+R8_QUERIES["part_abc_xyz_matrix"] = (
+    q_part_abc_xyz_matrix, _QABCXYZ_SQL, False)

@@ -94,7 +94,8 @@ _NATIVE_QUERIES = [
     "part_degree_assortativity", "cohort_ltv_matrix",
     "part_graph_modularity", "customer_hhi_by_nation",
     "lineitem_welch_ttest", "events_runs_test", "spatial_getis_hotspot",
-    "orders_bootstrap_ci", "priority_status_chisq",
+    "orders_bootstrap_ci", "priority_status_chisq", "events_skyline",
+    "part_abc_xyz_matrix",
 ]
 
 
