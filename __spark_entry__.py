@@ -97,11 +97,15 @@ _NEVER_DRIVER_SAMPLED = [
     "streaming_outer_join_watermark", "scd2_customer_history",
     "value_equidepth_histogram", "spatial_hexbin_density",
     "spatial_box_overlay_matrix", "part_link_prediction", "bpe_merge_rounds",
+    # wave-16 float-sum risk class (Theil's x*ln x / Lorenz decile sums)
+    "nation_theil_index", "revenue_lorenz_deciles",
     # integer-exact / byte-exact outputs — no float risk class, next round
     "order_interval_overlap", "source_capped_sample", "part_bfs_distance",
     "part_label_propagation", "part_kcore", "part_also_bought_topk",
     "doc_stitch_pairs", "doc_blocklist_rate", "dataset_three_way_split",
     "multimodal_audio_chunks", "snapshot_files_stats",
+    # wave-16 integer-exact rank statistics (doubled-rank BIGINT sums)
+    "lineitem_mann_whitney", "orders_kruskal_wallis", "lineitem_cramers_v",
 ]
 
 

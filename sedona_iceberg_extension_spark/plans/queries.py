@@ -2704,3 +2704,9 @@ from .queries_r8 import R8_QUERIES as _R8  # noqa: E402
 
 for _name, (_fn, _sql, _headline) in _R8.items():
     QUERIES[_name] = QueryDef(_fn, _sql, _headline)
+
+# round-8 continuation tier (waves 16+) — plans/queries_r8b.py
+from .queries_r8b import R8B_QUERIES as _R8B  # noqa: E402
+
+for _name, (_fn, _sql, _headline) in _R8B.items():
+    QUERIES[_name] = QueryDef(_fn, _sql, _headline)

@@ -96,6 +96,9 @@ _NATIVE_QUERIES = [
     "lineitem_welch_ttest", "events_runs_test", "spatial_getis_hotspot",
     "orders_bootstrap_ci", "priority_status_chisq", "events_skyline",
     "part_abc_xyz_matrix",
+    # round-8 continuation (waves 16+)
+    "lineitem_mann_whitney", "orders_kruskal_wallis", "nation_theil_index",
+    "revenue_lorenz_deciles", "lineitem_cramers_v",
 ]
 
 
