@@ -106,6 +106,9 @@ _NEVER_DRIVER_SAMPLED = [
     "multimodal_audio_chunks", "snapshot_files_stats",
     # wave-16 integer-exact rank statistics (doubled-rank BIGINT sums)
     "lineitem_mann_whitney", "orders_kruskal_wallis", "lineitem_cramers_v",
+    # wave-16 batch 2: regression diagnostics + retrieval (ROUND-6 floats)
+    "source_token_js_divergence", "daily_revenue_theil_sen",
+    "orders_breusch_pagan", "events_durbin_watson", "doc_bm25_topk",
 ]
 
 

@@ -387,3 +387,435 @@ FROM agg
 
 R8B_QUERIES["lineitem_cramers_v"] = (
     q_lineitem_cramers_v, _QCRAMERSV_SQL, False)
+
+
+# --- source_token_js_divergence ---------------------------------------------
+
+from ..pipeline import text as _text
+from .sql_shared import TOKS_SQL as _TOKS_SQL
+
+
+def q_source_token_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's token distribution
+    against the corpus mix, over the top-500 corpus terms (deterministic
+    cutoff: count DESC, term ASC; distributions renormalized within that
+    vocabulary) — the symmetric, bounded companion to source_lang_kl for
+    corpus-composition monitoring.
+
+    Scale shape: one token aggregation, a 500-row broadcast vocabulary,
+    a sources x vocab grid (|sources| * 500 rows) — never doc x vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(_text.tokens(F.col("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("qc"))
+    vocab = (corpus
+             .withColumn("rk", F.row_number().over(
+                 Window.orderBy(F.col("qc").desc(), F.col("term").asc())))
+             .filter(F.col("rk") <= 500).drop("rk"))
+    qtot = vocab.agg(F.sum("qc").cast("long").alias("qt"))
+    sc = (toks.join(F.broadcast(vocab.select("term")), "term")
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    stot = sc.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    grid = (stot.crossJoin(F.broadcast(vocab))
+            .join(sc, ["source", "term"], "left")
+            .crossJoin(F.broadcast(qtot))
+            .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("qc").cast("double") / F.col("qt").cast("double")
+    m = (p + q) / 2.0
+    term = (F.when(F.col("c") > 0, 0.5 * p * F.log(p / m)).otherwise(0.0)
+            + 0.5 * q * F.log(q / m))
+    return (grid.groupBy("source", "ns")
+            .agg(F.round(F.sum(term), 6).alias("js"))
+            .select("source", F.col("ns").alias("n_vocab_tokens"), "js")
+            .orderBy("source"))
+
+
+_QJS_SQL = f"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM (SELECT source, {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+), corpus AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS qc FROM toks GROUP BY term
+), vocab AS (
+  SELECT term, qc
+  FROM (SELECT term, qc, row_number() OVER (ORDER BY qc DESC, term ASC)
+            AS rk FROM corpus)
+  WHERE rk <= 500
+), qtot AS (
+  SELECT CAST(SUM(qc) AS BIGINT) AS qt FROM vocab
+), sc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks SEMI JOIN vocab USING (term)
+  GROUP BY source, term
+), stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source
+), grid AS (
+  SELECT stot.source, stot.ns, vocab.term, vocab.qc, qtot.qt,
+         COALESCE(sc.c, 0) AS c
+  FROM stot CROSS JOIN vocab CROSS JOIN qtot
+  LEFT JOIN sc ON sc.source = stot.source AND sc.term = vocab.term
+)
+SELECT source, ns AS n_vocab_tokens,
+       ROUND(SUM(
+         CASE WHEN c > 0 THEN 0.5 * (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+              * ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                   / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                       + CAST(qc AS DOUBLE) / CAST(qt AS DOUBLE)) / 2.0))
+              ELSE 0.0 END
+         + 0.5 * (CAST(qc AS DOUBLE) / CAST(qt AS DOUBLE))
+           * ln((CAST(qc AS DOUBLE) / CAST(qt AS DOUBLE))
+                / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                    + CAST(qc AS DOUBLE) / CAST(qt AS DOUBLE)) / 2.0))), 6)
+         + 0.0 AS js
+FROM grid
+GROUP BY source, ns
+ORDER BY source
+"""
+
+R8B_QUERIES["source_token_js_divergence"] = (
+    q_source_token_js_divergence, _QJS_SQL, False)
+
+
+# --- daily_revenue_theil_sen ------------------------------------------------
+
+def q_daily_revenue_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of 1996 daily revenue: the median of all
+    pairwise slopes over the 366-day series — the outlier-immune
+    alternative to the OLS trend.
+
+    Scale shape: the pair set is day x day over a YEAR-bounded aggregate
+    (366 rows -> 66,795 pairs), a broadcast self-join of a tiny table —
+    the quadratic blowup is over the calendar, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = (orders
+            .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+            .groupBy(F.datediff(F.col("o_orderdate"),
+                                F.lit("1996-01-01").cast("date")).alias("d"))
+            .agg((F.sum("o_totalprice") / 100000.0).alias("r")))
+    a = days.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
+    b = days.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    pairs = (a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+             .select(((F.col("r2") - F.col("r1"))
+                      / (F.col("d2") - F.col("d1")).cast("double"))
+                     .alias("slope")))
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("med"))
+    nd = days.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (nd.crossJoin(stats)
+            .select("n_days", "n_pairs",
+                    F.round(F.col("med"), 6).alias("ts_slope")))
+
+
+_QTHEILSEN_SQL = """
+WITH days AS (
+  SELECT date_diff('day', DATE '1996-01-01', o_orderdate) AS d,
+         SUM(o_totalprice) / 100000.0 AS r
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), pairs AS (
+  SELECT (b.r - a.r) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM days a JOIN days b ON b.d > a.d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS med
+  FROM pairs
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days
+)
+SELECT n_days, n_pairs, ROUND(med, 6) + 0.0 AS ts_slope
+FROM nd CROSS JOIN stats
+"""
+
+R8B_QUERIES["daily_revenue_theil_sen"] = (
+    q_daily_revenue_theil_sen, _QTHEILSEN_SQL, False)
+
+
+# --- orders_breusch_pagan ---------------------------------------------------
+
+def q_orders_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroscedasticity screen on the daily-revenue
+    trend: OLS of daily revenue on the day index, then the auxiliary
+    regression of squared residuals on the day index; LM = n * R²_aux.
+    Every pass is centered against separately-aggregated means (no
+    raw-moment cancellation), mirrored as chained CTEs.
+
+    Scale shape: three aggregation passes over the day-level table
+    (calendar-bounded), scalar finishes via broadcast cross joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = (orders.groupBy(F.datediff(F.col("o_orderdate"),
+                                      F.lit("1995-01-01").cast("date"))
+                           .alias("x"))
+            .agg((F.sum("o_totalprice") / 100000.0).alias("y")))
+    m = days.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.avg(F.col("x").cast("double")).alias("mx"),
+                 F.avg("y").alias("my"))
+    c1 = (days.crossJoin(F.broadcast(m))
+          .agg(F.first("n").alias("n"), F.first("mx").alias("mx"),
+               F.first("my").alias("my"),
+               F.sum((F.col("x") - F.col("mx"))
+                     * (F.col("x") - F.col("mx"))).alias("sxx"),
+               F.sum((F.col("x") - F.col("mx"))
+                     * (F.col("y") - F.col("my"))).alias("sxy")))
+    coef = c1.select(
+        "n", "mx", "my", "sxx",
+        (F.col("sxy") / F.col("sxx")).alias("b1"),
+        (F.col("my") - F.col("sxy") / F.col("sxx") * F.col("mx")).alias("b0"))
+    resid = (days.crossJoin(F.broadcast(coef))
+             .withColumn("e2", (F.col("y") - F.col("b0")
+                                - F.col("b1") * F.col("x"))
+                         * (F.col("y") - F.col("b0")
+                            - F.col("b1") * F.col("x"))))
+    me2 = (resid.groupBy("n", "mx", "sxx", "b0", "b1")
+           .agg(F.avg("e2").alias("me2")))
+    aux = (resid.join(F.broadcast(me2.select("me2")))
+           .groupBy("n", "sxx", "b0", "b1", "me2")
+           .agg(F.sum((F.col("x") - F.col("mx"))
+                      * (F.col("e2") - F.col("me2"))).alias("sxe"),
+                F.sum((F.col("e2") - F.col("me2"))
+                      * (F.col("e2") - F.col("me2"))).alias("see")))
+    r2 = (F.col("sxe") * F.col("sxe")) / (F.col("sxx") * F.col("see"))
+    return aux.select(
+        F.col("n").alias("n_days"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(F.col("n").cast("double") * r2, 4).alias("lm_stat"))
+
+
+_QBP_SQL = """
+WITH days AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS x,
+         SUM(o_totalprice) / 100000.0 AS y
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(CAST(x AS DOUBLE)) AS mx,
+         AVG(y) AS my
+  FROM days
+), c1 AS (
+  SELECT n, mx, my,
+         SUM((x - mx) * (x - mx)) AS sxx,
+         SUM((x - mx) * (y - my)) AS sxy
+  FROM days CROSS JOIN m GROUP BY n, mx, my
+), coef AS (
+  SELECT n, mx, my, sxx, sxy / sxx AS b1, my - sxy / sxx * mx AS b0
+  FROM c1
+), resid AS (
+  SELECT days.x, coef.n, coef.mx, coef.sxx, coef.b0, coef.b1,
+         (y - b0 - b1 * x) * (y - b0 - b1 * x) AS e2
+  FROM days CROSS JOIN coef
+), me2t AS (
+  SELECT n, mx, sxx, b0, b1, AVG(e2) AS me2
+  FROM resid GROUP BY n, mx, sxx, b0, b1
+), aux AS (
+  SELECT r.n, r.sxx, r.b0, r.b1, me2t.me2,
+         SUM((r.x - r.mx) * (r.e2 - me2t.me2)) AS sxe,
+         SUM((r.e2 - me2t.me2) * (r.e2 - me2t.me2)) AS see
+  FROM resid r CROSS JOIN me2t
+  GROUP BY r.n, r.sxx, r.b0, r.b1, me2t.me2
+)
+SELECT n AS n_days,
+       ROUND(b0, 6) + 0.0 AS b0,
+       ROUND(b1, 6) + 0.0 AS b1,
+       ROUND((sxe * sxe) / (sxx * see), 6) + 0.0 AS r2_aux,
+       ROUND(CAST(n AS DOUBLE) * (sxe * sxe) / (sxx * see), 4) + 0.0
+         AS lm_stat
+FROM aux
+"""
+
+R8B_QUERIES["orders_breusch_pagan"] = (
+    q_orders_breusch_pagan, _QBP_SQL, False)
+
+
+# --- events_durbin_watson ---------------------------------------------------
+
+def q_events_durbin_watson(spark, sf_dir):
+    """Durbin-Watson autocorrelation statistic on the residuals of the
+    daily event-count trend: detrend counts with closed-form OLS (exact
+    integer sufficient statistics — x and y are both integers, so the
+    coefficients are deterministic), then DW = sum of squared successive
+    residual differences over the residual sum of squares.
+
+    Scale shape: one day-level aggregation (the events table spans ~61
+    days), a scalar OLS finish, and one ordered lag window over the
+    day table — the same bounded-window trade as ship_survival_km."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.datediff(F.date_trunc("day", F.col("ts")),
+                                  F.lit("2024-01-01").cast("date"))
+                       .alias("x"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    nD = F.col("n").cast("double")
+    b1 = ((nD * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double"))
+          / (nD * F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx").cast("double")))
+    coef = m.select(
+        "n", b1.alias("b1"),
+        ((F.col("sy").cast("double") - b1 * F.col("sx").cast("double")) / nD)
+        .alias("b0"))
+    resid = (days.crossJoin(F.broadcast(coef))
+             .withColumn("e", F.col("y").cast("double") - F.col("b0")
+                         - F.col("b1") * F.col("x").cast("double")))
+    w = Window.orderBy("x")
+    dw = (resid.withColumn("ep", F.lag("e").over(w))
+          .agg(F.first("n").alias("n"), F.first("b1").alias("b1"),
+               F.sum(F.when(F.col("ep").isNotNull(),
+                            (F.col("e") - F.col("ep"))
+                            * (F.col("e") - F.col("ep"))).otherwise(0.0))
+               .alias("num"),
+               F.sum(F.col("e") * F.col("e")).alias("den")))
+    return dw.select(
+        F.col("n").alias("n_days"),
+        F.round("b1", 6).alias("trend_slope"),
+        F.round(F.col("num") / F.col("den"), 4).alias("dw_stat"))
+
+
+_QDW_SQL = """
+WITH days AS (
+  SELECT date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM days
+), coef AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b1,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS b0
+  FROM m
+), resid AS (
+  SELECT n, b1, x, CAST(y AS DOUBLE) - b0 - b1 * CAST(x AS DOUBLE) AS e
+  FROM days CROSS JOIN coef
+), lagged AS (
+  SELECT n, b1, e, lag(e) OVER (ORDER BY x) AS ep FROM resid
+)
+SELECT n AS n_days,
+       ROUND(b1, 6) + 0.0 AS trend_slope,
+       ROUND(SUM(CASE WHEN ep IS NOT NULL
+                      THEN (e - ep) * (e - ep) ELSE 0.0 END)
+             / SUM(e * e), 4) + 0.0 AS dw_stat
+FROM lagged
+GROUP BY n, b1
+"""
+
+R8B_QUERIES["events_durbin_watson"] = (
+    q_events_durbin_watson, _QDW_SQL, False)
+
+
+# --- doc_bm25_topk ----------------------------------------------------------
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) over the corpus for a
+    deterministic 5-term query (document-frequency ranks 10..14, df DESC
+    term ASC — mid-frequency terms, so the query is neither stopwords nor
+    hapaxes), returning the top-20 documents by rounded score with doc_id
+    tiebreak.
+
+    Scale shape: term stats are one token aggregation; the query-term
+    set (5 rows) broadcasts into the tf join, so scoring touches only
+    postings of the query terms — the classic impact-ordered retrieval
+    shape, never a full corpus scan per query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(_text.tokens(F.col("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    n_av = dl.agg(F.count(F.lit(1)).cast("long").alias("nd"),
+                  F.sum("dl").cast("long").alias("tottok"))
+    dfreq = (toks.distinct().groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    qterms = (dfreq.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("df").desc(), F.col("term").asc())))
+        .filter((F.col("rk") >= 10) & (F.col("rk") <= 14))
+        .select("term", "df"))
+    tf = (toks.join(F.broadcast(qterms), "term")
+          .groupBy("doc_id", "term", "df")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    scored = (tf.join(dl, "doc_id").crossJoin(F.broadcast(n_av)))
+    avgdl = F.col("tottok").cast("double") / F.col("nd").cast("double")
+    idf = F.log((F.col("nd").cast("double") - F.col("df").cast("double")
+                 + 0.5) / (F.col("df").cast("double") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    part = idf * tfd * 2.2 / (tfd + 1.2 * (1.0 - 0.75
+                                           + 0.75 * F.col("dl").cast("double")
+                                           / avgdl))
+    per_doc = (scored.withColumn("part", part)
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+                    F.round(F.sum("part"), 6).alias("score")))
+    top = (per_doc.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())))
+        .filter(F.col("rk") <= 20))
+    return (top.select("doc_id", "n_terms_hit", "score",
+                       F.col("rk").cast("int").alias("rank"))
+            .orderBy("rank"))
+
+
+_QBM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), n_av AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS tottok
+  FROM dl
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), qterms AS (
+  SELECT term, df
+  FROM (SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC)
+            AS rk FROM dfreq)
+  WHERE rk BETWEEN 10 AND 14
+), tf AS (
+  SELECT doc_id, term, df, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks JOIN qterms USING (term)
+  GROUP BY doc_id, term, df
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         ROUND(SUM(
+           ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           * CAST(tf AS DOUBLE) * 2.2
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                       / (CAST(tottok AS DOUBLE) / CAST(nd AS DOUBLE))))), 6)
+           AS score
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN n_av
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, score, rank
+FROM (SELECT doc_id, n_terms_hit, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS INT) AS rank
+      FROM per_doc)
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+R8B_QUERIES["doc_bm25_topk"] = (q_doc_bm25_topk, _QBM25_SQL, False)

@@ -99,6 +99,8 @@ _NATIVE_QUERIES = [
     # round-8 continuation (waves 16+)
     "lineitem_mann_whitney", "orders_kruskal_wallis", "nation_theil_index",
     "revenue_lorenz_deciles", "lineitem_cramers_v",
+    "source_token_js_divergence", "daily_revenue_theil_sen",
+    "orders_breusch_pagan", "events_durbin_watson", "doc_bm25_topk",
 ]
 
 
