@@ -109,6 +109,10 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-16 batch 2: regression diagnostics + retrieval (ROUND-6 floats)
     "source_token_js_divergence", "daily_revenue_theil_sen",
     "orders_breusch_pagan", "events_durbin_watson", "doc_bm25_topk",
+    # wave-17 lakehouse maintenance + feature engineering
+    "compaction_bin_packing", "spatial_zorder_stats",
+    "customer_target_encoding", "feature_hashing_collisions",
+    "embedding_mmr_topk",
 ]
 
 

@@ -819,3 +819,406 @@ ORDER BY rank
 """
 
 R8B_QUERIES["doc_bm25_topk"] = (q_doc_bm25_topk, _QBM25_SQL, False)
+
+
+# =============================================================================
+# Wave 17 — lakehouse maintenance + feature engineering
+# =============================================================================
+
+# --- compaction_bin_packing ---------------------------------------------------
+
+def q_compaction_bin_packing(spark, sf_dir):
+    """Bin-pack compaction planning over a deterministic file inventory —
+    the maintenance procedure an Iceberg table runs (rewrite_data_files
+    binpack strategy): derive one "file" per (ship-year, ship-month) of
+    lineitem with its row count as the size proxy, order files largest
+    first (size DESC, then year/month ASC for ties), and assign each file
+    to the output bin of its starting cumulative offset against a target
+    bin size of ceil(total/8).  Report per-bin file count, rows, and fill
+    ratio.
+
+    Scale shape: the inventory aggregation is the only data-sized shuffle;
+    planning runs over the file list itself (thousands of rows for a
+    100 TB table, never data rows) with one ordered prefix-sum window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    files = (li.groupBy(F.year("l_shipdate").alias("y"),
+                        F.month("l_shipdate").alias("m"))
+             .agg(F.count(F.lit(1)).cast("long").alias("size")))
+    total = files.agg(F.sum("size").cast("long").alias("tot"))
+    w = (Window.orderBy(F.col("size").desc(), F.col("y").asc(),
+                        F.col("m").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (files.crossJoin(F.broadcast(total))
+              .withColumn("target", F.ceil(F.col("tot") / F.lit(8.0))
+                          .cast("long"))
+              .withColumn("off", F.coalesce(
+                  F.sum("size").over(w), F.lit(0)).cast("long"))
+              .withColumn("bin", F.floor(F.col("off") / F.col("target"))
+                          .cast("long")))
+    return (packed.groupBy("bin", "target")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum("size").cast("long").alias("bin_rows"))
+            .select("bin", "n_files", "bin_rows",
+                    (F.round(F.col("bin_rows") / F.col("target").cast("double"),
+                             6) + F.lit(0.0)).alias("fill_ratio"))
+            .orderBy("bin"))
+
+
+_QCOMPACT_SQL = """
+WITH files AS (
+  SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+         CAST(COUNT(*) AS BIGINT) AS size
+  FROM lineitem GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(size) AS BIGINT) AS tot FROM files
+), packed AS (
+  SELECT f.size,
+         CAST(CEIL(t.tot / 8.0) AS BIGINT) AS target,
+         CAST(COALESCE(SUM(f.size) OVER (
+             ORDER BY f.size DESC, f.y ASC, f.m ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM files f CROSS JOIN tot t
+)
+SELECT CAST(FLOOR(off / target) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS BIGINT) AS bin_rows,
+       ROUND(CAST(SUM(size) AS BIGINT) / CAST(target AS DOUBLE), 6) + 0.0
+         AS fill_ratio
+FROM packed
+GROUP BY bin, target
+ORDER BY bin
+"""
+
+R8B_QUERIES["compaction_bin_packing"] = (
+    q_compaction_bin_packing, _QCOMPACT_SQL, False)
+
+
+# --- spatial_zorder_stats -----------------------------------------------------
+
+def _morton_spread(col):
+    """Spread the low 16 bits of ``col`` so a zero bit separates each —
+    the classic magic-number interleave, BIGINT-exact in both engines."""
+    v = col.bitwiseAND(F.lit(0xFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x33333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x55555555))
+    return v
+
+
+def q_spatial_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering audit — the metric behind Iceberg's
+    rewrite_data_files(sort_order => zorder(x, y)): interleave the bits of
+    the quantized customer coordinates, split the table into 64
+    equal-count chunks under (a) z-order and (b) primary-key order, and
+    compare mean per-chunk x/y spans.  Tight spans mean a range predicate
+    touches few chunks (files); the ratio quantifies the clustering win.
+
+    Scale shape: the Morton code is pure bit arithmetic in whole-stage
+    codegen; each ordering costs one sort (at scale: one range exchange);
+    chunk stats are one groupBy over 64 groups."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 360).cast("long").alias("qx"),
+        ((F.col("c_custkey") * 7) % 180).cast("long").alias("qy"))
+    pts = pts.withColumn(
+        "morton",
+        _morton_spread(F.col("qx"))
+        .bitwiseOR(F.shiftleft(_morton_spread(F.col("qy")), 1)))
+    n = pts.count()
+
+    def chunk_spans(df, order_col, tag):
+        w = Window.orderBy(F.col(order_col).asc(), F.col("k").asc())
+        return (df.withColumn("rn", F.row_number().over(w))
+                .withColumn("chunk",
+                            F.floor((F.col("rn") - 1) * 64 / F.lit(n))
+                            .cast("long"))
+                .groupBy("chunk")
+                .agg((F.max("qx") - F.min("qx")).alias("xs"),
+                     (F.max("qy") - F.min("qy")).alias("ys"))
+                .agg(F.round(F.avg("xs"), 6).alias(f"x_span_{tag}"),
+                     F.round(F.avg("ys"), 6).alias(f"y_span_{tag}")))
+
+    z = chunk_spans(pts, "morton", "z")
+    s = chunk_spans(pts, "k", "seq")
+    return (z.crossJoin(s)
+            .select(F.lit(n).cast("long").alias("n_points"),
+                    "x_span_z", "y_span_z", "x_span_seq", "y_span_seq",
+                    F.round((F.col("x_span_z") + F.col("y_span_z"))
+                            / (F.col("x_span_seq") + F.col("y_span_seq")), 6)
+                    .alias("locality_ratio")))
+
+
+_QZORDER_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 360 AS BIGINT) AS qx,
+         CAST((c_custkey * 7) % 180 AS BIGINT) AS qy
+  FROM customer
+), spread AS (
+  SELECT k, qx, qy, sx.v4 AS sx, sy.v4 AS sy
+  FROM pts,
+  LATERAL (
+    SELECT ((v3 | (v3 << 1)) & 1431655765) AS v4
+    FROM (SELECT ((v2 | (v2 << 2)) & 858993459) AS v3
+          FROM (SELECT ((v1 | (v1 << 4)) & 252645135) AS v1x,
+                       ((v1 | (v1 << 4)) & 252645135) AS v2
+                FROM (SELECT (((qx & 65535) | ((qx & 65535) << 8))
+                              & 16711935) AS v1)))) sx,
+  LATERAL (
+    SELECT ((v3 | (v3 << 1)) & 1431655765) AS v4
+    FROM (SELECT ((v2 | (v2 << 2)) & 858993459) AS v3
+          FROM (SELECT ((v1 | (v1 << 4)) & 252645135) AS v2
+                FROM (SELECT (((qy & 65535) | ((qy & 65535) << 8))
+                              & 16711935) AS v1)))) sy
+), coded AS (
+  SELECT k, qx, qy, (sx | (sy << 1)) AS morton,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM spread
+), zc AS (
+  SELECT CAST(FLOOR((row_number() OVER (ORDER BY morton ASC, k ASC) - 1)
+                    * 64 / n) AS BIGINT) AS chunk, qx, qy
+  FROM coded
+), sc AS (
+  SELECT CAST(FLOOR((row_number() OVER (ORDER BY k ASC) - 1)
+                    * 64 / n) AS BIGINT) AS chunk, qx, qy
+  FROM coded
+), zs AS (
+  SELECT ROUND(AVG(xs), 6) AS x_span_z, ROUND(AVG(ys), 6) AS y_span_z
+  FROM (SELECT MAX(qx) - MIN(qx) AS xs, MAX(qy) - MIN(qy) AS ys
+        FROM zc GROUP BY chunk)
+), ss AS (
+  SELECT ROUND(AVG(xs), 6) AS x_span_seq, ROUND(AVG(ys), 6) AS y_span_seq
+  FROM (SELECT MAX(qx) - MIN(qx) AS xs, MAX(qy) - MIN(qy) AS ys
+        FROM sc GROUP BY chunk)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_points,
+       x_span_z, y_span_z, x_span_seq, y_span_seq,
+       ROUND((x_span_z + y_span_z) / (x_span_seq + y_span_seq), 6)
+         AS locality_ratio
+FROM zs CROSS JOIN ss
+"""
+
+R8B_QUERIES["spatial_zorder_stats"] = (
+    q_spatial_zorder_stats, _QZORDER_SQL, False)
+
+
+# --- customer_target_encoding -------------------------------------------------
+
+def q_customer_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of c_nationkey against account
+    balance — the leakage-free categorical encoding a feature pipeline
+    computes before training: each row's encoding is the mean target of
+    its group EXCLUDING the row itself, ``(sum - own) / (cnt - 1)``.
+    Balances are cents-quantized, so group sums run in exact BIGINT cents
+    and the encoding is a deterministic integer ratio — zero
+    float-summation-order risk.
+
+    Scale shape: one groupBy over the category domain, broadcast back —
+    never a self-join; the per-row finish is pure arithmetic."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    grp = (cust.groupBy("c_nationkey")
+           .agg(F.sum(cents).cast("long").alias("gsum"),
+                F.count(F.lit(1)).cast("long").alias("gcnt")))
+    return (cust.join(F.broadcast(grp), "c_nationkey")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_nationkey").cast("long").alias("nationkey"),
+                    (F.round(F.when(F.col("gcnt") > 1,
+                                    (F.col("gsum") - cents).cast("double")
+                                    / (F.col("gcnt") - 1).cast("double"))
+                             / 100.0, 6) + F.lit(0.0)).alias("loo_enc"))
+            .orderBy("custkey")
+            .limit(20))
+
+
+_QTENC_SQL = """
+WITH grp AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS gsum,
+         CAST(COUNT(*) AS BIGINT) AS gcnt
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey AS custkey,
+       CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       ROUND(CASE WHEN g.gcnt > 1
+                  THEN CAST(g.gsum - CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                            AS DOUBLE)
+                       / CAST(g.gcnt - 1 AS DOUBLE) END / 100.0, 6) + 0.0
+         AS loo_enc
+FROM customer c JOIN grp g USING (c_nationkey)
+ORDER BY custkey
+LIMIT 20
+"""
+
+R8B_QUERIES["customer_target_encoding"] = (
+    q_customer_target_encoding, _QTENC_SQL, False)
+
+
+# --- feature_hashing_collisions -----------------------------------------------
+
+from ..pipeline.text import portable_hash64 as _hash64
+
+
+def q_feature_hashing_collisions(spark, sf_dir):
+    """Hashing-trick audit: map every distinct corpus term into D=4096
+    feature buckets with the portable 60-bit hash and measure the
+    collision profile (buckets used, max load, singleton share) — the
+    check a feature pipeline runs before committing to a hashed
+    vectorizer width.
+
+    Scale shape: distinct-terms aggregation, then a 4096-row bucket
+    aggregation; output is one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (docs.select(F.explode(_text.tokens(F.col("text"))).alias("term"))
+             .filter(F.col("term") != "")
+             .distinct())
+    loads = (terms
+             .select(F.pmod(_hash64(F.col("term"), "feat"), F.lit(4096))
+                     .alias("bucket"))
+             .groupBy("bucket")
+             .agg(F.count(F.lit(1)).cast("long").alias("load")))
+    return (loads.agg(
+        F.sum("load").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.max("load").cast("long").alias("max_load"),
+        F.sum(F.when(F.col("load") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_singletons"))
+        .select("n_terms", "n_buckets_used", "max_load", "n_singletons",
+                (F.round(F.lit(1.0) - F.col("n_buckets_used")
+                         / F.col("n_terms").cast("double"), 6) + F.lit(0.0))
+                .alias("collision_rate")))
+
+
+_QFEATH_SQL = f"""
+WITH terms AS (
+  SELECT DISTINCT t.term
+  FROM (SELECT {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+), loads AS (
+  SELECT ('0x' || substr(md5(term || '#feat'), 1, 15))::BIGINT % 4096
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS load
+  FROM terms GROUP BY 1
+)
+SELECT CAST(SUM(load) AS BIGINT) AS n_terms,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+       CAST(MAX(load) AS BIGINT) AS max_load,
+       CAST(SUM(CASE WHEN load = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       ROUND(1.0 - CAST(COUNT(*) AS BIGINT)
+             / CAST(SUM(load) AS DOUBLE), 6) + 0.0 AS collision_rate
+FROM loads
+"""
+
+R8B_QUERIES["feature_hashing_collisions"] = (
+    q_feature_hashing_collisions, _QFEATH_SQL, False)
+
+
+# --- embedding_mmr_topk -------------------------------------------------------
+
+from ..pipeline.dedup import cosine_sim as _cos
+
+
+def q_embedding_mmr_topk(spark, sf_dir):
+    """Maximal Marginal Relevance retrieval: re-rank the top-50 cosine
+    candidates of a query vector (vec_id 0) into a diversified top-10 —
+    greedy argmax of ``0.7*relevance - 0.3*max_sim_to_selected``.
+
+    Determinism: relevance and pairwise sims are ROUNDed at 6 before the
+    greedy; every greedy comparison runs on the BIGINT score
+    ``round(score*1e7)`` (the ideal scores live exactly on the 1e-7
+    lattice, so the integer is ulp-safe) with vec_id ASC tie-break — the
+    oracle unrolls the same 10 steps as chained CTEs.
+
+    Scale shape: candidate generation is the distributed work (broadcast
+    query row over the corpus, one top-k window); the greedy runs on the
+    driver over the 50-candidate pool (50 rel rows + 50x49 sim rows,
+    bounded by construction like the IVF codebook collects)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"))
+    qv = base.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qv"))
+    scored = (base.filter(F.col("vec_id") != 0)
+              .crossJoin(F.broadcast(qv))
+              .withColumn("cos", _cos(F.col("vec"), F.col("qv"))))
+    wtop = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    cands = (scored.withColumn("rk", F.row_number().over(wtop))
+             .filter(F.col("rk") <= 50)
+             .select("vec_id", "vec", F.round("cos", 6).alias("rel")))
+    pairs = (cands.alias("a")
+             .join(F.broadcast(cands.select(F.col("vec_id").alias("ib"),
+                                            F.col("vec").alias("bv"))),
+                   F.col("a.vec_id") != F.col("ib"))
+             .select(F.col("a.vec_id").alias("ia"), "ib",
+                     F.round(_cos(F.col("a.vec"), F.col("bv")), 6)
+                     .alias("sim")))
+    rel = {r["vec_id"]: r["rel"]
+           for r in cands.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in pairs.collect()}
+    selected, rows = [], []
+    for rank in range(1, 11):
+        best = None
+        for vid, rv in rel.items():
+            if vid in selected:
+                continue
+            if not selected:
+                score = rv
+            else:
+                ms = max(sim[(vid, s)] for s in selected)
+                score = 0.7 * rv - 0.3 * ms
+            key = (int(round(score * 1e7)), -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, rv)
+        selected.append(best[1])
+        rows.append((rank, best[1], best[2], best[0][0]))
+    out = spark.createDataFrame(
+        rows, "rank INT, vec_id BIGINT, rel DOUBLE, mmr_e7 BIGINT")
+    return out.orderBy("rank")
+
+
+def _mmr_sql() -> str:
+    steps = ["""s1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, rel,
+         CAST(ROUND(rel * 1e7) AS BIGINT) AS mmr_e7
+  FROM c ORDER BY CAST(ROUND(rel * 1e7) AS BIGINT) DESC, vec_id ASC LIMIT 1
+), sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""]
+    for t in range(2, 11):
+        steps.append(f"""s{t} AS MATERIALIZED (
+  SELECT {t} AS rank, c.vec_id, c.rel,
+         CAST(ROUND((0.7 * c.rel - 0.3 * mx.ms) * 1e7) AS BIGINT) AS mmr_e7
+  FROM c JOIN (SELECT ia, MAX(sim) AS ms FROM p
+               WHERE ib IN (SELECT vec_id FROM sel{t-1}) GROUP BY ia) mx
+    ON mx.ia = c.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t-1})
+  ORDER BY mmr_e7 DESC, c.vec_id ASC LIMIT 1
+), sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t-1} UNION ALL SELECT vec_id FROM s{t})""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{t}" for t in range(1, 11))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), q AS MATERIALIZED (SELECT vec AS qv FROM base WHERE vec_id = 0),
+c AS MATERIALIZED (
+  SELECT vec_id, vec,
+         ROUND(list_cosine_similarity(vec, qv), 6) AS rel
+  FROM (SELECT b.vec_id, b.vec, q.qv,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(b.vec, q.qv) DESC,
+                          b.vec_id ASC) AS rk
+        FROM base b CROSS JOIN q WHERE b.vec_id <> 0)
+  WHERE rk <= 50
+), p AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+), {", ".join(steps)}
+SELECT rank, vec_id, rel, mmr_e7 FROM ({union}) ORDER BY rank
+"""
+
+
+R8B_QUERIES["embedding_mmr_topk"] = (
+    q_embedding_mmr_topk, _mmr_sql(), False)

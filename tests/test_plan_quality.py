@@ -101,6 +101,8 @@ _NATIVE_QUERIES = [
     "revenue_lorenz_deciles", "lineitem_cramers_v",
     "source_token_js_divergence", "daily_revenue_theil_sen",
     "orders_breusch_pagan", "events_durbin_watson", "doc_bm25_topk",
+    "compaction_bin_packing", "spatial_zorder_stats",
+    "customer_target_encoding", "feature_hashing_collisions",
 ]
 
 
