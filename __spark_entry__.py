@@ -113,6 +113,9 @@ _NEVER_DRIVER_SAMPLED = [
     "compaction_bin_packing", "spatial_zorder_stats",
     "customer_target_encoding", "feature_hashing_collisions",
     "embedding_mmr_topk",
+    # wave-18 graph ranking / forecasting / keywords / model eval / tails
+    "part_hits_scores", "events_holt_forecast", "doc_keyword_rake",
+    "langid_eval_metrics", "orders_hill_tail",
 ]
 
 

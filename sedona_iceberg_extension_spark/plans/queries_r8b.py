@@ -1222,3 +1222,379 @@ SELECT rank, vec_id, rel, mmr_e7 FROM ({union}) ORDER BY rank
 
 R8B_QUERIES["embedding_mmr_topk"] = (
     q_embedding_mmr_topk, _mmr_sql(), False)
+
+
+# =============================================================================
+# Wave 18 — graph ranking, forecasting, keyword extraction, model eval,
+# tail statistics
+# =============================================================================
+
+# --- part_hits_scores ---------------------------------------------------------
+
+def q_part_hits_scores(spark, sf_dir):
+    """HITS hubs-and-authorities over the supplier->part supply graph
+    (distinct lineitem edges): two full hub/authority sweeps, unnormalized
+    — every iteration is a BIGINT sum of BIGINT scores, so the whole
+    power iteration is integer-exact with zero float-order risk; scores
+    are normalized by the max only at output.  Top-20 authority parts.
+
+    Scale shape: each half-iteration is one edge-keyed join + groupBy (the
+    canonical distributed HITS step); score tables are |S| / |P| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_suppkey").alias("s"),
+                      F.col("l_partkey").alias("p")).distinct()
+    # a0 = 1 for every part  =>  h1(s) = out-degree
+    h1 = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("h1"))
+    a1 = (edges.join(h1, "s")
+          .groupBy("p").agg(F.sum("h1").cast("long").alias("a1")))
+    h2 = (edges.join(a1, "p")
+          .groupBy("s").agg(F.sum("a1").cast("long").alias("h2")))
+    a2 = (edges.join(h2, "s")
+          .groupBy("p").agg(F.sum("h2").cast("long").alias("a2")))
+    mx = a2.agg(F.max("a2").alias("mx"))
+    w = Window.orderBy(F.col("a2").desc(), F.col("p").asc())
+    return (a2.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .crossJoin(F.broadcast(mx))
+            .select(F.col("p").alias("partkey"),
+                    F.col("a2").alias("auth_raw"),
+                    F.round(F.col("a2").cast("double")
+                            / F.col("mx").cast("double"), 6)
+                    .alias("auth_norm"),
+                    F.col("rk").cast("int").alias("rank"))
+            .orderBy("rank"))
+
+
+_QHITS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+), h1 AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS h1 FROM edges GROUP BY s
+), a1 AS (
+  SELECT p, CAST(SUM(h1) AS BIGINT) AS a1
+  FROM edges JOIN h1 USING (s) GROUP BY p
+), h2 AS (
+  SELECT s, CAST(SUM(a1) AS BIGINT) AS h2
+  FROM edges JOIN a1 USING (p) GROUP BY s
+), a2 AS (
+  SELECT p, CAST(SUM(h2) AS BIGINT) AS a2
+  FROM edges JOIN h2 USING (s) GROUP BY p
+), mx AS (SELECT MAX(a2) AS mx FROM a2)
+SELECT p AS partkey, a2 AS auth_raw,
+       ROUND(CAST(a2 AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS auth_norm,
+       CAST(rk AS INT) AS rank
+FROM (SELECT p, a2, row_number() OVER (ORDER BY a2 DESC, p ASC) AS rk
+      FROM a2) t CROSS JOIN mx
+WHERE rk <= 20
+ORDER BY rank
+"""
+
+R8B_QUERIES["part_hits_scores"] = (q_part_hits_scores, _QHITS_SQL, False)
+
+
+# --- events_holt_forecast -----------------------------------------------------
+
+def q_events_holt_forecast(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing over the daily event
+    count series (alpha=0.6, beta=0.3, init l1=y1, b1=0), forecasting
+    horizons 1..7.  The recursion is a fixed left-to-right fold, so both
+    engines execute bit-identical IEEE sequences; only the output is
+    ROUNDed.
+
+    Scale shape: one day-keyed aggregation (data-sized), then a native
+    ``F.aggregate`` fold over the day-domain-bounded series (~61 elems) in
+    a single row — no Python, no driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    series = days.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("sv"))
+    acc0 = F.struct(F.lit(0).cast("int").alias("n"),
+                    F.lit(0.0).alias("l"), F.lit(0.0).alias("b"))
+    new_l = lambda acc, e: F.when(acc["n"] == 0, e["y"]).otherwise(
+        0.6 * e["y"] + 0.4 * (acc["l"] + acc["b"]))
+    fold = F.aggregate(
+        F.col("sv"), acc0,
+        lambda acc, e: F.struct(
+            (acc["n"] + 1).alias("n"),
+            new_l(acc, e).alias("l"),
+            F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+                0.3 * (new_l(acc, e) - acc["l"]) + 0.7 * acc["b"])
+            .alias("b")))
+    final = series.select(fold.alias("f")).select(
+        F.col("f.n").cast("long").alias("n_days"),
+        F.col("f.l").alias("l"), F.col("f.b").alias("b"))
+    h = spark.range(1, 8).select(F.col("id").alias("horizon"))
+    return (final.crossJoin(F.broadcast(h))
+            .select("n_days", "horizon",
+                    (F.round(F.col("l") + F.col("horizon") * F.col("b"), 6)
+                     + F.lit(0.0)).alias("forecast"))
+            .orderBy("horizon"))
+
+
+_QHOLT_SQL = """
+WITH RECURSIVE days AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+        FROM events GROUP BY 1)
+), holt AS (
+  SELECT i, y AS l, CAST(0.0 AS DOUBLE) AS b FROM days WHERE i = 1
+  UNION ALL
+  SELECT d.i,
+         0.6 * d.y + 0.4 * (h.l + h.b),
+         0.3 * ((0.6 * d.y + 0.4 * (h.l + h.b)) - h.l) + 0.7 * h.b
+  FROM holt h JOIN days d ON d.i = h.i + 1
+), fin AS (
+  SELECT i AS n_days, l, b FROM holt
+  WHERE i = (SELECT MAX(i) FROM days)
+)
+SELECT n_days, CAST(h.range AS BIGINT) AS horizon,
+       ROUND(l + CAST(h.range AS BIGINT) * b, 6) + 0.0 AS forecast
+FROM fin CROSS JOIN range(1, 8) h
+ORDER BY horizon
+"""
+
+R8B_QUERIES["events_holt_forecast"] = (
+    q_events_holt_forecast, _QHOLT_SQL, False)
+
+
+# --- doc_keyword_rake ---------------------------------------------------------
+
+from ..pipeline.text import _STOPWORDS as _RAKE_STOPS
+
+
+def q_doc_keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction over the corpus: candidate phrases are
+    maximal runs of non-stopword tokens (gaps-and-islands per document,
+    capped at 4 tokens), word score = degree/frequency over all phrase
+    instances, phrase score = sum of word scores.  Top-15 distinct
+    phrases by ROUNDed score.
+
+    Scale shape: one posexplode (data-sized), one per-doc window for the
+    island ids, then phrase/word aggregations — everything keyed, no
+    cross join; the stopword test is a broadcast literal array."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(_text.tokens(F.col("text"))).alias("ord", "term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*_RAKE_STOPS)))
+    wdoc = Window.partitionBy("doc_id").orderBy("ord")
+    isl = toks.withColumn(
+        "island", F.col("ord") - F.row_number().over(wdoc))
+    phrases = (isl.groupBy("doc_id", "island")
+               .agg(F.concat_ws(
+                   " ",
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("ord", "term"))),
+                       lambda s: s["term"])).alias("phrase"),
+                    F.count(F.lit(1)).cast("long").alias("plen"))
+               .filter(F.col("plen") <= 4))
+    words = phrases.select(
+        "plen", F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+    wstats = (words.groupBy("w")
+              .agg(F.count(F.lit(1)).cast("long").alias("freq"),
+                   F.sum("plen").cast("long").alias("deg")))
+    wscore = F.col("deg").cast("double") / F.col("freq").cast("double")
+    scored = (phrases.select("phrase").distinct()
+              .select("phrase",
+                      F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+              .join(wstats, "w")
+              .groupBy("phrase")
+              .agg(F.round(F.sum(wscore), 6).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 15)
+            .select("rank", "phrase", "score")
+            .orderBy("rank"))
+
+
+_RAKE_STOPS_SQL = "['" + "','".join(_RAKE_STOPS) + "']"
+
+_QRAKE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.ord, t.term
+  FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term,
+                       unnest(range(1, len(tk) + 1)) AS ord) t
+  WHERE t.term <> '' AND NOT list_contains({_RAKE_STOPS_SQL}, t.term)
+), isl AS (
+  SELECT doc_id, ord, term,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+           AS island
+  FROM toks
+), phrases AS (
+  SELECT doc_id, island,
+         string_agg(term, ' ' ORDER BY ord) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM isl GROUP BY doc_id, island
+  HAVING COUNT(*) <= 4
+), words AS (
+  SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phrases
+), wstats AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM words GROUP BY w
+), scored AS (
+  SELECT p.phrase,
+         ROUND(SUM(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)), 6)
+           AS score
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+        FROM (SELECT DISTINCT phrase FROM phrases)) p
+  JOIN wstats ws USING (w)
+  GROUP BY p.phrase
+)
+SELECT CAST(rank AS INT) AS rank, phrase, score
+FROM (SELECT phrase, score,
+             row_number() OVER (ORDER BY score DESC, phrase ASC) AS rank
+      FROM scored)
+WHERE rank <= 15
+ORDER BY rank
+"""
+
+R8B_QUERIES["doc_keyword_rake"] = (q_doc_keyword_rake, _QRAKE_SQL, False)
+
+
+# --- langid_eval_metrics ------------------------------------------------------
+
+def _langid_case_sql() -> str:
+    """The lang-id argmax as a DuckDB CASE — same lexicons and alphabetical
+    tie-break as pipeline.text.lang_id (mirrors queries_quality's builder)."""
+    scores = {}
+    for lang, lex in _text.LANG_LEXICONS.items():
+        arr = "['" + "','".join(lex) + "']"
+        scores[lang] = (f"len(list_filter({_TOKS_SQL},"
+                        f" t -> list_contains({arr}, t)))")
+    mx = "greatest(" + ", ".join(scores.values()) + ")"
+    case = f"CASE WHEN {mx} <= 0 THEN 'und'"
+    for lang in sorted(scores):
+        case += f" WHEN {scores[lang]} = {mx} THEN '{lang}'"
+    return case + " END"
+
+
+def q_langid_eval_metrics(spark, sf_dir):
+    """Per-class precision / recall / F1 of the n-gram lang-id heuristic
+    against the labeled ``lang`` column — the model-evaluation report on
+    top of the confusion matrix (classes = labeled languages; a class's
+    precision is NULL-safe against zero predictions).
+
+    Scale shape: one pass computes (labeled, detected) pairs; three
+    class-keyed aggregations over the tiny class domain finish it."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("lang").alias("labeled"),
+                        _text.lang_id(F.col("text")).alias("detected"))
+    tp = (pairs.filter(F.col("labeled") == F.col("detected"))
+          .groupBy(F.col("labeled").alias("cls"))
+          .agg(F.count(F.lit(1)).cast("long").alias("tp")))
+    lab = (pairs.groupBy(F.col("labeled").alias("cls"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_labeled")))
+    det = (pairs.groupBy(F.col("detected").alias("cls"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_detected")))
+    j = (lab.join(tp, "cls", "left").join(det, "cls", "left")
+         .withColumn("tp", F.coalesce(F.col("tp"), F.lit(0)))
+         .withColumn("n_detected", F.coalesce(F.col("n_detected"), F.lit(0))))
+    prec = F.when(F.col("n_detected") > 0,
+                  F.col("tp").cast("double")
+                  / F.col("n_detected").cast("double"))
+    rec = F.col("tp").cast("double") / F.col("n_labeled").cast("double")
+    f1 = F.when((F.col("n_detected") > 0) & (F.col("tp") > 0),
+                2.0 * prec * rec / (prec + rec)).otherwise(0.0)
+    return (j.select("cls", "n_labeled", "n_detected", "tp",
+                     F.round(prec, 6).alias("precision"),
+                     F.round(rec, 6).alias("recall"),
+                     F.round(f1, 6).alias("f1"))
+            .orderBy("cls"))
+
+
+_QLEVAL_SQL = f"""
+WITH pairs AS (
+  SELECT lang AS labeled, {_langid_case_sql()} AS detected FROM documents
+), tp AS (
+  SELECT labeled AS cls, CAST(COUNT(*) AS BIGINT) AS tp
+  FROM pairs WHERE labeled = detected GROUP BY labeled
+), lab AS (
+  SELECT labeled AS cls, CAST(COUNT(*) AS BIGINT) AS n_labeled
+  FROM pairs GROUP BY labeled
+), det AS (
+  SELECT detected AS cls, CAST(COUNT(*) AS BIGINT) AS n_detected
+  FROM pairs GROUP BY detected
+)
+SELECT lab.cls, lab.n_labeled,
+       COALESCE(det.n_detected, 0) AS n_detected,
+       COALESCE(tp.tp, 0) AS tp,
+       ROUND(CASE WHEN COALESCE(det.n_detected, 0) > 0
+                  THEN CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+                       / CAST(det.n_detected AS DOUBLE) END, 6) AS precision,
+       ROUND(CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+             / CAST(lab.n_labeled AS DOUBLE), 6) AS recall,
+       ROUND(CASE WHEN COALESCE(det.n_detected, 0) > 0
+                    AND COALESCE(tp.tp, 0) > 0
+                  THEN 2.0 * (CAST(tp.tp AS DOUBLE)
+                              / CAST(det.n_detected AS DOUBLE))
+                       * (CAST(tp.tp AS DOUBLE)
+                          / CAST(lab.n_labeled AS DOUBLE))
+                       / (CAST(tp.tp AS DOUBLE)
+                          / CAST(det.n_detected AS DOUBLE)
+                          + CAST(tp.tp AS DOUBLE)
+                            / CAST(lab.n_labeled AS DOUBLE))
+                  ELSE 0.0 END, 6) AS f1
+FROM lab LEFT JOIN tp USING (cls) LEFT JOIN det USING (cls)
+ORDER BY cls
+"""
+
+R8B_QUERIES["langid_eval_metrics"] = (
+    q_langid_eval_metrics, _QLEVAL_SQL, False)
+
+
+# --- orders_hill_tail ---------------------------------------------------------
+
+def q_orders_hill_tail(spark, sf_dir):
+    """Hill estimator of the Pareto tail index of o_totalprice: over the
+    top k=500 order values (price DESC, orderkey ASC deterministic cut),
+    alpha = k / sum(ln(x_i / x_threshold)) with the threshold at rank
+    k+1 — the heavy-tail diagnostic a pricing/risk pipeline runs before
+    assuming finite moments.
+
+    Scale shape: at scale the top-(k+1) cut is a TopK sort (no full
+    sort materialization); the finish sums 500 logs."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    top = (orders.select("o_totalprice", "o_orderkey")
+           .withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 501))
+    thr = top.filter(F.col("rk") == 501).select(
+        F.col("o_totalprice").alias("thr"))
+    agg = (top.filter(F.col("rk") <= 500)
+           .crossJoin(F.broadcast(thr))
+           .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum(F.log(F.col("o_totalprice") / F.col("thr")))
+                .alias("slog"),
+                F.min("thr").alias("threshold")))
+    return agg.select(
+        "k", F.round("threshold", 2).alias("threshold"),
+        F.round(F.col("k").cast("double") / F.col("slog"), 6)
+        .alias("hill_alpha"),
+        F.round(F.col("slog") / F.col("k").cast("double"), 6)
+        .alias("mean_excess_log"))
+
+
+_QHILL_SQL = """
+WITH top AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rk
+  FROM orders
+), thr AS (
+  SELECT o_totalprice AS thr FROM top WHERE rk = 501
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       ROUND(MIN(thr), 2) AS threshold,
+       ROUND(CAST(COUNT(*) AS BIGINT) / SUM(ln(o_totalprice / thr)), 6)
+         AS hill_alpha,
+       ROUND(SUM(ln(o_totalprice / thr)) / CAST(COUNT(*) AS BIGINT), 6)
+         AS mean_excess_log
+FROM top CROSS JOIN thr
+WHERE rk <= 500
+"""
+
+R8B_QUERIES["orders_hill_tail"] = (q_orders_hill_tail, _QHILL_SQL, False)

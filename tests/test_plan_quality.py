@@ -103,6 +103,8 @@ _NATIVE_QUERIES = [
     "orders_breusch_pagan", "events_durbin_watson", "doc_bm25_topk",
     "compaction_bin_packing", "spatial_zorder_stats",
     "customer_target_encoding", "feature_hashing_collisions",
+    "part_hits_scores", "events_holt_forecast", "doc_keyword_rake",
+    "langid_eval_metrics", "orders_hill_tail",
 ]
 
 
