@@ -116,6 +116,10 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-18 graph ranking / forecasting / keywords / model eval / tails
     "part_hits_scores", "events_holt_forecast", "doc_keyword_rake",
     "langid_eval_metrics", "orders_hill_tail",
+    # wave-19 distances / dispersion / SPC / decomposition / coverage
+    "orders_emd_priority", "events_fano_burstiness",
+    "lineitem_control_chart", "events_seasonal_decompose",
+    "corpus_vocab_coverage",
 ]
 
 

@@ -1598,3 +1598,333 @@ WHERE rk <= 500
 """
 
 R8B_QUERIES["orders_hill_tail"] = (q_orders_hill_tail, _QHILL_SQL, False)
+
+
+# =============================================================================
+# Wave 19 — distribution distance, dispersion, SPC, seasonal decomposition,
+# tokenizer sizing
+# =============================================================================
+
+# --- orders_emd_priority ------------------------------------------------------
+
+def q_orders_emd_priority(spark, sf_dir):
+    """1-D earth mover's distance (Wasserstein-1) between the
+    o_totalprice distributions of URGENT and LOW priority orders —
+    computed exactly as the area between the two empirical CDFs:
+    sum over sorted distinct values of |n2*cum1 - n1*cum2| * gap /
+    (n1*n2).  The cumulative terms are exact BIGINT cross-products, so
+    the only float work is the final scaled sum (margin >> the 1e-6
+    output grain).
+
+    Scale shape: one distinct-value aggregation (domain-bounded), one
+    ordered prefix-sum window, one scalar finish — never a pairwise
+    transport problem."""
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    per_val = (sel.groupBy(F.col("o_totalprice").alias("v"))
+               .agg(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                          .otherwise(0)).cast("long").alias("c1"),
+                    F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1)
+                          .otherwise(0)).cast("long").alias("c2")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("v")
+    cum = (per_val
+           .withColumn("cum1", F.sum("c1").over(w).cast("long"))
+           .withColumn("cum2", F.sum("c2").over(w).cast("long"))
+           .withColumn("gap", F.lead("v").over(wnext) - F.col("v")))
+    tot = cum.agg(F.max("cum1").alias("n1"), F.max("cum2").alias("n2"))
+    d = (cum.filter(F.col("gap").isNotNull())
+         .crossJoin(F.broadcast(tot))
+         .select((F.abs(F.col("n2") * F.col("cum1")
+                        - F.col("n1") * F.col("cum2")).cast("double")
+                  * F.col("gap")).alias("term"),
+                 "n1", "n2"))
+    return (d.groupBy("n1", "n2")
+            .agg(F.round(F.sum("term")
+                         / (F.col("n1") * F.col("n2")).cast("double"), 6)
+                 .alias("emd"))
+            .select(F.col("n1").alias("n_urgent"),
+                    F.col("n2").alias("n_low"), "emd"))
+
+
+_QEMD_SQL = """
+WITH per_val AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_totalprice
+), cum AS (
+  SELECT v,
+         CAST(SUM(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum2,
+         lead(v) OVER (ORDER BY v) - v AS gap
+  FROM per_val
+), tot AS (
+  SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM cum
+)
+SELECT n1 AS n_urgent, n2 AS n_low,
+       ROUND(SUM(CAST(abs(n2 * cum1 - n1 * cum2) AS DOUBLE) * gap)
+             / CAST(n1 * n2 AS DOUBLE), 6) AS emd
+FROM cum CROSS JOIN tot
+WHERE gap IS NOT NULL
+GROUP BY n1, n2
+"""
+
+R8B_QUERIES["orders_emd_priority"] = (
+    q_orders_emd_priority, _QEMD_SQL, False)
+
+
+# --- events_fano_burstiness ---------------------------------------------------
+
+def q_events_fano_burstiness(spark, sf_dir):
+    """Fano factor (index of dispersion, sample-variance / mean) of the
+    daily count series per event type, over the FULL day domain (days a
+    type is silent count as zero — dropping them would bias the variance
+    down).  fano = (n*S2 - S1^2) / ((n-1)*S1): a deterministic function
+    of exact BIGINT sums.  fano >> 1 flags bursty event types.
+
+    Scale shape: one (type, day) aggregation, a broadcast day-domain
+    grid to materialize the zeros, one 5-row finish."""
+    ev = load_table(spark, sf_dir, "events")
+    td = (ev.groupBy(F.col("event_type").alias("t"),
+                     F.to_date("ts").alias("day"))
+          .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = td.select("t").distinct()
+    grid = (types.crossJoin(F.broadcast(days))
+            .join(td, ["t", "day"], "left")
+            .withColumn("y", F.coalesce(F.col("y"), F.lit(0))))
+    agg = (grid.groupBy("t")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("s1"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("s2")))
+    return (agg.select(
+        F.col("t").alias("event_type"), F.col("n").alias("n_days"),
+        F.round(F.col("s1").cast("double") / F.col("n").cast("double"), 6)
+        .alias("mean_daily"),
+        F.round((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double")
+                / ((F.col("n") - 1) * F.col("s1")).cast("double"), 6)
+        .alias("fano"))
+        .orderBy("event_type"))
+
+
+_QFANO_SQL = """
+WITH td AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT t FROM td),
+grid AS (
+  SELECT types.t, days.day, COALESCE(td.y, 0) AS y
+  FROM types CROSS JOIN days
+  LEFT JOIN td ON td.t = types.t AND td.day = days.day
+), agg AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM grid GROUP BY t
+)
+SELECT t AS event_type, n AS n_days,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+       ROUND(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / CAST((n - 1) * s1 AS DOUBLE), 6) AS fano
+FROM agg
+ORDER BY event_type
+"""
+
+R8B_QUERIES["events_fano_burstiness"] = (
+    q_events_fano_burstiness, _QFANO_SQL, False)
+
+
+# --- lineitem_control_chart ---------------------------------------------------
+
+def q_lineitem_control_chart(spark, sf_dir):
+    """Shewhart individuals control chart over the daily shipped-line
+    counts: center = mean, limits = mean +/- 3 * sample stddev (both
+    deterministic functions of exact BIGINT sums), reporting only the
+    out-of-control days.  Counts are integers and the limits are
+    irrational (sqrt), so the flag comparison can never sit on a tie.
+
+    Scale shape: one day-keyed aggregation, one broadcast scalar row of
+    limits, one filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    days = (li.groupBy(F.to_date("l_shipdate").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    stats = days.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("y").cast("long").alias("s1"),
+                     F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"))
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))\
+        .cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    lim = stats.select(mean.alias("mu"), F.sqrt(var).alias("sd"))
+    return (days.crossJoin(F.broadcast(lim))
+            .filter((F.col("y") > F.col("mu") + 3.0 * F.col("sd"))
+                    | (F.col("y") < F.col("mu") - 3.0 * F.col("sd")))
+            .select(F.col("day").cast("string").alias("day"), "y",
+                    F.round(F.col("mu"), 6).alias("center"),
+                    F.round(F.col("mu") - 3.0 * F.col("sd"), 6).alias("lcl"),
+                    F.round(F.col("mu") + 3.0 * F.col("sd"), 6).alias("ucl"),
+                    F.when(F.col("y") > F.col("mu"), F.lit("high"))
+                    .otherwise(F.lit("low")).alias("side"))
+            .orderBy("day"))
+
+
+_QSPC_SQL = """
+WITH days AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM days
+), lim AS (
+  SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE)) AS sd
+  FROM s
+)
+SELECT CAST(day AS VARCHAR) AS day, y,
+       ROUND(mu, 6) AS center,
+       ROUND(mu - 3.0 * sd, 6) AS lcl,
+       ROUND(mu + 3.0 * sd, 6) AS ucl,
+       CASE WHEN y > mu THEN 'high' ELSE 'low' END AS side
+FROM days CROSS JOIN lim
+WHERE y > mu + 3.0 * sd OR y < mu - 3.0 * sd
+ORDER BY day
+"""
+
+R8B_QUERIES["lineitem_control_chart"] = (
+    q_lineitem_control_chart, _QSPC_SQL, False)
+
+
+# --- events_seasonal_decompose ------------------------------------------------
+
+def q_events_seasonal_decompose(spark, sf_dir):
+    """Classical ratio-to-moving-average seasonal decomposition of the
+    daily event counts: trend = centered 7-day moving average (full
+    windows only), seasonal index per ISO weekday = mean of y/trend.
+    The trend is an exact integer ratio (sum-of-7 / 7); the per-weekday
+    mean averages ~4 small doubles, far inside the 1e-6 grain.
+
+    Scale shape: one day aggregation, one 7-row sliding window over the
+    day-domain-bounded series, one 7-row finish."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = (days
+          .withColumn("w_n", F.count(F.lit(1)).over(w7))
+          .withColumn("w_s", F.sum("y").over(w7).cast("long"))
+          .filter(F.col("w_n") == 7)
+          .withColumn("ratio", F.col("y").cast("double") * 7.0
+                      / F.col("w_s").cast("double")))
+    return (tr.groupBy(F.dayofweek("day").cast("long").alias("weekday"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"),
+                 F.round(F.avg("ratio"), 6).alias("seasonal_index"))
+            .orderBy("weekday"))
+
+
+_QSEAS_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT day, y,
+         COUNT(*) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n,
+         CAST(SUM(y) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w_s
+  FROM days
+)
+SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(AVG(CAST(y AS DOUBLE) * 7.0 / CAST(w_s AS DOUBLE)), 6)
+         AS seasonal_index
+FROM tr
+WHERE w_n = 7
+GROUP BY 1
+ORDER BY weekday
+"""
+
+R8B_QUERIES["events_seasonal_decompose"] = (
+    q_events_seasonal_decompose, _QSEAS_SQL, False)
+
+
+# --- corpus_vocab_coverage ----------------------------------------------------
+
+def q_corpus_vocab_coverage(spark, sf_dir):
+    """Tokenizer-sizing curve: what fraction of total token mass do the
+    top-{100, 500, 1000, 2000, 5000} corpus terms cover?  Pure integer
+    prefix sums at the cut points — the budget curve a BPE/vocab
+    decision reads before committing to a vocabulary size.
+
+    Scale shape: one term aggregation, one ordered prefix sum over the
+    vocab-sized table, a 5-row broadcast join of cut points."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(_text.tokens(F.col("text"))).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wr = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    wc = wr.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (tc.withColumn("rk", F.row_number().over(wr).cast("long"))
+              .withColumn("cum", F.sum("c").over(wc).cast("long")))
+    tot = ranked.agg(F.max("cum").alias("tot"),
+                     F.max("rk").alias("n_vocab"))
+    cuts = spark.range(0, 5).select(
+        F.element_at(F.array(*[F.lit(k) for k in (100, 500, 1000, 2000,
+                                                  5000)]),
+                     (F.col("id") + 1).cast("int")).alias("k"))
+    # a cut beyond the vocabulary covers everything: clamp via n_vocab
+    return (cuts.crossJoin(F.broadcast(tot))
+            .join(ranked.select(F.col("rk").alias("k_eff"),
+                                F.col("cum").alias("cum")),
+                  F.least(F.col("k"), F.col("n_vocab")) == F.col("k_eff"))
+            .select(F.col("k").cast("long").alias("vocab_k"),
+                    F.col("k_eff").cast("long").alias("k_effective"),
+                    F.col("n_vocab").cast("long").alias("n_vocab"),
+                    F.round(F.col("cum").cast("double")
+                            / F.col("tot").cast("double"), 6)
+                    .alias("coverage"))
+            .orderBy("vocab_k"))
+
+
+_QVCOV_SQL = f"""
+WITH tc AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+  GROUP BY t.term
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT)
+           AS rk,
+         CAST(SUM(c) OVER (ORDER BY c DESC, term ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM tc
+), tot AS (
+  SELECT MAX(cum) AS tot, MAX(rk) AS n_vocab FROM ranked
+), cuts AS (
+  SELECT CAST(unnest([100, 500, 1000, 2000, 5000]) AS BIGINT) AS k
+)
+SELECT cuts.k AS vocab_k, r.rk AS k_effective, tot.n_vocab,
+       ROUND(CAST(r.cum AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6)
+         AS coverage
+FROM cuts CROSS JOIN tot
+JOIN ranked r ON r.rk = least(cuts.k, tot.n_vocab)
+ORDER BY vocab_k
+"""
+
+R8B_QUERIES["corpus_vocab_coverage"] = (
+    q_corpus_vocab_coverage, _QVCOV_SQL, False)

@@ -105,6 +105,9 @@ _NATIVE_QUERIES = [
     "customer_target_encoding", "feature_hashing_collisions",
     "part_hits_scores", "events_holt_forecast", "doc_keyword_rake",
     "langid_eval_metrics", "orders_hill_tail",
+    "orders_emd_priority", "events_fano_burstiness",
+    "lineitem_control_chart", "events_seasonal_decompose",
+    "corpus_vocab_coverage",
 ]
 
 
