@@ -120,6 +120,10 @@ _NEVER_DRIVER_SAMPLED = [
     "orders_emd_priority", "events_fano_burstiness",
     "lineitem_control_chart", "events_seasonal_decompose",
     "corpus_vocab_coverage",
+    # wave-20 relevance feedback / triplets / Markov / VAD / Mahalanobis
+    "doc_rm3_expansion", "embedding_triplet_mining",
+    "events_markov_stationary", "multimodal_energy_segments",
+    "customer_mahalanobis_outliers",
 ]
 
 

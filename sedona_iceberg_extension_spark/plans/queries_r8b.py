@@ -724,17 +724,10 @@ R8B_QUERIES["events_durbin_watson"] = (
 
 # --- doc_bm25_topk ----------------------------------------------------------
 
-def q_doc_bm25_topk(spark, sf_dir):
-    """BM25 retrieval (k1=1.2, b=0.75) over the corpus for a
-    deterministic 5-term query (document-frequency ranks 10..14, df DESC
-    term ASC — mid-frequency terms, so the query is neither stopwords nor
-    hapaxes), returning the top-20 documents by rounded score with doc_id
-    tiebreak.
-
-    Scale shape: term stats are one token aggregation; the query-term
-    set (5 rows) broadcasts into the tf join, so scoring touches only
-    postings of the query terms — the classic impact-ordered retrieval
-    shape, never a full corpus scan per query."""
+def _bm25_parts(spark, sf_dir):
+    """Shared BM25 pipeline (k1=1.2, b=0.75, deterministic 5-term query at
+    df-ranks 10..14): returns (toks, dl, per_doc) for doc_bm25_topk and the
+    RM3 expansion query."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (docs.select("doc_id",
                         F.explode(_text.tokens(F.col("text"))).alias("term"))
@@ -764,6 +757,21 @@ def q_doc_bm25_topk(spark, sf_dir):
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
                     F.round(F.sum("part"), 6).alias("score")))
+    return toks, dl, per_doc
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) over the corpus for a
+    deterministic 5-term query (document-frequency ranks 10..14, df DESC
+    term ASC — mid-frequency terms, so the query is neither stopwords nor
+    hapaxes), returning the top-20 documents by rounded score with doc_id
+    tiebreak.
+
+    Scale shape: term stats are one token aggregation; the query-term
+    set (5 rows) broadcasts into the tf join, so scoring touches only
+    postings of the query terms — the classic impact-ordered retrieval
+    shape, never a full corpus scan per query."""
+    _, _, per_doc = _bm25_parts(spark, sf_dir)
     top = (per_doc.withColumn(
         "rk", F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())))
@@ -773,7 +781,9 @@ def q_doc_bm25_topk(spark, sf_dir):
             .orderBy("rank"))
 
 
-_QBM25_SQL = f"""
+# shared BM25 CTE chain (toks .. per_doc) — reused by doc_bm25_topk and
+# the RM3 expansion query so the two oracles cannot drift apart
+_QBM25_CORE = f"""
 WITH toks AS (
   SELECT doc_id, t.term
   FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
@@ -809,6 +819,9 @@ WITH toks AS (
   FROM tf JOIN dl USING (doc_id) CROSS JOIN n_av
   GROUP BY doc_id
 )
+"""
+
+_QBM25_SQL = _QBM25_CORE + """
 SELECT doc_id, n_terms_hit, score, rank
 FROM (SELECT doc_id, n_terms_hit, score,
              CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
@@ -1928,3 +1941,425 @@ ORDER BY vocab_k
 
 R8B_QUERIES["corpus_vocab_coverage"] = (
     q_corpus_vocab_coverage, _QVCOV_SQL, False)
+
+
+# =============================================================================
+# Wave 20 — relevance feedback, metric-learning mining, Markov analysis,
+# audio activity detection, multivariate outliers
+# =============================================================================
+
+# --- doc_rm3_expansion --------------------------------------------------------
+
+def q_doc_rm3_expansion(spark, sf_dir):
+    """RM3-style pseudo-relevance feedback on top of the BM25 query: take
+    the top-10 feedback documents, weight each by its normalized BM25
+    score, and score candidate expansion terms by
+    ``w(t) = sum_d (tf(t,d)/dl(d)) * score_d/sum(score)`` — excluding the
+    original query terms and stopwords.  Top-15 expansion terms.
+
+    Scale shape: the feedback set is 10 rows (broadcast); the candidate
+    tf pass touches only those 10 documents' postings — the expansion
+    never rescans the corpus."""
+    toks, dl, per_doc = _bm25_parts(spark, sf_dir)
+    top10 = (per_doc.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "score"))
+    ssum = top10.agg(F.sum("score").alias("ssum"))
+    fb = (top10.crossJoin(F.broadcast(ssum))
+          .select("doc_id", (F.col("score") / F.col("ssum")).alias("nw")))
+    # original query terms (df ranks 10..14) — recompute to exclude
+    dfreq = (toks.distinct().groupBy("term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    qterms = (dfreq.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("df").desc(), F.col("term").asc())))
+        .filter((F.col("rk") >= 10) & (F.col("rk") <= 14))
+        .select("term"))
+    tf = (toks.join(F.broadcast(fb), "doc_id")
+          .filter(~F.col("term").isin(*_RAKE_STOPS))
+          .join(F.broadcast(qterms), "term", "left_anti")
+          .groupBy("doc_id", "term", "nw")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    scored = (tf.join(dl, "doc_id")
+              .groupBy("term")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.round(F.sum(F.col("tf").cast("double")
+                                 / F.col("dl").cast("double")
+                                 * F.col("nw")), 6).alias("weight")))
+    w = Window.orderBy(F.col("weight").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 15)
+            .select("rank", "term", "n_docs", "weight")
+            .orderBy("rank"))
+
+
+_QRM3_SQL = _QBM25_CORE + f""", top10 AS (
+  SELECT doc_id, score
+  FROM (SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+        FROM per_doc)
+  WHERE rk <= 10
+), fb AS (
+  SELECT doc_id, score / (SELECT SUM(score) FROM top10) AS nw FROM top10
+), texp AS (
+  SELECT t.doc_id, t.term, fb.nw, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN fb ON fb.doc_id = t.doc_id
+  WHERE NOT list_contains({_RAKE_STOPS_SQL}, t.term)
+    AND t.term NOT IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id, t.term, fb.nw
+), scored AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(SUM(CAST(tf AS DOUBLE) / CAST(dl.dl AS DOUBLE) * nw), 6)
+           AS weight
+  FROM texp JOIN dl USING (doc_id)
+  GROUP BY term
+)
+SELECT CAST(rank AS INT) AS rank, term, n_docs, weight
+FROM (SELECT term, n_docs, weight,
+             row_number() OVER (ORDER BY weight DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 15
+ORDER BY rank
+"""
+
+R8B_QUERIES["doc_rm3_expansion"] = (q_doc_rm3_expansion, _QRM3_SQL, False)
+
+
+# --- embedding_triplet_mining -------------------------------------------------
+
+def q_embedding_triplet_mining(spark, sf_dir):
+    """Hard-triplet mining for metric learning: for each anchor
+    (vec_id < 30), the hardest positive (same label, LOWEST cosine) and
+    the hardest negative (different label, HIGHEST cosine), with the
+    triplet margin.  Negative margins flag label regions that overlap in
+    embedding space — exactly the triplets a contrastive trainer wants.
+
+    Scale shape: anchors broadcast against the corpus (at scale the
+    negative side would come from an ANN index — the brute-force pass is
+    the recall baseline, same as cosine_topk); two windows pick the
+    extremes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"))
+    anchors = (base.filter(F.col("vec_id") < 30)
+               .select(F.col("vec_id").alias("a_id"),
+                       F.col("label").alias("a_label"),
+                       F.col("vec").alias("a_vec")))
+    pairs = (base.crossJoin(F.broadcast(anchors))
+             .filter(F.col("vec_id") != F.col("a_id"))
+             .withColumn("cos", _cos(F.col("vec"), F.col("a_vec"))))
+    wpos = Window.partitionBy("a_id").orderBy(
+        F.col("cos").asc(), F.col("vec_id").asc())
+    pos = (pairs.filter(F.col("label") == F.col("a_label"))
+           .withColumn("rk", F.row_number().over(wpos))
+           .filter(F.col("rk") == 1)
+           .select("a_id", F.col("vec_id").alias("pos_id"),
+                   F.round("cos", 6).alias("pos_cos")))
+    wneg = Window.partitionBy("a_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    neg = (pairs.filter(F.col("label") != F.col("a_label"))
+           .withColumn("rk", F.row_number().over(wneg))
+           .filter(F.col("rk") == 1)
+           .select("a_id", F.col("vec_id").alias("neg_id"),
+                   F.round("cos", 6).alias("neg_cos")))
+    return (pos.join(neg, "a_id")
+            .select(F.col("a_id").alias("anchor_id"),
+                    "pos_id", "pos_cos", "neg_id", "neg_cos",
+                    (F.round(F.col("pos_cos") - F.col("neg_cos"), 6)
+                     + F.lit(0.0)).alias("margin"))
+            .orderBy("anchor_id"))
+
+
+_QTRIP_SQL = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+), anchors AS (
+  SELECT vec_id AS a_id, label AS a_label, vec AS a_vec
+  FROM base WHERE vec_id < 30
+), pairs AS (
+  SELECT a.a_id, a.a_label, b.vec_id, b.label,
+         list_cosine_similarity(b.vec, a.a_vec) AS cos
+  FROM base b CROSS JOIN anchors a
+  WHERE b.vec_id <> a.a_id
+), pos AS (
+  SELECT a_id, vec_id AS pos_id, ROUND(cos, 6) AS pos_cos
+  FROM (SELECT a_id, vec_id, cos,
+               row_number() OVER (PARTITION BY a_id
+                   ORDER BY cos ASC, vec_id ASC) AS rk
+        FROM pairs WHERE label = a_label)
+  WHERE rk = 1
+), neg AS (
+  SELECT a_id, vec_id AS neg_id, ROUND(cos, 6) AS neg_cos
+  FROM (SELECT a_id, vec_id, cos,
+               row_number() OVER (PARTITION BY a_id
+                   ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM pairs WHERE label <> a_label)
+  WHERE rk = 1
+)
+SELECT a_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+       ROUND(pos_cos - neg_cos, 6) + 0.0 AS margin
+FROM pos JOIN neg USING (a_id)
+ORDER BY anchor_id
+"""
+
+R8B_QUERIES["embedding_triplet_mining"] = (
+    q_embedding_triplet_mining, _QTRIP_SQL, False)
+
+
+# --- events_markov_stationary -------------------------------------------------
+
+def q_events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: row-
+    normalized first-order transition matrix (per-user (ts, event_id)
+    ordering, same convention as event_transitions), then 20 synchronous
+    power-iteration steps from the uniform vector.  Transition
+    probabilities are exact integer ratios; each step is a 5-term sum.
+
+    Scale shape: the transition count is the only data-sized job; the
+    matrix is |types|^2 rows (25 here — bounded by the type domain, the
+    IRLS/codebook collect precedent), so the 20 steps run as a driver
+    fold over sorted states; a larger state space would swap in the
+    join-per-step PageRank shape unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_t"),
+                      F.col("next_type").alias("to_t"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    states = trans.select(F.col("from_t").alias("t")).distinct()
+    closed = (trans.join(states.select(F.col("t").alias("to_t")), "to_t"))
+    rowtot = (closed.groupBy("from_t")
+              .agg(F.sum("n").cast("long").alias("rt")))
+    mat = (closed.join(rowtot, "from_t")
+           .select("from_t", "to_t",
+                   (F.col("n").cast("double") / F.col("rt").cast("double"))
+                   .alias("pr")))
+    rows = mat.collect()  # |types|^2 rows, bounded by the type domain
+    sts = sorted({r["from_t"] for r in rows})
+    pr = {(r["from_t"], r["to_t"]): r["pr"] for r in rows}
+    pi = {t: 1.0 / float(len(sts)) for t in sts}
+    for _ in range(20):
+        pi = {t2: sum(pi[t1] * pr.get((t1, t2), 0.0) for t1 in sts)
+              for t2 in sts}
+    out = spark.createDataFrame(
+        [(t, pi[t]) for t in sts], "event_type STRING, p DOUBLE")
+    return (out.select("event_type", F.round("p", 6).alias("stationary_p"))
+            .orderBy("event_type"))
+
+
+def _markov_sql(iters: int = 20) -> str:
+    sql = """
+WITH trans AS MATERIALIZED (
+  SELECT from_t, to_t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT event_type AS from_t,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_t
+        FROM events)
+  WHERE to_t IS NOT NULL
+  GROUP BY from_t, to_t
+), states AS MATERIALIZED (
+  SELECT DISTINCT from_t AS t FROM trans
+), closed AS MATERIALIZED (
+  SELECT tr.from_t, tr.to_t, tr.n
+  FROM trans tr JOIN states s ON s.t = tr.to_t
+), rowtot AS MATERIALIZED (
+  SELECT from_t, CAST(SUM(n) AS BIGINT) AS rt FROM closed GROUP BY from_t
+), mat AS MATERIALIZED (
+  SELECT c.from_t, c.to_t, CAST(c.n AS DOUBLE) / CAST(r.rt AS DOUBLE) AS pr
+  FROM closed c JOIN rowtot r USING (from_t)
+), p0 AS MATERIALIZED (
+  SELECT t, 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM states) AS p
+  FROM states
+)"""
+    for i in range(iters):
+        sql += f""", p{i + 1} AS MATERIALIZED (
+  SELECT m.to_t AS t, SUM(p.p * m.pr) AS p
+  FROM p{i} p JOIN mat m ON m.from_t = p.t
+  GROUP BY m.to_t
+)"""
+    sql += (f"\nSELECT t AS event_type, ROUND(p, 6) AS stationary_p "
+            f"FROM p{iters} ORDER BY event_type")
+    return sql
+
+
+R8B_QUERIES["events_markov_stationary"] = (
+    q_events_markov_stationary, _markov_sql(), False)
+
+
+# --- multimodal_energy_segments -------------------------------------------------
+
+def q_multimodal_energy_segments(spark, sf_dir):
+    """Energy-threshold activity detection over the framed synthetic
+    audio (multimodal.audio_chunk_energy, 32-byte payload, 8-byte
+    frames): frames with byte-sum energy > 1024 are 'active'; consecutive
+    active frames merge into segments (gaps-and-islands) — the VAD-style
+    segmentation stage of an audio ingestion pipeline, value-checked per
+    segment (a real decoder would swap in behind the same frame/energy
+    contract).
+
+    Scale shape: the Python stage is Arrow-batched mapInPandas; the
+    merge is one per-doc window over frame indices."""
+    from ..pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5("text"))).alias("payload"))
+    frames = mm.audio_chunk_energy(payloads, "doc_id", "payload",
+                                   frame_bytes=8)
+    active = frames.filter(F.col("energy") > 1024)
+    wdoc = Window.partitionBy("id").orderBy("frame_idx")
+    segs = (active.withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(wdoc))
+        .groupBy("id", "island")
+        .agg(F.min("frame_idx").cast("int").alias("start_frame"),
+             F.max("frame_idx").cast("int").alias("end_frame"),
+             F.count(F.lit(1)).cast("long").alias("n_frames"),
+             F.sum("energy").cast("long").alias("seg_energy")))
+    return (segs.select(F.col("id").alias("doc_id"), "start_frame",
+                        "end_frame", "n_frames", "seg_energy")
+            .orderBy("doc_id", "start_frame"))
+
+
+def _vad_sql() -> str:
+    frames = []
+    for kf in range(4):
+        terms = " + ".join(
+            f"('0x' || substr(h, {(kf * 8 + i) * 2 + 1}, 2))::BIGINT"
+            for i in range(8))
+        frames.append(
+            f"SELECT doc_id, CAST({kf} AS INT) AS frame_idx, "
+            f"CAST({terms} AS BIGINT) AS energy FROM h")
+    u = " UNION ALL ".join(frames)
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text) AS h FROM documents
+  WHERE doc_id < 100
+), frames AS ({u}),
+active AS (
+  SELECT doc_id, frame_idx, energy,
+         frame_idx - row_number() OVER (PARTITION BY doc_id
+             ORDER BY frame_idx) AS island
+  FROM frames WHERE energy > 1024
+)
+SELECT doc_id, CAST(MIN(frame_idx) AS INT) AS start_frame,
+       CAST(MAX(frame_idx) AS INT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM active
+GROUP BY doc_id, island
+ORDER BY doc_id, start_frame
+"""
+
+
+R8B_QUERIES["multimodal_energy_segments"] = (
+    q_multimodal_energy_segments, _vad_sql(), False)
+
+
+# --- customer_mahalanobis_outliers ----------------------------------------------
+
+def q_customer_mahalanobis_outliers(spark, sf_dir):
+    """Bivariate Mahalanobis outliers over (account balance, order
+    count) per customer: the 2x2 covariance and its closed-form inverse
+    are exact integer ratios (balances in BIGINT cents, counts BIGINT),
+    so d^2 is a deterministic rational function of exact sums — the
+    multivariate anomaly detector next to the univariate z-score one.
+    Top-10 customers by d^2.
+
+    Scale shape: one join + per-customer aggregation, one 5-number
+    moment pass broadcast back — never a covariance over collected
+    data."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = (orders.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    pts = (cust.select(F.col("c_custkey").alias("ck"),
+                       F.round(F.col("c_acctbal") * 100).cast("long")
+                       .alias("x"))
+           .join(oc, F.col("ck") == F.col("o_custkey"), "left")
+           .withColumn("y", F.coalesce(F.col("y"), F.lit(0))))
+    m = pts.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vxx = F.col("sxx") / n - mx * mx
+    vyy = F.col("syy") / n - my * my
+    vxy = F.col("sxy") / n - mx * my
+    det = vxx * vyy - vxy * vxy
+    dx, dy = F.col("x") - mx, F.col("y") - my
+    d2 = (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx)) / det
+    scored = (pts.crossJoin(F.broadcast(m))
+              .select(F.col("ck").alias("custkey"),
+                      (F.col("x").cast("double") / 100.0).alias("acctbal"),
+                      F.col("y").alias("n_orders"),
+                      F.round(d2, 6).alias("d2")))
+    w = Window.orderBy(F.col("d2").desc(), F.col("custkey").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "custkey", "acctbal", "n_orders", "d2")
+            .orderBy("rank"))
+
+
+_QMAHA_SQL = """
+WITH pts AS (
+  SELECT c.c_custkey AS ck,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+         COALESCE(oc.y, 0) AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+             FROM orders GROUP BY o_custkey) oc
+    ON oc.o_custkey = c.c_custkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+), scored AS (
+  SELECT ck AS custkey, CAST(x AS DOUBLE) / 100.0 AS acctbal,
+         y AS n_orders,
+         ROUND((
+           (x - sx / CAST(n AS DOUBLE))
+             * ((syy / CAST(n AS DOUBLE)
+                 - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                  * (x - sx / CAST(n AS DOUBLE))
+                - (sxy / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                  * (y - sy / CAST(n AS DOUBLE)))
+           + (y - sy / CAST(n AS DOUBLE))
+             * ((sxx / CAST(n AS DOUBLE)
+                 - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                  * (y - sy / CAST(n AS DOUBLE))
+                - (sxy / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                  * (x - sx / CAST(n AS DOUBLE)))
+         ) / ((sxx / CAST(n AS DOUBLE)
+               - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+              * (syy / CAST(n AS DOUBLE)
+                 - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+              - (sxy / CAST(n AS DOUBLE)
+                 - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                * (sxy / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))),
+           6) AS d2
+  FROM pts CROSS JOIN m
+)
+SELECT CAST(rank AS INT) AS rank, custkey, acctbal, n_orders, d2
+FROM (SELECT custkey, acctbal, n_orders, d2,
+             row_number() OVER (ORDER BY d2 DESC, custkey ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+R8B_QUERIES["customer_mahalanobis_outliers"] = (
+    q_customer_mahalanobis_outliers, _QMAHA_SQL, False)

@@ -108,6 +108,8 @@ _NATIVE_QUERIES = [
     "orders_emd_priority", "events_fano_burstiness",
     "lineitem_control_chart", "events_seasonal_decompose",
     "corpus_vocab_coverage",
+    "doc_rm3_expansion", "embedding_triplet_mining",
+    "customer_mahalanobis_outliers",
 ]
 
 
