@@ -124,6 +124,9 @@ _NEVER_DRIVER_SAMPLED = [
     "doc_rm3_expansion", "embedding_triplet_mining",
     "events_markov_stationary", "multimodal_energy_segments",
     "customer_mahalanobis_outliers",
+    # wave-21 readability / centroid classify / rules / winsorize / pruning
+    "doc_readability_scores", "embedding_centroid_classifier",
+    "brand_assoc_rules", "customer_winsorized_stats", "scan_pruning_stats",
 ]
 
 

@@ -2363,3 +2363,393 @@ ORDER BY rank
 
 R8B_QUERIES["customer_mahalanobis_outliers"] = (
     q_customer_mahalanobis_outliers, _QMAHA_SQL, False)
+
+
+# =============================================================================
+# Wave 21 — readability, nearest-centroid classification, association rules,
+# winsorized statistics, layout pruning
+# =============================================================================
+
+# --- doc_readability_scores ---------------------------------------------------
+
+def q_doc_readability_scores(spark, sf_dir):
+    """Flesch reading-ease profile per source: corpus-level
+    words-per-sentence and syllables-per-word (vowel-group proxy) from
+    exact integer counts, then the classic
+    ``206.835 - 1.015*(W/S) - 84.6*(Syl/W)`` formula — the readability
+    gate of a text-quality filtering pipeline.
+
+    Scale shape: three regexp counters per row inside whole-stage
+    codegen, one source-keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        _text.token_count(F.col("text")).cast("long").alias("w"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long")
+        .alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("long").alias("syl"))
+    agg = (per.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("w").cast("long").alias("w"),
+                F.sum("s").cast("long").alias("s"),
+                F.sum("syl").cast("long").alias("syl")))
+    wps = F.when(F.col("s") > 0,
+                 F.col("w").cast("double") / F.col("s").cast("double"))
+    spw = F.col("syl").cast("double") / F.col("w").cast("double")
+    return (agg.select(
+        "source", "n_docs",
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch"))
+        .orderBy("source"))
+
+
+_QREAD_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS syl
+  FROM documents
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS w, CAST(SUM(s) AS BIGINT) AS s,
+         CAST(SUM(syl) AS BIGINT) AS syl
+  FROM per GROUP BY source
+)
+SELECT source, n_docs,
+       ROUND(CASE WHEN s > 0 THEN CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+             END, 6) AS words_per_sentence,
+       ROUND(CAST(syl AS DOUBLE) / CAST(w AS DOUBLE), 6)
+         AS syllables_per_word,
+       ROUND(CASE WHEN s > 0
+                  THEN 206.835
+                       - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                       - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+             END, 6) AS flesch
+FROM agg
+ORDER BY source
+"""
+
+R8B_QUERIES["doc_readability_scores"] = (
+    q_doc_readability_scores, _QREAD_SQL, False)
+
+
+# --- embedding_centroid_classifier ----------------------------------------------
+
+def q_embedding_centroid_classifier(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification: per-label mean vectors
+    (components ROUNDed at 9 so cross-partition summation order cannot
+    leak into the argmax — the IRLS convention), then every vector is
+    assigned to the most-cosine-similar centroid; per-label accuracy.
+
+    Scale shape: centroids via one (label, dim) aggregation after a
+    posexplode; classification broadcasts the |labels| centroid rows —
+    the corpus is scanned twice, never self-joined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"))
+    comps = base.select(
+        "label", F.posexplode("vec").alias("dim", "val"))
+    cent = (comps.groupBy("label", "dim")
+            .agg(F.round(F.avg("val"), 9).alias("cv")))
+    carr = (cent.groupBy(F.col("label").alias("c_label"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"]).alias("cvec")))
+    scored = (base.crossJoin(F.broadcast(carr))
+              .withColumn("cos", _cos(F.col("vec"), F.col("cvec"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("c_label").asc())
+    pred = (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "label", F.col("c_label").alias("pred")))
+    return (pred.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("pred") == F.col("label"), 1)
+                       .otherwise(0)).cast("long").alias("n_correct"))
+            .select(F.col("label").cast("long").alias("label"), "n",
+                    "n_correct",
+                    F.round(F.col("n_correct").cast("double")
+                            / F.col("n").cast("double"), 6)
+                    .alias("accuracy"))
+            .orderBy("label"))
+
+
+_QCENTROID_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+), comps AS (
+  SELECT label, unnest(range(1, len(vec) + 1)) AS dim,
+         unnest(vec) AS val
+  FROM base
+), cent AS (
+  SELECT label, dim, ROUND(AVG(val), 9) AS cv
+  FROM comps GROUP BY label, dim
+), carr AS MATERIALIZED (
+  SELECT label AS c_label, list(cv ORDER BY dim) AS cvec
+  FROM cent GROUP BY label
+), pred AS (
+  SELECT vec_id, label, c_label AS pred
+  FROM (SELECT b.vec_id, b.label, c.c_label,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY list_cosine_similarity(b.vec, c.cvec) DESC,
+                            c.c_label ASC) AS rk
+        FROM base b CROSS JOIN carr c)
+  WHERE rk = 1
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred
+GROUP BY label
+ORDER BY label
+"""
+
+R8B_QUERIES["embedding_centroid_classifier"] = (
+    q_embedding_centroid_classifier, _QCENTROID_SQL, False)
+
+
+# --- brand_assoc_rules --------------------------------------------------------
+
+def q_brand_assoc_rules(spark, sf_dir):
+    """Directed association rules A=>B over per-order brand baskets with
+    the full measure set — support, confidence, lift, leverage,
+    conviction — all exact integer ratios of basket counts; top-15 rules
+    by (lift DESC, brands ASC).  Completes the market-basket tier beyond
+    the plain lift query.
+
+    Scale shape: one distinct (order, brand) projection, one self-join
+    keyed on the order (bounded by brands-per-order), count tables are
+    brand- and pair-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bo = (li.join(pt, li.l_partkey == pt.p_partkey)
+          .select("l_orderkey", "p_brand").distinct())
+    n_b = bo.groupBy(F.col("p_brand").alias("b"))\
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    nn = bo.select("l_orderkey").distinct()\
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = bo.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    b = bo.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("bb"))
+    nab = (a.join(b, "ok").filter(F.col("ba") != F.col("bb"))
+           .groupBy("ba", "bb").agg(F.count(F.lit(1)).cast("long")
+                                    .alias("nab")))
+    j = (nab.join(F.broadcast(n_b.select(F.col("b").alias("ba"),
+                                         F.col("nb").alias("na"))), "ba")
+         .join(F.broadcast(n_b.select(F.col("b").alias("bb"),
+                                      F.col("nb").alias("nbb"))), "bb")
+         .crossJoin(F.broadcast(nn)))
+    nD = F.col("n").cast("double")
+    supp = F.col("nab").cast("double") / nD
+    conf = F.col("nab").cast("double") / F.col("na").cast("double")
+    supb = F.col("nbb").cast("double") / nD
+    lift = supp / ((F.col("na").cast("double") / nD) * supb)
+    lev = supp - (F.col("na").cast("double") / nD) * supb
+    conv = F.when(F.col("nab") == F.col("na"), F.lit(None))\
+        .otherwise((1.0 - supb) / (1.0 - conf))
+    scored = j.select(
+        F.col("ba").alias("antecedent"), F.col("bb").alias("consequent"),
+        F.col("nab").alias("n_both"),
+        F.round(supp, 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+        F.round(lev, 6).alias("leverage"),
+        F.round(conv, 6).alias("conviction"))
+    w = Window.orderBy(F.col("lift").desc(), F.col("antecedent").asc(),
+                       F.col("consequent").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 15)
+            .orderBy("rank"))
+
+
+_QASSOC_SQL = """
+WITH bo AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n_b AS (
+  SELECT p_brand AS b, CAST(COUNT(*) AS BIGINT) AS nb FROM bo GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM bo
+), nab AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM bo a JOIN bo b ON a.l_orderkey = b.l_orderkey
+  WHERE a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+), j AS (
+  SELECT nab.ba, nab.bb, nab.nab, na.nb AS na, nbb.nb AS nbb, nn.n
+  FROM nab JOIN n_b na ON na.b = nab.ba
+  JOIN n_b nbb ON nbb.b = nab.bb
+  CROSS JOIN nn
+), scored AS (
+  SELECT ba AS antecedent, bb AS consequent, nab AS n_both,
+         ROUND(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+         ROUND(CAST(nab AS DOUBLE) / CAST(na AS DOUBLE), 6) AS confidence,
+         ROUND((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+               / ((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(nbb AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS lift,
+         ROUND(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(nbb AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           AS leverage,
+         ROUND(CASE WHEN nab = na THEN NULL
+                    ELSE (1.0 - CAST(nbb AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (1.0 - CAST(nab AS DOUBLE) / CAST(na AS DOUBLE))
+               END, 6) AS conviction
+  FROM j
+)
+SELECT CAST(rank AS INT) AS rank, antecedent, consequent, n_both, support,
+       confidence, lift, leverage, conviction
+FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, antecedent ASC,
+                                   consequent ASC) AS rank
+      FROM scored)
+WHERE rank <= 15
+ORDER BY rank
+"""
+
+R8B_QUERIES["brand_assoc_rules"] = (q_brand_assoc_rules, _QASSOC_SQL, False)
+
+
+# --- customer_winsorized_stats ------------------------------------------------
+
+def q_customer_winsorized_stats(spark, sf_dir):
+    """Winsorized account-balance statistics per market segment: clip at
+    the segment's [p10, p90] (cut points ROUNDed at 1e-6 BEFORE the clip
+    — the cross-engine percentile-interpolation convention), then mean of
+    the clipped values in dollars.  The robust-aggregation step between
+    raw means and the full robust-stats query.
+
+    Scale shape: percentiles per segment in one aggregation, broadcast
+    back for the clip; no sort of the raw data survives the plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    v = F.col("c_acctbal")
+    cuts = (cust.groupBy("c_mktsegment")
+            .agg(F.round(F.expr("percentile(c_acctbal, 0.1)"), 6)
+                 .alias("lo"),
+                 F.round(F.expr("percentile(c_acctbal, 0.9)"), 6)
+                 .alias("hi")))
+    clipped = (cust.join(F.broadcast(cuts), "c_mktsegment")
+               .withColumn("wv", F.least(F.greatest(v, F.col("lo")),
+                                         F.col("hi"))))
+    return (clipped.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.min("lo"), 6).alias("p10"),
+                 F.round(F.min("hi"), 6).alias("p90"),
+                 F.round(F.sum(F.col("wv") / 1e4) * 1e4
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("winsor_mean"))
+            .orderBy("segment"))
+
+
+_QWINSOR_SQL = """
+WITH cuts AS (
+  SELECT c_mktsegment,
+         ROUND(quantile_cont(c_acctbal, 0.1), 6) AS lo,
+         ROUND(quantile_cont(c_acctbal, 0.9), 6) AS hi
+  FROM customer GROUP BY c_mktsegment
+), clipped AS (
+  SELECT c.c_mktsegment, cuts.lo, cuts.hi,
+         least(greatest(c.c_acctbal, cuts.lo), cuts.hi) AS wv
+  FROM customer c JOIN cuts USING (c_mktsegment)
+)
+SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(lo), 6) AS p10, ROUND(MIN(hi), 6) AS p90,
+       ROUND(SUM(wv / 1e4) * 1e4 / CAST(COUNT(*) AS DOUBLE), 6)
+         AS winsor_mean
+FROM clipped
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+R8B_QUERIES["customer_winsorized_stats"] = (
+    q_customer_winsorized_stats, _QWINSOR_SQL, False)
+
+
+# --- scan_pruning_stats -------------------------------------------------------
+
+def q_scan_pruning_stats(spark, sf_dir):
+    """File-skipping effectiveness of two physical layouts — the number
+    an Iceberg manifest-pruning pass would report: split lineitem into 32
+    equal files (a) in natural (orderkey, linenumber) write order and
+    (b) sorted by ship date, compute per-file min/max ship-date stats,
+    and count the files a one-month predicate must read under each
+    layout.  Pure metadata arithmetic once the per-file stats exist.
+
+    Scale shape: two range-partition sorts (the real cost a table
+    rewrite would pay), then stats and overlap tests on the 32-row file
+    inventory."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("sd"))
+    n = li.count()
+
+    def layout(order_cols, tag):
+        w = Window.orderBy(*order_cols)
+        return (li.withColumn("rn", F.row_number().over(w))
+                .withColumn("f", F.floor((F.col("rn") - 1) * 32
+                                         / F.lit(n)).cast("long"))
+                .groupBy("f")
+                .agg(F.min("sd").alias("lo"), F.max("sd").alias("hi"))
+                .select(F.lit(tag).alias("layout"), "f", "lo", "hi"))
+
+    nat = layout([F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+                 "natural")
+    srt = layout([F.col("sd").asc(), F.col("l_orderkey").asc(),
+                  F.col("l_linenumber").asc()], "shipdate_sorted")
+    files = nat.unionByName(srt)
+    p_lo, p_hi = F.lit("1994-03-01").cast("date"), \
+        F.lit("1994-04-01").cast("date")
+    return (files.groupBy("layout")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum(F.when((F.col("lo") < p_hi) & (F.col("hi") >= p_lo),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_files_read"))
+            .select("layout", "n_files", "n_files_read",
+                    F.round(F.col("n_files_read").cast("double")
+                            / F.col("n_files").cast("double"), 6)
+                    .alias("read_fraction"))
+            .orderBy("layout"))
+
+
+_QPRUNE_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sd
+  FROM lineitem
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+nat AS (
+  SELECT 'natural' AS layout,
+         CAST(FLOOR((row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                     - 1) * 32 / n.n) AS BIGINT) AS f,
+         sd
+  FROM li CROSS JOIN n
+), srt AS (
+  SELECT 'shipdate_sorted' AS layout,
+         CAST(FLOOR((row_number() OVER (ORDER BY sd, l_orderkey,
+                                        l_linenumber)
+                     - 1) * 32 / n.n) AS BIGINT) AS f,
+         sd
+  FROM li CROSS JOIN n
+), files AS (
+  SELECT layout, f, MIN(sd) AS lo, MAX(sd) AS hi
+  FROM (SELECT * FROM nat UNION ALL SELECT * FROM srt)
+  GROUP BY layout, f
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN lo < DATE '1994-04-01'
+                      AND hi >= DATE '1994-03-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read,
+       ROUND(CAST(SUM(CASE WHEN lo < DATE '1994-04-01'
+                            AND hi >= DATE '1994-03-01'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS read_fraction
+FROM files
+GROUP BY layout
+ORDER BY layout
+"""
+
+R8B_QUERIES["scan_pruning_stats"] = (q_scan_pruning_stats, _QPRUNE_SQL, False)

@@ -110,6 +110,8 @@ _NATIVE_QUERIES = [
     "corpus_vocab_coverage",
     "doc_rm3_expansion", "embedding_triplet_mining",
     "customer_mahalanobis_outliers",
+    "doc_readability_scores", "embedding_centroid_classifier",
+    "brand_assoc_rules", "customer_winsorized_stats", "scan_pruning_stats",
 ]
 
 
