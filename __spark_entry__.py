@@ -127,6 +127,10 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-21 readability / centroid classify / rules / winsorize / pruning
     "doc_readability_scores", "embedding_centroid_classifier",
     "brand_assoc_rules", "customer_winsorized_stats", "scan_pruning_stats",
+    # wave-22 autocomplete / arrivals / ER blocking / kNN graph / retention
+    "part_name_autocomplete", "events_inter_arrival_stats",
+    "customer_entity_blocking", "embedding_knn_graph_stats",
+    "snapshot_retention_expiry",
 ]
 
 

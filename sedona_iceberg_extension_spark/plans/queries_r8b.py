@@ -2753,3 +2753,359 @@ ORDER BY layout
 """
 
 R8B_QUERIES["scan_pruning_stats"] = (q_scan_pruning_stats, _QPRUNE_SQL, False)
+
+
+# =============================================================================
+# Wave 22 — search autocomplete, arrival-process stats, ER blocking,
+# kNN-graph audit, snapshot retention
+# =============================================================================
+
+# --- part_name_autocomplete ---------------------------------------------------
+
+def q_part_name_autocomplete(spark, sf_dir):
+    """Autocomplete index build: for the 10 most frequent 4-character
+    prefixes of part-name tokens, the top-3 completions by token
+    frequency — the (prefix -> completions) posting table a search box
+    serves.  All counts integer-exact; ties break lexicographically.
+
+    Scale shape: one token aggregation, one prefix aggregation, one
+    windowed top-3 per prefix — every stage keyed, vocabulary-sized."""
+    part = load_table(spark, sf_dir, "part")
+    toks = (part.select(F.explode(F.split(F.lower(F.col("p_name")), " "))
+                        .alias("tok"))
+            .filter(F.length("tok") >= 4))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pre = tc.withColumn("prefix", F.substring("tok", 1, 4))
+    ptot = (pre.groupBy("prefix")
+            .agg(F.sum("c").cast("long").alias("pc")))
+    wp = Window.orderBy(F.col("pc").desc(), F.col("prefix").asc())
+    top_pre = (ptot.withColumn("prk", F.row_number().over(wp))
+               .filter(F.col("prk") <= 10))
+    wc = Window.partitionBy("prefix").orderBy(
+        F.col("c").desc(), F.col("tok").asc())
+    return (pre.join(F.broadcast(top_pre.select("prefix", "pc")), "prefix")
+            .withColumn("rk", F.row_number().over(wc).cast("int"))
+            .filter(F.col("rk") <= 3)
+            .select("prefix", F.col("pc").alias("prefix_freq"), "rk",
+                    F.col("tok").alias("completion"),
+                    F.col("c").alias("completion_freq"))
+            .orderBy("prefix", "rk"))
+
+
+_QAUTOC_SQL = """
+WITH toks AS (
+  SELECT t.tok
+  FROM (SELECT string_split(lower(p_name), ' ') AS tk FROM part),
+       LATERAL (SELECT unnest(tk) AS tok) t
+  WHERE len(t.tok) >= 4
+), tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), pre AS (
+  SELECT tok, c, substr(tok, 1, 4) AS prefix FROM tc
+), ptot AS (
+  SELECT prefix, CAST(SUM(c) AS BIGINT) AS pc FROM pre GROUP BY prefix
+), top_pre AS (
+  SELECT prefix, pc
+  FROM (SELECT prefix, pc,
+               row_number() OVER (ORDER BY pc DESC, prefix ASC) AS prk
+        FROM ptot)
+  WHERE prk <= 10
+)
+SELECT prefix, pc AS prefix_freq, CAST(rk AS INT) AS rk,
+       tok AS completion, c AS completion_freq
+FROM (SELECT p.prefix, tp.pc, p.tok, p.c,
+             row_number() OVER (PARTITION BY p.prefix
+                 ORDER BY p.c DESC, p.tok ASC) AS rk
+      FROM pre p JOIN top_pre tp USING (prefix))
+WHERE rk <= 3
+ORDER BY prefix, rk
+"""
+
+R8B_QUERIES["part_name_autocomplete"] = (
+    q_part_name_autocomplete, _QAUTOC_SQL, False)
+
+
+# --- events_inter_arrival_stats -------------------------------------------------
+
+def q_events_inter_arrival_stats(spark, sf_dir):
+    """Inter-arrival-time statistics per event type: gaps in exact
+    microseconds ((ts, event_id)-ordered lag), mean / CV from exact
+    BIGINT sums, and the Goh-Barabasi burstiness B = (cv-1)/(cv+1) —
+    the arrival-process companion to the count-based Fano factor
+    (B ~ 0 is Poisson-like, B -> 1 is bursty).
+
+    Scale shape: one per-type window for the lag, one 5-row moment
+    finish; everything after the window is integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (ev.select("event_type",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("us"),
+                      "event_id")
+            .withColumn("gap", F.expr("(us - lag(us) OVER (PARTITION BY "
+                                      "event_type ORDER BY us, event_id)) "
+                                      "DIV 1000"))
+            .filter(F.col("gap").isNotNull()))
+    agg = (gaps.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("gap").cast("long").alias("s1"),
+                F.sum(F.col("gap") * F.col("gap")).cast("long").alias("s2")))
+    n = F.col("n").cast("double")
+    mean_s = F.col("s1").cast("double") / n / 1e3
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    # n*s2 can pass 2^63: the numerator runs in double (identical single
+    # IEEE multiply/subtract in both engines — deterministic)
+    var = (n * s2d - s1d * s1d) / (n * (n - 1.0))
+    cv = F.sqrt(var) / (F.col("s1").cast("double") / n)
+    return (agg.select(
+        "event_type", F.col("n").alias("n_gaps"),
+        F.round(mean_s, 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1.0) / (cv + 1.0), 6).alias("burstiness"))
+        .orderBy("event_type"))
+
+
+_QIAT_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (us - lag(us) OVER (PARTITION BY event_type
+              ORDER BY us, event_id)) // 1000 AS gap
+  FROM (SELECT event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events)
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s1,
+         CAST(SUM(gap * gap) AS BIGINT) AS s2
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e3, 6)
+         AS mean_gap_s,
+       ROUND(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv,
+       ROUND((sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+              / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+             / (sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) + 1.0), 6)
+         AS burstiness
+FROM agg
+ORDER BY event_type
+"""
+
+R8B_QUERIES["events_inter_arrival_stats"] = (
+    q_events_inter_arrival_stats, _QIAT_SQL, False)
+
+
+# --- customer_entity_blocking ---------------------------------------------------
+
+def q_customer_entity_blocking(spark, sf_dir):
+    """Entity-resolution blocking audit: block customers on
+    (market segment, acctbal percentile-free bucket of width $1000) and
+    report the candidate-pair budget — block count, max/mean block size,
+    candidate pairs sum(b*(b-1)/2), and the reduction ratio vs the naive
+    n*(n-1)/2 all-pairs comparison.  All integer-exact.
+
+    Scale shape: one groupBy over the blocking key; the audit reads only
+    the block-size histogram — the decision input BEFORE anyone runs the
+    quadratic matcher."""
+    cust = load_table(spark, sf_dir, "customer")
+    blocks = (cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bkt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("b")))
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = (blocks.crossJoin(F.broadcast(tot))
+           .groupBy("n")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.max("b").cast("long").alias("max_block"),
+                F.sum("b").cast("long").alias("n_rows"),
+                F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("long")
+                .alias("cand_pairs")))
+    naive = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"), "n_blocks", "max_block",
+        F.round(F.col("n_rows").cast("double")
+                / F.col("n_blocks").cast("double"), 6).alias("mean_block"),
+        F.col("cand_pairs"),
+        F.round(F.lit(1.0) - F.col("cand_pairs").cast("double") / naive, 6)
+        .alias("reduction_ratio"))
+
+
+_QBLOCK_SQL = """
+WITH blocks AS (
+  SELECT c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bkt,
+         CAST(COUNT(*) AS BIGINT) AS b
+  FROM customer GROUP BY 1, 2
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer)
+SELECT n AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(MAX(b) AS BIGINT) AS max_block,
+       ROUND(CAST(SUM(b) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_block,
+       CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS cand_pairs,
+       ROUND(1.0 - CAST(SUM(b * (b - 1) / 2) AS BIGINT)
+             / (CAST(n AS DOUBLE) * (n - 1) / 2), 6) AS reduction_ratio
+FROM blocks CROSS JOIN tot
+GROUP BY n
+"""
+
+R8B_QUERIES["customer_entity_blocking"] = (
+    q_customer_entity_blocking, _QBLOCK_SQL, False)
+
+
+# --- embedding_knn_graph_stats ----------------------------------------------
+
+def q_embedding_knn_graph_stats(spark, sf_dir):
+    """kNN-graph construction audit (k=5, cosine): reciprocity rate
+    (fraction of directed edges whose reverse edge also exists — the
+    symmetry an HNSW/NN-descent index builder monitors), in-degree
+    dispersion (max and hub count at >2k), and the same-label edge
+    fraction (the homophily a label-propagation step would exploit).
+    Integer-exact once the top-k edges are fixed.
+
+    Scale shape: the exact kNN pass is the brute-force baseline
+    (broadcast queries, window top-k — cosine_topk); the audit itself
+    is two edge-keyed aggregations and a self-join on the reversed
+    key."""
+    from ..pipeline import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"))
+    topk = sim.cosine_topk(base, base, k=6, q_vec="vec", d_vec="vec")
+    edges = (topk.filter(F.col("query_id") != F.col("data_id"))
+             .withColumn("rk2", F.row_number().over(
+                 Window.partitionBy("query_id")
+                 .orderBy(F.col("rank").asc())))
+             .filter(F.col("rk2") <= 5)
+             .select(F.col("query_id").alias("src"),
+                     F.col("data_id").alias("dst")))
+    rec = (edges.alias("e")
+           .join(edges.select(F.col("src").alias("dst"),
+                              F.col("dst").alias("src")),
+                 ["src", "dst"], "left_semi")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_recip")))
+    indeg = (edges.groupBy("dst")
+             .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    ind = indeg.agg(F.max("d").cast("long").alias("max_in"),
+                    F.sum(F.when(F.col("d") > 10, 1).otherwise(0))
+                    .cast("long").alias("n_hubs"))
+    lbl = base.select("vec_id", "label")
+    same = (edges
+            .join(lbl.select(F.col("vec_id").alias("src"),
+                             F.col("label").alias("sl")), "src")
+            .join(lbl.select(F.col("vec_id").alias("dst"),
+                             F.col("label").alias("dl")), "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.sum(F.when(F.col("sl") == F.col("dl"), 1).otherwise(0))
+                 .cast("long").alias("n_same")))
+    return (same.crossJoin(F.broadcast(rec)).crossJoin(F.broadcast(ind))
+            .select("n_edges",
+                    F.round(F.col("n_recip").cast("double")
+                            / F.col("n_edges").cast("double"), 6)
+                    .alias("reciprocity"),
+                    "max_in", "n_hubs",
+                    F.round(F.col("n_same").cast("double")
+                            / F.col("n_edges").cast("double"), 6)
+                    .alias("same_label_frac")))
+
+
+_QKNNG_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+), edges AS MATERIALIZED (
+  SELECT src, dst
+  FROM (SELECT q.vec_id AS src, d.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(d.vec, q.vec) DESC,
+                            d.vec_id ASC) AS rk
+        FROM base q CROSS JOIN base d
+        WHERE q.vec_id <> d.vec_id)
+  WHERE rk <= 5
+), rec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src = e.dst AND r.dst = e.src)
+), ind AS (
+  SELECT CAST(MAX(d) AS BIGINT) AS max_in,
+         CAST(SUM(CASE WHEN d > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+  FROM (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY dst)
+), same AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_same
+  FROM edges e
+  JOIN base ls ON ls.vec_id = e.src
+  JOIN base ld ON ld.vec_id = e.dst
+)
+SELECT n_edges,
+       ROUND(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+         AS reciprocity,
+       max_in, n_hubs,
+       ROUND(CAST(n_same AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+         AS same_label_frac
+FROM same CROSS JOIN rec CROSS JOIN ind
+"""
+
+R8B_QUERIES["embedding_knn_graph_stats"] = (
+    q_embedding_knn_graph_stats, _QKNNG_SQL, False)
+
+
+# --- snapshot_retention_expiry --------------------------------------------------
+
+def q_snapshot_retention_expiry(spark, sf_dir):
+    """Snapshot retention driven end-to-end: create a versioned table
+    (4 files), append (2 more), bin-pack compact (1), then
+    ``expire(keep_last=1)`` — the expire_snapshots maintenance procedure.
+    Reports manifests dropped, data files physically removed (the 6
+    pre-compaction files, no longer referenced by any retained
+    manifest), versions left, and the row count read after expiry
+    (unchanged — retention must never change query results).
+
+    Cites the reference's Iceberg maintenance surface
+    (/root/reference/README.md quickstart table lifecycle)."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="snapexp_") + "/nation"
+    t = SnapshotTable.create(spark, path, nation.repartition(4))
+    t.append(spark, nation.filter(F.col("n_regionkey") == 0).repartition(2))
+    t.compact(spark)
+    res = t.expire(keep_last=1)
+    n_left = len(t.versions())
+    rows = t.read(spark).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return rows.select(
+        F.lit(res["manifests_dropped"]).cast("long")
+        .alias("manifests_dropped"),
+        F.lit(res["files_removed"]).cast("long").alias("files_removed"),
+        F.lit(n_left).cast("long").alias("versions_left"),
+        "n_rows")
+
+
+_QEXPIRE_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation),
+     r AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nation
+           WHERE n_regionkey = 0)
+SELECT CAST(2 AS BIGINT) AS manifests_dropped,
+       CAST(6 AS BIGINT) AS files_removed,
+       CAST(1 AS BIGINT) AS versions_left,
+       n.c + r.c AS n_rows
+FROM n CROSS JOIN r
+"""
+
+R8B_QUERIES["snapshot_retention_expiry"] = (
+    q_snapshot_retention_expiry, _QEXPIRE_SQL, False)

@@ -112,6 +112,8 @@ _NATIVE_QUERIES = [
     "customer_mahalanobis_outliers",
     "doc_readability_scores", "embedding_centroid_classifier",
     "brand_assoc_rules", "customer_winsorized_stats", "scan_pruning_stats",
+    "part_name_autocomplete", "events_inter_arrival_stats",
+    "customer_entity_blocking", "embedding_knn_graph_stats",
 ]
 
 
