@@ -131,6 +131,10 @@ _NEVER_DRIVER_SAMPLED = [
     "part_name_autocomplete", "events_inter_arrival_stats",
     "customer_entity_blocking", "embedding_knn_graph_stats",
     "snapshot_retention_expiry",
+    # wave-23 boilerplate / spectral / migration / factorial / HW forecast
+    "doc_sentence_dedup", "events_periodogram_dft",
+    "customer_decile_migration", "orders_twoway_anova",
+    "events_holt_winters",
 ]
 
 

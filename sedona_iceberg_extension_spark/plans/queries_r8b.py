@@ -3109,3 +3109,422 @@ FROM n CROSS JOIN r
 
 R8B_QUERIES["snapshot_retention_expiry"] = (
     q_snapshot_retention_expiry, _QEXPIRE_SQL, False)
+
+
+# =============================================================================
+# Wave 23 — boilerplate detection, spectral analysis, decile migration,
+# factorial ANOVA, seasonal exponential smoothing
+# =============================================================================
+
+# --- doc_sentence_dedup -------------------------------------------------------
+
+def q_doc_sentence_dedup(spark, sf_dir):
+    """Sentence-level boilerplate detection (the CCNet-style dedup grain
+    below document level): split on sentence punctuation, trim, keep
+    sentences >= 20 chars, hash, and report per source the sentence
+    count, distinct count, duplication rate, and the multiplicity of the
+    worst boilerplate sentence.  All counts integer-exact.
+
+    Scale shape: explode + two keyed aggregations; the hash keeps the
+    dedup key fixed-width no matter the sentence length."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), r"[.!?]+")).alias("s"))
+        .select("source", F.trim(F.col("s")).alias("s"))
+        .filter(F.length("s") >= 20)
+        .select("source", _hash64(F.col("s"), "sent").alias("h")))
+    per = (sents.groupBy("source", "h")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    return (per.groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n_sentences"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                 F.max("c").cast("long").alias("max_multiplicity"))
+            .select("source", "n_sentences", "n_distinct",
+                    F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
+                            / F.col("n_sentences").cast("double"), 6)
+                    .alias("dup_rate"),
+                    "max_multiplicity")
+            .orderBy("source"))
+
+
+_QSENT_SQL = """
+WITH sents AS (
+  SELECT source,
+         ('0x' || substr(md5(s || '#sent'), 1, 15))::BIGINT AS h
+  FROM (SELECT source, trim(t.s) AS s
+        FROM (SELECT source, string_split_regex(text, '[.!?]+') AS ss
+              FROM documents),
+             LATERAL (SELECT unnest(ss) AS s) t)
+  WHERE len(s) >= 20
+), per AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sents GROUP BY source, h
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_sentences,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS BIGINT)
+             / CAST(SUM(c) AS DOUBLE), 6) AS dup_rate,
+       CAST(MAX(c) AS BIGINT) AS max_multiplicity
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+R8B_QUERIES["doc_sentence_dedup"] = (q_doc_sentence_dedup, _QSENT_SQL, False)
+
+
+# --- events_periodogram_dft ---------------------------------------------------
+
+def q_events_periodogram_dft(spark, sf_dir):
+    """Single-frequency DFT power of the mean-centered daily event-count
+    series at candidate periods {7, 14, 30} days — the periodicity
+    detector behind seasonal-model selection (the weekly peak should
+    dominate).  Centered values are exact rationals; the trig terms are
+    single libm calls on identical doubles.
+
+    Scale shape: one day aggregation; each period is a 2-term sum over
+    the day-domain-bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    w = Window.orderBy("day")
+    idx = days.withColumn("t", F.row_number().over(w).cast("long") - 1)
+    tot = idx.agg(F.sum("y").cast("long").alias("s"),
+                  F.count(F.lit(1)).cast("long").alias("n"))
+    periods = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(7), F.lit(14), F.lit(30)),
+                     (F.col("id") + 1).cast("int")).cast("long")
+        .alias("prd"))
+    two_pi = 6.283185307179586
+    g = (idx.crossJoin(F.broadcast(tot))
+         .crossJoin(F.broadcast(periods))
+         .withColumn("yc", F.col("y").cast("double")
+                     - F.col("s").cast("double") / F.col("n").cast("double"))
+         .withColumn("arg", F.lit(two_pi)
+                     * (F.col("t") % F.col("prd")).cast("double")
+                     / F.col("prd").cast("double")))
+    agg = (g.groupBy("prd", "n")
+           .agg(F.sum(F.col("yc") * F.cos("arg")).alias("c"),
+                F.sum(F.col("yc") * F.sin("arg")).alias("sn")))
+    power = (F.col("c") * F.col("c") + F.col("sn") * F.col("sn")) \
+        / F.col("n").cast("double")
+    return (agg.select(F.col("prd").alias("period_days"),
+                       F.round(power, 4).alias("power"))
+            .orderBy("period_days"))
+
+
+_QDFT_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t, y
+  FROM days
+), tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM idx
+), periods AS (SELECT CAST(unnest([7, 14, 30]) AS BIGINT) AS prd),
+g AS (
+  SELECT p.prd, tot.n,
+         CAST(y AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS yc,
+         6.283185307179586 * CAST(idx.t % p.prd AS DOUBLE)
+           / CAST(p.prd AS DOUBLE) AS arg
+  FROM idx CROSS JOIN tot CROSS JOIN periods p
+), agg AS (
+  SELECT prd, n, SUM(yc * cos(arg)) AS c, SUM(yc * sin(arg)) AS sn
+  FROM g GROUP BY prd, n
+)
+SELECT prd AS period_days,
+       ROUND((c * c + sn * sn) / CAST(n AS DOUBLE), 4) AS power
+FROM agg
+ORDER BY period_days
+"""
+
+R8B_QUERIES["events_periodogram_dft"] = (
+    q_events_periodogram_dft, _QDFT_SQL, False)
+
+
+# --- customer_decile_migration --------------------------------------------------
+
+def q_customer_decile_migration(spark, sf_dir):
+    """Year-over-year spend-decile migration: rank customers into
+    deciles by total 1996 spend and again by 1997 spend (exact-cents
+    sums; decile = floor((rank-1)*10/n) with (spend DESC, custkey)
+    tie-break — never NTILE, whose tie rule differs between engines),
+    and report, per 1996 decile, how many customers stayed, moved up,
+    or moved down.  The churn-risk migration matrix, all integer-exact.
+
+    Scale shape: two year-keyed aggregations, two rank windows over the
+    customer-sized tables, one join on custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def deciles(year):
+        spend = (orders.filter(F.year("o_orderdate") == year)
+                 .groupBy("o_custkey")
+                 .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                            .cast("long")).cast("long").alias("cents")))
+        w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+        n = spend.count()
+        return (spend.withColumn("rk", F.row_number().over(w))
+                .withColumn("dec", F.floor((F.col("rk") - 1) * 10
+                                           / F.lit(n)).cast("long"))
+                .select(F.col("o_custkey").alias("ck"), "dec"))
+
+    d94 = deciles(1996).withColumnRenamed("dec", "d94")
+    d95 = deciles(1997).withColumnRenamed("dec", "d95")
+    j = d94.join(d95, "ck")
+    return (j.groupBy(F.col("d94").alias("decile_1996"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.when(F.col("d95") == F.col("d94"), 1).otherwise(0))
+                 .cast("long").alias("n_stay"),
+                 F.sum(F.when(F.col("d95") < F.col("d94"), 1).otherwise(0))
+                 .cast("long").alias("n_up"),
+                 F.sum(F.when(F.col("d95") > F.col("d94"), 1).otherwise(0))
+                 .cast("long").alias("n_down"),
+                 F.round(F.avg(F.col("d95").cast("double")), 6)
+                 .alias("mean_dec_1997"))
+            .orderBy("decile_1996"))
+
+
+_QDECMIG_SQL = """
+WITH s94 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+), s95 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+), d94 AS (
+  SELECT o_custkey AS ck,
+         CAST(FLOOR((row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+                     - 1) * 10 / (SELECT COUNT(*) FROM s94)) AS BIGINT)
+           AS d94
+  FROM s94
+), d95 AS (
+  SELECT o_custkey AS ck,
+         CAST(FLOOR((row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+                     - 1) * 10 / (SELECT COUNT(*) FROM s95)) AS BIGINT)
+           AS d95
+  FROM s95
+)
+SELECT d94 AS decile_1996, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d95 = d94 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stay,
+       CAST(SUM(CASE WHEN d95 < d94 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN d95 > d94 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_down,
+       ROUND(AVG(CAST(d95 AS DOUBLE)), 6) AS mean_dec_1997
+FROM d94 JOIN d95 USING (ck)
+GROUP BY d94
+ORDER BY decile_1996
+"""
+
+R8B_QUERIES["customer_decile_migration"] = (
+    q_customer_decile_migration, _QDECMIG_SQL, False)
+
+
+# --- orders_twoway_anova ------------------------------------------------------
+
+def q_orders_twoway_anova(spark, sf_dir):
+    """Two-way factorial ANOVA with interaction on order value:
+    factors priority (5) x order-weekday (7), weighted (Type-I-style)
+    sums of squares from cell sufficient statistics
+    {n_ab, S_ab, Q_ab} — SSA/SSB from marginal means, SSAB from the
+    interaction contrast n_ab*(m_ab - m_a - m_b + m)^2, SSE = Q - sum
+    n_ab*m_ab^2.  Inputs scaled /1e5 per the ANOVA convention so every
+    squared sum stays O(1e3); F statistics ROUNDed at 4.
+
+    Scale shape: ONE cell aggregation over the data; everything after
+    runs on the 35-cell table."""
+    orders = load_table(spark, sf_dir, "orders")
+    y = F.col("o_totalprice") / F.lit(100000.0)
+    cells = (orders.groupBy(
+        F.col("o_orderpriority").alias("a"),
+        F.dayofweek("o_orderdate").cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum(y).alias("s"),
+             F.sum(y * y).alias("q")))
+    am = (cells.groupBy("a")
+          .agg((F.sum("s") / F.sum("n").cast("double")).alias("ma")))
+    bm = (cells.groupBy("b")
+          .agg((F.sum("s") / F.sum("n").cast("double")).alias("mb")))
+    gt = cells.agg(F.sum("n").cast("long").alias("nn"),
+                   F.sum("s").alias("ss"), F.sum("q").alias("qq"),
+                   F.count(F.lit(1)).cast("long").alias("n_cells"),
+                   F.countDistinct("a").cast("long").alias("ka"),
+                   F.countDistinct("b").cast("long").alias("kb"))
+    j = (cells.join(F.broadcast(am), "a").join(F.broadcast(bm), "b")
+         .crossJoin(F.broadcast(gt)))
+    m = F.col("ss") / F.col("nn").cast("double")
+    mab = F.col("s") / F.col("n").cast("double")
+    nD = F.col("n").cast("double")
+    terms = j.select(
+        "nn", "qq", "ss", "n_cells", "ka", "kb",
+        (nD * (F.col("ma") - m) * (F.col("ma") - m) / 7.0).alias("ta"),
+        (nD * (F.col("mb") - m) * (F.col("mb") - m) / 5.0).alias("tb"),
+        (nD * (mab - F.col("ma") - F.col("mb") + m)
+         * (mab - F.col("ma") - F.col("mb") + m)).alias("tab"),
+        (nD * mab * mab).alias("tfit"))
+    # ta/tb are divided by the co-factor level count so summing the cell
+    # rows reproduces the marginal-level sums exactly once
+    agg = (terms.groupBy("nn", "qq", "ss", "n_cells", "ka", "kb")
+           .agg(F.sum("ta").alias("ssa"), F.sum("tb").alias("ssb"),
+                F.sum("tab").alias("ssab"), F.sum("tfit").alias("fit")))
+    sse = F.col("qq") - F.col("fit")
+    dfe = (F.col("nn") - F.col("n_cells")).cast("double")
+    mse = sse / dfe
+    fa = (F.col("ssa") / (F.col("ka") - 1).cast("double")) / mse
+    fb = (F.col("ssb") / (F.col("kb") - 1).cast("double")) / mse
+    fab = (F.col("ssab") / ((F.col("ka") - 1)
+                            * (F.col("kb") - 1)).cast("double")) / mse
+    return agg.select(
+        F.col("nn").alias("n"), F.col("n_cells"),
+        F.round(fa, 4).alias("f_priority"),
+        F.round(fb, 4).alias("f_weekday"),
+        F.round(fab, 4).alias("f_interaction"))
+
+
+_QANOVA2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS a,
+         CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(o_totalprice / 100000.0) AS s,
+         SUM((o_totalprice / 100000.0) * (o_totalprice / 100000.0)) AS q
+  FROM orders GROUP BY 1, 2
+), am AS (
+  SELECT a, SUM(s) / CAST(SUM(n) AS DOUBLE) AS ma FROM cells GROUP BY a
+), bm AS (
+  SELECT b, SUM(s) / CAST(SUM(n) AS DOUBLE) AS mb FROM cells GROUP BY b
+), gt AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+  FROM cells
+), terms AS (
+  SELECT nn, qq, ss, n_cells, ka, kb,
+         CAST(n AS DOUBLE) * (ma - ss / CAST(nn AS DOUBLE))
+           * (ma - ss / CAST(nn AS DOUBLE)) / 7.0 AS ta,
+         CAST(n AS DOUBLE) * (mb - ss / CAST(nn AS DOUBLE))
+           * (mb - ss / CAST(nn AS DOUBLE)) / 5.0 AS tb,
+         CAST(n AS DOUBLE)
+           * (s / CAST(n AS DOUBLE) - ma - mb + ss / CAST(nn AS DOUBLE))
+           * (s / CAST(n AS DOUBLE) - ma - mb + ss / CAST(nn AS DOUBLE))
+           AS tab,
+         CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE))
+           * (s / CAST(n AS DOUBLE)) AS tfit
+  FROM cells JOIN am USING (a) JOIN bm USING (b) CROSS JOIN gt
+), agg AS (
+  SELECT nn, qq, ss, n_cells, ka, kb,
+         SUM(ta) AS ssa, SUM(tb) AS ssb, SUM(tab) AS ssab,
+         SUM(tfit) AS fit
+  FROM terms GROUP BY nn, qq, ss, n_cells, ka, kb
+)
+SELECT nn AS n, n_cells,
+       ROUND((ssa / CAST(ka - 1 AS DOUBLE))
+             / ((qq - fit) / CAST(nn - n_cells AS DOUBLE)), 4)
+         AS f_priority,
+       ROUND((ssb / CAST(kb - 1 AS DOUBLE))
+             / ((qq - fit) / CAST(nn - n_cells AS DOUBLE)), 4)
+         AS f_weekday,
+       ROUND((ssab / CAST((ka - 1) * (kb - 1) AS DOUBLE))
+             / ((qq - fit) / CAST(nn - n_cells AS DOUBLE)), 4)
+         AS f_interaction
+FROM agg
+"""
+
+R8B_QUERIES["orders_twoway_anova"] = (
+    q_orders_twoway_anova, _QANOVA2_SQL, False)
+
+
+# --- events_holt_winters ------------------------------------------------------
+
+def q_events_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple exponential smoothing over the daily
+    event counts (alpha=0.6, beta=0.3, gamma=0.4, weekly season m=7;
+    init: l=y1, b=0, seasonals 0), forecasting horizons 1..7 with the
+    rotating seasonal buffer.  The recursion is a fixed left fold with a
+    7-slot list state — bit-identical IEEE sequences in both engines.
+
+    Scale shape: one day aggregation, then a native ``F.aggregate`` fold
+    carrying struct(l, b, seasonal array) over the ~61-element series."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    series = days.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("sv"))
+    zeros = F.array(*[F.lit(0.0)] * 7)
+    acc0 = F.struct(F.lit(0).cast("int").alias("n"),
+                    F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+                    zeros.alias("s"))
+    # s[1] (1-based element_at) is the seasonal slot of the CURRENT step;
+    # each step rotates: new list = s[2..7] ++ [updated slot]
+    new_l = lambda acc, e: F.when(acc["n"] == 0, e["y"]).otherwise(
+        0.6 * (e["y"] - F.element_at(acc["s"], 1))
+        + 0.4 * (acc["l"] + acc["b"]))
+    new_b = lambda acc, e: F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+        0.3 * (new_l(acc, e) - acc["l"]) + 0.7 * acc["b"])
+    new_s = lambda acc, e: F.when(acc["n"] == 0, F.lit(0.0)).otherwise(
+        0.4 * (e["y"] - new_l(acc, e))
+        + 0.6 * F.element_at(acc["s"], 1))
+    fold = F.aggregate(
+        F.col("sv"), acc0,
+        lambda acc, e: F.struct(
+            (acc["n"] + 1).alias("n"),
+            new_l(acc, e).alias("l"),
+            new_b(acc, e).alias("b"),
+            F.concat(F.slice(acc["s"], 2, 6),
+                     F.array(new_s(acc, e))).alias("s")))
+    final = series.select(fold.alias("f")).select(
+        F.col("f.n").cast("long").alias("n_days"),
+        F.col("f.l").alias("l"), F.col("f.b").alias("b"),
+        F.col("f.s").alias("s"))
+    h = spark.range(1, 8).select(F.col("id").alias("horizon"))
+    return (final.crossJoin(F.broadcast(h))
+            .select("n_days", "horizon",
+                    (F.round(F.col("l")
+                             + F.col("horizon").cast("double") * F.col("b")
+                             + F.element_at(
+                                 F.col("s"),
+                                 F.col("horizon").cast("int")), 6)
+                     + F.lit(0.0)).alias("forecast"))
+            .orderBy("horizon"))
+
+
+_QHW_SQL = """
+WITH RECURSIVE days AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+        FROM events GROUP BY 1)
+), hw AS (
+  SELECT i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS s
+  FROM days WHERE i = 1
+  UNION ALL
+  SELECT d.i,
+         0.6 * (d.y - h.s[1]) + 0.4 * (h.l + h.b),
+         0.3 * ((0.6 * (d.y - h.s[1]) + 0.4 * (h.l + h.b)) - h.l)
+           + 0.7 * h.b,
+         h.s[2:7]
+           || [0.4 * (d.y - (0.6 * (d.y - h.s[1]) + 0.4 * (h.l + h.b)))
+               + 0.6 * h.s[1]]
+  FROM hw h JOIN days d ON d.i = h.i + 1
+), fin AS (
+  SELECT i AS n_days, l, b, s FROM hw
+  WHERE i = (SELECT MAX(i) FROM days)
+)
+SELECT n_days, CAST(h.range AS BIGINT) AS horizon,
+       ROUND(l + CAST(h.range AS DOUBLE) * b
+             + s[CAST(h.range AS INT)], 6) + 0.0 AS forecast
+FROM fin CROSS JOIN range(1, 8) h
+ORDER BY horizon
+"""
+
+R8B_QUERIES["events_holt_winters"] = (
+    q_events_holt_winters, _QHW_SQL, False)

@@ -114,6 +114,9 @@ _NATIVE_QUERIES = [
     "brand_assoc_rules", "customer_winsorized_stats", "scan_pruning_stats",
     "part_name_autocomplete", "events_inter_arrival_stats",
     "customer_entity_blocking", "embedding_knn_graph_stats",
+    "doc_sentence_dedup", "events_periodogram_dft",
+    "customer_decile_migration", "orders_twoway_anova",
+    "events_holt_winters",
 ]
 
 
