@@ -135,6 +135,9 @@ _NEVER_DRIVER_SAMPLED = [
     "doc_sentence_dedup", "events_periodogram_dft",
     "customer_decile_migration", "orders_twoway_anova",
     "events_holt_winters",
+    # wave-24 conformal / overlap / EOQ / fertility / pinball
+    "orders_conformal_interval", "events_type_overlap_jaccard",
+    "brand_eoq_reorder", "doc_tokenizer_fertility", "orders_pinball_loss",
 ]
 
 

@@ -3528,3 +3528,356 @@ ORDER BY horizon
 
 R8B_QUERIES["events_holt_winters"] = (
     q_events_holt_winters, _QHW_SQL, False)
+
+
+# =============================================================================
+# Wave 24 — conformal prediction, audience overlap, inventory EOQ,
+# tokenizer fertility, quantile-loss forecast evaluation
+# =============================================================================
+
+# --- orders_conformal_interval --------------------------------------------------
+
+def q_orders_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction interval for the seasonal-naive daily
+    revenue forecast: absolute residuals on the first 70% of
+    forecastable days (date order) calibrate q_hat = the
+    ceil((n_cal+1)*0.9)-th smallest residual (a RANK selection — exact,
+    no quantile interpolation), and the held-out 30% reports the
+    empirical coverage of +/- q_hat.  Distribution-free uncertainty for
+    any point forecast.
+
+    Scale shape: reuses the day-level forecast joins; calibration and
+    evaluation are two passes over the day-count-sized table."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                            .alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 6).alias("rev")))
+    l7 = daily.select(F.col("day").alias("d7"), F.col("rev").alias("r7"))
+    l14 = daily.select(F.col("day").alias("d14"), F.col("rev").alias("r14"))
+    l21 = daily.select(F.col("day").alias("d21"), F.col("rev").alias("r21"))
+    dd = F.to_date("day")
+    j = (daily
+         .join(l7, F.date_format(F.date_sub(dd, 7), "yyyy-MM-dd")
+               == F.col("d7"))
+         .join(l14, F.date_format(F.date_sub(dd, 14), "yyyy-MM-dd")
+               == F.col("d14"))
+         .join(l21, F.date_format(F.date_sub(dd, 21), "yyyy-MM-dd")
+               == F.col("d21")))
+    fc = (F.col("r7") + F.col("r14") + F.col("r21")) / F.lit(3.0)
+    res = j.select("day",
+                   F.round(F.abs(F.col("rev") - fc), 6).alias("ar"))
+    w = Window.orderBy("day")
+    idx = res.withColumn("rn", F.row_number().over(w))
+    nf = idx.count()
+    ncal = int(nf * 7 // 10)
+    k = min(ncal, -(-(ncal + 1) * 9 // 10))  # ceil((ncal+1)*0.9), clamped
+    cal = idx.filter(F.col("rn") <= ncal)
+    wq = Window.orderBy(F.col("ar").asc(), F.col("day").asc())
+    qhat = (cal.withColumn("qr", F.row_number().over(wq))
+            .filter(F.col("qr") == k)
+            .select(F.col("ar").alias("q_hat")))
+    ev = (idx.filter(F.col("rn") > ncal)
+          .crossJoin(F.broadcast(qhat)))
+    return (ev.groupBy("q_hat")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eval"),
+                 F.sum(F.when(F.col("ar") <= F.col("q_hat"), 1)
+                       .otherwise(0)).cast("long").alias("n_covered"))
+            .select(F.lit(ncal).cast("long").alias("n_cal"), "n_eval",
+                    F.round("q_hat", 6).alias("q_hat"),
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("n_eval").cast("double"), 6)
+                    .alias("coverage")))
+
+
+def _conformal_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT d.day, ROUND(abs(d.rev - (l7.rev + l14.rev + l21.rev) / 3.0), 6)
+           AS ar
+  FROM daily d
+  JOIN daily l7
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') = l7.day
+  JOIN daily l14
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 14 DAY, '%Y-%m-%d')
+       = l14.day
+  JOIN daily l21
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 21 DAY, '%Y-%m-%d')
+       = l21.day
+), idx AS (
+  SELECT day, ar, row_number() OVER (ORDER BY day) AS rn FROM j
+), nn AS (
+  SELECT CAST(COUNT(*) * 7 // 10 AS BIGINT) AS ncal FROM idx
+), kk AS (
+  SELECT ncal,
+         least(ncal, CAST(CEIL((ncal + 1) * 9 / 10.0) AS BIGINT)) AS k
+  FROM nn
+), qhat AS (
+  SELECT kk.ncal, c.ar AS q_hat
+  FROM kk JOIN (
+    SELECT ar, row_number() OVER (ORDER BY ar ASC, day ASC) AS qr
+    FROM idx CROSS JOIN nn WHERE rn <= nn.ncal) c
+    ON c.qr = kk.k
+)
+SELECT q.ncal AS n_cal, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(MIN(q.q_hat), 6) AS q_hat,
+       ROUND(CAST(SUM(CASE WHEN i.ar <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM idx i CROSS JOIN qhat q
+WHERE i.rn > q.ncal
+GROUP BY q.ncal
+"""
+
+
+R8B_QUERIES["orders_conformal_interval"] = (
+    q_orders_conformal_interval, _conformal_sql(), False)
+
+
+# --- events_type_overlap_jaccard ----------------------------------------------
+
+def q_events_type_overlap_jaccard(spark, sf_dir):
+    """Audience overlap between event types: exact Jaccard of the user
+    sets for every type pair — |users(a) AND users(b)| over the union,
+    from one distinct projection and a pair join.  Integer-exact; the
+    cross-sell / cannibalization read on event audiences.
+
+    Scale shape: the distinct (type, user) projection is the only
+    data-sized shuffle; at corpus scale the exact sets would swap for
+    the KMV/HLL sketches already in the inventory (same output
+    contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = (tu.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("nu")))
+    a = tu.select(F.col("event_type").alias("ta"), "user_id")
+    b = tu.select(F.col("event_type").alias("tb"), "user_id")
+    inter = (a.join(b, "user_id").filter(F.col("ta") < F.col("tb"))
+             .groupBy("ta", "tb")
+             .agg(F.count(F.lit(1)).cast("long").alias("ni")))
+    return (inter
+            .join(F.broadcast(sizes.select(F.col("event_type").alias("ta"),
+                                           F.col("nu").alias("na"))), "ta")
+            .join(F.broadcast(sizes.select(F.col("event_type").alias("tb"),
+                                           F.col("nu").alias("nb"))), "tb")
+            .select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+                    F.col("na").alias("n_users_a"),
+                    F.col("nb").alias("n_users_b"),
+                    F.col("ni").alias("n_both"),
+                    F.round(F.col("ni").cast("double")
+                            / (F.col("na") + F.col("nb") - F.col("ni"))
+                            .cast("double"), 6).alias("jaccard"))
+            .orderBy("type_a", "type_b"))
+
+
+_QOVERLAP_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu FROM tu GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS ni
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+       sa.nu AS n_users_a, sb.nu AS n_users_b, ni AS n_both,
+       ROUND(CAST(ni AS DOUBLE) / CAST(sa.nu + sb.nu - ni AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = ta
+JOIN sizes sb ON sb.event_type = tb
+ORDER BY type_a, type_b
+"""
+
+R8B_QUERIES["events_type_overlap_jaccard"] = (
+    q_events_type_overlap_jaccard, _QOVERLAP_SQL, False)
+
+
+# --- brand_eoq_reorder --------------------------------------------------------
+
+def q_brand_eoq_reorder(spark, sf_dir):
+    """Economic order quantity per brand: EOQ = sqrt(2*D*S / H) with
+    demand D = total quantity shipped (exact integer), fixed order cost
+    S = 100, holding cost H = 20% of the brand's mean retail price
+    (exact-cents mean) — plus the implied order count D/EOQ.  The
+    inventory-policy finish on top of the ABC-XYZ matrix.
+
+    Scale shape: one join + brand aggregation; the formula runs on the
+    25-row brand table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                                  "p_retailprice")
+    j = li.join(pt, li.l_partkey == pt.p_partkey)
+    agg = (j.groupBy("p_brand")
+           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("d"),
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+                .cast("long").alias("price_cents"),
+                F.count(F.lit(1)).cast("long").alias("n")))
+    h = 0.2 * (F.col("price_cents").cast("double")
+               / F.col("n").cast("double") / 100.0)
+    eoq = F.sqrt(2.0 * F.col("d").cast("double") * 100.0 / h)
+    return (agg.select(F.col("p_brand").alias("brand"),
+                       F.col("d").alias("annual_demand"),
+                       F.round(h, 6).alias("holding_cost"),
+                       F.round(eoq, 6).alias("eoq"),
+                       F.round(F.col("d").cast("double") / eoq, 6)
+                       .alias("orders_per_period"))
+            .orderBy("brand"))
+
+
+_QEOQ_SQL = """
+WITH agg AS (
+  SELECT p.p_brand AS brand,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT brand, d AS annual_demand,
+       ROUND(0.2 * (CAST(price_cents AS DOUBLE) / CAST(n AS DOUBLE)
+                    / 100.0), 6) AS holding_cost,
+       ROUND(sqrt(2.0 * CAST(d AS DOUBLE) * 100.0
+                  / (0.2 * (CAST(price_cents AS DOUBLE)
+                            / CAST(n AS DOUBLE) / 100.0))), 6) AS eoq,
+       ROUND(CAST(d AS DOUBLE)
+             / sqrt(2.0 * CAST(d AS DOUBLE) * 100.0
+                    / (0.2 * (CAST(price_cents AS DOUBLE)
+                              / CAST(n AS DOUBLE) / 100.0))), 6)
+         AS orders_per_period
+FROM agg
+ORDER BY brand
+"""
+
+R8B_QUERIES["brand_eoq_reorder"] = (q_brand_eoq_reorder, _QEOQ_SQL, False)
+
+
+# --- doc_tokenizer_fertility ----------------------------------------------------
+
+def q_doc_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: BPE-ish subword estimate over
+    whitespace words (both exact integer counts per document) — the
+    cost multiplier a multilingual token budget applies per language.
+    fertility = subword_tokens / words.
+
+    Scale shape: two codegen token counters per row, one lang-keyed
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        _text.token_count(F.col("text")).cast("long").alias("w"),
+        _text.token_count_bpe_ish(F.col("text")).cast("long").alias("bpe"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("w").cast("long").alias("n_words"),
+                 F.sum("bpe").cast("long").alias("n_subwords"))
+            .select("lang", "n_docs", "n_words", "n_subwords",
+                    F.round(F.col("n_subwords").cast("double")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("fertility"))
+            .orderBy("lang"))
+
+
+_QFERT_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w,
+         CAST(len(string_split_regex(trim(text), '\\s+'))
+              + (length(text)
+                 - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')))
+              + list_sum(list_transform(
+                  {_TOKS_SQL},
+                  t -> greatest(0, CAST(floor((len(t) - 1) / 6.0)
+                                        AS BIGINT)))) AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(bpe) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(bpe) AS BIGINT) / CAST(SUM(w) AS DOUBLE), 6)
+         AS fertility
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+R8B_QUERIES["doc_tokenizer_fertility"] = (
+    q_doc_tokenizer_fertility, _QFERT_SQL, False)
+
+
+# --- orders_pinball_loss ------------------------------------------------------
+
+def q_orders_pinball_loss(spark, sf_dir):
+    """Quantile (pinball) loss of the seasonal-naive revenue forecast at
+    q in {0.1, 0.5, 0.9} — the metric that grades an interval/quantile
+    forecast the way MAPE grades a point forecast.  Inputs are the
+    ROUND-6 daily revenues, so every loss term is a deterministic
+    function of identical doubles.
+
+    Scale shape: day-level joins, a 3-row quantile grid broadcast in."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                            .alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 6).alias("rev")))
+    l7 = daily.select(F.col("day").alias("d7"), F.col("rev").alias("r7"))
+    l14 = daily.select(F.col("day").alias("d14"), F.col("rev").alias("r14"))
+    l21 = daily.select(F.col("day").alias("d21"), F.col("rev").alias("r21"))
+    dd = F.to_date("day")
+    j = (daily
+         .join(l7, F.date_format(F.date_sub(dd, 7), "yyyy-MM-dd")
+               == F.col("d7"))
+         .join(l14, F.date_format(F.date_sub(dd, 14), "yyyy-MM-dd")
+               == F.col("d14"))
+         .join(l21, F.date_format(F.date_sub(dd, 21), "yyyy-MM-dd")
+               == F.col("d21")))
+    fc = (F.col("r7") + F.col("r14") + F.col("r21")) / F.lit(3.0)
+    diff = F.col("rev") - fc
+    qs = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)),
+                     (F.col("id") + 1).cast("int")).alias("q"))
+    g = (j.select(diff.alias("diff"))
+         .crossJoin(F.broadcast(qs))
+         .withColumn("loss", F.greatest(F.col("q") * F.col("diff"),
+                                        (F.col("q") - 1.0) * F.col("diff"))))
+    return (g.groupBy("q")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.round(F.avg("loss") / 1e3, 6).alias("mean_pinball_k"))
+            .orderBy("q"))
+
+
+_QPINBALL_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT d.rev - (l7.rev + l14.rev + l21.rev) / 3.0 AS diff
+  FROM daily d
+  JOIN daily l7
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') = l7.day
+  JOIN daily l14
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 14 DAY, '%Y-%m-%d')
+       = l14.day
+  JOIN daily l21
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 21 DAY, '%Y-%m-%d')
+       = l21.day
+), g AS (
+  SELECT q.q, greatest(q.q * j.diff, (q.q - 1.0) * j.diff) AS loss
+  FROM j CROSS JOIN (SELECT CAST(unnest([0.1, 0.5, 0.9]) AS DOUBLE) AS q) q
+)
+SELECT q, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(loss) / 1e3, 6) AS mean_pinball_k
+FROM g
+GROUP BY q
+ORDER BY q
+"""
+
+R8B_QUERIES["orders_pinball_loss"] = (
+    q_orders_pinball_loss, _QPINBALL_SQL, False)
