@@ -138,6 +138,9 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-24 conformal / overlap / EOQ / fertility / pinball
     "orders_conformal_interval", "events_type_overlap_jaccard",
     "brand_eoq_reorder", "doc_tokenizer_fertility", "orders_pinball_loss",
+    # wave-25 price indices / Weibull / EB shrinkage / uplift / NB fit
+    "lineitem_price_index", "ship_weibull_fit", "nation_eb_shrinkage",
+    "events_uplift_by_segment", "customer_nb_overdispersion",
 ]
 
 

@@ -3881,3 +3881,449 @@ ORDER BY q
 
 R8B_QUERIES["orders_pinball_loss"] = (
     q_orders_pinball_loss, _QPINBALL_SQL, False)
+
+
+# =============================================================================
+# Wave 25 — price indices, parametric survival, empirical Bayes,
+# uplift modeling, count-model fitting
+# =============================================================================
+
+# --- lineitem_price_index -----------------------------------------------------
+
+def q_lineitem_price_index(spark, sf_dir):
+    """Laspeyres, Paasche, and Fisher price indices for 1997 vs the 1996
+    base year, per part (mean unit price = extendedprice/quantity in
+    exact cents x integer quantities): L = sum(p1*q0)/sum(p0*q0),
+    P = sum(p1*q1)/sum(p0*q1), F = sqrt(L*P) — the composite-inflation
+    read on the parts basket, all from exact BIGINT cross-products.
+
+    Scale shape: two year-keyed part aggregations, one part join, one
+    scalar finish."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def year_stats(year, tag):
+        return (j.filter(F.col("yr") == year)
+                .groupBy("l_partkey")
+                .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                           .cast("long")).cast("long").alias(f"ext_{tag}"),
+                     F.sum(F.col("l_quantity").cast("long")).cast("long")
+                     .alias(f"q_{tag}")))
+
+    y0 = year_stats(1996, "0")
+    y1 = year_stats(1997, "1")
+    both = y0.join(y1, "l_partkey")
+    # mean unit price in cents x the other year's quantity: integer-exact
+    # numerators p*q = (ext/q) * q' — keep as exact rational ext*q'/q
+    lnum = F.sum((F.col("ext_1") * F.col("q_0")).cast("double")
+                 / F.col("q_1").cast("double"))
+    lden = F.sum(F.col("ext_0").cast("double"))
+    pnum = F.sum(F.col("ext_1").cast("double"))
+    pden = F.sum((F.col("ext_0") * F.col("q_1")).cast("double")
+                 / F.col("q_0").cast("double"))
+    agg = both.agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                   lnum.alias("ln"), lden.alias("ld"),
+                   pnum.alias("pn"), pden.alias("pd"))
+    lasp = F.col("ln") / F.col("ld")
+    paas = F.col("pn") / F.col("pd")
+    return agg.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"))
+
+
+_QPIDX_SQL = """
+WITH j AS (
+  SELECT l.l_partkey, year(o.o_orderdate) AS yr,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ext,
+         CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), y0 AS (
+  SELECT l_partkey, CAST(SUM(ext) AS BIGINT) AS ext_0,
+         CAST(SUM(q) AS BIGINT) AS q_0
+  FROM j WHERE yr = 1996 GROUP BY l_partkey
+), y1 AS (
+  SELECT l_partkey, CAST(SUM(ext) AS BIGINT) AS ext_1,
+         CAST(SUM(q) AS BIGINT) AS q_1
+  FROM j WHERE yr = 1997 GROUP BY l_partkey
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(CAST(ext_1 * q_0 AS DOUBLE) / CAST(q_1 AS DOUBLE)) AS ln,
+         SUM(CAST(ext_0 AS DOUBLE)) AS ld,
+         SUM(CAST(ext_1 AS DOUBLE)) AS pn,
+         SUM(CAST(ext_0 * q_1 AS DOUBLE) / CAST(q_0 AS DOUBLE)) AS pd
+  FROM y0 JOIN y1 USING (l_partkey)
+)
+SELECT n_parts,
+       ROUND(ln / ld, 6) AS laspeyres,
+       ROUND(pn / pd, 6) AS paasche,
+       ROUND(sqrt((ln / ld) * (pn / pd)), 6) AS fisher
+FROM agg
+"""
+
+R8B_QUERIES["lineitem_price_index"] = (
+    q_lineitem_price_index, _QPIDX_SQL, False)
+
+
+# --- ship_weibull_fit ---------------------------------------------------------
+
+def q_ship_weibull_fit(spark, sf_dir):
+    """Weibull fit of the order->first-ship latency by median-rank
+    regression: per distinct latency day t, the cumulative failure
+    fraction uses the Benard median-rank approximation
+    F_i = (cum_i - 0.3)/(n + 0.4) (exact rationals from integer
+    prefix-sums), then OLS of y = ln(-ln(1-F)) on x = ln(t) gives the
+    shape (slope) and scale exp(-intercept/shape) — the parametric
+    companion to the Kaplan-Meier curve.
+
+    Scale shape: one duration-keyed aggregation, one prefix-sum window
+    over the <= 61-row day table, a 5-sum OLS finish."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    first = (li.groupBy("l_orderkey")
+             .agg(F.min(F.to_date("l_shipdate")).alias("ship")))
+    dur = (orders.join(first, orders.o_orderkey == first.l_orderkey)
+           .select(F.datediff(F.col("ship"), F.to_date("o_orderdate"))
+                   .cast("long").alias("t"))
+           .filter(F.col("t") >= 1))
+    per = dur.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("d").cast("long").alias("n"))
+    cum = (per.withColumn("cum", F.sum("d").over(w).cast("long"))
+           .crossJoin(F.broadcast(tot))
+           .filter(F.col("cum") < F.col("n")))  # drop F=1 (ln(0) pole)
+    fmr = (F.col("cum").cast("double") - 0.3) \
+        / (F.col("n").cast("double") + 0.4)
+    x = F.log(F.col("t").cast("double"))
+    y = F.log(-F.log(1.0 - fmr))
+    ols = cum.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                  F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                  F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"))
+    kD = F.col("k").cast("double")
+    slope = (kD * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (kD * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / kD
+    return ols.select(
+        F.col("k").alias("n_points"),
+        F.round(slope, 6).alias("shape"),
+        F.round(F.exp(-intercept / slope), 6).alias("scale_days"))
+
+
+_QWEIB_SQL = """
+WITH first AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+), dur AS (
+  SELECT CAST(datediff('day', CAST(o.o_orderdate AS DATE), f.ship)
+              AS BIGINT) AS t
+  FROM orders o JOIN first f ON f.l_orderkey = o.o_orderkey
+  WHERE datediff('day', CAST(o.o_orderdate AS DATE), f.ship) >= 1
+), per AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS d FROM dur GROUP BY t
+), tot AS (SELECT CAST(SUM(d) AS BIGINT) AS n FROM per),
+cum AS (
+  SELECT t,
+         CAST(SUM(d) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         tot.n
+  FROM per CROSS JOIN tot
+), pts AS (
+  SELECT ln(CAST(t AS DOUBLE)) AS x,
+         ln(-ln(1.0 - (CAST(cum AS DOUBLE) - 0.3)
+                      / (CAST(n AS DOUBLE) + 0.4))) AS y
+  FROM cum WHERE cum < n
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT k AS n_points,
+       ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS shape,
+       ROUND(exp(-((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+                   / CAST(k AS DOUBLE))
+                 / ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(k AS DOUBLE) * sxx - sx * sx))), 6)
+         AS scale_days
+FROM ols
+"""
+
+R8B_QUERIES["ship_weibull_fit"] = (q_ship_weibull_fit, _QWEIB_SQL, False)
+
+
+# --- nation_eb_shrinkage ------------------------------------------------------
+
+def q_nation_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-nation mean
+    account balance toward the grand mean: within-group variance from
+    pooled exact sums, between-group variance by method of moments
+    (clamped at 0), shrinkage weight w_g = tau2/(tau2 + s2/n_g) — the
+    small-area estimator that stabilizes thin groups.  Balances in
+    exact cents; every moment is a deterministic ratio.
+
+    Scale shape: one group aggregation + one 25-row finish."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = (cust.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(cents).cast("long").alias("s"),
+              F.sum(cents * cents).cast("long").alias("q")))
+    tot = g.agg(F.sum("n").cast("long").alias("nn"),
+                F.sum("s").cast("long").alias("ss"),
+                F.sum("q").cast("long").alias("qq"),
+                F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum((F.col("s") * F.col("s")).cast("double")
+                      / F.col("n").cast("double")).alias("sb"))
+    j = g.crossJoin(F.broadcast(tot))
+    nD, nnD = F.col("n").cast("double"), F.col("nn").cast("double")
+    gm = F.col("ss").cast("double") / nnD / 100.0
+    mg = F.col("s").cast("double") / nD / 100.0
+    # pooled within-group variance (cents^2 -> dollars^2 via /1e4)
+    s2 = (F.col("qq").cast("double") - F.col("sb")) \
+        / (F.col("nn") - F.col("k")).cast("double") / 1e4
+    # between-group MS and method-of-moments tau2, clamped at 0
+    msb = (F.col("sb") - (F.col("ss") * F.col("ss")).cast("double")
+           / nnD) / (F.col("k") - 1).cast("double") / 1e4
+    n0 = nnD / F.col("k").cast("double")  # balanced-design approximation
+    tau2 = F.greatest((msb - s2) / n0, F.lit(0.0))
+    wgt = tau2 / (tau2 + s2 / nD)
+    return (j.select(F.col("c_nationkey").cast("long").alias("nationkey"),
+                     F.col("n"),
+                     F.round(mg, 6).alias("raw_mean"),
+                     F.round(wgt, 6).alias("shrink_weight"),
+                     F.round(wgt * mg + (1.0 - wgt) * gm, 6)
+                     .alias("eb_mean"))
+            .orderBy("nationkey"))
+
+
+_QEB_SQL = """
+WITH g AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM customer GROUP BY c_nationkey
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+         CAST(SUM(q) AS BIGINT) AS qq, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) AS sb
+  FROM g
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS raw_mean,
+       ROUND(greatest(((sb - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                       / CAST(k - 1 AS DOUBLE) / 1e4
+                       - (CAST(qq AS DOUBLE) - sb)
+                         / CAST(nn - k AS DOUBLE) / 1e4)
+                      / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
+             / (greatest(((sb - CAST(ss * ss AS DOUBLE)
+                           / CAST(nn AS DOUBLE))
+                          / CAST(k - 1 AS DOUBLE) / 1e4
+                          - (CAST(qq AS DOUBLE) - sb)
+                            / CAST(nn - k AS DOUBLE) / 1e4)
+                         / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
+                + (CAST(qq AS DOUBLE) - sb) / CAST(nn - k AS DOUBLE)
+                  / 1e4 / CAST(n AS DOUBLE)), 6) AS shrink_weight,
+       ROUND(greatest(((sb - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                       / CAST(k - 1 AS DOUBLE) / 1e4
+                       - (CAST(qq AS DOUBLE) - sb)
+                         / CAST(nn - k AS DOUBLE) / 1e4)
+                      / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
+             / (greatest(((sb - CAST(ss * ss AS DOUBLE)
+                           / CAST(nn AS DOUBLE))
+                          / CAST(k - 1 AS DOUBLE) / 1e4
+                          - (CAST(qq AS DOUBLE) - sb)
+                            / CAST(nn - k AS DOUBLE) / 1e4)
+                         / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
+                + (CAST(qq AS DOUBLE) - sb) / CAST(nn - k AS DOUBLE)
+                  / 1e4 / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+             + (1.0 - greatest(((sb - CAST(ss * ss AS DOUBLE)
+                                 / CAST(nn AS DOUBLE))
+                                / CAST(k - 1 AS DOUBLE) / 1e4
+                                - (CAST(qq AS DOUBLE) - sb)
+                                  / CAST(nn - k AS DOUBLE) / 1e4)
+                               / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)),
+                               0.0)
+                    / (greatest(((sb - CAST(ss * ss AS DOUBLE)
+                                  / CAST(nn AS DOUBLE))
+                                 / CAST(k - 1 AS DOUBLE) / 1e4
+                                 - (CAST(qq AS DOUBLE) - sb)
+                                   / CAST(nn - k AS DOUBLE) / 1e4)
+                                / (CAST(nn AS DOUBLE)
+                                   / CAST(k AS DOUBLE)), 0.0)
+                       + (CAST(qq AS DOUBLE) - sb)
+                         / CAST(nn - k AS DOUBLE) / 1e4
+                         / CAST(n AS DOUBLE)))
+               * (CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) / 100.0), 6)
+         AS eb_mean
+FROM g CROSS JOIN tot
+ORDER BY nationkey
+"""
+
+R8B_QUERIES["nation_eb_shrinkage"] = (
+    q_nation_eb_shrinkage, _QEB_SQL, False)
+
+
+# --- events_uplift_by_segment ---------------------------------------------------
+
+def q_events_uplift_by_segment(spark, sf_dir):
+    """Two-model uplift read on event behavior: treatment = user clicked
+    at least once, outcome = user purchased at least once, segments =
+    engagement quartiles by event count (rank-arithmetic quartiles, not
+    NTILE).  uplift(segment) = P(buy | clicked) - P(buy | not clicked):
+    the targeting table a campaign-sizing pass reads.  All integer
+    ratios.
+
+    Scale shape: one user-level aggregation, one rank window over the
+    user-sized table, one 4-row finish."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.max(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("int").alias("clicked"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("int").alias("bought")))
+    n = users.count()
+    w = Window.orderBy(F.col("n_ev").desc(), F.col("user_id").asc())
+    seg = (users.withColumn("rk", F.row_number().over(w))
+           .withColumn("segment", F.floor((F.col("rk") - 1) * 4
+                                          / F.lit(n)).cast("long")))
+    agg = (seg.groupBy("segment")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum(F.col("clicked")).cast("long").alias("n_clicked"),
+                F.sum(F.col("clicked") * F.col("bought")).cast("long")
+                .alias("n_click_buy"),
+                F.sum((1 - F.col("clicked")) * F.col("bought"))
+                .cast("long").alias("n_noclick_buy")))
+    p_t = F.when(F.col("n_clicked") > 0,
+                 F.col("n_click_buy").cast("double")
+                 / F.col("n_clicked").cast("double"))
+    p_c = F.when(F.col("n_users") > F.col("n_clicked"),
+                 F.col("n_noclick_buy").cast("double")
+                 / (F.col("n_users") - F.col("n_clicked")).cast("double"))
+    return (agg.select("segment", "n_users", "n_clicked",
+                       F.round(p_t, 6).alias("p_buy_clicked"),
+                       F.round(p_c, 6).alias("p_buy_not_clicked"),
+                       F.round(p_t - p_c, 6).alias("uplift"))
+            .orderBy("segment"))
+
+
+_QUPLIFT_SQL = """
+WITH users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS bought
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT clicked, bought,
+         CAST(FLOOR((row_number() OVER (ORDER BY n_ev DESC, user_id ASC)
+                     - 1) * 4 / (SELECT COUNT(*) FROM users)) AS BIGINT)
+           AS segment
+  FROM users
+), agg AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(clicked) AS BIGINT) AS n_clicked,
+         CAST(SUM(clicked * bought) AS BIGINT) AS n_click_buy,
+         CAST(SUM((1 - clicked) * bought) AS BIGINT) AS n_noclick_buy
+  FROM seg GROUP BY segment
+)
+SELECT segment, n_users, n_clicked,
+       ROUND(CASE WHEN n_clicked > 0
+                  THEN CAST(n_click_buy AS DOUBLE)
+                       / CAST(n_clicked AS DOUBLE) END, 6)
+         AS p_buy_clicked,
+       ROUND(CASE WHEN n_users > n_clicked
+                  THEN CAST(n_noclick_buy AS DOUBLE)
+                       / CAST(n_users - n_clicked AS DOUBLE) END, 6)
+         AS p_buy_not_clicked,
+       ROUND(CASE WHEN n_clicked > 0 AND n_users > n_clicked
+                  THEN CAST(n_click_buy AS DOUBLE)
+                       / CAST(n_clicked AS DOUBLE)
+                       - CAST(n_noclick_buy AS DOUBLE)
+                         / CAST(n_users - n_clicked AS DOUBLE)
+             END, 6) AS uplift
+FROM agg
+ORDER BY segment
+"""
+
+R8B_QUERIES["events_uplift_by_segment"] = (
+    q_events_uplift_by_segment, _QUPLIFT_SQL, False)
+
+
+# --- customer_nb_overdispersion -------------------------------------------------
+
+def q_customer_nb_overdispersion(spark, sf_dir):
+    """Negative-binomial method-of-moments fit of the per-customer order
+    count (including zero-order customers — the left join matters):
+    mean m, variance v from exact integer sums, dispersion
+    r = m^2/(v - m) and p = m/v, plus the variance-to-mean ratio that
+    justifies NB over Poisson.  The count-model calibration a demand
+    simulator consumes.
+
+    Scale shape: one left-join aggregation, one scalar finish."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = (orders.groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    pts = (cust.join(oc, cust.c_custkey == oc.o_custkey, "left")
+           .select(F.coalesce(F.col("y"), F.lit(0)).cast("long")
+                   .alias("y")))
+    agg = pts.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("y").cast("long").alias("s1"),
+                  F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"))
+    nD = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nD
+    v = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))\
+        .cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(m, 6).alias("mean_orders"),
+        F.round(v, 6).alias("var_orders"),
+        F.round(v / m, 6).alias("vmr"),
+        F.round(m * m / (v - m), 6).alias("nb_r"),
+        F.round(m / v, 6).alias("nb_p"))
+
+
+_QNBFIT_SQL = """
+WITH pts AS (
+  SELECT COALESCE(oc.y, 0) AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+             FROM orders GROUP BY o_custkey) oc
+    ON oc.o_custkey = c.c_custkey
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM pts
+)
+SELECT n AS n_customers,
+       ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_orders,
+       ROUND(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE), 6) AS var_orders,
+       ROUND((CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE))
+             / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS nb_r,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n * s2 - s1 * s1 AS DOUBLE)
+                / CAST(n * (n - 1) AS DOUBLE)), 6) AS nb_p
+FROM agg
+"""
+
+R8B_QUERIES["customer_nb_overdispersion"] = (
+    q_customer_nb_overdispersion, _QNBFIT_SQL, False)

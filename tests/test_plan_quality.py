@@ -119,6 +119,8 @@ _NATIVE_QUERIES = [
     "events_holt_winters",
     "orders_conformal_interval", "events_type_overlap_jaccard",
     "brand_eoq_reorder", "doc_tokenizer_fertility", "orders_pinball_loss",
+    "lineitem_price_index", "ship_weibull_fit", "nation_eb_shrinkage",
+    "events_uplift_by_segment", "customer_nb_overdispersion",
 ]
 
 
