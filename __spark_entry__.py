@@ -141,6 +141,10 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-25 price indices / Weibull / EB shrinkage / uplift / NB fit
     "lineitem_price_index", "ship_weibull_fit", "nation_eb_shrinkage",
     "events_uplift_by_segment", "customer_nb_overdispersion",
+    # wave-26 Shapley / MASE / scorecard / stickiness / newsvendor
+    "events_shapley_attribution", "orders_backtest_mase",
+    "supplier_scorecard", "events_dau_wau_stickiness",
+    "brand_newsvendor_stock",
 ]
 
 

@@ -4327,3 +4327,428 @@ FROM agg
 
 R8B_QUERIES["customer_nb_overdispersion"] = (
     q_customer_nb_overdispersion, _QNBFIT_SQL, False)
+
+
+# =============================================================================
+# Wave 26 — Shapley attribution, scaled forecast error, supplier scorecard,
+# DAU/WAU stickiness, newsvendor stocking
+# =============================================================================
+
+# --- events_shapley_attribution -------------------------------------------------
+
+def q_events_shapley_attribution(spark, sf_dir):
+    """Exact Shapley-value attribution over the three exposure channels
+    (view, click, signup) with purchase as conversion: coalition value
+    v(S) = conversion rate of users whose exposure set is exactly S
+    (empty coalitions contribute 0), and the 3-player Shapley weights
+    1/3, 1/6, 1/3 by coalition size — the principled upgrade over
+    last-touch attribution.  All v(S) are integer ratios; the Shapley
+    sum is 8 terms.
+
+    Scale shape: one user aggregation, one 8-row coalition table pivoted
+    to scalars, a constant-size finish."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                        .otherwise(0)).alias("hv"),
+                  F.max(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("hc"),
+                  F.max(F.when(F.col("event_type") == "signup", 1)
+                        .otherwise(0)).alias("hs"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("b")))
+    co = (users.groupBy("hv", "hc", "hs")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("b").cast("long").alias("nb")))
+
+    def v(hv, hc, hs):
+        m = (F.col("hv") == hv) & (F.col("hc") == hc) & (F.col("hs") == hs)
+        return F.coalesce(
+            F.max(F.when(m, F.col("nb").cast("double")
+                         / F.col("n").cast("double"))), F.lit(0.0))
+
+    piv = co.agg(*[v(a, b_, c).alias(f"v{a}{b_}{c}")
+                   for a in (0, 1) for b_ in (0, 1) for c in (0, 1)])
+
+    def phi(ch):
+        # ch: 0=view, 1=click, 2=signup; subsets S of the other two
+        def key(bits):
+            return "v" + "".join(str(b) for b in bits)
+        others = [i for i in range(3) if i != ch]
+        terms = []
+        for s0 in (0, 1):
+            for s1 in (0, 1):
+                bits_without = [0, 0, 0]
+                bits_without[others[0]] = s0
+                bits_without[others[1]] = s1
+                bits_with = list(bits_without)
+                bits_with[ch] = 1
+                size = s0 + s1
+                wgt = {0: 1.0 / 3.0, 1: 1.0 / 6.0, 2: 1.0 / 3.0}[size]
+                terms.append(wgt * (F.col(key(bits_with))
+                                    - F.col(key(bits_without))))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    rows = []
+    for i, name in enumerate(["view", "click", "signup"]):
+        rows.append(piv.select(F.lit(name).alias("channel"),
+                               (F.round(phi(i), 6) + F.lit(0.0))
+                               .alias("shapley")))
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("channel")
+
+
+def _shapley_sql() -> str:
+    vs = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                vs[(a, b, c)] = (
+                    f"COALESCE(MAX(CASE WHEN hv = {a} AND hc = {b} "
+                    f"AND hs = {c} THEN CAST(nb AS DOUBLE) "
+                    f"/ CAST(n AS DOUBLE) END), 0.0)")
+
+    def phi(ch):
+        others = [i for i in range(3) if i != ch]
+        terms = []
+        for s0 in (0, 1):
+            for s1 in (0, 1):
+                wo = [0, 0, 0]
+                wo[others[0]] = s0
+                wo[others[1]] = s1
+                wi = list(wo)
+                wi[ch] = 1
+                wgt = {0: "1.0/3.0", 1: "1.0/6.0", 2: "1.0/3.0"}[s0 + s1]
+                terms.append(f"{wgt} * (({vs[tuple(wi)]}) "
+                             f"- ({vs[tuple(wo)]}))")
+        return " + ".join(terms)
+
+    chans = ["view", "click", "signup"]
+    sels = [f"SELECT '{name}' AS channel, "
+            f"ROUND({phi(i)}, 6) + 0.0 AS shapley FROM co"
+            for i, name in enumerate(chans)]
+    return """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+), co AS MATERIALIZED (
+  SELECT hv, hc, hs, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS nb
+  FROM users GROUP BY hv, hc, hs
+)
+""" + "\nUNION ALL\n".join(sels) + "\nORDER BY channel"
+
+
+R8B_QUERIES["events_shapley_attribution"] = (
+    q_events_shapley_attribution, _shapley_sql(), False)
+
+
+# --- orders_backtest_mase -----------------------------------------------------
+
+def q_orders_backtest_mase(spark, sf_dir):
+    """Mean absolute scaled error of the seasonal-naive 3-lag forecast:
+    MAE of the forecast divided by the MAE of the plain 7-day naive on
+    the same days — MASE < 1 means the forecast beats the naive it is
+    built from.  Inputs are ROUND-6 daily revenues (the forecast-tier
+    convention), errors in thousands.
+
+    Scale shape: the same day-level joins as the forecast query, one
+    scalar finish."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                            .alias("day"))
+             .agg(F.round(F.sum("o_totalprice"), 6).alias("rev")))
+    l7 = daily.select(F.col("day").alias("d7"), F.col("rev").alias("r7"))
+    l14 = daily.select(F.col("day").alias("d14"), F.col("rev").alias("r14"))
+    l21 = daily.select(F.col("day").alias("d21"), F.col("rev").alias("r21"))
+    dd = F.to_date("day")
+    j = (daily
+         .join(l7, F.date_format(F.date_sub(dd, 7), "yyyy-MM-dd")
+               == F.col("d7"))
+         .join(l14, F.date_format(F.date_sub(dd, 14), "yyyy-MM-dd")
+               == F.col("d14"))
+         .join(l21, F.date_format(F.date_sub(dd, 21), "yyyy-MM-dd")
+               == F.col("d21")))
+    fc = (F.col("r7") + F.col("r14") + F.col("r21")) / F.lit(3.0)
+    agg = j.agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum(F.abs(F.col("rev") - fc)).alias("sae_fc"),
+                F.sum(F.abs(F.col("rev") - F.col("r7"))).alias("sae_nv"))
+    return agg.select(
+        "n_days",
+        F.round(F.col("sae_fc") / F.col("n_days").cast("double") / 1e3, 6)
+        .alias("mae_forecast_k"),
+        F.round(F.col("sae_nv") / F.col("n_days").cast("double") / 1e3, 6)
+        .alias("mae_naive_k"),
+        F.round(F.col("sae_fc") / F.col("sae_nv"), 6).alias("mase"))
+
+
+_QMASE_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         ROUND(SUM(o_totalprice), 6) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT d.rev, l7.rev AS r7,
+         (l7.rev + l14.rev + l21.rev) / 3.0 AS fc
+  FROM daily d
+  JOIN daily l7
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') = l7.day
+  JOIN daily l14
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 14 DAY, '%Y-%m-%d')
+       = l14.day
+  JOIN daily l21
+    ON strftime(CAST(d.day AS DATE) - INTERVAL 21 DAY, '%Y-%m-%d')
+       = l21.day
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(abs(rev - fc)) AS sae_fc,
+         SUM(abs(rev - r7)) AS sae_nv
+  FROM j
+)
+SELECT n_days,
+       ROUND(sae_fc / CAST(n_days AS DOUBLE) / 1e3, 6) AS mae_forecast_k,
+       ROUND(sae_nv / CAST(n_days AS DOUBLE) / 1e3, 6) AS mae_naive_k,
+       ROUND(sae_fc / sae_nv, 6) AS mase
+FROM agg
+"""
+
+R8B_QUERIES["orders_backtest_mase"] = (
+    q_orders_backtest_mase, _QMASE_SQL, False)
+
+
+# --- supplier_scorecard -------------------------------------------------------
+
+def q_supplier_scorecard(spark, sf_dir):
+    """Composite supplier scorecard: per-supplier volume (total
+    quantity), breadth (distinct parts) and value (total extended price
+    in exact cents) are z-scored against the supplier population
+    (moments from exact integer sums) and averaged into one composite —
+    the vendor-ranking table a procurement review reads.  Top-10.
+
+    Scale shape: one supplier aggregation, one 4-number moment pass per
+    metric broadcast back, one top-k window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("vol"),
+                F.countDistinct("l_partkey").cast("long").alias("brd"),
+                F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).cast("long").alias("val")))
+    mom = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("vol").cast("long").alias("s_vol"),
+        F.sum(F.col("vol") * F.col("vol")).cast("long").alias("q_vol"),
+        F.sum("brd").cast("long").alias("s_brd"),
+        F.sum(F.col("brd") * F.col("brd")).cast("long").alias("q_brd"),
+        F.sum(F.col("val") / 1e6).alias("s_val"),
+        F.sum((F.col("val") / 1e6) * (F.col("val") / 1e6)).alias("q_val"))
+    j = per.crossJoin(F.broadcast(mom))
+    kD = F.col("k").cast("double")
+
+    def z(x, s, q):
+        m = s / kD
+        sd = F.sqrt((q - s * s / kD) / (kD - 1.0))
+        return (x - m) / sd
+
+    zv = z(F.col("vol").cast("double"), F.col("s_vol").cast("double"),
+           F.col("q_vol").cast("double"))
+    zb = z(F.col("brd").cast("double"), F.col("s_brd").cast("double"),
+           F.col("q_brd").cast("double"))
+    zl = z(F.col("val") / 1e6, F.col("s_val"), F.col("q_val"))
+    comp = (zv + zb + zl) / 3.0
+    w = Window.orderBy(F.round(comp, 6).desc(), F.col("l_suppkey").asc())
+    return (j.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", F.col("l_suppkey").alias("suppkey"),
+                    F.col("vol").alias("volume"),
+                    F.col("brd").alias("breadth"),
+                    F.round(F.col("val") / 1e6, 6).alias("value_10k"),
+                    F.round(comp, 6).alias("composite"))
+            .orderBy("rank"))
+
+
+_QSCORE_SQL = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS brd,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS val
+  FROM lineitem GROUP BY l_suppkey
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(vol) AS BIGINT) AS s_vol,
+         CAST(SUM(vol * vol) AS BIGINT) AS q_vol,
+         CAST(SUM(brd) AS BIGINT) AS s_brd,
+         CAST(SUM(brd * brd) AS BIGINT) AS q_brd,
+         SUM(val / 1e6) AS s_val,
+         SUM((val / 1e6) * (val / 1e6)) AS q_val
+  FROM per
+), j AS (
+  SELECT l_suppkey, vol, brd, val,
+         ((CAST(vol AS DOUBLE) - CAST(s_vol AS DOUBLE)
+           / CAST(k AS DOUBLE))
+          / sqrt((CAST(q_vol AS DOUBLE) - CAST(s_vol AS DOUBLE)
+                  * CAST(s_vol AS DOUBLE) / CAST(k AS DOUBLE))
+                 / (CAST(k AS DOUBLE) - 1.0))
+          + (CAST(brd AS DOUBLE) - CAST(s_brd AS DOUBLE)
+             / CAST(k AS DOUBLE))
+            / sqrt((CAST(q_brd AS DOUBLE) - CAST(s_brd AS DOUBLE)
+                    * CAST(s_brd AS DOUBLE) / CAST(k AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1.0))
+          + (val / 1e6 - s_val / CAST(k AS DOUBLE))
+            / sqrt((q_val - s_val * s_val / CAST(k AS DOUBLE))
+                   / (CAST(k AS DOUBLE) - 1.0))) / 3.0 AS comp
+  FROM per CROSS JOIN mom
+)
+SELECT CAST(rank AS INT) AS rank, l_suppkey AS suppkey, vol AS volume,
+       brd AS breadth, ROUND(val / 1e6, 6) AS value_10k,
+       ROUND(comp, 6) AS composite
+FROM (SELECT *, row_number() OVER (ORDER BY ROUND(comp, 6) DESC,
+                                   l_suppkey ASC) AS rank
+      FROM j)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+R8B_QUERIES["supplier_scorecard"] = (q_supplier_scorecard, _QSCORE_SQL, False)
+
+
+# --- events_dau_wau_stickiness --------------------------------------------------
+
+def q_events_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the canonical
+    product-engagement ratio (DAU/WAU ~ how many weekly actives show up
+    on a given day).  WAU counts DISTINCT users over the trailing
+    window via a day-grid range join on the distinct (user, day)
+    projection; only days with a full 7-day history report.  Integer-
+    exact.
+
+    Scale shape: the distinct projection is the data-sized step; the
+    trailing-distinct join runs on (days x 7) x users-per-day — the
+    standard engagement-rollup shape (a sketch swaps in at extreme
+    user counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = (ud.groupBy("day")
+           .agg(F.count(F.lit(1)).cast("long").alias("dau")))
+    days = dau.select("day")
+    first = days.agg(F.min("day").alias("d0"))
+    grid = (days.crossJoin(F.broadcast(first))
+            .filter(F.datediff(F.col("day"), F.col("d0")) >= 6)
+            .select(F.col("day").alias("anchor")))
+    wau = (grid.join(ud,
+                     (ud.day <= F.col("anchor"))
+                     & (ud.day >= F.date_sub(F.col("anchor"), 6)))
+           .groupBy("anchor")
+           .agg(F.countDistinct("user_id").cast("long").alias("wau")))
+    return (wau.join(dau, wau.anchor == dau.day)
+            .select(F.col("anchor").cast("string").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau").cast("double")
+                            / F.col("wau").cast("double"), 6)
+                    .alias("stickiness"))
+            .orderBy("day"))
+
+
+_QDAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+), grid AS (
+  SELECT day AS anchor FROM dau
+  WHERE day >= (SELECT MIN(day) FROM dau) + INTERVAL 6 DAY
+), wau AS (
+  SELECT g.anchor, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+  FROM grid g JOIN ud
+    ON ud.day <= g.anchor AND ud.day >= g.anchor - INTERVAL 6 DAY
+  GROUP BY g.anchor
+)
+SELECT CAST(w.anchor AS VARCHAR) AS day, d.dau, w.wau,
+       ROUND(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+         AS stickiness
+FROM wau w JOIN dau d ON d.day = w.anchor
+ORDER BY day
+"""
+
+R8B_QUERIES["events_dau_wau_stickiness"] = (
+    q_events_dau_wau_stickiness, _QDAU_SQL, False)
+
+
+# --- brand_newsvendor_stock ---------------------------------------------------
+
+def q_brand_newsvendor_stock(spark, sf_dir):
+    """Newsvendor stocking per brand: with underage cost 4 and overage
+    cost 1 the critical fractile is 0.8, so the optimal per-order stock
+    is the smallest quantity q with F(q) >= 0.8 over the brand's
+    per-line demand distribution — a pure rank selection on the integer
+    quantity histogram (threshold ceil(4n/5), no quantile
+    interpolation).  Completes the inventory tier next to EOQ and
+    ABC-XYZ.
+
+    Scale shape: one (brand, quantity) aggregation, one prefix-sum
+    window over the brand x 50-quantity histogram."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = (li.join(pt, li.l_partkey == pt.p_partkey)
+         .groupBy("p_brand",
+                  F.col("l_quantity").cast("long").alias("qty"))
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w = (Window.partitionBy("p_brand").orderBy("qty")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = (q.groupBy("p_brand")
+           .agg(F.sum("c").cast("long").alias("n")))
+    cum = (q.withColumn("cum", F.sum("c").over(w).cast("long"))
+           .join(F.broadcast(tot), "p_brand")
+           .withColumn("thr", F.ceil(F.col("n") * 4 / F.lit(5.0))
+                       .cast("long")))
+    pick = (cum.filter(F.col("cum") >= F.col("thr"))
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("p_brand").orderBy("qty")))
+            .filter(F.col("rk") == 1))
+    return (pick.select(F.col("p_brand").alias("brand"),
+                        F.col("n").alias("n_lines"),
+                        F.col("qty").alias("q_star"),
+                        F.round(F.col("cum").cast("double")
+                                / F.col("n").cast("double"), 6)
+                        .alias("service_level"))
+            .orderBy("brand"))
+
+
+_QNEWSV_SQL = """
+WITH q AS (
+  SELECT p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT p_brand, CAST(SUM(c) AS BIGINT) AS n FROM q GROUP BY p_brand
+), cum AS (
+  SELECT q.p_brand, q.qty,
+         CAST(SUM(q.c) OVER (PARTITION BY q.p_brand ORDER BY q.qty
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         tot.n,
+         CAST(CEIL(tot.n * 4 / 5.0) AS BIGINT) AS thr
+  FROM q JOIN tot USING (p_brand)
+)
+SELECT p_brand AS brand, n AS n_lines, qty AS q_star,
+       ROUND(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS service_level
+FROM (SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY qty)
+          AS rk
+      FROM cum WHERE cum >= thr)
+WHERE rk = 1
+ORDER BY brand
+"""
+
+R8B_QUERIES["brand_newsvendor_stock"] = (
+    q_brand_newsvendor_stock, _QNEWSV_SQL, False)

@@ -121,6 +121,9 @@ _NATIVE_QUERIES = [
     "brand_eoq_reorder", "doc_tokenizer_fertility", "orders_pinball_loss",
     "lineitem_price_index", "ship_weibull_fit", "nation_eb_shrinkage",
     "events_uplift_by_segment", "customer_nb_overdispersion",
+    "events_shapley_attribution", "orders_backtest_mase",
+    "supplier_scorecard", "events_dau_wau_stickiness",
+    "brand_newsvendor_stock",
 ]
 
 
