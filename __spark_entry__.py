@@ -144,7 +144,7 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-26 Shapley / MASE / scorecard / stickiness / newsvendor
     "events_shapley_attribution", "orders_backtest_mase",
     "supplier_scorecard", "events_dau_wau_stickiness",
-    "brand_newsvendor_stock",
+    "brand_newsvendor_stock", "embedding_label_silhouette",
 ]
 
 

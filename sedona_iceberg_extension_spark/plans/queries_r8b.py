@@ -4752,3 +4752,82 @@ ORDER BY brand
 
 R8B_QUERIES["brand_newsvendor_stock"] = (
     q_brand_newsvendor_stock, _QNEWSV_SQL, False)
+
+
+# --- embedding_label_silhouette -------------------------------------------------
+
+def q_embedding_label_silhouette(spark, sf_dir):
+    """Centroid-based (medoid-style) silhouette of the embedding label
+    clustering: a_i = cosine distance to the own-label centroid, b_i =
+    the minimum distance to any other centroid, s_i = (b-a)/max(a,b);
+    per-label mean silhouette — the cluster-quality score that says
+    whether the labels are separable in embedding space at all.
+    Centroid components ROUNDed at 9 (the cross-engine aggregation
+    convention); the b_i argmin runs over the 10-row centroid table.
+
+    Scale shape: centroids via one (label, dim) aggregation; scoring
+    broadcasts the centroid table — two corpus scans total, never an
+    all-pairs silhouette."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("vec"))
+    comps = base.select("label", F.posexplode("vec").alias("dim", "val"))
+    cent = (comps.groupBy("label", "dim")
+            .agg(F.round(F.avg("val"), 9).alias("cv")))
+    carr = (cent.groupBy(F.col("label").alias("c_label"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"]).alias("cvec")))
+    scored = (base.crossJoin(F.broadcast(carr))
+              .withColumn("dist", 1.0 - _cos(F.col("vec"), F.col("cvec"))))
+    own = (scored.filter(F.col("label") == F.col("c_label"))
+           .select("vec_id", "label", F.col("dist").alias("a")))
+    other = (scored.filter(F.col("label") != F.col("c_label"))
+             .groupBy("vec_id").agg(F.min("dist").alias("b")))
+    s = (own.join(other, "vec_id")
+         .withColumn("s", (F.col("b") - F.col("a"))
+                     / F.greatest(F.col("a"), F.col("b"))))
+    return (s.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("a"), 6).alias("mean_intra"),
+                 F.round(F.avg("b"), 6).alias("mean_nearest_other"),
+                 F.round(F.avg("s"), 6).alias("silhouette"))
+            .select(F.col("label").cast("long").alias("label"), "n",
+                    "mean_intra", "mean_nearest_other", "silhouette")
+            .orderBy("label"))
+
+
+_QSIL_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+), comps AS (
+  SELECT label, unnest(range(1, len(vec) + 1)) AS dim, unnest(vec) AS val
+  FROM base
+), cent AS (
+  SELECT label, dim, ROUND(AVG(val), 9) AS cv
+  FROM comps GROUP BY label, dim
+), carr AS MATERIALIZED (
+  SELECT label AS c_label, list(cv ORDER BY dim) AS cvec
+  FROM cent GROUP BY label
+), scored AS MATERIALIZED (
+  SELECT b.vec_id, b.label, c.c_label,
+         1.0 - list_cosine_similarity(b.vec, c.cvec) AS dist
+  FROM base b CROSS JOIN carr c
+), own AS (
+  SELECT vec_id, label, dist AS a FROM scored WHERE label = c_label
+), other AS (
+  SELECT vec_id, MIN(dist) AS b FROM scored WHERE label <> c_label
+  GROUP BY vec_id
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(a), 6) AS mean_intra,
+       ROUND(AVG(b), 6) AS mean_nearest_other,
+       ROUND(AVG((b - a) / greatest(a, b)), 6) AS silhouette
+FROM own JOIN other USING (vec_id)
+GROUP BY label
+ORDER BY label
+"""
+
+R8B_QUERIES["embedding_label_silhouette"] = (
+    q_embedding_label_silhouette, _QSIL_SQL, False)

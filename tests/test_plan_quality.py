@@ -123,7 +123,7 @@ _NATIVE_QUERIES = [
     "events_uplift_by_segment", "customer_nb_overdispersion",
     "events_shapley_attribution", "orders_backtest_mase",
     "supplier_scorecard", "events_dau_wau_stickiness",
-    "brand_newsvendor_stock",
+    "brand_newsvendor_stock", "embedding_label_silhouette",
 ]
 
 
