@@ -1,0 +1,103 @@
+"""Property tests for the later round-8 waves (19-26): invariants the
+row-hash oracle can't express — bounds, monotonicity, and accounting
+identities of the statistical/operational queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+
+
+def _run(name, spark, sf_dir):
+    return R8B_QUERIES[name][0](spark, sf_dir).collect()
+
+
+def test_newsvendor_service_level_at_least_fractile(spark, sf_dir):
+    rows = _run("brand_newsvendor_stock", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["service_level"] >= 0.8 - 1e-9
+        assert 1 <= r["q_star"] <= 50
+
+
+def test_fisher_index_between_laspeyres_and_paasche(spark, sf_dir):
+    (r,) = _run("lineitem_price_index", spark, sf_dir)
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
+    assert r["n_parts"] > 0
+
+
+def test_silhouette_bounded(spark, sf_dir):
+    rows = _run("embedding_label_silhouette", spark, sf_dir)
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 <= r["silhouette"] <= 1.0
+        assert r["mean_intra"] >= 0.0 and r["mean_nearest_other"] >= 0.0
+
+
+def test_dau_wau_stickiness_bounded(spark, sf_dir):
+    rows = _run("events_dau_wau_stickiness", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_conformal_qhat_positive_and_coverage_bounded(spark, sf_dir):
+    (r,) = _run("orders_conformal_interval", spark, sf_dir)
+    assert r["q_hat"] > 0.0
+    assert 0.0 <= r["coverage"] <= 1.0
+    assert r["n_cal"] > 0 and r["n_eval"] > 0
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = _run("corpus_vocab_coverage", spark, sf_dir)
+    ks = [r["vocab_k"] for r in rows]
+    assert ks == sorted(ks)
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)          # more vocab covers more mass
+    assert all(0.0 < c <= 1.0 for c in covs)
+
+
+def test_decile_migration_accounting(spark, sf_dir):
+    rows = _run("customer_decile_migration", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["n_stay"] + r["n_up"] + r["n_down"] == r["n"]
+        assert 0.0 <= r["mean_dec_1997"] <= 9.0
+
+
+def test_entity_blocking_reduces_pairs(spark, sf_dir):
+    (r,) = _run("customer_entity_blocking", spark, sf_dir)
+    naive = r["n_customers"] * (r["n_customers"] - 1) // 2
+    assert 0 < r["cand_pairs"] < naive
+    assert 0.0 < r["reduction_ratio"] < 1.0
+
+
+def test_assoc_rules_measure_consistency(spark, sf_dir):
+    rows = _run("brand_assoc_rules", spark, sf_dir)
+    assert len(rows) == 15
+    for r in rows:
+        assert 0.0 < r["support"] <= r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+        # leverage sign agrees with lift vs 1
+        if r["lift"] > 1.0:
+            assert r["leverage"] > 0.0
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    rows = _run("events_markov_stationary", spark, sf_dir)
+    ps = [r["stationary_p"] for r in rows]
+    assert all(p > 0.0 for p in ps)
+    assert sum(ps) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_zorder_stats_structural(spark, sf_dir):
+    (r,) = _run("spatial_zorder_stats", spark, sf_dir)
+    # NOTE: custkey order is nearly x-sorted by construction (x = key %
+    # 360), so the ratio is a report, not guaranteed < 1 at tiny SF —
+    # assert the structural invariants instead
+    assert r["n_points"] > 0
+    for c in ("x_span_z", "y_span_z", "x_span_seq", "y_span_seq"):
+        assert 0.0 <= r[c] <= 360.0
+    assert r["locality_ratio"] > 0.0
