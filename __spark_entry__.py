@@ -145,6 +145,9 @@ _NEVER_DRIVER_SAMPLED = [
     "events_shapley_attribution", "orders_backtest_mase",
     "supplier_scorecard", "events_dau_wau_stickiness",
     "brand_newsvendor_stock", "embedding_label_silhouette",
+    # wave-27 causal (IPW, ITS) / calibration / EVT / ranking eval
+    "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
+    "orders_interrupted_ts", "alsobought_ndcg_eval",
 ]
 
 

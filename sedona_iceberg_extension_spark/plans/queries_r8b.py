@@ -4831,3 +4831,438 @@ ORDER BY label
 
 R8B_QUERIES["embedding_label_silhouette"] = (
     q_embedding_label_silhouette, _QSIL_SQL, False)
+
+
+# =============================================================================
+# Wave 27 — causal inference (IPW, ITS), probabilistic calibration,
+# extreme-value fitting, ranking-metric evaluation
+# =============================================================================
+
+# --- events_ipw_ate -----------------------------------------------------------
+
+def q_events_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted average treatment effect of clicking
+    on purchasing: propensity e(x) = P(click | engagement segment)
+    (exact integer ratios over rank-arithmetic quartiles), ATE_ipw =
+    mean(t*y/e) - mean((1-t)*y/(1-e)) — the causal estimator that
+    corrects the naive uplift for engagement confounding.  Every term
+    is a ratio of exact counts.
+
+    Scale shape: one user aggregation, one rank window, two segment-
+    keyed finishes."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.max(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("t"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")))
+    n = users.count()
+    w = Window.orderBy(F.col("n_ev").desc(), F.col("user_id").asc())
+    seg = (users.withColumn("rk", F.row_number().over(w))
+           .withColumn("segment", F.floor((F.col("rk") - 1) * 4
+                                          / F.lit(n)).cast("long")))
+    prop = (seg.groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("ns"),
+                 F.sum("t").cast("long").alias("nt"),
+                 F.sum(F.col("t") * F.col("y")).cast("long").alias("nty"),
+                 F.sum((1 - F.col("t")) * F.col("y")).cast("long")
+                 .alias("ncy")))
+    # sum over users of t*y/e = nty * ns/nt; of (1-t)*y/(1-e) = ncy*ns/(ns-nt)
+    # zero-overlap segments (everyone/no one clicked) contribute 0 —
+    # the standard positivity-violation convention, mirrored in the oracle
+    contrib = prop.select(
+        "ns", "nt",
+        F.when(F.col("nt") > 0,
+               F.col("nty").cast("double") * F.col("ns").cast("double")
+               / F.col("nt").cast("double")).otherwise(0.0).alias("s_t"),
+        F.when(F.col("ns") > F.col("nt"),
+               F.col("ncy").cast("double") * F.col("ns").cast("double")
+               / (F.col("ns") - F.col("nt")).cast("double"))
+        .otherwise(0.0).alias("s_c"))
+    agg = contrib.agg(F.sum("ns").cast("long").alias("n"),
+                      F.sum("s_t").alias("st"), F.sum("s_c").alias("sc"))
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("st") / F.col("n").cast("double"), 6)
+        .alias("mean_outcome_treated_ipw"),
+        F.round(F.col("sc") / F.col("n").cast("double"), 6)
+        .alias("mean_outcome_control_ipw"),
+        F.round((F.col("st") - F.col("sc")) / F.col("n").cast("double"), 6)
+        .alias("ate_ipw"))
+
+
+_QIPW_SQL = """
+WITH users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT t, y,
+         CAST(FLOOR((row_number() OVER (ORDER BY n_ev DESC, user_id ASC)
+                     - 1) * 4 / (SELECT COUNT(*) FROM users)) AS BIGINT)
+           AS segment
+  FROM users
+), prop AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(t) AS BIGINT) AS nt,
+         CAST(SUM(t * y) AS BIGINT) AS nty,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS ncy
+  FROM seg GROUP BY segment
+), agg AS (
+  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+         SUM(CASE WHEN nt > 0
+                  THEN CAST(nty AS DOUBLE) * CAST(ns AS DOUBLE)
+                       / CAST(nt AS DOUBLE) ELSE 0.0 END) AS st,
+         SUM(CASE WHEN ns > nt
+                  THEN CAST(ncy AS DOUBLE) * CAST(ns AS DOUBLE)
+                       / CAST(ns - nt AS DOUBLE) ELSE 0.0 END) AS sc
+  FROM prop
+)
+SELECT n AS n_users,
+       ROUND(st / CAST(n AS DOUBLE), 6) AS mean_outcome_treated_ipw,
+       ROUND(sc / CAST(n AS DOUBLE), 6) AS mean_outcome_control_ipw,
+       ROUND((st - sc) / CAST(n AS DOUBLE), 6) AS ate_ipw
+FROM agg
+"""
+
+R8B_QUERIES["events_ipw_ate"] = (q_events_ipw_ate, _QIPW_SQL, False)
+
+
+# --- events_purchase_brier ------------------------------------------------------
+
+def q_events_purchase_brier(spark, sf_dir):
+    """Brier score of the segment-rate purchase model: predict
+    p_hat(segment) = purchase rate of the user's engagement segment,
+    Brier = mean over users of (p_hat - y)^2 — expanded exactly as
+    (ns*p^2 - 2*p*nb + nb)/N per segment, so the score is a
+    deterministic rational.  The calibration read on the simplest
+    possible model (and the baseline any fancier model must beat).
+
+    Scale shape: one user aggregation, one 4-row finish."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")))
+    n = users.count()
+    w = Window.orderBy(F.col("n_ev").desc(), F.col("user_id").asc())
+    seg = (users.withColumn("rk", F.row_number().over(w))
+           .withColumn("segment", F.floor((F.col("rk") - 1) * 4
+                                          / F.lit(n)).cast("long")))
+    per = (seg.groupBy("segment")
+           .agg(F.count(F.lit(1)).cast("long").alias("ns"),
+                F.sum("y").cast("long").alias("nb")))
+    p = F.col("nb").cast("double") / F.col("ns").cast("double")
+    contrib = per.select(
+        "ns", (F.col("ns").cast("double") * p * p
+               - 2.0 * p * F.col("nb").cast("double")
+               + F.col("nb").cast("double")).alias("bsum"))
+    agg = contrib.agg(F.sum("ns").cast("long").alias("n"),
+                      F.sum("bsum").alias("b"))
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("b") / F.col("n").cast("double"), 6)
+        .alias("brier"))
+
+
+_QBRIER_SQL = """
+WITH users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT y,
+         CAST(FLOOR((row_number() OVER (ORDER BY n_ev DESC, user_id ASC)
+                     - 1) * 4 / (SELECT COUNT(*) FROM users)) AS BIGINT)
+           AS segment
+  FROM users
+), per AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(y) AS BIGINT) AS nb
+  FROM seg GROUP BY segment
+), agg AS (
+  SELECT CAST(SUM(ns) AS BIGINT) AS n,
+         SUM(CAST(ns AS DOUBLE)
+               * (CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE))
+               * (CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE))
+             - 2.0 * (CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE))
+               * CAST(nb AS DOUBLE)
+             + CAST(nb AS DOUBLE)) AS b
+  FROM per
+)
+SELECT n AS n_users, ROUND(b / CAST(n AS DOUBLE), 6) AS brier
+FROM agg
+"""
+
+R8B_QUERIES["events_purchase_brier"] = (
+    q_events_purchase_brier, _QBRIER_SQL, False)
+
+
+# --- events_gumbel_daily_max ----------------------------------------------------
+
+def q_events_gumbel_daily_max(spark, sf_dir):
+    """Gumbel (EV-I) method-of-moments fit of the daily MAXIMUM event
+    value: scale beta = s*sqrt(6)/pi, location mu = mean - gamma*beta
+    (Euler-Mascheroni 0.5772156649015329), plus the implied 30-day
+    return level mu - beta*ln(-ln(1 - 1/30)) — extreme-value theory for
+    capacity planning.  Daily maxima are exact (MAX of doubles); the
+    moments sum ~30 small terms.
+
+    Scale shape: one day aggregation, one scalar finish."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.round(F.max("value"), 6).alias("mx")))
+    agg = days.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum("mx").alias("s1"),
+                   F.sum(F.col("mx") * F.col("mx")).alias("s2"))
+    nD = F.col("n").cast("double")
+    m = F.col("s1") / nD
+    sd = F.sqrt((nD * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (nD * (nD - 1.0)))
+    beta = sd * 0.7796968012336093  # sqrt(6)/pi
+    mu = m - 0.5772156649015329 * beta
+    rl30 = mu - beta * -3.3842944934992527  # ln(-ln(29/30)), shared literal
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl30, 6).alias("return_level_30d"))
+
+
+_QGUMBEL_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, ROUND(MAX(value), 6) AS mx
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(mx) AS s1,
+         SUM(mx * mx) AS s2
+  FROM days
+)
+SELECT n AS n_days,
+       ROUND(s1 / CAST(n AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  * 0.7796968012336093), 6) AS gumbel_mu,
+       ROUND(sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             * 0.7796968012336093, 6) AS gumbel_beta,
+       ROUND(s1 / CAST(n AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  * 0.7796968012336093)
+             - (sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                * 0.7796968012336093)
+               * (-3.3842944934992527), 6) AS return_level_30d
+FROM agg
+"""
+
+R8B_QUERIES["events_gumbel_daily_max"] = (
+    q_events_gumbel_daily_max, _QGUMBEL_SQL, False)
+
+
+# --- orders_interrupted_ts ------------------------------------------------------
+
+def q_orders_interrupted_ts(spark, sf_dir):
+    """Interrupted time-series read on daily revenue: split the day
+    series at its midpoint (t0 = floor(n/2), a deterministic
+    "intervention"), fit independent OLS lines pre and post (closed-form
+    from exact-rational sums over ROUND-6 daily revenues), and report
+    the slope change and the level jump at t0 (post-intercept prediction
+    minus the pre-line extrapolation) — the segmented-regression causal
+    read.
+
+    Scale shape: one day aggregation, two 5-sum OLS finishes."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg((F.round(F.sum("o_totalprice"), 6) / 1e3).alias("y")))
+    w = Window.orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w).cast("long") - 1)
+    n = idx.count()
+    t0 = n // 2
+    seg = idx.withColumn("post", (F.col("t") >= t0).cast("int"))
+    ols = (seg.groupBy("post")
+           .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum(F.col("t").cast("double")).alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("t").cast("double")
+                      * F.col("t").cast("double")).alias("sxx"),
+                F.sum(F.col("t").cast("double") * F.col("y")).alias("sxy")))
+    kD = F.col("k").cast("double")
+    slope = (kD * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (kD * F.col("sxx") - F.col("sx") * F.col("sx"))
+    icept = (F.col("sy") - slope * F.col("sx")) / kD
+    lines = ols.select("post", slope.alias("b1"), icept.alias("b0"))
+    pre = lines.filter(F.col("post") == 0).select(
+        F.col("b0").alias("b0_pre"), F.col("b1").alias("b1_pre"))
+    post = lines.filter(F.col("post") == 1).select(
+        F.col("b0").alias("b0_post"), F.col("b1").alias("b1_post"))
+    t0d = float(t0)
+    return (pre.crossJoin(post)
+            .select(F.lit(n).cast("long").alias("n_days"),
+                    F.lit(t0).cast("long").alias("t0"),
+                    F.round("b1_pre", 6).alias("slope_pre_k"),
+                    F.round("b1_post", 6).alias("slope_post_k"),
+                    F.round(F.col("b1_post") - F.col("b1_pre"), 6)
+                    .alias("slope_change_k"),
+                    F.round((F.col("b0_post") + F.col("b1_post") * t0d)
+                            - (F.col("b0_pre") + F.col("b1_pre") * t0d), 6)
+                    .alias("level_change_k")))
+
+
+def _its_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 6) / 1e3 AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t, y
+  FROM daily
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) // 2 AS BIGINT) AS t0
+  FROM idx
+), ols AS (
+  SELECT CASE WHEN t >= nn.t0 THEN 1 ELSE 0 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(t AS DOUBLE)) AS sx, SUM(y) AS sy,
+         SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS sxx,
+         SUM(CAST(t AS DOUBLE) * y) AS sxy
+  FROM idx CROSS JOIN nn
+  GROUP BY 1
+), lines AS (
+  SELECT post,
+         (CAST(k AS DOUBLE) * sxy - sx * sy)
+           / (CAST(k AS DOUBLE) * sxx - sx * sx) AS b1,
+         (sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(k AS DOUBLE) AS b0
+  FROM ols
+)
+SELECT nn.n AS n_days, nn.t0,
+       ROUND(pre.b1, 6) AS slope_pre_k,
+       ROUND(post.b1, 6) AS slope_post_k,
+       ROUND(post.b1 - pre.b1, 6) AS slope_change_k,
+       ROUND((post.b0 + post.b1 * CAST(nn.t0 AS DOUBLE))
+             - (pre.b0 + pre.b1 * CAST(nn.t0 AS DOUBLE)), 6)
+         AS level_change_k
+FROM (SELECT * FROM lines WHERE post = 0) pre
+CROSS JOIN (SELECT * FROM lines WHERE post = 1) post
+CROSS JOIN nn
+"""
+
+
+R8B_QUERIES["orders_interrupted_ts"] = (
+    q_orders_interrupted_ts, _its_sql(), False)
+
+
+# --- alsobought_ndcg_eval -------------------------------------------------------
+
+def q_alsobought_ndcg_eval(spark, sf_dir):
+    """Temporal NDCG@5 evaluation of the also-bought recommender: top-5
+    co-purchase recommendations per part are built on 1996 baskets only
+    (count DESC, partkey ASC ties) and scored against held-out 1997
+    baskets — for every (1997 basket, seed part) pair, DCG of the
+    recommendations that appear in the same basket over the ideal DCG
+    for that basket's hit count.  Pairs with zero relevant items are
+    skipped (NDCG undefined).  Discount weights 1/log2(r+1) are shared
+    literals.
+
+    Scale shape: the co-purchase build is one basket self-join keyed on
+    the order; evaluation joins the 5-row-per-part recommendation table
+    into the held-out baskets — everything keyed, no cross join."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr"))
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_partkey", "yr").distinct()
+    train = lo.filter(F.col("yr") == 1996)
+    test = lo.filter(F.col("yr") == 1997)
+    a = train.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pa"))
+    b = train.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pb"))
+    co = (a.join(b, "ok").filter(F.col("pa") != F.col("pb"))
+          .groupBy("pa", "pb").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("c")))
+    wr = Window.partitionBy("pa").orderBy(F.col("c").desc(),
+                                          F.col("pb").asc())
+    recs = (co.withColumn("r", F.row_number().over(wr).cast("int"))
+            .filter(F.col("r") <= 5).select("pa", "pb", "r"))
+    disc = {r: 1.0 / math.log2(r + 1) for r in range(1, 6)}
+    idcg = {h: sum(disc[r] for r in range(1, h + 1)) for h in range(1, 6)}
+    seeds = test.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("pa"))
+    members = test.select(F.col("l_orderkey").alias("ok"),
+                          F.col("l_partkey").alias("pb"))
+    hits = (seeds.join(recs, "pa")
+            .join(members, ["ok", "pb"], "left_semi"))
+    disc_col = F.element_at(
+        F.array(*[F.lit(disc[r]) for r in range(1, 6)]), F.col("r"))
+    per_pair = (hits.groupBy("ok", "pa")
+                .agg(F.sum(disc_col).alias("dcg"),
+                     F.count(F.lit(1)).cast("int").alias("h")))
+    idcg_col = F.element_at(
+        F.array(*[F.lit(idcg[h]) for h in range(1, 6)]),
+        F.least(F.col("h"), F.lit(5)))
+    scored = per_pair.select((F.col("dcg") / idcg_col).alias("ndcg"))
+    return (scored.agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_eval_pairs"),
+                       F.round(F.avg("ndcg"), 6).alias("mean_ndcg")))
+
+
+def _ndcg_sql() -> str:
+    import math
+    disc = {r: 1.0 / math.log2(r + 1) for r in range(1, 6)}
+    idcg = {h: sum(disc[r] for r in range(1, h + 1)) for h in range(1, 6)}
+    disc_case = " ".join(f"WHEN r = {r} THEN {disc[r]!r}"
+                         for r in range(1, 6))
+    idcg_case = " ".join(f"WHEN least(h, 5) = {h} THEN {idcg[h]!r}"
+                         for h in range(1, 6))
+    return f"""
+WITH lo AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey, year(o.o_orderdate) AS yr
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), train AS (SELECT * FROM lo WHERE yr = 1996),
+test AS MATERIALIZED (SELECT * FROM lo WHERE yr = 1997),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM train a JOIN train b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), recs AS MATERIALIZED (
+  SELECT pa, pb, CAST(r AS INT) AS r
+  FROM (SELECT pa, pb,
+               row_number() OVER (PARTITION BY pa
+                   ORDER BY c DESC, pb ASC) AS r
+        FROM co)
+  WHERE r <= 5
+), hits AS (
+  SELECT s.l_orderkey AS ok, s.l_partkey AS pa, rc.r
+  FROM test s JOIN recs rc ON rc.pa = s.l_partkey
+  WHERE EXISTS (SELECT 1 FROM test m
+                WHERE m.l_orderkey = s.l_orderkey
+                  AND m.l_partkey = rc.pb)
+), per_pair AS (
+  SELECT ok, pa,
+         SUM(CASE {disc_case} END) AS dcg,
+         CAST(COUNT(*) AS INT) AS h
+  FROM hits GROUP BY ok, pa
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_pairs,
+       ROUND(AVG(dcg / (CASE {idcg_case} END)), 6) AS mean_ndcg
+FROM per_pair
+"""
+
+
+R8B_QUERIES["alsobought_ndcg_eval"] = (
+    q_alsobought_ndcg_eval, _ndcg_sql(), False)

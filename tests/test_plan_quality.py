@@ -124,6 +124,8 @@ _NATIVE_QUERIES = [
     "events_shapley_attribution", "orders_backtest_mase",
     "supplier_scorecard", "events_dau_wau_stickiness",
     "brand_newsvendor_stock", "embedding_label_silhouette",
+    "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
+    "orders_interrupted_ts", "alsobought_ndcg_eval",
 ]
 
 
