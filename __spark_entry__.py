@@ -148,6 +148,9 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-27 causal (IPW, ITS) / calibration / EVT / ranking eval
     "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
     "orders_interrupted_ts", "alsobought_ndcg_eval",
+    # wave-28 sketch audit / matching / rich club / drift / STL strength
+    "simhash_bit_balance", "events_caliper_match_att", "part_rich_club",
+    "events_entropy_trend", "events_seasonality_strength",
 ]
 
 

@@ -5266,3 +5266,413 @@ FROM per_pair
 
 R8B_QUERIES["alsobought_ndcg_eval"] = (
     q_alsobought_ndcg_eval, _ndcg_sql(), False)
+
+
+# =============================================================================
+# Wave 28 — sketch bias audit, matched-pair causal estimate, rich-club
+# topology, diversity drift, seasonality strength
+# =============================================================================
+
+# --- simhash_bit_balance --------------------------------------------------------
+
+from .sql_shared import simhash_sql as _simhash_core_sql
+from ..pipeline import text as _text_mod
+
+
+def q_simhash_bit_balance(spark, sf_dir):
+    """Bit-balance audit of the 60-bit corpus simhash: per bit, the
+    ones-rate across all documents and its deviation from 0.5 — a
+    biased bit weakens hamming-distance discrimination, so this is the
+    health check an LSH deployment runs on its own sketch.  Integer
+    counts only.
+
+    Scale shape: one simhash pass (whole-stage codegen), a 60-row bit
+    grid broadcast in, one (bit)-keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(_text_mod.simhash(F.col("text"), bits=60)
+                     .alias("simhash"))
+    bits = spark.range(0, 60).select(F.col("id").cast("int").alias("bit"))
+    g = (sh.crossJoin(F.broadcast(bits))
+         .select("bit",
+                 F.expr("CAST(shiftrightunsigned(simhash, bit) & 1 "
+                        "AS BIGINT)").alias("one")))
+    agg = (g.groupBy("bit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("one").cast("long").alias("n_ones")))
+    rate = F.col("n_ones").cast("double") / F.col("n").cast("double")
+    return (agg.select("bit", "n_ones",
+                       F.round(rate, 6).alias("ones_rate"),
+                       F.round(F.abs(rate - 0.5), 6).alias("bias"))
+            .orderBy("bit"))
+
+
+_QBITBAL_SQL = f"""
+WITH sh AS MATERIALIZED ({_simhash_core_sql(60, where="")}),
+g AS (
+  SELECT b.bit,
+         CAST((simhash >> b.bit) & 1 AS BIGINT) AS one
+  FROM sh CROSS JOIN (SELECT CAST(unnest(range(0, 60)) AS INT) AS bit) b
+)
+SELECT bit, CAST(SUM(one) AS BIGINT) AS n_ones,
+       ROUND(CAST(SUM(one) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS ones_rate,
+       ROUND(abs(CAST(SUM(one) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                 - 0.5), 6) AS bias
+FROM g
+GROUP BY bit
+ORDER BY bit
+"""
+
+R8B_QUERIES["simhash_bit_balance"] = (
+    q_simhash_bit_balance, _QBITBAL_SQL, False)
+
+
+# --- events_caliper_match_att ---------------------------------------------------
+
+def q_events_caliper_match_att(spark, sf_dir):
+    """Nearest-neighbor caliper matching (with replacement) for the
+    average treatment effect on the treated: each clicking user matches
+    the non-clicking user closest in engagement count (|diff| <= 5
+    caliper, ties by smaller control id), ATT = mean(y_treated -
+    y_matched_control) — causal method #3 next to IPW and the uplift
+    table.  Deterministic: the match is an argmin with a total
+    tie-break.
+
+    Scale shape: treated x control candidates are banded by the caliper
+    (a range join on the engagement count, never a full cross join);
+    one window picks each treated user's match."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.max(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).alias("t"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")))
+    treated = (users.filter(F.col("t") == 1)
+               .select(F.col("user_id").alias("tid"),
+                       F.col("n_ev").alias("tx"),
+                       F.col("y").alias("ty")))
+    control = (users.filter(F.col("t") == 0)
+               .select(F.col("user_id").alias("cid"),
+                       F.col("n_ev").alias("cx"),
+                       F.col("y").alias("cy")))
+    cand = treated.join(
+        control, F.abs(F.col("tx") - F.col("cx")) <= 5)
+    w = Window.partitionBy("tid").orderBy(
+        F.abs(F.col("tx") - F.col("cx")).asc(), F.col("cid").asc())
+    matched = (cand.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1))
+    agg = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum("ty").cast("long").alias("s_t"),
+        F.sum("cy").cast("long").alias("s_c"))
+    return agg.select(
+        "n_matched",
+        F.round(F.col("s_t").cast("double")
+                / F.col("n_matched").cast("double"), 6).alias("y_treated"),
+        F.round(F.col("s_c").cast("double")
+                / F.col("n_matched").cast("double"), 6).alias("y_control"),
+        F.round((F.col("s_t") - F.col("s_c")).cast("double")
+                / F.col("n_matched").cast("double"), 6).alias("att"))
+
+
+_QCALIPER_SQL = """
+WITH users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), treated AS (
+  SELECT user_id AS tid, n_ev AS tx, y AS ty FROM users WHERE t = 1
+), control AS (
+  SELECT user_id AS cid, n_ev AS cx, y AS cy FROM users WHERE t = 0
+), matched AS (
+  SELECT tid, ty, cy
+  FROM (SELECT t.tid, t.ty, c.cy,
+               row_number() OVER (PARTITION BY t.tid
+                   ORDER BY abs(t.tx - c.cx) ASC, c.cid ASC) AS rk
+        FROM treated t JOIN control c ON abs(t.tx - c.cx) <= 5)
+  WHERE rk = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+       ROUND(CAST(SUM(ty) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS y_treated,
+       ROUND(CAST(SUM(cy) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS y_control,
+       ROUND(CAST(SUM(ty) - SUM(cy) AS BIGINT)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS att
+FROM matched
+"""
+
+R8B_QUERIES["events_caliper_match_att"] = (
+    q_events_caliper_match_att, _QCALIPER_SQL, False)
+
+
+# --- part_rich_club -------------------------------------------------------------
+
+def q_part_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the part co-purchase graph (same
+    support>=2 edges as the k-core query): among the top-k-degree
+    vertices (k in {25, 50, 100}, degree DESC / partkey ASC cut), the
+    realized edge density phi(k) = 2*E_club / (k*(k-1)) — do the hub
+    parts preferentially co-occur with each other?  Integer-exact.
+
+    Scale shape: one degree table, a broadcast top-k membership
+    semi-join per k over the edge list."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    deg = (edges.select(F.col("u").alias("p"))
+           .unionAll(edges.select(F.col("v").alias("p")))
+           .groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    wr = Window.orderBy(F.col("d").desc(), F.col("p").asc())
+    ranked = deg.withColumn("rk", F.row_number().over(wr))
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(25), F.lit(50), F.lit(100)),
+                     (F.col("id") + 1).cast("int")).cast("long").alias("k"))
+    club = (ranked.crossJoin(F.broadcast(ks))
+            .filter(F.col("rk") <= F.col("k"))
+            .select("k", "p"))
+    e_club = (edges
+              .join(club.select(F.col("k"), F.col("p").alias("u")),
+                    "u")
+              .join(club.select(F.col("k").alias("k2"),
+                                F.col("p").alias("v")), "v")
+              .filter(F.col("k") == F.col("k2"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).cast("long").alias("e_club")))
+    return (ks.join(e_club, "k", "left")
+            .withColumn("e_club", F.coalesce(F.col("e_club"), F.lit(0)))
+            .select(F.col("k"), "e_club",
+                    F.round(2.0 * F.col("e_club").cast("double")
+                            / (F.col("k") * (F.col("k") - 1))
+                            .cast("double"), 6).alias("phi"))
+            .orderBy("k"))
+
+
+_QRICHCLUB_SQL = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT u, v
+  FROM (SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(COUNT(*) AS BIGINT) AS supp
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+  WHERE supp >= 2
+), deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges)
+  GROUP BY p
+), ranked AS (
+  SELECT p, row_number() OVER (ORDER BY d DESC, p ASC) AS rk FROM deg
+), ks AS (SELECT CAST(unnest([25, 50, 100]) AS BIGINT) AS k),
+club AS MATERIALIZED (
+  SELECT ks.k, r.p FROM ranked r CROSS JOIN ks WHERE r.rk <= ks.k
+), e_club AS (
+  SELECT cu.k, CAST(COUNT(*) AS BIGINT) AS e_club
+  FROM edges e
+  JOIN club cu ON cu.p = e.u
+  JOIN club cv ON cv.p = e.v AND cv.k = cu.k
+  GROUP BY cu.k
+)
+SELECT ks.k, COALESCE(e_club.e_club, 0) AS e_club,
+       ROUND(2.0 * COALESCE(e_club.e_club, 0)
+             / CAST(ks.k * (ks.k - 1) AS DOUBLE), 6) AS phi
+FROM ks LEFT JOIN e_club ON e_club.k = ks.k
+ORDER BY ks.k
+"""
+
+R8B_QUERIES["part_rich_club"] = (q_part_rich_club, _QRICHCLUB_SQL, False)
+
+
+# --- events_entropy_trend -------------------------------------------------------
+
+def q_events_entropy_trend(spark, sf_dir):
+    """Diversity drift: Shannon entropy of the daily event-type mix,
+    plus the OLS slope of entropy over the day index — a shrinking
+    entropy means the event stream is collapsing onto fewer types (a
+    telemetry regression every pipeline owner wants flagged).  Entropy
+    terms are exact-count ratios; the trend is a 5-sum OLS.
+
+    Scale shape: one (day, type) aggregation, one day-level entropy
+    fold, one scalar OLS finish; the per-day rows ride along."""
+    ev = load_table(spark, sf_dir, "events")
+    dt = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    dtot = dt.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    ent = (dt.join(dtot, "day")
+           .withColumn("p", F.col("c").cast("double")
+                       / F.col("n").cast("double"))
+           .groupBy("day")
+           .agg(F.round(-F.sum(F.col("p") * F.log2("p")), 6)
+                .alias("entropy")))
+    w = Window.orderBy("day")
+    idx = ent.withColumn("t", F.row_number().over(w).cast("long") - 1)
+    ols = idx.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                  F.sum(F.col("t").cast("double")).alias("sx"),
+                  F.sum("entropy").alias("sy"),
+                  F.sum(F.col("t").cast("double")
+                        * F.col("t").cast("double")).alias("sxx"),
+                  F.sum(F.col("t").cast("double") * F.col("entropy"))
+                  .alias("sxy"))
+    kD = F.col("k").cast("double")
+    slope = (kD * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (kD * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return ols.select(
+        F.col("k").alias("n_days"),
+        F.round(F.col("sy") / kD, 6).alias("mean_entropy"),
+        F.round(slope * 1e3, 6).alias("entropy_slope_milli"))
+
+
+_QENTTREND_SQL = """
+WITH dt AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dtot AS (
+  SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM dt GROUP BY day
+), ent AS (
+  SELECT dt.day,
+         ROUND(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           AS entropy
+  FROM dt JOIN dtot USING (day)
+  GROUP BY dt.day
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t,
+         entropy
+  FROM ent
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(CAST(t AS DOUBLE)) AS sx,
+         SUM(entropy) AS sy,
+         SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS sxx,
+         SUM(CAST(t AS DOUBLE) * entropy) AS sxy
+  FROM idx
+)
+SELECT k AS n_days,
+       ROUND(sy / CAST(k AS DOUBLE), 6) AS mean_entropy,
+       ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx) * 1e3, 6)
+         AS entropy_slope_milli
+FROM ols
+"""
+
+R8B_QUERIES["events_entropy_trend"] = (
+    q_events_entropy_trend, _QENTTREND_SQL, False)
+
+
+# --- events_seasonality_strength --------------------------------------------------
+
+def q_events_seasonality_strength(spark, sf_dir):
+    """Seasonality and trend strength (the STL summary statistics):
+    over the centered-7-day-MA decomposition, detrended = y - trend,
+    remainder = detrended - weekday mean(detrended); strength_seasonal =
+    max(0, 1 - var(remainder)/var(detrended)) and strength_trend =
+    max(0, 1 - var(remainder)/var(y - seasonal)) — the two numbers that
+    say whether a series deserves a seasonal model at all.
+
+    Determinism: trend is an exact integer ratio (sum-of-7 / 7);
+    detrended values are ROUNDed at 6 before the weekday means and
+    variances, so every variance is a function of identical doubles.
+
+    Scale shape: one day aggregation, one 7-row window, two bounded
+    finishes."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = (days
+          .withColumn("w_n", F.count(F.lit(1)).over(w7))
+          .withColumn("w_s", F.sum("y").over(w7).cast("long"))
+          .filter(F.col("w_n") == 7)
+          .withColumn("det", F.round(
+              F.col("y").cast("double")
+              - F.col("w_s").cast("double") / 7.0, 6))
+          .withColumn("wd", F.dayofweek("day").cast("long")))
+    sm = (tr.groupBy("wd")
+          .agg(F.round(F.avg("det"), 6).alias("seas")))
+    j = (tr.join(F.broadcast(sm), "wd")
+         .withColumn("rem", F.round(F.col("det") - F.col("seas"), 6))
+         .withColumn("deseas", F.round(F.col("y").cast("double")
+                                       - F.col("seas"), 6)))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("det").alias("s_det"), F.sum(F.col("det") * F.col("det"))
+        .alias("q_det"),
+        F.sum("rem").alias("s_rem"), F.sum(F.col("rem") * F.col("rem"))
+        .alias("q_rem"),
+        F.sum("deseas").alias("s_des"),
+        F.sum(F.col("deseas") * F.col("deseas")).alias("q_des"))
+    nD = F.col("n").cast("double")
+
+    def var(s, q):
+        return (q - s * s / nD) / (nD - 1.0)
+
+    ss = F.greatest(F.lit(0.0),
+                    1.0 - var(F.col("s_rem"), F.col("q_rem"))
+                    / var(F.col("s_det"), F.col("q_det")))
+    st = F.greatest(F.lit(0.0),
+                    1.0 - var(F.col("s_rem"), F.col("q_rem"))
+                    / var(F.col("s_des"), F.col("q_des")))
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.round(ss, 6).alias("strength_seasonal"),
+        F.round(st, 6).alias("strength_trend"))
+
+
+_QSEASTR_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT day, y,
+         ROUND(CAST(y AS DOUBLE) -
+               CAST(SUM(y) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+               / 7.0, 6) AS det,
+         CAST(dayofweek(day) + 1 AS BIGINT) AS wd,
+         COUNT(*) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n
+  FROM days
+), trf AS (
+  SELECT day, y, det, wd FROM tr WHERE w_n = 7
+), sm AS (
+  SELECT wd, ROUND(AVG(det), 6) AS seas FROM trf GROUP BY wd
+), j AS (
+  SELECT trf.det,
+         ROUND(trf.det - sm.seas, 6) AS rem,
+         ROUND(CAST(trf.y AS DOUBLE) - sm.seas, 6) AS deseas
+  FROM trf JOIN sm USING (wd)
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(det) AS s_det, SUM(det * det) AS q_det,
+         SUM(rem) AS s_rem, SUM(rem * rem) AS q_rem,
+         SUM(deseas) AS s_des, SUM(deseas * deseas) AS q_des
+  FROM j
+)
+SELECT n AS n_days,
+       ROUND(greatest(0.0,
+             1.0 - ((q_rem - s_rem * s_rem / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))
+                   / ((q_det - s_det * s_det / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))), 6)
+         AS strength_seasonal,
+       ROUND(greatest(0.0,
+             1.0 - ((q_rem - s_rem * s_rem / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))
+                   / ((q_des - s_des * s_des / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0))), 6)
+         AS strength_trend
+FROM agg
+"""
+
+R8B_QUERIES["events_seasonality_strength"] = (
+    q_events_seasonality_strength, _QSEASTR_SQL, False)

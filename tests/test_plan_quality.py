@@ -126,6 +126,8 @@ _NATIVE_QUERIES = [
     "brand_newsvendor_stock", "embedding_label_silhouette",
     "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
     "orders_interrupted_ts", "alsobought_ndcg_eval",
+    "simhash_bit_balance", "events_caliper_match_att", "part_rich_club",
+    "events_entropy_trend", "events_seasonality_strength",
 ]
 
 
