@@ -151,6 +151,8 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-28 sketch audit / matching / rich club / drift / STL strength
     "simhash_bit_balance", "events_caliper_match_att", "part_rich_club",
     "events_entropy_trend", "events_seasonality_strength",
+    # wave-29 RDD / Adamic-Adar / lexical richness
+    "lineitem_discount_rdd", "part_adamic_adar", "doc_lexical_richness",
 ]
 
 

@@ -5676,3 +5676,235 @@ FROM agg
 
 R8B_QUERIES["events_seasonality_strength"] = (
     q_events_seasonality_strength, _QSEASTR_SQL, False)
+
+
+# =============================================================================
+# Wave 29 — regression discontinuity, weighted link prediction,
+# lexical richness
+# =============================================================================
+
+# --- lineitem_discount_rdd ------------------------------------------------------
+
+def q_lineitem_discount_rdd(spark, sf_dir):
+    """Sharp regression-discontinuity estimate: running variable =
+    quantity, cutoff 25, outcome = discount; local linear OLS on each
+    side within bandwidth 10 (quantities 15..24 vs 25..34), jump =
+    right-intercept - left-prediction at the cutoff.  Completes the
+    causal tier (DiD, uplift, IPW, matching, ITS, RDD).  Discounts are
+    2-decimal-quantized, so the OLS sums run on exact 1e-2-lattice
+    doubles.
+
+    Scale shape: one bandwidth-filtered aggregation per side (map-side
+    combinable), one closed-form finish."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (li.select(F.col("l_quantity").cast("long").alias("x"),
+                      F.col("l_discount").alias("y"))
+            .filter((F.col("x") >= 15) & (F.col("x") <= 34))
+            .withColumn("side", (F.col("x") >= 25).cast("int"))
+            .withColumn("xc", (F.col("x") - 25).cast("double")))
+    ols = (band.groupBy("side")
+           .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum("xc").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+                F.sum(F.col("xc") * F.col("y")).alias("sxy")))
+    kD = F.col("k").cast("double")
+    slope = (kD * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (kD * F.col("sxx") - F.col("sx") * F.col("sx"))
+    icept = (F.col("sy") - slope * F.col("sx")) / kD
+    lines = ols.select("side", F.col("k"), slope.alias("b1"),
+                       icept.alias("b0"))
+    left = lines.filter(F.col("side") == 0).select(
+        F.col("k").alias("n_left"), F.col("b0").alias("b0_l"),
+        F.col("b1").alias("b1_l"))
+    right = lines.filter(F.col("side") == 1).select(
+        F.col("k").alias("n_right"), F.col("b0").alias("b0_r"),
+        F.col("b1").alias("b1_r"))
+    return (left.crossJoin(right)
+            .select("n_left", "n_right",
+                    F.round("b0_l", 6).alias("left_at_cutoff"),
+                    F.round("b0_r", 6).alias("right_at_cutoff"),
+                    F.round(F.col("b0_r") - F.col("b0_l"), 6)
+                    .alias("rdd_jump")))
+
+
+_QRDD_SQL = """
+WITH band AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x, l_discount AS y,
+         CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS side,
+         CAST(CAST(l_quantity AS BIGINT) - 25 AS DOUBLE) AS xc
+  FROM lineitem
+  WHERE l_quantity BETWEEN 15 AND 34
+), ols AS (
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS k, SUM(xc) AS sx,
+         SUM(y) AS sy, SUM(xc * xc) AS sxx, SUM(xc * y) AS sxy
+  FROM band GROUP BY side
+), lines AS (
+  SELECT side, k,
+         (CAST(k AS DOUBLE) * sxy - sx * sy)
+           / (CAST(k AS DOUBLE) * sxx - sx * sx) AS b1,
+         (sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(k AS DOUBLE) AS b0
+  FROM ols
+)
+SELECT l.k AS n_left, r.k AS n_right,
+       ROUND(l.b0, 6) AS left_at_cutoff,
+       ROUND(r.b0, 6) AS right_at_cutoff,
+       ROUND(r.b0 - l.b0, 6) AS rdd_jump
+FROM (SELECT * FROM lines WHERE side = 0) l
+CROSS JOIN (SELECT * FROM lines WHERE side = 1) r
+"""
+
+R8B_QUERIES["lineitem_discount_rdd"] = (
+    q_lineitem_discount_rdd, _QRDD_SQL, False)
+
+
+# --- part_adamic_adar -----------------------------------------------------------
+
+def q_part_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the part co-purchase graph (same
+    support>=2 edges as the k-core/common-neighbor queries): candidate
+    2-hop non-edges scored by sum over shared neighbors w of
+    1/ln(deg(w)) — the degree-weighted upgrade of the common-neighbor
+    Jaccard that down-weights promiscuous hubs.  Top-20.
+
+    Scale shape: a wedge join through the middle vertex with the
+    middle's degree broadcast in; existing edges removed by anti-join."""
+    po = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = po.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("u"))
+    b = po.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count(F.lit(1)).alias("supp"))
+             .filter(F.col("supp") >= 2).select("u", "v"))
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+        .distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    w1 = sym.select(F.col("u").alias("x"), F.col("v").alias("w"))
+    w2 = sym.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "w").filter(F.col("x") < F.col("y"))
+              .join(F.broadcast(deg.select(F.col("u").alias("w"),
+                                           F.col("deg"))), "w")
+              .filter(F.col("deg") > 1))
+    scored = (wedges.groupBy("x", "y")
+              .agg(F.count(F.lit(1)).cast("long").alias("cn"),
+                   F.sum(1.0 / F.log(F.col("deg").cast("double")))
+                   .alias("aa")))
+    non_edges = scored.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"], "left_anti")
+    wr = Window.orderBy(F.round(F.col("aa"), 6).desc(),
+                        F.col("x").asc(), F.col("y").asc())
+    return (non_edges.withColumn("rank", F.row_number().over(wr)
+                                 .cast("int"))
+            .filter(F.col("rank") <= 20)
+            .select("rank", F.col("x").alias("part_a"),
+                    F.col("y").alias("part_b"), "cn",
+                    F.round("aa", 6).alias("adamic_adar"))
+            .orderBy("rank"))
+
+
+_QAA_SQL = """
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT u, v
+  FROM (SELECT a.l_partkey AS u, b.l_partkey AS v,
+               CAST(COUNT(*) AS BIGINT) AS supp
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+  WHERE supp >= 2
+), sym AS MATERIALIZED (
+  SELECT u, v FROM edges UNION SELECT v, u FROM edges
+), deg AS (
+  SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), wedges AS (
+  SELECT w1.u AS x, w2.v AS y, d.deg
+  FROM sym w1
+  JOIN sym w2 ON w2.u = w1.v
+  JOIN deg d ON d.w = w1.v
+  WHERE w1.u < w2.v AND d.deg > 1
+), scored AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn,
+         SUM(1.0 / ln(CAST(deg AS DOUBLE))) AS aa
+  FROM wedges GROUP BY x, y
+), non_edges AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.u = s.x AND e.v = s.y)
+)
+SELECT CAST(rank AS INT) AS rank, x AS part_a, y AS part_b, cn,
+       ROUND(aa, 6) AS adamic_adar
+FROM (SELECT *, row_number() OVER (ORDER BY ROUND(aa, 6) DESC,
+                                   x ASC, y ASC) AS rank
+      FROM non_edges)
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+R8B_QUERIES["part_adamic_adar"] = (q_part_adamic_adar, _QAA_SQL, False)
+
+
+# --- doc_lexical_richness -------------------------------------------------------
+
+def q_doc_lexical_richness(spark, sf_dir):
+    """Lexical richness per source: type-token ratio, hapax-legomena
+    share of the vocabulary, and Herdan's C = ln(V)/ln(N) (the
+    log-log TTR that is stable across corpus sizes) — the vocabulary-
+    health metrics of corpus linguistics.  All from exact counts.
+
+    Scale shape: one (source, term) aggregation, one source finish."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (docs.select("source",
+                      F.explode(_text.tokens(F.col("text"))).alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    agg = (st.groupBy("source")
+           .agg(F.sum("c").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_types"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                .cast("long").alias("n_hapax")))
+    return (agg.select(
+        "source", "n_tokens", "n_types", "n_hapax",
+        F.round(F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"), 6).alias("ttr"),
+        F.round(F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double"), 6).alias("hapax_share"),
+        F.round(F.log(F.col("n_types").cast("double"))
+                / F.log(F.col("n_tokens").cast("double")), 6)
+        .alias("herdan_c"))
+        .orderBy("source"))
+
+
+_QLEX_SQL = f"""
+WITH st AS (
+  SELECT source, t.term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+  GROUP BY source, t.term
+), agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM st GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS ttr,
+       ROUND(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+         AS hapax_share,
+       ROUND(ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)),
+             6) AS herdan_c
+FROM agg
+ORDER BY source
+"""
+
+R8B_QUERIES["doc_lexical_richness"] = (
+    q_doc_lexical_richness, _QLEX_SQL, False)

@@ -128,6 +128,7 @@ _NATIVE_QUERIES = [
     "orders_interrupted_ts", "alsobought_ndcg_eval",
     "simhash_bit_balance", "events_caliper_match_att", "part_rich_club",
     "events_entropy_trend", "events_seasonality_strength",
+    "lineitem_discount_rdd", "part_adamic_adar", "doc_lexical_richness",
 ]
 
 
