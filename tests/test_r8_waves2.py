@@ -101,3 +101,81 @@ def test_zorder_stats_structural(spark, sf_dir):
     for c in ("x_span_z", "y_span_z", "x_span_seq", "y_span_seq"):
         assert 0.0 <= r[c] <= 360.0
     assert r["locality_ratio"] > 0.0
+
+
+# -- wave 27-29 invariants -------------------------------------------------------
+
+def test_ndcg_bounded(spark, sf_dir):
+    (r,) = _run("alsobought_ndcg_eval", spark, sf_dir)
+    assert r["n_eval_pairs"] > 0
+    assert 0.0 < r["mean_ndcg"] <= 1.0
+
+
+def test_brier_bounded_by_base_rate_variance(spark, sf_dir):
+    (r,) = _run("events_purchase_brier", spark, sf_dir)
+    # a calibrated segment model's Brier is at most p*(1-p) <= 0.25
+    assert 0.0 <= r["brier"] <= 0.25
+
+
+def test_rich_club_phi_bounded_and_monotone_k(spark, sf_dir):
+    rows = _run("part_rich_club", spark, sf_dir)
+    assert [r["k"] for r in rows] == [25, 50, 100]
+    for r in rows:
+        assert 0.0 <= r["phi"] <= 1.0
+        assert r["e_club"] <= r["k"] * (r["k"] - 1) // 2
+
+
+def test_rdd_sides_populated(spark, sf_dir):
+    (r,) = _run("lineitem_discount_rdd", spark, sf_dir)
+    assert r["n_left"] > 0 and r["n_right"] > 0
+    assert r["rdd_jump"] == pytest.approx(
+        r["right_at_cutoff"] - r["left_at_cutoff"], abs=2e-6)
+
+
+def test_adamic_adar_positive_and_sorted(spark, sf_dir):
+    rows = _run("part_adamic_adar", spark, sf_dir)
+    assert rows
+    scores = [r["adamic_adar"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+
+
+def test_lexical_richness_bounds(spark, sf_dir):
+    rows = _run("doc_lexical_richness", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 < r["ttr"] <= 1.0
+        assert 0.0 < r["herdan_c"] <= 1.0
+
+
+def test_ipw_between_group_means_sanity(spark, sf_dir):
+    (r,) = _run("events_ipw_ate", spark, sf_dir)
+    assert 0.0 <= r["mean_outcome_treated_ipw"] <= 1.0 + 1e-9
+    assert 0.0 <= r["mean_outcome_control_ipw"] <= 1.0 + 1e-9
+
+
+def test_caliper_match_att_consistency(spark, sf_dir):
+    (r,) = _run("events_caliper_match_att", spark, sf_dir)
+    if r["n_matched"] == 0:
+        # tiny SFs have no never-clicked controls: the degenerate row is
+        # (0, NULL, NULL, NULL) on both engines
+        assert r["att"] is None
+    else:
+        assert r["att"] == pytest.approx(r["y_treated"] - r["y_control"],
+                                         abs=2e-6)
+
+
+def test_simhash_bit_balance_complete(spark, sf_dir):
+    rows = _run("simhash_bit_balance", spark, sf_dir)
+    assert len(rows) == 60
+    for r in rows:
+        assert 0.0 <= r["ones_rate"] <= 1.0
+        assert r["bias"] <= 0.5
+
+
+def test_seasonality_strength_bounded(spark, sf_dir):
+    (r,) = _run("events_seasonality_strength", spark, sf_dir)
+    assert 0.0 <= r["strength_seasonal"] <= 1.0
+    assert 0.0 <= r["strength_trend"] <= 1.0
