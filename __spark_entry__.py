@@ -153,6 +153,10 @@ _NEVER_DRIVER_SAMPLED = [
     "events_entropy_trend", "events_seasonality_strength",
     # wave-29 RDD / Adamic-Adar / lexical richness
     "lineitem_discount_rdd", "part_adamic_adar", "doc_lexical_richness",
+    # wave-30 sampling design / corr matrix / bullwhip / Haar / Croston
+    "customer_neyman_allocation", "orders_corr_matrix",
+    "lineitem_bullwhip_ratio", "events_haar_energy",
+    "brand_croston_forecast",
 ]
 
 

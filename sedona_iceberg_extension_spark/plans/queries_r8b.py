@@ -5908,3 +5908,429 @@ ORDER BY source
 
 R8B_QUERIES["doc_lexical_richness"] = (
     q_doc_lexical_richness, _QLEX_SQL, False)
+
+
+# =============================================================================
+# Wave 30 — survey sampling, covariance matrices, supply-chain dynamics,
+# wavelet energy, intermittent-demand forecasting
+# =============================================================================
+
+# --- customer_neyman_allocation ---------------------------------------------------
+
+def q_customer_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified-sampling allocation: for a budget of
+    1000 sampled customers stratified by nation, allocate n_h
+    proportional to N_h * S_h (stratum size x stddev of account
+    balance, exact-cents moments) — the design a survey/eval pipeline
+    computes before drawing.  Reported against proportional allocation
+    for contrast; allocations are rounded at 2.
+
+    Scale shape: one stratum aggregation + one broadcast total."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = (cust.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(cents).cast("long").alias("s"),
+              F.sum(cents * cents).cast("long").alias("q")))
+    nD = F.col("n").cast("double")
+    sd = F.sqrt((nD * F.col("q").cast("double")
+                 - F.col("s").cast("double") * F.col("s").cast("double"))
+                / (nD * (nD - 1.0))) / 100.0
+    wgt = g.select("c_nationkey", "n", (nD * sd).alias("ns"), sd.alias("sd"))
+    tot = wgt.agg(F.sum("ns").alias("tot_ns"),
+                  F.sum("n").cast("long").alias("tot_n"))
+    j = wgt.crossJoin(F.broadcast(tot))
+    return (j.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("n").alias("stratum_size"),
+        F.round("sd", 6).alias("stratum_sd"),
+        F.round(1000.0 * F.col("ns") / F.col("tot_ns"), 2)
+        .alias("neyman_n"),
+        F.round(1000.0 * F.col("n").cast("double")
+                / F.col("tot_n").cast("double"), 2).alias("proportional_n"))
+        .orderBy("nationkey"))
+
+
+_QNEYMAN_SQL = """
+WITH g AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS q
+  FROM customer GROUP BY c_nationkey
+), wgt AS (
+  SELECT c_nationkey, n,
+         sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+           AS sd,
+         CAST(n AS DOUBLE)
+           * sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           / 100.0 AS ns
+  FROM g
+), tot AS (
+  SELECT SUM(ns) AS tot_ns, CAST(SUM(n) AS BIGINT) AS tot_n FROM wgt
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n AS stratum_size,
+       ROUND(sd, 6) AS stratum_sd,
+       ROUND(1000.0 * ns / tot_ns, 2) AS neyman_n,
+       ROUND(1000.0 * CAST(n AS DOUBLE) / CAST(tot_n AS DOUBLE), 2)
+         AS proportional_n
+FROM wgt CROSS JOIN tot
+ORDER BY nationkey
+"""
+
+R8B_QUERIES["customer_neyman_allocation"] = (
+    q_customer_neyman_allocation, _QNEYMAN_SQL, False)
+
+
+# --- orders_corr_matrix ---------------------------------------------------------
+
+def q_orders_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix in long form over three per-order
+    features — total price (whole dollars, exact integers — cents would
+    push the squared sums past BIGINT), line count, and order->first-
+    ship latency days — every pairwise r from one pass of exact integer
+    cross-moments.  The EDA matrix before any modeling step.
+
+    Scale shape: one join + order aggregation, one 10-sum moment pass,
+    a 3-row finish."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).cast("long").alias("nl"),
+                F.min(F.to_date("l_shipdate")).alias("ship")))
+    base = (orders.join(per, orders.o_orderkey == per.l_orderkey)
+            .select(F.round(F.col("o_totalprice")).cast("long")
+                    .alias("a"),
+                    F.col("nl").alias("b"),
+                    F.datediff(F.col("ship"), F.to_date("o_orderdate"))
+                    .cast("long").alias("c")))
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(F.col(x)).cast("long").alias(f"s{x}") for x in "abc"],
+        *[F.sum(F.col(x) * F.col(x)).cast("long").alias(f"q{x}")
+          for x in "abc"],
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("c")).cast("long").alias("sac"),
+        F.sum(F.col("b") * F.col("c")).cast("long").alias("sbc"))
+    nD = F.col("n").cast("double")
+
+    def corr(sxy, sx, sy, qx, qy):
+        num = nD * F.col(sxy).cast("double") \
+            - F.col(sx).cast("double") * F.col(sy).cast("double")
+        dx = F.sqrt(nD * F.col(qx).cast("double")
+                    - F.col(sx).cast("double") * F.col(sx).cast("double"))
+        dy = F.sqrt(nD * F.col(qy).cast("double")
+                    - F.col(sy).cast("double") * F.col(sy).cast("double"))
+        return num / (dx * dy)
+
+    pairs = [("price", "n_lines", corr("sab", "sa", "sb", "qa", "qb")),
+             ("price", "latency", corr("sac", "sa", "sc", "qa", "qc")),
+             ("n_lines", "latency", corr("sbc", "sb", "sc", "qb", "qc"))]
+    rows = None
+    for xa, xb, r in pairs:
+        row = m.select(F.lit(xa).alias("var_a"), F.lit(xb).alias("var_b"),
+                       F.round(r, 6).alias("pearson_r"))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("var_a", "var_b")
+
+
+_QCORRM_SQL = """
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl,
+         MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+), base AS (
+  SELECT CAST(ROUND(o.o_totalprice) AS BIGINT) AS a,
+         p.nl AS b,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE), p.ship)
+              AS BIGINT) AS c
+  FROM orders o JOIN per p ON p.l_orderkey = o.o_orderkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(a * a) AS BIGINT) AS qa,
+         CAST(SUM(b * b) AS BIGINT) AS qb,
+         CAST(SUM(c * c) AS BIGINT) AS qc,
+         CAST(SUM(a * b) AS BIGINT) AS sab,
+         CAST(SUM(a * c) AS BIGINT) AS sac,
+         CAST(SUM(b * c) AS BIGINT) AS sbc
+  FROM base
+)
+SELECT 'price' AS var_a, 'n_lines' AS var_b,
+       ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+         AS pearson_r
+FROM m
+UNION ALL
+SELECT 'price', 'latency',
+       ROUND((CAST(n AS DOUBLE) * CAST(sac AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(qa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(qc AS DOUBLE)
+                       - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+FROM m
+UNION ALL
+SELECT 'n_lines', 'latency',
+       ROUND((CAST(n AS DOUBLE) * CAST(sbc AS DOUBLE)
+              - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(qb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(qc AS DOUBLE)
+                       - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+FROM m
+ORDER BY var_a, var_b
+"""
+
+R8B_QUERIES["orders_corr_matrix"] = (
+    q_orders_corr_matrix, _QCORRM_SQL, False)
+
+
+# --- lineitem_bullwhip_ratio ----------------------------------------------------
+
+def q_lineitem_bullwhip_ratio(spark, sf_dir):
+    """Bullwhip-effect ratio: variance of weekly ORDER quantity (demand
+    signal placed upstream, keyed by order week) over variance of
+    weekly SHIPPED quantity (fulfillment) — ratio > 1 means demand
+    variability amplifies up the chain.  Both series are exact integer
+    weekly sums over the shared week domain.
+
+    Scale shape: two week-keyed aggregations over the same join, one
+    scalar finish."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.weekofyear(F.to_date("o_orderdate")).alias("ow"),
+        F.year(F.to_date("o_orderdate")).alias("oy"))
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    ordered = (j.groupBy(F.col("oy").alias("y"), F.col("ow").alias("w"))
+               .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                    .alias("qo")))
+    shipped = (li.groupBy(
+        F.year(F.to_date("l_shipdate")).alias("y"),
+        F.weekofyear(F.to_date("l_shipdate")).alias("w"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+             .alias("qs")))
+    both = ordered.join(shipped, ["y", "w"])
+
+    def var(c):
+        n = F.count(F.lit(1)).cast("double")
+        s = F.sum(F.col(c)).cast("double")
+        q = F.sum(F.col(c) * F.col(c)).cast("double")
+        return (n * q - s * s) / (n * (n - 1.0))
+
+    agg = both.agg(F.count(F.lit(1)).cast("long").alias("n_weeks"),
+                   var("qo").alias("var_ordered"),
+                   var("qs").alias("var_shipped"))
+    return agg.select(
+        "n_weeks",
+        F.round(F.col("var_ordered") / 1e6, 6).alias("var_ordered_m"),
+        F.round(F.col("var_shipped") / 1e6, 6).alias("var_shipped_m"),
+        F.round(F.col("var_ordered") / F.col("var_shipped"), 6)
+        .alias("bullwhip_ratio"))
+
+
+_QBULLWHIP_SQL = """
+WITH ordered AS (
+  SELECT year(CAST(o.o_orderdate AS DATE)) AS y,
+         weekofyear(CAST(o.o_orderdate AS DATE)) AS w,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qo
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), shipped AS (
+  SELECT year(CAST(l_shipdate AS DATE)) AS y,
+         weekofyear(CAST(l_shipdate AS DATE)) AS w,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+  FROM lineitem GROUP BY 1, 2
+), both_w AS (
+  SELECT qo, qs FROM ordered JOIN shipped USING (y, w)
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qo * qo) AS DOUBLE)
+          - CAST(SUM(qo) AS DOUBLE) * CAST(SUM(qo) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE)
+              * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS var_ordered,
+         (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(qs * qs) AS DOUBLE)
+          - CAST(SUM(qs) AS DOUBLE) * CAST(SUM(qs) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE)
+              * (CAST(COUNT(*) AS DOUBLE) - 1.0)) AS var_shipped
+  FROM both_w
+)
+SELECT n_weeks,
+       ROUND(var_ordered / 1e6, 6) AS var_ordered_m,
+       ROUND(var_shipped / 1e6, 6) AS var_shipped_m,
+       ROUND(var_ordered / var_shipped, 6) AS bullwhip_ratio
+FROM agg
+"""
+
+R8B_QUERIES["lineitem_bullwhip_ratio"] = (
+    q_lineitem_bullwhip_ratio, _QBULLWHIP_SQL, False)
+
+
+# --- events_haar_energy ---------------------------------------------------------
+
+def q_events_haar_energy(spark, sf_dir):
+    """Haar wavelet energy by level over the first 16 days of the daily
+    event-count series: 4 cascade levels of pairwise sums/differences.
+    Details at level L are integers / 2^L, so the level energy is
+    reported as the EXACT BIGINT numerator sum(diff_num^2) with divisor
+    4^L — zero float anywhere (the lattice-safe alternative to rounding
+    dyadic rationals).  The multi-resolution spike detector next to the
+    DFT periodogram.
+
+    Scale shape: one day aggregation, then 4 chained 16->8->4->2->1
+    pair-group aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    w = Window.orderBy("day")
+    cur = (days.withColumn("t", F.row_number().over(w).cast("long") - 1)
+           .filter(F.col("t") < 16)
+           .select("t", F.col("y").alias("num")))  # numerator at lvl 0
+    out = None
+    for lvl in range(1, 5):
+        grp = (cur.groupBy((F.col("t") / 2).cast("long").alias("g"))
+               .agg(F.sum(F.when(F.col("t") % 2 == 0, F.col("num"))
+                          .otherwise(-F.col("num"))).cast("long")
+                    .alias("dnum"),
+                    F.sum("num").cast("long").alias("anum")))
+        # detail numerators carry the previous level's scaling: the true
+        # detail is dnum / 2^lvl, so energy = sum(dnum^2) / 4^lvl
+        e = (grp.agg(F.sum(F.col("dnum") * F.col("dnum")).cast("long")
+                     .alias("energy_num"),
+                     F.count(F.lit(1)).cast("long").alias("n_details"))
+             .select(F.lit(lvl).cast("long").alias("level"), "n_details",
+                     "energy_num",
+                     F.lit(4 ** lvl).cast("long").alias("divisor")))
+        out = e if out is None else out.unionByName(e)
+        cur = grp.select(F.col("g").alias("t"),
+                         F.col("anum").alias("num"))
+    return out.orderBy("level")
+
+
+def _haar_sql() -> str:
+    sql = """
+WITH days AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t,
+         y AS num
+  FROM (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1)
+  QUALIFY t < 16
+)"""
+    prev = "days"
+    sels = []
+    for lvl in range(1, 5):
+        sql += f""", l{lvl} AS MATERIALIZED (
+  SELECT CAST(t // 2 AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN t % 2 = 0 THEN num ELSE -num END) AS BIGINT)
+           AS dnum,
+         CAST(SUM(num) AS BIGINT) AS num
+  FROM {prev} GROUP BY 1
+)"""
+        sels.append(
+            f"SELECT CAST({lvl} AS BIGINT) AS level, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_details, "
+            f"CAST(SUM(dnum * dnum) AS BIGINT) AS energy_num, "
+            f"CAST({4 ** lvl} AS BIGINT) AS divisor FROM l{lvl}")
+        prev = f"l{lvl}"
+    return sql + "\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY level"
+
+
+R8B_QUERIES["events_haar_energy"] = (q_events_haar_energy, _haar_sql(), False)
+
+
+# --- brand_croston_forecast -----------------------------------------------------
+
+def q_brand_croston_forecast(spark, sf_dir):
+    """Croston's method for intermittent demand, per brand: demand-event
+    sizes and inter-demand intervals are smoothed separately (alpha =
+    0.2, init = first observation), forecast = size_hat / interval_hat
+    per day.  Demand events are the days a brand ships at all —
+    intervals come from the day-index gaps, so the recursion is a fixed
+    per-brand left fold (lockstep recursive CTE in the oracle).
+
+    Scale shape: one (brand, day) aggregation, one per-brand
+    ``F.aggregate`` fold over the day-domain-bounded event list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bd = (li.join(pt, li.l_partkey == pt.p_partkey)
+          .groupBy("p_brand", F.to_date("l_shipdate").alias("day"))
+          .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+               .alias("q")))
+    wd = Window.partitionBy("p_brand").orderBy("day")
+    evd = (bd.withColumn("t", F.row_number().over(wd).cast("long"))
+           .withColumn("gap", F.coalesce(
+               F.datediff(F.col("day"), F.lag("day").over(wd))
+               .cast("long"), F.lit(1))))  # first event: interval 1
+    series = (evd.groupBy("p_brand")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("t", "q", "gap"))).alias("sv")))
+    acc0 = F.struct(F.lit(0).cast("int").alias("n"),
+                    F.lit(0.0).alias("z"), F.lit(0.0).alias("p"))
+    fold = F.aggregate(
+        F.col("sv"), acc0,
+        lambda acc, e: F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.when(acc["n"] == 0, e["q"].cast("double"))
+            .otherwise(0.2 * e["q"].cast("double") + 0.8 * acc["z"])
+            .alias("z"),
+            F.when(acc["n"] == 0, e["gap"].cast("double"))
+            .otherwise(0.2 * e["gap"].cast("double") + 0.8 * acc["p"])
+            .alias("p")))
+    final = series.select("p_brand", fold.alias("f"))
+    return (final.select(
+        F.col("p_brand").alias("brand"),
+        F.col("f.n").cast("long").alias("n_demand_events"),
+        F.round(F.col("f.z"), 6).alias("size_hat"),
+        F.round(F.col("f.p"), 6).alias("interval_hat"),
+        F.round(F.col("f.z") / F.col("f.p"), 6).alias("croston_rate"))
+        .orderBy("brand"))
+
+
+_QCROSTON_SQL = """
+WITH RECURSIVE bd AS (
+  SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), evd AS MATERIALIZED (
+  SELECT p_brand, q,
+         CAST(row_number() OVER (PARTITION BY p_brand ORDER BY day)
+           AS BIGINT) AS t,
+         CAST(COALESCE(datediff('day',
+                 lag(day) OVER (PARTITION BY p_brand ORDER BY day), day),
+                 1) AS BIGINT) AS gap
+  FROM bd
+), cro AS (
+  SELECT p_brand, t, CAST(q AS DOUBLE) AS z, CAST(gap AS DOUBLE) AS p
+  FROM evd WHERE t = 1
+  UNION ALL
+  SELECT e.p_brand, e.t,
+         0.2 * CAST(e.q AS DOUBLE) + 0.8 * c.z,
+         0.2 * CAST(e.gap AS DOUBLE) + 0.8 * c.p
+  FROM cro c JOIN evd e ON e.p_brand = c.p_brand AND e.t = c.t + 1
+), fin AS (
+  SELECT p_brand, t, z, p,
+         row_number() OVER (PARTITION BY p_brand ORDER BY t DESC) AS rk
+  FROM cro
+)
+SELECT p_brand AS brand, t AS n_demand_events,
+       ROUND(z, 6) AS size_hat,
+       ROUND(p, 6) AS interval_hat,
+       ROUND(z / p, 6) AS croston_rate
+FROM fin
+WHERE rk = 1
+ORDER BY brand
+"""
+
+R8B_QUERIES["brand_croston_forecast"] = (
+    q_brand_croston_forecast, _QCROSTON_SQL, False)

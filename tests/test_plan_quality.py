@@ -129,6 +129,9 @@ _NATIVE_QUERIES = [
     "simhash_bit_balance", "events_caliper_match_att", "part_rich_club",
     "events_entropy_trend", "events_seasonality_strength",
     "lineitem_discount_rdd", "part_adamic_adar", "doc_lexical_richness",
+    "customer_neyman_allocation", "orders_corr_matrix",
+    "lineitem_bullwhip_ratio", "events_haar_energy",
+    "brand_croston_forecast",
 ]
 
 
