@@ -156,7 +156,7 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-30 sampling design / corr matrix / bullwhip / Haar / Croston
     "customer_neyman_allocation", "orders_corr_matrix",
     "lineitem_bullwhip_ratio", "events_haar_energy",
-    "brand_croston_forecast",
+    "brand_croston_forecast", "source_burrows_delta",
 ]
 
 

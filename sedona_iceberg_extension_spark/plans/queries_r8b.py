@@ -6334,3 +6334,119 @@ ORDER BY brand
 
 R8B_QUERIES["brand_croston_forecast"] = (
     q_brand_croston_forecast, _QCROSTON_SQL, False)
+
+
+# --- source_burrows_delta -------------------------------------------------------
+
+def q_source_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometry between sources: relative frequencies
+    of the top-30 corpus terms per source, z-scored across the source
+    population (each term's mean/sd over sources), Delta(a,b) = mean
+    |z_a - z_b| over the 30 marker terms — the authorship-attribution
+    distance; the 10 closest source pairs are the lookalike report.
+
+    Determinism: relative frequencies are exact ratios; z-scores are
+    ROUNDed at 9 before the pairwise pass so the source-population
+    moments (a 20-term sum) cannot wobble into the ranking.
+
+    Scale shape: one token aggregation, a 30-row marker vocabulary
+    broadcast, a (sources x 30) z-table self-joined on the term — never
+    a document-level pairwise pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(_text.tokens(F.col("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("qc"))
+    vocab = (corpus.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("qc").desc(), F.col("term").asc())))
+        .filter(F.col("rk") <= 30).select("term"))
+    stot = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("ns"))
+    sc = (toks.join(F.broadcast(vocab), "term")
+          .groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    grid = (stot.crossJoin(F.broadcast(vocab))
+            .join(sc, ["source", "term"], "left")
+            .withColumn("f", F.coalesce(F.col("c"), F.lit(0))
+                        .cast("double") / F.col("ns").cast("double")))
+    mom = (grid.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                F.sum("f").alias("s"), F.sum(F.col("f") * F.col("f"))
+                .alias("q")))
+    kD = F.col("k").cast("double")
+    sd = F.sqrt((kD * F.col("q") - F.col("s") * F.col("s"))
+                / (kD * (kD - 1.0)))
+    z = (grid.join(F.broadcast(mom), "term")
+         .withColumn("z", F.round(
+             (F.col("f") - F.col("s") / kD) / sd, 9))
+         .select("source", "term", "z"))
+    pairs = (z.alias("a")
+             .join(z.select(F.col("source").alias("sb"),
+                            F.col("term").alias("term"),
+                            F.col("z").alias("zb")), "term")
+             .filter(F.col("a.source") < F.col("sb"))
+             .groupBy(F.col("a.source").alias("source_a"),
+                      F.col("sb").alias("source_b"))
+             .agg(F.round(F.avg(F.abs(F.col("a.z") - F.col("zb"))), 6)
+                  .alias("delta")))
+    w = Window.orderBy(F.col("delta").asc(), F.col("source_a").asc(),
+                       F.col("source_b").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "source_a", "source_b", "delta")
+            .orderBy("rank"))
+
+
+_QBURROWS_SQL = f"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM (SELECT source, {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+), corpus AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS qc FROM toks GROUP BY term
+), vocab AS (
+  SELECT term
+  FROM (SELECT term, row_number() OVER (ORDER BY qc DESC, term ASC)
+            AS rk FROM corpus)
+  WHERE rk <= 30
+), stot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM toks GROUP BY source
+), sc AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks SEMI JOIN vocab USING (term)
+  GROUP BY source, term
+), grid AS MATERIALIZED (
+  SELECT stot.source, vocab.term,
+         CAST(COALESCE(sc.c, 0) AS DOUBLE) / CAST(stot.ns AS DOUBLE) AS f
+  FROM stot CROSS JOIN vocab
+  LEFT JOIN sc ON sc.source = stot.source AND sc.term = vocab.term
+), mom AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS k, SUM(f) AS s,
+         SUM(f * f) AS q
+  FROM grid GROUP BY term
+), z AS MATERIALIZED (
+  SELECT g.source, g.term,
+         ROUND((g.f - m.s / CAST(m.k AS DOUBLE))
+               / sqrt((CAST(m.k AS DOUBLE) * m.q - m.s * m.s)
+                      / (CAST(m.k AS DOUBLE)
+                         * (CAST(m.k AS DOUBLE) - 1.0))), 9) AS z
+  FROM grid g JOIN mom m USING (term)
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         ROUND(AVG(abs(a.z - b.z)), 6) AS delta
+  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT CAST(rank AS INT) AS rank, source_a, source_b, delta
+FROM (SELECT *, row_number() OVER (ORDER BY delta ASC, source_a ASC,
+                                   source_b ASC) AS rank
+      FROM pairs)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+R8B_QUERIES["source_burrows_delta"] = (
+    q_source_burrows_delta, _QBURROWS_SQL, False)

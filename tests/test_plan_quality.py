@@ -131,7 +131,7 @@ _NATIVE_QUERIES = [
     "lineitem_discount_rdd", "part_adamic_adar", "doc_lexical_richness",
     "customer_neyman_allocation", "orders_corr_matrix",
     "lineitem_bullwhip_ratio", "events_haar_energy",
-    "brand_croston_forecast",
+    "brand_croston_forecast", "source_burrows_delta",
 ]
 
 
