@@ -157,6 +157,9 @@ _NEVER_DRIVER_SAMPLED = [
     "customer_neyman_allocation", "orders_corr_matrix",
     "lineitem_bullwhip_ratio", "events_haar_energy",
     "brand_croston_forecast", "source_burrows_delta",
+    # wave-31 Kalman / PVM bridge / Otsu / Little's law
+    "events_kalman_level", "brand_price_volume_mix",
+    "events_otsu_threshold", "orders_littles_law",
 ]
 
 

@@ -6450,3 +6450,342 @@ ORDER BY rank
 
 R8B_QUERIES["source_burrows_delta"] = (
     q_source_burrows_delta, _QBURROWS_SQL, False)
+
+
+# =============================================================================
+# Wave 31 — state-space filtering, revenue bridging, histogram
+# thresholding, queueing-law audit
+# =============================================================================
+
+# --- events_kalman_level --------------------------------------------------------
+
+def q_events_kalman_level(spark, sf_dir):
+    """1-D Kalman filter (local-level model, Q=25, R=400, P0=1000) over
+    the daily event counts: gain k = P/(P+R), level += k*(y-level),
+    P = (1-k)*P + Q — the state-space filtering class next to the
+    exponential-smoothing tier, with the steady-state gain reported.
+    Fixed left fold, bit-identical in both engines.
+
+    Scale shape: one day aggregation, one ``F.aggregate`` fold."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("double").alias("y")))
+    series = days.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("sv"))
+    acc0 = F.struct(F.lit(0).cast("int").alias("n"),
+                    F.lit(0.0).alias("l"), F.lit(1000.0).alias("p"),
+                    F.lit(0.0).alias("k"))
+    gain = lambda acc: acc["p"] / (acc["p"] + 400.0)
+    fold = F.aggregate(
+        F.col("sv"), acc0,
+        lambda acc, e: F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.when(acc["n"] == 0, e["y"])
+            .otherwise(acc["l"] + gain(acc) * (e["y"] - acc["l"]))
+            .alias("l"),
+            ((1.0 - gain(acc)) * acc["p"] + 25.0).alias("p"),
+            gain(acc).alias("k")))
+    f = series.select(fold.alias("f"))
+    return f.select(
+        F.col("f.n").cast("long").alias("n_days"),
+        F.round(F.col("f.l"), 6).alias("filtered_level"),
+        F.round(F.col("f.p"), 6).alias("error_var"),
+        F.round(F.col("f.k"), 6).alias("last_gain"))
+
+
+_QKALMAN_SQL = """
+WITH RECURSIVE days AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(y AS DOUBLE) AS y
+  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS y
+        FROM events GROUP BY 1)
+), kf AS (
+  SELECT i, y AS l,
+         (1.0 - 1000.0 / (1000.0 + 400.0)) * 1000.0 + 25.0 AS p,
+         1000.0 / (1000.0 + 400.0) AS k
+  FROM days WHERE i = 1
+  UNION ALL
+  SELECT d.i,
+         h.l + (h.p / (h.p + 400.0)) * (d.y - h.l),
+         (1.0 - h.p / (h.p + 400.0)) * h.p + 25.0,
+         h.p / (h.p + 400.0)
+  FROM kf h JOIN days d ON d.i = h.i + 1
+)
+SELECT i AS n_days,
+       ROUND(l, 6) AS filtered_level,
+       ROUND(p, 6) AS error_var,
+       ROUND(k, 6) AS last_gain
+FROM kf WHERE i = (SELECT MAX(i) FROM days)
+"""
+
+R8B_QUERIES["events_kalman_level"] = (
+    q_events_kalman_level, _QKALMAN_SQL, False)
+
+
+# --- brand_price_volume_mix -----------------------------------------------------
+
+def q_brand_price_volume_mix(spark, sf_dir):
+    """Price-volume-mix revenue bridge, 1997 vs 1996 per brand: for
+    parts sold in both years, price effect = (p1-p0)*q1 and volume
+    effect = (q1-q0)*p0 with p = mean unit price (exact cents ratio);
+    new/discontinued parts' revenue is the mix effect.  The three
+    effects plus both totals reconcile exactly to the revenue delta —
+    the finance waterfall every period review reads.
+
+    Scale shape: two year-keyed part aggregations, one full-outer part
+    join, one brand rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr"))
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(pt, li.l_partkey == pt.p_partkey))
+
+    def ys(year, tag):
+        return (j.filter(F.col("yr") == year)
+                .groupBy("p_partkey", "p_brand")
+                .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                           .cast("long")).cast("long")
+                     .alias(f"ext{tag}"),
+                     F.sum(F.col("l_quantity").cast("long")).cast("long")
+                     .alias(f"q{tag}")))
+
+    y0, y1 = ys(1996, "0"), ys(1997, "1")
+    full = y0.join(y1, ["p_partkey", "p_brand"], "full")
+    p0 = F.col("ext0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("ext1").cast("double") / F.col("q1").cast("double")
+    both = F.col("ext0").isNotNull() & F.col("ext1").isNotNull()
+    eff = full.select(
+        "p_brand",
+        F.when(both, (p1 - p0) * F.col("q1").cast("double"))
+        .otherwise(0.0).alias("price_eff"),
+        F.when(both, (F.col("q1") - F.col("q0")).cast("double") * p0)
+        .otherwise(0.0).alias("vol_eff"),
+        F.when(~both, F.coalesce(F.col("ext1").cast("double"), F.lit(0.0))
+               - F.coalesce(F.col("ext0").cast("double"), F.lit(0.0)))
+        .otherwise(0.0).alias("mix_eff"),
+        F.coalesce(F.col("ext0"), F.lit(0)).alias("r0"),
+        F.coalesce(F.col("ext1"), F.lit(0)).alias("r1"))
+    return (eff.groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.round(F.sum("price_eff") / 100.0 / 1e3, 6)
+                 .alias("price_effect_k"),
+                 F.round(F.sum("vol_eff") / 100.0 / 1e3, 6)
+                 .alias("volume_effect_k"),
+                 F.round(F.sum("mix_eff") / 100.0 / 1e3, 6)
+                 .alias("mix_effect_k"),
+                 F.round((F.sum("r1") - F.sum("r0")).cast("double")
+                         / 100.0 / 1e3, 6).alias("revenue_delta_k"))
+            .orderBy("brand"))
+
+
+_QPVM_SQL = """
+WITH j AS (
+  SELECT l.l_partkey, p.p_brand, year(o.o_orderdate) AS yr,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS ext,
+         CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+), y0 AS (
+  SELECT l_partkey, p_brand, CAST(SUM(ext) AS BIGINT) AS ext0,
+         CAST(SUM(q) AS BIGINT) AS q0
+  FROM j WHERE yr = 1996 GROUP BY 1, 2
+), y1 AS (
+  SELECT l_partkey, p_brand, CAST(SUM(ext) AS BIGINT) AS ext1,
+         CAST(SUM(q) AS BIGINT) AS q1
+  FROM j WHERE yr = 1997 GROUP BY 1, 2
+), full_j AS (
+  SELECT COALESCE(y0.p_brand, y1.p_brand) AS p_brand,
+         y0.ext0, y0.q0, y1.ext1, y1.q1
+  FROM y0 FULL JOIN y1 USING (l_partkey, p_brand)
+), eff AS (
+  SELECT p_brand,
+         CASE WHEN ext0 IS NOT NULL AND ext1 IS NOT NULL
+              THEN (CAST(ext1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                    - CAST(ext0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                   * CAST(q1 AS DOUBLE)
+              ELSE 0.0 END AS price_eff,
+         CASE WHEN ext0 IS NOT NULL AND ext1 IS NOT NULL
+              THEN CAST(q1 - q0 AS DOUBLE)
+                   * (CAST(ext0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+              ELSE 0.0 END AS vol_eff,
+         CASE WHEN ext0 IS NULL OR ext1 IS NULL
+              THEN COALESCE(CAST(ext1 AS DOUBLE), 0.0)
+                   - COALESCE(CAST(ext0 AS DOUBLE), 0.0)
+              ELSE 0.0 END AS mix_eff,
+         COALESCE(ext0, 0) AS r0, COALESCE(ext1, 0) AS r1
+  FROM full_j
+)
+SELECT p_brand AS brand,
+       ROUND(SUM(price_eff) / 100.0 / 1e3, 6) AS price_effect_k,
+       ROUND(SUM(vol_eff) / 100.0 / 1e3, 6) AS volume_effect_k,
+       ROUND(SUM(mix_eff) / 100.0 / 1e3, 6) AS mix_effect_k,
+       ROUND(CAST(SUM(r1) - SUM(r0) AS DOUBLE) / 100.0 / 1e3, 6)
+         AS revenue_delta_k
+FROM eff
+GROUP BY p_brand
+ORDER BY brand
+"""
+
+R8B_QUERIES["brand_price_volume_mix"] = (
+    q_brand_price_volume_mix, _QPVM_SQL, False)
+
+
+# --- events_otsu_threshold ------------------------------------------------------
+
+def q_events_otsu_threshold(spark, sf_dir):
+    """Otsu's threshold over the event-value distribution (256 equal
+    bins on [0, max]): the cut maximizing between-class variance
+    w0*w1*(mu0-mu1)^2, computed from integer bin counts and prefix sums
+    — the automatic binarization classic, repurposed to split a value
+    column into low/high regimes.  Ties break toward the smaller bin.
+
+    Scale shape: one binned aggregation (data-sized), a 256-row prefix
+    window and argmax."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("mx"))
+    binned = (ev.crossJoin(F.broadcast(mx))
+              .select(F.least(F.floor(F.col("value") / F.col("mx") * 256)
+                              .cast("long"), F.lit(255)).alias("b"),
+                      (F.col("value") / F.col("mx")).alias("x")))
+    hist = (binned.groupBy("b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"),
+                 F.sum("x").alias("s")))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist.withColumn("cc", F.sum("c").over(w).cast("long"))
+           .withColumn("cs", F.sum("s").over(w)))
+    tot = cum.agg(F.max("cc").alias("n"), F.sum("c").cast("long")
+                  .alias("n2"),
+                  F.max("cs").alias("stot"))
+    g = (cum.crossJoin(F.broadcast(tot))
+         .filter((F.col("cc") > 0) & (F.col("cc") < F.col("n"))))
+    w0 = F.col("cc").cast("double")
+    w1 = (F.col("n") - F.col("cc")).cast("double")
+    mu0 = F.col("cs") / w0
+    mu1 = (F.col("stot") - F.col("cs")) / w1
+    score = F.round(w0 * w1 * (mu0 - mu1) * (mu0 - mu1), 6)
+    pick = (g.withColumn("score", score)
+            .withColumn("rk", F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("b").asc())))
+            .filter(F.col("rk") == 1))
+    return (pick.crossJoin(F.broadcast(mx))
+            .select(F.col("b").alias("otsu_bin"),
+                    F.round((F.col("b") + 1).cast("double") / 256.0
+                            * F.col("mx"), 6).alias("threshold_value"),
+                    F.col("cc").alias("n_low"),
+                    (F.col("n") - F.col("cc")).alias("n_high"),
+                    F.round(F.col("score") / 1e6, 6).alias("score_m")))
+
+
+_QOTSU_SQL = """
+WITH mx AS (SELECT MAX(value) AS mx FROM events),
+binned AS (
+  SELECT least(CAST(FLOOR(value / mx.mx * 256) AS BIGINT), 255) AS b,
+         value / mx.mx AS x
+  FROM events CROSS JOIN mx
+), hist AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c, SUM(x) AS s
+  FROM binned GROUP BY b
+), cum AS (
+  SELECT b,
+         CAST(SUM(c) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cc,
+         SUM(s) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM hist
+), tot AS (
+  SELECT MAX(cc) AS n, MAX(cs) AS stot FROM cum
+), g AS (
+  SELECT b, cc, cs, n, stot,
+         ROUND(CAST(cc AS DOUBLE) * CAST(n - cc AS DOUBLE)
+               * (cs / CAST(cc AS DOUBLE)
+                  - (stot - cs) / CAST(n - cc AS DOUBLE))
+               * (cs / CAST(cc AS DOUBLE)
+                  - (stot - cs) / CAST(n - cc AS DOUBLE)), 6) AS score
+  FROM cum CROSS JOIN tot
+  WHERE cc > 0 AND cc < n
+)
+SELECT b AS otsu_bin,
+       ROUND(CAST(b + 1 AS DOUBLE) / 256.0
+             * (SELECT mx FROM mx), 6) AS threshold_value,
+       cc AS n_low, n - cc AS n_high,
+       ROUND(score / 1e6, 6) AS score_m
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, b ASC) AS rk
+      FROM g)
+WHERE rk = 1
+"""
+
+R8B_QUERIES["events_otsu_threshold"] = (
+    q_events_otsu_threshold, _QOTSU_SQL, False)
+
+
+# --- orders_littles_law ---------------------------------------------------------
+
+def q_orders_littles_law(spark, sf_dir):
+    """Little's law audit L = lambda * W on the order queue: mean open
+    orders L from the exact day-by-day backlog integral (sum of each
+    order's latency days / observation days), arrival rate lambda =
+    orders per day, mean latency W in days — the identity holds exactly
+    in these units, so the reported ratio is a pipeline self-check
+    (deviation means the latency join dropped rows).
+
+    Scale shape: one join + order-level latency, three exact-integer
+    aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first = (li.groupBy("l_orderkey")
+             .agg(F.min(F.to_date("l_shipdate")).alias("ship")))
+    lat = (orders.join(first, orders.o_orderkey == first.l_orderkey)
+           .select(F.to_date("o_orderdate").alias("od"),
+                   F.datediff(F.col("ship"), F.to_date("o_orderdate"))
+                   .cast("long").alias("w")))
+    span = lat.agg(F.min("od").alias("d0"), F.max("od").alias("d1"))
+    agg = (lat.crossJoin(F.broadcast(span))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("w").cast("long").alias("sw"),
+                F.max(F.datediff(F.col("d1"), F.col("d0")) + 1)
+                .cast("long").alias("days")))
+    lam = F.col("n").cast("double") / F.col("days").cast("double")
+    wbar = F.col("sw").cast("double") / F.col("n").cast("double")
+    L = F.col("sw").cast("double") / F.col("days").cast("double")
+    return agg.select(
+        F.col("n").alias("n_orders"), F.col("days").alias("n_days"),
+        F.round(lam, 6).alias("lambda_per_day"),
+        F.round(wbar, 6).alias("mean_latency_days"),
+        F.round(L, 6).alias("mean_open_orders"),
+        F.round(L / (lam * wbar), 6).alias("littles_ratio"))
+
+
+_QLITTLE_SQL = """
+WITH first AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+), lat AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS od,
+         CAST(datediff('day', CAST(o.o_orderdate AS DATE), f.ship)
+              AS BIGINT) AS w
+  FROM orders o JOIN first f ON f.l_orderkey = o.o_orderkey
+), span AS (
+  SELECT MIN(od) AS d0, MAX(od) AS d1 FROM lat
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(MAX(datediff('day', d0, d1) + 1) AS BIGINT) AS days
+  FROM lat CROSS JOIN span
+)
+SELECT n AS n_orders, days AS n_days,
+       ROUND(CAST(n AS DOUBLE) / CAST(days AS DOUBLE), 6)
+         AS lambda_per_day,
+       ROUND(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS mean_latency_days,
+       ROUND(CAST(sw AS DOUBLE) / CAST(days AS DOUBLE), 6)
+         AS mean_open_orders,
+       ROUND((CAST(sw AS DOUBLE) / CAST(days AS DOUBLE))
+             / ((CAST(n AS DOUBLE) / CAST(days AS DOUBLE))
+                * (CAST(sw AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS littles_ratio
+FROM agg
+"""
+
+R8B_QUERIES["orders_littles_law"] = (
+    q_orders_littles_law, _QLITTLE_SQL, False)

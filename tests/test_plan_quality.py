@@ -132,6 +132,8 @@ _NATIVE_QUERIES = [
     "customer_neyman_allocation", "orders_corr_matrix",
     "lineitem_bullwhip_ratio", "events_haar_energy",
     "brand_croston_forecast", "source_burrows_delta",
+    "events_kalman_level", "brand_price_volume_mix",
+    "events_otsu_threshold", "orders_littles_law",
 ]
 
 
