@@ -160,6 +160,9 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-31 Kalman / PVM bridge / Otsu / Little's law
     "events_kalman_level", "brand_price_volume_mix",
     "events_otsu_threshold", "orders_littles_law",
+    # wave-32 GPD tails / Heaps law / circular stats / dominance
+    "events_pot_gpd_fit", "doc_heaps_law", "events_circular_hour_stats",
+    "orders_stochastic_dominance",
 ]
 
 

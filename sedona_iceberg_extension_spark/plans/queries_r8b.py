@@ -6789,3 +6789,304 @@ FROM agg
 
 R8B_QUERIES["orders_littles_law"] = (
     q_orders_littles_law, _QLITTLE_SQL, False)
+
+
+# =============================================================================
+# Wave 32 — tail excess modeling, vocabulary growth law, directional
+# statistics, stochastic dominance
+# =============================================================================
+
+# --- events_pot_gpd_fit ---------------------------------------------------------
+
+def q_events_pot_gpd_fit(spark, sf_dir):
+    """Peaks-over-threshold Generalized Pareto fit of event values: the
+    threshold is the exact rank-selected 95th percentile value (no
+    interpolation), and the GPD shape/scale come from the method of
+    moments on the excesses — xi = (1 - m^2/v)/2, sigma = m*(m^2/v+1)/2.
+    The EVT pair to the Gumbel block-maxima fit: tails, not maxima.
+
+    Scale shape: one rank window for the threshold, one excess
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    n = ev.count()
+    k = max(1, (n * 95) // 100)
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    thr = (ev.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == k)
+           .select(F.col("value").alias("u")))
+    exc = (ev.crossJoin(F.broadcast(thr))
+           .filter(F.col("value") > F.col("u"))
+           .select((F.col("value") - F.col("u")).alias("x"), "u"))
+    agg = exc.agg(F.count(F.lit(1)).cast("long").alias("ne"),
+                  F.min("u").alias("u"),
+                  F.sum("x").alias("s1"),
+                  F.sum(F.col("x") * F.col("x")).alias("s2"))
+    nD = F.col("ne").cast("double")
+    m = F.col("s1") / nD
+    v = (nD * F.col("s2") - F.col("s1") * F.col("s1")) / (nD * (nD - 1.0))
+    xi = 0.5 * (1.0 - m * m / v)
+    sigma = 0.5 * m * (m * m / v + 1.0)
+    return agg.select(
+        F.col("ne").alias("n_excesses"),
+        F.round(F.col("u"), 6).alias("threshold"),
+        F.round(xi, 6).alias("gpd_xi"),
+        F.round(sigma, 6).alias("gpd_sigma"))
+
+
+_QGPD_SQL = """
+WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+), thr AS (
+  SELECT value AS u
+  FROM (SELECT value, event_id,
+               row_number() OVER (ORDER BY value ASC, event_id ASC)
+                 AS rk
+        FROM events) r CROSS JOIN nn
+  WHERE rk = greatest(1, (nn.n * 95) // 100)
+), exc AS (
+  SELECT e.value - thr.u AS x, thr.u
+  FROM events e CROSS JOIN thr
+  WHERE e.value > thr.u
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ne, MIN(u) AS u, SUM(x) AS s1,
+         SUM(x * x) AS s2
+  FROM exc
+)
+SELECT ne AS n_excesses,
+       ROUND(u, 6) AS threshold,
+       ROUND(0.5 * (1.0 - (s1 / CAST(ne AS DOUBLE))
+                          * (s1 / CAST(ne AS DOUBLE))
+                          / ((CAST(ne AS DOUBLE) * s2 - s1 * s1)
+                             / (CAST(ne AS DOUBLE)
+                                * (CAST(ne AS DOUBLE) - 1.0)))), 6)
+         AS gpd_xi,
+       ROUND(0.5 * (s1 / CAST(ne AS DOUBLE))
+             * ((s1 / CAST(ne AS DOUBLE)) * (s1 / CAST(ne AS DOUBLE))
+                / ((CAST(ne AS DOUBLE) * s2 - s1 * s1)
+                   / (CAST(ne AS DOUBLE) * (CAST(ne AS DOUBLE) - 1.0)))
+                + 1.0), 6) AS gpd_sigma
+FROM agg
+"""
+
+R8B_QUERIES["events_pot_gpd_fit"] = (q_events_pot_gpd_fit, _QGPD_SQL, False)
+
+
+# --- doc_heaps_law --------------------------------------------------------------
+
+def q_doc_heaps_law(spark, sf_dir):
+    """Heaps'-law fit of vocabulary growth V = K * N^beta: each term's
+    first occurrence is pinned to the smallest doc_id containing it;
+    checkpoints at every 100th document record (cumulative tokens N,
+    cumulative vocabulary V) — both exact integer prefix sums — and
+    log-log OLS over the checkpoints gives beta (slope) and K
+    (exp(intercept)).  The third corpus-growth law next to Zipf and
+    Herdan's C.
+
+    Scale shape: one (term -> min doc) aggregation, two prefix windows
+    over the doc-count-sized table, one 5-sum OLS."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.explode(_text.tokens(F.col("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long")
+                                         .alias("nt"))
+    firsts = (toks.groupBy("term")
+              .agg(F.min("doc_id").alias("doc_id"))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("nv")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wd = Window.orderBy("doc_id")
+    cum = (per_doc.join(firsts, "doc_id", "left")
+           .withColumn("nv", F.coalesce(F.col("nv"), F.lit(0)))
+           .withColumn("cn", F.sum("nt").over(w).cast("long"))
+           .withColumn("cv", F.sum("nv").over(w).cast("long"))
+           .withColumn("rn", F.row_number().over(wd)))
+    pts = (cum.filter(F.col("rn") % 100 == 0)
+           .select(F.log(F.col("cn").cast("double")).alias("x"),
+                   F.log(F.col("cv").cast("double")).alias("y")))
+    ols = pts.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    kD = F.col("k").cast("double")
+    beta = (kD * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (kD * F.col("sxx") - F.col("sx") * F.col("sx"))
+    icept = (F.col("sy") - beta * F.col("sx")) / kD
+    return ols.select(
+        F.col("k").alias("n_checkpoints"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(icept), 6).alias("heaps_k"))
+
+
+_QHEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS term) t
+  WHERE t.term <> ''
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM toks GROUP BY doc_id
+), firsts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+  FROM (SELECT term, MIN(doc_id) AS doc_id FROM toks GROUP BY term)
+  GROUP BY doc_id
+), cum AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.nt) OVER (ORDER BY p.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cn,
+         CAST(SUM(COALESCE(f.nv, 0)) OVER (ORDER BY p.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cv,
+         row_number() OVER (ORDER BY p.doc_id) AS rn
+  FROM per_doc p LEFT JOIN firsts f USING (doc_id)
+), pts AS (
+  SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+  FROM cum WHERE rn % 100 = 0
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT k AS n_checkpoints,
+       ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+       ROUND(exp((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(k AS DOUBLE)), 6) AS heaps_k
+FROM ols
+"""
+
+R8B_QUERIES["doc_heaps_law"] = (q_doc_heaps_law, _QHEAPS_SQL, False)
+
+
+# --- events_circular_hour_stats -------------------------------------------------
+
+def q_events_circular_hour_stats(spark, sf_dir):
+    """Directional statistics of the event hour-of-day, per event type:
+    circular mean hour (atan2 of the sine/cosine resultants) and the
+    mean resultant length R (0 = uniform around the clock, 1 = a single
+    spike) — the correct average for wrap-around quantities where the
+    arithmetic mean of 23h and 1h is NOT noon.
+
+    Scale shape: one aggregation of two trig sums per type."""
+    ev = load_table(spark, sf_dir, "events")
+    theta = (F.hour("ts").cast("double") * (6.283185307179586 / 24.0))
+    agg = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.cos(theta)).alias("c"),
+                F.sum(F.sin(theta)).alias("s")))
+    nD = F.col("n").cast("double")
+    r = F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s")) / nD
+    mean_h = (F.atan2(F.col("s"), F.col("c"))
+              * (24.0 / 6.283185307179586) + 24.0) % 24.0
+    return (agg.select("event_type", "n",
+                       F.round(mean_h, 6).alias("circular_mean_hour"),
+                       F.round(r, 6).alias("resultant_length"))
+            .orderBy("event_type"))
+
+
+_QCIRC_SQL = """
+WITH agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(cos(CAST(hour(ts) AS DOUBLE)
+                 * (6.283185307179586 / 24.0))) AS c,
+         SUM(sin(CAST(hour(ts) AS DOUBLE)
+                 * (6.283185307179586 / 24.0))) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((atan2(s, c) * (24.0 / 6.283185307179586) + 24.0) % 24.0, 6)
+         AS circular_mean_hour,
+       ROUND(sqrt(c * c + s * s) / CAST(n AS DOUBLE), 6)
+         AS resultant_length
+FROM agg
+ORDER BY event_type
+"""
+
+R8B_QUERIES["events_circular_hour_stats"] = (
+    q_events_circular_hour_stats, _QCIRC_SQL, False)
+
+
+# --- orders_stochastic_dominance ------------------------------------------------
+
+def q_orders_stochastic_dominance(spark, sf_dir):
+    """First-order stochastic dominance check between the URGENT and LOW
+    priority o_totalprice distributions: from the distinct-value
+    integer CDFs, the maximum signed gaps n2*cum1 - n1*cum2 in both
+    directions (exact BIGINT cross-products) decide whether one CDF
+    sits entirely below the other (dominates), or the CDFs cross.
+    The decision-theoretic companion to the KS test and the EMD.
+
+    Scale shape: one distinct-value aggregation, one prefix window, one
+    scalar finish."""
+    orders = load_table(spark, sf_dir, "orders")
+    sel = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    per = (sel.groupBy(F.col("o_totalprice").alias("v"))
+           .agg(F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                      .otherwise(0)).cast("long").alias("c1"),
+                F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1)
+                      .otherwise(0)).cast("long").alias("c2")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per.withColumn("cum1", F.sum("c1").over(w).cast("long"))
+           .withColumn("cum2", F.sum("c2").over(w).cast("long")))
+    tot = cum.agg(F.max("cum1").alias("n1"), F.max("cum2").alias("n2"))
+    g = (cum.crossJoin(F.broadcast(tot))
+         .withColumn("d", F.col("n2") * F.col("cum1")
+                     - F.col("n1") * F.col("cum2")))
+    agg = g.agg(F.max("d").cast("long").alias("max_d"),
+                F.min("d").cast("long").alias("min_d"),
+                F.max("n1").alias("n1"), F.max("n2").alias("n2"))
+    verdict = (F.when((F.col("max_d") <= 0), F.lit("urgent_dominates"))
+               .when((F.col("min_d") >= 0), F.lit("low_dominates"))
+               .otherwise(F.lit("cdfs_cross")))
+    return agg.select(
+        "n1", "n2",
+        F.round(F.col("max_d").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"), 6)
+        .alias("max_gap"),
+        F.round(F.col("min_d").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"), 6)
+        .alias("min_gap"),
+        verdict.alias("fosd_verdict"))
+
+
+_QFOSD_SQL = """
+WITH per AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c2
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_totalprice
+), cum AS (
+  SELECT CAST(SUM(c1) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum2
+  FROM per
+), tot AS (
+  SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM cum
+), agg AS (
+  SELECT CAST(MAX(n2 * cum1 - n1 * cum2) AS BIGINT) AS max_d,
+         CAST(MIN(n2 * cum1 - n1 * cum2) AS BIGINT) AS min_d,
+         MAX(n1) AS n1, MAX(n2) AS n2
+  FROM cum CROSS JOIN tot
+)
+SELECT n1, n2,
+       ROUND(CAST(max_d AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+         AS max_gap,
+       ROUND(CAST(min_d AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6)
+         AS min_gap,
+       CASE WHEN max_d <= 0 THEN 'urgent_dominates'
+            WHEN min_d >= 0 THEN 'low_dominates'
+            ELSE 'cdfs_cross' END AS fosd_verdict
+FROM agg
+"""
+
+R8B_QUERIES["orders_stochastic_dominance"] = (
+    q_orders_stochastic_dominance, _QFOSD_SQL, False)

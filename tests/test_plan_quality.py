@@ -134,6 +134,8 @@ _NATIVE_QUERIES = [
     "brand_croston_forecast", "source_burrows_delta",
     "events_kalman_level", "brand_price_volume_mix",
     "events_otsu_threshold", "orders_littles_law",
+    "events_pot_gpd_fit", "doc_heaps_law", "events_circular_hour_stats",
+    "orders_stochastic_dominance",
 ]
 
 
