@@ -163,6 +163,8 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-32 GPD tails / Heaps law / circular stats / dominance
     "events_pot_gpd_fit", "doc_heaps_law", "events_circular_hour_stats",
     "orders_stochastic_dominance",
+    # wave-33 effect sizes / gains chart
+    "lineitem_effect_size", "events_gains_chart",
 ]
 
 

@@ -7090,3 +7090,175 @@ FROM agg
 
 R8B_QUERIES["orders_stochastic_dominance"] = (
     q_orders_stochastic_dominance, _QFOSD_SQL, False)
+
+
+# =============================================================================
+# Wave 33 — effect sizes, model gains chart
+# =============================================================================
+
+# --- lineitem_effect_size -------------------------------------------------------
+
+def q_lineitem_effect_size(spark, sf_dir):
+    """Standardized effect sizes for returned-vs-kept line prices:
+    Cohen's d on the pooled standard deviation and the small-sample
+    Hedges' g correction g = d * (1 - 3/(4*(n1+n2)-9)) — what a
+    meta-analysis reports where the Welch test only reports
+    significance.  Prices scaled /1e5 per the ANOVA convention; every
+    moment is a ratio of exact sums.
+
+    Scale shape: one two-group aggregation, one scalar finish."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice") / F.lit(100000.0)
+    g = (li.groupBy((F.col("l_returnflag") == "R").cast("int").alias("r"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(y).alias("s"), F.sum(y * y).alias("q")))
+    one = g.filter(F.col("r") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("q").alias("q1"))
+    zero = g.filter(F.col("r") == 0).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"),
+        F.col("q").alias("q2"))
+    j = one.crossJoin(zero)
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1, m2 = F.col("s1") / n1, F.col("s2") / n2
+    ss1 = F.col("q1") - F.col("s1") * F.col("s1") / n1
+    ss2 = F.col("q2") - F.col("s2") * F.col("s2") / n2
+    sp = F.sqrt((ss1 + ss2) / (n1 + n2 - 2.0))
+    d = (m1 - m2) / sp
+    corr = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+    return j.select(
+        F.col("n1").alias("n_returned"), F.col("n2").alias("n_kept"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"))
+
+
+_QEFFECT_SQL = """
+WITH g AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(l_extendedprice / 100000.0) AS s,
+         SUM((l_extendedprice / 100000.0)
+             * (l_extendedprice / 100000.0)) AS q
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.n AS n1, o.s AS s1, o.q AS q1,
+         z.n AS n2, z.s AS s2, z.q AS q2
+  FROM (SELECT * FROM g WHERE r = 1) o
+  CROSS JOIN (SELECT * FROM g WHERE r = 0) z
+)
+SELECT n1 AS n_returned, n2 AS n_kept,
+       ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+             / sqrt(((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                     + (q2 - s2 * s2 / CAST(n2 AS DOUBLE)))
+                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)),
+             6) AS cohens_d,
+       ROUND(((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+              / sqrt(((q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                      + (q2 - s2 * s2 / CAST(n2 AS DOUBLE)))
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+             * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+                                    + CAST(n2 AS DOUBLE)) - 9.0)), 6)
+         AS hedges_g
+FROM j
+"""
+
+R8B_QUERIES["lineitem_effect_size"] = (
+    q_lineitem_effect_size, _QEFFECT_SQL, False)
+
+
+# --- events_gains_chart ---------------------------------------------------------
+
+def q_events_gains_chart(spark, sf_dir):
+    """Cumulative gains chart of the engagement-segment purchase model:
+    users ranked by predicted purchase rate (their decile's rate, tie
+    user_id), then per population decile the cumulative share of all
+    purchasers captured and the lift over random — THE model-triage
+    chart.  All integer ratios (rank-arithmetic deciles, never NTILE).
+
+    Scale shape: one user aggregation, two rank windows, one 10-row
+    finish."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ev"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("y")))
+    n = users.count()
+    wseg = Window.orderBy(F.col("n_ev").desc(), F.col("user_id").asc())
+    seg = (users.withColumn("rk", F.row_number().over(wseg))
+           .withColumn("segment", F.floor((F.col("rk") - 1) * 10
+                                          / F.lit(n)).cast("long")))
+    rates = (seg.groupBy("segment")
+             .agg(F.count(F.lit(1)).cast("long").alias("ns"),
+                  F.sum("y").cast("long").alias("nb")))
+    scored = (seg.join(F.broadcast(rates), "segment")
+              .withColumn("p", F.col("nb").cast("double")
+                          / F.col("ns").cast("double")))
+    wrank = Window.orderBy(F.col("p").desc(), F.col("user_id").asc())
+    ranked = (scored.withColumn("r", F.row_number().over(wrank))
+              .withColumn("dec", F.floor((F.col("r") - 1) * 10
+                                         / F.lit(n)).cast("long")))
+    tot = ranked.agg(F.sum("y").cast("long").alias("tb"))
+    per = (ranked.groupBy("dec")
+           .agg(F.count(F.lit(1)).cast("long").alias("nd"),
+                F.sum("y").cast("long").alias("bd")))
+    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per.withColumn("cb", F.sum("bd").over(w).cast("long"))
+           .withColumn("cn", F.sum("nd").over(w).cast("long"))
+           .crossJoin(F.broadcast(tot)))
+    gain = F.col("cb").cast("double") / F.col("tb").cast("double")
+    pop = F.col("cn").cast("double") / F.lit(float(n))
+    return (cum.select(F.col("dec").alias("decile"),
+                       F.col("cn").alias("cum_users"),
+                       F.col("cb").alias("cum_buyers"),
+                       F.round(gain, 6).alias("cum_gain"),
+                       F.round(gain / pop, 6).alias("lift"))
+            .orderBy("decile"))
+
+
+_QGAINS_SQL = """
+WITH users AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users),
+seg AS (
+  SELECT user_id, y,
+         CAST(FLOOR((row_number() OVER (ORDER BY n_ev DESC, user_id ASC)
+                     - 1) * 10 / nn.n) AS BIGINT) AS segment
+  FROM users CROSS JOIN nn
+), rates AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(y) AS BIGINT) AS nb
+  FROM seg GROUP BY segment
+), ranked AS (
+  SELECT s.user_id, s.y,
+         CAST(FLOOR((row_number() OVER (
+                 ORDER BY CAST(r.nb AS DOUBLE) / CAST(r.ns AS DOUBLE)
+                          DESC, s.user_id ASC) - 1) * 10 / nn.n)
+           AS BIGINT) AS dec
+  FROM seg s JOIN rates r USING (segment) CROSS JOIN nn
+), per AS (
+  SELECT dec, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(y) AS BIGINT) AS bd
+  FROM ranked GROUP BY dec
+), cum AS (
+  SELECT dec, nd, bd,
+         CAST(SUM(bd) OVER (ORDER BY dec
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cb,
+         CAST(SUM(nd) OVER (ORDER BY dec
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cn
+  FROM per
+), tot AS (SELECT CAST(SUM(y) AS BIGINT) AS tb FROM users)
+SELECT dec AS decile, cn AS cum_users, cb AS cum_buyers,
+       ROUND(CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS cum_gain,
+       ROUND((CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+             / (CAST(cn AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)),
+             6) AS lift
+FROM cum CROSS JOIN tot
+ORDER BY decile
+"""
+
+R8B_QUERIES["events_gains_chart"] = (
+    q_events_gains_chart, _QGAINS_SQL, False)

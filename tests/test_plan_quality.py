@@ -136,6 +136,7 @@ _NATIVE_QUERIES = [
     "events_otsu_threshold", "orders_littles_law",
     "events_pot_gpd_fit", "doc_heaps_law", "events_circular_hour_stats",
     "orders_stochastic_dominance",
+    "lineitem_effect_size", "events_gains_chart",
 ]
 
 
