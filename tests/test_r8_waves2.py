@@ -179,3 +179,116 @@ def test_seasonality_strength_bounded(spark, sf_dir):
     (r,) = _run("events_seasonality_strength", spark, sf_dir)
     assert 0.0 <= r["strength_seasonal"] <= 1.0
     assert 0.0 <= r["strength_trend"] <= 1.0
+
+
+# -- wave 30-33 invariants ---------------------------------------------------------
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    rows = _run("customer_neyman_allocation", spark, sf_dir)
+    assert rows
+    assert sum(r["neyman_n"] for r in rows) == pytest.approx(1000.0,
+                                                             abs=0.5)
+    assert sum(r["proportional_n"] for r in rows) == pytest.approx(
+        1000.0, abs=0.5)
+
+
+def test_corr_matrix_bounded(spark, sf_dir):
+    rows = _run("orders_corr_matrix", spark, sf_dir)
+    assert len(rows) == 3
+    for r in rows:
+        assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_haar_energy_structure(spark, sf_dir):
+    rows = _run("events_haar_energy", spark, sf_dir)
+    assert [r["level"] for r in rows] == [1, 2, 3, 4]
+    assert [r["n_details"] for r in rows] == [8, 4, 2, 1]
+    assert [r["divisor"] for r in rows] == [4, 16, 64, 256]
+    assert all(r["energy_num"] >= 0 for r in rows)
+
+
+def test_croston_positive(spark, sf_dir):
+    rows = _run("brand_croston_forecast", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r["size_hat"] > 0 and r["interval_hat"] >= 1.0
+        assert r["croston_rate"] == pytest.approx(
+            r["size_hat"] / r["interval_hat"], rel=1e-4)
+
+
+def test_kalman_gain_bounded(spark, sf_dir):
+    (r,) = _run("events_kalman_level", spark, sf_dir)
+    assert 0.0 < r["last_gain"] < 1.0
+    assert r["error_var"] > 25.0  # steady-state P > Q
+
+
+def test_pvm_bridge_reconciles(spark, sf_dir):
+    rows = _run("brand_price_volume_mix", spark, sf_dir)
+    assert rows
+    for r in rows:
+        total = (r["price_effect_k"] + r["volume_effect_k"]
+                 + r["mix_effect_k"])
+        assert total == pytest.approx(r["revenue_delta_k"], abs=2e-3)
+
+
+def test_littles_law_identity(spark, sf_dir):
+    (r,) = _run("orders_littles_law", spark, sf_dir)
+    assert r["littles_ratio"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_otsu_splits_population(spark, sf_dir):
+    (r,) = _run("events_otsu_threshold", spark, sf_dir)
+    assert r["n_low"] > 0 and r["n_high"] > 0
+    assert 0 <= r["otsu_bin"] <= 254
+
+
+def test_fosd_gaps_bracket_zero_or_verdict(spark, sf_dir):
+    (r,) = _run("orders_stochastic_dominance", spark, sf_dir)
+    assert r["min_gap"] <= r["max_gap"]
+    if r["fosd_verdict"] == "cdfs_cross":
+        assert r["min_gap"] < 0 < r["max_gap"]
+
+
+def test_gains_chart_monotone_and_ends_at_one(spark, sf_dir):
+    rows = _run("events_gains_chart", spark, sf_dir)
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == pytest.approx(1.0, abs=1e-9)
+    assert all(r["lift"] > 0 for r in rows)
+
+
+def test_effect_size_hedges_smaller_than_cohens(spark, sf_dir):
+    (r,) = _run("lineitem_effect_size", spark, sf_dir)
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-9
+
+
+def test_circular_stats_bounded(spark, sf_dir):
+    rows = _run("events_circular_hour_stats", spark, sf_dir)
+    for r in rows:
+        assert 0.0 <= r["circular_mean_hour"] < 24.0
+        assert 0.0 <= r["resultant_length"] <= 1.0
+
+
+def test_gpd_moments_fit_sane(spark, sf_dir):
+    (r,) = _run("events_pot_gpd_fit", spark, sf_dir)
+    assert r["n_excesses"] > 0
+    assert r["gpd_sigma"] > 0.0
+    assert r["gpd_xi"] < 1.0
+
+
+def test_heaps_law_sublinear(spark, sf_dir):
+    (r,) = _run("doc_heaps_law", spark, sf_dir)
+    if r["n_checkpoints"] >= 2:
+        # sublinear growth; == 0 when the synthetic vocab saturates in
+        # the first checkpoint window (sf0.001 has 500 docs over a
+        # fixed small vocabulary)
+        assert 0.0 <= r["heaps_beta"] < 1.0
+        assert r["heaps_k"] > 0.0
+
+
+def test_burrows_delta_nonnegative_sorted(spark, sf_dir):
+    rows = _run("source_burrows_delta", spark, sf_dir)
+    assert rows
+    deltas = [r["delta"] for r in rows]
+    assert all(d >= 0 for d in deltas)
+    assert deltas == sorted(deltas)
