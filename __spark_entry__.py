@@ -165,6 +165,9 @@ _NEVER_DRIVER_SAMPLED = [
     "orders_stochastic_dominance",
     # wave-33 effect sizes / gains chart
     "lineitem_effect_size", "events_gains_chart",
+    # wave-34 sketch PR curve / fiscal 4-4-5 / shot boundaries
+    "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
+    "multimodal_shot_boundaries",
 ]
 
 

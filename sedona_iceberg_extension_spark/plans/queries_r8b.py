@@ -7262,3 +7262,256 @@ ORDER BY decile
 
 R8B_QUERIES["events_gains_chart"] = (
     q_events_gains_chart, _QGAINS_SQL, False)
+
+
+# =============================================================================
+# Wave 34 — sketch precision/recall, fiscal calendars, video shot detection
+# =============================================================================
+
+# --- minhash_threshold_pr_curve -------------------------------------------------
+
+def q_minhash_threshold_pr_curve(spark, sf_dir):
+    """Precision/recall curve of MinHash-LSH dedup against exact shingle
+    Jaccard at banding-aligned thresholds {4/8, 5/8, 6/8}: predicted =
+    LSH candidate pairs with >= k agreeing seeds, actual = corpus-wide
+    pairs with 8*|A∩B| >= k*|A∪B| (pure INTEGER comparisons on both
+    sides — est values are exact eighths and the exact test cross-
+    multiplies, so no float threshold can tie).  The operating-point
+    table that turns the calibration curve into a deploy decision.
+
+    Scale shape: one LSH candidate pass + one posting self-join (the
+    ngram_jaccard_pairs shape); the PR finish is three counted joins."""
+    from ..pipeline import dedup as D
+    from ..pipeline.dedup import _overlap_pairs
+    from .sql_shared import LSH_MAX_BUCKET
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = (D.minhash_estimate_pairs(docs, "doc_id", "text", num_hashes=8,
+                                    bands=4, max_bucket=LSH_MAX_BUCKET)
+           .select("id_a", "id_b",
+                   F.round(F.col("jaccard_est") * 8).cast("long")
+                   .alias("agree")))
+    ov = _overlap_pairs(docs, "doc_id", "text", 3, False, 5, None)
+    exact = ov.select("id_a", "id_b",
+                      F.col("n_common").cast("long").alias("nc"),
+                      (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+                      .cast("long").alias("un"))
+    ks = spark.range(0, 3).select(
+        (F.col("id") + 4).cast("long").alias("k"))
+    pred = (est.crossJoin(F.broadcast(ks))
+            .filter(F.col("agree") >= F.col("k"))
+            .groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_pred")))
+    act_pairs = (exact.crossJoin(F.broadcast(ks))
+                 .filter(8 * F.col("nc") >= F.col("k") * F.col("un")))
+    act = act_pairs.groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("n_actual"))
+    hit = (act_pairs.join(est, ["id_a", "id_b"])
+           .filter(F.col("agree") >= F.col("k"))
+           .groupBy("k").agg(F.count(F.lit(1)).cast("long")
+                             .alias("n_hit")))
+    j = (ks.join(pred, "k", "left").join(act, "k", "left")
+         .join(hit, "k", "left")
+         .select("k",
+                 F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                 F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+                 F.coalesce("n_hit", F.lit(0)).alias("n_hit")))
+    prec = F.when(F.col("n_pred") > 0, F.col("n_hit").cast("double")
+                  / F.col("n_pred").cast("double"))
+    rec = F.when(F.col("n_actual") > 0, F.col("n_hit").cast("double")
+                 / F.col("n_actual").cast("double"))
+    return (j.select(
+        F.round(F.col("k").cast("double") / 8.0, 6).alias("threshold"),
+        "n_pred", "n_actual", "n_hit",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"))
+        .orderBy("threshold"))
+
+
+def _mh_pr_sql() -> str:
+    from .sql_shared import lsh_pairs_cte, mh_sig_cte
+
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(8))
+    return mh_sig_cte("") + lsh_pairs_cte() + f"""
+, est AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, CAST({agree} AS BIGINT) AS agree
+  FROM pairs p
+  JOIN sigw a ON a.doc_id = p.id_a
+  JOIN sigw b ON b.doc_id = p.id_b
+), shing AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1))
+                  AS i) t
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shing GROUP BY doc_id
+), exact AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, c.nc, sa.sz + sb.sz - c.nc AS un
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS nc
+        FROM shing a JOIN shing b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+), ks AS (SELECT CAST(unnest([4, 5, 6]) AS BIGINT) AS k),
+pred AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pred
+  FROM est CROSS JOIN ks WHERE agree >= k GROUP BY k
+), act AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_actual
+  FROM exact CROSS JOIN ks WHERE 8 * nc >= k * un GROUP BY k
+), hit AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact e CROSS JOIN ks
+  JOIN est ON est.id_a = e.id_a AND est.id_b = e.id_b
+  WHERE 8 * e.nc >= ks.k * e.un AND est.agree >= ks.k
+  GROUP BY ks.k
+)
+SELECT ROUND(CAST(ks.k AS DOUBLE) / 8.0, 6) AS threshold,
+       COALESCE(pred.n_pred, 0) AS n_pred,
+       COALESCE(act.n_actual, 0) AS n_actual,
+       COALESCE(hit.n_hit, 0) AS n_hit,
+       ROUND(CASE WHEN COALESCE(pred.n_pred, 0) > 0
+                  THEN CAST(COALESCE(hit.n_hit, 0) AS DOUBLE)
+                       / CAST(pred.n_pred AS DOUBLE) END, 6) AS precision,
+       ROUND(CASE WHEN COALESCE(act.n_actual, 0) > 0
+                  THEN CAST(COALESCE(hit.n_hit, 0) AS DOUBLE)
+                       / CAST(act.n_actual AS DOUBLE) END, 6) AS recall
+FROM ks
+LEFT JOIN pred ON pred.k = ks.k
+LEFT JOIN act ON act.k = ks.k
+LEFT JOIN hit ON hit.k = ks.k
+ORDER BY threshold
+"""
+
+
+R8B_QUERIES["minhash_threshold_pr_curve"] = (
+    q_minhash_threshold_pr_curve, _mh_pr_sql(), False)
+
+
+# --- orders_fiscal_445_rollup ---------------------------------------------------
+
+def q_orders_fiscal_445_rollup(spark, sf_dir):
+    """Revenue rolled up to a 4-4-5 fiscal calendar (FY starts
+    1996-02-01; each quarter = 4+4+5 weeks = 91 days): fiscal period =
+    integer arithmetic on the day offset, so the mapping is exact and
+    identical in both engines — the retail/enterprise reporting calendar
+    the plain month rollup can't express.  FY1997 only (a complete
+    364-day fiscal year inside the data).
+
+    Scale shape: one scan with pure arithmetic, one 12-row rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    off = F.datediff(F.to_date("o_orderdate"),
+                     F.lit("1996-02-01").cast("date"))
+    within = F.col("off") % 364
+    q = F.floor(within / 91)
+    dq = within % 91
+    p_in_q = (F.when(dq < 28, 0).when(dq < 56, 1).otherwise(2))
+    sel = (orders.withColumn("off", off)
+           .filter((F.col("off") >= 364) & (F.col("off") < 728))
+           .withColumn("fq", q.cast("long") + 1)
+           .withColumn("fp", (q * 3 + p_in_q).cast("long") + 1))
+    return (sel.groupBy("fq", "fp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 (F.round(F.sum(F.round(F.col("o_totalprice") * 100)
+                                .cast("long")) / 100.0 / 1e3, 6)
+                  + F.lit(0.0)).alias("revenue_k"))
+            .orderBy("fp"))
+
+
+_Q445_SQL = """
+WITH sel AS (
+  SELECT datediff('day', DATE '1996-02-01', CAST(o_orderdate AS DATE))
+           AS off,
+         o_totalprice
+  FROM orders
+), f AS (
+  SELECT off % 364 AS within, o_totalprice
+  FROM sel WHERE off >= 364 AND off < 728
+), m AS (
+  SELECT CAST((within // 91) AS BIGINT) + 1 AS fq,
+         CAST((within // 91) * 3
+              + (CASE WHEN within % 91 < 28 THEN 0
+                      WHEN within % 91 < 56 THEN 1 ELSE 2 END)
+              AS BIGINT) + 1 AS fp,
+         o_totalprice
+  FROM f
+)
+SELECT fq, fp, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 / 1e3, 6) + 0.0 AS revenue_k
+FROM m
+GROUP BY fq, fp
+ORDER BY fp
+"""
+
+R8B_QUERIES["orders_fiscal_445_rollup"] = (
+    q_orders_fiscal_445_rollup, _Q445_SQL, False)
+
+
+# --- multimodal_shot_boundaries -------------------------------------------------
+
+def q_multimodal_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection plumbing over the framed synthetic video
+    (audio_chunk_energy frames standing in for per-frame features): a
+    boundary is a frame whose energy jumps more than 600 from the
+    previous frame — the |diff| > threshold cut detector, value-checked
+    per boundary (a real frame-difference metric swaps in behind the
+    same frame contract).  Fifth multimodal stage.
+
+    Scale shape: the Python stage is Arrow-batched mapInPandas; the
+    detector is one per-doc lag window."""
+    from ..pipeline import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = docs.select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5("text"))).alias("payload"))
+    frames = mm.audio_chunk_energy(payloads, "doc_id", "payload",
+                                   frame_bytes=8)
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    d = (frames.withColumn("prev", F.lag("energy").over(w))
+         .filter(F.col("prev").isNotNull())
+         .withColumn("jump", F.abs(F.col("energy") - F.col("prev"))
+                     .cast("long"))
+         .filter(F.col("jump") > 600))
+    return (d.select(F.col("id").alias("doc_id"),
+                     F.col("frame_idx").cast("int").alias("boundary_frame"),
+                     "jump")
+            .orderBy("doc_id", "boundary_frame"))
+
+
+def _shot_sql() -> str:
+    frames = []
+    for kf in range(4):
+        terms = " + ".join(
+            f"('0x' || substr(h, {(kf * 8 + i) * 2 + 1}, 2))::BIGINT"
+            for i in range(8))
+        frames.append(
+            f"SELECT doc_id, CAST({kf} AS INT) AS frame_idx, "
+            f"CAST({terms} AS BIGINT) AS energy FROM h")
+    u = " UNION ALL ".join(frames)
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(text) || md5(text) AS h FROM documents
+  WHERE doc_id < 100
+), frames AS ({u}),
+d AS (
+  SELECT doc_id, frame_idx, energy,
+         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS prev
+  FROM frames
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS boundary_frame,
+       CAST(abs(energy - prev) AS BIGINT) AS jump
+FROM d
+WHERE prev IS NOT NULL AND abs(energy - prev) > 600
+ORDER BY doc_id, boundary_frame
+"""
+
+
+R8B_QUERIES["multimodal_shot_boundaries"] = (
+    q_multimodal_shot_boundaries, _shot_sql(), False)

@@ -137,6 +137,7 @@ _NATIVE_QUERIES = [
     "events_pot_gpd_fit", "doc_heaps_law", "events_circular_hour_stats",
     "orders_stochastic_dominance",
     "lineitem_effect_size", "events_gains_chart",
+    "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
 ]
 
 
