@@ -168,6 +168,9 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-34 sketch PR curve / fiscal 4-4-5 / shot boundaries
     "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
     "multimodal_shot_boundaries",
+    # wave-35 cross-correlation / gap sensitivity / ranking jackknife
+    "events_cross_correlation", "events_session_gap_sensitivity",
+    "customer_topk_jackknife",
 ]
 
 

@@ -7515,3 +7515,253 @@ ORDER BY doc_id, boundary_frame
 
 R8B_QUERIES["multimodal_shot_boundaries"] = (
     q_multimodal_shot_boundaries, _shot_sql(), False)
+
+
+# =============================================================================
+# Wave 35 — lead-lag cross-correlation, parameter sensitivity,
+# ranking stability
+# =============================================================================
+
+# --- events_cross_correlation ---------------------------------------------------
+
+def q_events_cross_correlation(spark, sf_dir):
+    """Lead-lag cross-correlation between the daily 'view' and
+    'purchase' count series at lags 0..3 days (does viewing predict
+    purchasing?): r(lag) = Pearson correlation of (view[t], purchase
+    [t+lag]) over the overlapping days, all moments from exact integer
+    sums per lag.  The lead-lag read autocorrelation can't give.
+
+    Scale shape: one (day, type) aggregation, a 4-row lag grid joined
+    on the day-domain-bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type").isin("view", "purchase"))
+             .groupBy(F.to_date("ts").alias("day"), "event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    v = (daily.filter(F.col("event_type") == "view")
+         .select(F.col("day").alias("dv"), F.col("c").alias("x")))
+    p = (daily.filter(F.col("event_type") == "purchase")
+         .select(F.col("day").alias("dp"), F.col("c").alias("y")))
+    lags = spark.range(0, 4).select(F.col("id").cast("int").alias("lag"))
+    j = (v.crossJoin(F.broadcast(lags))
+         .join(p, F.expr("date_add(dv, lag) = dp")))
+    agg = (j.groupBy("lag")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("qx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("qy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    nD = F.col("n").cast("double")
+    num = nD * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = (F.sqrt(nD * F.col("qx").cast("double")
+                  - F.col("sx").cast("double") * F.col("sx").cast("double"))
+           * F.sqrt(nD * F.col("qy").cast("double")
+                    - F.col("sy").cast("double")
+                    * F.col("sy").cast("double")))
+    return (agg.select("lag", F.col("n").alias("n_days"),
+                       F.round(num / den, 6).alias("cross_corr"))
+            .orderBy("lag"))
+
+
+_QXCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+), v AS (SELECT day AS dv, c AS x FROM daily WHERE event_type = 'view'),
+p AS (SELECT day AS dp, c AS y FROM daily
+      WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(unnest([0, 1, 2, 3]) AS INT) AS lag),
+j AS (
+  SELECT lags.lag, v.x, p.y
+  FROM v CROSS JOIN lags
+  JOIN p ON p.dp = v.dv + lags.lag * INTERVAL 1 DAY
+), agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS qx,
+         CAST(SUM(y * y) AS BIGINT) AS qy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM j GROUP BY lag
+)
+SELECT lag, n AS n_days,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(qx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(qy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS cross_corr
+FROM agg
+ORDER BY lag
+"""
+
+R8B_QUERIES["events_cross_correlation"] = (
+    q_events_cross_correlation, _QXCORR_SQL, False)
+
+
+# --- events_session_gap_sensitivity ----------------------------------------------
+
+def q_events_session_gap_sensitivity(spark, sf_dir):
+    """Sessionization parameter-sensitivity curve: per candidate
+    inactivity gap {10, 30, 60} minutes, the session count, mean events
+    per session, and single-event-session share — the tuning table read
+    before fixing the session definition everything downstream inherits.
+    A session starts where the per-user gap exceeds the threshold; all
+    counts integer-exact.
+
+    Scale shape: ONE per-user lag window computes the gap; each
+    threshold is then a pure aggregation over the same annotated scan —
+    the parameter sweep costs one extra broadcast, not three windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w))
+        .alias("gap_us"))
+    thr = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(10), F.lit(30), F.lit(60)),
+                     (F.col("id") + 1).cast("int")).cast("long")
+        .alias("gap_min"))
+    g = (gaps.crossJoin(F.broadcast(thr))
+         .withColumn("is_start",
+                     F.when(F.col("gap_us").isNull()
+                            | (F.col("gap_us")
+                               > F.col("gap_min") * 60000000), 1)
+                     .otherwise(0)))
+    agg = (g.groupBy("gap_min")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("is_start").cast("long").alias("n_sessions")))
+    return (agg.select("gap_min", "n_sessions",
+                       F.round(F.col("n_events").cast("double")
+                               / F.col("n_sessions").cast("double"), 6)
+                       .alias("mean_events_per_session"))
+            .orderBy("gap_min"))
+
+
+_QGAPSENS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS gap_us
+  FROM (SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events)
+), thr AS (SELECT CAST(unnest([10, 30, 60]) AS BIGINT) AS gap_min),
+g AS (
+  SELECT thr.gap_min,
+         CASE WHEN gap_us IS NULL
+                OR gap_us > thr.gap_min * 60000000 THEN 1 ELSE 0 END
+           AS is_start
+  FROM gaps CROSS JOIN thr
+)
+SELECT gap_min, CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+       ROUND(CAST(COUNT(*) AS BIGINT)
+             / CAST(SUM(is_start) AS DOUBLE), 6)
+         AS mean_events_per_session
+FROM g
+GROUP BY gap_min
+ORDER BY gap_min
+"""
+
+R8B_QUERIES["events_session_gap_sensitivity"] = (
+    q_events_session_gap_sensitivity, _QGAPSENS_SQL, False)
+
+
+# --- customer_topk_jackknife ----------------------------------------------------
+
+def q_customer_topk_jackknife(spark, sf_dir):
+    """Jackknife stability of the top-10 customer ranking: recompute the
+    top-10 by revenue with each 1997 month left out in turn and report,
+    per left-out month, the overlap with the full-year top-10 — a
+    ranking that churns under single-month deletion is noise, not
+    signal.  Revenue in exact cents; every ranking is integer-ordered.
+
+    Scale shape: one (customer, month) aggregation; each jackknife
+    replicate ranks the customer-level table with one month's
+    contribution subtracted — 12 window passes over customer-count-sized
+    data, never a rescan of orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    cm = (orders.filter(F.year("o_orderdate") == 1997)
+          .groupBy("o_custkey", F.month("o_orderdate").alias("m"))
+          .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+               .cast("long").alias("cents")))
+    tot = (cm.groupBy("o_custkey")
+           .agg(F.sum("cents").cast("long").alias("full_cents")))
+    wfull = Window.orderBy(F.col("full_cents").desc(),
+                           F.col("o_custkey").asc())
+    full_top = (tot.withColumn("rk", F.row_number().over(wfull))
+                .filter(F.col("rk") <= 10)
+                .select(F.col("o_custkey").alias("ck")))
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("m"))
+    jk = (tot.crossJoin(F.broadcast(months))
+          .join(cm.select(F.col("o_custkey"), F.col("m"),
+                          F.col("cents").alias("out_cents")),
+                ["o_custkey", "m"], "left")
+          .withColumn("jk_cents", F.col("full_cents")
+                      - F.coalesce(F.col("out_cents"), F.lit(0))))
+    wjk = Window.partitionBy("m").orderBy(F.col("jk_cents").desc(),
+                                          F.col("o_custkey").asc())
+    jk_top = (jk.withColumn("rk", F.row_number().over(wjk))
+              .filter(F.col("rk") <= 10))
+    overlap = (jk_top.join(F.broadcast(full_top),
+                           jk_top.o_custkey == full_top.ck, "left_semi")
+               .groupBy("m")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_overlap")))
+    return (months.join(overlap, "m", "left")
+            .select(F.col("m").alias("left_out_month"),
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                    F.round(F.coalesce("n_overlap", F.lit(0))
+                            .cast("double") / 10.0, 6).alias("stability"))
+            .orderBy("left_out_month"))
+
+
+_QJACKKNIFE_SQL = """
+WITH cm AS (
+  SELECT o_custkey, month(o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE year(o_orderdate) = 1997
+  GROUP BY 1, 2
+), tot AS (
+  SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS full_cents
+  FROM cm GROUP BY o_custkey
+), full_top AS (
+  SELECT o_custkey AS ck
+  FROM (SELECT o_custkey,
+               row_number() OVER (ORDER BY full_cents DESC,
+                                  o_custkey ASC) AS rk
+        FROM tot)
+  WHERE rk <= 10
+), months AS (SELECT CAST(unnest(range(1, 13)) AS INT) AS m),
+jk AS (
+  SELECT t.o_custkey, months.m,
+         t.full_cents - COALESCE(cm.cents, 0) AS jk_cents
+  FROM tot t CROSS JOIN months
+  LEFT JOIN cm ON cm.o_custkey = t.o_custkey AND cm.m = months.m
+), jk_top AS (
+  SELECT m, o_custkey
+  FROM (SELECT m, o_custkey,
+               row_number() OVER (PARTITION BY m
+                   ORDER BY jk_cents DESC, o_custkey ASC) AS rk
+        FROM jk)
+  WHERE rk <= 10
+), overlap AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM jk_top
+  WHERE o_custkey IN (SELECT ck FROM full_top)
+  GROUP BY m
+)
+SELECT months.m AS left_out_month,
+       COALESCE(overlap.n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(overlap.n_overlap, 0) / 10.0, 6) AS stability
+FROM months LEFT JOIN overlap ON overlap.m = months.m
+ORDER BY left_out_month
+"""
+
+R8B_QUERIES["customer_topk_jackknife"] = (
+    q_customer_topk_jackknife, _QJACKKNIFE_SQL, False)

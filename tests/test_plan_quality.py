@@ -138,6 +138,8 @@ _NATIVE_QUERIES = [
     "orders_stochastic_dominance",
     "lineitem_effect_size", "events_gains_chart",
     "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
+    "events_cross_correlation", "events_session_gap_sensitivity",
+    "customer_topk_jackknife",
 ]
 
 
