@@ -171,6 +171,8 @@ _NEVER_DRIVER_SAMPLED = [
     # wave-35 cross-correlation / gap sensitivity / ranking jackknife
     "events_cross_correlation", "events_session_gap_sensitivity",
     "customer_topk_jackknife",
+    # wave-36 Mann-Kendall trend / greedy set cover
+    "orders_mann_kendall", "supplier_set_cover",
 ]
 
 

@@ -7765,3 +7765,174 @@ ORDER BY left_out_month
 
 R8B_QUERIES["customer_topk_jackknife"] = (
     q_customer_topk_jackknife, _QJACKKNIFE_SQL, False)
+
+
+# =============================================================================
+# Wave 36 — nonparametric trend, greedy covering
+# =============================================================================
+
+# --- orders_mann_kendall --------------------------------------------------------
+
+def q_orders_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the 1997 daily revenue series:
+    S = sum of sign(rev_j - rev_i) over day pairs i < j (exact BIGINT on
+    cents revenues), tie-corrected variance, continuity-corrected Z —
+    the nonparametric companion to the Theil-Sen slope (same pair set,
+    significance instead of magnitude).
+
+    Scale shape: the pair comparison is a self-join of the
+    day-domain-bounded table (~365 rows -> 66k pairs), then scalar
+    finishes — never a pair join of raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.filter(F.year("o_orderdate") == 1997)
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .cast("long").alias("r")))
+    a = daily.select(F.col("day").alias("d1"), F.col("r").alias("r1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("r").alias("r2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    s = pairs.agg(
+        F.sum(F.when(F.col("r2") > F.col("r1"), 1)
+              .when(F.col("r2") < F.col("r1"), -1).otherwise(0))
+        .cast("long").alias("s"))
+    ties = (daily.groupBy("r").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("t"))
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).cast("long").alias("tt"),
+                 F.sum("t").cast("long").alias("n")))
+    j = s.crossJoin(F.broadcast(ties))
+    nD = F.col("n").cast("double")
+    var = (nD * (nD - 1.0) * (2.0 * nD + 5.0)
+           - F.col("tt").cast("double")) / 18.0
+    sD = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sD - 1.0) / F.sqrt(var)) \
+        .when(F.col("s") < 0, (sD + 1.0) / F.sqrt(var)).otherwise(0.0)
+    return j.select(F.col("n").alias("n_days"), F.col("s").alias("mk_s"),
+                    F.round(F.sqrt(var), 6).alias("sd_s"),
+                    F.round(z, 4).alias("z_stat"))
+
+
+_QMK_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM orders WHERE year(o_orderdate) = 1997
+  GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.r > a.r THEN 1
+                       WHEN b.r < a.r THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt,
+         CAST(SUM(t) AS BIGINT) AS n
+  FROM (SELECT r, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY r)
+)
+SELECT n AS n_days, s AS mk_s,
+       ROUND(sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                   * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                   - CAST(tt AS DOUBLE)) / 18.0), 6) AS sd_s,
+       ROUND(CASE WHEN s > 0
+                  THEN (CAST(s AS DOUBLE) - 1.0)
+                       / sqrt((CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)
+                               * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                               - CAST(tt AS DOUBLE)) / 18.0)
+                  WHEN s < 0
+                  THEN (CAST(s AS DOUBLE) + 1.0)
+                       / sqrt((CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)
+                               * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                               - CAST(tt AS DOUBLE)) / 18.0)
+                  ELSE 0.0 END, 4) AS z_stat
+FROM s CROSS JOIN ties
+"""
+
+R8B_QUERIES["orders_mann_kendall"] = (
+    q_orders_mann_kendall, _QMK_SQL, False)
+
+
+# --- supplier_set_cover ---------------------------------------------------------
+
+def q_supplier_set_cover(spark, sf_dir):
+    """Greedy set cover: pick 8 suppliers that together cover the most
+    parts (each step takes the supplier adding the most uncovered parts,
+    ties to the smaller suppkey) — the sourcing-consolidation /
+    coverage-maximization primitive.  Greedy-argmax steps collect ONE
+    row each (the IRLS bounded-collect precedent); the coverage counts
+    are exact integers.
+
+    Scale shape: each step is one anti-join + supplier aggregation over
+    the distinct (supplier, part) edge list; the chosen set stays on
+    the driver (8 ids)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_suppkey").alias("s"),
+                      F.col("l_partkey").alias("p")).distinct()
+    edges = edges.persist()
+    total_parts = edges.select("p").distinct().count()
+    chosen, covered_expr, rows = [], None, []
+    cum = 0
+    for step in range(1, 9):
+        remaining = edges
+        if chosen:
+            covered = (edges.filter(F.col("s").isin(chosen))
+                       .select("p").distinct())
+            remaining = edges.join(covered, "p", "left_anti")
+        best = (remaining.groupBy("s")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col("s").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        sid, gain = best[0]["s"], best[0]["gain"]
+        chosen.append(sid)
+        cum += gain
+        rows.append((step, sid, gain, cum,
+                     round(cum / total_parts, 6)))
+    out = spark.createDataFrame(
+        rows, "step INT, suppkey BIGINT, newly_covered BIGINT, "
+              "cum_covered BIGINT, coverage DOUBLE")
+    edges.unpersist()
+    return out.orderBy("step")
+
+
+def _setcover_sql(steps: int = 8) -> str:
+    sql = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+), tot AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n FROM edges)"""
+    prev_cov = None
+    sels = []
+    for i in range(1, steps + 1):
+        rem = ("edges" if prev_cov is None else
+               f"(SELECT e.* FROM edges e WHERE e.p NOT IN "
+               f"(SELECT p FROM {prev_cov}))")
+        sql += f""", pick{i} AS MATERIALIZED (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM {rem} r
+  GROUP BY s
+  ORDER BY gain DESC, s ASC
+  LIMIT 1
+), cov{i} AS MATERIALIZED (
+  SELECT DISTINCT e.p FROM edges e
+  WHERE e.s IN (SELECT s FROM pick{i})
+     {"OR e.p IN (SELECT p FROM " + prev_cov + ")" if prev_cov else ""}
+)"""
+        sels.append(
+            f"SELECT CAST({i} AS INT) AS step, "
+            f"CAST((SELECT s FROM pick{i}) AS BIGINT) AS suppkey, "
+            f"(SELECT gain FROM pick{i}) AS newly_covered, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM cov{i}) "
+            f"AS cum_covered, "
+            f"ROUND((SELECT CAST(COUNT(*) AS BIGINT) FROM cov{i}) "
+            f"/ CAST((SELECT n FROM tot) AS DOUBLE), 6) AS coverage")
+        prev_cov = f"cov{i}"
+    # once the cover saturates, later picks are empty -> NULL suppkey;
+    # Spark's loop breaks there, so the oracle drops those rows too
+    return (sql + "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(sels)
+            + "\n) WHERE suppkey IS NOT NULL ORDER BY step")
+
+
+R8B_QUERIES["supplier_set_cover"] = (
+    q_supplier_set_cover, _setcover_sql(), False)

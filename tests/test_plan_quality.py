@@ -139,7 +139,7 @@ _NATIVE_QUERIES = [
     "lineitem_effect_size", "events_gains_chart",
     "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
     "events_cross_correlation", "events_session_gap_sensitivity",
-    "customer_topk_jackknife",
+    "customer_topk_jackknife", "orders_mann_kendall",
 ]
 
 
