@@ -292,3 +292,82 @@ def test_burrows_delta_nonnegative_sorted(spark, sf_dir):
     deltas = [r["delta"] for r in rows]
     assert all(d >= 0 for d in deltas)
     assert deltas == sorted(deltas)
+
+
+# -- wave 34-36 invariants ---------------------------------------------------------
+
+def test_pr_curve_bounds_and_monotone_pred(spark, sf_dir):
+    rows = _run("minhash_threshold_pr_curve", spark, sf_dir)
+    assert [r["threshold"] for r in rows] == [0.5, 0.625, 0.75]
+    preds = [r["n_pred"] for r in rows]
+    acts = [r["n_actual"] for r in rows]
+    assert preds == sorted(preds, reverse=True)   # higher cut, fewer pairs
+    assert acts == sorted(acts, reverse=True)
+    for r in rows:
+        assert r["n_hit"] <= min(r["n_pred"], r["n_actual"])
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_fiscal_445_covers_full_year(spark, sf_dir):
+    rows = _run("orders_fiscal_445_rollup", spark, sf_dir)
+    assert [r["fp"] for r in rows] == list(range(1, 13))
+    # 4 quarters x 3 periods, quarter ids consistent with period ids
+    for r in rows:
+        assert r["fq"] == (r["fp"] - 1) // 3 + 1
+        assert r["n_orders"] > 0
+
+
+def test_shot_boundaries_above_threshold(spark, sf_dir):
+    rows = _run("multimodal_shot_boundaries", spark, sf_dir)
+    for r in rows:
+        assert r["jump"] > 600
+        assert 1 <= r["boundary_frame"] <= 3
+
+
+def test_cross_correlation_bounded(spark, sf_dir):
+    rows = _run("events_cross_correlation", spark, sf_dir)
+    assert [r["lag"] for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert -1.0 <= r["cross_corr"] <= 1.0
+
+
+def test_gap_sensitivity_monotone(spark, sf_dir):
+    rows = _run("events_session_gap_sensitivity", spark, sf_dir)
+    assert [r["gap_min"] for r in rows] == [10, 30, 60]
+    ns = [r["n_sessions"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # longer gap, fewer sessions
+    means = [r["mean_events_per_session"] for r in rows]
+    assert means == sorted(means)          # ... and longer sessions
+
+
+def test_jackknife_stability_bounded(spark, sf_dir):
+    rows = _run("customer_topk_jackknife", spark, sf_dir)
+    assert len(rows) == 12
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert 0.0 <= r["stability"] <= 1.0
+
+
+def test_mann_kendall_s_within_pair_bound(spark, sf_dir):
+    (r,) = _run("orders_mann_kendall", spark, sf_dir)
+    max_pairs = r["n_days"] * (r["n_days"] - 1) // 2
+    assert abs(r["mk_s"]) <= max_pairs
+    assert r["sd_s"] > 0
+
+
+def test_set_cover_gains_monotone_decreasing(spark, sf_dir):
+    rows = _run("supplier_set_cover", spark, sf_dir)
+    assert rows
+    gains = [r["newly_covered"] for r in rows]
+    assert gains == sorted(gains, reverse=True)  # greedy gain shrinks
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    assert covs[-1] <= 1.0
+    # cum_covered accounting
+    cum = 0
+    for r in rows:
+        cum += r["newly_covered"]
+        assert r["cum_covered"] == cum
