@@ -173,6 +173,8 @@ _NEVER_DRIVER_SAMPLED = [
     "customer_topk_jackknife",
     # wave-36 Mann-Kendall trend / greedy set cover
     "orders_mann_kendall", "supplier_set_cover",
+    # wave-37 storage / partition engineering audits
+    "orders_rle_encoding_estimate", "doc_partition_skew_audit",
 ]
 
 

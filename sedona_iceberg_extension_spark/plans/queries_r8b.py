@@ -7936,3 +7936,130 @@ WITH edges AS MATERIALIZED (
 
 R8B_QUERIES["supplier_set_cover"] = (
     q_supplier_set_cover, _setcover_sql(), False)
+
+
+# =============================================================================
+# Wave 37 — storage encoding and partition-skew engineering audits
+# =============================================================================
+
+# --- orders_rle_encoding_estimate -----------------------------------------------
+
+def q_orders_rle_encoding_estimate(spark, sf_dir):
+    """Run-length-encoding benefit estimate for o_orderpriority under
+    two physical layouts: natural (orderkey) write order vs sorted by
+    the column — runs = 1 + count(value != previous value), and the RLE
+    ratio n/runs says what the sort buys the encoder.  The
+    column-layout decision input next to the z-order and pruning
+    audits; exact integers.
+
+    Scale shape: two orderings of one projected column (at scale: range
+    exchanges), each with a single lag window."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority")
+
+    def runs(order_cols, tag):
+        w = Window.orderBy(*order_cols)
+        return (base
+                .withColumn("prev", F.lag("o_orderpriority").over(w))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     (F.sum(F.when(F.col("prev").isNull()
+                                   | (F.col("prev")
+                                      != F.col("o_orderpriority")), 1)
+                            .otherwise(0)).cast("long")).alias("runs"))
+                .select(F.lit(tag).alias("layout"), "n", "runs"))
+
+    nat = runs([F.col("o_orderkey").asc()], "natural")
+    srt = runs([F.col("o_orderpriority").asc(),
+                F.col("o_orderkey").asc()], "sorted_by_column")
+    return (nat.unionByName(srt)
+            .select("layout", "n", "runs",
+                    F.round(F.col("n").cast("double")
+                            / F.col("runs").cast("double"), 6)
+                    .alias("rle_ratio"))
+            .orderBy("layout"))
+
+
+_QRLE_SQL = """
+WITH nat AS (
+  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                       THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM (SELECT o_orderpriority,
+               lag(o_orderpriority) OVER (ORDER BY o_orderkey) AS prev
+        FROM orders)
+), srt AS (
+  SELECT 'sorted_by_column', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderpriority,
+               lag(o_orderpriority) OVER (ORDER BY o_orderpriority,
+                                          o_orderkey) AS prev
+        FROM orders)
+)
+SELECT layout, n, runs,
+       ROUND(CAST(n AS DOUBLE) / CAST(runs AS DOUBLE), 6) AS rle_ratio
+FROM (SELECT * FROM nat UNION ALL SELECT * FROM srt)
+ORDER BY layout
+"""
+
+R8B_QUERIES["orders_rle_encoding_estimate"] = (
+    q_orders_rle_encoding_estimate, _QRLE_SQL, False)
+
+
+# --- doc_partition_skew_audit ---------------------------------------------------
+
+def q_doc_partition_skew_audit(spark, sf_dir):
+    """Partition-skew audit for two routing strategies over the corpus:
+    key routing (partition = source — what a naive partitionBy gives)
+    vs hash routing (pmod(portable_hash64(doc_id), 32)) — per strategy
+    the partition count, max/mean rows, and the skew factor max/mean
+    that decides whether the shuffle needs salting.  Exactly the
+    100 TB-readiness question every groupBy answers first; exact
+    integers.
+
+    Scale shape: two keyed aggregations + two tiny finishes."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def audit(col, tag):
+        per = docs.groupBy(col.alias("pk")).agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        return (per.agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                        F.sum("c").cast("long").alias("n_rows"),
+                        F.max("c").cast("long").alias("max_rows"))
+                .select(F.lit(tag).alias("strategy"), "n_parts", "n_rows",
+                        "max_rows",
+                        F.round(F.col("max_rows").cast("double")
+                                * F.col("n_parts").cast("double")
+                                / F.col("n_rows").cast("double"), 6)
+                        .alias("skew_factor")))
+
+    key = audit(F.col("source"), "key_by_source")
+    hsh = audit(F.pmod(_hash64(F.col("doc_id").cast("string"), "part"),
+                       F.lit(32)), "hash_32")
+    return key.unionByName(hsh).orderBy("strategy")
+
+
+_QSKEWAUDIT_SQL = """
+WITH key_r AS (
+  SELECT 'key_by_source' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_rows
+  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source)
+), hash_r AS (
+  SELECT 'hash_32', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT),
+         CAST(MAX(c) AS BIGINT)
+  FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#part'),
+                               1, 15))::BIGINT % 32 AS pk,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1)
+)
+SELECT strategy, n_parts, n_rows, max_rows,
+       ROUND(CAST(max_rows AS DOUBLE) * CAST(n_parts AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 6) AS skew_factor
+FROM (SELECT * FROM key_r UNION ALL SELECT * FROM hash_r)
+ORDER BY strategy
+"""
+
+R8B_QUERIES["doc_partition_skew_audit"] = (
+    q_doc_partition_skew_audit, _QSKEWAUDIT_SQL, False)

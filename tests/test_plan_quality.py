@@ -140,6 +140,7 @@ _NATIVE_QUERIES = [
     "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
     "events_cross_correlation", "events_session_gap_sensitivity",
     "customer_topk_jackknife", "orders_mann_kendall",
+    "orders_rle_encoding_estimate", "doc_partition_skew_audit",
 ]
 
 
