@@ -175,6 +175,8 @@ _NEVER_DRIVER_SAMPLED = [
     "orders_mann_kendall", "supplier_set_cover",
     # wave-37 storage / partition engineering audits
     "orders_rle_encoding_estimate", "doc_partition_skew_audit",
+    # wave-38 EWMA control chart
+    "events_ewma_control_chart",
 ]
 
 

@@ -8063,3 +8063,126 @@ ORDER BY strategy
 
 R8B_QUERIES["doc_partition_skew_audit"] = (
     q_doc_partition_skew_audit, _QSKEWAUDIT_SQL, False)
+
+
+# =============================================================================
+# Wave 38 — EWMA control chart
+# =============================================================================
+
+# --- events_ewma_control_chart --------------------------------------------------
+
+def q_events_ewma_control_chart(spark, sf_dir):
+    """EWMA control chart over the daily event counts (lambda = 0.2,
+    L = 1.5 — tight enough that the synthetic series flags rows, so the
+    oracle checks real values): z_t = 0.2*y_t + 0.8*z_{t-1} seeded at
+    the series mean, with exact time-varying limits
+    mu +/- L*sigma*sqrt(lam/(2-lam) *
+    (1-(1-lam)^(2t))) — the small-shift detector the Shewhart
+    individuals chart misses.  mu/sigma come from exact integer sums;
+    the recursion is a fixed fold; out-of-control days are reported.
+
+    Scale shape: one day aggregation, one fold carrying (t, z) plus the
+    flagged rows, one bounded output."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    stats = days.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.sum("y").cast("long").alias("s1"),
+                     F.sum(F.col("y") * F.col("y")).cast("long")
+                     .alias("s2"))
+    nD = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nD
+    sd = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                .cast("double") / (F.col("n") * (F.col("n") - 1))
+                .cast("double"))
+    lim = stats.select(mu.alias("mu"), sd.alias("sd"))
+    w = Window.orderBy("day")
+    idx = (days.crossJoin(F.broadcast(lim))
+           .withColumn("t", F.row_number().over(w).cast("long")))
+    # z_t in closed form: z_t = mu*(1-lam)^t + lam * sum_{j=1..t}
+    # (1-lam)^(t-j) y_j  — computed as a prefix sum of y_j*(1-lam)^(-j)
+    # would overflow; instead fold via aggregate over the sorted series
+    series = idx.groupBy("mu", "sd").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y", "t"))).alias("sv"))
+    # carry (z) and collect flags as an array of (day, z, lo, hi, side)
+    acc0 = F.struct(F.col("mu").alias("z"),
+                    F.array().cast(
+                        "array<struct<day:date,z:double,lo:double,"
+                        "hi:double,side:string>>").alias("flags"))
+    lam = 0.2
+
+    def step(acc, e):
+        z = lam * e["y"].cast("double") + (1.0 - lam) * acc["z"]
+        band = (F.col("sd")
+                * F.sqrt(lam / (2.0 - lam)
+                         * (1.0 - F.pow(F.lit(1.0 - lam),
+                                        2.0 * e["t"].cast("double")))))
+        lo, hi = (F.col("mu") - 1.5 * band, F.col("mu") + 1.5 * band)
+        flag = F.when((z < lo) | (z > hi),
+                      F.array(F.struct(
+                          e["day"].alias("day"), z.alias("z"),
+                          lo.alias("lo"), hi.alias("hi"),
+                          F.when(z > hi, F.lit("high"))
+                          .otherwise(F.lit("low")).alias("side"))))\
+            .otherwise(F.array().cast(
+                "array<struct<day:date,z:double,lo:double,"
+                "hi:double,side:string>>"))
+        return F.struct(z.alias("z"),
+                        F.concat(acc["flags"], flag).alias("flags"))
+
+    folded = series.select(
+        F.aggregate(F.col("sv"), acc0, step).alias("f"))
+    out = (folded.select(F.explode(F.col("f.flags")).alias("fl"))
+           .select(F.col("fl.day").cast("string").alias("day"),
+                   F.round(F.col("fl.z"), 6).alias("ewma"),
+                   F.round(F.col("fl.lo"), 6).alias("lcl"),
+                   F.round(F.col("fl.hi"), 6).alias("ucl"),
+                   F.col("fl.side").alias("side")))
+    return out.orderBy("day")
+
+
+_QEWMACC_SQL = """
+WITH RECURSIVE days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s1,
+         CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM days
+), lim AS (
+  SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE)) AS sd
+  FROM stats
+), idx AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, day,
+         CAST(y AS DOUBLE) AS y
+  FROM days
+), ew AS (
+  SELECT idx.t, idx.day,
+         0.2 * idx.y + 0.8 * lim.mu AS z
+  FROM idx CROSS JOIN lim WHERE idx.t = 1
+  UNION ALL
+  SELECT i.t, i.day, 0.2 * i.y + 0.8 * e.z
+  FROM ew e JOIN idx i ON i.t = e.t + 1
+), flagged AS (
+  SELECT e.day, e.z,
+         lim.mu - 1.5 * lim.sd
+           * sqrt(0.2 / 1.8 * (1.0 - power(0.8, 2.0 * e.t))) AS lo,
+         lim.mu + 1.5 * lim.sd
+           * sqrt(0.2 / 1.8 * (1.0 - power(0.8, 2.0 * e.t))) AS hi,
+         lim.mu
+  FROM ew e CROSS JOIN lim
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       ROUND(z, 6) AS ewma,
+       ROUND(lo, 6) AS lcl,
+       ROUND(hi, 6) AS ucl,
+       CASE WHEN z > mu THEN 'high' ELSE 'low' END AS side
+FROM flagged
+WHERE z < lo OR z > hi
+ORDER BY day
+"""
+
+R8B_QUERIES["events_ewma_control_chart"] = (
+    q_events_ewma_control_chart, _QEWMACC_SQL, False)

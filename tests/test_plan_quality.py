@@ -141,6 +141,7 @@ _NATIVE_QUERIES = [
     "events_cross_correlation", "events_session_gap_sensitivity",
     "customer_topk_jackknife", "orders_mann_kendall",
     "orders_rle_encoding_estimate", "doc_partition_skew_audit",
+    "events_ewma_control_chart",
 ]
 
 
