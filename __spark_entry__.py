@@ -48,135 +48,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Highest-value queries for the driver's rotating correctness sample,
 # listed first so an order-respecting sampler hashes them before
-# re-checking known-green ones.  Round-8 refresh (VERDICT r7 item #2):
-#   1. the two r07 red hashes — both were oracle-side HUGEINT typing bugs
-#      (DuckDB widens SUM(BIGINT) to HUGEINT, the driver's pandas path
-#      renders it float64), fixed with explicit CASTs and a repo-wide
-#      type gate (tests/test_oracle_types.py) — need a green re-hash;
-#   2. the five queries no driver round has ever sampled;
-#   3. four rows whose only driver record is a stale r01 "no_oracle" —
-#      they gained exact oracles in later rounds but were never in this
-#      list, so the sampler kept skipping them;
-#   4. round-8 additions (never sampled by construction).
-# All pass the local differential gate (tools/diff_oracle.py, bitwise
-# float canon + HUGEINT/DECIMAL type gate).
+# re-checking known-green ones.  Round-9 rotation (VERDICT r8 item #1):
+# the 50 names CORRECTNESS_r08 hashed green are DROPPED (rotate, don't
+# accrete); what remains is exactly the 120 declared queries no driver
+# round has ever hashed, ordered by oracle-divergence risk class:
+#   1. float-summation / rounding-tie risk (ROUND-6 outputs built from
+#      data-dependent float folds — the class a local rehearsal at one
+#      parallelism cannot fully retire) — first ~55, so the driver's
+#      ~50-row sample drains almost all of it this round;
+#   2. lower-risk float outputs (bounded pools, scalar-bounded folds);
+#   3. integer-/byte-exact outputs (hashes, counts, ranks, BIGINT-scaled
+#      scores) — deterministic end-to-end, safe to wait a round.
+# All 120 pass the local differential gate (tools/diff_oracle.py,
+# bitwise float canon + HUGEINT/DECIMAL type gate) and the r8-workflow
+# multi-parallelism rehearsal (local[32] x shuffle 7/32/256).
 _NEVER_DRIVER_SAMPLED = [
-    # r07 red hashes, oracle-side CASTs applied this round
-    "grouping_sets_revenue", "ship_survival_km",
-    # never driver-sampled
-    "embedding_logreg_irls", "nb_lang_classifier", "spatial_areal_interp",
-    "dq_profile_lineitem", "multimodal_resize",
-    # stale r01 "no_oracle" rows — exact oracles added later, never re-hashed
-    "lsh_ann_topk", "ivf_ann_topk", "multimodal_features",
-    "multimodal_frame_sample",
-    # DECIMAL-typed oracle output fixed this round (was driver-green only
-    # because the value happened to render identically)
-    "spatial_split_boxes",
-    # round-8 additions (never sampled by construction), FLOAT-HEAVY /
-    # tie-prone first: the driver hashes ~50 rows per round, so the
-    # queries whose risk class is summation-order or rounding-tie (the
-    # ones a driver-parallelism rehearsal can't fully retire) must land
-    # inside the sample; the integer-exact ones (BFS, k-core, splits,
-    # stitch pairs) are deterministic end-to-end and can safely wait a
-    # round
-    "cohort_ltv_matrix", "orders_weekday_anova", "lineitem_spearman",
-    "embedding_pca_power", "ivm_orders_agg", "events_changepoint_binseg",
-    "part_graph_modularity", "lineitem_robust_stats", "events_psi_drift",
-    "lineitem_group_ols", "lineitem_discount_did", "dsir_importance_weights",
-    "tfidf_cosine_pairs", "events_ks_test", "jl_projection_distortion",
-    "embedding_int8_quant_error", "colbert_maxsim_topk",
-    "embedding_matryoshka_recall", "source_lang_kl",
-    "lang_source_mutual_info", "price_benford", "part_degree_assortativity",
-    "user_transition_entropy", "orders_forecast_seasonal",
-    "attribution_last_touch", "session_funnel_conversion",
-    "customer_hhi_by_nation", "lineitem_welch_ttest", "events_runs_test",
-    "orders_bootstrap_ci", "spatial_getis_hotspot", "priority_status_chisq",
-    "part_abc_xyz_matrix", "events_skyline",
-    "events_rate_intervals", "kmv_intersection_estimate",
-    "partkey_skew_gini", "join_cardinality_sketch", "semdedup_prune",
-    "streaming_outer_join_watermark", "scd2_customer_history",
-    "value_equidepth_histogram", "spatial_hexbin_density",
-    "spatial_box_overlay_matrix", "part_link_prediction", "bpe_merge_rounds",
-    # wave-16 float-sum risk class (Theil's x*ln x / Lorenz decile sums)
-    "nation_theil_index", "revenue_lorenz_deciles",
-    # integer-exact / byte-exact outputs — no float risk class, next round
-    "order_interval_overlap", "source_capped_sample", "part_bfs_distance",
-    "part_label_propagation", "part_kcore", "part_also_bought_topk",
-    "doc_stitch_pairs", "doc_blocklist_rate", "dataset_three_way_split",
-    "multimodal_audio_chunks", "snapshot_files_stats",
-    # wave-16 integer-exact rank statistics (doubled-rank BIGINT sums)
-    "lineitem_mann_whitney", "orders_kruskal_wallis", "lineitem_cramers_v",
-    # wave-16 batch 2: regression diagnostics + retrieval (ROUND-6 floats)
-    "source_token_js_divergence", "daily_revenue_theil_sen",
-    "orders_breusch_pagan", "events_durbin_watson", "doc_bm25_topk",
-    # wave-17 lakehouse maintenance + feature engineering
-    "compaction_bin_packing", "spatial_zorder_stats",
-    "customer_target_encoding", "feature_hashing_collisions",
-    "embedding_mmr_topk",
-    # wave-18 graph ranking / forecasting / keywords / model eval / tails
-    "part_hits_scores", "events_holt_forecast", "doc_keyword_rake",
-    "langid_eval_metrics", "orders_hill_tail",
-    # wave-19 distances / dispersion / SPC / decomposition / coverage
-    "orders_emd_priority", "events_fano_burstiness",
-    "lineitem_control_chart", "events_seasonal_decompose",
-    "corpus_vocab_coverage",
-    # wave-20 relevance feedback / triplets / Markov / VAD / Mahalanobis
-    "doc_rm3_expansion", "embedding_triplet_mining",
-    "events_markov_stationary", "multimodal_energy_segments",
-    "customer_mahalanobis_outliers",
-    # wave-21 readability / centroid classify / rules / winsorize / pruning
-    "doc_readability_scores", "embedding_centroid_classifier",
-    "brand_assoc_rules", "customer_winsorized_stats", "scan_pruning_stats",
-    # wave-22 autocomplete / arrivals / ER blocking / kNN graph / retention
-    "part_name_autocomplete", "events_inter_arrival_stats",
-    "customer_entity_blocking", "embedding_knn_graph_stats",
-    "snapshot_retention_expiry",
-    # wave-23 boilerplate / spectral / migration / factorial / HW forecast
-    "doc_sentence_dedup", "events_periodogram_dft",
-    "customer_decile_migration", "orders_twoway_anova",
-    "events_holt_winters",
-    # wave-24 conformal / overlap / EOQ / fertility / pinball
-    "orders_conformal_interval", "events_type_overlap_jaccard",
-    "brand_eoq_reorder", "doc_tokenizer_fertility", "orders_pinball_loss",
-    # wave-25 price indices / Weibull / EB shrinkage / uplift / NB fit
-    "lineitem_price_index", "ship_weibull_fit", "nation_eb_shrinkage",
-    "events_uplift_by_segment", "customer_nb_overdispersion",
-    # wave-26 Shapley / MASE / scorecard / stickiness / newsvendor
-    "events_shapley_attribution", "orders_backtest_mase",
-    "supplier_scorecard", "events_dau_wau_stickiness",
-    "brand_newsvendor_stock", "embedding_label_silhouette",
-    # wave-27 causal (IPW, ITS) / calibration / EVT / ranking eval
+    # -- tranche 1: float-summation / rounding-tie risk class --
+    "nation_theil_index", "orders_breusch_pagan", "events_durbin_watson",
+    "doc_bm25_topk", "events_holt_winters", "orders_conformal_interval",
+    "lineitem_price_index", "revenue_lorenz_deciles", "source_token_js_divergence",
+    "daily_revenue_theil_sen", "orders_twoway_anova", "ship_weibull_fit",
+    "nation_eb_shrinkage", "events_uplift_by_segment", "customer_nb_overdispersion",
+    "events_shapley_attribution", "orders_backtest_mase", "supplier_scorecard",
+    "events_dau_wau_stickiness", "brand_newsvendor_stock", "embedding_label_silhouette",
     "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
-    "orders_interrupted_ts", "alsobought_ndcg_eval",
-    # wave-28 sketch audit / matching / rich club / drift / STL strength
-    "simhash_bit_balance", "events_caliper_match_att", "part_rich_club",
-    "events_entropy_trend", "events_seasonality_strength",
-    # wave-29 RDD / Adamic-Adar / lexical richness
-    "lineitem_discount_rdd", "part_adamic_adar", "doc_lexical_richness",
-    # wave-30 sampling design / corr matrix / bullwhip / Haar / Croston
-    "customer_neyman_allocation", "orders_corr_matrix",
-    "lineitem_bullwhip_ratio", "events_haar_energy",
-    "brand_croston_forecast", "source_burrows_delta",
-    # wave-31 Kalman / PVM bridge / Otsu / Little's law
-    "events_kalman_level", "brand_price_volume_mix",
-    "events_otsu_threshold", "orders_littles_law",
-    # wave-32 GPD tails / Heaps law / circular stats / dominance
-    "events_pot_gpd_fit", "doc_heaps_law", "events_circular_hour_stats",
-    "orders_stochastic_dominance",
-    # wave-33 effect sizes / gains chart
-    "lineitem_effect_size", "events_gains_chart",
-    # wave-34 sketch PR curve / fiscal 4-4-5 / shot boundaries
-    "minhash_threshold_pr_curve", "orders_fiscal_445_rollup",
-    "multimodal_shot_boundaries",
-    # wave-35 cross-correlation / gap sensitivity / ranking jackknife
-    "events_cross_correlation", "events_session_gap_sensitivity",
-    "customer_topk_jackknife",
-    # wave-36 Mann-Kendall trend / greedy set cover
-    "orders_mann_kendall", "supplier_set_cover",
-    # wave-37 storage / partition engineering audits
-    "orders_rle_encoding_estimate", "doc_partition_skew_audit",
-    # wave-38 EWMA control chart
-    "events_ewma_control_chart",
+    "orders_interrupted_ts", "alsobought_ndcg_eval", "events_caliper_match_att",
+    "events_entropy_trend", "events_seasonality_strength", "lineitem_discount_rdd",
+    "doc_lexical_richness", "customer_neyman_allocation", "orders_corr_matrix",
+    "lineitem_bullwhip_ratio", "events_haar_energy", "brand_croston_forecast",
+    "source_burrows_delta", "events_kalman_level", "brand_price_volume_mix",
+    "events_otsu_threshold", "orders_littles_law", "events_pot_gpd_fit",
+    "doc_heaps_law", "events_circular_hour_stats", "orders_stochastic_dominance",
+    "lineitem_effect_size", "events_gains_chart", "minhash_threshold_pr_curve",
+    "events_cross_correlation", "customer_topk_jackknife", "orders_mann_kendall",
+    "supplier_set_cover", "events_ewma_control_chart", "customer_mahalanobis_outliers",
+    "events_periodogram_dft",
+    # -- tranche 2: lower-risk float outputs --
+    "embedding_mmr_topk", "part_hits_scores", "events_holt_forecast",
+    "orders_hill_tail", "customer_target_encoding", "orders_emd_priority",
+    "events_fano_burstiness", "lineitem_control_chart", "events_seasonal_decompose",
+    "doc_rm3_expansion", "embedding_triplet_mining", "events_markov_stationary",
+    "doc_readability_scores", "embedding_centroid_classifier", "customer_winsorized_stats",
+    "events_inter_arrival_stats", "embedding_knn_graph_stats", "langid_eval_metrics",
+    "orders_pinball_loss", "doc_tokenizer_fertility", "brand_eoq_reorder",
+    "corpus_vocab_coverage", "events_session_gap_sensitivity", "spatial_hexbin_density",
+    "value_equidepth_histogram", "semdedup_prune",
+    # -- tranche 3: integer-/byte-exact outputs --
+    "streaming_outer_join_watermark", "scd2_customer_history", "spatial_box_overlay_matrix",
+    "part_link_prediction", "bpe_merge_rounds", "order_interval_overlap",
+    "source_capped_sample", "part_bfs_distance", "part_label_propagation",
+    "part_kcore", "part_also_bought_topk", "doc_stitch_pairs",
+    "doc_blocklist_rate", "dataset_three_way_split", "multimodal_audio_chunks",
+    "snapshot_files_stats", "lineitem_mann_whitney", "orders_kruskal_wallis",
+    "lineitem_cramers_v", "compaction_bin_packing", "spatial_zorder_stats",
+    "feature_hashing_collisions", "doc_keyword_rake", "multimodal_energy_segments",
+    "brand_assoc_rules", "scan_pruning_stats", "part_name_autocomplete",
+    "customer_entity_blocking", "snapshot_retention_expiry", "doc_sentence_dedup",
+    "customer_decile_migration", "events_type_overlap_jaccard", "simhash_bit_balance",
+    "part_rich_club", "part_adamic_adar", "orders_fiscal_445_rollup",
+    "multimodal_shot_boundaries", "orders_rle_encoding_estimate", "doc_partition_skew_audit",
 ]
 
 

@@ -70,12 +70,13 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str,
 
     ``fake=True`` computes a deterministic stand-in feature (mean byte value);
     ``fake=False`` raises DecodeNotAvailable where a real codec would run."""
+    # raise driver-side so the contract holds even on zero-batch inputs
+    if not fake:
+        raise DecodeNotAvailable(
+            "media codecs not installed; run with fake=True or add a codec")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise DecodeNotAvailable(
-                    "media codecs not installed; run with fake=True or add a codec")
             feats = []
             for b in pdf[payload_col]:
                 feats.append(float(sum(b)) / len(b) if b is not None and len(b) else None)
@@ -126,12 +127,13 @@ def resize_images(df: DataFrame, id_col: str, payload_col: str,
     run.  The schema/batching/partitioning contract is identical either
     way — swapping in a real codec changes only the inner loop."""
     target = int(width) * int(height)
+    # raise driver-side so the contract holds even on zero-batch inputs
+    if not fake:
+        raise DecodeNotAvailable(
+            "image codecs not installed; run with fake=True or add PIL")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise DecodeNotAvailable(
-                    "image codecs not installed; run with fake=True or add PIL")
             outs = []
             for b in pdf[payload_col]:
                 if b is None or len(b) == 0:
@@ -171,13 +173,16 @@ def audio_chunk_energy(df: DataFrame, id_col: str, payload_col: str,
     frame's byte values); ``fake=False`` raises DecodeNotAvailable where
     a real PCM decode would run.  Partial trailing frames are dropped —
     the fixed-frame contract real audio featurizers use."""
+    # capability check DRIVER-side, before any plan is built: an executor-side
+    # raise only fires if a batch exists, so fake=False on an empty input
+    # would otherwise silently return an empty frame table instead of failing.
+    if not fake:
+        raise DecodeNotAvailable(
+            "audio codecs not installed; run with fake=True")
 
     def run(batches):
         import pandas as pd
         for pdf in batches:
-            if not fake:
-                raise DecodeNotAvailable(
-                    "audio codecs not installed; run with fake=True")
             ids, idxs, nbs, ens = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:

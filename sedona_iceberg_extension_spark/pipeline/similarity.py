@@ -320,8 +320,17 @@ def semdedup_drop(df: DataFrame, id_col: str, vec_col: str, centroids: list,
     only WITHIN a cell are pairwise cosines computed; any vector with a
     near-duplicate (cosine >= threshold) of smaller id is dropped.
     Returns one row per dropped id: (id, cell, dup_of, cosine) with
-    ``dup_of`` the smallest qualifying partner and ``cosine`` the best
-    (max) duplicate similarity.
+    ``dup_of`` the smallest qualifying partner and ``cosine`` the cosine
+    to THAT partner (one consistent pair, via a struct-min — not the max
+    over all partners, which could describe a different vector).
+
+    Chained-drop semantics (documented, intentional): drops are decided
+    per-pair, so in a chain 1~2~3 both 2 and 3 are dropped even though
+    3's representative (2) is itself dropped — i.e. the survivor set is
+    {min id per connected near-dup component within a cell}, which is
+    MORE aggressive than SemDeDup's one-representative-per-cluster
+    described in Abbas et al. 2023 §3 but is the standard greedy
+    keep-lowest-id variant and needs no iterative connected components.
 
     Scale shape: the cell equi-join replaces the all-pairs cross join —
     quadratic work is bounded per cell (cell count is the knob; cap or
@@ -335,8 +344,9 @@ def semdedup_drop(df: DataFrame, id_col: str, vec_col: str, centroids: list,
              .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
              .filter(F.col("cosine") >= F.lit(threshold)))
     return (pairs.groupBy("cell", F.col("id_b").alias("id"))
-            .agg(F.min("id_a").alias("dup_of"), F.max("cosine").alias("cosine"))
-            .select("id", "cell", "dup_of", "cosine"))
+            .agg(F.min(F.struct("id_a", "cosine")).alias("m"))
+            .select("id", "cell", F.col("m.id_a").alias("dup_of"),
+                    F.col("m.cosine").alias("cosine")))
 
 
 def _sub_d2(vec_col: Column, centroid: list, offset: int) -> Column:

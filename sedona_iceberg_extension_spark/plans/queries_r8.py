@@ -764,7 +764,7 @@ WITH basev AS (
   WHERE list_cosine_similarity(va.embedding, vb.embedding) >= 0.95
 )
 SELECT id_b AS vec_id, CAST(cell AS INT) AS cell,
-       MIN(id_a) AS dup_of, ROUND(MAX(cosine), 6) AS cosine
+       MIN(id_a) AS dup_of, ROUND(arg_min(cosine, id_a), 6) AS cosine
 FROM pairs
 GROUP BY id_b, cell
 ORDER BY vec_id

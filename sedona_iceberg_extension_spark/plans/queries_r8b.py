@@ -7887,11 +7887,16 @@ def q_supplier_set_cover(spark, sf_dir):
         sid, gain = best[0]["s"], best[0]["gain"]
         chosen.append(sid)
         cum += gain
-        rows.append((step, sid, gain, cum,
-                     round(cum / total_parts, 6)))
-    out = spark.createDataFrame(
+        rows.append((step, sid, gain, cum))
+    # coverage rounded ENGINE-side (F.round = HALF_UP for positives, matching
+    # DuckDB ROUND); Python round() is banker's and diverges on exact 1e-6
+    # half-ties (the documented 1/1600-lattice failure mode).
+    out = (spark.createDataFrame(
         rows, "step INT, suppkey BIGINT, newly_covered BIGINT, "
-              "cum_covered BIGINT, coverage DOUBLE")
+              "cum_covered BIGINT")
+        .withColumn("coverage",
+                    F.round(F.col("cum_covered")
+                            / F.lit(float(total_parts)), 6)))
     edges.unpersist()
     return out.orderBy("step")
 
@@ -7952,26 +7957,47 @@ def q_orders_rle_encoding_estimate(spark, sf_dir):
     column-layout decision input next to the z-order and pruning
     audits; exact integers.
 
-    Scale shape: two orderings of one projected column (at scale: range
-    exchanges), each with a single lag window."""
+    Scale shape (round-9, ADVICE r8): a bare Window.orderBy would
+    collapse every row onto one task, so each ordering instead range-
+    partitions on its sort key, lags WITHIN each range partition
+    (parallel windows), and stitches the per-partition run counts on
+    the driver — runs_total = sum(runs_in_partition) - (adjacent
+    partition boundaries whose last/first values match).  The collect
+    is O(#partitions) rows; correctness is invariant to where the range
+    boundaries (or AQE coalescing) land because stitching cancels any
+    run split across a boundary."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_orderpriority")
 
-    def runs(order_cols, tag):
-        w = Window.orderBy(*order_cols)
-        return (base
-                .withColumn("prev", F.lag("o_orderpriority").over(w))
-                .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                     (F.sum(F.when(F.col("prev").isNull()
-                                   | (F.col("prev")
-                                      != F.col("o_orderpriority")), 1)
-                            .otherwise(0)).cast("long")).alias("runs"))
-                .select(F.lit(tag).alias("layout"), "n", "runs"))
+    def runs(order_names, tag):
+        order_cols = [F.col(c) for c in order_names]
+        bucketed = (base.repartitionByRange(32, *order_cols)
+                    .withColumn("pid", F.spark_partition_id()))
+        w = Window.partitionBy("pid").orderBy(*order_cols)
+        key = F.struct(*[F.col(c) for c in order_names])
+        stats = (bucketed
+                 .withColumn("prev", F.lag("o_orderpriority").over(w))
+                 .groupBy("pid")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                      (F.sum(F.when(F.col("prev").isNull()
+                                    | (F.col("prev")
+                                       != F.col("o_orderpriority")), 1)
+                             .otherwise(0)).cast("long")).alias("runs"),
+                      F.min_by("o_orderpriority", key).alias("first_val"),
+                      F.max_by("o_orderpriority", key).alias("last_val"),
+                      F.min(key).alias("first_key"))
+                 .collect())
+        stats.sort(key=lambda r: tuple(r["first_key"]))
+        n = sum(r["n"] for r in stats)
+        total = sum(r["runs"] for r in stats)
+        for a, b in zip(stats, stats[1:]):
+            if a["last_val"] == b["first_val"]:
+                total -= 1
+        return (tag, n, total)
 
-    nat = runs([F.col("o_orderkey").asc()], "natural")
-    srt = runs([F.col("o_orderpriority").asc(),
-                F.col("o_orderkey").asc()], "sorted_by_column")
-    return (nat.unionByName(srt)
+    rows = [runs(["o_orderkey"], "natural"),
+            runs(["o_orderpriority", "o_orderkey"], "sorted_by_column")]
+    return (spark.createDataFrame(rows, "layout STRING, n BIGINT, runs BIGINT")
             .select("layout", "n", "runs",
                     F.round(F.col("n").cast("double")
                             / F.col("runs").cast("double"), 6)

@@ -934,3 +934,11 @@ def test_audio_chunk_energy_plumbing(spark):
     assert rows == {(1, 0): 6, (1, 1): 22, (2, 0): 1020}
     with pytest.raises(Exception):
         mm.audio_chunk_energy(df, "id", "payload", fake=False).collect()
+    # contract holds even with ZERO input rows: the capability check is
+    # driver-side, not buried in the per-batch loop (ADVICE r8) — an
+    # executor-side raise never fires when no Arrow batch exists, which
+    # silently returned an empty frame table instead of failing
+    empty = df.filter(F.col("id") < 0)
+    for fn in (mm.audio_chunk_energy, mm.extract_features, mm.resize_images):
+        with pytest.raises(NotImplementedError):
+            fn(empty, "id", "payload", fake=False)
