@@ -382,6 +382,22 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     # stream never needs its own distinct() exchange
     posting_all = (sh.groupBy("_h")
                    .agg(F.collect_set(F.col(id_col)).alias("_ids")))
+    # Keyed repartition BARRIER after the aggregation (round-9 ngram fix).
+    # Without it, the shared exchange under the two consumers (pair counts,
+    # set sizes) holds MAP-SIDE PARTIALS, so the final collect_set merge —
+    # an ObjectHashAggregate, interpreted and allocation-heavy — re-executes
+    # once per consumer (measured: the two consumer stages each burned
+    # ~6-10 CPU-seconds re-finalizing the same 27k posting lists at sf0.1;
+    # the whole query dropped 2.9s -> 1.8s with the barrier).  The barrier
+    # exchange carries the FINAL deduped lists — same bytes as the partial
+    # exchange (each (hash, doc) membership crosses the wire exactly once
+    # either way, because spread(by=id) colocates a doc's shingles so the
+    # map-side partial already dedups fully) — so at cluster scale this
+    # trades one extra same-sized shuffle write/read for running the
+    # non-codegen final aggregation once instead of once per consumer.
+    # repartition(col) (no explicit count) keeps AQE's stage cache hitting
+    # (commit e0b5539's REPARTITION_BY_NUM lesson).
+    posting_all = posting_all.repartition(F.col("_h"))
     posting = posting_all.filter(F.size("_ids") > 1)
     if max_doc_freq is not None:
         posting = posting.filter(F.size("_ids") <= max_doc_freq)
