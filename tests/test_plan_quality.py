@@ -142,7 +142,83 @@ _NATIVE_QUERIES = [
     "customer_topk_jackknife", "orders_mann_kendall",
     "orders_rle_encoding_estimate", "doc_partition_skew_audit",
     "events_ewma_control_chart",
+    # round-9 gate completion (VERDICT r8 item #4): the previously ungated
+    # queries whose executed plans are EvalPython-free with a real
+    # distributed (parquet-scanning) shape — verified by plan inspection
+    "top_customers", "order_priority_count", "part_brand_stats",
+    "q9_yearly_nation_revenue", "price_percentiles", "asof_click_view",
+    "event_funnel_lag",
+    "spatial_range_contains", "spatial_range_intersects",
+    "spatial_distance", "spatial_measures",
+    "spatial_join_contains", "spatial_join_sql", "spatial_join_sql_comma",
+    "spatial_join_sql_dwithin", "spatial_join_sql_chain",
+    "spatial_join_broadcast", "spatial_join_dwithin",
+    "spatial_knn", "spatial_knn_grid", "spatial_union_agg", "spatial_dbscan",
+    "doc_dedup_pipeline", "embedding_dup_pairs",
+    "lsh_ann_topk", "ivf_ann_topk",
+    "snapshot_time_travel", "streaming_cdc_upsert",
+    "snapshot_retention_expiry",
 ]
+
+# Declared queries the EvalPython gate cannot honestly assert, each with the
+# reason (VERDICT r8 item #4: every declared query appears in this file
+# exactly once — in _NATIVE_QUERIES or here).  Three exemption classes:
+#   geometry-UDF — the WKB geometry kernel IS the engine's Python surface
+#     (the reference links GeoTools/Sedona jars; this engine implements the
+#     function catalog as Python UDFs by design; the relational/join core of
+#     those same plans stays JVM-side and is gated by the spatial join tests);
+#   streaming — queries() materializes the stream through a memory-sink run,
+#     so the batch plan this gate would see is just the sink scan; the
+#     streaming plans are exercised in tests/test_streaming.py;
+#   bounded-driver-fold / mapInPandas — the final DataFrame is
+#     createDataFrame over an O(1)-size driver fold (greedy/iterative
+#     algorithms with one-row collects) or an Arrow-batched mapInPandas
+#     stage that IS the operator (multimodal decode), so a no-EvalPython
+#     assert would be vacuous or false by design.
+_EXEMPT_QUERIES = {
+    "spatial_astext": "geometry-UDF: WKT rendering via the WKB kernel",
+    "spatial_intersection_agg": "geometry-UDF: polygon-clip aggregate kernel",
+    "spatial_affine_ops": "geometry-UDF: affine transforms via WKB kernel",
+    "spatial_split_boxes": "geometry-UDF: ST_Split blade kernel",
+    "spatial_buildarea_donuts": "geometry-UDF: ST_BuildArea ring assembly",
+    "spatial_transform_towgs84": "geometry-UDF: datum-shift projection kernel",
+    "spatial_tier2_metrics": "geometry-UDF: tier-2 measure functions",
+    "spatial_join_left": "geometry-UDF: exact refinement on unmatched side",
+    "streaming_user_totals": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_sessionize": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_dedup": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_enrich": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_click_view_join": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_ingest_gate": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_window_top_event": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_burst_detect": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_cms_cells": "streaming: memory-sink scan; gated in test_streaming",
+    "streaming_outer_join_watermark": "streaming: memory-sink scan; gated in test_streaming",
+    "multimodal_features": "mapInPandas decode stage is the operator",
+    "multimodal_frame_sample": "mapInPandas decode stage is the operator",
+    "multimodal_resize": "mapInPandas decode stage is the operator",
+    "multimodal_audio_chunks": "mapInPandas decode stage is the operator",
+    "multimodal_energy_segments": "mapInPandas decode stage is the operator",
+    "multimodal_shot_boundaries": "mapInPandas decode stage is the operator",
+    "embedding_mmr_topk": "bounded driver fold: greedy MMR over a 50-row pool",
+    "events_markov_stationary": "bounded driver fold: |states|^2 power iteration",
+    "supplier_set_cover": "bounded driver fold: 8 greedy one-row argmax collects",
+    "dedup_components": "iterative label propagation via localCheckpoint rounds",
+    "dedup_keep": "iterative label propagation via localCheckpoint rounds",
+}
+
+
+def test_gate_covers_every_declared_query():
+    """Every declared query appears in this file exactly once: either the
+    native no-Python gate or the exemption table with a written reason."""
+    declared = set(QUERIES)
+    native, exempt = set(_NATIVE_QUERIES), set(_EXEMPT_QUERIES)
+    assert len(_NATIVE_QUERIES) == len(native), "duplicate in _NATIVE_QUERIES"
+    assert not (native & exempt), f"in both lists: {sorted(native & exempt)}"
+    assert not (native - declared), f"stale gate rows: {sorted(native - declared)}"
+    assert not (exempt - declared), f"stale exemptions: {sorted(exempt - declared)}"
+    missing = declared - native - exempt
+    assert not missing, f"ungated queries: {sorted(missing)}"
 
 
 @pytest.mark.parametrize("name", [
