@@ -920,6 +920,40 @@ def test_semdedup_drop_planted(spark):
     assert out[2][0] == 1 and out[2][1] == 0
 
 
+def test_semdedup_drop_pair_consistency_and_chains(spark):
+    """(dup_of, cosine) must describe the SAME partner (struct-min, ADVICE
+    r8): with partners {1, 3} where 3 is the more similar, dup_of=1 must
+    report the cosine TO 1, not the max over all partners.  Chained drops
+    (1~2~3~4 with only adjacent pairs above threshold) drop every
+    non-minimum member — the documented greedy keep-lowest-id semantics."""
+    from sedona_iceberg_extension_spark.pipeline import similarity as S
+
+    cents = [[1.0, 0.0]]
+    # chain: consecutive vectors are near-identical, distant ones are not
+    rows = [(i, [1.0, 0.035 * i]) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["id"]: r for r in
+           S.semdedup_drop(df, "vec_id", "embedding", cents,
+                           threshold=0.999).collect()}
+    # every non-minimum chain member is dropped (chained semantics)
+    assert set(out) == {2, 3, 4}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.hypot(*a) * math.hypot(*b))
+
+    vecs = dict(rows)
+    for i, r in out.items():
+        partner = r["dup_of"]
+        # the reported cosine is the cosine to the REPORTED partner
+        assert r["cosine"] == pytest.approx(cos(vecs[i], vecs[partner]),
+                                            abs=1e-12)
+        # dup_of is the smallest qualifying partner
+        quals = [j for j in vecs if j < i and cos(vecs[i], vecs[j]) >= 0.999]
+        assert partner == min(quals)
+
+
 def test_audio_chunk_energy_plumbing(spark):
     """Audio framing: fixed 4-byte frames, partial tail dropped, per-frame
     byte-sum energy exact; real-decode path declares itself unavailable."""

@@ -366,3 +366,36 @@ def test_small_side_broadcast(spark, sf_dir, name):
     centroid tables, marginals) must actually plan a BroadcastExchange."""
     plan = _plan(spark, name, sf_dir)
     assert "BroadcastExchange" in plan, f"{name}: no broadcast planned"
+
+
+def test_overlap_core_runs_shingle_pipeline_once(spark, sf_dir):
+    """Runtime stage-reuse gate for the exact-Jaccard overlap core (the
+    r7→r9 regression class, caught twice by the driver bench): the posting
+    aggregation feeds two consumers (pair counts, set sizes), and both the
+    CPU-heavy shingle stage and the non-codegen collect_set FINAL merge
+    must execute once, not once per consumer.  The static plan string
+    cannot show this — AQE's stage cache dedups at runtime — so the gate
+    counts completed tasks via the status tracker.  At sf0.001 / local[4] /
+    shuffle=8 the shared-pipeline shape completes ~15 tasks; the
+    regression shapes measured 29 (dropped barrier: duplicated final agg +
+    re-run shingle stage) and ~2x (round-robin repartition below the
+    exchange, commit e0b5539).  22 splits the two regimes with margin."""
+    sc = spark.sparkContext
+    sc.setJobGroup("overlap_reuse_gate", "overlap stage-reuse gate")
+    try:
+        QUERIES["ngram_jaccard_pairs"].fn(spark, sf_dir).count()
+        tracker = sc.statusTracker()
+        total = 0
+        for jid in tracker.getJobIdsForGroup("overlap_reuse_gate"):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is not None:
+                    total += si.numCompletedTasks
+    finally:
+        sc.setJobGroup(None, None)
+    assert 0 < total <= 22, (
+        f"overlap core executed {total} tasks — the shared shingle/posting "
+        f"pipeline is re-executing per consumer (expected ~15, regression ~29)")
