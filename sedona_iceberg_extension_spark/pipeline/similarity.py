@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine_sim
+from .dedup import cosine_sim, cosine_sim_prenorm, vec_norm
 from .text import portable_hash64
 
 
@@ -22,10 +22,13 @@ def cosine_topk(queries: DataFrame, data: DataFrame, k: int,
     """For each query vector: the k most-cosine-similar data vectors.
     Query side is broadcast (queries ≪ data at scale); score computation is
     native; top-k via window over query id."""
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    d = data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv"))
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"),
+                       vec_norm(F.col(q_vec)).alias("_qn"))
+    d = data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv"),
+                    vec_norm(F.col(d_vec)).alias("_dn"))
     scored = d.crossJoin(F.broadcast(q)) \
-        .withColumn("cosine", cosine_sim(F.col("_dv"), F.col("_qv")))
+        .withColumn("cosine", cosine_sim_prenorm(F.col("_dv"), F.col("_qv"),
+                                                 F.col("_dn"), F.col("_qn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("data_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -87,14 +90,17 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int,
     Trades recall for a |data|/2^planes candidate reduction — the scale path
     when the data side no longer fits a broadcast-crossjoin budget."""
     qb = hyperplane_buckets(
-        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")),
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"),
+                       vec_norm(F.col(q_vec)).alias("_qn")),
         "_qv", num_planes, dim)
     db = hyperplane_buckets(
-        data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv")),
+        data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv"),
+                    vec_norm(F.col(d_vec)).alias("_dn")),
         "_dv", num_planes, dim)
     scored = (
         db.join(F.broadcast(qb), "bucket")
-        .withColumn("cosine", cosine_sim(F.col("_dv"), F.col("_qv")))
+        .withColumn("cosine", cosine_sim_prenorm(F.col("_dv"), F.col("_qv"),
+                                                 F.col("_dn"), F.col("_qn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("data_id").asc())
     return (
@@ -184,13 +190,15 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
     cents = centroids if centroids is not None else train_centroids(
         data.select(F.col(d_vec).alias(d_vec)), d_vec, num_cells)
     d = ivf_assign(
-        data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv")),
+        data.select(F.col(d_id).alias("data_id"), F.col(d_vec).alias("_dv"),
+                    vec_norm(F.col(d_vec)).alias("_dn")),
         "_dv", cents, "cell")
 
     # per-query nprobe nearest cells, computed driver-side on the tiny
     # centroid list is equivalent to exploding a literal map; do it with the
     # same native expressions to keep the query side distributed
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"),
+                       vec_norm(F.col(q_vec)).alias("_qn"))
     qd = F.transform(F.col("_qv"), lambda v: v.cast("double"))
     cell_dists = F.array(*[
         F.struct(
@@ -206,7 +214,8 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
 
     scored = (
         d.join(F.broadcast(qp), "cell")
-        .withColumn("cosine", cosine_sim(F.col("_dv"), F.col("_qv")))
+        .withColumn("cosine", cosine_sim_prenorm(F.col("_dv"), F.col("_qv"),
+                                                 F.col("_dn"), F.col("_qn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("data_id").asc())
@@ -235,12 +244,16 @@ def knn_classify(df: DataFrame, id_col: str, vec_col: str, label_col: str,
     if query_pred is None:
         query_pred = F.col(id_col) < 20
     q = df.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        vec_norm(F.col(vec_col)).alias("_qn"))
     d = df.filter(~query_pred).select(
         F.col(id_col).alias("data_id"), F.col(vec_col).alias("_dv"),
-        F.col(label_col).alias("_lbl"))
+        F.col(label_col).alias("_lbl"),
+        vec_norm(F.col(vec_col)).alias("_dn"))
     scored = (d.crossJoin(F.broadcast(q))
-              .withColumn("cosine", cosine_sim(F.col("_dv"), F.col("_qv"))))
+              .withColumn("cosine",
+                          cosine_sim_prenorm(F.col("_dv"), F.col("_qv"),
+                                             F.col("_dn"), F.col("_qn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("data_id").asc())
     top = scored.withColumn("rank", F.row_number().over(w)) \
@@ -336,12 +349,17 @@ def semdedup_drop(df: DataFrame, id_col: str, vec_col: str, centroids: list,
     quadratic work is bounded per cell (cell count is the knob; cap or
     re-split oversized cells at 100 TB), one shuffle on the cell key."""
     asn = ivf_assign(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                  vec_norm(F.col(vec_col)).alias("_n")),
         "vec", centroids)
-    a = asn.select("cell", F.col("id").alias("id_a"), F.col("vec").alias("_va"))
-    b = asn.select("cell", F.col("id").alias("id_b"), F.col("vec").alias("_vb"))
+    a = asn.select("cell", F.col("id").alias("id_a"),
+                   F.col("vec").alias("_va"), F.col("_n").alias("_na"))
+    b = asn.select("cell", F.col("id").alias("id_b"),
+                   F.col("vec").alias("_vb"), F.col("_n").alias("_nb"))
     pairs = (a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", cosine_sim(F.col("_va"), F.col("_vb")))
+             .withColumn("cosine",
+                         cosine_sim_prenorm(F.col("_va"), F.col("_vb"),
+                                            F.col("_na"), F.col("_nb")))
              .filter(F.col("cosine") >= F.lit(threshold)))
     return (pairs.groupBy("cell", F.col("id_b").alias("id"))
             .agg(F.min(F.struct("id_a", "cosine")).alias("m"))
