@@ -365,19 +365,22 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
               .select(F.col(id_col), F.xxhash64("gram").alias("_h")))
     else:
         # xxhash64 over the token n-tuple: order-sensitive, and equal
-        # tuples hash equal.  Out-of-range F.get yields null, which Spark's
+        # tuples hash equal.  Out-of-range get() yields null, which Spark's
         # hash functions skip — so the clamped tail shingle of a short doc
         # (< n tokens) keys on exactly its available tokens, mirroring the
-        # string path's clamped slice.
-        tokd = spread(df, by=id_col).select(
-            F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        idx = F.explode(F.sequence(
-            F.lit(0), F.greatest(F.size("_toks") - shingle_n, F.lit(0))))
-        tokd = tokd.select(F.col(id_col), idx.alias("_i"), F.col("_toks"))
-        sh = tokd.select(
-            F.col(id_col),
-            F.xxhash64(*[F.get(F.col("_toks"), F.col("_i") + k)
-                         for k in range(shingle_n)]).alias("_h"))
+        # string path's clamped slice.  Spelled as SQL expression strings
+        # (one parse each) — the operator-at-a-time form cost ~1000 driver
+        # IPC round-trips per construction on the interactive path; the
+        # parsed plans are identical.
+        n = int(shingle_n)
+        gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
+        sh = (spread(df, by=id_col)
+              .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+              .selectExpr(
+                  f"`{id_col}`",
+                  f"explode(sequence(0, greatest(size(_toks) - {n}, 0)))"
+                  f" AS _i", "_toks")
+              .selectExpr(f"`{id_col}`", f"xxhash64({gets}) AS _h"))
     # collect_set dedups map-side -- the raw (with-duplicates) shingle
     # stream never needs its own distinct() exchange
     posting_all = (sh.groupBy("_h")
@@ -402,9 +405,8 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     if max_doc_freq is not None:
         posting = posting.filter(F.size("_ids") <= max_doc_freq)
     common = (
-        posting.select(F.explode("_ids").alias("a"), F.col("_ids"))
-        .select("a", F.explode(
-            F.filter(F.col("_ids"), lambda x: x > F.col("a"))).alias("b"))
+        posting.selectExpr("explode(_ids) AS a", "_ids")
+        .selectExpr("a", "explode(filter(_ids, x -> x > a)) AS b")
         .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -412,7 +414,7 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     # never shrinks them): one row per distinct (hash, id) membership,
     # map-side-combinable count, riding the posting exchange (Catalyst
     # ReusedExchange / AQE stage reuse -- the shingle pipeline runs once)
-    sizes = (posting_all.select(F.explode("_ids").alias("_id"))
+    sizes = (posting_all.selectExpr("explode(_ids) AS _id")
              .groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")))
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
