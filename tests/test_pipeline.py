@@ -4,6 +4,7 @@ the oracle contract depends on."""
 
 import duckdb
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from sedona_iceberg_extension_spark.pipeline import dedup, similarity, text
@@ -976,3 +977,58 @@ def test_audio_chunk_energy_plumbing(spark):
     for fn in (mm.audio_chunk_energy, mm.extract_features, mm.resize_images):
         with pytest.raises(NotImplementedError):
             fn(empty, "id", "payload", fake=False)
+
+
+# ---------------------------------------------------------------------------
+# property: the distributed overlap core == brute-force shingle algebra
+# ---------------------------------------------------------------------------
+
+def _brute_shingles(text, n):
+    toks = __import__("re").split(r"\s+", text.strip().lower())
+    return {tuple(toks[i:i + n]) for i in range(max(len(toks) - n, 0) + 1)}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "C", "dd", "e"]),
+             min_size=0, max_size=10).map(" ".join),
+    min_size=2, max_size=8))
+def test_jaccard_pairs_matches_bruteforce(spark, texts):
+    """Independent-of-DuckDB verification of the posting-list pair
+    generation, the barrier, and the full-set sizes: on random tiny corpora
+    the distributed exact-Jaccard result must equal the all-pairs
+    brute-force over Python shingle sets (identical tokenization: trim,
+    lower, split on \\s+; identical clamped tail shingle).  Also pins the
+    64-bit-hash design assumption — shingle-tuple equality and xxhash64
+    equality coincide on every generated corpus."""
+    from sedona_iceberg_extension_spark.pipeline import dedup as D
+
+    n, thr = 3, 0.3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.jaccard_pairs(df, "doc_id", "text", shingle_n=n,
+                                    threshold=thr).collect()}
+    sets = {i: _brute_shingles(t, n) for i, t in enumerate(texts)}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] & sets[j]:
+                inter = len(sets[i] & sets[j])
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                if jac >= thr:
+                    want[(i, j)] = jac
+    assert got == want
+
+    # same corpus through the asymmetric containment finish
+    got_c = {(r["id_a"], r["id_b"]): (r["cont_ab"], r["cont_ba"])
+             for r in D.containment_pairs(df, "doc_id", "text", shingle_n=n,
+                                          threshold=thr).collect()}
+    want_c = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] & sets[j]:
+                inter = len(sets[i] & sets[j])
+                ab, ba = inter / len(sets[i]), inter / len(sets[j])
+                if max(ab, ba) >= thr:
+                    want_c[(i, j)] = (ab, ba)
+    assert got_c == want_c
