@@ -321,3 +321,79 @@ def test_asof_join_directions(spark):
     hit = asof_join(spark.createDataFrame([(1, 20)], "k long, ts long"),
                     right, "k", direction="forward").collect()[0]
     assert hit["v_r"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# property: the grid join == brute-force geometry over random rects/points
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+# multiples of 0.25 in a small window, so points land EXACTLY on box edges
+# and grid-cell boundaries often — the cases the envelope algebra, the
+# strict-vs-closed predicate split, and the reference-cell dedup must get
+# right (a naive cell join double-emits pairs whose envelope intersection
+# straddles a cell line).
+_q = st.integers(min_value=-20, max_value=20).map(lambda i: i * 0.25)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(_q, _q, st.integers(0, 16), st.integers(0, 16)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(_q, _q), min_size=1, max_size=25),
+)
+def test_grid_join_matches_bruteforce(spark, rects, points):
+    """Grid strategy vs plain Python on random geometry: OGC contains
+    (strict interior for a point right side) and intersects (closed
+    envelopes) — pair sets must match exactly, including boundary hits,
+    degenerate zero-area boxes, and pairs spanning multiple grid cells
+    (grid_size=1.0 forces multi-cell envelopes; exactly-once emission is
+    the reference-cell dedup's contract)."""
+    boxes = spark.createDataFrame(
+        [(i, x, y, x + w * 0.25, y + h * 0.25)
+         for i, (x, y, w, h) in enumerate(rects)],
+        "bid long, xmin double, ymin double, xmax double, ymax double"
+    ).select("bid", udfs.st_polygonfromenvelope(
+        "xmin", "ymin", "xmax", "ymax").alias("geo"))
+    pts = spark.createDataFrame(
+        [(j, x, y) for j, (x, y) in enumerate(points)],
+        "pid long, x double, y double"
+    ).select("pid", udfs.st_point("x", "y").alias("geo"))
+
+    got_c = sorted((r["bid"], r["pid"]) for r in spatial_join(
+        boxes, pts, predicate="contains", on=("geo", "geo"), strategy="grid",
+        grid_size=1.0, left_is_rects=True, right_is_points=True
+    ).select("bid", "pid").collect())
+    want_c = sorted(
+        (i, j)
+        for i, (x, y, w, h) in enumerate(rects)
+        for j, (px, py) in enumerate(points)
+        if x < px < x + w * 0.25 and y < py < y + h * 0.25)
+    assert got_c == want_c
+
+    got_i = sorted((r["bid"], r["pid"]) for r in spatial_join(
+        boxes, pts, predicate="intersects", on=("geo", "geo"), strategy="grid",
+        grid_size=1.0, left_is_rects=True, right_is_points=True
+    ).select("bid", "pid").collect())
+    want_i = sorted(
+        (i, j)
+        for i, (x, y, w, h) in enumerate(rects)
+        for j, (px, py) in enumerate(points)
+        if x <= px <= x + w * 0.25 and y <= py <= y + h * 0.25)
+    assert got_i == want_i
+
+    # fully-native point-point distance join: dist^2 <= d^2, closed —
+    # d=1.5 spans 1-2 grid cells so the padded left-side cell explode and
+    # the dedup both engage
+    qpts = pts.select(F.col("pid").alias("qid"), "geo")
+    got_d = sorted((r["qid"], r["pid"]) for r in spatial_join(
+        qpts, pts, predicate="dwithin", on=("geo", "geo"), strategy="grid",
+        grid_size=1.0, d=1.5, left_is_points=True, right_is_points=True
+    ).select("qid", "pid").collect())
+    want_d = sorted(
+        (i, j)
+        for i, (ax, ay) in enumerate(points)
+        for j, (bx, by) in enumerate(points)
+        if (ax - bx) ** 2 + (ay - by) ** 2 <= 1.5 * 1.5)
+    assert got_d == want_d
