@@ -1032,3 +1032,38 @@ def test_jaccard_pairs_matches_bruteforce(spark, texts):
                 if max(ab, ba) >= thr:
                     want_c[(i, j)] = (ab, ba)
     assert got_c == want_c
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "C", "dd", "e"]),
+             min_size=0, max_size=10).map(" ".join),
+    min_size=1, max_size=6))
+def test_minhash_signature_matches_python_mirror(spark, texts):
+    """The full wide-signature pipeline (tokenize → shingle string →
+    portable 60-bit md5 hash → per-seed rotate-xor mix → min) re-computed
+    in plain Python must agree value-for-value — pins the one-md5-plus-
+    k-mixes design and the exact hash recipe the DuckDB oracles mirror."""
+    import hashlib
+    import re
+
+    k, n = 8, 3
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    wide = dedup.minhash_signatures_wide(df, "doc_id", "text",
+                                         num_hashes=k, shingle_n=n)
+    got = {r["doc_id"]: [r[f"mh_{i}"] for i in range(k)]
+           for r in wide.collect()}
+    params = dedup.minhash_mix_params(k)
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip().lower())
+        shingles = {" ".join(toks[p:p + n])
+                    for p in range(max(len(toks) - (n - 1), 1))}
+        base = [int(hashlib.md5((s + "#mh").encode()).hexdigest()[:15], 16)
+                for s in shingles]
+        expect = []
+        for c, r in params:
+            mixed = [((((h & ((1 << (60 - r)) - 1)) << r)
+                       + (h >> (60 - r))) ^ c) for h in base]
+            expect.append(min(mixed))
+        assert got[i] == expect, f"doc {i}: {t!r}"
