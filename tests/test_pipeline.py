@@ -1067,3 +1067,36 @@ def test_minhash_signature_matches_python_mirror(spark, texts):
                        + (h >> (60 - r))) ^ c) for h in base]
             expect.append(min(mixed))
         assert got[i] == expect, f"doc {i}: {t!r}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                min_size=1, max_size=25))
+def test_connected_components_match_union_find(spark, edges):
+    """Random small graphs (self-loops and parallel/reversed edges allowed)
+    through the iterative min-label propagation must produce exactly the
+    union-find components with min-id canonical labels — including
+    path-shaped graphs whose diameter forces multiple propagation rounds
+    past the two-rounds-per-convergence-check batching."""
+    from sedona_iceberg_extension_spark.pipeline.components import (
+        connected_components)
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
