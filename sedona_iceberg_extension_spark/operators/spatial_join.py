@@ -194,11 +194,17 @@ def spatial_join(
     rect_l = left_is_points or left_is_rects  # side == its own envelope
     rect_r = right_is_points or right_is_rects
 
+    # does the final join condition ever read the RAW geometry columns?
+    # (False for every hint-exact branch, where envelope algebra IS the
+    # predicate — lets the outer/semi/anti row-id hash skip the geometry
+    # column so Catalyst can still prune a UDF-built geometry away)
+    cond_reads_geom = True
     if predicate == "dwithin" and left_is_points and right_is_points:
         # fully native distance join: (x1-x2)² + (y1-y2)² ≤ d²
         dx = F.col(f"{lp}_xmin") - F.col(f"{rp}_xmin")
         dy = F.col(f"{lp}_ymin") - F.col(f"{rp}_ymin")
         exact: Optional[Column] = (dx * dx + dy * dy) <= F.lit(float(d) * float(d))
+        cond_reads_geom = False
     elif predicate == "contains" and right_is_points and not left_is_points:
         # OGC contains over a point right side: the point must be in the left
         # interior → strict envelope bounds (exact when left rows are rects,
@@ -216,8 +222,17 @@ def spatial_join(
         exact = None if right_is_rects else _PRED_UDFS[predicate](F.col(lg), F.col(rg2))
     else:
         exact = _exact_cond(lg, rg2, predicate, d, rect_l, rect_r)
+    if exact is None:
+        cond_reads_geom = False
 
     cond = env_cond if exact is None else (env_cond & exact)
+    # geometry-free condition ⇒ rows identical outside the geometry column
+    # are interchangeable in match/unmatch reconciliation, so the content
+    # hash may exclude it (and pruning then drops an unprojected UDF-built
+    # geometry from the whole outer-join plan — measured: the SQL LEFT JOIN
+    # query kept two ArrowEvalPython point-constructor stages alive solely
+    # through the row-id hash)
+    _id_exclude = () if cond_reads_geom else (lg,)
 
     if strategy == "broadcast":
         joined = left.join(F.broadcast(right_renamed), cond, how)
@@ -225,7 +240,7 @@ def spatial_join(
         # grid path, left outer: inner matches via the cell equi-join, then
         # null-extend the unmatched left rows (found by anti-join on a row
         # id — the cell-exploded copies must collapse back to one row)
-        lid = _stamp_row_id(left)
+        lid = _stamp_row_id(left, exclude=_id_exclude)
         inner = _grid_join(lid, right_renamed, lp, rp, cond, "inner",
                            grid_size, d)
         unmatched = lid.join(inner.select("_lid").distinct(), "_lid",
@@ -236,7 +251,7 @@ def spatial_join(
         # grid path with semi/anti: run the inner grid join over a synthetic
         # row id, then equi-semi/anti back — the exploded cell copies of a
         # left row must not leak into anti results
-        lid = _stamp_row_id(left)
+        lid = _stamp_row_id(left, exclude=_id_exclude)
         matched = _grid_join(lid, right_renamed, lp, rp, cond, "inner", grid_size, d) \
             .select("_lid").distinct()
         joined = lid.join(matched, "_lid", "left_semi" if how == "left_semi" else "left_anti") \
@@ -250,7 +265,7 @@ def spatial_join(
     return joined.drop(*drop_cols)
 
 
-def _stamp_row_id(df: DataFrame) -> DataFrame:
+def _stamp_row_id(df: DataFrame, exclude: tuple = ()) -> DataFrame:
     """Deterministic per-row id for the outer/semi/anti reconciliation
     joins.  ``monotonically_increasing_id`` is nondeterministic under stage
     retry — the id frame is referenced by TWO plans (the inner grid join and
@@ -260,7 +275,9 @@ def _stamp_row_id(df: DataFrame) -> DataFrame:
     is semantics-preserving for match/unmatch reconciliation (duplicates are
     interchangeable).  Falls back to an eager localCheckpoint for
     un-hashable column types (maps)."""
-    cols = [F.col(f"`{c}`") for c in df.columns]
+    cols = [F.col(f"`{c}`") for c in df.columns if c not in exclude]
+    if not cols:
+        cols = [F.col(f"`{c}`") for c in df.columns]
     try:
         return df.withColumn(
             "_lid", F.struct(F.xxhash64(*cols).alias("h1"),

@@ -153,6 +153,10 @@ _NATIVE_QUERIES = [
     "spatial_join_contains", "spatial_join_sql", "spatial_join_sql_comma",
     "spatial_join_sql_dwithin", "spatial_join_sql_chain",
     "spatial_join_broadcast", "spatial_join_dwithin",
+    # round 9: the outer-join row-id hash now skips the geometry column when
+    # the join condition is geometry-free, so pruning drops the Python point
+    # constructor and the LEFT JOIN plan is native like the inner variants
+    "spatial_join_left",
     "spatial_knn", "spatial_knn_grid", "spatial_union_agg", "spatial_dbscan",
     "doc_dedup_pipeline", "embedding_dup_pairs",
     "lsh_ann_topk", "ivf_ann_topk",
@@ -183,7 +187,6 @@ _EXEMPT_QUERIES = {
     "spatial_buildarea_donuts": "geometry-UDF: ST_BuildArea ring assembly",
     "spatial_transform_towgs84": "geometry-UDF: datum-shift projection kernel",
     "spatial_tier2_metrics": "geometry-UDF: tier-2 measure functions",
-    "spatial_join_left": "geometry-UDF: exact refinement on unmatched side",
     "streaming_user_totals": "streaming: memory-sink scan; gated in test_streaming",
     "streaming_sessionize": "streaming: memory-sink scan; gated in test_streaming",
     "streaming_dedup": "streaming: memory-sink scan; gated in test_streaming",
