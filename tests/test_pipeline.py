@@ -1100,3 +1100,32 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "C", "dd", "e"]),
+             min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=6))
+def test_simhash_matches_python_mirror(spark, texts):
+    """The single-pass vote-vector SimHash must equal the definitional
+    per-token per-bit vote computed in Python over the same portable
+    60-bit hash — duplicates vote once per OCCURRENCE (multiset
+    semantics), ties (vote 0) resolve to bit 0."""
+    import hashlib
+    import re
+
+    bits = 16
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", text.simhash(F.col("text"), bits).alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip().lower())
+        votes = [0] * bits
+        for tok in toks:
+            h = int(hashlib.md5((tok + "#sim").encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                votes[b] += 1 if h & (1 << b) else -1
+        want = sum((1 << b) for b in range(bits) if votes[b] > 0)
+        assert got[i] == want, f"doc {i}: {t!r}"
