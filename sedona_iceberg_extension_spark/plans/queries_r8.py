@@ -3691,13 +3691,16 @@ def q_orders_bootstrap_ci(spark, sf_dir):
         aggs.append(F.sum(wt * y).alias(f"s{b_}"))
         aggs.append(F.sum(wt).cast("long").alias(f"n{b_}"))
     a = orders.agg(*aggs)
-    reps = None
-    for b_ in range(B):
-        r = a.select(F.lit(b_).cast("int").alias("b"),
-                     F.round(F.col(f"s{b_}")
-                             / F.col(f"n{b_}").cast("double")
-                             * F.lit(100000.0), 6).alias("m"))
-        reps = r if reps is None else reps.unionByName(r)
+    # ONE stack over the single aggregated row, not a 32-way union of
+    # selects from `a` — each union branch embedded its own copy of the
+    # 64-expression md5-heavy aggregate subtree, multiplying analysis and
+    # final-aggregation work ×B (round 9; the oracle's UNION ALL is
+    # harmless because DuckDB's branches are independent scans)
+    stack_args = ", ".join(
+        f"{b_}, round(s{b_} / cast(n{b_} as double) * 100000.0, 6)"
+        for b_ in range(B))
+    reps = a.selectExpr(f"stack({B}, {stack_args}) AS (b, m)") \
+        .select(F.col("b").cast("int").alias("b"), "m")
     w = Window.orderBy("m", "b")
     ranked = reps.withColumn("rk", F.row_number().over(w))
     return ranked.agg(
