@@ -3597,14 +3597,17 @@ def q_spatial_getis_hotspot(spark, sf_dir):
     tot = cells.agg(F.count(F.lit(1)).cast("long").alias("k"),
                     F.sum("n").cast("long").alias("s"),
                     F.sum(F.col("n") * F.col("n")).cast("long").alias("q"))
-    # 9-way neighborhood: offsets join on the occupied-cell table
+    # 9-way neighborhood via ONE explode over a literal offset array — a
+    # 9-branch union of selects from `cells` embedded nine copies of the
+    # cell-aggregation subtree in the plan (round 9, same fix class as the
+    # bootstrap stack)
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    nb = None
-    for dx, dy in offs:
-        t = cells.select((F.col("gx") + dx).alias("gx"),
-                         (F.col("gy") + dy).alias("gy"),
-                         F.col("n").alias("nn"))
-        nb = t if nb is None else nb.unionByName(t)
+    off_arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx, dy in offs])
+    nb = (cells.select("gx", "gy", F.col("n").alias("nn"),
+                       F.explode(off_arr).alias("_o"))
+          .select((F.col("gx") + F.col("_o.dx")).alias("gx"),
+                  (F.col("gy") + F.col("_o.dy")).alias("gy"), "nn"))
     neigh = (nb.groupBy("gx", "gy")
              .agg(F.sum("nn").cast("long").alias("wsum"),
                   F.count(F.lit(1)).cast("long").alias("w")))

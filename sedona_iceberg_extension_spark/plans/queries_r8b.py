@@ -6031,11 +6031,13 @@ def q_orders_corr_matrix(spark, sf_dir):
     pairs = [("price", "n_lines", corr("sab", "sa", "sb", "qa", "qb")),
              ("price", "latency", corr("sac", "sa", "sc", "qa", "qc")),
              ("n_lines", "latency", corr("sbc", "sb", "sc", "qb", "qc"))]
-    rows = None
-    for xa, xb, r in pairs:
-        row = m.select(F.lit(xa).alias("var_a"), F.lit(xb).alias("var_b"),
-                       F.round(r, 6).alias("pearson_r"))
-        rows = row if rows is None else rows.unionByName(row)
+    # one explode over the single moment row, not a 3-way union embedding
+    # three copies of the moment-aggregation subtree (round 9)
+    rows = (m.select(F.explode(F.array(*[
+        F.struct(F.lit(xa).alias("var_a"), F.lit(xb).alias("var_b"),
+                 F.round(r, 6).alias("pearson_r"))
+        for xa, xb, r in pairs])).alias("_s"))
+        .select("_s.*"))
     return rows.orderBy("var_a", "var_b")
 
 
