@@ -775,24 +775,40 @@ def q_events_autocorrelation(spark, sf_dir):
     lagged = series.select(
         "event_type", "n",
         *[F.lead("n", k).over(w).alias(f"n{k}") for k in (1, 2, 3)])
-    outs = []
+    # all three lags in ONE aggregation over the single window pass
+    # (conditional BIGINT sums == the per-lag filtered sums exactly), then
+    # one explode — the per-lag union re-ran the rollup+window subtree
+    # once per lag (round 9, the one-row-fan fix class)
+    aggs = []
     for k in (1, 2, 3):
-        pair = lagged.filter(F.col(f"n{k}").isNotNull())
-        agg = pair.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("double").alias("m"),
-            F.sum("n").cast("double").alias("sx"),
-            F.sum(f"n{k}").cast("double").alias("sy"),
-            F.sum(F.col("n") * F.col(f"n{k}")).cast("double").alias("sxy"),
-            F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
-            F.sum(F.col(f"n{k}") * F.col(f"n{k}")).cast("double").alias("syy"))
-        r = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
-             / F.sqrt((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                      * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))))
-        outs.append(agg.select("event_type", F.lit(k).alias("lag"),
-                               F.round(r, 6).alias("autocorr")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
+        valid = F.col(f"n{k}").isNotNull()
+        aggs += [
+            F.sum(F.when(valid, 1).otherwise(0)).cast("double").alias(f"m{k}"),
+            F.sum(F.when(valid, F.col("n"))).cast("double").alias(f"sx{k}"),
+            F.sum(F.when(valid, F.col(f"n{k}"))).cast("double").alias(f"sy{k}"),
+            F.sum(F.when(valid, F.col("n") * F.col(f"n{k}")))
+             .cast("double").alias(f"sxy{k}"),
+            F.sum(F.when(valid, F.col("n") * F.col("n")))
+             .cast("double").alias(f"sxx{k}"),
+            F.sum(F.when(valid, F.col(f"n{k}") * F.col(f"n{k}")))
+             .cast("double").alias(f"syy{k}"),
+        ]
+    agg = lagged.groupBy("event_type").agg(*aggs)
+
+    def r_of(k):
+        m, sx, sy = F.col(f"m{k}"), F.col(f"sx{k}"), F.col(f"sy{k}")
+        sxy, sxx, syy = F.col(f"sxy{k}"), F.col(f"sxx{k}"), F.col(f"syy{k}")
+        return (m * sxy - sx * sy) / F.sqrt((m * sxx - sx * sx)
+                                            * (m * syy - sy * sy))
+
+    out = (agg.select("event_type", F.explode(F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col(f"m{k}").alias("m"),
+                 F.round(r_of(k), 6).alias("autocorr"))
+        for k in (1, 2, 3)])).alias("_s"))
+        # a (type, lag) group with zero valid pairs does not exist in the
+        # per-lag filtered aggregation (and the oracle) — drop it here too
+        .filter(F.col("_s.m") > 0)
+        .select("event_type", "_s.lag", "_s.autocorr"))
     return out.orderBy("event_type", "lag")
 
 
