@@ -50,8 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # listed first so an order-respecting sampler hashes them before
 # re-checking known-green ones.  Round-9 rotation (VERDICT r8 item #1):
 # the 50 names CORRECTNESS_r08 hashed green are DROPPED (rotate, don't
-# accrete); what remains is exactly the 120 declared queries no driver
-# round has ever hashed, ordered by oracle-divergence risk class:
+# accrete); what remains is a small tranche of round-9 CHANGED
+# implementations that demand a fresh hash, then exactly the 120 declared
+# queries no driver round has ever hashed (two of which are themselves in
+# tranche 0), ordered by oracle-divergence risk class:
 #   1. float-summation / rounding-tie risk (ROUND-6 outputs built from
 #      data-dependent float folds — the class a local rehearsal at one
 #      parallelism cannot fully retire) — first ~55, so the driver's
@@ -63,6 +65,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # bitwise float canon + HUGEINT/DECIMAL type gate) and the r8-workflow
 # multi-parallelism rehearsal (local[32] x shuffle 7/32/256).
 _NEVER_DRIVER_SAMPLED = [
+    # -- tranche 0: implementations CHANGED in round 9 — although all have
+    # prior driver-green hashes, the change demands a fresh hash:
+    # semdedup_prune's reported (dup_of, cosine) pair semantics changed
+    # (struct-min partner, oracle arg_min); the others are value-identical
+    # structural rewrites (one-row union fans -> stack/explode, pointer-
+    # jump label propagation, geometry-free outer-join row id) verified
+    # by the local gate --
+    "semdedup_prune", "orders_bootstrap_ci", "spatial_getis_hotspot",
+    "orders_corr_matrix", "events_autocorrelation", "spatial_join_left",
+    "spatial_dbscan", "dedup_components",
     # -- tranche 1: float-summation / rounding-tie risk class --
     "nation_theil_index", "orders_breusch_pagan", "events_durbin_watson",
     "doc_bm25_topk", "events_holt_winters", "orders_conformal_interval",
@@ -74,7 +86,7 @@ _NEVER_DRIVER_SAMPLED = [
     "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
     "orders_interrupted_ts", "alsobought_ndcg_eval", "events_caliper_match_att",
     "events_entropy_trend", "events_seasonality_strength", "lineitem_discount_rdd",
-    "doc_lexical_richness", "customer_neyman_allocation", "orders_corr_matrix",
+    "doc_lexical_richness", "customer_neyman_allocation",
     "lineitem_bullwhip_ratio", "events_haar_energy", "brand_croston_forecast",
     "source_burrows_delta", "events_kalman_level", "brand_price_volume_mix",
     "events_otsu_threshold", "orders_littles_law", "events_pot_gpd_fit",
@@ -92,7 +104,7 @@ _NEVER_DRIVER_SAMPLED = [
     "events_inter_arrival_stats", "embedding_knn_graph_stats", "langid_eval_metrics",
     "orders_pinball_loss", "doc_tokenizer_fertility", "brand_eoq_reorder",
     "corpus_vocab_coverage", "events_session_gap_sensitivity", "spatial_hexbin_density",
-    "value_equidepth_histogram", "semdedup_prune",
+    "value_equidepth_histogram",
     # -- tranche 3: integer-/byte-exact outputs --
     "streaming_outer_join_watermark", "scd2_customer_history", "spatial_box_overlay_matrix",
     "part_link_prediction", "bpe_merge_rounds", "order_interval_overlap",
