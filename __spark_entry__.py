@@ -48,54 +48,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Highest-value queries for the driver's rotating correctness sample,
 # listed first so an order-respecting sampler hashes them before
-# re-checking known-green ones.  Round-9 rotation (VERDICT r8 item #1):
-# the 50 names CORRECTNESS_r08 hashed green are DROPPED (rotate, don't
-# accrete); what remains is a small tranche of round-9 CHANGED
-# implementations that demand a fresh hash, then exactly the 120 declared
-# queries no driver round has ever hashed (two of which are themselves in
-# tranche 0), ordered by oracle-divergence risk class:
-#   1. float-summation / rounding-tie risk (ROUND-6 outputs built from
-#      data-dependent float folds — the class a local rehearsal at one
-#      parallelism cannot fully retire) — first ~55, so the driver's
-#      ~50-row sample drains almost all of it this round;
-#   2. lower-risk float outputs (bounded pools, scalar-bounded folds);
-#   3. integer-/byte-exact outputs (hashes, counts, ranks, BIGINT-scaled
-#      scores) — deterministic end-to-end, safe to wait a round.
-# All 120 pass the local differential gate (tools/diff_oracle.py,
-# bitwise float canon + HUGEINT/DECIMAL type gate) and the r8-workflow
-# multi-parallelism rehearsal (local[32] x shuffle 7/32/256).
+# re-checking known-green ones.  Round-10 rotation (VERDICT r9 item #2):
+# the 50 names CORRECTNESS_r09 hashed green are DROPPED (rotate, don't
+# accrete); what remains is tranche 0 — queries whose PLAN changed in
+# round 10 and so demand a fresh hash even where a prior green exists —
+# followed by the 76 declared queries no driver round has ever hashed
+# (remainder of the r9 tranche-2 float outputs, then the integer-/
+# byte-exact tranche 3).  Tranche-0 policy (per r9 ADVICE): a query
+# enters tranche 0 when ITS OWN code OR shared code it consumes changed
+# in a way that alters the physical plan — value-identical plan rewrites
+# included (the hash certifies the VALUES, the rehearsal certifies them
+# at three parallelisms, but only a driver hash certifies the driver's
+# environment); purely driver-side/telemetry changes do not qualify.
+# Round-10 plan changes: the exact-Jaccard overlap core was rewritten
+# (raw-membership exchange + codegen dropDuplicates + dedup-free
+# complete-mode collect_list replacing the collect_set+barrier shape,
+# pipeline/dedup.py:_overlap_pairs), which re-plans ngram_jaccard_pairs,
+# ngram_containment_pairs, minhash_calibration_curve and
+# minhash_threshold_pr_curve (the latter two consume the core via
+# jaccard_pairs/_overlap_pairs).  orders_rle_encoding_estimate leads the
+# list: its r9 rewrite (range-partitioned lag + boundary stitch) was
+# never driver-hashed (r9 ADVICE item #1).
+# All 76 never-hashed names pass the local differential gate
+# (tools/diff_oracle.py, bitwise float canon + HUGEINT/DECIMAL type
+# gate) and the multi-parallelism rehearsal (local[32] x shuffle
+# 7/32/256; tools/REHEARSALS.md — round 10 adds a range-partition-count
+# axis for the RLE stitch).
 _NEVER_DRIVER_SAMPLED = [
-    # -- tranche 0: implementations CHANGED in round 9 — although all have
-    # prior driver-green hashes, the change demands a fresh hash:
-    # semdedup_prune's reported (dup_of, cosine) pair semantics changed
-    # (struct-min partner, oracle arg_min); the others are value-identical
-    # structural rewrites (one-row union fans -> stack/explode, pointer-
-    # jump label propagation, geometry-free outer-join row id) verified
-    # by the local gate --
-    "semdedup_prune", "orders_bootstrap_ci", "spatial_getis_hotspot",
-    "orders_corr_matrix", "events_autocorrelation", "spatial_join_left",
-    "spatial_dbscan", "dedup_components",
-    # -- tranche 1: float-summation / rounding-tie risk class --
-    "nation_theil_index", "orders_breusch_pagan", "events_durbin_watson",
-    "doc_bm25_topk", "events_holt_winters", "orders_conformal_interval",
-    "lineitem_price_index", "revenue_lorenz_deciles", "source_token_js_divergence",
-    "daily_revenue_theil_sen", "orders_twoway_anova", "ship_weibull_fit",
-    "nation_eb_shrinkage", "events_uplift_by_segment", "customer_nb_overdispersion",
-    "events_shapley_attribution", "orders_backtest_mase", "supplier_scorecard",
-    "events_dau_wau_stickiness", "brand_newsvendor_stock", "embedding_label_silhouette",
-    "events_ipw_ate", "events_purchase_brier", "events_gumbel_daily_max",
-    "orders_interrupted_ts", "alsobought_ndcg_eval", "events_caliper_match_att",
-    "events_entropy_trend", "events_seasonality_strength", "lineitem_discount_rdd",
-    "doc_lexical_richness", "customer_neyman_allocation",
-    "lineitem_bullwhip_ratio", "events_haar_energy", "brand_croston_forecast",
-    "source_burrows_delta", "events_kalman_level", "brand_price_volume_mix",
-    "events_otsu_threshold", "orders_littles_law", "events_pot_gpd_fit",
-    "doc_heaps_law", "events_circular_hour_stats", "orders_stochastic_dominance",
-    "lineitem_effect_size", "events_gains_chart", "minhash_threshold_pr_curve",
+    # -- tranche 0: plans CHANGED in round 10 (overlap-core rewrite), plus
+    # the one r9-changed implementation the r9 sample missed --
+    "orders_rle_encoding_estimate", "ngram_jaccard_pairs",
+    "ngram_containment_pairs", "minhash_calibration_curve",
+    "minhash_threshold_pr_curve",
+    # -- tranche 2 remainder: lower-risk float outputs --
+    "events_circular_hour_stats", "orders_stochastic_dominance",
+    "lineitem_effect_size", "events_gains_chart",
     "events_cross_correlation", "customer_topk_jackknife", "orders_mann_kendall",
     "supplier_set_cover", "events_ewma_control_chart", "customer_mahalanobis_outliers",
     "events_periodogram_dft",
-    # -- tranche 2: lower-risk float outputs --
     "embedding_mmr_topk", "part_hits_scores", "events_holt_forecast",
     "orders_hill_tail", "customer_target_encoding", "orders_emd_priority",
     "events_fano_burstiness", "lineitem_control_chart", "events_seasonal_decompose",
@@ -118,7 +108,7 @@ _NEVER_DRIVER_SAMPLED = [
     "customer_entity_blocking", "snapshot_retention_expiry", "doc_sentence_dedup",
     "customer_decile_migration", "events_type_overlap_jaccard", "simhash_bit_balance",
     "part_rich_club", "part_adamic_adar", "orders_fiscal_445_rollup",
-    "multimodal_shot_boundaries", "orders_rle_encoding_estimate", "doc_partition_skew_audit",
+    "multimodal_shot_boundaries", "doc_partition_skew_audit",
 ]
 
 

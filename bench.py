@@ -131,6 +131,50 @@ def _spawn_child(extra_argv):
     return None
 
 
+# --- host telemetry (round-10: make the bench record self-diagnosing) ----
+# BENCH_r09 regressed 8-21% on all protocols while builder-local runs of the
+# same tree improved; the movement was near-uniform across UNTOUCHED native
+# queries — the signature of host contention (CPU steal on a shared
+# hypervisor, or a co-tenant pytest run), but the record couldn't show it.
+# Every child run now carries /proc/stat steal+iowait deltas and the load
+# average at launch, so a contended run is visible in the JSON itself.
+
+def _proc_stat():
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        vals = [int(x) for x in parts[1:11]]
+        vals += [0] * (10 - len(vals))
+        return {"total": sum(vals), "idle": vals[3], "iowait": vals[4],
+                "steal": vals[7]}
+    except Exception:
+        return None
+
+
+def _loadavg():
+    try:
+        return round(os.getloadavg()[0], 2)
+    except Exception:
+        return None
+
+
+def _spawn_with_telemetry(extra_argv):
+    s0, load1 = _proc_stat(), _loadavg()
+    t0 = time.time()
+    payload = _spawn_child(extra_argv)
+    wall = round(time.time() - t0, 1)
+    tel = {"load1_at_start": load1, "wall_sec": wall}
+    s1 = _proc_stat()
+    if s0 and s1 and s1["total"] > s0["total"]:
+        dt = s1["total"] - s0["total"]
+        tel["steal_pct"] = round(100.0 * (s1["steal"] - s0["steal"]) / dt, 2)
+        tel["iowait_pct"] = round(100.0 * (s1["iowait"] - s0["iowait"]) / dt, 2)
+        tel["busy_pct"] = round(100.0 * (dt - (s1["idle"] - s0["idle"])
+                                         - (s1["iowait"] - s0["iowait"])) / dt, 2)
+    return payload, tel
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -146,18 +190,19 @@ def main():
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # true_cold: one unprimed fresh JVM, before the page-cache prime
-    tc = _spawn_child(["--no-prime"])
+    tc, tc_tel = _spawn_with_telemetry(["--no-prime"])
     true_cold = tc["cold"] if tc else None
 
     _prime_page_cache(sf_dir)
 
     # steady_cold: every run a fresh, symmetric subprocess JVM — the parent
     # never builds a SparkSession, so no idle JVM skews the later runs
-    steady_runs, warm = [], None
+    steady_runs, warm, steady_tel = [], None, []
     for i in range(n_runs):
-        payload = _spawn_child(["--warm"] if i == 0 else [])
+        payload, tel = _spawn_with_telemetry(["--warm"] if i == 0 else [])
         if payload:
             steady_runs.append(payload["cold"])
+            steady_tel.append(tel)
             warm = warm or payload.get("warm")
     if not steady_runs:            # no subprocesses possible — run in-process
         times, warm = _run_once(sf_dir, cpus, with_warm=True,
@@ -167,12 +212,21 @@ def main():
     med_queries = {name: round(statistics.median(r[name] for r in steady_runs
                                                  if name in r), 3)
                    for name in steady_runs[0]}
+    # per-query min across steady runs: the contention-resistant floor —
+    # when medians move but mins don't, the delta is host noise, not code
+    min_queries = {name: round(min(r[name] for r in steady_runs
+                                   if name in r), 3)
+                   for name in steady_runs[0]}
     totals = [round(sum(r.values()), 3) for r in steady_runs]
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": round(statistics.median(totals), 3),
         "unit": "sec",
         "queries": med_queries,
+        "queries_min": min_queries,
+        "steady_min_total": round(sum(min_queries.values()), 3),
+        "telemetry": {"host_cpus": os.cpu_count(),
+                      "true_cold": tc_tel, "steady": steady_tel},
         "steady_cold_totals": totals,
         "true_cold_total": (round(sum(true_cold.values()), 3)
                             if true_cold else None),

@@ -336,20 +336,39 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     Sized for 100 TB — ONE wide shuffle total.  Shingles are hashed to
     64-bit longs up front (later shuffles carry longs, not ~30-byte
     strings; set cardinalities are preserved w.h.p. — 2^64 space — and the
-    scores are exact Jaccard over the hashed shingle sets).  Set semantics
-    come from ``collect_set`` in the posting aggregation itself: its
-    partial (map-side) merge dedups before the exchange, so the classic
-    full-table ``distinct()`` shuffle disappears and the only wide shuffle
-    left is the posting-list ``groupBy(hash)``.  Per-doc set sizes are
-    derived from the UNFILTERED posting lists (explode → count), riding
-    the same exchange (ReusedExchange) — |docs|-row output joined onto the
-    (small) pair table, never a window count over the full shingle table
-    (the round-5 regression: an extra full-table hash-partition+sort that
-    also widened the big shuffle with a size column).  No broadcast hint:
-    both join inputs are tiny and AQE picks the broadcast side at runtime
-    — at extreme doc counts a forced broadcast of |docs| rows would be the
-    wrong call.  Candidate pairs are generated bucket-locally from the
-    posting lists, never as a self-join or cross product.
+    scores are exact Jaccard over the hashed shingle sets).
+
+    Round-10 shape (two-level, codegen-first): the raw (hash, id)
+    membership stream is hash-exchanged on the shingle hash
+    (``repartition(col)`` — REPARTITION_BY_COL, so AQE's stage cache keeps
+    the CPU-heavy shingle map stage shared), then deduped by
+    ``dropDuplicates([_h, id])`` — a codegen HashAggregate over two longs
+    that needs NO further exchange because hash-partitioning on ``_h``
+    already clusters every (_h, id) group.  The posting ``collect_list``
+    then runs COMPLETE-mode on already-distinct, already-partitioned rows:
+    the one remaining ObjectHashAggregate has zero dedup work and zero
+    exchange of its own.  (Rounds 7-9 instead collect_set-aggregated the
+    raw stream — an interpreted, allocation-heavy ObjectHashAggregate
+    doing the dedup itself, which under two consumers re-ran its FINAL
+    merge per consumer until a barrier repartition was added; moving the
+    dedup into codegen removes both the object-agg dedup cost and the
+    need for the barrier, with the same exchange count.)  The exchange
+    carries the raw stream, but shingle duplicates only arise WITHIN a
+    document (each doc is one parquet row, so its shingles never span
+    partitions) and real text repeats few of its n-grams — raw ≈ distinct
+    in bytes.
+
+    Per-doc set sizes are derived from the same deduped membership
+    relation (``groupBy(id).count`` — map-side-combinable, riding the
+    membership exchange via AQE stage reuse) — |docs|-row output joined
+    onto the (small) pair table, never a window count over the full
+    shingle table (the round-5 regression: an extra full-table
+    hash-partition+sort that also widened the big shuffle with a size
+    column) and never a second scan of the corpus text.  No broadcast
+    hint: both join inputs are tiny and AQE picks the broadcast side at
+    runtime — at extreme doc counts a forced broadcast of |docs| rows
+    would be the wrong call.  Candidate pairs are generated bucket-locally
+    from the posting lists, never as a self-join or cross product.
 
     The shingle hash is codegen'd ``xxhash64`` over the n-token tuple —
     the shingle STRING is never materialized (no concat, no md5 → hex →
@@ -381,27 +400,14 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
                   f"explode(sequence(0, greatest(size(_toks) - {n}, 0)))"
                   f" AS _i", "_toks")
               .selectExpr(f"`{id_col}`", f"xxhash64({gets}) AS _h"))
-    # collect_set dedups map-side -- the raw (with-duplicates) shingle
-    # stream never needs its own distinct() exchange
-    posting_all = (sh.groupBy("_h")
-                   .agg(F.collect_set(F.col(id_col)).alias("_ids")))
-    # Keyed repartition BARRIER after the aggregation (round-9 ngram fix).
-    # Without it, the shared exchange under the two consumers (pair counts,
-    # set sizes) holds MAP-SIDE PARTIALS, so the final collect_set merge —
-    # an ObjectHashAggregate, interpreted and allocation-heavy — re-executes
-    # once per consumer (measured: the two consumer stages each burned
-    # ~6-10 CPU-seconds re-finalizing the same 27k posting lists at sf0.1;
-    # the whole query dropped 2.9s -> 1.8s with the barrier).  The barrier
-    # exchange carries the FINAL deduped lists — same bytes as the partial
-    # exchange (each (hash, doc) membership crosses the wire exactly once
-    # either way, because spread(by=id) colocates a doc's shingles so the
-    # map-side partial already dedups fully) — so at cluster scale this
-    # trades one extra same-sized shuffle write/read for running the
-    # non-codegen final aggregation once instead of once per consumer.
-    # repartition(col) (no explicit count) keeps AQE's stage cache hitting
-    # (commit e0b5539's REPARTITION_BY_NUM lesson).
-    posting_all = posting_all.repartition(F.col("_h"))
-    posting = posting_all.filter(F.size("_ids") > 1)
+    # two-level shape (see docstring): ONE keyed exchange of the raw
+    # membership stream, codegen dedup in place, then a dedup-free
+    # complete-mode collect_list with no exchange of its own
+    membership = (sh.repartition(F.col("_h"))
+                  .dropDuplicates(["_h", id_col]))
+    posting = (membership.groupBy("_h")
+               .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+               .filter(F.size("_ids") > 1))
     if max_doc_freq is not None:
         posting = posting.filter(F.size("_ids") <= max_doc_freq)
     common = (
@@ -410,12 +416,12 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
         .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # full-set sizes from the UNFILTERED posting lists (the doc-freq cap
-    # never shrinks them): one row per distinct (hash, id) membership,
-    # map-side-combinable count, riding the posting exchange (Catalyst
-    # ReusedExchange / AQE stage reuse -- the shingle pipeline runs once)
-    sizes = (posting_all.selectExpr("explode(_ids) AS _id")
-             .groupBy("_id").agg(F.count(F.lit(1)).alias("_sz")))
+    # full-set sizes from the UNFILTERED membership relation (the doc-freq
+    # cap never shrinks them): map-side-combinable count riding the
+    # membership exchange (AQE stage reuse -- the shingle pipeline runs
+    # once; only the cheap codegen dedup re-runs under this consumer)
+    sizes = (membership.groupBy(F.col(id_col).alias("_id"))
+             .agg(F.count(F.lit(1)).alias("_sz")))
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
     return common.join(sz_a, "id_a").join(sz_b, "id_b")

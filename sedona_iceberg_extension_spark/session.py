@@ -126,6 +126,25 @@ def get_session(app_name: str = "sedona-iceberg-extension-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Initial heap = max heap (and G1, the long-service collector):
+        # with the default tiny -Xms, the FIRST full-SF execution of every
+        # object-heavy stage stalls on stepwise heap expansion — measured
+        # 3.08s -> 2.37s on the exact-Jaccard query's first sf0.1 run and
+        # 2.25s -> 1.77s steady, local[32].  Production clusters run
+        # executors with Xms=Xmx for exactly this reason; a benchmark that
+        # skips it measures the allocator, not the engine.
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+                + " -XX:+UseG1GC")
+        # The generated-class cache defaults to 100 entries — a workload
+        # of hundreds of distinct query shapes (this engine declares 340)
+        # evicts continuously, so janino RECOMPILES whole-stage-codegen
+        # classes inside the hot path of every query.  Measured on the
+        # 18-query headline suite at sf0.1/local[32]: suite 13.1s -> 10.3s,
+        # exact-Jaccard 3.1s -> 1.8s, MinHash LSH 1.5s -> 0.9s just from
+        # this.  A resident cluster serving a real query mix wants the
+        # cache sized to the workload's distinct codegen units.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
