@@ -66,9 +66,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline/dedup.py:_overlap_pairs), which re-plans ngram_jaccard_pairs,
 # ngram_containment_pairs, minhash_calibration_curve and
 # minhash_threshold_pr_curve (the latter two consume the core via
-# jaccard_pairs/_overlap_pairs).  orders_rle_encoding_estimate leads the
-# list: its r9 rewrite (range-partitioned lag + boundary stitch) was
-# never driver-hashed (r9 ADVICE item #1).
+# jaccard_pairs/_overlap_pairs); and bpe_merge_rounds gained a size>=2
+# guard in its pair counting (fully-merged 1-symbol words were emitting
+# NULL pairs via sequence(0,-1) — latent argmax divergence, now also
+# property-tested vs a Python BPE mirror).  orders_rle_encoding_estimate
+# leads the list: its r9 rewrite (range-partitioned lag + boundary
+# stitch) was never driver-hashed (r9 ADVICE item #1).
 # All 76 never-hashed names pass the local differential gate
 # (tools/diff_oracle.py, bitwise float canon + HUGEINT/DECIMAL type
 # gate) and the multi-parallelism rehearsal (local[32] x shuffle
@@ -79,7 +82,7 @@ _NEVER_DRIVER_SAMPLED = [
     # the one r9-changed implementation the r9 sample missed --
     "orders_rle_encoding_estimate", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "minhash_calibration_curve",
-    "minhash_threshold_pr_curve",
+    "minhash_threshold_pr_curve", "bpe_merge_rounds",
     # -- tranche 2 remainder: lower-risk float outputs --
     "events_circular_hour_stats", "orders_stochastic_dominance",
     "lineitem_effect_size", "events_gains_chart",
@@ -97,7 +100,7 @@ _NEVER_DRIVER_SAMPLED = [
     "value_equidepth_histogram",
     # -- tranche 3: integer-/byte-exact outputs --
     "streaming_outer_join_watermark", "scd2_customer_history", "spatial_box_overlay_matrix",
-    "part_link_prediction", "bpe_merge_rounds", "order_interval_overlap",
+    "part_link_prediction", "order_interval_overlap",
     "source_capped_sample", "part_bfs_distance", "part_label_propagation",
     "part_kcore", "part_also_bought_topk", "doc_stitch_pairs",
     "doc_blocklist_rate", "dataset_three_way_split", "multimodal_audio_chunks",

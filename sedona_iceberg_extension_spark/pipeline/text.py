@@ -498,3 +498,50 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_k: int = 20) -> DataFrame:
     return (counted.orderBy(F.col("n").desc(), F.col("pair").asc())
             .limit(top_k)
             .withColumn("rank", F.row_number().over(w)))
+
+
+def bpe_merge_rounds(v: DataFrame, rounds: int = 3) -> list:
+    """Greedy BPE tokenizer-training merge rounds over a symbolized vocab
+    table ``v`` = (ws: space-separated symbols, wf: corpus frequency).
+    Returns ``[(round, pair, merged, n), ...]`` — the merge picked each
+    round (argmax of frequency-weighted adjacent-pair count, ties to the
+    lexicographically smallest pair) — mutating nothing: each round
+    re-derives the vocab with the merge applied (non-overlapping
+    left-to-right literal replace with sentinel-space padding, so
+    multi-char symbols never match across symbol boundaries).
+
+    Scale shape: the vocab table is the merge state (vocab-sized, not
+    corpus-sized — real BPE trainers work exactly this way); each round's
+    pair count is ONE map-side-combinable aggregation; the argmax collect
+    is 1 row.
+
+    Words already merged down to a SINGLE symbol are filtered out of pair
+    counting: without the ``size >= 2`` guard, ``sequence(0, size-2)``
+    becomes ``sequence(0, -1)`` = ``[0, -1]`` (Spark reverses direction
+    when start > stop), emitting two NULL pairs per 1-symbol word whose
+    summed weight can win the argmax — a crash (NULL merge pair) and a
+    divergence from any engine whose range(1, len) is simply empty."""
+    merges = []
+    for rnd in range(1, rounds + 1):
+        arr = F.split("ws", " ")
+        pairs = (v.filter(F.size(arr) >= 2)
+                 .select(arr.alias("arr"), "wf",
+                         F.explode(F.sequence(F.lit(0), F.size(arr) - 2))
+                         .alias("i"))
+                 .select(F.concat(F.get("arr", F.col("i")), F.lit(" "),
+                                  F.get("arr", F.col("i") + 1)).alias("pair"),
+                         "wf"))
+        top = (pairs.groupBy("pair").agg(F.sum("wf").alias("s"))
+               .orderBy(F.col("s").desc(), F.col("pair").asc())
+               .limit(1).collect())
+        if not top:          # vocabulary fully merged — nothing left to count
+            break
+        pair, s = top[0]["pair"], int(top[0]["s"])
+        merged = pair.replace(" ", "")
+        merges.append((rnd, pair, merged, s))
+        v = v.select(
+            F.trim(F.replace(
+                F.concat(F.lit(" "), F.col("ws"), F.lit(" ")),
+                F.lit(f" {pair} "), F.lit(f" {merged} "))).alias("ws"),
+            "wf").persist()
+    return merges

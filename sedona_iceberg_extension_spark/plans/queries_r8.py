@@ -1158,26 +1158,11 @@ def q_bpe_merge_rounds(spark, sf_dir):
     v = words.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("ws"), "wf")
     v = v.persist()
-    merges = []
-    for rnd in range(1, 4):
-        arr = F.split("ws", " ")
-        pairs = (v.select(arr.alias("arr"), "wf",
-                          F.explode(F.sequence(F.lit(0), F.size(arr) - 2))
-                          .alias("i"))
-                 .select(F.concat(F.get("arr", F.col("i")), F.lit(" "),
-                                  F.get("arr", F.col("i") + 1)).alias("pair"),
-                         "wf"))
-        best = (pairs.groupBy("pair").agg(F.sum("wf").alias("s"))
-                .orderBy(F.col("s").desc(), F.col("pair").asc())
-                .limit(1).collect()[0])
-        pair, s = best["pair"], int(best["s"])
-        merged = pair.replace(" ", "")
-        merges.append((rnd, pair, merged, s))
-        v = v.select(
-            F.trim(F.replace(
-                F.concat(F.lit(" "), F.col("ws"), F.lit(" ")),
-                F.lit(f" {pair} "), F.lit(f" {merged} "))).alias("ws"),
-            "wf").persist()
+    # shared trainer core (pipeline.text.bpe_merge_rounds): guards fully-
+    # merged 1-symbol words out of pair counting (sequence(0,-1) would
+    # otherwise emit NULL pairs — see the helper's docstring) and is
+    # property-tested against a pure-Python BPE mirror
+    merges = T.bpe_merge_rounds(v, rounds=3)
     return spark.createDataFrame(
         merges, "round int, pair string, merged string, n long") \
         .orderBy("round")

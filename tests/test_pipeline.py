@@ -1129,3 +1129,190 @@ def test_simhash_matches_python_mirror(spark, texts):
                 votes[b] += 1 if h & (1 << b) else -1
         want = sum((1 << b) for b in range(bits) if votes[b] > 0)
         assert got[i] == want, f"doc {i}: {t!r}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60))
+def test_hll_registers_match_python_mirror(spark, keys):
+    """The HLL register pipeline (portable 60-bit md5 hash → p low bits as
+    register → leading-zero rank of the remaining bits → per-register max)
+    recomputed in plain Python integer arithmetic must agree row-for-row;
+    the bias-corrected estimate must agree to float tolerance (its harmonic
+    sum is the one data-order-dependent float in the sketch).  Pins the
+    exact register recipe the DuckDB oracles mirror."""
+    import hashlib
+    import math
+
+    from sedona_iceberg_extension_spark.pipeline import sketch
+
+    p, bits = 6, 54
+    m = 1 << p
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["register"]: r["max_rank"]
+           for r in sketch.hll_registers(df, "k", p=p).collect()}
+    want = {}
+    for k in keys:
+        h = int(hashlib.md5((str(k) + "#hll").encode()).hexdigest()[:15], 16)
+        reg, w = h % m, h >> p
+        rho = (bits - (w.bit_length() - 1)) if w > 0 else bits + 1
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
+
+    est = sketch.hll_estimate(df, "k", p=p).collect()[0]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -r for r in want.values())
+    zeros = float(m - len(want))
+    raw = alpha * m * m / (zeros + s)
+    exp = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    assert est["n_registers"] == len(want)
+    assert math.isclose(est["estimate"], exp, rel_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=6),
+                min_size=1, max_size=12, unique=True),
+       st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=8, unique=True))
+def test_bloom_words_match_python_mirror(spark, members, probes):
+    """The 63-bit-word Bloom transpose (build + probe) recomputed in plain
+    Python integers must agree exactly — including the deterministic false
+    positives (the whole point of the portable-hash design: the oracle
+    reproduces even the FPs bit-for-bit)."""
+    import hashlib
+
+    from sedona_iceberg_extension_spark.pipeline import sketch
+
+    m_words, k = 16, 3
+    nbits = m_words * 63
+    df = spark.createDataFrame([(t,) for t in members], "text string")
+    words = sketch.bloom_filter_words(df, "text", m_words=m_words, k=k)
+    got_words = {r["word_idx"]: r["bits"] for r in words.collect()}
+
+    def positions(t):
+        return [int(hashlib.md5((t + f"#bloom{j}").encode())
+                    .hexdigest()[:15], 16) % nbits for j in range(k)]
+
+    want_words = {}
+    for t in members:
+        for pp in positions(t):
+            wi, mask = pp // 63, 1 << (pp % 63)
+            want_words[wi] = want_words.get(wi, 0) | mask
+    assert got_words == want_words
+
+    pdf = spark.createDataFrame(list(enumerate(probes)),
+                                "pid long, text string")
+    got_probe = {r["pid"]: r["maybe_present"]
+                 for r in sketch.bloom_probe(words, pdf, "pid", "text",
+                                             m_words=m_words, k=k).collect()}
+    want_probe = {
+        i: all(want_words.get(pp // 63, 0) & (1 << (pp % 63))
+               for pp in positions(t))
+        for i, t in enumerate(probes)}
+    assert got_probe == want_probe
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="ab", min_size=1, max_size=5),
+                          st.integers(1, 20)),
+                min_size=1, max_size=6,
+                unique_by=lambda t: t[0]))
+def test_bpe_merge_rounds_match_python_mirror(spark, words):
+    """The distributed BPE trainer core (pipeline.text.bpe_merge_rounds)
+    must pick exactly the merges a definitional Python BPE picks: per
+    round, the frequency-weighted adjacent-pair argmax (ties to the
+    lexicographically smallest pair), applied as a non-overlapping
+    left-to-right sentinel-padded replace.  The two-letter alphabet forces
+    heavy tie-breaking and drives words down to a single symbol within
+    three rounds — the regime where the unguarded ``sequence(0, -1)``
+    NULL-pair bug lived."""
+    from sedona_iceberg_extension_spark.pipeline.text import bpe_merge_rounds
+
+    rounds = 3
+    v = spark.createDataFrame([(" ".join(w), wf) for w, wf in words],
+                              "ws string, wf long")
+    got = bpe_merge_rounds(v, rounds=rounds)
+
+    state = [(" ".join(w), wf) for w, wf in words]
+    want = []
+    for rnd in range(1, rounds + 1):
+        cnt = {}
+        for ws, wf in state:
+            syms = ws.split(" ")
+            for i in range(len(syms) - 1):
+                pair = syms[i] + " " + syms[i + 1]
+                cnt[pair] = cnt.get(pair, 0) + wf
+        if not cnt:
+            break
+        s = max(cnt.values())
+        pair = min(p for p, c in cnt.items() if c == s)
+        merged = pair.replace(" ", "")
+        want.append((rnd, pair, merged, s))
+        state = [((" " + ws + " ")
+                  .replace(f" {pair} ", f" {merged} ").strip(" "), wf)
+                 for ws, wf in state]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.integers(-8, 8).map(lambda x: x / 2.0),
+             min_size=3, max_size=3),
+    min_size=2, max_size=8))
+def test_semdedup_drop_matches_python_mirror(spark, vecs):
+    """SemDeDup's chained-drop semantics (cell assignment → within-cell
+    pairwise cosine → drop every id with a >=threshold smaller-id partner,
+    reporting the struct-min (dup_of, cosine) pair) recomputed in Python
+    with the identical index-ordered folds must agree exactly — floats
+    bit-for-bit, because both sides run the same adds and multiplies in
+    the same order (the repo-wide portable-fold contract)."""
+    import math
+
+    from hypothesis import assume
+
+    from sedona_iceberg_extension_spark.pipeline.similarity import (
+        semdedup_drop)
+
+    assume(all(any(x != 0.0 for x in v) for v in vecs))
+    cents = [[0.0, 0.0, 0.0], [2.0, 1.0, -1.0]]
+    thr = 0.5
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "id long, vec array<double>")
+    got = {r["id"]: (r["cell"], r["dup_of"], r["cosine"])
+           for r in semdedup_drop(df, "id", "vec", cents,
+                                  threshold=thr).collect()}
+
+    def fold2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def assign(v):
+        best, best_d = 0, fold2(v, cents[0])
+        for i, c in enumerate(cents[1:], start=1):
+            d = fold2(v, c)
+            if d < best_d:
+                best = i
+            best_d = min(best_d, d)
+        return best
+
+    cells = {i: assign(v) for i, v in enumerate(vecs)}
+    norms = {i: math.sqrt(dot(v, v)) for i, v in enumerate(vecs)}
+    want = {}
+    for j, vj in enumerate(vecs):
+        partners = []
+        for i, vi in enumerate(vecs):
+            if i < j and cells[i] == cells[j]:
+                cos = dot(vi, vj) / (norms[i] * norms[j])
+                if cos >= thr:
+                    partners.append((i, cos))
+        if partners:
+            dup_of, cos = min(partners)
+            want[j] = (cells[j], dup_of, cos)
+    assert got == want
