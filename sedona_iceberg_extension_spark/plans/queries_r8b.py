@@ -7967,13 +7967,20 @@ def q_orders_rle_encoding_estimate(spark, sf_dir):
     partition boundaries whose last/first values match).  The collect
     is O(#partitions) rows; correctness is invariant to where the range
     boundaries (or AQE coalescing) land because stitching cancels any
-    run split across a boundary."""
+    run split across a boundary.  The range-partition count is env-tunable
+    (``SPARK_GRAFT_RLE_RANGE_PARTS``, default 32) so the multi-parallelism
+    rehearsal can vary it — including counts far above the key diversity,
+    which force EMPTY range partitions through the stitch logic (round-10,
+    ADVICE r9 item #1)."""
+    import os as _os
+
+    n_parts = int(_os.environ.get("SPARK_GRAFT_RLE_RANGE_PARTS", "32"))
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select("o_orderkey", "o_orderpriority")
 
     def runs(order_names, tag):
         order_cols = [F.col(c) for c in order_names]
-        bucketed = (base.repartitionByRange(32, *order_cols)
+        bucketed = (base.repartitionByRange(n_parts, *order_cols)
                     .withColumn("pid", F.spark_partition_id()))
         w = Window.partitionBy("pid").orderBy(*order_cols)
         key = F.struct(*[F.col(c) for c in order_names])
