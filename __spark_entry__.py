@@ -54,12 +54,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 10 and so demand a fresh hash even where a prior green exists —
 # followed by the 76 declared queries no driver round has ever hashed
 # (remainder of the r9 tranche-2 float outputs, then the integer-/
-# byte-exact tranche 3).  Tranche-0 policy (per r9 ADVICE): a query
-# enters tranche 0 when ITS OWN code OR shared code it consumes changed
-# in a way that alters the physical plan — value-identical plan rewrites
-# included (the hash certifies the VALUES, the rehearsal certifies them
-# at three parallelisms, but only a driver hash certifies the driver's
-# environment); purely driver-side/telemetry changes do not qualify.
+# byte-exact tranche 3).  Tranche-0 policy (per r9 ADVICE, stated
+# explicitly): a query enters tranche 0 when ITS OWN code OR shared code
+# it consumes changed the distributed computation STRUCTURE — different
+# operators, exchanges, or aggregation paths — even when the rewrite is
+# value-identical (only a driver hash certifies the driver's
+# environment).  EXEMPT: pure expression-level rewrites that compute
+# bit-identical values per row by construction (same fold order, e.g.
+# the r9 prenorm hoist of L2 norms out of cosine scoring), certified by
+# the local differential gate plus a Python-mirror property test — the
+# r9 prenorm consumers with pre-r9 hashes (embedding_cosine_topk,
+# embedding_dup_pairs, doc_dedup_pipeline, lsh/ivf_ann_topk,
+# colbert_maxsim_topk, rrf_ann_fusion, ann_recall_eval) stay exempt
+# under this rule.  Purely driver-side/telemetry changes never qualify.
 # Round-10 plan changes: the exact-Jaccard overlap core was rewritten
 # (raw-membership exchange + codegen dropDuplicates + dedup-free
 # complete-mode collect_list replacing the collect_set+barrier shape,

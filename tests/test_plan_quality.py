@@ -400,6 +400,14 @@ _STAGE_REUSE_BASELINES = {
 
 
 def _completed_tasks(spark, name, sf_dir):
+    # Deterministic cache state: merely CONSTRUCTING some declared queries
+    # (e.g. minhash_calibration_curve's est.persist()) registers a
+    # CacheManager entry, and Spark substitutes InMemoryRelation into any
+    # LATER query whose analyzed subtree matches — minhash_jaccard_est
+    # shares the estimate subtree, so its task profile depends on whether
+    # other tests built plans first (measured: 9 tasks fresh, 23 after a
+    # full `_plan` sweep).  The gates assert the cache-free shape.
+    spark.catalog.clearCache()
     sc = spark.sparkContext
     sc.setJobGroup(f"reuse_gate_{name}", f"stage-reuse gate {name}")
     try:
