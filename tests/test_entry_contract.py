@@ -28,3 +28,15 @@ def test_queries_and_oracles_line_up():
     order = list(qs)
     front = [n for n in entry._NEVER_DRIVER_SAMPLED if n in qs]
     assert order[:len(front)] == front
+
+
+def test_session_steady_state_tuning(spark):
+    """The two round-10 resident-cluster settings must survive in every
+    engine session: a generated-class cache sized to the declared query
+    mix (the 100-entry default evicts continuously under 340 query
+    shapes, recompiling codegen classes inside the hot path) and an
+    initial heap pinned to the max (stepwise heap growth stalled the
+    first full-SF execution of every object-heavy stage)."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
+    opts = spark.conf.get("spark.driver.extraJavaOptions", "")
+    assert "-Xms" in opts
