@@ -90,6 +90,11 @@ _NEVER_DRIVER_SAMPLED = [
     "orders_rle_encoding_estimate", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "minhash_calibration_curve",
     "minhash_threshold_pr_curve", "bpe_merge_rounds",
+    # cms_estimate's join became LEFT+COALESCE(0) (canonical CMS min over
+    # ALL depth cells — r10 mirror-test finding; present-key estimates,
+    # the only kind this query probes, are value-identical but the plan
+    # changed structurally):
+    "cms_user_event_counts",
     # -- tranche 2 remainder: lower-risk float outputs --
     "events_circular_hour_stats", "orders_stochastic_dominance",
     "lineitem_effect_size", "events_gains_chart",

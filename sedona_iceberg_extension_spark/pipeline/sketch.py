@@ -233,7 +233,17 @@ def cms_estimate(cells: DataFrame, probe_df: DataFrame, key_col: str,
     """(key, est_count) count-min estimates: min over the depth addressed
     cells — an upper bound on the true count (never under).  The sketch
     side broadcasts; the probe is depth narrow rows per key and one min
-    aggregation."""
+    aggregation.
+
+    The join is LEFT with empty cells counting 0 (round-10 fix, caught by
+    the Python-mirror property test): the canonical CMS estimate is the
+    min over ALL depth cells, so a probe key with any EMPTY addressed
+    cell estimates 0 — it provably never occurred.  The earlier inner
+    join dropped empty cells from the min, reporting collision inflation
+    (>=1) for some absent keys while omitting others entirely; still an
+    upper bound, but looser than CMS guarantees and inconsistent.  Every
+    key present in the data addresses only non-empty cells, so estimates
+    for present keys are unchanged."""
     k = F.col(key_col).cast("string")
     probes = probe_df.select(F.col(key_col), F.explode(F.array(*[
         F.struct(F.lit(r).alias("r"),
@@ -241,9 +251,10 @@ def cms_estimate(cells: DataFrame, probe_df: DataFrame, key_col: str,
         for r in range(depth)])).alias("_rc"))
     return (probes.select(F.col(key_col), F.col("_rc.r").alias("r"),
                           F.col("_rc.c").alias("c"))
-            .join(F.broadcast(cells), ["r", "c"])
+            .join(F.broadcast(cells), ["r", "c"], "left")
             .groupBy(key_col)
-            .agg(F.min("cnt").alias("est_count")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
+                 .alias("est_count")))
 
 
 def kmv_bottom_k(df: DataFrame, key_col: str, k: int = 256,

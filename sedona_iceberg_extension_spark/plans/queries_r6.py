@@ -509,8 +509,10 @@ WITH ks AS (
          ('0x' || substr(md5(p.k || '#cms' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
   FROM probe p CROSS JOIN rows_ r
 ), est AS (
-  SELECT user_id, CAST(MIN(cnt) AS BIGINT) AS est_count
-  FROM pc JOIN cell USING (r, c)
+  -- LEFT + COALESCE 0: canonical CMS min over ALL depth cells (empty
+  -- cell => estimate 0); identical to the engine's cms_estimate
+  SELECT user_id, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+  FROM pc LEFT JOIN cell USING (r, c)
   GROUP BY user_id
 )
 SELECT e.user_id, e.est_count, CAST(t.cnt AS BIGINT) AS true_count

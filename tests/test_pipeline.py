@@ -1316,3 +1316,68 @@ def test_semdedup_drop_matches_python_mirror(spark, vecs):
             dup_of, cos = min(partners)
             want[j] = (cells[j], dup_of, cos)
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=40),
+       st.lists(st.integers(0, 60), min_size=1, max_size=10, unique=True))
+def test_cms_cells_and_estimate_match_python_mirror(spark, keys, probes):
+    """The count-min sketch cells (per-row portable-hash addressing,
+    cell-wise counts) and the min-over-depth estimates recomputed in plain
+    Python integers must agree exactly — including collision inflation,
+    which the deterministic hash makes reproducible rather than
+    probabilistic."""
+    import hashlib
+
+    from sedona_iceberg_extension_spark.pipeline import sketch
+
+    width, depth = 8, 3  # tiny width forces collisions on purpose
+    df = spark.createDataFrame([(x,) for x in keys], "k long")
+    got_cells = {(r["r"], r["c"]): r["cnt"]
+                 for r in sketch.cms_cells(df, "k", width=width,
+                                           depth=depth).collect()}
+
+    def cell(x, r):
+        h = int(hashlib.md5((str(x) + f"#cms{r}").encode())
+                .hexdigest()[:15], 16)
+        return h % width
+
+    want_cells = {}
+    for x in keys:
+        for r in range(depth):
+            rc = (r, cell(x, r))
+            want_cells[rc] = want_cells.get(rc, 0) + 1
+    assert got_cells == want_cells
+
+    pdf = spark.createDataFrame([(x,) for x in probes], "k long")
+    got_est = {r["k"]: r["est_count"]
+               for r in sketch.cms_estimate(
+                   sketch.cms_cells(df, "k", width=width, depth=depth),
+                   pdf, "k", width=width, depth=depth).collect()}
+    # canonical CMS: min over ALL depth cells, empty cell => 0 (the
+    # inner-join shape this test originally caught reported >=1 for some
+    # absent keys — see cms_estimate's docstring)
+    want_est = {x: min(want_cells.get((r, cell(x, r)), 0)
+                       for r in range(depth)) for x in probes}
+    assert got_est == want_est
+    for x in probes:           # CMS invariant: never under the true count
+        assert got_est[x] >= sum(1 for y in keys if y == x)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=50))
+def test_kmv_bottom_k_matches_python_mirror(spark, keys):
+    """The KMV bottom-k sketch (TakeOrderedAndProject over the portable
+    hash) must return exactly the k smallest hashes the Python mirror
+    computes — determinism is what makes the sketch mergeable and
+    oracle-checkable."""
+    import hashlib
+
+    from sedona_iceberg_extension_spark.pipeline import sketch
+
+    k = 8
+    df = spark.createDataFrame([(x,) for x in keys], "k long")
+    got = [r["h"] for r in sketch.kmv_bottom_k(df, "k", k=k).collect()]
+    want = sorted(int(hashlib.md5((str(x) + "#kmv").encode())
+                      .hexdigest()[:15], 16) for x in keys)[:k]
+    assert got == want
