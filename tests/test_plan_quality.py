@@ -396,6 +396,8 @@ _STAGE_REUSE_BASELINES = {
     "semdedup_prune": (8, 13),             # ivf_assign feeds both cell-join sides
     "tfidf_cosine_pairs": (11, 17),        # tf-idf posting relation: norms + pair join
     "dedup_components": (47, 70),          # edge frame re-read per propagation round
+    "doc_dedup_pipeline": (57, 85),        # exact->minhash chain; est persisted, 2 consumers
+    "near_dup_rate_by_source": (3, 6),     # banded pipeline under the rate rollup
 }
 
 
