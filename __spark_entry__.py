@@ -51,9 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-checking known-green ones.  Round-10 rotation (VERDICT r9 item #2):
 # the 50 names CORRECTNESS_r09 hashed green are DROPPED (rotate, don't
 # accrete); what remains is tranche 0 — queries whose PLAN changed in
-# round 10 and so demand a fresh hash even where a prior green exists —
-# followed by the 76 declared queries no driver round has ever hashed
-# (remainder of the r9 tranche-2 float outputs, then the integer-/
+# round 10 and so demand a fresh hash even where a prior green exists
+# (7 names, 4 of them with prior greens) — followed by the remaining
+# never-hashed declared queries (76 total never-hashed across the list:
+# remainder of the r9 tranche-2 float outputs, then the integer-/
 # byte-exact tranche 3).  Tranche-0 policy (per r9 ADVICE, stated
 # explicitly): a query enters tranche 0 when ITS OWN code OR shared code
 # it consumes changed the distributed computation STRUCTURE — different
