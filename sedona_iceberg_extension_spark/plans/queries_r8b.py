@@ -4075,11 +4075,17 @@ def q_nation_eb_shrinkage(spark, sf_dir):
          .agg(F.count(F.lit(1)).cast("long").alias("n"),
               F.sum(cents).cast("long").alias("s"),
               F.sum(cents * cents).cast("long").alias("q")))
+    # s*s and ss*ss MUST multiply in DOUBLE: group cent-sums reach ~2.7e9
+    # at sf0.1, so the LONG product overflows 2^63 (ANSI crash; found by
+    # the round-10 sf0.1 sweep — sf0.01 never exercises the magnitude).
+    # Bit-identical to the oracle's exact-HUGEINT-product-then-cast
+    # because both factors are < 2^53 (double multiply of exactly-
+    # representable factors is the correctly-rounded true product).
     tot = g.agg(F.sum("n").cast("long").alias("nn"),
                 F.sum("s").cast("long").alias("ss"),
                 F.sum("q").cast("long").alias("qq"),
                 F.count(F.lit(1)).cast("long").alias("k"),
-                F.sum((F.col("s") * F.col("s")).cast("double")
+                F.sum(F.col("s").cast("double") * F.col("s").cast("double")
                       / F.col("n").cast("double")).alias("sb"))
     j = g.crossJoin(F.broadcast(tot))
     nD, nnD = F.col("n").cast("double"), F.col("nn").cast("double")
@@ -4089,7 +4095,8 @@ def q_nation_eb_shrinkage(spark, sf_dir):
     s2 = (F.col("qq").cast("double") - F.col("sb")) \
         / (F.col("nn") - F.col("k")).cast("double") / 1e4
     # between-group MS and method-of-moments tau2, clamped at 0
-    msb = (F.col("sb") - (F.col("ss") * F.col("ss")).cast("double")
+    msb = (F.col("sb") - F.col("ss").cast("double")
+           * F.col("ss").cast("double")
            / nnD) / (F.col("k") - 1).cast("double") / 1e4
     n0 = nnD / F.col("k").cast("double")  # balanced-design approximation
     tau2 = F.greatest((msb - s2) / n0, F.lit(0.0))
@@ -4114,18 +4121,18 @@ WITH g AS (
 ), tot AS (
   SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
          CAST(SUM(q) AS BIGINT) AS qq, CAST(COUNT(*) AS BIGINT) AS k,
-         SUM(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) AS sb
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sb
   FROM g
 )
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n,
        ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
          AS raw_mean,
-       ROUND(greatest(((sb - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+       ROUND(greatest(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
                        / CAST(k - 1 AS DOUBLE) / 1e4
                        - (CAST(qq AS DOUBLE) - sb)
                          / CAST(nn - k AS DOUBLE) / 1e4)
                       / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
-             / (greatest(((sb - CAST(ss * ss AS DOUBLE)
+             / (greatest(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                            / CAST(nn AS DOUBLE))
                           / CAST(k - 1 AS DOUBLE) / 1e4
                           - (CAST(qq AS DOUBLE) - sb)
@@ -4133,12 +4140,12 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n,
                          / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
                 + (CAST(qq AS DOUBLE) - sb) / CAST(nn - k AS DOUBLE)
                   / 1e4 / CAST(n AS DOUBLE)), 6) AS shrink_weight,
-       ROUND(greatest(((sb - CAST(ss * ss AS DOUBLE) / CAST(nn AS DOUBLE))
+       ROUND(greatest(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
                        / CAST(k - 1 AS DOUBLE) / 1e4
                        - (CAST(qq AS DOUBLE) - sb)
                          / CAST(nn - k AS DOUBLE) / 1e4)
                       / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)
-             / (greatest(((sb - CAST(ss * ss AS DOUBLE)
+             / (greatest(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                            / CAST(nn AS DOUBLE))
                           / CAST(k - 1 AS DOUBLE) / 1e4
                           - (CAST(qq AS DOUBLE) - sb)
@@ -4147,14 +4154,14 @@ SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n,
                 + (CAST(qq AS DOUBLE) - sb) / CAST(nn - k AS DOUBLE)
                   / 1e4 / CAST(n AS DOUBLE))
              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
-             + (1.0 - greatest(((sb - CAST(ss * ss AS DOUBLE)
+             + (1.0 - greatest(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                                  / CAST(nn AS DOUBLE))
                                 / CAST(k - 1 AS DOUBLE) / 1e4
                                 - (CAST(qq AS DOUBLE) - sb)
                                   / CAST(nn - k AS DOUBLE) / 1e4)
                                / (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE)),
                                0.0)
-                    / (greatest(((sb - CAST(ss * ss AS DOUBLE)
+                    / (greatest(((sb - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                                   / CAST(nn AS DOUBLE))
                                  / CAST(k - 1 AS DOUBLE) / 1e4
                                  - (CAST(qq AS DOUBLE) - sb)
