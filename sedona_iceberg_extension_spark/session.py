@@ -150,6 +150,16 @@ def get_session(app_name: str = "sedona-iceberg-extension-spark",
         # this.  A resident cluster serving a real query mix wants the
         # cache sized to the workload's distinct codegen units.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # Always use the sort-based (tungsten) shuffle writer, the same
+        # path a real cluster job takes (the bypass-merge writer only
+        # engages below 200 partitions — i.e. only in small local runs).
+        # Bypass-merge opens ONE FILE PER REDUCE PARTITION per map task;
+        # profiling here showed those per-file create/flush syscalls
+        # dominating map stages even on tmpfs (calibration aggregate,
+        # 32x32 partitions: shuffleWriteTime 97s summed vs 2.8s with the
+        # sort writer's single sequential file).  Forcing the threshold
+        # to 1 makes local mode exercise the at-scale writer everywhere.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     # Shuffle-local storage on tmpfs when available.  On this class of
     # virtualized host, profiling showed shuffle WRITES dominating task
