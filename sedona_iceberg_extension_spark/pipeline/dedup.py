@@ -26,6 +26,10 @@ from .text import portable_hash64, tokens
 
 _LOG = logging.getLogger(__name__)
 
+# monotonic suffix for _overlap_pairs' per-call temp views (session-scoped;
+# unique names keep concurrently-built plans independent)
+_OVERLAP_VIEW_SEQ = 0
+
 
 def spread(df: DataFrame, min_partitions: Optional[int] = None,
            by: Optional[str] = None) -> DataFrame:
@@ -377,54 +381,82 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     shingle set yields identical scores), so the DuckDB oracle, which
     joins on shingle strings directly, still matches bit-for-bit.
     Operators whose OUTPUT depends on hash values (MinHash, SimHash) keep
-    the portable md5 hash the oracle can reproduce."""
+    the portable md5 hash the oracle can reproduce.
+
+    Constructed as ONE ``spark.sql`` statement (round 10): classic-mode
+    PySpark analyzes EAGERLY per Dataset transformation, so the previous
+    ~15-op chain re-analyzed its whole growing subtree on every step —
+    O(depth²) analyzer work, measured 0.26–0.95 s of driver time per
+    construction vs 0.07–0.12 s for the single statement (one parse, one
+    analysis, bit-identical results).  On an interactive/serving path
+    construction latency is part of every query's wall time.  The
+    logical plan is the same two-level shape as the operator form it
+    replaces; the REPARTITION hints are the hint-form of ``spread(by=)``
+    / ``repartition(col)`` (REPARTITION_BY_COL, so AQE's stage cache
+    keeps the shingle map stage shared across the two consumers)."""
+    spark = df.sparkSession
+    global _OVERLAP_VIEW_SEQ
+    _OVERLAP_VIEW_SEQ += 1
+    view = f"_overlap_src_{_OVERLAP_VIEW_SEQ}"
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
+    # spread(by=id_col) equivalent: repartition by id only when the scan
+    # can't already parallelize the CPU-heavy shingle map (file-count
+    # proxy, same rule and fallback as spread())
+    hint = f"/*+ REPARTITION(`{id_col}`) */ "
+    try:
+        if len(df.inputFiles()) >= spark.sparkContext.defaultParallelism:
+            hint = ""
+    except Exception:
+        pass
     if use_char_grams:
-        sh = (char_ngrams(spread(df, by=id_col), id_col, text_col, char_n,
-                          distinct=False)
-              .select(F.col(id_col), F.xxhash64("gram").alias("_h")))
+        n = int(char_n)
+        # substr window per position, clamped to >= 1 like char_ngrams;
+        # xxhash64 over the gram string (never carried past this stage)
+        src = (f"SELECT {hint}`{id_col}`, `{text_col}` AS _txt"
+               f" FROM {view}")
+        sh = (f"SELECT `{id_col}`, xxhash64(substr(_txt, _i, {n})) AS _h"
+              f" FROM (SELECT `{id_col}`, _txt, explode(sequence(1,"
+              f" greatest(length(_txt) - {n - 1}, 1))) AS _i FROM src)")
     else:
         # xxhash64 over the token n-tuple: order-sensitive, and equal
-        # tuples hash equal.  Out-of-range get() yields null, which Spark's
-        # hash functions skip — so the clamped tail shingle of a short doc
-        # (< n tokens) keys on exactly its available tokens, mirroring the
-        # string path's clamped slice.  Spelled as SQL expression strings
-        # (one parse each) — the operator-at-a-time form cost ~1000 driver
-        # IPC round-trips per construction on the interactive path; the
-        # parsed plans are identical.
+        # tuples hash equal.  Out-of-range get() yields null, which
+        # Spark's hash functions skip — so the clamped tail shingle of a
+        # short doc (< n tokens) keys on exactly its available tokens,
+        # mirroring the string path's clamped slice.
         n = int(shingle_n)
         gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
-        sh = (spread(df, by=id_col)
-              .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-              .selectExpr(
-                  f"`{id_col}`",
-                  f"explode(sequence(0, greatest(size(_toks) - {n}, 0)))"
-                  f" AS _i", "_toks")
-              .selectExpr(f"`{id_col}`", f"xxhash64({gets}) AS _h"))
+        src = (f"SELECT {hint}`{id_col}`,"
+               f" split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks"
+               f" FROM {view}")
+        sh = (f"SELECT `{id_col}`, xxhash64({gets}) AS _h"
+              f" FROM (SELECT `{id_col}`, _toks, explode(sequence(0,"
+              f" greatest(size(_toks) - {n}, 0))) AS _i FROM src)")
+    cap = (f" AND size(_ids) <= {int(max_doc_freq)}"
+           if max_doc_freq is not None else "")
     # two-level shape (see docstring): ONE keyed exchange of the raw
-    # membership stream, codegen dedup in place, then a dedup-free
-    # complete-mode collect_list with no exchange of its own
-    membership = (sh.repartition(F.col("_h"))
-                  .dropDuplicates(["_h", id_col]))
-    posting = (membership.groupBy("_h")
-               .agg(F.collect_list(F.col(id_col)).alias("_ids"))
-               .filter(F.size("_ids") > 1))
-    if max_doc_freq is not None:
-        posting = posting.filter(F.size("_ids") <= max_doc_freq)
-    common = (
-        posting.selectExpr("explode(_ids) AS a", "_ids")
-        .selectExpr("a", "explode(filter(_ids, x -> x > a)) AS b")
-        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # full-set sizes from the UNFILTERED membership relation (the doc-freq
-    # cap never shrinks them): map-side-combinable count riding the
-    # membership exchange (AQE stage reuse -- the shingle pipeline runs
-    # once; only the cheap codegen dedup re-runs under this consumer)
-    sizes = (membership.groupBy(F.col(id_col).alias("_id"))
-             .agg(F.count(F.lit(1)).alias("_sz")))
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
-    return common.join(sz_a, "id_a").join(sz_b, "id_b")
+    # membership stream (REPARTITION hint), codegen dedup (DISTINCT) in
+    # place, then a dedup-free complete-mode collect_list with no
+    # exchange of its own; sizes ride the same membership exchange
+    return spark.sql(f"""
+WITH src AS ({src}),
+sh AS ({sh}),
+mem AS (SELECT /*+ REPARTITION(_h) */ DISTINCT _h, `{id_col}` FROM sh),
+posting AS (
+  SELECT _h, collect_list(`{id_col}`) AS _ids FROM mem GROUP BY _h
+  HAVING size(_ids) > 1{cap}
+),
+pairs AS (
+  SELECT a AS id_a, b AS id_b, count(1) AS n_common
+  FROM (SELECT a, explode(filter(_ids, x -> x > a)) AS b
+        FROM (SELECT explode(_ids) AS a, _ids FROM posting))
+  GROUP BY a, b
+),
+sizes AS (SELECT `{id_col}` AS _id, count(1) AS _sz FROM mem GROUP BY `{id_col}`)
+SELECT id_a, id_b, n_common, sa._sz AS sz_a, sb._sz AS sz_b
+FROM pairs
+JOIN sizes sa ON sa._id = id_a
+JOIN sizes sb ON sb._id = id_b
+""")
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
