@@ -70,7 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # under this rule.  Purely driver-side/telemetry changes never qualify.
 # Round-10 plan changes: the exact-Jaccard overlap core was rewritten
 # (raw-membership exchange + codegen dropDuplicates + dedup-free
-# complete-mode collect_list replacing the collect_set+barrier shape,
+# complete-mode collect_list replacing the collect_set+barrier shape;
+# late round 10 the same shape is emitted as ONE spark.sql statement —
+# single analyzer pass, bit-identical results, same exchanges —
 # pipeline/dedup.py:_overlap_pairs), which re-plans ngram_jaccard_pairs,
 # ngram_containment_pairs, minhash_calibration_curve and
 # minhash_threshold_pr_curve (the latter two consume the core via
