@@ -33,6 +33,20 @@ def _prepare(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
         pass
+    try:
+        # drop PySpark's ~4-py4j-calls-per-operator call-site capture
+        # (see session.py, where engine-built sessions disable it via the
+        # static conf spark.python.sql.dataFrameDebugging.enabled).  On a
+        # session the driver already built, the static conf can't change,
+        # but the wrapper gates on a module-level cache of that conf —
+        # pre-seed it.  Guarded: if the internal moves in a future
+        # PySpark, this degrades to the (correct, slower) default.
+        import pyspark.errors.utils as _peu
+
+        if hasattr(_peu, "_enable_debugging_cache"):
+            _peu._enable_debugging_cache = False
+    except Exception:
+        pass
     return register_all(spark)
 
 
