@@ -40,3 +40,25 @@ def test_session_steady_state_tuning(spark):
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
     opts = spark.conf.get("spark.driver.extraJavaOptions", "")
     assert "-Xms" in opts
+
+
+def test_session_shuffle_and_driver_overhead_tuning(spark):
+    """The late-round-10 settings must survive in every engine session:
+    the tungsten-sort shuffle writer everywhere (bypass-merge opens one
+    file per reduce partition per map task — its create/flush syscalls
+    dominated map stages on this host), and PySpark's per-operator
+    call-site capture off (~4 py4j round trips per DataFrame op, ~45%
+    of measured query-construction time)."""
+    assert int(spark.conf.get("spark.shuffle.sort.bypassMergeThreshold")) == 1
+    assert (spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
+            == "false")
+
+
+def test_prepare_seeds_callsite_capture_gate(spark):
+    """On a driver-built session the static conf can't change, so
+    _prepare pre-seeds the wrapper's module-level gate; it must end up
+    False after any contract entry point runs."""
+    import pyspark.errors.utils as peu
+
+    entry._prepare(spark)
+    assert peu._enable_debugging_cache is False
