@@ -19,7 +19,8 @@ Two honestly-labeled protocols per run:
   and compute on the full-SF data, which the prime never touches.  The
   parent also primes the OS page cache first (a resident cluster's data
   is buffer-cached).
-- ``warm`` — a second pass in run 1's JVM: pure steady-state latency.
+- ``warm`` — a second same-JVM pass in every steady run, per-query
+  medianed across runs: pure steady-state latency.
 
 ``value`` is the steady_cold median.  Round-over-round comparisons must
 compare like with like: true_cold vs true_cold, warm vs warm.
@@ -266,17 +267,27 @@ def main():
 
     # steady_cold: every run a fresh, symmetric subprocess JVM — the parent
     # never builds a SparkSession, so no idle JVM skews the later runs
-    steady_runs, warm, steady_tel = [], None, []
+    # every child also times a warm (second same-JVM) pass and the warm
+    # figures are medianed like the steady ones — the first steady child
+    # is reproducibly the slowest on this host, and a warm taken only
+    # there overstated warm latency by ~30%
+    steady_runs, warm_runs, steady_tel = [], [], []
     for i in range(n_runs):
-        payload, tel = _spawn_with_telemetry(["--warm"] if i == 0 else [])
+        payload, tel = _spawn_with_telemetry(["--warm"])
         if payload:
             steady_runs.append(payload["cold"])
             steady_tel.append(tel)
-            warm = warm or payload.get("warm")
+            if payload.get("warm"):
+                warm_runs.append(payload["warm"])
     if not steady_runs:            # no subprocesses possible — run in-process
-        times, warm = _run_once(sf_dir, cpus, with_warm=True,
-                                prime_steady=True)
-        steady_runs = [times]
+        times, w = _run_once(sf_dir, cpus, with_warm=True,
+                             prime_steady=True)
+        steady_runs, warm_runs = [times], [w] if w else []
+    warm = None
+    if warm_runs:
+        warm = {name: round(statistics.median(r[name] for r in warm_runs
+                                              if name in r), 3)
+                for name in warm_runs[0]}
 
     med_queries = {name: round(statistics.median(r[name] for r in steady_runs
                                                  if name in r), 3)
