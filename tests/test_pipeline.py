@@ -1381,3 +1381,44 @@ def test_kmv_bottom_k_matches_python_mirror(spark, keys):
     want = sorted(int(hashlib.md5((str(x) + "#kmv").encode())
                       .hexdigest()[:15], 16) for x in keys)[:k]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcdefgh \n", min_size=0, max_size=120),
+    min_size=1, max_size=4))
+def test_cdc_chunks_match_python_mirror(spark, texts):
+    """Content-defined chunking boundary placement recomputed in Python
+    from the definition (a cut at position 1 and at every i in
+    [2, len-gram_n+1] whose gram_n-char gram hashes to 0 mod modulus
+    under the portable md5 recipe) must agree exactly — placement is the
+    output contract the DuckDB oracle cuts by, and the insertion-survival
+    property CDC exists for holds only if the distributed explode/window
+    pipeline cuts where the definition says."""
+    import hashlib
+
+    from sedona_iceberg_extension_spark.pipeline import dedup
+
+    gram_n, modulus = 4, 4          # short grams, dense cuts on tiny docs
+
+    def h(s):
+        return int(hashlib.md5((s + "#cdc").encode())
+                   .hexdigest()[:15], 16)
+
+    want = set()
+    for i, t in enumerate(texts):
+        cuts = [1] + [p for p in range(2, len(t) - gram_n + 2)
+                      if h(t[p - 1:p - 1 + gram_n]) % modulus == 0]
+        bounds = cuts + [len(t) + 1]
+        for a, b in zip(cuts, bounds[1:]):
+            chunk = t[a - 1:b - 1]
+            if chunk:
+                want.add((i, a, chunk))
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_start"], r["chunk"])
+           for r in dedup.cdc_chunks(df, "doc_id", "text",
+                                     gram_n=gram_n,
+                                     modulus=modulus).collect()}
+    assert got == want

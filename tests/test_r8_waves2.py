@@ -371,3 +371,53 @@ def test_set_cover_gains_monotone_decreasing(spark, sf_dir):
     for r in rows:
         cum += r["newly_covered"]
         assert r["cum_covered"] == cum
+
+
+# -- RLE boundary stitch vs definitional Python runs --------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+             min_size=1, max_size=40),
+    st.sampled_from([1, 3, 64]))
+def test_rle_estimate_matches_python_mirror(spark, priorities, n_parts):
+    """orders_rle_encoding_estimate's range-partitioned lag + driver-side
+    boundary stitch must count exactly the runs a single sequential scan
+    counts, for ANY range-partition count — including counts far above
+    the row count, which force empty range partitions through the stitch
+    (the regime ADVICE r9 flagged as never exercised by the shuffle-only
+    rehearsal axis).  Mirror: runs = 1 + #(adjacent unequal) over the
+    sorted sequence, per layout."""
+    import os
+    import tempfile
+
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+
+    def runs_of(seq):
+        return 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+
+    n = len(priorities)
+    by_key = priorities                              # orderkey = list index
+    by_val = [p for p, _ in sorted(zip(priorities, range(n)))]
+    want = {"natural": (n, runs_of(by_key)),
+            "sorted_by_column": (n, runs_of(by_val))}
+
+    with tempfile.TemporaryDirectory() as d:
+        (spark.createDataFrame(list(enumerate(priorities)),
+                               "o_orderkey long, o_orderpriority string")
+         .write.mode("overwrite").parquet(f"{d}/orders.parquet"))
+        old = os.environ.get("SPARK_GRAFT_RLE_RANGE_PARTS")
+        os.environ["SPARK_GRAFT_RLE_RANGE_PARTS"] = str(n_parts)
+        try:
+            rows = QUERIES["orders_rle_encoding_estimate"].fn(
+                spark, d).collect()
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_RLE_RANGE_PARTS"]
+            else:
+                os.environ["SPARK_GRAFT_RLE_RANGE_PARTS"] = old
+    got = {r["layout"]: (r["n"], r["runs"]) for r in rows}
+    assert got == want
