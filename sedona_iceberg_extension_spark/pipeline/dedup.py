@@ -26,10 +26,6 @@ from .text import portable_hash64, tokens
 
 _LOG = logging.getLogger(__name__)
 
-# monotonic suffix for _overlap_pairs' per-call temp views (session-scoped;
-# unique names keep concurrently-built plans independent)
-_OVERLAP_VIEW_SEQ = 0
-
 
 def spread(df: DataFrame, min_partitions: Optional[int] = None,
            by: Optional[str] = None) -> DataFrame:
@@ -337,6 +333,22 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     full-set).  Pairs connected solely by stop-shingles sit below any useful
     threshold anyway.  Default None = exact full-set Jaccard.
 
+    The cap is enforced BEFORE the posting aggregation (round 11 — same
+    contract as the LSH path's ``max_bucket``, `_capped_bucket_pairs`): a
+    window ``count(1) OVER (PARTITION BY _h)`` on the already-distinct,
+    already-``_h``-partitioned membership relation filters every row of an
+    over-cap shingle out of ``collect_list``'s input.  The window needs no
+    exchange of its own (its partitioning is exactly ``mem``'s), just a
+    sort the downstream aggregation tolerates — so the over-cap posting
+    only ever exists as spillable sorted rows, never as one O(doc-freq)
+    in-memory array in an aggregation buffer (the previous ``HAVING
+    size(_ids) <= cap`` dropped the same postings but only after one task
+    had materialized the full array — OOM/straggler exposure at corpus
+    scale).  Results are byte-identical to the HAVING form: the window
+    count of distinct members equals the collected list's size.  Dropped
+    shingles are observable via `overlap_stop_shingles` — no silent
+    truncation at scale.
+
     Sized for 100 TB — ONE wide shuffle total.  Shingles are hashed to
     64-bit longs up front (later shuffles carry longs, not ~30-byte
     strings; set cardinalities are preserved w.h.p. — 2^64 space — and the
@@ -393,12 +405,15 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     logical plan is the same two-level shape as the operator form it
     replaces; the REPARTITION hints are the hint-form of ``spread(by=)``
     / ``repartition(col)`` (REPARTITION_BY_COL, so AQE's stage cache
-    keeps the shingle map stage shared across the two consumers)."""
+    keeps the shingle map stage shared across the two consumers).  The
+    source DataFrame enters the statement as a ``spark.sql`` DataFrame
+    named-arg (round 11): PySpark's SQL formatter registers a
+    UUID-suffixed view for the call and drops it in a ``finally`` before
+    returning (analysis is eager, so the returned plan is self-contained)
+    — no catalog residue, no module-global naming counter, and
+    concurrently-built plans share no mutable state."""
     spark = df.sparkSession
-    global _OVERLAP_VIEW_SEQ
-    _OVERLAP_VIEW_SEQ += 1
-    view = f"_overlap_src_{_OVERLAP_VIEW_SEQ}"
-    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
+    src_df = df.select(F.col(id_col), F.col(text_col))
     # spread(by=id_col) equivalent: repartition by id only when the scan
     # can't already parallelize the CPU-heavy shingle map (file-count
     # proxy, same rule and fallback as spread())
@@ -408,12 +423,15 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
             hint = ""
     except Exception:
         pass
+    # "{overlap_src}" below is a spark.sql formatter placeholder (the
+    # DataFrame named-arg), NOT f-string interpolation — these strings are
+    # assembled so it survives verbatim into the statement.
     if use_char_grams:
         n = int(char_n)
         # substr window per position, clamped to >= 1 like char_ngrams;
         # xxhash64 over the gram string (never carried past this stage)
         src = (f"SELECT {hint}`{id_col}`, `{text_col}` AS _txt"
-               f" FROM {view}")
+               " FROM {overlap_src}")
         sh = (f"SELECT `{id_col}`, xxhash64(substr(_txt, _i, {n})) AS _h"
               f" FROM (SELECT `{id_col}`, _txt, explode(sequence(1,"
               f" greatest(length(_txt) - {n - 1}, 1))) AS _i FROM src)")
@@ -427,12 +445,22 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
         gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
         src = (f"SELECT {hint}`{id_col}`,"
                f" split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks"
-               f" FROM {view}")
+               " FROM {overlap_src}")
         sh = (f"SELECT `{id_col}`, xxhash64({gets}) AS _h"
               f" FROM (SELECT `{id_col}`, _toks, explode(sequence(0,"
               f" greatest(size(_toks) - {n}, 0))) AS _i FROM src)")
-    cap = (f" AND size(_ids) <= {int(max_doc_freq)}"
-           if max_doc_freq is not None else "")
+    if max_doc_freq is not None:
+        # pre-aggregation cap (see docstring): window count per shingle
+        # rides mem's _h partitioning (no exchange, one extra sort) and
+        # removes every row of an over-cap shingle BEFORE collect_list
+        capped = (f"capped AS (SELECT _h, `{id_col}` FROM"
+                  f" (SELECT _h, `{id_col}`,"
+                  f" count(1) OVER (PARTITION BY _h) AS _df FROM mem)"
+                  f" WHERE _df <= {int(max_doc_freq)}),\n")
+        posting_src = "capped"
+    else:
+        capped = ""
+        posting_src = "mem"
     # two-level shape (see docstring): ONE keyed exchange of the raw
     # membership stream (REPARTITION hint), codegen dedup (DISTINCT) in
     # place, then a dedup-free complete-mode collect_list with no
@@ -441,9 +469,9 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
 WITH src AS ({src}),
 sh AS ({sh}),
 mem AS (SELECT /*+ REPARTITION(_h) */ DISTINCT _h, `{id_col}` FROM sh),
-posting AS (
-  SELECT _h, collect_list(`{id_col}`) AS _ids FROM mem GROUP BY _h
-  HAVING size(_ids) > 1{cap}
+{capped}posting AS (
+  SELECT _h, collect_list(`{id_col}`) AS _ids FROM {posting_src} GROUP BY _h
+  HAVING size(_ids) > 1
 ),
 pairs AS (
   SELECT a AS id_a, b AS id_b, count(1) AS n_common
@@ -456,7 +484,41 @@ SELECT id_a, id_b, n_common, sa._sz AS sz_a, sb._sz AS sz_b
 FROM pairs
 JOIN sizes sa ON sa._id = id_a
 JOIN sizes sb ON sb._id = id_b
-""")
+""", overlap_src=src_df)
+
+
+def overlap_stop_shingles(df: DataFrame, id_col: str, text_col: str,
+                          shingle_n: int = 3, max_doc_freq: int = 256,
+                          use_char_grams: bool = False,
+                          char_n: int = 5) -> DataFrame:
+    """(shingle_hash, doc_freq) for every shingle the ``max_doc_freq`` cap
+    removes from the overlap core — the monitoring companion to the
+    pre-aggregation filter (same role `oversize_buckets` plays for the LSH
+    cap: a scale run inspects/alerts on this before trusting capped
+    scores).  Derived from the same hashed-membership relation the core
+    builds, aggregated with a plain map-side-combinable count — never a
+    posting array."""
+    ids = F.col(id_col)
+    if use_char_grams:
+        txt = F.col(text_col)
+        grams = F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {int(char_n) - 1},"
+            f" 1)), i -> xxhash64(substr({text_col}, i, {int(char_n)})))")
+        mem = df.select(ids, F.explode(grams).alias("_h"))
+        del txt
+    else:
+        n = int(shingle_n)
+        gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
+        mem = (df.select(ids, F.split(F.lower(F.trim(F.col(text_col))),
+                                      r"\s+").alias("_toks"))
+               .select(ids, F.expr(
+                   f"explode(sequence(0, greatest(size(_toks) - {n}, 0)))"
+               ).alias("_i"), F.col("_toks"))
+               .select(ids, F.expr(f"xxhash64({gets})").alias("_h")))
+    return (mem.distinct()
+            .groupBy("_h").agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > int(max_doc_freq))
+            .select(F.col("_h").alias("shingle_hash"), "doc_freq"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -791,6 +791,97 @@ def test_containment_vs_bruteforce(spark):
     assert (1, 3) not in out and (2, 3) not in out
 
 
+def _py_overlap_mirror(rows, n, cap):
+    """Pure-Python mirror of the overlap core's max_doc_freq semantics:
+    shingles with doc-freq > cap leave candidates AND n_common; set sizes
+    stay full-set (dedup._overlap_pairs docstring contract)."""
+    sets = {}
+    for i, t in rows:
+        tk = t.strip().lower().split()
+        sets[i] = {tuple(tk[p:p + n]) for p in range(max(len(tk) - n + 1, 1))}
+    freq = {}
+    for s in sets.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    keep = {g for g, c in freq.items() if cap is None or c <= cap}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            nc = len(sets[a] & sets[b] & keep)
+            if nc:
+                out[(a, b)] = (nc, len(sets[a]), len(sets[b]))
+    return out, {g: c for g, c in freq.items()
+                 if cap is not None and c > cap}
+
+
+def test_overlap_doc_freq_cap_matches_python_mirror(spark):
+    """max_doc_freq semantics vs the Python mirror on a corpus with a
+    genuine stop-shingle (present in every doc): scores are exact Jaccard
+    over the non-stop shingle sets, sizes full-set, and pairs connected
+    ONLY through the stop-shingle disappear."""
+    stop = "lorem ipsum dolor"
+    rows = [(i, f"{stop} unique{i} tail{i} words{i} end{i}")
+            for i in range(8)]
+    rows += [(100, f"{stop} shared shared extra one"),
+             (101, f"{stop} shared shared extra two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp, dropped = _py_overlap_mirror(rows, 3, cap=4)
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["sz_a"], r["sz_b"])
+           for r in dedup._overlap_pairs(df, "doc_id", "text", shingle_n=3,
+                                         max_doc_freq=4).collect()}
+    assert got == exp
+    # pairs among the first 8 docs share nothing but stop-shingles → gone
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # the monitoring surface reports exactly the dropped shingles
+    mon = dedup.overlap_stop_shingles(df, "doc_id", "text", shingle_n=3,
+                                      max_doc_freq=4).collect()
+    assert sorted(r["doc_freq"] for r in mon) == sorted(dropped.values())
+
+
+def test_overlap_doc_freq_cap_is_pre_aggregation(spark):
+    """VERDICT r10 item #2: the cap must filter the membership stream
+    BEFORE collect_list (window count riding the _h partitioning), so an
+    over-cap shingle never materializes an O(doc-freq) posting array in an
+    aggregation buffer.  Asserted on the optimized plan: the _df window
+    filter sits BELOW the collect_list aggregate (deeper nodes print
+    later), and no post-aggregation size(_ids) cap remains."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"common text here doc{i}") for i in range(6)],
+        "doc_id long, text string")
+    ov = dedup._overlap_pairs(df, "doc_id", "text", shingle_n=2,
+                              max_doc_freq=3)
+    plan = ov._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition" in plan and "_df" in plan
+    assert not re.search(r"size\(_ids[^)]*\)\s*<=", plan), \
+        "post-aggregation doc-freq cap resurfaced"
+    i_collect = plan.index("collect_list")
+    i_filter = re.search(r"_df#\d+L? <= 3", plan)
+    assert i_filter and i_filter.start() > i_collect, \
+        "cap filter is not below the posting aggregate"
+    # uncapped plan keeps the round-10 shape: no window, no extra sort cost
+    plan0 = (dedup._overlap_pairs(df, "doc_id", "text", shingle_n=2)
+             ._jdf.queryExecution().optimizedPlan().toString())
+    assert "windowspecdefinition" not in plan0
+
+
+def test_overlap_pairs_no_catalog_residue(spark):
+    """VERDICT r10 item #5: query construction leaves no temp views behind
+    (the source DataFrame enters via a spark.sql named-arg whose UUID view
+    is dropped in a finally) and no module-global counter exists."""
+    before = {t.name for t in spark.catalog.listTables()}
+    df = spark.createDataFrame([(1, "a b c d"), (2, "b c d e")],
+                               "doc_id long, text string")
+    ov = dedup._overlap_pairs(df, "doc_id", "text", shingle_n=2)
+    assert {t.name for t in spark.catalog.listTables()} == before
+    assert ov.count() == 1                     # plan still executable
+    assert {t.name for t in spark.catalog.listTables()} == before
+    assert not hasattr(dedup, "_OVERLAP_VIEW_SEQ")
+
+
 def test_cusum_identity_matches_recursion(spark, sf_dir):
     """The prefix-sum/running-min CUSUM identity equals the recursive
     definition s_i = max(0, s_{i-1} + (x_i - mean)) on the real series."""
