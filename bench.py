@@ -71,7 +71,7 @@ def _warmup(spark, sf_dir, headline, prime_steady):
         F.udf(lambda x: x, "long")(F.col("id"))).collect()
 
     if not prime_steady:
-        return
+        return 0
     # JIT steady state needs ITERATIONS, not just class loading: stage
     # metrics on the exact-Jaccard query's first sf0.1 pass showed its
     # shingle map stage burning 70 s of summed CPU pre-C2 vs ~2 s once
@@ -86,12 +86,22 @@ def _warmup(spark, sf_dir, headline, prime_steady):
     # Measured, local[32]: suite first-sf0.1-pass 16.4-17.9 s with the
     # sf0.001-only prime -> 11.9 s with +3 sf0.01 rounds (round 2 and 3
     # of the prime collapse 19.9 -> 4.6 -> 4.5 s as C2 lands).
-    rounds = [("sf0.001", 1),
-              ("sf0.01", int(os.environ.get("SPARK_GRAFT_PRIME_ROUNDS", "3")))]
+    try:
+        sf01_reps = int(os.environ.get("SPARK_GRAFT_PRIME_ROUNDS", "3"))
+    except ValueError:                 # malformed env must not kill the child
+        print("# SPARK_GRAFT_PRIME_ROUNDS malformed; using 3", file=sys.stderr)
+        sf01_reps = 3
+    rounds = [("sf0.001", 1), ("sf0.01", sf01_reps)]
     base = os.path.dirname(sf_dir.rstrip("/"))
+    done = 0
     for sf_name, reps in rounds:
         d = os.path.join(base, sf_name)
         if not os.path.isdir(d) or os.path.abspath(d) == os.path.abspath(sf_dir):
+            # a skipped prime silently reproduces the pre-r10 JIT-race
+            # regime under the steady label — shout, and let the caller
+            # record how many rounds actually ran
+            print(f"# PRIME SKIPPED: {d} missing — steady figures will be"
+                  " un-primed (JIT race)", file=sys.stderr)
             continue
         for _ in range(max(0, reps)):
             for name, qd in headline:
@@ -99,6 +109,8 @@ def _warmup(spark, sf_dir, headline, prime_steady):
                     qd.fn(spark, d).count()
                 except Exception as e:
                     print(f"# warmup {name} failed: {e}", file=sys.stderr)
+            done += 1
+    return done
 
 
 def _timed_pass(spark, sf_dir, headline, label=""):
@@ -118,13 +130,13 @@ def _run_once(sf_dir, cpus, with_warm, prime_steady):
 
     spark = get_session(master=f"local[{cpus}]")
     headline = [(n, qd) for n, qd in QUERIES.items() if qd.headline]
-    _warmup(spark, sf_dir, headline, prime_steady)
+    primed = _warmup(spark, sf_dir, headline, prime_steady)
     times = _timed_pass(spark, sf_dir, headline)
     warm = None
     if with_warm:
         warm = _timed_pass(spark, sf_dir, headline, label="warm ")
     spark.stop()
-    return times, warm
+    return times, warm, primed
 
 
 def _prime_page_cache(sf_dir):
@@ -245,10 +257,11 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     if "--child" in sys.argv:
-        times, warm = _run_once(sf_dir, cpus,
-                                with_warm="--warm" in sys.argv,
-                                prime_steady="--no-prime" not in sys.argv)
-        print("CHILD_JSON:" + json.dumps({"cold": times, "warm": warm}))
+        times, warm, primed = _run_once(sf_dir, cpus,
+                                        with_warm="--warm" in sys.argv,
+                                        prime_steady="--no-prime" not in sys.argv)
+        print("CHILD_JSON:" + json.dumps({"cold": times, "warm": warm,
+                                          "primed_rounds": primed}))
         return
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -276,13 +289,18 @@ def main():
         payload, tel = _spawn_with_telemetry(["--warm"])
         if payload:
             steady_runs.append(payload["cold"])
+            # primed_rounds: how many steady-prime replays actually ran in
+            # the child (expected 1x sf0.001 + SPARK_GRAFT_PRIME_ROUNDS x
+            # sf0.01 = 4); 0 means the record is secretly un-primed
+            tel["primed_rounds"] = payload.get("primed_rounds")
             steady_tel.append(tel)
             if payload.get("warm"):
                 warm_runs.append(payload["warm"])
     if not steady_runs:            # no subprocesses possible — run in-process
-        times, w = _run_once(sf_dir, cpus, with_warm=True,
-                             prime_steady=True)
+        times, w, primed = _run_once(sf_dir, cpus, with_warm=True,
+                                     prime_steady=True)
         steady_runs, warm_runs = [times], [w] if w else []
+        steady_tel = [{"primed_rounds": primed}]
     warm = None
     if warm_runs:
         warm = {name: round(statistics.median(r[name] for r in warm_runs
@@ -321,6 +339,8 @@ def main():
             "cpu_probe_sec_max": max((t.get("cpu_probe_sec", 0) or 0)
                                      for t in steady_tel) if steady_tel else None,
             "wall_secs": [t.get("wall_sec") for t in steady_tel],
+            "primed_rounds_min": min((t.get("primed_rounds") or 0)
+                                     for t in steady_tel) if steady_tel else None,
         },
         "detail": "bench_detail.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -333,16 +353,29 @@ def main():
         "telemetry": {"host_cpus": os.cpu_count(),
                       "true_cold": tc_tel, "steady": steady_tel},
     })
+    # cwd (or an explicit env path) — NOT next to __file__: a bench run
+    # must never silently overwrite the git-tracked record in the
+    # source tree (r10 ADVICE; the committed copy is refreshed
+    # deliberately by copying a chosen run's file in)
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
+                                 os.path.join(os.getcwd(),
+                                              "bench_detail.json"))
     try:
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "bench_detail.json")
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
     except Exception as e:        # detail is best-effort, the line is the record
         print(f"# bench_detail.json write failed: {e}", file=sys.stderr)
     out = json.dumps(line)
-    if len(out) > 1800:           # never let the record outgrow the capture
-        line.pop("telemetry", None)
+    # never let the record outgrow the capture window: drop optional
+    # fields in increasing order of value until the line fits (the
+    # queries map grows with every added headline query, so a single
+    # fixed pop is not a durable guard — r10 ADVICE)
+    for expendable in ("telemetry", "steady_cold_totals", "queries"):
+        if len(out) <= 1800:
+            break
+        print(f"# record line {len(out)} chars > 1800 — dropping"
+              f" '{expendable}' (full copy in {detail_path})", file=sys.stderr)
+        line.pop(expendable, None)
         out = json.dumps(line)
     print(out)
 
