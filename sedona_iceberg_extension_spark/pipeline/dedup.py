@@ -500,12 +500,10 @@ def overlap_stop_shingles(df: DataFrame, id_col: str, text_col: str,
     posting array."""
     ids = F.col(id_col)
     if use_char_grams:
-        txt = F.col(text_col)
         grams = F.expr(
             f"transform(sequence(1, greatest(length({text_col}) - {int(char_n) - 1},"
             f" 1)), i -> xxhash64(substr({text_col}, i, {int(char_n)})))")
         mem = df.select(ids, F.explode(grams).alias("_h"))
-        del txt
     else:
         n = int(shingle_n)
         gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))

@@ -868,6 +868,42 @@ def test_overlap_doc_freq_cap_is_pre_aggregation(spark):
     assert "windowspecdefinition" not in plan0
 
 
+def test_overlap_doc_freq_cap_char_grams(spark):
+    """The pre-aggregation cap and its monitor on the CHAR-gram path: a
+    boilerplate prefix shared by every doc is dropped at cap < n_docs,
+    mirrored in Python over clamped character 5-grams."""
+    rows = [(i, f"BOILERPLATEHEADER body{i:02d}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cn = 5
+
+    def gset(t):
+        # the char path hashes RAW text (no lower/trim — unlike tokens)
+        return {t[p:p + cn] for p in range(max(len(t) - cn + 1, 1))}
+
+    sets = {i: gset(t) for i, t in rows}
+    freq = {}
+    for s in sets.values():
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    keep = {g for g, c in freq.items() if c <= 4}
+    exp = {}
+    for a in range(6):
+        for b in range(a + 1, 6):
+            nc = len(sets[a] & sets[b] & keep)
+            if nc:
+                exp[(a, b)] = (nc, len(sets[a]), len(sets[b]))
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["sz_a"], r["sz_b"])
+           for r in dedup._overlap_pairs(df, "doc_id", "text",
+                                         use_char_grams=True, char_n=cn,
+                                         max_doc_freq=4).collect()}
+    assert got == exp
+    mon = dedup.overlap_stop_shingles(df, "doc_id", "text",
+                                      use_char_grams=True, char_n=cn,
+                                      max_doc_freq=4).collect()
+    assert sorted(r["doc_freq"] for r in mon) \
+        == sorted(c for c in freq.values() if c > 4)
+
+
 def test_overlap_pairs_no_catalog_residue(spark):
     """VERDICT r10 item #5: query construction leaves no temp views behind
     (the source DataFrame enters via a spark.sql named-arg whose UUID view
