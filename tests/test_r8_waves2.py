@@ -421,3 +421,77 @@ def test_rle_estimate_matches_python_mirror(spark, priorities, n_parts):
                 os.environ["SPARK_GRAFT_RLE_RANGE_PARTS"] = old
     got = {r["layout"]: (r["n"], r["runs"]) for r in rows}
     assert got == want
+
+
+# --- independent Python mirrors for the iterative graph queries -----------
+#
+# part_kcore and part_label_propagation are the two declared queries whose
+# DuckDB oracles are UNROLLINGS of the same algorithm (the oracle restates
+# the rounds as CTEs), so engine and oracle could in principle share a
+# misunderstanding.  These mirrors recompute both queries from the raw
+# (l_orderkey, l_partkey) pairs in plain imperative Python — a third,
+# independently-derived implementation — on the real sf0.001 table.
+
+def _copurchase_adj(pairs):
+    """Symmetric adjacency of the co-purchase graph: parts sharing >= 2
+    distinct orders (the support rule every graph query uses)."""
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for ok, pk in pairs:
+        by_order[ok].add(pk)
+    supp = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                supp[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), c in supp.items():
+        if c >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj
+
+
+def _lineitem_pairs(spark, sf_dir):
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    return [(r["l_orderkey"], r["l_partkey"])
+            for r in load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey").distinct().collect()]
+
+
+def test_kcore_matches_python_mirror(spark, sf_dir):
+    from sedona_iceberg_extension_spark.plans.queries_r8 import R8_QUERIES
+
+    adj = _copurchase_adj(_lineitem_pairs(spark, sf_dir))
+    cur = {u: set(vs) for u, vs in adj.items()}
+    for _ in range(3):
+        keep = {u for u, vs in cur.items() if len(vs) >= 4}
+        cur = {u: {v for v in vs if v in keep}
+               for u, vs in cur.items() if u in keep}
+    want = {u: len(vs) for u, vs in cur.items() if vs}
+    got = {r["p_partkey"]: r["core_deg"]
+           for r in R8_QUERIES["part_kcore"][0](spark, sf_dir).collect()}
+    assert got == want
+    assert want, "sf0.001 co-purchase graph unexpectedly has no 4-core"
+
+
+def test_label_propagation_matches_python_mirror(spark, sf_dir):
+    from collections import Counter
+
+    from sedona_iceberg_extension_spark.plans.queries_r8 import R8_QUERIES
+
+    adj = _copurchase_adj(_lineitem_pairs(spark, sf_dir))
+    labels = {u: u for u in adj}
+    for _ in range(3):
+        labels = {v: min(Counter(labels[u] for u in adj[v]).items(),
+                         key=lambda kv: (-kv[1], kv[0]))[0]
+                  for v in adj}
+    got = {r["p_partkey"]: r["label"]
+           for r in R8_QUERIES["part_label_propagation"][0](
+               spark, sf_dir).collect()}
+    assert got == labels
+    # the tie rule must actually have merged something
+    assert len(set(labels.values())) < len(labels)
