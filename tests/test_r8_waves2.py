@@ -495,3 +495,76 @@ def test_label_propagation_matches_python_mirror(spark, sf_dir):
     assert got == labels
     # the tie rule must actually have merged something
     assert len(set(labels.values())) < len(labels)
+
+
+def test_fiscal_445_rollup_matches_python_mirror(spark, sf_dir):
+    """orders_fiscal_445_rollup re-derived with datetime.date arithmetic
+    and Decimal cent-sums (engine and oracle both restate the same integer
+    formulas; this mirror derives the calendar independently).  revenue_k
+    = cents/1e5 carries at most 5 decimals, so the 6-digit ROUND is exact
+    and rounding-mode-free."""
+    import datetime
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    base = datetime.date(1996, 2, 1)
+    agg = {}
+    for r in (load_table(spark, sf_dir, "orders")
+              .select("o_orderdate", "o_totalprice").collect()):
+        d = r["o_orderdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        off = (d - base).days
+        if not (364 <= off < 728):
+            continue
+        within = off % 364
+        q, dq = within // 91, within % 91
+        p_in_q = 0 if dq < 28 else (1 if dq < 56 else 2)
+        key = (q + 1, q * 3 + p_in_q + 1)
+        cents = int((Decimal(str(r["o_totalprice"])) * 100)
+                    .to_integral_value(ROUND_HALF_UP))
+        n, c = agg.get(key, (0, 0))
+        agg[key] = (n + 1, c + cents)
+    want = {k: (n, c / 100000) for k, (n, c) in agg.items()}
+    got = {(r["fq"], r["fp"]): (r["n_orders"], r["revenue_k"])
+           for r in R8B_QUERIES["orders_fiscal_445_rollup"][0](
+               spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) == 12, "FY1997 must produce all 12 fiscal periods"
+
+
+def test_compaction_bin_packing_matches_python_mirror(spark, sf_dir):
+    """compaction_bin_packing re-derived imperatively: sort the derived
+    file inventory largest-first, walk the cumulative offset, assign bins
+    — the shape a planner-side unit test would use, independent of the
+    window-function restatement both engine and oracle share."""
+    import math
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    inv = {}
+    for r in (load_table(spark, sf_dir, "lineitem")
+              .select(F.year("l_shipdate").alias("y"),
+                      F.month("l_shipdate").alias("m")).collect()):
+        inv[(r["y"], r["m"])] = inv.get((r["y"], r["m"]), 0) + 1
+    files = sorted(((s, y, m) for (y, m), s in inv.items()),
+                   key=lambda t: (-t[0], t[1], t[2]))
+    total = sum(s for s, _, _ in files)
+    target = math.ceil(total / 8.0)
+    bins, off = {}, 0
+    for s, _, _ in files:
+        b = off // target
+        n, rows = bins.get(b, (0, 0))
+        bins[b] = (n + 1, rows + s)
+        off += s
+    got = {r["bin"]: (r["n_files"], r["bin_rows"], r["fill_ratio"])
+           for r in R8B_QUERIES["compaction_bin_packing"][0](
+               spark, sf_dir).collect()}
+    assert set(got) == set(bins)
+    for b, (n, rows) in bins.items():
+        gn, grows, gfill = got[b]
+        assert (gn, grows) == (n, rows)
+        assert gfill == pytest.approx(rows / target, abs=1e-6)
