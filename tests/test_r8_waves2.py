@@ -568,3 +568,71 @@ def test_compaction_bin_packing_matches_python_mirror(spark, sf_dir):
         gn, grows, gfill = got[b]
         assert (gn, grows) == (n, rows)
         assert gfill == pytest.approx(rows / target, abs=1e-6)
+
+
+def _copurchase_edges(pairs):
+    """Directed (u < v) co-purchase edge set with support >= 2."""
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for ok, pk in pairs:
+        by_order[ok].add(pk)
+    supp = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                supp[(ps[i], ps[j])] += 1
+    return {e for e, c in supp.items() if c >= 2}
+
+
+def test_rich_club_matches_python_mirror(spark, sf_dir):
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+
+    edges = _copurchase_edges(_lineitem_pairs(spark, sf_dir))
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    ranked = sorted(deg, key=lambda p: (-deg[p], p))
+    want = {}
+    for k in (25, 50, 100):
+        club = set(ranked[:k])
+        e_club = sum(1 for u, v in edges if u in club and v in club)
+        want[k] = (e_club, round(2.0 * e_club / (k * (k - 1)), 6))
+    got = {r["k"]: (r["e_club"], r["phi"])
+           for r in R8B_QUERIES["part_rich_club"][0](spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_adamic_adar_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+
+    edges = _copurchase_edges(_lineitem_pairs(spark, sf_dir))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    scored = {}
+    for w, nbrs in adj.items():
+        if len(nbrs) <= 1:          # deg>1 filter is per shared neighbor
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                key = (ns[i], ns[j])
+                cn, aa = scored.get(key, (0, 0.0))
+                scored[key] = (cn + 1, aa + 1.0 / math.log(len(nbrs)))
+    non_edges = {k: v for k, v in scored.items() if k not in edges}
+    order = sorted(non_edges,
+                   key=lambda k: (-round(non_edges[k][1], 6), k[0], k[1]))
+    rows = R8B_QUERIES["part_adamic_adar"][0](spark, sf_dir).collect()
+    assert [(r["part_a"], r["part_b"]) for r in rows] == order[:20]
+    for r in rows:
+        cn, aa = non_edges[(r["part_a"], r["part_b"])]
+        assert r["cn"] == cn
+        assert r["adamic_adar"] == pytest.approx(round(aa, 6), abs=2e-6)
+        assert r["rank"] == rows.index(r) + 1
