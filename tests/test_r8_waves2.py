@@ -636,3 +636,70 @@ def test_adamic_adar_matches_python_mirror(spark, sf_dir):
         assert r["cn"] == cn
         assert r["adamic_adar"] == pytest.approx(round(aa, 6), abs=2e-6)
         assert r["rank"] == rows.index(r) + 1
+
+
+def _avg_ranks(values):
+    """value -> average rank (1-based, ties averaged) — the textbook
+    definition, independent of the doubled-rank prefix-sum identity the
+    engine and oracle both use."""
+    from collections import Counter
+
+    cnt = Counter(values)
+    ranks, start = {}, 1
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = start + (t - 1) / 2.0
+        start += t
+    return ranks, cnt
+
+
+def test_mann_whitney_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_dir, "lineitem")
+            .select("l_extendedprice", "l_returnflag").collect())
+    vals = [r["l_extendedprice"] for r in rows]
+    ranks, cnt = _avg_ranks(vals)
+    g1 = [r["l_extendedprice"] for r in rows if r["l_returnflag"] == "R"]
+    n1, n2 = len(g1), len(rows) - len(g1)
+    r1 = sum(ranks[v] for v in g1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    tt = sum(t ** 3 - t for t in cnt.values())
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tt / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var_u)
+    (got,) = R8B_QUERIES["lineitem_mann_whitney"][0](spark, sf_dir).collect()
+    assert (got["n_returned"], got["n_kept"]) == (n1, n2)
+    assert got["u_stat"] == round(u1, 1)          # .5-quantized, exact
+    assert got["z_stat"] == pytest.approx(round(z, 4), abs=2e-4)
+
+
+def test_kruskal_wallis_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .select("o_totalprice", "o_orderpriority").collect())
+    ranks, cnt = _avg_ranks([r["o_totalprice"] for r in rows])
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["o_orderpriority"]].append(r["o_totalprice"])
+    n = len(rows)
+    tt = sum(t ** 3 - t for t in cnt.values())
+    s = sum(sum(ranks[v] for v in vs) ** 2 / len(vs)
+            for vs in groups.values())
+    h = (12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)) \
+        / (1.0 - tt / (n ** 3 - n))
+    got = R8B_QUERIES["orders_kruskal_wallis"][0](spark, sf_dir).collect()
+    assert len(got) == len(groups) == 5
+    for r in got:
+        vs = groups[r["pri"]]
+        assert r["nj"] == len(vs)
+        mean_rank = sum(ranks[v] for v in vs) / len(vs)
+        assert r["mean_rank"] == pytest.approx(round(mean_rank, 6), abs=2e-6)
+        assert r["h_stat"] == pytest.approx(round(h, 4), abs=2e-4)
