@@ -703,3 +703,77 @@ def test_kruskal_wallis_matches_python_mirror(spark, sf_dir):
         mean_rank = sum(ranks[v] for v in vs) / len(vs)
         assert r["mean_rank"] == pytest.approx(round(mean_rank, 6), abs=2e-6)
         assert r["h_stat"] == pytest.approx(round(h, 4), abs=2e-4)
+
+
+def test_decile_migration_matches_python_mirror(spark, sf_dir):
+    import datetime
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderdate", "o_totalprice").collect())
+
+    def deciles(year):
+        cents = {}
+        for r in rows:
+            d = r["o_orderdate"]
+            y = d.year if isinstance(d, (datetime.date, datetime.datetime)) \
+                else int(str(d)[:4])
+            if y != year:
+                continue
+            c = int((Decimal(str(r["o_totalprice"])) * 100)
+                    .to_integral_value(ROUND_HALF_UP))
+            cents[r["o_custkey"]] = cents.get(r["o_custkey"], 0) + c
+        ranked = sorted(cents, key=lambda k: (-cents[k], k))
+        n = len(ranked)
+        return {ck: (rk * 10) // n for rk, ck in enumerate(ranked)}
+
+    d94, d95 = deciles(1996), deciles(1997)
+    agg = {}
+    for ck, a in d94.items():
+        if ck not in d95:
+            continue
+        b = d95[ck]
+        n, stay, up, down, s = agg.get(a, (0, 0, 0, 0, 0))
+        agg[a] = (n + 1, stay + (b == a), up + (b < a), down + (b > a),
+                  s + b)
+    got = {r["decile_1996"]: r for r in R8B_QUERIES[
+        "customer_decile_migration"][0](spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for dec, (n, stay, up, down, s) in agg.items():
+        r = got[dec]
+        assert (r["n"], r["n_stay"], r["n_up"], r["n_down"]) \
+            == (n, stay, up, down)
+        assert r["mean_dec_1997"] == pytest.approx(round(s / n, 6),
+                                                   abs=2e-6)
+
+
+def test_type_overlap_jaccard_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    users = defaultdict(set)
+    for r in (load_table(spark, sf_dir, "events")
+              .select("event_type", "user_id").collect()):
+        users[r["event_type"]].add(r["user_id"])
+    types = sorted(users)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            ni = len(users[a] & users[b])
+            if ni:
+                want[(a, b)] = (len(users[a]), len(users[b]), ni,
+                                round(ni / len(users[a] | users[b]), 6))
+    got = {(r["type_a"], r["type_b"]):
+           (r["n_users_a"], r["n_users_b"], r["n_both"], r["jaccard"])
+           for r in R8B_QUERIES["events_type_overlap_jaccard"][0](
+               spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for k, (na, nb, ni, j) in want.items():
+        gna, gnb, gni, gj = got[k]
+        assert (gna, gnb, gni) == (na, nb, ni)
+        assert gj == pytest.approx(j, abs=2e-6)
