@@ -777,3 +777,55 @@ def test_type_overlap_jaccard_matches_python_mirror(spark, sf_dir):
         gna, gnb, gni, gj = got[k]
         assert (gna, gnb, gni) == (na, nb, ni)
         assert gj == pytest.approx(j, abs=2e-6)
+
+
+def test_cramers_v_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    cells = Counter((r["l_returnflag"], r["l_linestatus"])
+                    for r in load_table(spark, sf_dir, "lineitem")
+                    .select("l_returnflag", "l_linestatus").collect())
+    rows = Counter()
+    cols = Counter()
+    for (rf, ls), o in cells.items():
+        rows[rf] += o
+        cols[ls] += o
+    n = sum(cells.values())
+    chi2 = sum((o - rows[rf] * cols[ls] / n) ** 2 / (rows[rf] * cols[ls] / n)
+               for (rf, ls), o in cells.items())
+    k = min(len(rows), len(cols)) - 1
+    (got,) = R8B_QUERIES["lineitem_cramers_v"][0](spark, sf_dir).collect()
+    assert got["n_rows"] == n
+    assert got["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert got["chi2"] == pytest.approx(round(chi2, 4), abs=2e-3)
+    assert got["cramers_v"] == pytest.approx(
+        round(math.sqrt(chi2 / (n * k)), 6), abs=2e-6)
+
+
+def test_also_bought_topk_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8 import R8_QUERIES
+
+    by_order = defaultdict(set)
+    for ok, pk in _lineitem_pairs(spark, sf_dir):
+        by_order[ok].add(pk)
+    supp = defaultdict(int)
+    for parts in by_order.values():
+        for p in parts:
+            for q in parts:
+                if p != q:
+                    supp[(p, q)] += 1
+    want = []
+    for p in sorted({p for p, _ in supp if p <= 50}):
+        cands = sorted(((q, s) for (pp, q), s in supp.items() if pp == p),
+                       key=lambda t: (-t[1], t[0]))[:3]
+        want += [(p, q, s, i + 1) for i, (q, s) in enumerate(cands)]
+    got = [(r["p_partkey"], r["also_bought"], r["supp"], r["rank"])
+           for r in R8_QUERIES["part_also_bought_topk"][0](
+               spark, sf_dir).collect()]
+    assert got == want
