@@ -127,10 +127,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # plan shape.  Both tranche-0 names pass the local differential gate
 # (tools/diff_oracle.py at sf0.01), the Python-mirror cap property test
 # and the plan-shape gate (tests/test_pipeline.py), and the sf0.1 sweep.
+# spatial_dbscan's ENGINE plan is untouched, but its ORACLE changed
+# (the O(component^2) recursive closure became unrolled min-label +
+# pointer-jump rounds, plans/queries.py:_minlabel_rounds_sql — the old
+# closure spent >1 h on sf0.1's single 15k-node core component; the new
+# form takes ~6 s and is equivalence-gated at sf0.001/sf0.01/sf0.1) —
+# promoted so a driver hash certifies the new comparison artifact too.
 _NEVER_DRIVER_SAMPLED = [
     # -- tranche 0: plans CHANGED in round 11 (pre-aggregation doc-freq
-    # cap in the overlap core) --
-    "ngram_jaccard_pairs", "ngram_containment_pairs",
+    # cap in the overlap core) + the rewritten dbscan oracle --
+    "ngram_jaccard_pairs", "ngram_containment_pairs", "spatial_dbscan",
     # -- the last 30 never-driver-hashed queries (integer-/byte-exact
     # tranche-3 tail of the r10 list, original order preserved) --
     "part_label_propagation", "part_kcore", "part_also_bought_topk",

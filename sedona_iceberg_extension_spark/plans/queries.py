@@ -1062,25 +1062,59 @@ def q_spatial_dbscan(spark, sf_dir):
 _DBX = "CAST(c_custkey % 173 AS DOUBLE)"
 _DBY = "CAST((c_custkey * 7) % 127 AS DOUBLE)"
 
+
+def _minlabel_rounds_sql(edges: str, rounds: int = 24) -> str:
+    """CTE chain computing per-node component minima over the symmetric
+    edge relation ``edges`` WITHOUT a transitive-closure recursion: each
+    unrolled round takes the neighbor minimum (one-hop propagation) and
+    then pointer-jumps (label <- label OF the label node, halving label-
+    chain depth), so the known-min horizon at round r covers distance
+    >= 2^(r-1) — 24 rounds converge for any component narrower than
+    2^23 hops, far beyond any test scale.  Replaces the naive
+    ``reach(u, w)`` closure whose row count is quadratic in component
+    size: at sf0.1 the dbscan core graph is one ~15k-node component, so
+    the closure materialized ~10^8 (u, w) pairs and a full-set sweep
+    spent over an hour in this one oracle; the label rounds are
+    O(rounds * |E|).  Safety: labels only ever move to other node ids
+    within the component, and a too-small round count would leave some
+    label ABOVE the true minimum — a visible engine-vs-oracle mismatch,
+    never a silent agreement.  Yields ``comp(id, component)`` for every
+    node of ``edges``.  Every multiply-referenced CTE is MATERIALIZED:
+    DuckDB (1.x) inlines plain CTEs per reference, and since each round
+    references the previous one twice the inlined tree would grow
+    2^rounds scans (observed as "Too many open files" on the source
+    parquet before any row moved)."""
+    parts = [f"l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS l"
+             f" FROM {edges})"]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""m{r} AS (
+  SELECT e.u AS id, MIN(p.l) AS ml FROM {edges} e JOIN {prev} p ON p.id = e.v
+  GROUP BY e.u
+), h{r} AS MATERIALIZED (
+  SELECT n.id, LEAST(n.l, COALESCE(m.ml, n.l)) AS l
+  FROM {prev} n LEFT JOIN m{r} m ON m.id = n.id
+), l{r} AS MATERIALIZED (
+  SELECT a.id, b.l FROM h{r} a JOIN h{r} b ON b.id = a.l
+)""")
+        prev = f"l{r}"
+    parts.append(f"comp AS (SELECT id, l AS component FROM {prev})")
+    return ", ".join(parts)
+
+
 _QDBSCAN_SQL = f"""
-WITH RECURSIVE pts AS (
+WITH pts AS MATERIALIZED (
   SELECT c_custkey AS id, {_DBX} AS x, {_DBY} AS y FROM customer
-), nbrs AS (
+), nbrs AS MATERIALIZED (
   SELECT a.id AS ida, b.id AS idb FROM pts a JOIN pts b
     ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25.0
-), core AS (
+), core AS MATERIALIZED (
   SELECT ida AS id FROM nbrs GROUP BY ida HAVING COUNT(*) >= 6
-), ce AS (
+), ce AS MATERIALIZED (
   SELECT n.ida AS u, n.idb AS v FROM nbrs n
   JOIN core c1 ON n.ida = c1.id JOIN core c2 ON n.idb = c2.id
   WHERE n.ida != n.idb
-), reach(u, w) AS (
-  SELECT u, u FROM ce
-  UNION
-  SELECT e.u, r.w FROM ce e JOIN reach r ON r.u = e.v
-), comp AS (
-  SELECT u AS id, MIN(w) AS component FROM reach GROUP BY u
-), core_comp AS (
+), {_minlabel_rounds_sql("ce")}, core_comp AS (
   SELECT c.id, COALESCE(cm.component, c.id) AS cluster
   FROM core c LEFT JOIN comp cm ON cm.id = c.id
 ), border AS (
