@@ -829,3 +829,58 @@ def test_also_bought_topk_matches_python_mirror(spark, sf_dir):
            for r in R8_QUERIES["part_also_bought_topk"][0](
                spark, sf_dir).collect()]
     assert got == want
+
+
+def test_feature_hashing_collisions_matches_python_mirror(spark, sf_dir):
+    """The hashing-trick audit re-derived with hashlib.md5 and Python
+    Counter arithmetic (the portable 60-bit hash is defined as the first
+    15 md5 hex chars — reproduced here from the definition, not the SQL)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    terms = set()
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("text").collect()):
+        for t in re.split(r"\s+", r["text"].strip().lower()):
+            if t:
+                terms.add(t)
+    loads = Counter(
+        int(hashlib.md5(f"{t}#feat".encode()).hexdigest()[:15], 16) % 4096
+        for t in terms)
+    n_terms = sum(loads.values())
+    (got,) = R8B_QUERIES["feature_hashing_collisions"][0](
+        spark, sf_dir).collect()
+    assert got["n_terms"] == n_terms
+    assert got["n_buckets_used"] == len(loads)
+    assert got["max_load"] == max(loads.values())
+    assert got["n_singletons"] == sum(1 for v in loads.values() if v == 1)
+    assert got["collision_rate"] == pytest.approx(
+        round(1.0 - len(loads) / n_terms, 6), abs=2e-6)
+
+
+def test_blocklist_rate_matches_python_mirror(spark, sf_dir):
+    import re
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8 import R8_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    pat = re.compile(r"\b(danger|risk|attack|broken|fail)\w*")
+    agg = defaultdict(lambda: [0, 0])
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("source", "text").collect()):
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += 1 if pat.search(r["text"].lower()) else 0
+    got = {r["source"]: (r["n_docs"], r["n_hits"], r["hit_rate"])
+           for r in R8_QUERIES["doc_blocklist_rate"][0](
+               spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, (n, h) in agg.items():
+        gn, gh, grate = got[src]
+        assert (gn, gh) == (n, h)
+        assert grate == pytest.approx(round(h / n, 9), abs=2e-9)
