@@ -884,3 +884,85 @@ def test_blocklist_rate_matches_python_mirror(spark, sf_dir):
         gn, gh, grate = got[src]
         assert (gn, gh) == (n, h)
         assert grate == pytest.approx(round(h / n, 9), abs=2e-9)
+
+
+def test_assoc_rules_matches_python_mirror(spark, sf_dir):
+    """Directed brand association rules re-derived from per-order brand
+    sets with dict arithmetic: every measure (support, confidence, lift,
+    leverage, conviction) and the lift-ranked top-15."""
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    brand = {r["p_partkey"]: r["p_brand"]
+             for r in load_table(spark, sf_dir, "part")
+             .select("p_partkey", "p_brand").collect()}
+    baskets = defaultdict(set)
+    for r in (load_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_partkey").collect()):
+        if r["l_partkey"] in brand:
+            baskets[r["l_orderkey"]].add(brand[r["l_partkey"]])
+    n = len(baskets)
+    nb = defaultdict(int)
+    nab = defaultdict(int)
+    for bs in baskets.values():
+        for x in bs:
+            nb[x] += 1
+            for y in bs:
+                if x != y:
+                    nab[(x, y)] += 1
+    rules = {}
+    for (x, y), c in nab.items():
+        supp, conf, supb = c / n, c / nb[x], nb[y] / n
+        lift = supp / ((nb[x] / n) * supb)
+        lev = supp - (nb[x] / n) * supb
+        conv = None if c == nb[x] else (1.0 - supb) / (1.0 - conf)
+        rules[(x, y)] = (c, round(supp, 6), round(conf, 6), round(lift, 6),
+                         round(lev, 6),
+                         None if conv is None else round(conv, 6))
+    order = sorted(rules, key=lambda k: (-rules[k][3], k[0], k[1]))[:15]
+    rows = R8B_QUERIES["brand_assoc_rules"][0](spark, sf_dir).collect()
+    assert [(r["antecedent"], r["consequent"]) for r in rows] == order
+    for r in rows:
+        c, supp, conf, lift, lev, conv = rules[(r["antecedent"],
+                                                r["consequent"])]
+        assert r["n_both"] == c
+        for gcol, wval in (("support", supp), ("confidence", conf),
+                           ("lift", lift), ("leverage", lev),
+                           ("conviction", conv)):
+            if wval is None:
+                assert r[gcol] is None
+            else:
+                assert r[gcol] == pytest.approx(wval, abs=2e-6)
+
+
+def test_three_way_split_matches_python_mirror(spark, sf_dir):
+    """The deterministic 90/5/5 split re-derived from hashlib.md5 over the
+    stringified doc_id — the split a user reproduces outside either
+    engine, which is the whole point of the portable hash."""
+    import hashlib
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8 import R8_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    cnt = defaultdict(int)
+    tot = defaultdict(int)
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "lang").collect()):
+        h = int(hashlib.md5(f"{r['doc_id']}#split".encode())
+                .hexdigest()[:15], 16) % 100
+        split = "train" if h < 90 else ("val" if h < 95 else "test")
+        cnt[(r["lang"], split)] += 1
+        tot[r["lang"]] += 1
+    got = {(r["lang"], r["split"]): (r["n"], r["share"])
+           for r in R8_QUERIES["dataset_three_way_split"][0](
+               spark, sf_dir).collect()}
+    assert set(got) == set(cnt)
+    for (lang, split), n in cnt.items():
+        gn, gshare = got[(lang, split)]
+        assert gn == n
+        assert gshare == pytest.approx(round(n / tot[lang], 9), abs=2e-9)
+    # the split must actually be three-way somewhere
+    assert {s for _, s in cnt} == {"train", "val", "test"}
