@@ -966,3 +966,88 @@ def test_three_way_split_matches_python_mirror(spark, sf_dir):
         assert gshare == pytest.approx(round(n / tot[lang], 9), abs=2e-9)
     # the split must actually be three-way somewhere
     assert {s for _, s in cnt} == {"train", "val", "test"}
+
+
+def test_doc_stitch_pairs_matches_python_mirror(spark, sf_dir):
+    import re
+    from collections import defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8 import R8_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    base = {}
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "text").collect()):
+        tk = re.split(r"\s+", r["text"].strip().lower())
+        if len(tk) >= 10:
+            base[r["doc_id"]] = tk
+    allv = dict(base)
+    for did, tk in base.items():
+        if did < 20:
+            allv[did + 2000000] = tk[-5:] + ["synthetic", "continuation",
+                                             "marker"]
+    heads = defaultdict(list)
+    for did, tk in allv.items():
+        heads[" ".join(tk[:5])].append(did)
+    want = sorted((a, b, k)
+                  for did_a, tk in allv.items()
+                  for k in [" ".join(tk[-5:])]
+                  for b in heads.get(k, [])
+                  for a in [did_a] if a != b)
+    got = [(r["a_doc"], r["b_doc"], r["boundary"])
+           for r in R8_QUERIES["doc_stitch_pairs"][0](spark, sf_dir).collect()]
+    assert got == want
+    # every planted continuation is found (recall of the planted truth)
+    planted = {(d, d + 2000000) for d in base if d < 20}
+    assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_entity_blocking_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_dir, "customer")
+            .select("c_mktsegment", "c_acctbal").collect())
+    blocks = Counter((r["c_mktsegment"],
+                      math.floor(r["c_acctbal"] / 1000.0)) for r in rows)
+    n = len(rows)
+    cand = sum(b * (b - 1) // 2 for b in blocks.values())
+    (got,) = R8B_QUERIES["customer_entity_blocking"][0](
+        spark, sf_dir).collect()
+    assert got["n_customers"] == n
+    assert got["n_blocks"] == len(blocks)
+    assert got["max_block"] == max(blocks.values())
+    assert got["cand_pairs"] == cand
+    assert got["mean_block"] == pytest.approx(
+        round(n / len(blocks), 6), abs=2e-6)
+    assert got["reduction_ratio"] == pytest.approx(
+        round(1.0 - cand / (n * (n - 1) / 2), 6), abs=2e-6)
+
+
+def test_autocomplete_matches_python_mirror(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    tc = Counter(t for r in load_table(spark, sf_dir, "part")
+                 .select("p_name").collect()
+                 for t in r["p_name"].lower().split(" ") if len(t) >= 4)
+    ptot = defaultdict(int)
+    for tok, c in tc.items():
+        ptot[tok[:4]] += c
+    top_pre = sorted(ptot, key=lambda p: (-ptot[p], p))[:10]
+    want = []
+    for p in sorted(top_pre):
+        comps = sorted(((t, c) for t, c in tc.items() if t[:4] == p),
+                       key=lambda tcp: (-tcp[1], tcp[0]))[:3]
+        want += [(p, ptot[p], i + 1, t, c)
+                 for i, (t, c) in enumerate(comps)]
+    got = [(r["prefix"], r["prefix_freq"], r["rk"], r["completion"],
+            r["completion_freq"])
+           for r in R8B_QUERIES["part_name_autocomplete"][0](
+               spark, sf_dir).collect()]
+    assert got == want
