@@ -1051,3 +1051,72 @@ def test_autocomplete_matches_python_mirror(spark, sf_dir):
            for r in R8B_QUERIES["part_name_autocomplete"][0](
                spark, sf_dir).collect()]
     assert got == want
+
+
+def test_rake_keywords_match_python_mirror(spark, sf_dir):
+    """RAKE re-derived imperatively: maximal non-stopword runs per doc,
+    degree/frequency word scores over all phrase instances, additive
+    phrase scores, lexicographic-tie top-15."""
+    import re
+    from collections import Counter
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import (
+        R8B_QUERIES, _RAKE_STOPS)
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    stops = set(_RAKE_STOPS)
+    instances = []
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("text").collect()):
+        tk = re.split(r"\s+", r["text"].strip().lower())
+        run = []
+        prev = None
+        for i, t in enumerate(tk):
+            if t and t not in stops:
+                if prev is not None and i != prev + 1:
+                    instances.append(run)
+                    run = []
+                run.append(t)
+                prev = i
+        if run:
+            instances.append(run)
+    instances = [p for p in instances if len(p) <= 4]
+    freq = Counter(w for p in instances for w in p)
+    deg = Counter()
+    for p in instances:
+        for w in p:
+            deg[w] += len(p)
+    scores = {}
+    for p in {" ".join(p) for p in instances}:
+        scores[p] = round(sum(deg[w] / freq[w] for w in p.split(" ")), 6)
+    order = sorted(scores, key=lambda p: (-scores[p], p))[:15]
+    rows = R8B_QUERIES["doc_keyword_rake"][0](spark, sf_dir).collect()
+    assert [r["phrase"] for r in rows] == order
+    for r in rows:
+        assert r["score"] == pytest.approx(scores[r["phrase"]], abs=2e-6)
+        assert r["rank"] == rows.index(r) + 1
+
+
+def test_partition_skew_audit_matches_python_mirror(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source").collect())
+    key = Counter(r["source"] for r in rows)
+    hsh = Counter(
+        int(hashlib.md5(f"{r['doc_id']}#part".encode()).hexdigest()[:15], 16)
+        % 32 for r in rows)
+    got = {r["strategy"]: r for r in R8B_QUERIES[
+        "doc_partition_skew_audit"][0](spark, sf_dir).collect()}
+    for tag, per in (("key_by_source", key), ("hash_32", hsh)):
+        g = got[tag]
+        assert g["n_parts"] == len(per)
+        assert g["n_rows"] == sum(per.values())
+        assert g["max_rows"] == max(per.values())
+        assert g["skew_factor"] == pytest.approx(
+            round(max(per.values()) * len(per) / sum(per.values()), 6),
+            abs=2e-6)
