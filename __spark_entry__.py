@@ -133,10 +133,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # closure spent >1 h on sf0.1's single 15k-node core component; the new
 # form takes ~6 s and is equivalence-gated at sf0.001/sf0.01/sf0.1) —
 # promoted so a driver hash certifies the new comparison artifact too.
+# doc_heaps_law's ORACLE gained the repo's `+ 0.0` negative-zero canon
+# on its rounded outputs: the r11 sf0.1 standing sweep caught the
+# oracle emitting IEEE -0.0 for the saturated-vocabulary slope that
+# Spark's BigDecimal ROUND returns as +0.0 (the round-6
+# spatial_affine_ops class, magnitude-dependent: sf0.01 never
+# saturates) — value-identical at sf0.01, promoted for the same
+# fresh-artifact reason.
 _NEVER_DRIVER_SAMPLED = [
     # -- tranche 0: plans CHANGED in round 11 (pre-aggregation doc-freq
-    # cap in the overlap core) + the rewritten dbscan oracle --
+    # cap in the overlap core) + the two changed oracles --
     "ngram_jaccard_pairs", "ngram_containment_pairs", "spatial_dbscan",
+    "doc_heaps_law",
     # -- the last 30 never-driver-hashed queries (integer-/byte-exact
     # tranche-3 tail of the r10 list, original order preserved) --
     "part_label_propagation", "part_kcore", "part_also_bought_topk",

@@ -6959,10 +6959,10 @@ WITH toks AS (
 )
 SELECT k AS n_checkpoints,
        ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
-             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS heaps_beta,
        ROUND(exp((sy - ((CAST(k AS DOUBLE) * sxy - sx * sy)
                         / (CAST(k AS DOUBLE) * sxx - sx * sx)) * sx)
-                 / CAST(k AS DOUBLE)), 6) AS heaps_k
+                 / CAST(k AS DOUBLE)), 6) + 0.0 AS heaps_k
 FROM ols
 """
 
