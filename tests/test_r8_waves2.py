@@ -1120,3 +1120,50 @@ def test_partition_skew_audit_matches_python_mirror(spark, sf_dir):
         assert g["skew_factor"] == pytest.approx(
             round(max(per.values()) * len(per) / sum(per.values()), 6),
             abs=2e-6)
+
+
+def test_scan_pruning_stats_matches_python_mirror(spark, sf_dir):
+    """The manifest-pruning simulation re-derived by sorting the rows in
+    Python and chunking into 32 equal files — both layouts' per-file
+    min/max stats and the one-month predicate's read set."""
+    import datetime
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    rows = []
+    for r in (load_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_linenumber", "l_shipdate").collect()):
+        d = r["l_shipdate"]
+        if isinstance(d, datetime.datetime):
+            d = d.date()
+        rows.append((r["l_orderkey"], r["l_linenumber"], d))
+    n = len(rows)
+    p_lo, p_hi = datetime.date(1994, 3, 1), datetime.date(1994, 4, 1)
+
+    def audit(ordered):
+        stats = {}
+        for i, (_, _, sd) in enumerate(ordered):
+            f = i * 32 // n
+            lo, hi = stats.get(f, (sd, sd))
+            stats[f] = (min(lo, sd), max(hi, sd))
+        read = sum(1 for lo, hi in stats.values()
+                   if lo < p_hi and hi >= p_lo)
+        return len(stats), read
+
+    want = {
+        "natural": audit(sorted(rows, key=lambda t: (t[0], t[1]))),
+        "shipdate_sorted": audit(sorted(rows,
+                                        key=lambda t: (t[2], t[0], t[1]))),
+    }
+    got = {r["layout"]: r for r in R8B_QUERIES["scan_pruning_stats"][0](
+        spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for tag, (nf, nr) in want.items():
+        g = got[tag]
+        assert (g["n_files"], g["n_files_read"]) == (nf, nr)
+        assert g["read_fraction"] == pytest.approx(round(nr / nf, 6),
+                                                   abs=2e-6)
+    # the sorted layout never reads MORE files (at sf0.001 the one-month
+    # predicate can select zero files in both layouts — equality is fine)
+    assert want["shipdate_sorted"][1] <= want["natural"][1]
