@@ -62,3 +62,24 @@ def test_prepare_seeds_callsite_capture_gate(spark):
 
     entry._prepare(spark)
     assert peu._enable_debugging_cache is False
+
+
+def test_prepare_applies_runtime_settable_engine_tuning(spark):
+    """VERDICT r10 item #6: a driver-built session must inherit every
+    engine tuning that is runtime-settable (the static ones are pinned
+    by the engine-session tests above and documented in _prepare's
+    conf table).  spark.sql.shuffle.partitions is deliberately NOT
+    asserted — the driver's own choice is part of what its hash
+    certifies."""
+    entry._prepare(spark)
+    expect = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    for k, v in expect.items():
+        assert spark.conf.get(k) == v, k
