@@ -866,6 +866,13 @@ def test_overlap_doc_freq_cap_is_pre_aggregation(spark):
     plan0 = (dedup._overlap_pairs(df, "doc_id", "text", shingle_n=2)
              ._jdf.queryExecution().optimizedPlan().toString())
     assert "windowspecdefinition" not in plan0
+    # and the cap adds ZERO exchanges: the window count rides the existing
+    # _h partitioning (the whole point of the pre-aggregation design)
+    def n_exchanges(d):
+        return d._jdf.queryExecution().executedPlan().toString() \
+            .count("Exchange")
+    assert n_exchanges(ov) == n_exchanges(
+        dedup._overlap_pairs(df, "doc_id", "text", shingle_n=2))
 
 
 def test_overlap_doc_freq_cap_char_grams(spark):
