@@ -1167,3 +1167,35 @@ def test_scan_pruning_stats_matches_python_mirror(spark, sf_dir):
     # the sorted layout never reads MORE files (at sf0.001 the one-month
     # predicate can select zero files in both layouts — equality is fine)
     assert want["shipdate_sorted"][1] <= want["natural"][1]
+
+
+def test_sentence_dedup_matches_python_mirror(spark, sf_dir):
+    """CCNet-grain sentence dedup re-derived with re.split + hashlib.md5.
+    Spark's trim removes ASCII spaces only, so the mirror strips ' '
+    (not all whitespace) to stay faithful."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    from sedona_iceberg_extension_spark.plans.queries_r8b import R8B_QUERIES
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    per = defaultdict(Counter)
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("source", "text").collect()):
+        for s in re.split(r"[.!?]+", r["text"]):
+            s = s.strip(" ")
+            if len(s) >= 20:
+                h = int(hashlib.md5(f"{s}#sent".encode())
+                        .hexdigest()[:15], 16)
+                per[r["source"]][h] += 1
+    got = {r["source"]: r for r in R8B_QUERIES["doc_sentence_dedup"][0](
+        spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        g = got[src]
+        n, d = sum(cnt.values()), len(cnt)
+        assert (g["n_sentences"], g["n_distinct"],
+                g["max_multiplicity"]) == (n, d, max(cnt.values()))
+        assert g["dup_rate"] == pytest.approx(round(1.0 - d / n, 6),
+                                              abs=2e-6)
