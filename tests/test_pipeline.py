@@ -1167,6 +1167,26 @@ def test_jaccard_pairs_matches_bruteforce(spark, texts):
                     want_c[(i, j)] = (ab, ba)
     assert got_c == want_c
 
+    # and through the pre-aggregation doc-freq cap (the tiny alphabet makes
+    # the cap bite on most generated corpora): capped shingles leave the
+    # candidate set AND n_common, sizes stay full-set
+    from collections import Counter as _Counter
+    freq = _Counter(g for s in sets.values() for g in s)
+    keep = {g for g, c in freq.items() if c <= 2}
+    got_k = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.jaccard_pairs(df, "doc_id", "text", shingle_n=n,
+                                      threshold=0.0,
+                                      max_doc_freq=2).collect()}
+    want_k = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j] & keep)
+                if inter:
+                    want_k[(i, j)] = inter / (len(sets[i]) + len(sets[j])
+                                              - inter)
+    assert got_k == want_k
+
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(
