@@ -397,3 +397,57 @@ def test_grid_join_matches_bruteforce(spark, rects, points):
         for j, (bx, by) in enumerate(points)
         if (ax - bx) ** 2 + (ay - by) ** 2 <= 1.5 * 1.5)
     assert got_d == want_d
+
+
+def test_grid_join_sql_prototype_matches_operator(spark, sf_dir):
+    """Round-12 groundwork: the single-statement `_grid_join_sql`
+    prototype must produce exactly the operator `_grid_join`'s rows and
+    exchange count on the declared contains shape (boxes containing
+    customer points, hint-exact strict-bounds condition), before any
+    declared query moves onto it."""
+    from pyspark.sql import functions as F
+
+    import importlib
+
+    # the operators package re-exports the spatial_join FUNCTION under the
+    # same name as the module — fetch the module itself
+    SJ = importlib.import_module(
+        "sedona_iceberg_extension_spark.operators.spatial_join")
+    from sedona_iceberg_extension_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = (F.col("c_custkey") % 160 - 80).cast("double")
+    pts = cust.select(
+        "c_custkey", x.alias("_r_xmin"), y.alias("_r_ymin"),
+        x.alias("_r_xmax"), y.alias("_r_ymax"))
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    bx0 = (F.col("n_nationkey") * 14 - 180).cast("double")
+    boxes = nat.select(
+        "n_nationkey", bx0.alias("_l_xmin"), F.lit(-90.0).alias("_l_ymin"),
+        (bx0 + 20.0).alias("_l_xmax"), F.lit(90.0).alias("_l_ymax"))
+
+    cond = ((F.col("_l_xmin") < F.col("_r_xmin"))
+            & (F.col("_l_xmax") > F.col("_r_xmax"))
+            & (F.col("_l_ymin") < F.col("_r_ymin"))
+            & (F.col("_l_ymax") > F.col("_r_ymax")))
+    cond_sql = ("l.`_l_xmin` < r.`_r_xmin` AND l.`_l_xmax` > r.`_r_xmax`"
+                " AND l.`_l_ymin` < r.`_r_ymin`"
+                " AND l.`_l_ymax` > r.`_r_ymax`")
+
+    op = SJ._grid_join(boxes, pts, "_l", "_r", cond, "inner",
+                       grid_size=12.0, d=0.0)
+    sq = SJ._grid_join_sql(boxes, pts, "_l", "_r", cond_sql,
+                           grid_size=12.0)
+    key = lambda df: sorted((r["n_nationkey"], r["c_custkey"])
+                            for r in df.select("n_nationkey",
+                                               "c_custkey").collect())
+    rows_op, rows_sq = key(op), key(sq)
+    assert rows_op and rows_op == rows_sq
+    # same physical shape: the single statement must not add exchanges
+    n_ex = lambda df: df._jdf.queryExecution().executedPlan() \
+        .toString().count("Exchange")
+    assert n_ex(sq) == n_ex(op)
+    # catalog hygiene: the DataFrame named-args leave no temp views
+    assert not [t for t in spark.catalog.listTables()
+                if t.name.startswith("_pyspark_")]
