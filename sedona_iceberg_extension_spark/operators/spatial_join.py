@@ -117,6 +117,7 @@ def spatial_join(
     right_is_points: bool = False,
     left_is_rects: bool = False,
     right_is_rects: bool = False,
+    construction: str = "auto",
 ) -> DataFrame:
     """Join two DataFrames on a spatial predicate between WKB columns.
 
@@ -128,6 +129,20 @@ def spatial_join(
     optional exactness hints: when a side is known to be all points (or the
     right side all axis-aligned rectangles), the envelope algebra is already
     the exact predicate and the refinement UDF is dropped from the plan.
+
+    ``construction``: "auto" (default) emits the grid join as ONE
+    ``spark.sql`` statement when the shape allows it — inner join, grid
+    strategy, persisted ``<geom>_env`` structs on both sides, and a fully
+    native (hint-exact) condition; everything else takes the operator
+    path.  "operator" forces the classic Dataset-op chain (the
+    differential gates compare the two); "stmt" forces the statement and
+    raises when the shape is ineligible.  Results and physical plan shape
+    are identical by construction — the statement exists because
+    classic-mode PySpark analyzes EAGERLY per Dataset op, so the
+    operator chain re-analyzes its growing subtree each step (measured
+    r11: ~0.26–0.30 s of pure construction per declared spatial join, of
+    a 2.05 s suite-wide construction total); one statement = one parse,
+    one analysis (the exact-Jaccard precedent, pipeline/dedup.py).
     """
     if predicate not in _PRED_UDFS and predicate != "dwithin":
         raise ValueError(f"unsupported predicate {predicate!r}")
@@ -150,6 +165,46 @@ def spatial_join(
     if not (right_is_points or right_is_rects):
         h = _shape_hint(right, rg)
         right_is_points, right_is_rects = h == "points", h == "rects"
+
+    # ---- single-statement fast path (round 12; see ``construction``) ----
+    if construction not in ("auto", "operator", "stmt"):
+        raise ValueError(f"unsupported construction {construction!r}")
+    if construction != "operator":
+        native_sql = _native_cond_sql(predicate, d, left_is_points,
+                                      left_is_rects, right_is_points,
+                                      right_is_rects)
+        stmt_ok = (how == "inner" and native_sql is not None
+                   and f"{lg}_env" in left.columns
+                   and f"{rg}_env" in right.columns)
+        if stmt_ok and strategy == "auto":
+            # same stats-first auto resolution as the operator path below,
+            # probed on the raw right side (aliases/env projections don't
+            # change Catalyst's size estimate)
+            resolved = None
+            try:
+                size = int(right._jdf.queryExecution().optimizedPlan()
+                           .stats().sizeInBytes())
+                resolved = "broadcast" if size <= 64 * 1024 * 1024 else "grid"
+            except Exception:
+                pass
+            if resolved is None:
+                try:
+                    r_small = (right.limit(broadcast_threshold_rows).count()
+                               < broadcast_threshold_rows)
+                except Exception:
+                    r_small = False
+                resolved = "broadcast" if r_small else "grid"
+            strategy = resolved
+        stmt_ok = stmt_ok and strategy == "grid"
+        if construction == "stmt" and not stmt_ok:
+            raise ValueError(
+                "construction='stmt' requires an inner grid join with "
+                "persisted <geom>_env structs and a hint-exact condition")
+        if stmt_ok:
+            if grid_size is None:
+                grid_size = _grid_size_from_env(left, right, lg, rg, d)
+            return _stmt_grid_join(left, right, lg, rg, native_sql,
+                                   float(grid_size), d)
 
     left, lp = _ensure_env(left, lg, "_l")
     right, rp = _ensure_env(right, rg, "_r")
@@ -265,59 +320,112 @@ def spatial_join(
     return joined.drop(*drop_cols)
 
 
-def _grid_join_sql(left: DataFrame, right: DataFrame, lp: str, rp: str,
-                   cond_sql: str, grid_size: float,
-                   d: float = 0.0) -> DataFrame:
-    """EXPERIMENTAL round-12 candidate — not yet on the declared path.
+def _dlit(x: float) -> str:
+    """A Python double as a bit-exact SQL double literal.  A bare SQL
+    decimal literal parses as DECIMAL (different arithmetic type);
+    string→double cast is the same correctly-rounded parse as Python's —
+    bit-identical to ``F.lit(float)`` in the operator spelling."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    The inner grid join emitted as ONE ``spark.sql`` statement with
-    DataFrame named-args, following the exact-Jaccard precedent: classic
-    PySpark analyzes eagerly per Dataset op, so `_grid_join`'s ~8-op
-    chain re-analyzes its growing subtree each step (measured: the
-    spatial-join trio costs ~0.26-0.30 s of pure construction each, of a
-    2.05 s suite-wide construction total).  One statement = one parse,
-    one analysis.  Same logical shape: per-side cell explode (nested,
-    one generator per projection level), cell equi-join + reference-cell
-    algebraic dedup + ``cond_sql``, l/r projection.  ``cond_sql`` is the
-    predicate over aliases ``l``/``r`` (native envelope algebra for
-    hint-exact shapes; registered ST_* SQL names otherwise — both parse
-    in ``spark.sql`` after ``register_all``).  Inner join only; the
-    outer/semi/anti reconciliation stays on the operator path.  Measured
-    (local[8], warm constructors, 10-rep mean): 87 ms operator fragment
-    → 61 ms single statement (−30%) — so the grid fragment alone buys
-    ~26 ms/join, and the REST of the ~260 ms per-query construction
-    (geometry builders, _ensure_env, rename/projection wrapping) must
-    fold into the statement too for the full win.  Promotion plan
-    (round 12): byte-identical-results differential gates at
-    sf0.001/0.01/0.1, shuffle 7/32/256 rehearsal, exchange-count
-    equality vs `_grid_join`, then tranche-0 per policy if the analyzed
-    structure differs."""
+
+def _native_cond_sql(predicate: str, d: float,
+                     left_is_points: bool, left_is_rects: bool,
+                     right_is_points: bool, right_is_rects: bool) -> Optional[str]:
+    """SQL-text mirror of the hint-exact condition branches of
+    ``spatial_join`` (same branch order, same comparison operators, same
+    literal arithmetic — the differential gates in
+    tests/test_spatial_join.py hold the two spellings row-identical).
+    Returns None when the shape needs a refinement UDF — those joins stay
+    on the operator path."""
+    lx0, ly0 = "l.`_l_xmin`", "l.`_l_ymin`"
+    lx1, ly1 = "l.`_l_xmax`", "l.`_l_ymax`"
+    rx0, ry0 = "r.`_r_xmin`", "r.`_r_ymin`"
+    rx1, ry1 = "r.`_r_xmax`", "r.`_r_ymax`"
+    if predicate == "dwithin":
+        if not (left_is_points and right_is_points):
+            return None
+        pad, dd = _dlit(d), _dlit(float(d) * float(d))
+        env = (f"{lx1} + {pad} >= {rx0} AND {rx1} >= {lx0} - {pad}"
+               f" AND {ly1} + {pad} >= {ry0} AND {ry1} >= {ly0} - {pad}")
+        exact = (f"({lx0} - {rx0}) * ({lx0} - {rx0})"
+                 f" + ({ly0} - {ry0}) * ({ly0} - {ry0}) <= {dd}")
+        return f"({env}) AND ({exact})"
+    if predicate == "contains" and right_is_points and not left_is_points:
+        if not left_is_rects:
+            return None                      # strict prefilter + UDF refine
+        return (f"{lx0} < {rx0} AND {lx1} > {rx1}"
+                f" AND {ly0} < {ry0} AND {ly1} > {ry1}")
+    if predicate == "within" and left_is_points and not right_is_points:
+        if not right_is_rects:
+            return None
+        return (f"{rx0} < {lx0} AND {rx1} > {lx1}"
+                f" AND {ry0} < {ly0} AND {ry1} > {ly1}")
+    rect_l = left_is_points or left_is_rects
+    rect_r = right_is_points or right_is_rects
+    if rect_l and rect_r and predicate in (
+            "intersects", "contains", "covers", "within", "covered_by"):
+        if predicate in ("contains", "covers"):
+            return (f"{lx0} <= {rx0} AND {lx1} >= {rx1}"
+                    f" AND {ly0} <= {ry0} AND {ly1} >= {ry1}")
+        if predicate in ("within", "covered_by"):
+            return (f"{rx0} <= {lx0} AND {rx1} >= {lx1}"
+                    f" AND {ry0} <= {ly0} AND {ry1} >= {ly1}")
+        return (f"{lx1} >= {rx0} AND {rx1} >= {lx0}"
+                f" AND {ly1} >= {ry0} AND {ry1} >= {ly0}")
+    return None
+
+
+def _stmt_grid_join(left: DataFrame, right: DataFrame, lg: str, rg: str,
+                    cond_sql: str, grid_size: float, d: float) -> DataFrame:
+    """The inner grid join as ONE ``spark.sql`` statement (promoted round
+    12 from the r11 `_grid_join_sql` prototype, which measured the grid
+    fragment alone at −30% construction).  Everything the operator path
+    spreads over ~12 eager Dataset ops folds into the statement: env-struct
+    flattening (``_ensure_env``), the right-side ``r_`` collision rename
+    (the same convention as the operator path — closing the r11 ADVICE
+    duplicate-column finding on the prototype), both nested cell explodes,
+    the cell equi-join + reference-cell algebraic dedup + hint-exact
+    condition, and the env-free output projection.  One parse, one
+    analysis; the logical shape, exchanges, and output columns match the
+    operator form exactly (gated in tests/test_spatial_join.py).  The
+    source DataFrames enter via ``spark.sql`` named-args — no temp views,
+    no catalog residue."""
     spark = left.sparkSession
-    s = f"CAST('{float(grid_size)!r}' AS DOUBLE)"
-    pad = f"CAST('{float(d)!r}' AS DOUBLE)"
-    lcols = ", ".join(f"l.`{c}`" for c in left.columns)
-    rcols = ", ".join(f"r.`{c}`" for c in right.columns)
+    s, pad = _dlit(grid_size), _dlit(d)
+    common = set(left.columns) & set(right.columns)
+    rname = {c: (f"r_{c}" if c in common else c) for c in right.columns}
+    lenv, renv = f"`{lg}_env`", f"`{rg}_env`"
+    lsel = ", ".join(f"`{c}`" for c in left.columns)
+    rsel = ", ".join(f"`{c}` AS `{rname[c]}`" for c in right.columns)
+    lproj = ", ".join(f"l.`{c}`" for c in left.columns)
+    rproj = ", ".join(f"r.`{rname[c]}`" for c in right.columns)
     return spark.sql(f"""
 WITH lcell AS (
-  SELECT *, explode(sequence(floor((`{lp}_ymin` - {pad}) / {s}),
-                             floor((`{lp}_ymax` + {pad}) / {s}))) AS _cy
-  FROM (SELECT *, explode(sequence(floor((`{lp}_xmin` - {pad}) / {s}),
-                                   floor((`{lp}_xmax` + {pad}) / {s}))) AS _cx
-        FROM {{gj_left}})
+  SELECT *, explode(sequence(floor((`_l_ymin` - {pad}) / {s}),
+                             floor((`_l_ymax` + {pad}) / {s}))) AS _cy
+  FROM (SELECT *, explode(sequence(floor((`_l_xmin` - {pad}) / {s}),
+                                   floor((`_l_xmax` + {pad}) / {s}))) AS _cx
+        FROM (SELECT {lsel},
+                     {lenv}.`xmin` AS `_l_xmin`, {lenv}.`ymin` AS `_l_ymin`,
+                     {lenv}.`xmax` AS `_l_xmax`, {lenv}.`ymax` AS `_l_ymax`
+              FROM {{sj_left}}))
 ), rcell AS (
-  SELECT *, explode(sequence(floor(`{rp}_ymin` / {s}),
-                             floor(`{rp}_ymax` / {s}))) AS _cy
-  FROM (SELECT *, explode(sequence(floor(`{rp}_xmin` / {s}),
-                                   floor(`{rp}_xmax` / {s}))) AS _cx
-        FROM {{gj_right}})
+  SELECT *, explode(sequence(floor(`_r_ymin` / {s}),
+                             floor(`_r_ymax` / {s}))) AS _cy
+  FROM (SELECT *, explode(sequence(floor(`_r_xmin` / {s}),
+                                   floor(`_r_xmax` / {s}))) AS _cx
+        FROM (SELECT {rsel},
+                     {renv}.`xmin` AS `_r_xmin`, {renv}.`ymin` AS `_r_ymin`,
+                     {renv}.`xmax` AS `_r_xmax`, {renv}.`ymax` AS `_r_ymax`
+              FROM {{sj_right}}))
 )
-SELECT {lcols}, {rcols}
+SELECT {lproj}, {rproj}
 FROM lcell l JOIN rcell r
   ON l._cx = r._cx AND l._cy = r._cy
- AND l._cx = floor(greatest(l.`{lp}_xmin` - {pad}, r.`{rp}_xmin`) / {s})
- AND l._cy = floor(greatest(l.`{lp}_ymin` - {pad}, r.`{rp}_ymin`) / {s})
+ AND l._cx = floor(greatest(l.`_l_xmin` - {pad}, r.`_r_xmin`) / {s})
+ AND l._cy = floor(greatest(l.`_l_ymin` - {pad}, r.`_r_ymin`) / {s})
  AND ({cond_sql})
-""", gj_left=left, gj_right=right)
+""", sj_left=left, sj_right=right)
 
 
 def _stamp_row_id(df: DataFrame, exclude: tuple = ()) -> DataFrame:
@@ -351,6 +459,61 @@ def _stamp_row_id(df: DataFrame, exclude: tuple = ()) -> DataFrame:
 _GRID_SIZE_CACHE: dict = {}
 
 
+def _derive_grid_size(ls: dict, rs: dict, d: float) -> float:
+    """Cell size from both sides' envelope stats: target ~2 cells per
+    average envelope.  Both sides matter — sizing off the left alone would
+    shred a wide-envelope right side (e.g. points JOIN polygons) across
+    millions of cells each.  Cells ~2× the *smaller* side's average
+    envelope give that side ~1 cell per row; the floor sqrt(area_big/64)
+    caps the wide side's cell replication at ~64 copies per row, so a
+    points-vs-polygons join still spreads across many cells instead of
+    collapsing into the handful of whole-extent cells the polygons
+    dictate."""
+    lw = max(ls["w"] or 0.0, ls["h"] or 0.0)
+    rw = max(rs["w"] or 0.0, rs["h"] or 0.0)
+    extent = max(ls["W"] or 1.0, ls["H"] or 1.0,
+                 rs["W"] or 1.0, rs["H"] or 1.0, 1e-9)
+    big_area = max((ls["w"] or 0.0) * (ls["h"] or 0.0),
+                   (rs["w"] or 0.0) * (rs["h"] or 0.0))
+    return max(2.0 * min(lw, rw) + 2.0 * d,
+               (big_area / 64.0) ** 0.5,
+               extent / 4096.0)
+
+
+def _grid_size_from_env(left: DataFrame, right: DataFrame,
+                        lg: str, rg: str, d: float) -> float:
+    """Sample-driven grid size for the single-statement path, read straight
+    off the persisted ``<geom>_env`` structs (the operator path computes the
+    same aggregates over its flattened env fields — identical values, so the
+    two constructions derive identical cell sizes).  Cached per
+    (semantic-plan-hash, d) like the operator path's sizing."""
+    key = None
+    try:
+        key = (left._jdf.queryExecution().analyzed().semanticHash(),
+               right._jdf.queryExecution().analyzed().semanticHash(),
+               float(d), ("env", lg, rg))
+    except Exception:
+        pass
+    if key is not None and key in _GRID_SIZE_CACHE:
+        return _GRID_SIZE_CACHE[key]
+
+    def _stats(df, g, pre):
+        e = F.col(f"{g}_env")
+        return df.select(
+            F.avg(e["xmax"] - e["xmin"]).alias(f"{pre}w"),
+            F.avg(e["ymax"] - e["ymin"]).alias(f"{pre}h"),
+            (F.max(e["xmax"]) - F.min(e["xmin"])).alias(f"{pre}W"),
+            (F.max(e["ymax"]) - F.min(e["ymin"])).alias(f"{pre}H"),
+        )
+    both = _stats(left, lg, "l").crossJoin(_stats(right, rg, "r")).first()
+    ls = {k: both[f"l{k}"] for k in ("w", "h", "W", "H")}
+    rs = {k: both[f"r{k}"] for k in ("w", "h", "W", "H")}
+    grid_size = _derive_grid_size(ls, rs, d)
+    if key is not None and len(_GRID_SIZE_CACHE) < 256:
+        _GRID_SIZE_CACHE[key] = grid_size
+    return grid_size
+
+
 def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
                cond: Column, how: str, grid_size: Optional[float], d: float) -> DataFrame:
     if grid_size is None:
@@ -363,10 +526,7 @@ def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
             pass
         grid_size = _GRID_SIZE_CACHE.get(key) if key is not None else None
     if grid_size is None:
-        # sample-driven cell sizing: target ~2 cells per average envelope.
-        # Both sides matter — sizing off the left alone would shred a
-        # wide-envelope right side (e.g. points JOIN polygons) across
-        # millions of cells each.
+        # sample-driven cell sizing — see _derive_grid_size
         def _stats(df, p, pre):
             return df.select(
                 F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias(f"{pre}w"),
@@ -380,20 +540,7 @@ def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
         both = _stats(left, lp, "l").crossJoin(_stats(right, rp, "r")).first()
         ls = {k: both[f"l{k}"] for k in ("w", "h", "W", "H")}
         rs = {k: both[f"r{k}"] for k in ("w", "h", "W", "H")}
-        lw = max(ls["w"] or 0.0, ls["h"] or 0.0)
-        rw = max(rs["w"] or 0.0, rs["h"] or 0.0)
-        extent = max(ls["W"] or 1.0, ls["H"] or 1.0,
-                     rs["W"] or 1.0, rs["H"] or 1.0, 1e-9)
-        # cells ~2× the *smaller* side's average envelope give that side ~1
-        # cell per row; the floor sqrt(area_big/64) caps the wide side's
-        # cell replication at ~64 copies per row, so a points-vs-polygons
-        # join still spreads across many cells instead of collapsing into
-        # the handful of whole-extent cells the polygons dictate.
-        big_area = max((ls["w"] or 0.0) * (ls["h"] or 0.0),
-                       (rs["w"] or 0.0) * (rs["h"] or 0.0))
-        grid_size = max(2.0 * min(lw, rw) + 2.0 * d,
-                        (big_area / 64.0) ** 0.5,
-                        extent / 4096.0)
+        grid_size = _derive_grid_size(ls, rs, d)
         if key is not None and len(_GRID_SIZE_CACHE) < 256:
             _GRID_SIZE_CACHE[key] = grid_size
 

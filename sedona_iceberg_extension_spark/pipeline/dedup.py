@@ -267,7 +267,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
                       max_bucket: Optional[int] = None,
-                      log_dropped: bool = False) -> DataFrame:
+                      log_dropped: bool = False,
+                      construction: str = "stmt") -> DataFrame:
     """Candidate near-duplicate pairs (a < b) via banded LSH: docs sharing a
     band signature land in the same bucket; the pair join is an equi-join on
     (band, bk_0..bk_{r-1}) — the band's raw signature rows.  Bucket-local
@@ -275,11 +276,82 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     pipeline (a self-join would recompute the whole shingle+md5 DAG for
     both sides).  ``max_bucket`` bounds the worst bucket (see
     `_capped_bucket_pairs` — the at-scale default should set it; dropped
-    buckets surface via `oversize_buckets`/``log_dropped``)."""
-    banded = minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return _capped_bucket_pairs(
-        banded, id_col, ["band"] + band_key_cols(num_hashes, bands),
-        max_bucket, log_dropped)
+    buckets surface via `oversize_buckets`/``log_dropped``).
+
+    Constructed as ONE ``spark.sql`` statement by default (round 12, the
+    overlap-core precedent): the operator composition is ~12 eager Dataset
+    ops whose subtree re-analyzes each step — measured 0.18 s of pure
+    driver-side construction per call.  The statement spells the identical
+    pipeline — REPARTITION-hinted shingling, one md5 per shingle row + k
+    rotate-xor mixes, k ``min`` aggregates, band ``stack``, the window
+    bucket cap BEFORE ``collect_list``, bucket-local pair explode,
+    DISTINCT — one parse, one analysis, row-identical and exchange-equal
+    (gated in tests/test_pipeline.py).  ``construction="operator"`` keeps
+    the Dataset-op spelling (the differential baseline; also taken when
+    ``log_dropped`` needs the extra counting job)."""
+    if construction == "operator" or log_dropped:
+        banded = minhash_banded(df, id_col, text_col, num_hashes, bands,
+                                shingle_n)
+        return _capped_bucket_pairs(
+            banded, id_col, ["band"] + band_key_cols(num_hashes, bands),
+            max_bucket, log_dropped)
+
+    spark = df.sparkSession
+    n, rows = int(shingle_n), num_hashes // bands
+    src_df = df.select(F.col(id_col), F.col(text_col))
+    # spread(by=id_col) equivalent (same rule/fallback as _overlap_pairs):
+    # hint only when the scan can't already parallelize the shingle map
+    hint = f"/*+ REPARTITION(`{id_col}`) */ "
+    try:
+        if len(df.inputFiles()) >= spark.sparkContext.defaultParallelism:
+            hint = ""
+    except Exception:
+        pass
+    # one portable md5 hash per shingle row (the oracle reproduces it), then
+    # k cheap rotate-xor mixes — identical literals to _mix60
+    mixes = ", ".join(
+        f"min((((_h & {(1 << (60 - r)) - 1}) * {1 << r})"
+        f" + shiftright(_h, {60 - r})) ^ {c}) AS mh_{i}"
+        for i, (c, r) in enumerate(minhash_mix_params(num_hashes)))
+    stack_args = ", ".join(
+        ", ".join([str(b)] + [f"mh_{b * rows + j}" for j in range(rows)])
+        for b in range(bands))
+    keys = ", ".join(band_key_cols(num_hashes, bands))
+    if max_bucket is not None:
+        capped = (f"capped AS (SELECT band, {keys}, `{id_col}` FROM"
+                  f" (SELECT *, count(1) OVER"
+                  f" (PARTITION BY band, {keys}) AS _n FROM banded)"
+                  f" WHERE _n <= {int(max_bucket)}),\n")
+        bucket_src = "capped"
+    else:
+        capped = ""
+        bucket_src = "banded"
+    # "{mh_src}" is a spark.sql DataFrame named-arg placeholder, not
+    # f-string interpolation
+    return spark.sql(f"""
+WITH src AS (SELECT {hint}`{id_col}`,
+                    split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks
+             FROM {{mh_src}}),
+hashed AS (
+  SELECT `{id_col}`,
+         CAST(conv(substr(md5(concat(concat_ws(' ', slice(_toks, _i, {n})),
+                                     '#mh')), 1, 15), 16, 10) AS BIGINT) AS _h
+  FROM (SELECT `{id_col}`, _toks,
+               explode(sequence(1, greatest(size(_toks) - {n - 1}, 1))) AS _i
+        FROM src)
+),
+wide AS (SELECT `{id_col}`, {mixes} FROM hashed GROUP BY `{id_col}`),
+banded AS (SELECT `{id_col}`,
+                  stack({bands}, {stack_args}) AS (band, {keys}) FROM wide),
+{capped}buckets AS (
+  SELECT band, {keys}, collect_list(`{id_col}`) AS _ids
+  FROM {bucket_src} GROUP BY band, {keys}
+  HAVING size(_ids) > 1
+)
+SELECT DISTINCT id_a, id_b
+FROM (SELECT id_a, explode(filter(_ids, x -> x > id_a)) AS id_b
+      FROM (SELECT explode(_ids) AS id_a, _ids FROM buckets))
+""", mh_src=src_df)
 
 
 def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -151,6 +151,46 @@ def test_lsh_cap_single_exchange_plan(spark):
     assert n_exchanges(capped) == n_exchanges(uncapped)
 
 
+def test_minhash_stmt_construction_matches_operator(spark, sf_dir):
+    """Round-12 promotion gate: the single-statement minhash_lsh_pairs
+    construction must be row-identical and exchange-equal to the operator
+    composition, capped and uncapped, on the real documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nex = lambda df: df._jdf.queryExecution().executedPlan() \
+        .toString().count("Exchange")
+    for mb in (None, 64):
+        op = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8,
+                                     bands=4, max_bucket=mb,
+                                     construction="operator")
+        sq = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8,
+                                     bands=4, max_bucket=mb)
+        ra = sorted((r["id_a"], r["id_b"]) for r in op.collect())
+        rb = sorted((r["id_a"], r["id_b"]) for r in sq.collect())
+        assert ra and ra == rb
+        assert nex(sq) == nex(op)
+    # catalog hygiene: DataFrame named-args leave no temp views behind
+    assert not [t for t in spark.catalog.listTables()
+                if t.name.startswith("_pyspark_")]
+
+
+def test_cosine_topk_stmt_construction_matches_operator(spark, sf_dir):
+    """Round-12 promotion gate for cosine_topk: bit-identical rows
+    (tuple equality includes the float cosine), same exchange count,
+    broadcast hint honored in the statement plan."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    op = similarity.cosine_topk(q, emb, k=10, construction="operator")
+    sq = similarity.cosine_topk(q, emb, k=10)
+    ra = sorted(map(tuple, op.collect()))
+    rb = sorted(map(tuple, sq.collect()))
+    assert ra and ra == rb
+    assert op.columns == sq.columns
+    nex = lambda df: df._jdf.queryExecution().executedPlan() \
+        .toString().count("Exchange")
+    assert nex(sq) == nex(op)
+    assert "Broadcast" in sq._jdf.queryExecution().executedPlan().toString()
+
+
 def test_embedding_dup_cap_drops_mega_bucket(spark):
     """Same cap contract on the embedding LSH path: a 3k-clone vector family
     is filtered before the collect; distinct small-bucket pairs survive."""

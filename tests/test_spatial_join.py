@@ -399,55 +399,87 @@ def test_grid_join_matches_bruteforce(spark, rects, points):
     assert got_d == want_d
 
 
-def test_grid_join_sql_prototype_matches_operator(spark, sf_dir):
-    """Round-12 groundwork: the single-statement `_grid_join_sql`
-    prototype must produce exactly the operator `_grid_join`'s rows and
-    exchange count on the declared contains shape (boxes containing
-    customer points, hint-exact strict-bounds condition), before any
-    declared query moves onto it."""
-    from pyspark.sql import functions as F
-
-    import importlib
-
-    # the operators package re-exports the spatial_join FUNCTION under the
-    # same name as the module — fetch the module itself
-    SJ = importlib.import_module(
-        "sedona_iceberg_extension_spark.operators.spatial_join")
+def _sj_fixture_dfs(spark, sf_dir):
+    """Declared-shape inputs: nation boxes / customer points / supplier
+    points with persisted env structs and shape hints — both sides share
+    the ``geo``/``geo_env`` names, so the collision rename is exercised."""
+    from sedona_iceberg_extension_spark.functions import api as ST
     from sedona_iceberg_extension_spark.sources.tables import load_table
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    x = (F.col("c_custkey") % 360 - 180).cast("double")
-    y = (F.col("c_custkey") % 160 - 80).cast("double")
-    pts = cust.select(
-        "c_custkey", x.alias("_r_xmin"), y.alias("_r_ymin"),
-        x.alias("_r_xmax"), y.alias("_r_ymax"))
-    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
-    bx0 = (F.col("n_nationkey") * 14 - 180).cast("double")
-    boxes = nat.select(
-        "n_nationkey", bx0.alias("_l_xmin"), F.lit(-90.0).alias("_l_ymin"),
-        (bx0 + 20.0).alias("_l_xmax"), F.lit(90.0).alias("_l_ymax"))
+    cust = load_table(spark, sf_dir, "customer")
+    pts = ST.with_point_geometry(
+        cust.select("c_custkey"),
+        (F.col("c_custkey") % 360 - 180).cast("double"),
+        ((F.col("c_custkey") * 7) % 180 - 90).cast("double"))
+    nat = load_table(spark, sf_dir, "nation")
+    boxes = ST.with_box_geometry(
+        nat.select("n_nationkey"),
+        (F.col("n_nationkey") * 14 - 180).cast("double"), F.lit(-90.0),
+        (F.col("n_nationkey") * 14 - 166).cast("double"), F.lit(90.0))
+    sup = load_table(spark, sf_dir, "supplier")
+    spts = ST.with_point_geometry(
+        sup.select("s_suppkey"),
+        (F.col("s_suppkey") % 360 - 180).cast("double"),
+        ((F.col("s_suppkey") * 11) % 180 - 90).cast("double"))
+    return pts, boxes, spts
 
-    cond = ((F.col("_l_xmin") < F.col("_r_xmin"))
-            & (F.col("_l_xmax") > F.col("_r_xmax"))
-            & (F.col("_l_ymin") < F.col("_r_ymin"))
-            & (F.col("_l_ymax") > F.col("_r_ymax")))
-    cond_sql = ("l.`_l_xmin` < r.`_r_xmin` AND l.`_l_xmax` > r.`_r_xmax`"
-                " AND l.`_l_ymin` < r.`_r_ymin`"
-                " AND l.`_l_ymax` > r.`_r_ymax`")
 
-    op = SJ._grid_join(boxes, pts, "_l", "_r", cond, "inner",
-                       grid_size=12.0, d=0.0)
-    sq = SJ._grid_join_sql(boxes, pts, "_l", "_r", cond_sql,
-                           grid_size=12.0)
-    key = lambda df: sorted((r["n_nationkey"], r["c_custkey"])
-                            for r in df.select("n_nationkey",
-                                               "c_custkey").collect())
+@pytest.mark.parametrize("shape", ["contains", "dwithin", "intersects"])
+def test_stmt_construction_matches_operator(spark, sf_dir, shape):
+    """Promotion gate (round 12): the single-statement construction must
+    produce exactly the operator path's rows, column names, and exchange
+    count on every declared hint-exact shape — including the shared
+    ``geo``/``geo_env`` collision rename (r11 ADVICE on the prototype)."""
+    pts, boxes, spts = _sj_fixture_dfs(spark, sf_dir)
+    if shape == "contains":
+        kw = dict(predicate="contains", on=("geo", "geo"), strategy="grid")
+        l, r, keys = boxes, pts, ("n_nationkey", "c_custkey")
+    elif shape == "dwithin":
+        kw = dict(predicate="dwithin", on=("geo", "geo"), strategy="grid",
+                  d=2.5)
+        l, r, keys = pts, spts, ("c_custkey", "s_suppkey")
+    else:
+        kw = dict(predicate="intersects", on=("geo", "geo"), strategy="grid")
+        l, r, keys = boxes, pts, ("n_nationkey", "c_custkey")
+
+    op = spatial_join(l, r, construction="operator", **kw)
+    sq = spatial_join(l, r, construction="stmt", **kw)
+    assert op.columns == sq.columns           # incl. the r_ collision renames
+    assert "r_geo" in sq.columns and "r_geo_env" in sq.columns
+    key = lambda df: sorted((r[keys[0]], r[keys[1]])
+                            for r in df.select(*keys).collect())
     rows_op, rows_sq = key(op), key(sq)
     assert rows_op and rows_op == rows_sq
-    # same physical shape: the single statement must not add exchanges
+    # same physical shape: the single statement must not add exchanges,
+    # and the hint-exact condition must keep the plan Python-free
     n_ex = lambda df: df._jdf.queryExecution().executedPlan() \
         .toString().count("Exchange")
     assert n_ex(sq) == n_ex(op)
+    assert "EvalPython" not in sq.select(*keys)._jdf.queryExecution() \
+        .executedPlan().toString()
     # catalog hygiene: the DataFrame named-args leave no temp views
     assert not [t for t in spark.catalog.listTables()
                 if t.name.startswith("_pyspark_")]
+
+
+def test_stmt_construction_auto_and_fallbacks(spark, sf_dir):
+    """construction='auto' takes the statement for eligible shapes and must
+    silently fall back for ineligible ones (UDF refinement, outer joins,
+    missing env structs); 'stmt' on an ineligible shape raises."""
+    pts, boxes, _ = _sj_fixture_dfs(spark, sf_dir)
+    # UDF-refined (no hints stripped of metadata): drop metadata via rdd-less
+    # re-select through a schema cast that loses the shape hint
+    no_hint = boxes.select(
+        "n_nationkey", F.col("geo").alias("geo"))     # drops geo_env TOO
+    with pytest.raises(ValueError):
+        spatial_join(no_hint, pts, predicate="contains", on=("geo", "geo"),
+                     strategy="grid", construction="stmt")
+    out = spatial_join(no_hint, pts, predicate="contains", on=("geo", "geo"),
+                       strategy="grid", construction="auto")   # operator path
+    n_auto = out.count()
+    ref = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                       strategy="grid", construction="operator").count()
+    assert n_auto == ref
+    with pytest.raises(ValueError):
+        spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                     how="left_semi", strategy="grid", construction="stmt")
