@@ -6,16 +6,35 @@ front-of-sample ordering)."""
 import __spark_entry__ as entry
 
 
-def test_rotation_list_names_are_declared():
+def test_tranche0_names_are_declared():
     from sedona_iceberg_extension_spark.plans.queries import QUERIES
 
-    missing = [n for n in entry._NEVER_DRIVER_SAMPLED if n not in QUERIES]
-    assert not missing, f"rotation list has unknown names: {missing}"
+    missing = [n for n in entry._TRANCHE0 if n not in QUERIES]
+    assert not missing, f"tranche-0 list has unknown names: {missing}"
+    assert len(entry._TRANCHE0) == len(set(entry._TRANCHE0))
 
 
-def test_rotation_list_has_no_duplicates():
-    names = entry._NEVER_DRIVER_SAMPLED
-    assert len(names) == len(set(names))
+def test_staleness_order_is_total_and_stalest_first():
+    """The freshness rotation (round 12): _staleness_order must return a
+    permutation of the declared names whose last-hash rounds ascend —
+    every committed CORRECTNESS record participates, so a query green in
+    r1 and untouched since sorts ahead of one re-hashed in r11."""
+    import glob
+    import json
+    import re
+
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+
+    declared = [n for n in QUERIES if n not in set(entry._TRANCHE0)]
+    ordered = entry._staleness_order(declared)
+    assert sorted(ordered) == sorted(declared)
+    last = {}
+    for p in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p).group(1))
+        for n in json.load(open(p)):
+            last[n] = max(rnd, last.get(n, 0))
+    rounds = [last.get(n, 0) for n in ordered]
+    assert rounds == sorted(rounds)
 
 
 def test_queries_and_oracles_line_up():
@@ -24,9 +43,9 @@ def test_queries_and_oracles_line_up():
     assert set(oracles) <= set(qs)
     # the engine's standing claim: every declared query has an exact oracle
     assert set(oracles) == set(qs)
-    # rotation front: never-sampled names lead the dict ordering
+    # rotation front: tranche-0 names lead the dict ordering
     order = list(qs)
-    front = [n for n in entry._NEVER_DRIVER_SAMPLED if n in qs]
+    front = [n for n in entry._TRANCHE0 if n in qs]
     assert order[:len(front)] == front
 
 
