@@ -462,6 +462,76 @@ def test_stmt_construction_matches_operator(spark, sf_dir, shape):
                 if t.name.startswith("_pyspark_")]
 
 
+def test_grid_join_hot_cell_skew_soak(spark):
+    """100×-scale skew evidence for the spatial tier (VERDICT r11 item #6,
+    the analogue of the dedup tier's `oversize_buckets`): EVERY geometry on
+    both sides lands in ONE grid cell, so the cell equi-join hashes the
+    whole join into a single shuffle partition — the pathological hot cell.
+    The engine's defense is AQE skew-join splitting (on in every engine
+    session): the sort-merge join's oversized partition must be SPLIT
+    across tasks rather than executed as one straggler, and the answer must
+    still be exact.  Thresholds are lowered so test-sized data crosses the
+    same trigger real skew crosses at cluster scale (the condition is
+    size > max(threshold, factor × median); with every other partition
+    empty the median is 0, exactly the production hot-cell signature)."""
+    from sedona_iceberg_extension_spark.functions import api as ST
+
+    n_pts, n_boxes = 4000, 60
+    pts = ST.with_point_geometry(
+        spark.range(n_pts).select(F.col("id").alias("pid")),
+        ((F.col("pid") % 97) / 100.0).cast("double"),
+        (((F.col("pid") * 7) % 89) / 100.0).cast("double"))
+    boxes = ST.with_box_geometry(
+        spark.range(n_boxes).select(F.col("id").alias("bid")),
+        ((F.col("bid") % 10) / 20.0).cast("double"),
+        ((F.col("bid") % 6) / 12.0).cast("double"),
+        ((F.col("bid") % 10) / 20.0 + 0.3).cast("double"),
+        ((F.col("bid") % 6) / 12.0 + 0.4).cast("double"))
+    want = sum(
+        1
+        for p in range(n_pts)
+        for b in range(n_boxes)
+        if (b % 10) / 20.0 < (p % 97) / 100.0 < (b % 10) / 20.0 + 0.3
+        and (b % 6) / 12.0 < ((p * 7) % 89) / 100.0 < (b % 6) / 12.0 + 0.4)
+
+    knobs = {
+        # force the shuffled join AQE's skew rule applies to
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # trigger at test scale (defaults: 256m / factor 5 / 64m advisory)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    }
+    saved = {}
+    for k, v in knobs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # grid_size ≫ extent → one cell holds every envelope on both sides
+        out = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                           strategy="grid", grid_size=1000.0,
+                           left_is_rects=True, right_is_points=True) \
+            .select("bid", "pid")
+        got = len(out.collect())   # execute THIS plan so AQE finalizes it
+        assert got == want and got > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        # the defense engaged: the hot partition was split, not serialized
+        # through one task
+        assert "skewed" in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_stmt_construction_auto_and_fallbacks(spark, sf_dir):
     """construction='auto' takes the statement for eligible shapes and must
     silently fall back for ineligible ones (UDF refinement, outer joins,
