@@ -71,7 +71,7 @@ def _warmup(spark, sf_dir, headline, prime_steady):
         F.udf(lambda x: x, "long")(F.col("id"))).collect()
 
     if not prime_steady:
-        return 0
+        return 0, 0
     # JIT steady state needs ITERATIONS, not just class loading: stage
     # metrics on the exact-Jaccard query's first sf0.1 pass showed its
     # shingle map stage burning 70 s of summed CPU pre-C2 vs ~2 s once
@@ -93,7 +93,7 @@ def _warmup(spark, sf_dir, headline, prime_steady):
         sf01_reps = 3
     rounds = [("sf0.001", 1), ("sf0.01", sf01_reps)]
     base = os.path.dirname(sf_dir.rstrip("/"))
-    done = 0
+    done, failures = 0, 0
     for sf_name, reps in rounds:
         d = os.path.join(base, sf_name)
         if not os.path.isdir(d) or os.path.abspath(d) == os.path.abspath(sf_dir):
@@ -104,13 +104,23 @@ def _warmup(spark, sf_dir, headline, prime_steady):
                   " un-primed (JIT race)", file=sys.stderr)
             continue
         for _ in range(max(0, reps)):
+            ran = 0
             for name, qd in headline:
                 try:
                     qd.fn(spark, d).count()
+                    ran += 1
                 except Exception as e:
+                    failures += 1
                     print(f"# warmup {name} failed: {e}", file=sys.stderr)
-            done += 1
-    return done
+            # a round where EVERY query threw primed nothing — don't let
+            # primed_rounds certify it (r11 ADVICE: exceptions were
+            # swallowed, so primed_rounds=4 could mask a dead warmup)
+            if ran:
+                done += 1
+            else:
+                print(f"# PRIME ROUND VOID: all {len(headline)} warmup"
+                      f" queries failed at {d}", file=sys.stderr)
+    return done, failures
 
 
 def _timed_pass(spark, sf_dir, headline, label=""):
@@ -130,13 +140,13 @@ def _run_once(sf_dir, cpus, with_warm, prime_steady):
 
     spark = get_session(master=f"local[{cpus}]")
     headline = [(n, qd) for n, qd in QUERIES.items() if qd.headline]
-    primed = _warmup(spark, sf_dir, headline, prime_steady)
+    primed, warm_fails = _warmup(spark, sf_dir, headline, prime_steady)
     times = _timed_pass(spark, sf_dir, headline)
     warm = None
     if with_warm:
         warm = _timed_pass(spark, sf_dir, headline, label="warm ")
     spark.stop()
-    return times, warm, primed
+    return times, warm, primed, warm_fails
 
 
 def _prime_page_cache(sf_dir):
@@ -257,11 +267,12 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     if "--child" in sys.argv:
-        times, warm, primed = _run_once(sf_dir, cpus,
-                                        with_warm="--warm" in sys.argv,
-                                        prime_steady="--no-prime" not in sys.argv)
+        times, warm, primed, wf = _run_once(
+            sf_dir, cpus, with_warm="--warm" in sys.argv,
+            prime_steady="--no-prime" not in sys.argv)
         print("CHILD_JSON:" + json.dumps({"cold": times, "warm": warm,
-                                          "primed_rounds": primed}))
+                                          "primed_rounds": primed,
+                                          "warmup_failures": wf}))
         return
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -290,17 +301,21 @@ def main():
         if payload:
             steady_runs.append(payload["cold"])
             # primed_rounds: how many steady-prime replays actually ran in
-            # the child (expected 1x sf0.001 + SPARK_GRAFT_PRIME_ROUNDS x
-            # sf0.01 = 4); 0 means the record is secretly un-primed
+            # the child with at least one query succeeding (expected 1x
+            # sf0.001 + SPARK_GRAFT_PRIME_ROUNDS x sf0.01 = 4); 0 means the
+            # record is secretly un-primed.  warmup_failures counts the
+            # per-query warmup exceptions (r11 ADVICE — a nonzero value
+            # with full primed_rounds means a partially-dead warmup)
             tel["primed_rounds"] = payload.get("primed_rounds")
+            tel["warmup_failures"] = payload.get("warmup_failures")
             steady_tel.append(tel)
             if payload.get("warm"):
                 warm_runs.append(payload["warm"])
     if not steady_runs:            # no subprocesses possible — run in-process
-        times, w, primed = _run_once(sf_dir, cpus, with_warm=True,
-                                     prime_steady=True)
+        times, w, primed, wf = _run_once(sf_dir, cpus, with_warm=True,
+                                         prime_steady=True)
         steady_runs, warm_runs = [times], [w] if w else []
-        steady_tel = [{"primed_rounds": primed}]
+        steady_tel = [{"primed_rounds": primed, "warmup_failures": wf}]
     warm = None
     if warm_runs:
         warm = {name: round(statistics.median(r[name] for r in warm_runs
@@ -341,6 +356,8 @@ def main():
             "wall_secs": [t.get("wall_sec") for t in steady_tel],
             "primed_rounds_min": min((t.get("primed_rounds") or 0)
                                      for t in steady_tel) if steady_tel else None,
+            "warmup_failures_max": max((t.get("warmup_failures") or 0)
+                                       for t in steady_tel) if steady_tel else None,
         },
         "detail": "bench_detail.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

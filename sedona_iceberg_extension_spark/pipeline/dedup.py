@@ -388,6 +388,56 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,
 # exact n-gram Jaccard (verifier / refiner)
 # ---------------------------------------------------------------------------
 
+def _membership_sql(df: DataFrame, id_col: str, text_col: str,
+                    shingle_n: int = 3, use_char_grams: bool = False,
+                    char_n: int = 5) -> tuple:
+    """(src, sh) SQL fragments of the overlap core's hashed-membership
+    derivation — THE single builder both `_overlap_pairs` and the
+    `overlap_stop_shingles` monitor consume (r11 ADVICE: two parallel
+    spellings of the tokenization/hashing would silently desynchronize the
+    monitor from the cap it audits; one builder makes that impossible, and
+    a hypothesis property test additionally pins the derivation against an
+    independent DataFrame-op mirror on random corpora).
+
+    ``{overlap_src}`` inside the fragments is a ``spark.sql`` DataFrame
+    named-arg placeholder (NOT f-string interpolation) — the caller passes
+    ``overlap_src=df.select(id, text)``."""
+    spark = df.sparkSession
+    # spread(by=id_col) equivalent: repartition by id only when the scan
+    # can't already parallelize the CPU-heavy shingle map (file-count
+    # proxy, same rule and fallback as spread())
+    hint = f"/*+ REPARTITION(`{id_col}`) */ "
+    try:
+        if len(df.inputFiles()) >= spark.sparkContext.defaultParallelism:
+            hint = ""
+    except Exception:
+        pass
+    if use_char_grams:
+        n = int(char_n)
+        # substr window per position, clamped to >= 1 like char_ngrams;
+        # xxhash64 over the gram string (never carried past this stage)
+        src = (f"SELECT {hint}`{id_col}`, `{text_col}` AS _txt"
+               " FROM {overlap_src}")
+        sh = (f"SELECT `{id_col}`, xxhash64(substr(_txt, _i, {n})) AS _h"
+              f" FROM (SELECT `{id_col}`, _txt, explode(sequence(1,"
+              f" greatest(length(_txt) - {n - 1}, 1))) AS _i FROM src)")
+    else:
+        # xxhash64 over the token n-tuple: order-sensitive, and equal
+        # tuples hash equal.  Out-of-range get() yields null, which
+        # Spark's hash functions skip — so the clamped tail shingle of a
+        # short doc (< n tokens) keys on exactly its available tokens,
+        # mirroring the string path's clamped slice.
+        n = int(shingle_n)
+        gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
+        src = (f"SELECT {hint}`{id_col}`,"
+               f" split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks"
+               " FROM {overlap_src}")
+        sh = (f"SELECT `{id_col}`, xxhash64({gets}) AS _h"
+              f" FROM (SELECT `{id_col}`, _toks, explode(sequence(0,"
+              f" greatest(size(_toks) - {n}, 0))) AS _i FROM src)")
+    return src, sh
+
+
 def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
                    shingle_n: int = 3,
                    use_char_grams: bool = False, char_n: int = 5,
@@ -486,41 +536,8 @@ def _overlap_pairs(df: DataFrame, id_col: str, text_col: str,
     concurrently-built plans share no mutable state."""
     spark = df.sparkSession
     src_df = df.select(F.col(id_col), F.col(text_col))
-    # spread(by=id_col) equivalent: repartition by id only when the scan
-    # can't already parallelize the CPU-heavy shingle map (file-count
-    # proxy, same rule and fallback as spread())
-    hint = f"/*+ REPARTITION(`{id_col}`) */ "
-    try:
-        if len(df.inputFiles()) >= spark.sparkContext.defaultParallelism:
-            hint = ""
-    except Exception:
-        pass
-    # "{overlap_src}" below is a spark.sql formatter placeholder (the
-    # DataFrame named-arg), NOT f-string interpolation — these strings are
-    # assembled so it survives verbatim into the statement.
-    if use_char_grams:
-        n = int(char_n)
-        # substr window per position, clamped to >= 1 like char_ngrams;
-        # xxhash64 over the gram string (never carried past this stage)
-        src = (f"SELECT {hint}`{id_col}`, `{text_col}` AS _txt"
-               " FROM {overlap_src}")
-        sh = (f"SELECT `{id_col}`, xxhash64(substr(_txt, _i, {n})) AS _h"
-              f" FROM (SELECT `{id_col}`, _txt, explode(sequence(1,"
-              f" greatest(length(_txt) - {n - 1}, 1))) AS _i FROM src)")
-    else:
-        # xxhash64 over the token n-tuple: order-sensitive, and equal
-        # tuples hash equal.  Out-of-range get() yields null, which
-        # Spark's hash functions skip — so the clamped tail shingle of a
-        # short doc (< n tokens) keys on exactly its available tokens,
-        # mirroring the string path's clamped slice.
-        n = int(shingle_n)
-        gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
-        src = (f"SELECT {hint}`{id_col}`,"
-               f" split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks"
-               " FROM {overlap_src}")
-        sh = (f"SELECT `{id_col}`, xxhash64({gets}) AS _h"
-              f" FROM (SELECT `{id_col}`, _toks, explode(sequence(0,"
-              f" greatest(size(_toks) - {n}, 0))) AS _i FROM src)")
+    src, sh = _membership_sql(df, id_col, text_col, shingle_n,
+                              use_char_grams, char_n)
     if max_doc_freq is not None:
         # pre-aggregation cap (see docstring): window count per shingle
         # rides mem's _h partitioning (no exchange, one extra sort) and
@@ -567,28 +584,22 @@ def overlap_stop_shingles(df: DataFrame, id_col: str, text_col: str,
     removes from the overlap core — the monitoring companion to the
     pre-aggregation filter (same role `oversize_buckets` plays for the LSH
     cap: a scale run inspects/alerts on this before trusting capped
-    scores).  Derived from the same hashed-membership relation the core
-    builds, aggregated with a plain map-side-combinable count — never a
-    posting array."""
-    ids = F.col(id_col)
-    if use_char_grams:
-        grams = F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {int(char_n) - 1},"
-            f" 1)), i -> xxhash64(substr({text_col}, i, {int(char_n)})))")
-        mem = df.select(ids, F.explode(grams).alias("_h"))
-    else:
-        n = int(shingle_n)
-        gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
-        mem = (df.select(ids, F.split(F.lower(F.trim(F.col(text_col))),
-                                      r"\s+").alias("_toks"))
-               .select(ids, F.expr(
-                   f"explode(sequence(0, greatest(size(_toks) - {n}, 0)))"
-               ).alias("_i"), F.col("_toks"))
-               .select(ids, F.expr(f"xxhash64({gets})").alias("_h")))
-    return (mem.distinct()
-            .groupBy("_h").agg(F.count(F.lit(1)).alias("doc_freq"))
-            .filter(F.col("doc_freq") > int(max_doc_freq))
-            .select(F.col("_h").alias("shingle_hash"), "doc_freq"))
+    scores).  Built from `_membership_sql` — the SAME fragments the core's
+    statement embeds, so the monitor can never desynchronize from the cap
+    it audits (r11 ADVICE; previously a parallel DataFrame-op spelling) —
+    aggregated with a plain map-side-combinable count, never a posting
+    array."""
+    spark = df.sparkSession
+    src, sh = _membership_sql(df, id_col, text_col, shingle_n,
+                              use_char_grams, char_n)
+    return spark.sql(f"""
+WITH src AS ({src}),
+sh AS ({sh}),
+mem AS (SELECT DISTINCT _h, `{id_col}` FROM sh)
+SELECT _h AS shingle_hash, count(1) AS doc_freq
+FROM mem GROUP BY _h
+HAVING count(1) > {int(max_doc_freq)}
+""", overlap_src=df.select(F.col(id_col), F.col(text_col)))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

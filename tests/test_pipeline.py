@@ -1362,6 +1362,46 @@ def test_hll_registers_match_python_mirror(spark, keys):
     assert math.isclose(est["estimate"], exp, rel_tol=1e-9)
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=24),
+                min_size=1, max_size=10),
+       st.booleans(), st.integers(1, 4))
+def test_overlap_membership_matches_dataframe_mirror(spark, texts, chars, cap):
+    """r11 ADVICE: the monitor and the core now share ONE membership
+    builder (`_membership_sql`); this property pins that builder against an
+    INDEPENDENT DataFrame-op derivation (the monitor's former spelling —
+    explode over token/char windows + xxhash64) on random corpora,
+    including empty/whitespace-only docs, sub-n-token docs (the clamped
+    tail shingle), and duplicate texts."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["shingle_hash"], r["doc_freq"]) for r in
+           dedup.overlap_stop_shingles(df, "doc_id", "text", shingle_n=3,
+                                       max_doc_freq=cap,
+                                       use_char_grams=chars,
+                                       char_n=4).collect()}
+    # independent mirror: DataFrame ops, no SQL-string sharing
+    ids = F.col("doc_id")
+    if chars:
+        grams = F.expr(
+            "transform(sequence(1, greatest(length(text) - 3, 1)),"
+            " i -> xxhash64(substr(text, i, 4)))")
+        mem = df.select(ids, F.explode(grams).alias("_h"))
+    else:
+        gets = ", ".join(f"get(_toks, _i + {k})" for k in range(3))
+        mem = (df.select(ids, F.split(F.lower(F.trim(F.col("text"))),
+                                      r"\s+").alias("_toks"))
+               .select(ids, F.expr(
+                   "explode(sequence(0, greatest(size(_toks) - 3, 0)))"
+               ).alias("_i"), F.col("_toks"))
+               .select(ids, F.expr(f"xxhash64({gets})").alias("_h")))
+    want = {(r["_h"], r["doc_freq"]) for r in
+            mem.distinct().groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > cap).collect()}
+    assert got == want
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=6),
                 min_size=1, max_size=12, unique=True),
