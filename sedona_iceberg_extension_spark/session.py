@@ -167,7 +167,12 @@ def get_session(app_name: str = "sedona-iceberg-extension-spark",
         # 32x32 partitions: shuffleWriteTime 97s summed vs 2.8s with the
         # sort writer's single sequential file).  Forcing the threshold
         # to 1 makes local mode exercise the at-scale writer everywhere.
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        # Known trade (round 10): the sort writer costs unprimed first
+        # runs ~0.5-1 s on the heaviest query (sorting before the JIT
+        # warms) — SPARK_GRAFT_BYPASS_MERGE exists so the true_cold A/B
+        # can toggle it per fresh JVM (round-12 verdict watch item).
+        .config("spark.shuffle.sort.bypassMergeThreshold",
+                os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "1"))
     )
     # Shuffle-local storage on tmpfs when available.  On this class of
     # virtualized host, profiling showed shuffle WRITES dominating task
