@@ -462,6 +462,50 @@ def test_stmt_construction_matches_operator(spark, sf_dir, shape):
                 if t.name.startswith("_pyspark_")]
 
 
+@pytest.mark.parametrize("predicate,lshape,rshape", [
+    ("contains", "rects", "points"),   # strict-bounds branch
+    ("within", "points", "rects"),     # mirrored strict-bounds branch
+    ("contains", "rects", "rects"),    # closed-bounds env-exact branch
+    ("covers", "rects", "rects"),
+    ("within", "rects", "rects"),
+    ("covered_by", "points", "rects"),
+    ("intersects", "rects", "rects"),
+    ("intersects", "points", "points"),
+    ("dwithin", "points", "points"),   # native distance branch
+])
+def test_stmt_cond_branches_match_operator(spark, predicate, lshape, rshape):
+    """Every hint-exact branch of `_native_cond_sql` against its Column
+    twin in `spatial_join`'s operator path, on boundary-heavy data
+    (quarter-grid coordinates so edges/corners coincide with envelope
+    bounds and grid-cell lines): the two constructions must emit identical
+    pair sets.  A branch drifting in one table but not the other (e.g. a
+    <= loosened to <) fails here before any declared query can see it."""
+    from sedona_iceberg_extension_spark.functions import api as ST
+
+    def side(shape, n, salt, name):
+        base = spark.range(n).select(F.col("id").alias(name))
+        x = ((F.col(name) * 3 + salt) % 17 - 8) / 4.0
+        y = ((F.col(name) * 5 + 2 * salt) % 13 - 6) / 4.0
+        if shape == "points":
+            return ST.with_point_geometry(base, x, y)
+        return ST.with_box_geometry(
+            base, x, y, x + ((F.col(name) % 5)) / 4.0,
+            y + ((F.col(name) % 3)) / 4.0)
+
+    # point∩point needs coinciding coordinates — same salt on both sides
+    rsalt = 1 if (predicate, lshape, rshape) == ("intersects", "points",
+                                                 "points") else 2
+    l, r = side(lshape, 40, 1, "k1"), side(rshape, 50, rsalt, "k2")
+    kw = dict(predicate=predicate, on=("geo", "geo"), strategy="grid",
+              grid_size=1.0, d=0.75 if predicate == "dwithin" else 0.0)
+    key = lambda df: sorted((row["k1"], row["k2"])
+                            for row in df.select("k1", "k2").collect())
+    got_op = key(spatial_join(l, r, construction="operator", **kw))
+    got_sq = key(spatial_join(l, r, construction="stmt", **kw))
+    assert got_op == got_sq
+    assert got_op, f"degenerate fixture: no pairs for {predicate}"
+
+
 def test_grid_join_hot_cell_skew_soak(spark):
     """100×-scale skew evidence for the spatial tier (VERDICT r11 item #6,
     the analogue of the dedup tier's `oversize_buckets`): EVERY geometry on
