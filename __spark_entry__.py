@@ -143,6 +143,14 @@ _TRANCHE0 = [
     "doc_dedup_pipeline",
     "embedding_cosine_topk", "ivfpq_ann_recall", "ann_recall_eval",
     "embedding_triplet_mining", "embedding_knn_graph_stats",
+    # overlap-core stage-reuse fix (round 12, second wave): an explicit
+    # null-id filter in the shared membership source makes the posting and
+    # sizes branches canonically identical, so the membership exchange is
+    # REUSED instead of the scan+shingle+hash+dedup pipeline executing
+    # twice (ngram warm 1.34 -> 1.00 s; at corpus scale this halves the
+    # dominant CPU stage).  Re-plans the four overlap-core consumers:
+    "ngram_jaccard_pairs", "ngram_containment_pairs",
+    "minhash_calibration_curve", "minhash_threshold_pr_curve",
 ]
 
 

@@ -412,12 +412,27 @@ def _membership_sql(df: DataFrame, id_col: str, text_col: str,
             hint = ""
     except Exception:
         pass
+    # The explicit null-id filter is load-bearing for STAGE REUSE (round
+    # 12): `_overlap_pairs` references mem from two branches, and the
+    # sizes branch's equi-join infers ``isnotnull(id)`` and pushes it
+    # below the membership exchange — WITHOUT the same filter in the
+    # posting branch the two subtrees canonicalize differently, exchange
+    # reuse is impossible, and the CPU-heavy scan+shingle+hash+dedup
+    # pipeline executes TWICE over the corpus (measured: duplicated
+    # 1-task + 27-task stages on every ngram run; at 100 TB that is
+    # hashing the corpus twice).  Writing ``id IS NOT NULL`` in the
+    # shared source makes both branches identical → one ReusedExchange.
+    # Value-identical: a null id can never reach any output —
+    # collect_list drops nulls from postings (no pairs) and the sizes
+    # equi-join drops null keys — it only leaves the internal doc-freq
+    # accounting, where a null-id "document" arguably never belonged.
     if use_char_grams:
         n = int(char_n)
         # substr window per position, clamped to >= 1 like char_ngrams;
         # xxhash64 over the gram string (never carried past this stage)
         src = (f"SELECT {hint}`{id_col}`, `{text_col}` AS _txt"
-               " FROM {overlap_src}")
+               " FROM {overlap_src}"
+               f" WHERE `{id_col}` IS NOT NULL")
         sh = (f"SELECT `{id_col}`, xxhash64(substr(_txt, _i, {n})) AS _h"
               f" FROM (SELECT `{id_col}`, _txt, explode(sequence(1,"
               f" greatest(length(_txt) - {n - 1}, 1))) AS _i FROM src)")
@@ -431,7 +446,8 @@ def _membership_sql(df: DataFrame, id_col: str, text_col: str,
         gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
         src = (f"SELECT {hint}`{id_col}`,"
                f" split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks"
-               " FROM {overlap_src}")
+               " FROM {overlap_src}"
+               f" WHERE `{id_col}` IS NOT NULL")
         sh = (f"SELECT `{id_col}`, xxhash64({gets}) AS _h"
               f" FROM (SELECT `{id_col}`, _toks, explode(sequence(0,"
               f" greatest(size(_toks) - {n}, 0))) AS _i FROM src)")

@@ -915,6 +915,22 @@ def test_overlap_doc_freq_cap_is_pre_aggregation(spark):
         dedup._overlap_pairs(df, "doc_id", "text", shingle_n=2))
 
 
+def test_overlap_membership_exchange_is_reused(spark, sf_dir):
+    """Round-12 stage-reuse gate: `_overlap_pairs` references the
+    membership relation from TWO branches (postings and per-doc sizes);
+    the sizes join infers isnotnull(id) and pushes it below the
+    membership exchange, and without the matching explicit filter in the
+    shared source the branches canonicalize differently and the whole
+    scan+shingle+hash+dedup pipeline executes twice.  The executed plan
+    must show the exchange REUSED — a regression here silently doubles
+    the corpus-hashing CPU at scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ov = dedup._overlap_pairs(docs, "doc_id", "text", shingle_n=3)
+    ov.collect()   # AQE finalizes reuse at execution
+    plan = ov._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
+
+
 def test_overlap_doc_freq_cap_char_grams(spark):
     """The pre-aggregation cap and its monitor on the CHAR-gram path: a
     boilerplate prefix shared by every doc is dropped at cap < n_docs,
