@@ -151,6 +151,13 @@ _TRANCHE0 = [
     # dominant CPU stage).  Re-plans the four overlap-core consumers:
     "ngram_jaccard_pairs", "ngram_containment_pairs",
     "minhash_calibration_curve", "minhash_threshold_pr_curve",
+    # third wave: minhash_estimate_pairs re-shaped bucket-local (the
+    # banding rows carry the signature arrays, so the estimate needs no
+    # join-back and the shingle+md5+k-min pipeline runs ONCE instead of
+    # once per branch — isolated A/B at sf0.1: wall −42%, cpu −45%,
+    # results bit-identical) and minhash_signatures_wide gained the
+    # reuse-enabling null-id filter; re-plans these three consumers:
+    "minhash_jaccard_est", "minhash_signatures", "source_minhash_similarity",
 ]
 
 

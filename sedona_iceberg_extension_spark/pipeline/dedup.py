@@ -157,8 +157,16 @@ def minhash_signatures_wide(df: DataFrame, id_col: str, text_col: str,
     so the one shuffle carries |docs| rows of k longs — at 100 TB that is
     the difference between shuffling the corpus ×k and shuffling just the
     signature matrix."""
-    sh = token_shingles(spread(df, by=id_col), id_col, text_col, shingle_n,
-                        distinct=False)
+    # the explicit null-id filter is load-bearing for exchange/stage reuse
+    # when the signature matrix is consumed by MORE THAN ONE branch
+    # (minhash_estimate_pairs): downstream equi-joins infer isnotnull(id)
+    # and push it to the scan in THEIR branches only, making the subtrees
+    # canonicalize differently — the same round-12 finding as the overlap
+    # core's membership relation.  Value-identical: a null id can never
+    # survive any join or pairing.
+    sh = token_shingles(spread(df.filter(F.col(id_col).isNotNull()),
+                               by=id_col),
+                        id_col, text_col, shingle_n, distinct=False)
     hashed = sh.select(F.col(id_col),
                        portable_hash64(F.col("shingle"), "mh").alias("_h"))
     mins = [
@@ -243,6 +251,22 @@ def band_key_cols(num_hashes: int, bands: int) -> List[str]:
     return [f"bk_{j}" for j in range(num_hashes // bands)]
 
 
+def _band_projection(wide: DataFrame, id_col: str, num_hashes: int,
+                     bands: int) -> DataFrame:
+    """The banding ``stack`` over an already-built wide signature frame —
+    shared by `minhash_banded` and `minhash_estimate_pairs` (which bands
+    the SAME materialized wide frame its estimator reads, rather than
+    rebuilding the signature pipeline)."""
+    rows = num_hashes // bands
+    stack_args = ", ".join(
+        ", ".join([str(b)] + [f"mh_{b * rows + j}" for j in range(rows)])
+        for b in range(bands))
+    key_names = ", ".join(band_key_cols(num_hashes, bands))
+    return wide.select(F.col(id_col),
+                       F.expr(f"stack({bands}, {stack_args})"
+                              f" AS (band, {key_names})"))
+
+
 def minhash_banded(df: DataFrame, id_col: str, text_col: str,
                    num_hashes: int = 16, bands: int = 4,
                    shingle_n: int = 3) -> DataFrame:
@@ -250,17 +274,8 @@ def minhash_banded(df: DataFrame, id_col: str, text_col: str,
     by the band's raw signature rows (pure projection off the wide
     signature: no md5/format/sort band-hash chain — tuple equality is the
     same join semantics for free, and what the oracle can mirror exactly)."""
-    rows = num_hashes // bands
     wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
-    stack_args = ", ".join(
-        ", ".join([str(b)] + [f"mh_{b * rows + j}" for j in range(rows)])
-        for b in range(bands))
-    key_names = ", ".join(band_key_cols(num_hashes, bands))
-    return (
-        wide.select(F.col(id_col),
-                    F.expr(f"stack({bands}, {stack_args})"
-                           f" AS (band, {key_names})"))
-    )
+    return _band_projection(wide, id_col, num_hashes, bands)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -360,28 +375,62 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str, text_col: str,
                            max_bucket: Optional[int] = None) -> DataFrame:
     """LSH candidate pairs with their ESTIMATED Jaccard similarity — the
     fraction of agreeing MinHash components (the estimator LSH is built
-    on).  The two sides of each (small) pair table join back against the
-    |docs|-row wide signature table on its id key; the signature pipeline
-    itself runs once and is shared by the banding and the estimate."""
+    on).
+
+    Round-12 shape: the banding rows carry each doc's FULL signature
+    array alongside the bucket key, so the estimate is computed
+    bucket-locally on the collected (id, signature) structs — the
+    signature pipeline runs ONCE by construction.  The previous form
+    joined a distinct pair table back against the wide signature frame
+    twice; those two join branches inferred their own isnotnull(id)
+    filters, no exchange subtree matched, and the CPU-dominant
+    shingle+md5+k-min pipeline executed once per branch (3× the corpus
+    hashing at scale), while an explicit repartition(id) barrier gets
+    optimizer-elided as redundant.  Exchange cost of the carried
+    signatures is |docs|×bands×(k+2) longs — bounded, and the
+    ``max_bucket`` window cap still filters BEFORE the collect so no
+    oversized bucket ever materializes an array.  Same pair set, same
+    estimate values (an integer agree-count / k is exact in double, so
+    the cross-band DISTINCT dedups identically)."""
     wide = minhash_signatures_wide(df, id_col, text_col, num_hashes,
                                    shingle_n)
-    banded = minhash_banded(df, id_col, text_col, num_hashes, bands,
-                            shingle_n)
-    pairs = _capped_bucket_pairs(
-        banded, id_col, ["band"] + band_key_cols(num_hashes, bands),
-        max_bucket, False)
-    a = wide.select(F.col(id_col).alias("id_a"),
-                    *[F.col(f"mh_{i}").alias(f"_a{i}")
-                      for i in range(num_hashes)])
-    b = wide.select(F.col(id_col).alias("id_b"),
-                    *[F.col(f"mh_{i}").alias(f"_b{i}")
-                      for i in range(num_hashes)])
-    agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-                for i in range(num_hashes))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b",
-                    (agree.cast("double") / F.lit(float(num_hashes)))
-                    .alias("jaccard_est")))
+    keys = band_key_cols(num_hashes, bands)
+    rows = num_hashes // bands
+    stack_args = ", ".join(
+        ", ".join([str(b)] + [f"mh_{b * rows + j}" for j in range(rows)])
+        for b in range(bands))
+    banded = wide.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
+        F.expr(f"stack({bands}, {stack_args}) AS (band, {', '.join(keys)})"))
+    if max_bucket is not None:
+        banded = banded.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("band", *keys))) \
+            .filter(F.col("_n") <= max_bucket).drop("_n")
+    buckets = (
+        banded.groupBy("band", *keys)
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("_id"),
+                                     F.col("_sig"))).alias("_rows"))
+        .filter(F.size("_rows") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("_rows").alias("_a"), F.col("_rows"))
+        .select(F.col("_a"),
+                F.explode(F.filter(
+                    F.col("_rows"),
+                    lambda x: x["_id"] > F.col("_a")["_id"])).alias("_b"))
+    )
+    agree = F.aggregate(
+        F.zip_with(F.col("_a")["_sig"], F.col("_b")["_sig"],
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (
+        pairs.select(F.col("_a")["_id"].alias("id_a"),
+                     F.col("_b")["_id"].alias("id_b"),
+                     (agree.cast("double") / F.lit(float(num_hashes)))
+                     .alias("jaccard_est"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
