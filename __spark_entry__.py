@@ -158,6 +158,14 @@ _TRANCHE0 = [
     # results bit-identical) and minhash_signatures_wide gained the
     # reuse-enabling null-id filter; re-plans these three consumers:
     "minhash_jaccard_est", "minhash_signatures", "source_minhash_similarity",
+    # fourth wave: connected_components now lazily materializes its edge
+    # list (every propagation round's job was re-executing the whole
+    # upstream candidate-pair pipeline — 10-17 corpus scans per query at
+    # sf0.1), and doc_dedup_pipeline materializes its exact-dedup
+    # survivors once for its three consumers.  dedup_components /
+    # dedup_keep / doc_dedup_pipeline are already above; this adds the
+    # remaining declared consumer:
+    "simhash_clusters",
 ]
 
 

@@ -37,6 +37,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     ``component = id`` if singletons are wanted."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize the edge list ONCE (lazy — rides the first round's job):
+    # every round's neighbor join references `und`, and each driver-side
+    # convergence job otherwise re-executes the whole upstream pair
+    # pipeline (minhash/simhash/embedding candidate generation over the
+    # corpus) — measured at sf0.1: dedup_components re-ran the documents
+    # scan 10× per query (round 12).  At 100 TB that is re-hashing the
+    # corpus once per propagation round for want of one |E|-row
+    # materialization.  Same cluster note as the label checkpoints below:
+    # prefer fault-tolerant .checkpoint() on a real cluster.
+    und = und.localCheckpoint(eager=False)
     labels = (und.select(F.col("u").alias("id"))
               .distinct()
               .select("id", F.col("id").alias("component")))

@@ -1884,7 +1884,13 @@ def q_doc_dedup_pipeline(spark, sf_dir):
     from ..pipeline import components as cc
 
     docs = load_table(spark, sf_dir, "documents")
-    stage1 = dedup.exact_dedup(docs, "doc_id", "text")
+    # survivors feed THREE consumers (the near-dup pair pipeline, the
+    # final anti-join, the per-language count): materialize once (lazy)
+    # instead of re-running the md5 dedup over the corpus per consumer —
+    # measured at sf0.1 this query re-ran the documents scan 17× (round
+    # 12; 5× after this + the connected-components edge checkpoint)
+    stage1 = dedup.exact_dedup(docs, "doc_id", "text") \
+        .localCheckpoint(eager=False)
     pairs = dedup.minhash_lsh_pairs(stage1, "doc_id", "text",
                                     num_hashes=8, bands=4,
                                     max_bucket=_LSH_MAX_BUCKET)
