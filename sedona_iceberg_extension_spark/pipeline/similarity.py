@@ -184,14 +184,21 @@ def train_centroids(df: DataFrame, vec_col: str, num_cells: int = 16,
     sample (deterministic seed 42, so the quantizer is reproducible) capped
     at 10k rows — the quantizer needs corpus *shape*; a storage-order prefix
     (``limit``) would bias it toward whatever the first files contain."""
+    # the sample is read by the seed collect plus one assignment+average
+    # job PER Lloyd iteration — materialize the <=10k rows once (lazy
+    # localCheckpoint) instead of re-running the corpus scan+sample per
+    # round (round 12: the same re-compute class as the connected-
+    # components edge list; also pins the sample, making every iteration
+    # see identical rows even under non-deterministic sampling splits)
     sample = (df.select(F.col(vec_col).alias("_v"))
               .sample(fraction=min(max(sample_fraction, 0.0), 1.0), seed=42)
-              .limit(10_000))
+              .limit(10_000).localCheckpoint(eager=False))
     seeds = [list(map(float, r["_v"]))
              for r in sample.limit(num_cells).collect()]
     if len(seeds) < num_cells:
         # sample smaller than the codebook (tiny corpus) — train on all rows
-        sample = df.select(F.col(vec_col).alias("_v")).limit(10_000)
+        sample = df.select(F.col(vec_col).alias("_v")).limit(10_000) \
+            .localCheckpoint(eager=False)
         seeds = [list(map(float, r["_v"]))
                  for r in sample.limit(num_cells).collect()]
     cur = seeds
