@@ -155,10 +155,22 @@ def _knn_grid(q: DataFrame, data: DataFrame, k: int, d_xy: Tuple[str, str],
         round_res = scored.filter(
             (F.col("_rank") <= k) if last
             else ((F.col("_cnt") >= k) & (F.col("_rank") <= k)))
+        if not last:
+            # materialize each round's answered set ONCE (lazy — rides the
+            # emptiness probe below): round_res is otherwise referenced by
+            # THREE consumers (the probe via rem, the next round's
+            # anti-join, the final union), each re-executing this round's
+            # full grid join — and since rem_r embeds rounds 1..r, the
+            # re-execution compounds quadratically across rounds (the
+            # round-12 iterative-recompute class; see
+            # pipeline/components.py).  The last round has a single
+            # consumer and needs no barrier.
+            round_res = round_res.localCheckpoint(eager=False)
         results.append(round_res.drop("_cx", "_cy", "_cnt"))
         if last:
             break
-        rem = rem.join(round_res.select("_qid").distinct(), "_qid", "left_anti")
+        rem = rem.join(round_res.select("_qid").distinct(), "_qid", "left_anti") \
+            .localCheckpoint(eager=False)
         if rem.limit(1).count() == 0:
             break
         r = min(r * 4.0, diag)
