@@ -532,6 +532,37 @@ def test_minhash_estimate_pairs_bounds(spark):
     assert all(0.0 <= v <= 1.0 for v in est.values())
 
 
+def test_minhash_estimate_bucket_local_matches_join_back(spark, sf_dir):
+    """Round-12 promotion gate for the bucket-local estimator: pair set
+    AND estimate values must be bit-identical to the former join-back
+    algebra (reconstructed here from the same public pieces) on the real
+    documents table, capped and uncapped."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nh, bands = 8, 4
+    for mb in (None, 64):
+        wide = dedup.minhash_signatures_wide(docs, "doc_id", "text", nh, 3)
+        banded = dedup.minhash_banded(docs, "doc_id", "text", nh, bands, 3)
+        pairs = dedup._capped_bucket_pairs(
+            banded, "doc_id", ["band"] + dedup.band_key_cols(nh, bands),
+            mb, False)
+        a = wide.select(F.col("doc_id").alias("id_a"),
+                        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(nh)])
+        b = wide.select(F.col("doc_id").alias("id_b"),
+                        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(nh)])
+        agree = sum(F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+                    for i in range(nh))
+        old = (pairs.join(a, "id_a").join(b, "id_b")
+               .select("id_a", "id_b",
+                       (agree.cast("double") / F.lit(float(nh)))
+                       .alias("jaccard_est")))
+        new = dedup.minhash_estimate_pairs(docs, "doc_id", "text",
+                                           num_hashes=nh, bands=bands,
+                                           max_bucket=mb)
+        ra = sorted(map(tuple, old.collect()))
+        rb = sorted(map(tuple, new.collect()))
+        assert ra and ra == rb
+
+
 def test_jaccard_pairs_matches_bruteforce_random(spark):
     """Randomized differential check of the single-pass hashed jaccard
     plan against a brute-force Python reference (all pairs, string
