@@ -131,50 +131,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # declared consumer is promoted — the 27 names below (18 spatial + 4
 # minhash-LSH + 5 cosine-topk consumers), each green through the local
 # differential gate at sf0.01 and the standing sf0.1 sweep.
+# Round-13 changes (r12 ADVICE, medium): the minhash_lsh_pairs statement
+# construction gained the null-id filter the operator path always had
+# (pipeline/dedup.py src CTE — without it the window bucket count at the
+# max_bucket boundary included null-id rows, so the two constructions
+# could keep/drop boundary buckets differently on null-bearing corpora).
+# One extra Filter node in the stmt's ANALYZED plan → every declared
+# consumer of the stmt spelling is promoted.  EXEMPT under the stated
+# policy (analyzed plan unchanged, differential-gated locally): the
+# auto-strategy probe unification (operators/spatial_join.py
+# _resolve_auto_strategy — no declared query passes strategy="auto";
+# all spell "grid"/"broadcast" explicitly, and the SQL front door
+# defaults to "grid", so no declared plan can flip) and the
+# truncate_lineage checkpoint
+# routing (lineage.py — byte-identical behavior when no checkpoint dir is
+# configured, as in the driver's sessions).
 _TRANCHE0 = [
-    "spatial_join_contains", "spatial_join_dwithin", "spatial_join_sql",
-    "spatial_join_sql_comma", "spatial_join_sql_dwithin",
-    "spatial_join_sql_chain", "spatial_join_left", "spatial_join_broadcast",
-    "spatial_dbscan", "spatial_knn", "spatial_knn_grid",
-    "spatial_range_contains", "spatial_range_intersects", "spatial_astext",
-    "spatial_distance", "spatial_centroid_agg", "spatial_envelope_agg",
-    "spatial_union_agg",
     "minhash_lsh_pairs", "dedup_components", "dedup_keep",
-    "doc_dedup_pipeline",
-    "embedding_cosine_topk", "ivfpq_ann_recall", "ann_recall_eval",
-    "embedding_triplet_mining", "embedding_knn_graph_stats",
-    # overlap-core stage-reuse fix (round 12, second wave): an explicit
-    # null-id filter in the shared membership source makes the posting and
-    # sizes branches canonically identical, so the membership exchange is
-    # REUSED instead of the scan+shingle+hash+dedup pipeline executing
-    # twice (ngram warm 1.34 -> 1.00 s; at corpus scale this halves the
-    # dominant CPU stage).  Re-plans the four overlap-core consumers:
-    "ngram_jaccard_pairs", "ngram_containment_pairs",
-    "minhash_calibration_curve", "minhash_threshold_pr_curve",
-    # third wave: minhash_estimate_pairs re-shaped bucket-local (the
-    # banding rows carry the signature arrays, so the estimate needs no
-    # join-back and the shingle+md5+k-min pipeline runs ONCE instead of
-    # once per branch — isolated A/B at sf0.1: wall −42%, cpu −45%,
-    # results bit-identical) and minhash_signatures_wide gained the
-    # reuse-enabling null-id filter; re-plans these three consumers:
-    "minhash_jaccard_est", "minhash_signatures", "source_minhash_similarity",
-    # fourth wave: connected_components now lazily materializes its edge
-    # list (every propagation round's job was re-executing the whole
-    # upstream candidate-pair pipeline — 10-17 corpus scans per query at
-    # sf0.1), and doc_dedup_pipeline materializes its exact-dedup
-    # survivors once for its three consumers.  dedup_components /
-    # dedup_keep / doc_dedup_pipeline are already above; this adds the
-    # remaining declared consumer:
-    "simhash_clusters",
+    "doc_dedup_pipeline", "near_dup_rate_by_source",
+    "lsh_edit_distance_verify",
 ]
 
 
+def _is_green(rec: object) -> bool:
+    """Whether one CORRECTNESS record certifies its query (see
+    `_staleness_order`).  Non-dict records (older/foreign formats) count
+    green so a format drift degrades to the pre-r13 behavior instead of
+    marking the whole ledger stale."""
+    if not isinstance(rec, dict):
+        return True
+    if rec.get("err"):
+        return False
+    hm = rec.get("hash_match")
+    if hm is not None:
+        return bool(hm)
+    return bool(rec.get("rows_match")) and bool(rec.get("schema_match", True))
+
+
 def _staleness_order(declared: list[str]) -> list[str]:
-    """Declared names sorted by the round of their most recent driver hash
-    (ascending = stalest first), read from the committed
+    """Declared names sorted by the round of their most recent GREEN driver
+    hash (ascending = stalest first), read from the committed
     CORRECTNESS_r*.json records next to this file.  Names never hashed
-    sort first (round 0).  Returns [] when the records are unreadable —
-    the caller falls back to declared order."""
+    green sort first (round 0) — in particular a query that FAILED its
+    last driver check counts as maximally stale and re-enters the very
+    next sample instead of hiding behind its own red record for ~7 rounds
+    (r12 ADVICE).  Green = hash_match true, or — for the weaker
+    rows-only check on non-SQL-expressible ops — rows/schema match with
+    no hash verdict; any err is red.  Returns [] when the records are
+    unreadable — the caller falls back to declared order."""
     import glob
     import json
     import re
@@ -185,7 +189,9 @@ def _staleness_order(declared: list[str]) -> list[str]:
         for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
             rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
             with open(p) as fh:
-                for n in json.load(fh):
+                for n, rec in json.load(fh).items():
+                    if not _is_green(rec):
+                        continue
                     last[n] = max(rnd, last.get(n, 0))
         if not last:
             return []

@@ -1,0 +1,45 @@
+"""Lineage truncation for iterative / multi-consumer plans.
+
+The round-12 recompute audit materializes loop-invariant frames
+(connected-components edge lists, KNN round results, k-means samples, the
+dedup funnel's survivor stage) so each driver-side round or extra consumer
+stops re-executing the whole upstream pipeline — at 100 TB that class was
+re-hashing the corpus once per propagation round.
+
+``localCheckpoint`` is the right local-mode mechanism (no configured
+storage needed, truncates lineage, rides the next job when lazy) but its
+blocks are UNREPLICATED executor-local state: on a real cluster a single
+executor loss mid-query fails the whole query instead of recomputing
+(r12 ADVICE).  Every engine call site therefore routes through
+`truncate_lineage`, which prefers fault-tolerant ``DataFrame.checkpoint``
+whenever the session has a checkpoint directory configured
+(``spark.sparkContext.setCheckpointDir(...)`` — the cluster deployment
+step) and falls back to ``localCheckpoint`` otherwise.  Reliable
+checkpoints write to the fault-tolerant FS and survive executor loss; the
+extra write is the price of restartability, paid only when the operator
+asked for it by configuring the directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _has_checkpoint_dir(df: DataFrame) -> bool:
+    try:
+        return bool(df.sparkSession.sparkContext._jsc.sc()
+                    .getCheckpointDir().isDefined())
+    except Exception:
+        return False
+
+
+def truncate_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """A lineage-truncation point: fault-tolerant ``checkpoint`` when the
+    session has a checkpoint dir (cluster mode), else ``localCheckpoint``.
+
+    ``eager=False`` (the engine default) defers materialization to the
+    first consuming job — iterative loops batch it with the round's
+    convergence job instead of paying a standalone materialization job."""
+    if _has_checkpoint_dir(df):
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

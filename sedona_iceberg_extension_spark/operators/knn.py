@@ -23,6 +23,8 @@ import math
 from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..lineage import truncate_lineage
 from pyspark.sql.window import Window
 
 
@@ -165,12 +167,12 @@ def _knn_grid(q: DataFrame, data: DataFrame, k: int, d_xy: Tuple[str, str],
             # round-12 iterative-recompute class; see
             # pipeline/components.py).  The last round has a single
             # consumer and needs no barrier.
-            round_res = round_res.localCheckpoint(eager=False)
+            round_res = round_res.transform(truncate_lineage)
         results.append(round_res.drop("_cx", "_cy", "_cnt"))
         if last:
             break
         rem = rem.join(round_res.select("_qid").distinct(), "_qid", "left_anti") \
-            .localCheckpoint(eager=False)
+            .transform(truncate_lineage)
         if rem.limit(1).count() == 0:
             break
         r = min(r * 4.0, diag)

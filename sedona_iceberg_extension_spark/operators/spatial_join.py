@@ -103,6 +103,33 @@ def _exact_cond(lg: str, rg: str, predicate: str, d: float,
     return _PRED_UDFS[predicate](F.col(lg), F.col(rg))
 
 
+def _resolve_auto_strategy(right: DataFrame,
+                           broadcast_threshold_rows: int) -> str:
+    """broadcast-vs-grid resolution for ``strategy="auto"``, probed on the
+    RAW right side so the stmt and operator constructions resolve
+    identically (r12 ADVICE: Project nodes RESCALE Catalyst's sizeInBytes
+    by row width, so probing a renamed/env-flattened projection could flip
+    a borderline join under one construction but not the other).
+
+    Catalyst plan statistics (file-size-derived for parquet scans,
+    filter-estimated, computed WITHOUT running a job) decide; the
+    limit/count probe is the fallback only when stats are unavailable.
+    ~64 MB estimated right side ≈ Spark's own autoBroadcastJoinThreshold
+    territory once the grid-cell explosion is priced in."""
+    try:
+        size = int(right._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        return "broadcast" if size <= 64 * 1024 * 1024 else "grid"
+    except Exception:
+        pass
+    try:
+        r_small = (right.limit(broadcast_threshold_rows).count()
+                   < broadcast_threshold_rows)
+    except Exception:
+        r_small = False
+    return "broadcast" if r_small else "grid"
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -177,24 +204,9 @@ def spatial_join(
                    and f"{lg}_env" in left.columns
                    and f"{rg}_env" in right.columns)
         if stmt_ok and strategy == "auto":
-            # same stats-first auto resolution as the operator path below,
-            # probed on the raw right side (aliases/env projections don't
-            # change Catalyst's size estimate)
-            resolved = None
-            try:
-                size = int(right._jdf.queryExecution().optimizedPlan()
-                           .stats().sizeInBytes())
-                resolved = "broadcast" if size <= 64 * 1024 * 1024 else "grid"
-            except Exception:
-                pass
-            if resolved is None:
-                try:
-                    r_small = (right.limit(broadcast_threshold_rows).count()
-                               < broadcast_threshold_rows)
-                except Exception:
-                    r_small = False
-                resolved = "broadcast" if r_small else "grid"
-            strategy = resolved
+            # THE auto resolution — one helper, probed on the raw right
+            # side in both constructions (r12 ADVICE)
+            strategy = _resolve_auto_strategy(right, broadcast_threshold_rows)
         stmt_ok = stmt_ok and strategy == "grid"
         if construction == "stmt" and not stmt_ok:
             raise ValueError(
@@ -205,6 +217,13 @@ def spatial_join(
                 grid_size = _grid_size_from_env(left, right, lg, rg, d)
             return _stmt_grid_join(left, right, lg, rg, native_sql,
                                    float(grid_size), d)
+
+    if strategy == "auto":
+        # same helper, same RAW-right probe frame as the stmt fast path
+        # above — resolved BEFORE _ensure_env/rename so neither
+        # construction's projections can flip a borderline join (r12
+        # ADVICE: Project rescales Catalyst's size estimate by row width)
+        strategy = _resolve_auto_strategy(right, broadcast_threshold_rows)
 
     left, lp = _ensure_env(left, lg, "_l")
     right, rp = _ensure_env(right, rg, "_r")
@@ -221,28 +240,6 @@ def spatial_join(
     else:
         right_renamed = right
     rg2 = f"r_{rg}" if rg in common else rg
-
-    if strategy == "auto":
-        # Catalyst plan statistics (file-size-derived for parquet scans,
-        # filter-estimated, computed WITHOUT running a job) decide the
-        # strategy; the limit/count probe is the fallback only when stats
-        # are unavailable.  ~64 MB estimated right side ≈ Spark's own
-        # autoBroadcastJoinThreshold territory once the grid-cell explosion
-        # is priced in.
-        strategy = None
-        try:
-            size = int(right_renamed._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes())
-            strategy = "broadcast" if size <= 64 * 1024 * 1024 else "grid"
-        except Exception:
-            pass
-        if strategy is None:
-            try:
-                r_small = (right_renamed.limit(broadcast_threshold_rows).count()
-                           < broadcast_threshold_rows)
-            except Exception:
-                r_small = False
-            strategy = "broadcast" if r_small else "grid"
 
     env_cond = _env_join_cond(lp, rp, predicate, d)
 
@@ -446,8 +443,10 @@ def _stamp_row_id(df: DataFrame, exclude: tuple = ()) -> DataFrame:
             "_lid", F.struct(F.xxhash64(*cols).alias("h1"),
                              F.xxhash64(F.lit(17), *cols).alias("h2")))
     except Exception:
-        return df.withColumn("_lid", F.monotonically_increasing_id()) \
-                 .localCheckpoint()
+        from ..lineage import truncate_lineage
+        return truncate_lineage(
+            df.withColumn("_lid", F.monotonically_increasing_id()),
+            eager=True)
 
 
 # session-lifetime cache of sample-driven grid sizes, keyed by the

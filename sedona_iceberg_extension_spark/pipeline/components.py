@@ -16,10 +16,13 @@ state, AQE-skew-splittable.
 
 Scale notes (100 TB): labels monotonically decrease, so convergence is
 detected with a single ``sum(label)`` aggregate per round (no change-join).
-``localCheckpoint`` truncates the per-round lineage (without it the plan
-doubles every iteration); on a real cluster prefer
-``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
-fault-tolerant truncation.  For adversarial high-diameter graphs swap in
+`lineage.truncate_lineage` truncates the per-round lineage (without it the
+plan doubles every iteration) — it routes to fault-tolerant
+``.checkpoint()`` automatically when the session has a checkpoint dir
+configured (the cluster deployment step; unreplicated ``localCheckpoint``
+blocks would otherwise turn one executor loss into a whole-query failure)
+and to ``localCheckpoint`` in local mode.
+For adversarial high-diameter graphs swap in
 large-star/small-star (Kiveris et al., "Connected Components in MapReduce
 and Beyond", SOCC'14) — same join-per-round shape, O(log n) rounds.
 """
@@ -27,6 +30,8 @@ and Beyond", SOCC'14) — same join-per-round shape, O(log n) rounds.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..lineage import truncate_lineage
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -46,7 +51,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # corpus once per propagation round for want of one |E|-row
     # materialization.  Same cluster note as the label checkpoints below:
     # prefer fault-tolerant .checkpoint() on a real cluster.
-    und = und.localCheckpoint(eager=False)
+    und = und.transform(truncate_lineage)
     labels = (und.select(F.col("u").alias("id"))
               .distinct()
               .select("id", F.col("id").alias("component")))
@@ -88,7 +93,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                       F.coalesce("_jcomp",
                                                  F.col("component")))
                         .alias("component"))
-                .localCheckpoint(eager=False)
+                .transform(truncate_lineage)
             )
             it += 1
         s = labels.agg(F.sum("component")).collect()[0][0]
@@ -119,12 +124,12 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
     Each round is one vertex-keyed join + one groupBy(min) — the same
     two-shuffle iteration shape as connected_components / pagerank; the
     frontier table stays bounded by |V| rows and lineage is truncated with
-    localCheckpoint per round (use a fault-tolerant checkpoint dir on a
+    truncate_lineage per round (configure a checkpoint dir on a
     cluster)."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(truncate_lineage)
     dist = seeds.select("id", F.lit(0).cast("int").alias("dist"))
     for _ in range(rounds):
         nd = (sym.join(dist.withColumnRenamed("id", "u"), "u")
@@ -132,7 +137,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
                       (F.col("dist") + 1).cast("int").alias("dist")))
         dist = (dist.unionByName(nd)
                 .groupBy("id").agg(F.min("dist").alias("dist")))
-        dist = dist.localCheckpoint(eager=False)
+        dist = dist.transform(truncate_lineage)
     return dist
 
 
@@ -146,13 +151,13 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
 
     Each iteration is one (vertex-keyed) join + one groupBy(sum) — the
     same two-shuffle round as connected_components.  Lineage is truncated
-    with localCheckpoint every iteration (on a cluster use a fault-
+    with truncate_lineage every iteration (on a cluster use a fault-
     tolerant checkpoint dir); ranks stay a |V|-row table throughout.
     Returns (id, rank) with sum(rank) ~= 1."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.unionByName(
         fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(truncate_lineage)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("id"))
     n = nodes.count()
@@ -168,5 +173,5 @@ def pagerank(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             .select("id", (F.lit(base) + F.lit(damping)
                            * F.coalesce(F.col("s"), F.lit(0.0)))
                     .alias("rank")))
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(truncate_lineage)
     return ranks

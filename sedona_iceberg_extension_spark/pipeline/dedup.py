@@ -346,7 +346,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return spark.sql(f"""
 WITH src AS (SELECT {hint}`{id_col}`,
                     split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks
-             FROM {{mh_src}}),
+             FROM {{mh_src}} WHERE `{id_col}` IS NOT NULL),
 hashed AS (
   SELECT `{id_col}`,
          CAST(conv(substr(md5(concat(concat_ws(' ', slice(_toks, _i, {n})),

@@ -10,6 +10,8 @@ scoring — the standard IVF/LSH two-stage ANN shape (SURVEY.md §2 Tier E).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from ..lineage import truncate_lineage
 from pyspark.sql.window import Window
 
 from .dedup import cosine_sim, cosine_sim_prenorm, vec_norm
@@ -44,7 +46,8 @@ def cosine_topk(queries: DataFrame, data: DataFrame, k: int,
     construction per call): per-side norm projections, BROADCAST-hinted
     cross join, prenorm cosine, windowed top-k — identical expressions to
     the operator spelling (``construction="operator"``), row-identical and
-    exchange-equal (gated in tests/test_similarity.py)."""
+    exchange-equal (gated in tests/test_pipeline.py::
+    test_cosine_topk_stmt_construction_matches_operator)."""
     if construction == "operator":
         q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"),
                            vec_norm(F.col(q_vec)).alias("_qn"))
@@ -186,19 +189,19 @@ def train_centroids(df: DataFrame, vec_col: str, num_cells: int = 16,
     (``limit``) would bias it toward whatever the first files contain."""
     # the sample is read by the seed collect plus one assignment+average
     # job PER Lloyd iteration — materialize the <=10k rows once (lazy
-    # localCheckpoint) instead of re-running the corpus scan+sample per
+    # truncate_lineage) instead of re-running the corpus scan+sample per
     # round (round 12: the same re-compute class as the connected-
     # components edge list; also pins the sample, making every iteration
     # see identical rows even under non-deterministic sampling splits)
     sample = (df.select(F.col(vec_col).alias("_v"))
               .sample(fraction=min(max(sample_fraction, 0.0), 1.0), seed=42)
-              .limit(10_000).localCheckpoint(eager=False))
+              .limit(10_000).transform(truncate_lineage))
     seeds = [list(map(float, r["_v"]))
              for r in sample.limit(num_cells).collect()]
     if len(seeds) < num_cells:
         # sample smaller than the codebook (tiny corpus) — train on all rows
         sample = df.select(F.col(vec_col).alias("_v")).limit(10_000) \
-            .localCheckpoint(eager=False)
+            .transform(truncate_lineage)
         seeds = [list(map(float, r["_v"]))
                  for r in sample.limit(num_cells).collect()]
     cur = seeds

@@ -23,6 +23,8 @@ from collections import namedtuple
 from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lineage import truncate_lineage
 from pyspark.sql.window import Window
 
 from ..functions import api as ST
@@ -1890,7 +1892,7 @@ def q_doc_dedup_pipeline(spark, sf_dir):
     # measured at sf0.1 this query re-ran the documents scan 17× (round
     # 12; 5× after this + the connected-components edge checkpoint)
     stage1 = dedup.exact_dedup(docs, "doc_id", "text") \
-        .localCheckpoint(eager=False)
+        .transform(truncate_lineage)
     pairs = dedup.minhash_lsh_pairs(stage1, "doc_id", "text",
                                     num_hashes=8, bands=4,
                                     max_bucket=_LSH_MAX_BUCKET)

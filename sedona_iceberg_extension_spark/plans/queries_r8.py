@@ -46,6 +46,8 @@ conventions as the spatial operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lineage import truncate_lineage
 from pyspark.sql.window import Window
 
 from ..pipeline.text import portable_hash64
@@ -1224,7 +1226,7 @@ def q_part_label_propagation(spark, sf_dir):
              .filter(F.col("supp") >= 2).select("u", "v"))
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(truncate_lineage)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .select("id", F.col("id").alias("label")))
     for _ in range(3):
@@ -1235,7 +1237,7 @@ def q_part_label_propagation(spark, sf_dir):
                                              F.col("label").asc())
         labels = (nbr.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1).select("id", "label"))
-        labels = labels.localCheckpoint(eager=False)
+        labels = labels.transform(truncate_lineage)
     return (labels.select(F.col("id").alias("p_partkey"), "label")
             .orderBy("p_partkey"))
 
@@ -2677,7 +2679,7 @@ def q_part_kcore(spark, sf_dir):
              .filter(F.col("supp") >= 2).select("u", "v"))
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(truncate_lineage)
     cur = sym
     for _ in range(3):
         keep = (cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -2685,7 +2687,7 @@ def q_part_kcore(spark, sf_dir):
         cur = (cur.join(keep, "u")
                .join(keep.withColumnRenamed("u", "v"), "v")
                .select("u", "v"))
-        cur = cur.localCheckpoint(eager=False)
+        cur = cur.transform(truncate_lineage)
     return (cur.groupBy("u").agg(F.count(F.lit(1)).alias("core_deg"))
             .select(F.col("u").alias("p_partkey"),
                     F.col("core_deg").cast("long").alias("core_deg"))
@@ -3274,7 +3276,7 @@ def q_part_graph_modularity(spark, sf_dir):
              .filter(F.col("supp") >= 2).select("u", "v"))
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=False)
+    sym = sym.transform(truncate_lineage)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .select("id", F.col("id").alias("label")))
     for _ in range(3):
@@ -3285,7 +3287,7 @@ def q_part_graph_modularity(spark, sf_dir):
                                               F.col("label").asc())
         labels = (nbr.withColumn("rn", F.row_number().over(wl))
                   .filter(F.col("rn") == 1).select("id", "label"))
-        labels = labels.localCheckpoint(eager=False)
+        labels = labels.transform(truncate_lineage)
     m2 = sym.agg(F.count(F.lit(1)).cast("long").alias("m2"))  # 2m
     lab_u = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
     lab_v = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))

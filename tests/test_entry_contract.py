@@ -16,11 +16,15 @@ def test_tranche0_names_are_declared():
 
 def test_staleness_order_is_total_and_stalest_first():
     """The freshness rotation (round 12): _staleness_order must return a
-    permutation of the declared names whose last-hash rounds ascend —
-    every committed CORRECTNESS record participates, so a query green in
-    r1 and untouched since sorts ahead of one re-hashed in r11."""
+    permutation of the declared names whose last-GREEN-hash rounds ascend —
+    every committed green CORRECTNESS record participates, so a query green
+    in r1 and untouched since sorts ahead of one re-hashed in r11, and a
+    query RED in its latest record sorts as never-hashed (r12 ADVICE).
+    The glob resolves against the repo root, not the cwd, and must find
+    records — from any cwd a silently-empty ledger made this vacuous."""
     import glob
     import json
+    import os
     import re
 
     from sedona_iceberg_extension_spark.plans.queries import QUERIES
@@ -28,13 +32,29 @@ def test_staleness_order_is_total_and_stalest_first():
     declared = [n for n in QUERIES if n not in set(entry._TRANCHE0)]
     ordered = entry._staleness_order(declared)
     assert sorted(ordered) == sorted(declared)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last = {}
-    for p in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", p).group(1))
-        for n in json.load(open(p)):
-            last[n] = max(rnd, last.get(n, 0))
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for n, rec in json.load(open(p)).items():
+            if entry._is_green(rec):
+                last[n] = max(rnd, last.get(n, 0))
+    assert last, "no CORRECTNESS records found at the repo root"
     rounds = [last.get(n, 0) for n in ordered]
     assert rounds == sorted(rounds)
+
+
+def test_is_green_verdicts():
+    """Red records (err set, hash_match false) must count stale; the
+    weaker rows-only check counts green only when rows+schema match."""
+    g = entry._is_green
+    assert g({"hash_match": True, "rows_match": True, "schema_match": True,
+              "err": None})
+    assert not g({"hash_match": False, "rows_match": True,
+                  "schema_match": True, "err": None})
+    assert not g({"hash_match": True, "err": "boom"})
+    assert g({"rows_match": True, "schema_match": True, "err": None})
+    assert not g({"rows_match": False, "err": None})
 
 
 def test_queries_and_oracles_line_up():

@@ -173,6 +173,27 @@ def test_minhash_stmt_construction_matches_operator(spark, sf_dir):
                 if t.name.startswith("_pyspark_")]
 
 
+def test_minhash_stmt_null_ids_at_cap_boundary(spark):
+    """r12 ADVICE: the stmt's window bucket count must EXCLUDE null-id rows
+    exactly like the operator path (minhash_signatures_wide filters them),
+    or a bucket sitting at the max_bucket boundary is kept by one
+    construction and dropped by the other.  Corpus: 3 same-text docs (one
+    bucket of 3) plus 2 null-id clones — with max_bucket=3 a count that
+    includes the nulls sees 5 and drops the bucket."""
+    rows = [(i, "identical boundary bucket text for every clone row")
+            for i in (1, 2, 3)] + [(None, "identical boundary bucket text "
+                                          "for every clone row")] * 2
+    df = spark.createDataFrame(rows, "id long, t string")
+    op = dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=8, bands=4,
+                                 max_bucket=3, construction="operator")
+    sq = dedup.minhash_lsh_pairs(df, "id", "t", num_hashes=8, bands=4,
+                                 max_bucket=3)
+    ra = sorted((r["id_a"], r["id_b"]) for r in op.collect())
+    rb = sorted((r["id_a"], r["id_b"]) for r in sq.collect())
+    assert ra == [(1, 2), (1, 3), (2, 3)]
+    assert rb == ra
+
+
 def test_cosine_topk_stmt_construction_matches_operator(spark, sf_dir):
     """Round-12 promotion gate for cosine_topk: bit-identical rows
     (tuple equality includes the float cosine), same exchange count,

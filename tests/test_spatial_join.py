@@ -576,6 +576,36 @@ def test_grid_join_hot_cell_skew_soak(spark):
                 spark.conf.set(k, v)
 
 
+def test_auto_probe_frame_identical_across_constructions(spark, sf_dir,
+                                                         monkeypatch):
+    """r12 ADVICE: strategy='auto' must size the SAME frame — the caller's
+    raw right side — under both constructions, or a borderline join near
+    the 64 MB threshold resolves broadcast in one and grid in the other
+    (Project nodes rescale Catalyst's sizeInBytes by row width, so the
+    operator path's old post-rename probe saw a different estimate)."""
+    import importlib
+    sj = importlib.import_module(
+        "sedona_iceberg_extension_spark.operators.spatial_join")
+
+    pts, boxes, _ = _sj_fixture_dfs(spark, sf_dir)
+    seen, resolved = [], []
+    real = sj._resolve_auto_strategy
+
+    def recorder(right, thr):
+        seen.append(right)
+        out = real(right, thr)
+        resolved.append(out)
+        return out
+
+    monkeypatch.setattr(sj, "_resolve_auto_strategy", recorder)
+    for construction in ("auto", "operator"):
+        sj.spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                        strategy="auto", construction=construction)
+    assert len(seen) == 2
+    assert seen[0] is pts and seen[1] is pts   # the raw frame, both times
+    assert resolved[0] == resolved[1]
+
+
 def test_stmt_construction_auto_and_fallbacks(spark, sf_dir):
     """construction='auto' takes the statement for eligible shapes and must
     silently fall back for ineligible ones (UDF refinement, outer joins,
