@@ -241,6 +241,25 @@ def _cpu_probe():
     return round(time.perf_counter() - t0, 4)
 
 
+# Contention guard thresholds (r12 VERDICT item #1: BENCH_r12 ran under
+# steal to 5.56% / load1-at-start to 5.7 and its medians were
+# unadjudicable — a breached record must FLAG itself, the same way
+# primed_rounds/warmup_failures already guard priming).  Calibration from
+# the committed records: the clean r11 runs started at load1 <=~1 with
+# steal <=0.64%; every contaminated r12 run started at load1 >=2.16 with
+# walls 13-100% over the clean envelope.
+CONTENTION_STEAL_PCT = 2.0
+CONTENTION_LOAD1 = 2.0
+
+
+def _contended(tel):
+    """Whether one steady run's telemetry breaches the contention
+    thresholds — marked per-run in bench_detail.json and summed into the
+    record line's telemetry.contended_runs (0 == certifiable record)."""
+    return bool((tel.get("steal_pct") or 0) > CONTENTION_STEAL_PCT
+                or (tel.get("load1_at_start") or 0) > CONTENTION_LOAD1)
+
+
 def _spawn_with_telemetry(extra_argv):
     s0, load1, p0 = _proc_stat(), _loadavg(), _psi_totals()
     probe0 = _cpu_probe()
@@ -338,6 +357,16 @@ def main():
     # loses its front.  Everything per-query-secondary and per-run goes to
     # bench_detail.json next to this file; the one printed line keeps the
     # contract fields plus compact totals and a telemetry summary.
+    for t in steady_tel:
+        t["contended"] = _contended(t)
+    n_contended = sum(1 for t in steady_tel if t["contended"])
+    if n_contended:
+        print(f"# CONTENTION GUARD: {n_contended}/{len(steady_tel)} steady "
+              f"runs breached steal>{CONTENTION_STEAL_PCT}% or "
+              f"load1>{CONTENTION_LOAD1} at start — medians are not "
+              "certifiable against prior records; re-run on a quiet host",
+              file=sys.stderr)
+
     line = {
         "metric": "headline_suite_seconds",
         "value": round(statistics.median(totals), 3),
@@ -354,6 +383,9 @@ def main():
             "cpu_probe_sec_max": max((t.get("cpu_probe_sec", 0) or 0)
                                      for t in steady_tel) if steady_tel else None,
             "wall_secs": [t.get("wall_sec") for t in steady_tel],
+            "load1_at_start_max": max((t.get("load1_at_start", 0) or 0)
+                                      for t in steady_tel) if steady_tel else None,
+            "contended_runs": sum(1 for t in steady_tel if _contended(t)),
             "primed_rounds_min": min((t.get("primed_rounds") or 0)
                                      for t in steady_tel) if steady_tel else None,
             "warmup_failures_max": max((t.get("warmup_failures") or 0)

@@ -1,0 +1,111 @@
+"""Standing recompute gate: iterative / multi-consumer queries must not
+re-execute their upstream pipelines (r12 VERDICT item #3).
+
+The round-12 audit found five silent-re-execution instances by manual
+profiling — connected-components re-scanning the corpus once per
+propagation round (10-17 scans per query), the dedup funnel re-running its
+survivor stage per consumer, k-means re-sampling per Lloyd iteration.  The
+class recurs whenever a new iterative query is added, so this tool pins
+each one's TOTAL STAGE INPUT RECORDS (file-scan rows + re-read
+cache/checkpoint rows, from the UI REST stage metrics — the same counters
+tools/profile_query.py reads) against a declared budget at sf0.001.
+
+A corpus re-scan per round multiplies the dominant term by the round
+count, so budgets sit ~2x above the measured healthy value: a regression
+back into the 10x class trips the gate with huge margin, while ordinary
+row-count jitter (AQE re-plans, convergence-round variance on tiny data)
+stays inside.
+
+Usage:  python tools/scan_budget.py [--check] [query ...]
+  default: measure and print one line per gated query
+  --check: exit 1 if any measured total exceeds its budget
+Run by tests/test_scan_budget.py as a subprocess (the gate needs its own
+session: the engine disables the UI outside SPARK_GRAFT_PROFILE_UI=1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# budget ~= measured-healthy x 1.5.  Input records are DETERMINISTIC row
+# counts for fixed data and code (not timings), so a tight margin is
+# safe — and necessary: re-introducing the exact r12 bug (dropping only
+# connected_components' edge-list materialization) at sf0.001 raises
+# dedup_components from the healthy 1200 to 2372, i.e. only ~2x at this
+# tiny scale (few propagation rounds, 500-row corpus); a 2.5x budget
+# would wave it through.  Measured healthy values, r13 at sf0.001:
+# dedup_components 1200, dedup_keep 1138, doc_dedup_pipeline 3138,
+# spatial_knn 43, spatial_knn_grid 1059, spatial_kmeans 600,
+# ivfpq_ann_recall 2500, brand_pagerank 24225, part_bfs_distance 32722,
+# part_label_propagation 20144, part_kcore 19944.
+BUDGETS = {
+    # near-dup funnel (fixed r12: edge list + survivors materialized once)
+    "dedup_components": 1_800,
+    "dedup_keep": 1_700,
+    "doc_dedup_pipeline": 4_700,
+    # adaptive-KNN radius rounds (fixed r12: per-round checkpoints)
+    "spatial_knn": 100,
+    "spatial_knn_grid": 1_600,
+    # Lloyd iterations over a materialized sample (fixed r12)
+    "spatial_kmeans": 900,
+    "ivfpq_ann_recall": 3_800,
+    # fixed-round graph iterations (label tables re-read per round)
+    "brand_pagerank": 36_000,
+    "part_bfs_distance": 49_000,
+    "part_label_propagation": 30_000,
+    "part_kcore": 30_000,
+}
+
+
+def gated_input_records(spark, fn, sf_dir: str, group: str) -> int:
+    """Total inputRecords over every stage of every job the callable ran,
+    scoped by job group via statusTracker + the UI REST stage table."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    fn(spark, sf_dir).collect()
+    sc.setJobGroup("idle", "idle")
+    stage_ids = set()
+    for j in sc.statusTracker().getJobIdsForGroup(group) or []:
+        ji = sc.statusTracker().getJobInfo(j)
+        if ji:
+            stage_ids.update(ji.stageIds)
+    url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+           "/stages?status=complete")
+    with urllib.request.urlopen(url) as fh:
+        stages = json.loads(fh.read())
+    return sum(st.get("inputRecords", 0) for st in stages
+               if st["stageId"] in stage_ids)
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(BUDGETS)
+    sf_dir = os.environ.get("SPARK_GRAFT_SCAN_BUDGET_SF_DIR",
+                            "/root/testdata/sf0.001")
+
+    os.environ["SPARK_GRAFT_PROFILE_UI"] = "1"   # session.py UI hook
+    from sedona_iceberg_extension_spark.plans.queries import QUERIES
+    from sedona_iceberg_extension_spark.session import get_session
+
+    spark = get_session(master="local[4]", shuffle_partitions=8)
+    assert spark.sparkContext.uiWebUrl, "gate needs the UI REST API"
+    failures = 0
+    for name in names:
+        budget = BUDGETS[name]
+        got = gated_input_records(spark, QUERIES[name].fn, sf_dir,
+                                  f"scan-budget-{name}")
+        ok = got <= budget
+        failures += 0 if ok else 1
+        print(json.dumps({"query": name, "input_records": got,
+                          "budget": budget, "ok": ok}))
+    spark.stop()
+    return 1 if (check and failures) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
