@@ -27,13 +27,29 @@ def test_proc_stat_counters():
 
 
 def test_contention_guard_thresholds():
-    """r12 VERDICT item #1: the guard must flag every contaminated r12 run
-    profile (steal to 5.56%, load1-at-start to 5.7) and pass the clean r11
-    envelope (steal <=0.64%, load1 <=~1)."""
+    """r12 VERDICT item #1: the per-run guard must flag the contaminated
+    r12 steal profile (to 5.56%) and pass the clean r11 envelope (steal
+    <=0.64%).  load1_at_start must NOT breach — the committed r11 CLEAN
+    record started its steady runs at load1 3.39-6.6 (self-residue from
+    the bench's own prior child), so it cannot discriminate."""
     import bench
 
     assert bench._contended({"steal_pct": 5.56, "load1_at_start": 0.5})
-    assert bench._contended({"steal_pct": 0.1, "load1_at_start": 2.16})
+    assert not bench._contended({"steal_pct": 0.1, "load1_at_start": 6.6})
     assert not bench._contended({"steal_pct": 0.64, "load1_at_start": 1.0})
     assert not bench._contended({})          # missing telemetry != breach
     assert not bench._contended({"steal_pct": None, "load1_at_start": None})
+
+
+def test_wall_spread_dispersion_signal():
+    """Record-level signal: the clean r11 walls (61-64 s) spread 1.05;
+    the contaminated r12 walls (72.6-125.2) spread 1.72 — the threshold
+    1.25 separates them with margin on both sides."""
+    import bench
+
+    r11 = [{"wall_sec": w} for w in (62.9, 61.0, 63.0, 62.8, 64.0)]
+    r12 = [{"wall_sec": w} for w in (72.6, 118.8, 76.6, 86.2, 125.2)]
+    assert bench._wall_spread(r11) <= bench.CONTENTION_WALL_SPREAD
+    assert bench._wall_spread(r12) > bench.CONTENTION_WALL_SPREAD
+    assert bench._wall_spread([{"wall_sec": 60}]) is None
+    assert bench._wall_spread([]) is None

@@ -84,7 +84,8 @@ def gated_input_records(spark, fn, sf_dir: str, group: str) -> int:
 
 def main() -> int:
     check = "--check" in sys.argv
-    names = [a for a in sys.argv[1:] if not a.startswith("--")] or list(BUDGETS)
+    discover = "--discover" in sys.argv
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SCAN_BUDGET_SF_DIR",
                             "/root/testdata/sf0.001")
 
@@ -94,8 +95,28 @@ def main() -> int:
 
     spark = get_session(master="local[4]", shuffle_partitions=8)
     assert spark.sparkContext.uiWebUrl, "gate needs the UI REST API"
+
+    if discover:
+        # Audit mode (not a gate): measure EVERY declared query and print
+        # descending — a one-pass query near the whole-corpus row count
+        # (9,890 rows at sf0.001) several times over is a recompute
+        # suspect worth profiling.  Iterative queries legitimately re-read
+        # their |V|/|E|-row state per round; the gate above budgets those.
+        rows = []
+        for name in (names or QUERIES):
+            try:
+                got = gated_input_records(spark, QUERIES[name].fn, sf_dir,
+                                          f"scan-discover-{name}")
+                rows.append((got, name))
+            except Exception as e:
+                print(f"# {name} failed: {e}", file=sys.stderr)
+        for got, name in sorted(rows, reverse=True):
+            print(json.dumps({"query": name, "input_records": got}))
+        spark.stop()
+        return 0
+
     failures = 0
-    for name in names:
+    for name in (names or list(BUDGETS)):
         budget = BUDGETS[name]
         got = gated_input_records(spark, QUERIES[name].fn, sf_dir,
                                   f"scan-budget-{name}")
