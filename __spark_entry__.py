@@ -146,10 +146,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # truncate_lineage checkpoint
 # routing (lineage.py — byte-identical behavior when no checkpoint dir is
 # configured, as in the driver's sessions).
+# Second r13 wave (the scan-budget discovery audit): three one-pass plan
+# rewrites — order_backlog_sweepline emits its +1/-1 sweep events via
+# inline() instead of a two-branch union that re-executed the
+# orders⋈lineitem join per branch, and lineitem_price_index /
+# brand_price_volume_mix replace two year-filtered aggregations joined
+# back with ONE year-conditional aggregation (half the corpus scans, one
+# shuffle fewer; sum(when(yr=Y,x)) nulls reproduce the old join
+# membership exactly).  Each measured faster at sf0.1 (-12%/-12%/-37%
+# single-shot) AND halves input records.  The six OTHER fan-out
+# candidates the audit surfaced were A/B'd and deliberately left
+# redundant (cache/checkpoint/local-relation sharing measured +10% to
+# +481% at sf0.1 — parallel redundant stages beat serialized
+# materialization on this host; negative result documented in
+# tools/REHEARSALS.md).
 _TRANCHE0 = [
     "minhash_lsh_pairs", "dedup_components", "dedup_keep",
     "doc_dedup_pipeline", "near_dup_rate_by_source",
     "lsh_edit_distance_verify",
+    "order_backlog_sweepline", "lineitem_price_index",
+    "brand_price_volume_mix",
 ]
 
 

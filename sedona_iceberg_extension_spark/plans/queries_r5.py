@@ -376,6 +376,11 @@ def q_part_basket_lift(spark, sf_dir):
     broadcast onto the pair counts (no driver-side scalar job)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # the basket projection feeds the order total, the per-order pair
+    # explode, and the brand marginals (3 executions of the
+    # join+distinct).  Deliberately left redundant — r13 materialization
+    # A/B: cache() +25% at sf0.1 (see q_lineitem_robust_stats for the
+    # full numbers).
     ob = (li.join(part, li.l_partkey == part.p_partkey)
           .select("l_orderkey", "p_brand").distinct())
     tot = ob.agg(F.countDistinct("l_orderkey")
@@ -1462,9 +1467,14 @@ def q_order_backlog_sweepline(spark, sf_dir):
                          orders.o_orderkey == closed.l_orderkey)
              .select(F.date_trunc("month", "o_orderdate").alias("_start"),
                      F.add_months(F.col("_end"), 1).alias("_stop")))
-    ev = (spans.select(F.col("_start").alias("m"), F.lit(1).alias("d"))
-          .unionAll(spans.select(F.col("_stop").alias("m"),
-                                 F.lit(-1).alias("d"))))
+    # both sweep events come out of ONE pass: the old two-branch union
+    # re-executed the orders⋈lineitem join once per branch (r13
+    # scan-budget audit: 15000 -> 7500 input records at sf0.001);
+    # inline() emits the +1/-1 rows per span with no second scan and no
+    # materialization at all
+    ev = spans.select(F.inline(F.array(
+        F.struct(F.col("_start").alias("m"), F.lit(1).alias("d")),
+        F.struct(F.col("_stop").alias("m"), F.lit(-1).alias("d")))))
     per_month = ev.groupBy("m").agg(F.sum("d").alias("delta"))
     w = W.orderBy("m")
     return (per_month

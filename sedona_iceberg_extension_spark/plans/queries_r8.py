@@ -169,6 +169,12 @@ def q_order_interval_overlap(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderdate")
     li = (load_table(spark, sf_dir, "lineitem")
           .groupBy("l_orderkey").agg(F.max("l_shipdate").alias("e")))
+    # sp feeds the self-join (a/b — one execution via ReusedExchange)
+    # AND the per-customer totals, so the orders⋈lineitem join executes
+    # twice.  Deliberately left redundant: the r13 materialization A/B
+    # measured cache() +19% at sf0.1 (parallel redundant stages beat a
+    # serialized materialize-then-read DAG on this host; see
+    # q_lineitem_robust_stats for the full numbers).
     sp = (orders.join(li, orders.o_orderkey == li.l_orderkey)
           .select("o_custkey", "o_orderkey",
                   F.col("o_orderdate").alias("s"), "e"))
@@ -395,6 +401,21 @@ def q_lineitem_robust_stats(spark, sf_dir):
     percentile's internal partial."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").alias("x"))
+    # s1t (3 rows) feeds THREE consumers and s2t (3 rows) TWO, so the
+    # percentile subtree executes 5x per query (r13 scan-budget audit:
+    # 30000 input records at sf0.001 for the documented 3-pass
+    # algorithm).  Deliberately LEFT AS REDUNDANT SUBTREES — the r13
+    # materialization A/B measured every sharing mechanism SLOWER at
+    # sf0.1 (min-of-6, cache cleared per rep): lazy localCheckpoint
+    # 3.26s, cache() 4.62s, collect-to-local-relation 5.03s vs 0.87s
+    # as-is, because the redundant copies run as PARALLEL stages of one
+    # job while every sharing mechanism serializes the DAG into
+    # sequential jobs.  This differs from the r12 iterative class
+    # (connected components etc.), where re-execution multiplies per
+    # convergence round and blocks the loop's driver jobs — there the
+    # checkpoint measured faster.  On a saturated cluster the trade can
+    # invert (redundant scans cost real throughput); revisit with
+    # cluster-scale evidence, not local walls.
     s1t = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("percentile(x, array(0.01, 0.5, 0.99))").alias("ps"))

@@ -322,6 +322,11 @@ def q_lineitem_cramers_v(spark, sf_dir):
     Entirely exact-integer contingency arithmetic until the final
     divisions."""
     li = load_table(spark, sf_dir, "lineitem")
+    # the contingency table (~6 rows) feeds FOUR consumers, so the
+    # corpus groupBy executes 4x per query.  Deliberately left redundant
+    # (r13 materialization A/B: cache/local-relation sharing measured
+    # +225% at sf0.1 — the four copies run as parallel stages of one
+    # job; see q_lineitem_robust_stats for the full numbers).
     cell = (li.groupBy(F.col("l_returnflag").alias("rf"),
                        F.col("l_linestatus").alias("ls"))
             .agg(F.count(F.lit(1)).cast("long").alias("o")))
@@ -2530,6 +2535,10 @@ def q_brand_assoc_rules(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                       "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # the basket projection feeds the marginals, the total, and the
+    # pair self-join (3 executions of the join+distinct).  Deliberately
+    # left redundant — r13 materialization A/B: cache() +10% at sf0.1
+    # (see q_lineitem_robust_stats for the full numbers).
     bo = (li.join(pt, li.l_partkey == pt.p_partkey)
           .select("l_orderkey", "p_brand").distinct())
     n_b = bo.groupBy(F.col("p_brand").alias("b"))\
@@ -3897,24 +3906,33 @@ def q_lineitem_price_index(spark, sf_dir):
     P = sum(p1*q1)/sum(p0*q1), F = sqrt(L*P) — the composite-inflation
     read on the parts basket, all from exact BIGINT cross-products.
 
-    Scale shape: two year-keyed part aggregations, one part join, one
-    scalar finish."""
+    Scale shape: ONE year-conditional part aggregation (single corpus
+    pass, r13), one scalar finish."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("yr"))
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-
-    def year_stats(year, tag):
-        return (j.filter(F.col("yr") == year)
-                .groupBy("l_partkey")
-                .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
-                           .cast("long")).cast("long").alias(f"ext_{tag}"),
-                     F.sum(F.col("l_quantity").cast("long")).cast("long")
-                     .alias(f"q_{tag}")))
-
-    y0 = year_stats(1996, "0")
-    y1 = year_stats(1997, "1")
-    both = y0.join(y1, "l_partkey")
+    # ONE conditional-aggregation pass instead of two year-filtered
+    # aggregations joined back: the old shape executed the
+    # lineitem⋈orders join once per year branch (r13 scan-budget audit:
+    # 15000 -> 7500 input records at sf0.001) and paid an extra join
+    # shuffle.  sum(when(yr=Y, x)) is null when a part has no rows in
+    # year Y, so `both non-null` reproduces the old y0⋈y1 INNER join
+    # membership exactly.
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .filter(F.col("yr").isin(1996, 1997)))
+    _ext = F.round(F.col("l_extendedprice") * 100).cast("long")
+    _qty = F.col("l_quantity").cast("long")
+    both = (j.groupBy("l_partkey")
+            .agg(F.sum(F.when(F.col("yr") == 1996, _ext)).cast("long")
+                 .alias("ext_0"),
+                 F.sum(F.when(F.col("yr") == 1996, _qty)).cast("long")
+                 .alias("q_0"),
+                 F.sum(F.when(F.col("yr") == 1997, _ext)).cast("long")
+                 .alias("ext_1"),
+                 F.sum(F.when(F.col("yr") == 1997, _qty)).cast("long")
+                 .alias("q_1"))
+            .filter(F.col("ext_0").isNotNull()
+                    & F.col("ext_1").isNotNull()))
     # mean unit price in cents x the other year's quantity: integer-exact
     # numerators p*q = (ext/q) * q' — keep as exact rational ext*q'/q
     lnum = F.sum((F.col("ext_1") * F.col("q_0")).cast("double")
@@ -5189,8 +5207,13 @@ def q_alsobought_ndcg_eval(spark, sf_dir):
         "l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("yr"))
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey", "l_partkey", "yr").distinct()
+    # the year-stamped basket rows feed the train split (self-joined —
+    # one execution via ReusedExchange) AND the test split (a second
+    # execution of the join).  Deliberately left redundant — r13
+    # materialization A/B: cache() +88% at sf0.1 (see
+    # q_lineitem_robust_stats for the full numbers).
+    lo = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select("l_orderkey", "l_partkey", "yr").distinct())
     train = lo.filter(F.col("yr") == 1996)
     test = lo.filter(F.col("yr") == 1997)
     a = train.select(F.col("l_orderkey").alias("ok"),
@@ -6541,26 +6564,34 @@ def q_brand_price_volume_mix(spark, sf_dir):
     effects plus both totals reconcile exactly to the revenue delta —
     the finance waterfall every period review reads.
 
-    Scale shape: two year-keyed part aggregations, one full-outer part
-    join, one brand rollup."""
+    Scale shape: ONE year-conditional part aggregation (single corpus
+    pass, r13 — null year-sums reproduce the old full-outer-join
+    membership), one brand rollup."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("yr"))
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ONE conditional-aggregation pass instead of two year-filtered
+    # aggregations FULL-OUTER-joined back (the old shape executed the
+    # three-table join once per year branch — r13 scan-budget audit:
+    # 15200 -> 7700 input records at sf0.001 — and paid the outer-join
+    # shuffle).  sum(when(yr=Y, x)) is null exactly where the old full
+    # join produced nulls (a part absent from year Y), so the
+    # both/new/discontinued split below is value-identical.
     j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .join(pt, li.l_partkey == pt.p_partkey))
-
-    def ys(year, tag):
-        return (j.filter(F.col("yr") == year)
-                .groupBy("p_partkey", "p_brand")
-                .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
-                           .cast("long")).cast("long")
-                     .alias(f"ext{tag}"),
-                     F.sum(F.col("l_quantity").cast("long")).cast("long")
-                     .alias(f"q{tag}")))
-
-    y0, y1 = ys(1996, "0"), ys(1997, "1")
-    full = y0.join(y1, ["p_partkey", "p_brand"], "full")
+         .join(pt, li.l_partkey == pt.p_partkey)
+         .filter(F.col("yr").isin(1996, 1997)))
+    _ext = F.round(F.col("l_extendedprice") * 100).cast("long")
+    _qty = F.col("l_quantity").cast("long")
+    full = (j.groupBy("p_partkey", "p_brand")
+            .agg(F.sum(F.when(F.col("yr") == 1996, _ext)).cast("long")
+                 .alias("ext0"),
+                 F.sum(F.when(F.col("yr") == 1996, _qty)).cast("long")
+                 .alias("q0"),
+                 F.sum(F.when(F.col("yr") == 1997, _ext)).cast("long")
+                 .alias("ext1"),
+                 F.sum(F.when(F.col("yr") == 1997, _qty)).cast("long")
+                 .alias("q1")))
     p0 = F.col("ext0").cast("double") / F.col("q0").cast("double")
     p1 = F.col("ext1").cast("double") / F.col("q1").cast("double")
     both = F.col("ext0").isNotNull() & F.col("ext1").isNotNull()

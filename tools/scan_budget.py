@@ -59,6 +59,12 @@ BUDGETS = {
     "part_bfs_distance": 49_000,
     "part_label_propagation": 30_000,
     "part_kcore": 30_000,
+    # r13 one-pass rewrites (sweep events via inline(); year splits via
+    # conditional aggregation) — measured 7500/7500/7700 post-rewrite;
+    # the old two-branch shapes sat at 15000/15000/15200
+    "order_backlog_sweepline": 11_500,
+    "lineitem_price_index": 11_500,
+    "brand_price_volume_mix": 11_500,
 }
 
 
