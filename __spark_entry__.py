@@ -166,6 +166,16 @@ _TRANCHE0 = [
     "lsh_edit_distance_verify",
     "order_backlog_sweepline", "lineitem_price_index",
     "brand_price_volume_mix",
+    # third r13 wave, same audit: four more one-pass rewrites —
+    # ship_survival_km derives its total-at-risk from the 61-row day
+    # table (full window) instead of a second corpus aggregation;
+    # orders_littles_law folds the span min/max into its main aggregate;
+    # lineitem_effect_size / lineitem_discount_rdd replace
+    # group-then-filter-then-crossJoin with one conditional global
+    # aggregation.  Input records halved on all four; every value is
+    # the same exact sum re-expressed.
+    "ship_survival_km", "orders_littles_law",
+    "lineitem_effect_size", "lineitem_discount_rdd",
 ]
 
 

@@ -769,12 +769,16 @@ def q_ship_survival_km(spark, sf_dir):
                    (F.col("dr") <= 60).cast("int").alias("e")))
     g = tab.groupBy("t").agg(F.count(F.lit(1)).alias("n_at"),
                              F.sum("e").alias("d"))
-    tot = tab.agg(F.count(F.lit(1)).alias("n"))
+    # total-at-risk derives from the <=61-row day table itself (a full
+    # window over n_at) — the old separate tab.agg() branch re-executed
+    # the lineitem⋈orders join for one scalar (r13 scan-budget discovery
+    # audit: 2 corpus scans -> 1); sum(n_at) == count(tab) exactly.
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    r = (g.crossJoin(F.broadcast(tot))
-         .withColumn("n_risk", F.col("n")
-                     - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))))
+    w_all = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing)
+    r = g.withColumn("n_risk", F.sum("n_at").over(w_all)
+                     - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0)))
     s = r.withColumn("surv", F.exp(F.sum(
         F.log(F.lit(1.0) - F.col("d").cast("double")
               / F.col("n_risk").cast("double"))).over(w_cum)))

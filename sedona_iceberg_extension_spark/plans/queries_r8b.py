@@ -5732,29 +5732,37 @@ def q_lineitem_discount_rdd(spark, sf_dir):
             .filter((F.col("x") >= 15) & (F.col("x") <= 34))
             .withColumn("side", (F.col("x") >= 25).cast("int"))
             .withColumn("xc", (F.col("x") - 25).cast("double")))
-    ols = (band.groupBy("side")
-           .agg(F.count(F.lit(1)).cast("long").alias("k"),
-                F.sum("xc").alias("sx"), F.sum("y").alias("sy"),
-                F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
-                F.sum(F.col("xc") * F.col("y")).alias("sxy")))
-    kD = F.col("k").cast("double")
-    slope = (kD * F.col("sxy") - F.col("sx") * F.col("sy")) \
-        / (kD * F.col("sxx") - F.col("sx") * F.col("sx"))
-    icept = (F.col("sy") - slope * F.col("sx")) / kD
-    lines = ols.select("side", F.col("k"), slope.alias("b1"),
-                       icept.alias("b0"))
-    left = lines.filter(F.col("side") == 0).select(
-        F.col("k").alias("n_left"), F.col("b0").alias("b0_l"),
-        F.col("b1").alias("b1_l"))
-    right = lines.filter(F.col("side") == 1).select(
-        F.col("k").alias("n_right"), F.col("b0").alias("b0_r"),
-        F.col("b1").alias("b1_r"))
-    return (left.crossJoin(right)
-            .select("n_left", "n_right",
-                    F.round("b0_l", 6).alias("left_at_cutoff"),
-                    F.round("b0_r", 6).alias("right_at_cutoff"),
-                    F.round(F.col("b0_r") - F.col("b0_l"), 6)
-                    .alias("rdd_jump")))
+    # ONE conditional global aggregation (r13): the old shape grouped by
+    # side and cross-joined two filtered 1-row branches back, re-running
+    # the bandwidth scan per branch (2 scans; scan-budget discovery
+    # audit).  Per-side OLS sums come out of a single pass; the
+    # closed-form finish is unchanged arithmetic on the same exact sums.
+    def _side(cond, tag):
+        return [F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+                .alias(f"k{tag}"),
+                F.sum(F.when(cond, F.col("xc"))).alias(f"sx{tag}"),
+                F.sum(F.when(cond, F.col("y"))).alias(f"sy{tag}"),
+                F.sum(F.when(cond, F.col("xc") * F.col("xc")))
+                .alias(f"sxx{tag}"),
+                F.sum(F.when(cond, F.col("xc") * F.col("y")))
+                .alias(f"sxy{tag}")]
+
+    ols = band.agg(*(_side(F.col("side") == 0, "l")
+                     + _side(F.col("side") == 1, "r")))
+
+    def _b0(tag):
+        kD = F.col(f"k{tag}").cast("double")
+        slope = ((kD * F.col(f"sxy{tag}")
+                  - F.col(f"sx{tag}") * F.col(f"sy{tag}"))
+                 / (kD * F.col(f"sxx{tag}")
+                    - F.col(f"sx{tag}") * F.col(f"sx{tag}")))
+        return (F.col(f"sy{tag}") - slope * F.col(f"sx{tag}")) / kD
+
+    return ols.select(
+        F.col("kl").alias("n_left"), F.col("kr").alias("n_right"),
+        F.round(_b0("l"), 6).alias("left_at_cutoff"),
+        F.round(_b0("r"), 6).alias("right_at_cutoff"),
+        F.round(_b0("r") - _b0("l"), 6).alias("rdd_jump"))
 
 
 _QRDD_SQL = """
@@ -6780,12 +6788,14 @@ def q_orders_littles_law(spark, sf_dir):
            .select(F.to_date("o_orderdate").alias("od"),
                    F.datediff(F.col("ship"), F.to_date("o_orderdate"))
                    .cast("long").alias("w")))
-    span = lat.agg(F.min("od").alias("d0"), F.max("od").alias("d1"))
-    agg = (lat.crossJoin(F.broadcast(span))
-           .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("w").cast("long").alias("sw"),
-                F.max(F.datediff(F.col("d1"), F.col("d0")) + 1)
-                .cast("long").alias("days")))
+    # the observation span folds into the SAME aggregate (min/max over
+    # the identical rows) — the old separate span branch re-executed the
+    # orders⋈lineitem join for two scalars, then cross-joined them back
+    # (r13 scan-budget discovery audit: 2 corpus scans -> 1)
+    agg = lat.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("w").cast("long").alias("sw"),
+                  (F.datediff(F.max("od"), F.min("od")) + 1)
+                  .cast("long").alias("days"))
     lam = F.col("n").cast("double") / F.col("days").cast("double")
     wbar = F.col("sw").cast("double") / F.col("n").cast("double")
     L = F.col("sw").cast("double") / F.col("days").cast("double")
@@ -7149,16 +7159,20 @@ def q_lineitem_effect_size(spark, sf_dir):
     Scale shape: one two-group aggregation, one scalar finish."""
     li = load_table(spark, sf_dir, "lineitem")
     y = F.col("l_extendedprice") / F.lit(100000.0)
-    g = (li.groupBy((F.col("l_returnflag") == "R").cast("int").alias("r"))
-         .agg(F.count(F.lit(1)).cast("long").alias("n"),
-              F.sum(y).alias("s"), F.sum(y * y).alias("q")))
-    one = g.filter(F.col("r") == 1).select(
-        F.col("n").alias("n1"), F.col("s").alias("s1"),
-        F.col("q").alias("q1"))
-    zero = g.filter(F.col("r") == 0).select(
-        F.col("n").alias("n2"), F.col("s").alias("s2"),
-        F.col("q").alias("q2"))
-    j = one.crossJoin(zero)
+    # ONE conditional global aggregation (r13): the old shape grouped by
+    # the return flag and cross-joined two filtered 1-row branches back,
+    # which re-executed the corpus aggregation once per branch (2 scans;
+    # scan-budget discovery audit).  sum(when(...)) over the two disjoint
+    # groups computes the identical moments in a single pass with no
+    # join at all.
+    r1 = F.col("l_returnflag") == "R"
+    j = li.agg(
+        F.sum(F.when(r1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(r1, y)).alias("s1"),
+        F.sum(F.when(r1, y * y)).alias("q1"),
+        F.sum(F.when(~r1, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~r1, y)).alias("s2"),
+        F.sum(F.when(~r1, y * y)).alias("q2"))
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     m1, m2 = F.col("s1") / n1, F.col("s2") / n2
     ss1 = F.col("q1") - F.col("s1") * F.col("s1") / n1

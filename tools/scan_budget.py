@@ -59,12 +59,17 @@ BUDGETS = {
     "part_bfs_distance": 49_000,
     "part_label_propagation": 30_000,
     "part_kcore": 30_000,
-    # r13 one-pass rewrites (sweep events via inline(); year splits via
-    # conditional aggregation) — measured 7500/7500/7700 post-rewrite;
-    # the old two-branch shapes sat at 15000/15000/15200
-    "order_backlog_sweepline": 11_500,
-    "lineitem_price_index": 11_500,
-    "brand_price_volume_mix": 11_500,
+    # r13 one-pass rewrites (sweep events via inline(); year/group/side
+    # splits via conditional aggregation; scalar branches folded into
+    # the main aggregate) — measured post-rewrite values in comments;
+    # the old two-branch shapes sat at ~2x
+    "order_backlog_sweepline": 11_500,      # 7500 (was 15000)
+    "lineitem_price_index": 11_500,         # 7500 (was 15000)
+    "brand_price_volume_mix": 11_500,       # 7700 (was 15200)
+    "ship_survival_km": 11_500,             # 7500 (was 13500)
+    "orders_littles_law": 11_500,           # 7500 (was 13500)
+    "lineitem_effect_size": 9_000,          # 6000 (was 12000)
+    "lineitem_discount_rdd": 9_000,         # 6000 (was 12000)
 }
 
 
