@@ -120,63 +120,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # structurally identical, certified by the local differential gate plus
 # a property test.  Purely driver-side/telemetry changes never qualify.
 #
-# Round-12 changes: the spatial grid join, minhash_lsh_pairs, and
-# cosine_topk constructors moved to single-``spark.sql``-statement
-# construction (operators/spatial_join.py:_stmt_grid_join,
-# pipeline/dedup.py, pipeline/similarity.py — VERDICT r11 items #1/#3),
-# and with_point_geometry/with_box_geometry collapsed to one projection.
-# Physical plans are gated row-identical and exchange-equal to the
-# operator spellings (tests/test_spatial_join.py, tests/test_pipeline.py),
-# but the ANALYZED plans differ (CTE tree vs Project chain), so every
-# declared consumer is promoted — the 27 names below (18 spatial + 4
-# minhash-LSH + 5 cosine-topk consumers), each green through the local
-# differential gate at sf0.01 and the standing sf0.1 sweep.
-# Round-13 changes (r12 ADVICE, medium): the minhash_lsh_pairs statement
-# construction gained the null-id filter the operator path always had
-# (pipeline/dedup.py src CTE — without it the window bucket count at the
-# max_bucket boundary included null-id rows, so the two constructions
-# could keep/drop boundary buckets differently on null-bearing corpora).
-# One extra Filter node in the stmt's ANALYZED plan → every declared
-# consumer of the stmt spelling is promoted.  EXEMPT under the stated
-# policy (analyzed plan unchanged, differential-gated locally): the
-# auto-strategy probe unification (operators/spatial_join.py
-# _resolve_auto_strategy — no declared query passes strategy="auto";
-# all spell "grid"/"broadcast" explicitly, and the SQL front door
-# defaults to "grid", so no declared plan can flip) and the
-# truncate_lineage checkpoint
-# routing (lineage.py — byte-identical behavior when no checkpoint dir is
-# configured, as in the driver's sessions).
-# Second r13 wave (the scan-budget discovery audit): three one-pass plan
-# rewrites — order_backlog_sweepline emits its +1/-1 sweep events via
-# inline() instead of a two-branch union that re-executed the
-# orders⋈lineitem join per branch, and lineitem_price_index /
-# brand_price_volume_mix replace two year-filtered aggregations joined
-# back with ONE year-conditional aggregation (half the corpus scans, one
-# shuffle fewer; sum(when(yr=Y,x)) nulls reproduce the old join
-# membership exactly).  Each measured faster at sf0.1 (-12%/-12%/-37%
-# single-shot) AND halves input records.  The six OTHER fan-out
-# candidates the audit surfaced were A/B'd and deliberately left
-# redundant (cache/checkpoint/local-relation sharing measured +10% to
-# +481% at sf0.1 — parallel redundant stages beat serialized
-# materialization on this host; negative result documented in
-# tools/REHEARSALS.md).
-_TRANCHE0 = [
-    "minhash_lsh_pairs", "dedup_components", "dedup_keep",
-    "doc_dedup_pipeline", "near_dup_rate_by_source",
-    "lsh_edit_distance_verify",
-    "order_backlog_sweepline", "lineitem_price_index",
-    "brand_price_volume_mix",
-    # third r13 wave, same audit: four more one-pass rewrites —
-    # ship_survival_km derives its total-at-risk from the 61-row day
-    # table (full window) instead of a second corpus aggregation;
-    # orders_littles_law folds the span min/max into its main aggregate;
-    # lineitem_effect_size / lineitem_discount_rdd replace
-    # group-then-filter-then-crossJoin with one conditional global
-    # aggregation.  Input records halved on all four; every value is
-    # the same exact sum re-expressed.
-    "ship_survival_km", "orders_littles_law",
-    "lineitem_effect_size", "lineitem_discount_rdd",
-]
+# Tranche-0 HISTORY (details per round in tools/REHEARSALS.md):
+#   r12 promoted 27 names (18 spatial + 4 minhash-LSH + 5 cosine-topk
+#       consumers) for the single-statement constructor rewrites;
+#   r13 promoted 13 names — the 6 LSH-stmt consumers (null-id filter in
+#       the stmt's src CTE, r12 ADVICE medium) plus the 7 one-pass
+#       fan-out rewrites from the scan-budget discovery audit
+#       (order_backlog_sweepline, lineitem_price_index,
+#       brand_price_volume_mix, ship_survival_km, orders_littles_law,
+#       lineitem_effect_size, lineitem_discount_rdd).
+#   All were driver-hashed green in their promotion round
+#   (CORRECTNESS_r12/r13 — 50/50 each).
+#
+# Round-14 changes: none qualify.  The round's diffs are driver-side /
+# telemetry / gating only — the bench contention threshold recalibration
+# (bench.py), record-line telemetry fields, the streaming scan-budget
+# extension (tools/scan_budget.py), doc fixes, and the
+# _has_checkpoint_dir probe hardening (lineage.py — behavior identical
+# when no checkpoint dir is configured, as in the driver's sessions;
+# differential-rehearsed WITH a checkpoint dir via tools/diff_oracle.py,
+# see REHEARSALS.md).  No declared query's analyzed plan changed, so
+# tranche 0 is empty and the sample is the 50 stalest greens (the
+# freshness rotation's third tranche, VERDICT r13 item #2).
+_TRANCHE0: list[str] = []
 
 
 def _is_green(rec: object) -> bool:
@@ -203,25 +169,28 @@ def _staleness_order(declared: list[str]) -> list[str]:
     next sample instead of hiding behind its own red record for ~7 rounds
     (r12 ADVICE).  Green = hash_match true, or — for the weaker
     rows-only check on non-SQL-expressible ops — rows/schema match with
-    no hash verdict; any err is red.  Returns [] when the records are
-    unreadable — the caller falls back to declared order."""
+    no hash verdict; any err is red.  Unreadable or non-dict-format
+    record FILES are skipped individually (r13 ADVICE: one foreign-format
+    file must not discard the whole ledger); returns [] only when NO
+    readable record exists — the caller falls back to declared order."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
-    try:
-        for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
             rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
             with open(p) as fh:
-                for n, rec in json.load(fh).items():
-                    if not _is_green(rec):
-                        continue
-                    last[n] = max(rnd, last.get(n, 0))
-        if not last:
-            return []
-    except Exception:
+                recs = json.load(fh)
+            for n, rec in recs.items():
+                if not _is_green(rec):
+                    continue
+                last[n] = max(rnd, last.get(n, 0))
+        except Exception:
+            continue
+    if not last:
         return []
     idx = {n: i for i, n in enumerate(declared)}
     return sorted(declared, key=lambda n: (last.get(n, 0), idx[n]))

@@ -22,14 +22,41 @@ asked for it by configuring the directory.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 
 
 def _has_checkpoint_dir(df: DataFrame) -> bool:
+    """Whether the session has a reliable checkpoint dir configured.
+
+    Probes the PUBLIC ``SparkContext.getCheckpointDir()`` first and keeps
+    the ``_jsc`` JVM internal only as a fallback (r13 ADVICE: on runtimes
+    where ``sparkContext`` itself is unavailable — e.g. Spark Connect —
+    a silent ``False`` would route a cluster WITH a configured dir onto
+    unreplicated localCheckpoint, the exact failure mode this module
+    exists to avoid; when both probes FAIL, warn rather than silently
+    defaulting)."""
     try:
-        return bool(df.sparkSession.sparkContext._jsc.sc()
-                    .getCheckpointDir().isDefined())
+        sc = df.sparkSession.sparkContext
     except Exception:
+        warnings.warn(
+            "truncate_lineage: sparkContext unavailable (Spark Connect?) — "
+            "cannot probe for a checkpoint dir; falling back to "
+            "localCheckpoint, which is UNREPLICATED executor-local state",
+            RuntimeWarning, stacklevel=3)
+        return False
+    try:
+        return sc.getCheckpointDir() is not None
+    except Exception:
+        pass
+    try:
+        return bool(sc._jsc.sc().getCheckpointDir().isDefined())
+    except Exception:
+        warnings.warn(
+            "truncate_lineage: checkpoint-dir probe failed on both the "
+            "public and JVM paths; falling back to localCheckpoint",
+            RuntimeWarning, stacklevel=3)
         return False
 
 

@@ -5724,6 +5724,13 @@ def q_lineitem_discount_rdd(spark, sf_dir):
     2-decimal-quantized, so the OLS sums run on exact 1e-2-lattice
     doubles.
 
+    Degenerate-input edge (r13 ADVICE): on a corpus where either side of
+    the cutoff is EMPTY within the bandwidth, the pre-r13
+    crossJoin-of-filtered-branches shape returned 0 rows while this
+    single-pass aggregate returns 1 row of nulls.  On TPC-H both sides
+    always exist (oracle-verified identical); corpora that must
+    reproduce the old 0-row shape should filter ``kl > 0 AND kr > 0``.
+
     Scale shape: one bandwidth-filtered aggregation per side (map-side
     combinable), one closed-form finish."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -7155,6 +7162,13 @@ def q_lineitem_effect_size(spark, sf_dir):
     meta-analysis reports where the Welch test only reports
     significance.  Prices scaled /1e5 per the ANOVA convention; every
     moment is a ratio of exact sums.
+
+    Degenerate-input edge (r13 ADVICE): on a corpus where either group is
+    EMPTY, the pre-r13 crossJoin-of-filtered-branches shape returned 0
+    rows while this single-pass aggregate returns 1 row of nulls.  On the
+    TPC-H tables both groups always exist (oracle-verified identical);
+    corpora that must reproduce the old 0-row shape should add a
+    ``WHERE n1 > 0 AND n2 > 0`` finish.
 
     Scale shape: one two-group aggregation, one scalar finish."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -44,6 +44,24 @@ def test_staleness_order_is_total_and_stalest_first():
     assert rounds == sorted(rounds)
 
 
+def test_staleness_order_skips_unreadable_record_files(tmp_path, monkeypatch):
+    """r13 ADVICE: one foreign-format (list) or corrupt CORRECTNESS file
+    must be skipped individually, not discard the whole ledger — the old
+    blanket try/except returned [] and the caller fell back to declared
+    order, silently losing the freshness rotation."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
+        {"a": {"hash_match": True, "rows_match": True,
+               "schema_match": True, "err": None}}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
+        ["a", "b"]))                                  # foreign list format
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    monkeypatch.setattr(entry, "__file__", str(tmp_path / "x.py"))
+    # never-hashed 'b' sorts first; 'a' keeps its r01 green — NOT []
+    assert entry._staleness_order(["a", "b"]) == ["b", "a"]
+
+
 def test_is_green_verdicts():
     """Red records (err set, hash_match false) must count stale; the
     weaker rows-only check counts green only when rows+schema match."""

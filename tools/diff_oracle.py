@@ -9,6 +9,11 @@ before the driver's first hash; summation order differs between local[8]/16
 shuffle partitions and the driver's local[32]):
   SPARK_GRAFT_MASTER   spark master (default local[8])
   SPARK_GRAFT_SHUFFLE  spark.sql.shuffle.partitions (default 16)
+  SPARK_GRAFT_CHECKPOINT_DIR  if set, `setCheckpointDir` on the session —
+      lineage.truncate_lineage then routes every iterative lineage cut
+      through fault-tolerant `DataFrame.checkpoint` instead of
+      `localCheckpoint`, i.e. the CLUSTER configuration the router exists
+      for (r13 VERDICT item #4: rehearse that mode differentially)
 """
 
 from __future__ import annotations
@@ -51,7 +56,11 @@ def main():
     master = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
     spark = get_session(master=master, shuffle_partitions=shuffle)
-    print(f"# master={master} shuffle_partitions={shuffle}")
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    print(f"# master={master} shuffle_partitions={shuffle}"
+          + (f" checkpoint_dir={ckpt}" if ckpt else ""))
 
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",

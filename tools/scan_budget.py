@@ -21,6 +21,25 @@ Usage:  python tools/scan_budget.py [--check] [query ...]
   --check: exit 1 if any measured total exceeds its budget
 Run by tests/test_scan_budget.py as a subprocess (the gate needs its own
 session: the engine disables the UI outside SPARK_GRAFT_PROFILE_UI=1).
+
+Scoping: batch queries are job-group scoped (setJobGroup + statusTracker).
+Structured-Streaming micro-batch jobs run on the stream's OWN thread under
+the stream's runId job group, so the ``streaming_*`` entries are
+DELTA-scoped instead: new completed stages between a before/after snapshot
+of the REST stage table (sound here because the gate runs queries
+serially in one session).  A streaming regression that re-executes the
+static side per micro-batch — the class the r13 verdict named — shows up
+directly in the delta.
+
+Watch note (r13 VERDICT item #5) — six queries were A/B'd and
+DELIBERATELY left redundant (every sharing mechanism measured slower
+locally; see tools/REHEARSALS.md): lineitem_robust_stats,
+lineitem_cramers_v, part_basket_lift, brand_assoc_rules,
+alsobought_ndcg_eval, order_interval_overlap.  Their EXPECTED
+``--discover`` input-record ratios are ~2x their one-pass cost (two
+consumers of one upstream frame).  If a future --discover run shows ~3x
+on any of them, a THIRD consumer has appeared — that is new fan-out to
+adjudicate, not the known, documented redundancy.
 """
 
 from __future__ import annotations
@@ -70,7 +89,53 @@ BUDGETS = {
     "orders_littles_law": 11_500,           # 7500 (was 13500)
     "lineitem_effect_size": 9_000,          # 6000 (was 12000)
     "lineitem_discount_rdd": 9_000,         # 6000 (was 12000)
+    # streaming tier (r14, r13 VERDICT item #3) — DELTA-scoped (see
+    # module docstring): availableNow micro-batch jobs escape the job
+    # group.  Measured healthy values, r14 at sf0.001 (events = 1000
+    # rows): one events pass for the single-stream shapes; enrich adds
+    # the 150-row broadcast dim once (1150 — a regression re-reading the
+    # dim per micro-batch would scale with batch count); click_view_join
+    # reads events twice (two stream sides, 2000); outer_join 3000
+    # (two sides + the outer null-extension finalization pass);
+    # cdc_upsert 3218 (events + foreachBatch MERGE re-reading the
+    # snapshot layer per batch — the budget pins the batch count).
+    "streaming_user_totals": 1_500,         # 1000
+    "streaming_sessionize": 1_500,          # 1000
+    "streaming_dedup": 1_500,               # 1000
+    "streaming_enrich": 1_800,              # 1150
+    "streaming_click_view_join": 3_000,     # 2000
+    "streaming_ingest_gate": 1_500,         # 1000
+    "streaming_window_top_event": 1_500,    # 1000
+    "streaming_burst_detect": 1_500,        # 1000
+    "streaming_cms_cells": 1_500,           # 1000
+    "streaming_cdc_upsert": 4_800,          # 3218
+    "streaming_outer_join_watermark": 4_500,  # 3000
 }
+
+
+def _stage_snapshot(spark):
+    """{stageId: inputRecords} over every completed stage (REST)."""
+    sc = spark.sparkContext
+    url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+           "/stages?status=complete")
+    with urllib.request.urlopen(url) as fh:
+        stages = json.loads(fh.read())
+    return {st["stageId"]: st.get("inputRecords", 0) for st in stages}
+
+
+def delta_input_records(spark, fn, sf_dir: str) -> int:
+    """Total inputRecords of stages that COMPLETED while the callable ran.
+
+    Used for the streaming_* entries: availableNow micro-batch jobs run on
+    the stream's own thread under the stream's runId job group, so the
+    job-group scoper above cannot see them.  Sound because the gate runs
+    queries serially in one session — every new completed stage between
+    the snapshots belongs to this query (its batch setup jobs AND every
+    micro-batch job, including foreachBatch work)."""
+    before = _stage_snapshot(spark)
+    fn(spark, sf_dir).collect()
+    after = _stage_snapshot(spark)
+    return sum(v for sid, v in after.items() if sid not in before)
 
 
 def gated_input_records(spark, fn, sf_dir: str, group: str) -> int:
@@ -129,8 +194,11 @@ def main() -> int:
     failures = 0
     for name in (names or list(BUDGETS)):
         budget = BUDGETS[name]
-        got = gated_input_records(spark, QUERIES[name].fn, sf_dir,
-                                  f"scan-budget-{name}")
+        if name.startswith("streaming_"):
+            got = delta_input_records(spark, QUERIES[name].fn, sf_dir)
+        else:
+            got = gated_input_records(spark, QUERIES[name].fn, sf_dir,
+                                      f"scan-budget-{name}")
         ok = got <= budget
         failures += 0 if ok else 1
         print(json.dumps({"query": name, "input_records": got,
