@@ -36,10 +36,11 @@ DELIBERATELY left redundant (every sharing mechanism measured slower
 locally; see tools/REHEARSALS.md): lineitem_robust_stats,
 lineitem_cramers_v, part_basket_lift, brand_assoc_rules,
 alsobought_ndcg_eval, order_interval_overlap.  Their EXPECTED
-``--discover`` input-record ratios are ~2x their one-pass cost (two
-consumers of one upstream frame).  If a future --discover run shows ~3x
-on any of them, a THIRD consumer has appeared — that is new fan-out to
-adjudicate, not the known, documented redundancy.
+input-record ratios are ~2x their one-pass cost (two consumers of one
+upstream frame).  Since r14 the watch is ENFORCED: their BUDGETS
+entries pin the documented two-consumer level at ~1.3x margin, so a
+THIRD consumer appearing (~+50% records) trips the gate as new fan-out
+to adjudicate instead of hiding behind the known redundancy.
 """
 
 from __future__ import annotations
@@ -110,6 +111,20 @@ BUDGETS = {
     "streaming_cms_cells": 1_500,           # 1000
     "streaming_cdc_upsert": 4_800,          # 3218
     "streaming_outer_join_watermark": 4_500,  # 3000
+    # deliberately-redundant watch (r14, r13 VERDICT item #5): these six
+    # were A/B'd and LEFT redundant (two consumers re-execute one small
+    # upstream frame — every sharing mechanism measured slower locally;
+    # tools/REHEARSALS.md r13).  Their budgets pin the DOCUMENTED
+    # two-consumer level, not a one-pass value: a third consumer adds
+    # ~50% input records (one more upstream re-execution), so ~1.3x
+    # margins catch it while row-count jitter stays inside.  Measured
+    # r14 at sf0.001 in comments.
+    "lineitem_robust_stats": 39_000,        # 30000 (2-consumer)
+    "lineitem_cramers_v": 31_000,           # 24000 (2-consumer)
+    "part_basket_lift": 24_000,             # 18600 (2-consumer)
+    "brand_assoc_rules": 24_000,            # 18400 (2-consumer)
+    "alsobought_ndcg_eval": 19_500,         # 15000 (2-consumer)
+    "order_interval_overlap": 21_500,       # 16500 (2-consumer)
 }
 
 
