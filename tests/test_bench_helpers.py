@@ -37,6 +37,13 @@ def test_contention_guard_thresholds():
     assert bench._contended({"steal_pct": 5.56, "load1_at_start": 0.5})
     assert not bench._contended({"steal_pct": 0.1, "load1_at_start": 6.6})
     assert not bench._contended({"steal_pct": 0.64, "load1_at_start": 1.0})
+    # r13 ADVICE recalibration: the threshold sits BETWEEN the measured
+    # populations, so the contaminated minimum (1.2%) must breach per-run
+    # — under the old 2.0 threshold it passed and only the wall-spread
+    # backstop could catch it
+    assert bench._contended({"steal_pct": 1.2})
+    assert bench.CONTENTION_STEAL_PCT > 0.64
+    assert bench.CONTENTION_STEAL_PCT < 1.2
     assert not bench._contended({})          # missing telemetry != breach
     assert not bench._contended({"steal_pct": None, "load1_at_start": None})
 

@@ -196,8 +196,16 @@ def main() -> int:
         rows = []
         for name in (names or QUERIES):
             try:
-                got = gated_input_records(spark, QUERIES[name].fn, sf_dir,
-                                          f"scan-discover-{name}")
+                if name.startswith("streaming_"):
+                    # delta-scoped like the gate: micro-batch stages run
+                    # under the stream's own job group and would otherwise
+                    # be silently undercounted in the audit
+                    got = delta_input_records(spark, QUERIES[name].fn,
+                                              sf_dir)
+                else:
+                    got = gated_input_records(spark, QUERIES[name].fn,
+                                              sf_dir,
+                                              f"scan-discover-{name}")
                 rows.append((got, name))
             except Exception as e:
                 print(f"# {name} failed: {e}", file=sys.stderr)
