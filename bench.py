@@ -262,12 +262,67 @@ def _cpu_probe():
 CONTENTION_STEAL_PCT = 1.0
 CONTENTION_WALL_SPREAD = 1.25
 
+# Busy-regime ADVISORY thresholds (r15, VERDICT r14 item #3) — annotate,
+# never breach.  Calibration from the committed steady telemetry (r12
+# driver bench_detail @9b3bf0d, r13 driver @7acbfb6, r13 builder
+# @7a921c3, r14 driver @95fa291):
+#
+# - busy_pct (host-wide non-idle tick share): every committed steady run
+#   — clean AND steal-contaminated — sits in 11.24-12.90%, i.e. the
+#   bench's OWN footprint on this 32-cpu host; hypervisor co-tenants add
+#   steal, not guest-busy.  An IN-GUEST co-tenant (the r10 full-CPU
+#   pytest class) must add its ticks ON TOP of that footprint, so the
+#   advisory sits just above the whole observed envelope: > 14.0%.
+# - psi_stall_sec.cpu: committed clean runs 0.37-0.47 s; the
+#   wall-blown contaminated runs 0.58-0.72 s (r12's two worst + r14's
+#   flagged run).  Advisory > 0.50 s sits between the populations.
+#   (One mildly-contaminated r12 run sat at 0.45 s — inside the clean
+#   band — but carried steal 1.23%, which the BREACH guard owns.)
+#
+# Honest limitation, written down so nobody over-reads a quiet advisory:
+# the r13 driver-vs-builder 22%-apart clean records — the finding that
+# motivated these fields — were INVISIBLE to both counters (driver busy
+# 11.38-12.22 / psi 0.39-0.47 vs builder 12.13-12.24 / 0.37-0.46); that
+# regime stalls nothing inside the guest.  The advisory catches the
+# in-guest-busy and severe-stall classes; the invisible class is exactly
+# why cross-record certification uses per-query MINS (README "Series
+# basis"), not why this threshold can be trusted as an all-clear.
+BUSY_ADVISORY_PCT = 14.0
+PSI_CPU_ADVISORY_SEC = 0.50
+
 
 def _contended(tel):
     """Whether one steady run's telemetry breaches the per-run contention
     threshold — marked per-run in bench_detail.json and summed into the
     record line's telemetry.contended_runs (0 == certifiable record)."""
     return bool((tel.get("steal_pct") or 0) > CONTENTION_STEAL_PCT)
+
+
+def _busy_advisory(tel):
+    """Whether one steady run's telemetry trips the busy-regime ADVISORY
+    (never a breach): in-guest busy load above the bench's own committed
+    footprint envelope, or a CPU PSI stall above the clean band.  Marked
+    per-run in bench_detail.json and summed into the record line's
+    telemetry.busy_advisory_runs; a record with advisories but zero
+    breaches stays certifiable — on the min basis, with eyes open."""
+    busy = tel.get("busy_pct")
+    psi = (tel.get("psi_stall_sec") or {}).get("cpu")
+    return bool((busy is not None and busy > BUSY_ADVISORY_PCT)
+                or (psi is not None and psi > PSI_CPU_ADVISORY_SEC))
+
+
+def _max_present(steady_tel, key_fn):
+    """max over runs that CARRY the field, else None (r14 ADVICE: a 0 for
+    'not measured' — e.g. the in-process fallback path, whose telemetry
+    has no /proc deltas — was indistinguishable from a genuinely idle
+    host in the record line; mirror wall_spread's None convention)."""
+    vals = [v for v in (key_fn(t) for t in steady_tel) if v is not None]
+    return max(vals) if vals else None
+
+
+def _min_present(steady_tel, key_fn):
+    vals = [v for v in (key_fn(t) for t in steady_tel) if v is not None]
+    return min(vals) if vals else None
 
 
 def _wall_spread(steady_tel):
@@ -378,7 +433,9 @@ def main():
     # contract fields plus compact totals and a telemetry summary.
     for t in steady_tel:
         t["contended"] = _contended(t)
+        t["busy_advisory"] = _busy_advisory(t)
     n_contended = sum(1 for t in steady_tel if t["contended"])
+    n_advisory = sum(1 for t in steady_tel if t["busy_advisory"])
     spread = _wall_spread(steady_tel)
     if n_contended or (spread or 0) > CONTENTION_WALL_SPREAD:
         print(f"# CONTENTION GUARD: {n_contended}/{len(steady_tel)} steady "
@@ -386,6 +443,12 @@ def main():
               f"{spread} (threshold {CONTENTION_WALL_SPREAD}) — medians are "
               "not certifiable against prior records; re-run on a quiet "
               "host", file=sys.stderr)
+    if n_advisory:
+        print(f"# BUSY ADVISORY (not a breach): {n_advisory}/"
+              f"{len(steady_tel)} steady runs over busy>"
+              f"{BUSY_ADVISORY_PCT}% or psi_cpu>{PSI_CPU_ADVISORY_SEC}s — "
+              "in-guest busy regime; read this record on the per-query-min "
+              "basis (README 'Series basis')", file=sys.stderr)
 
     line = {
         "metric": "headline_suite_seconds",
@@ -397,29 +460,33 @@ def main():
         "true_cold_total": (round(sum(true_cold.values()), 3)
                             if true_cold else None),
         "warm_total": round(sum(warm.values()), 3) if warm else None,
+        # every *_max/_min below is over runs that CARRY the field, None
+        # when none does (r14 ADVICE — the in-process fallback path has no
+        # /proc deltas, and 'not measured' must not read as 'idle host')
         "telemetry": {
-            "steal_pct_max": max((t.get("steal_pct", 0) or 0)
-                                 for t in steady_tel) if steady_tel else None,
-            "cpu_probe_sec_max": max((t.get("cpu_probe_sec", 0) or 0)
-                                     for t in steady_tel) if steady_tel else None,
+            "steal_pct_max": _max_present(steady_tel,
+                                          lambda t: t.get("steal_pct")),
+            "cpu_probe_sec_max": _max_present(
+                steady_tel, lambda t: t.get("cpu_probe_sec")),
             "wall_secs": [t.get("wall_sec") for t in steady_tel],
-            "load1_at_start_max": max((t.get("load1_at_start", 0) or 0)
-                                      for t in steady_tel) if steady_tel else None,
+            "load1_at_start_max": _max_present(
+                steady_tel, lambda t: t.get("load1_at_start")),
             # busy%/PSI-cpu in the record line (r13 VERDICT item #1): a
             # busy-but-no-steal regime passes the guard while inflating
             # walls ~20% (the r13 dual-clean-record finding) — these two
             # make that regime visible WITHOUT re-opening bench_detail.
-            "busy_pct_max": max((t.get("busy_pct", 0) or 0)
-                                for t in steady_tel) if steady_tel else None,
-            "psi_cpu_stall_sec_max": max(
-                ((t.get("psi_stall_sec") or {}).get("cpu", 0) or 0)
-                for t in steady_tel) if steady_tel else None,
+            "busy_pct_max": _max_present(steady_tel,
+                                         lambda t: t.get("busy_pct")),
+            "psi_cpu_stall_sec_max": _max_present(
+                steady_tel,
+                lambda t: (t.get("psi_stall_sec") or {}).get("cpu")),
             "wall_spread": spread,
             "contended_runs": n_contended,
-            "primed_rounds_min": min((t.get("primed_rounds") or 0)
-                                     for t in steady_tel) if steady_tel else None,
-            "warmup_failures_max": max((t.get("warmup_failures") or 0)
-                                       for t in steady_tel) if steady_tel else None,
+            "busy_advisory_runs": n_advisory,
+            "primed_rounds_min": _min_present(
+                steady_tel, lambda t: t.get("primed_rounds")),
+            "warmup_failures_max": _max_present(
+                steady_tel, lambda t: t.get("warmup_failures")),
         },
         "detail": "bench_detail.json",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -22,21 +22,37 @@ asked for it by configuring the directory.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 from pyspark.sql import DataFrame
+
+#: Explicit operator opt-in (r14 ADVICE): when this env var is set, every
+#: truncate_lineage call routes to fault-tolerant ``DataFrame.checkpoint``
+#: WITHOUT probing the context — the probe cannot run at all on runtimes
+#: where ``sparkContext`` is unavailable (Spark Connect), and a
+#: warn-then-localCheckpoint default there silently lands a cluster WITH
+#: a configured dir on unreplicated executor-local blocks.  A
+#: misconfigured opt-in (env set, no checkpoint dir on the session/server)
+#: fails LOUDLY at checkpoint time instead — the right failure direction
+#: for a fault-tolerance knob.  `tools/diff_oracle.py` sets the same var
+#: and additionally calls ``setCheckpointDir`` for the rehearsals.
+FORCE_CHECKPOINT_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
 def _has_checkpoint_dir(df: DataFrame) -> bool:
     """Whether the session has a reliable checkpoint dir configured.
 
-    Probes the PUBLIC ``SparkContext.getCheckpointDir()`` first and keeps
-    the ``_jsc`` JVM internal only as a fallback (r13 ADVICE: on runtimes
-    where ``sparkContext`` itself is unavailable — e.g. Spark Connect —
-    a silent ``False`` would route a cluster WITH a configured dir onto
-    unreplicated localCheckpoint, the exact failure mode this module
-    exists to avoid; when both probes FAIL, warn rather than silently
-    defaulting)."""
+    The ``SPARK_GRAFT_CHECKPOINT_DIR`` env override wins outright (see
+    above).  Otherwise probes the PUBLIC ``SparkContext.getCheckpointDir()``
+    first and keeps the ``_jsc`` JVM internal only as a fallback (r13
+    ADVICE: on runtimes where ``sparkContext`` itself is unavailable —
+    e.g. Spark Connect — a silent ``False`` would route a cluster WITH a
+    configured dir onto unreplicated localCheckpoint, the exact failure
+    mode this module exists to avoid; when both probes FAIL, warn rather
+    than silently defaulting)."""
+    if os.environ.get(FORCE_CHECKPOINT_ENV):
+        return True
     try:
         sc = df.sparkSession.sparkContext
     except Exception:

@@ -52,6 +52,40 @@ def test_probe_failure_falls_back_to_local():
     assert df.calls == [("localCheckpoint", False)]
 
 
+def test_env_override_forces_reliable_checkpoint(monkeypatch):
+    """r14 ADVICE: on runtimes where the context probe cannot run at all
+    (Spark Connect), SPARK_GRAFT_CHECKPOINT_DIR is the operator's explicit
+    opt-in — it must route to reliable checkpoint() even when the probe
+    would have raised, and must NOT warn (the opt-in resolved the
+    ambiguity the warning exists for)."""
+    import warnings
+
+    from sedona_iceberg_extension_spark import lineage
+
+    monkeypatch.setenv(lineage.FORCE_CHECKPOINT_ENV, "/mnt/ckpt")
+    df = _FakeDF(has_dir=False)
+    df.sparkSession = None  # probe would raise — override must win first
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        truncate_lineage(df)
+    assert df.calls == [("checkpoint", False)]
+    # and it also wins over a probe that would say "no dir" — the env is
+    # an unconditional operator declaration (misconfiguration fails loudly
+    # at checkpoint time, the right direction for a fault-tolerance knob)
+    df = _FakeDF(has_dir=False)
+    truncate_lineage(df, eager=True)
+    assert df.calls == [("checkpoint", True)]
+
+
+def test_env_override_empty_string_is_unset(monkeypatch):
+    from sedona_iceberg_extension_spark import lineage
+
+    monkeypatch.setenv(lineage.FORCE_CHECKPOINT_ENV, "")
+    df = _FakeDF(has_dir=False)
+    truncate_lineage(df)
+    assert df.calls == [("localCheckpoint", False)]
+
+
 def test_reliable_checkpoint_end_to_end(spark, tmp_path):
     """The reliable path on a real session: a fresh-session-free check —
     set the dir, checkpoint a frame, verify rows and that the RDD is

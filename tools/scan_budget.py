@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -129,28 +130,55 @@ BUDGETS = {
 
 
 def _stage_snapshot(spark):
-    """{stageId: inputRecords} over every completed stage (REST)."""
+    """{(stageId, attemptId): inputRecords} over every completed stage
+    attempt (REST).  Keyed per ATTEMPT (r14 ADVICE): the /stages endpoint
+    returns one entry per attempt, so a stageId-only dict collapsed
+    retried attempts to one arbitrary entry and undercounted the re-read
+    input records the retry paid."""
     sc = spark.sparkContext
     url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
            "/stages?status=complete")
     with urllib.request.urlopen(url) as fh:
         stages = json.loads(fh.read())
-    return {st["stageId"]: st.get("inputRecords", 0) for st in stages}
+    return {(st["stageId"], st.get("attemptId", 0)): st.get("inputRecords", 0)
+            for st in stages}
+
+
+def _settled_stage_snapshot(spark, tries: int = 20, pause: float = 0.15):
+    """_stage_snapshot once the completed-stage set is STABLE across two
+    consecutive reads (r14 ADVICE): the status store is fed asynchronously
+    from the listener bus, so a snapshot taken immediately after collect()
+    can miss a just-completed stage — undercounting THIS query's delta and
+    misattributing the stragglers to the NEXT entry's.  Bounded: after
+    ``tries`` reads, return the last one (the gate's ~1.5x margins absorb
+    a straggler the bus holds for >3 s, and the final read is never
+    *older* than the naive immediate one)."""
+    prev = _stage_snapshot(spark)
+    for _ in range(tries):
+        time.sleep(pause)
+        cur = _stage_snapshot(spark)
+        if cur.keys() == prev.keys():
+            return cur
+        prev = cur
+    return prev
 
 
 def delta_input_records(spark, fn, sf_dir: str) -> int:
-    """Total inputRecords of stages that COMPLETED while the callable ran.
+    """Total inputRecords of stage attempts that COMPLETED while the
+    callable ran.
 
     Used for the streaming_* entries: availableNow micro-batch jobs run on
     the stream's own thread under the stream's runId job group, so the
     job-group scoper above cannot see them.  Sound because the gate runs
     queries serially in one session — every new completed stage between
     the snapshots belongs to this query (its batch setup jobs AND every
-    micro-batch job, including foreachBatch work)."""
-    before = _stage_snapshot(spark)
+    micro-batch job, including foreachBatch work).  Both snapshots are
+    SETTLED reads (stable across two polls) so late listener-bus events
+    land in the right query's delta."""
+    before = _settled_stage_snapshot(spark)
     fn(spark, sf_dir).collect()
-    after = _stage_snapshot(spark)
-    return sum(v for sid, v in after.items() if sid not in before)
+    after = _settled_stage_snapshot(spark)
+    return sum(v for key, v in after.items() if key not in before)
 
 
 def gated_input_records(spark, fn, sf_dir: str, group: str) -> int:
@@ -165,12 +193,11 @@ def gated_input_records(spark, fn, sf_dir: str, group: str) -> int:
         ji = sc.statusTracker().getJobInfo(j)
         if ji:
             stage_ids.update(ji.stageIds)
-    url = (f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
-           "/stages?status=complete")
-    with urllib.request.urlopen(url) as fh:
-        stages = json.loads(fh.read())
-    return sum(st.get("inputRecords", 0) for st in stages
-               if st["stageId"] in stage_ids)
+    # settled read + per-attempt keys for the same reasons as the delta
+    # scoper: the REST table lags the listener bus, and retried attempts
+    # each pay their own input records
+    return sum(v for (sid, _att), v in _settled_stage_snapshot(spark).items()
+               if sid in stage_ids)
 
 
 def main() -> int:
