@@ -132,16 +132,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #   All were driver-hashed green in their promotion round
 #   (CORRECTNESS_r12/r13 — 50/50 each).
 #
-# Round-14 changes: none qualify.  The round's diffs are driver-side /
-# telemetry / gating only — the bench contention threshold recalibration
-# (bench.py), record-line telemetry fields, the streaming scan-budget
-# extension (tools/scan_budget.py), doc fixes, and the
-# _has_checkpoint_dir probe hardening (lineage.py — behavior identical
-# when no checkpoint dir is configured, as in the driver's sessions;
-# differential-rehearsed WITH a checkpoint dir via tools/diff_oracle.py,
-# see REHEARSALS.md).  No declared query's analyzed plan changed, so
-# tranche 0 is empty and the sample is the 50 stalest greens (the
-# freshness rotation's third tranche, VERDICT r13 item #2).
+# Round-14 changes: none qualified (bench telemetry, gating tools, docs,
+# probe hardening) — tranche 0 was empty and the sample was the 50
+# stalest greens (the rotation's third tranche; CORRECTNESS_r14 50/50).
+#
+# Round-15 changes: none qualify.  The round's diffs are again
+# driver-side / telemetry / gating only — the busy-regime advisory and
+# None-for-unmeasured telemetry (bench.py), settled per-attempt REST
+# stage snapshots (tools/scan_budget.py — measurement tooling, touches
+# no query), and the SPARK_GRAFT_CHECKPOINT_DIR force-override in
+# lineage.py (behavior identical when the env is unset, as in every
+# driver session; the forced path differential-rehearsed via
+# tools/diff_oracle.py, see REHEARSALS.md r15).  No declared query's
+# analyzed plan changed, so tranche 0 is empty and the sample is the 50
+# stalest greens — the freshness rotation's FOURTH tranche (18 r7 names
+# + the 32 oldest r8 names; post-round max staleness r8, within the
+# ≤r9 target of VERDICT r14 item #2).
 _TRANCHE0: list[str] = []
 
 

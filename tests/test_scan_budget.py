@@ -32,3 +32,25 @@ def test_iterative_queries_within_scan_budget():
     assert all(l["input_records"] > 0 for l in lines), (
         "zero input records — the REST metric source is broken, the gate "
         "would pass vacuously")
+
+
+def test_compare_discover_drift_report(tmp_path):
+    """The standing full-set drift audit (r14 VERDICT item #4): the
+    comparer must flag >25% movers and one-sided names, and pass stable
+    and mildly-jittering queries."""
+    from tools.scan_budget import compare_discover
+
+    base = tmp_path / "base.jsonl"
+    base.write_text("\n".join([
+        '{"query": "stable", "input_records": 1000}',
+        '{"query": "jitter", "input_records": 1000}',
+        '{"query": "regressed", "input_records": 1000}',
+        '{"query": "removed", "input_records": 500}',
+    ]))
+    rows = [(1000, "stable"), (1200, "jitter"), (2100, "regressed"),
+            (300, "added")]
+    drifted = compare_discover(rows, str(base))
+    names = {d[0] for d in drifted}
+    assert names == {"regressed", "removed", "added"}
+    reg = next(d for d in drifted if d[0] == "regressed")
+    assert reg[1] == 1000 and reg[2] == 2100 and reg[3] == 2.1

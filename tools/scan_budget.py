@@ -19,6 +19,15 @@ stays inside.
 Usage:  python tools/scan_budget.py [--check] [query ...]
   default: measure and print one line per gated query
   --check: exit 1 if any measured total exceeds its budget
+  --discover [--compare PATH]: audit ALL declared queries (input records
+    per query, descending).  With --compare, also print every query
+    whose input records drifted >25% against a prior discover output
+    (the committed per-round baseline tools/discover_baseline.jsonl) —
+    the standing full-set fan-out drift audit (r14 VERDICT item #4),
+    so NEW recompute regressions surface even outside the budgeted
+    names.  Always exit 0 in discover mode: drift is adjudicated in
+    tools/REHEARSALS.md (one line per round), not auto-failed —
+    legitimate plan rewrites move these numbers.
 Run by tests/test_scan_budget.py as a subprocess (the gate needs its own
 session: the engine disables the UI outside SPARK_GRAFT_PROFILE_UI=1).
 
@@ -200,10 +209,39 @@ def gated_input_records(spark, fn, sf_dir: str, group: str) -> int:
                if sid in stage_ids)
 
 
+def compare_discover(rows, baseline_path, tol=0.25):
+    """Drift report for discover mode: [(name, old, new, ratio)] for every
+    query whose input records moved >tol vs the baseline file, plus
+    queries only on one side.  Pure function (unit-tested without Spark)."""
+    base = {}
+    with open(baseline_path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if ln:
+                rec = json.loads(ln)
+                base[rec["query"]] = rec["input_records"]
+    cur = {name: got for got, name in rows}
+    drifted = []
+    for name in sorted(set(base) | set(cur)):
+        o, n = base.get(name), cur.get(name)
+        if o is None or n is None:
+            drifted.append((name, o, n, None))
+        elif o == 0 or n == 0:
+            if o != n:
+                drifted.append((name, o, n, None))
+        elif not (1 - tol) <= n / o <= (1 + tol):
+            drifted.append((name, o, n, round(n / o, 2)))
+    return drifted
+
+
 def main() -> int:
     check = "--check" in sys.argv
     discover = "--discover" in sys.argv
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    compare_path = None
+    if "--compare" in sys.argv:
+        compare_path = sys.argv[sys.argv.index("--compare") + 1]
+    names = [a for a in sys.argv[1:] if not a.startswith("--")
+             and a != compare_path]
     sf_dir = os.environ.get("SPARK_GRAFT_SCAN_BUDGET_SF_DIR",
                             "/root/testdata/sf0.001")
 
@@ -238,6 +276,14 @@ def main() -> int:
                 print(f"# {name} failed: {e}", file=sys.stderr)
         for got, name in sorted(rows, reverse=True):
             print(json.dumps({"query": name, "input_records": got}))
+        if compare_path:
+            drifted = compare_discover(rows, compare_path)
+            for name, o, n, ratio in drifted:
+                print(f"# DRIFT {name}: {o} -> {n}"
+                      f" ({'x' + str(ratio) if ratio else 'one-sided'})",
+                      file=sys.stderr)
+            print(f"# drift summary: {len(drifted)}/{len(rows)} queries"
+                  f" beyond 25% vs {compare_path}", file=sys.stderr)
         spark.stop()
         return 0
 
