@@ -343,17 +343,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         bucket_src = "banded"
     # "{mh_src}" is a spark.sql DataFrame named-arg placeholder, not
     # f-string interpolation
+    # raw text under the hint, split in a CTE above it (round 15, same
+    # rationale as _membership_sql): the exchange carries raw text and the
+    # tokenizer runs post-exchange at full parallelism instead of inside
+    # the single-split scan stage
     return spark.sql(f"""
-WITH src AS (SELECT {hint}`{id_col}`,
-                    split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks
+WITH src AS (SELECT {hint}`{id_col}`, `{text_col}` AS _txt
              FROM {{mh_src}} WHERE `{id_col}` IS NOT NULL),
+toks AS (SELECT `{id_col}`,
+                split(lower(trim(_txt)), '\\\\s+') AS _toks FROM src),
 hashed AS (
   SELECT `{id_col}`,
          CAST(conv(substr(md5(concat(concat_ws(' ', slice(_toks, _i, {n})),
                                      '#mh')), 1, 15), 16, 10) AS BIGINT) AS _h
   FROM (SELECT `{id_col}`, _toks,
                explode(sequence(1, greatest(size(_toks) - {n - 1}, 1))) AS _i
-        FROM src)
+        FROM toks)
 ),
 wide AS (SELECT `{id_col}`, {mixes} FROM hashed GROUP BY `{id_col}`),
 banded AS (SELECT `{id_col}`,
@@ -475,6 +480,18 @@ def _membership_sql(df: DataFrame, id_col: str, text_col: str,
     # collect_list drops nulls from postings (no pairs) and the sizes
     # equi-join drops null keys — it only leaves the internal doc-freq
     # accounting, where a null-id "document" arguably never belonged.
+    # The REPARTITION hint applies to the RAW (id, text) projection and the
+    # tokenization happens in a separate CTE ABOVE it (round 15, guide §2.3
+    # / §2.5): with the split inlined under the hint, Catalyst placed the
+    # split/lower/trim Project BELOW the exchange — i.e. inside the
+    # single-split scan stage the hint exists to escape — serializing the
+    # tokenize CPU on one core AND shipping token ARRAYS (every token plus
+    # array overhead) through the exchange instead of the raw text.
+    # Splitting the CTEs keeps the exchange on raw bytes and runs the
+    # tokenizer at full parallelism; Catalyst does not push projections
+    # back through a RepartitionByExpression, so the placement sticks
+    # (asserted in tests/test_plan_quality.py).  Value-identical: the same
+    # expressions compute on the same rows, one exchange either way.
     if use_char_grams:
         n = int(char_n)
         # substr window per position, clamped to >= 1 like char_ngrams;
@@ -493,13 +510,14 @@ def _membership_sql(df: DataFrame, id_col: str, text_col: str,
         # mirroring the string path's clamped slice.
         n = int(shingle_n)
         gets = ", ".join(f"get(_toks, _i + {k})" for k in range(n))
-        src = (f"SELECT {hint}`{id_col}`,"
-               f" split(lower(trim(`{text_col}`)), '\\\\s+') AS _toks"
+        src = (f"SELECT {hint}`{id_col}`, `{text_col}` AS _txt"
                " FROM {overlap_src}"
                f" WHERE `{id_col}` IS NOT NULL")
         sh = (f"SELECT `{id_col}`, xxhash64({gets}) AS _h"
               f" FROM (SELECT `{id_col}`, _toks, explode(sequence(0,"
-              f" greatest(size(_toks) - {n}, 0))) AS _i FROM src)")
+              f" greatest(size(_toks) - {n}, 0))) AS _i FROM"
+              f" (SELECT `{id_col}`,"
+              f" split(lower(trim(_txt)), '\\\\s+') AS _toks FROM src))")
     return src, sh
 
 
