@@ -136,19 +136,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # probe hardening) — tranche 0 was empty and the sample was the 50
 # stalest greens (the rotation's third tranche; CORRECTNESS_r14 50/50).
 #
-# Round-15 changes: none qualify.  The round's diffs are again
-# driver-side / telemetry / gating only — the busy-regime advisory and
-# None-for-unmeasured telemetry (bench.py), settled per-attempt REST
-# stage snapshots (tools/scan_budget.py — measurement tooling, touches
-# no query), and the SPARK_GRAFT_CHECKPOINT_DIR force-override in
-# lineage.py (behavior identical when the env is unset, as in every
-# driver session; the forced path differential-rehearsed via
-# tools/diff_oracle.py, see REHEARSALS.md r15).  No declared query's
-# analyzed plan changed, so tranche 0 is empty and the sample is the 50
-# stalest greens — the freshness rotation's FOURTH tranche (18 r7 names
-# + the 32 oldest r8 names; post-round max staleness r8, within the
-# ≤r9 target of VERDICT r14 item #2).
-_TRANCHE0: list[str] = []
+# Round-15 changes: 8 names qualify.  The optimization round made two
+# structural plan changes: (1) the stmt-form dedup constructions now
+# tokenize ABOVE the REPARTITION hint, moving the split/lower/trim
+# Project from below the exchange (single-split scan stage) to above it
+# — same exchange count, exchange now carries raw text (pipeline/
+# dedup.py, guide §2.3/§2.5); (2) q10_returned_items aggregates by
+# o_custkey BEFORE the customer/nation joins and attaches the
+# functionally-dependent attribute columns after (plans/
+# queries_tpch.py, guide §2.3).  The promotion set below is the
+# MECHANIZED plan diff — md5 of the normalized optimizedPlan string for
+# all 340 declared queries at the pre-/post-optimization commits
+# (95fa291 vs working tree; expression ids / temp-view UUIDs / tmp
+# paths normalized) — exactly the 7 stmt-path dedup consumers plus
+# q10; the other 8 dedup-family names the round's oracle gate also
+# re-verified (minhash_signatures, dedup_components, dedup_keep,
+# doc_dedup_pipeline, minhash_jaccard_est, corpus_novelty_decay,
+# source_minhash_similarity, order_interval_overlap) ride the
+# operator-form paths and hash UNCHANGED, so they stay on the
+# staleness rotation.  The multimodal numpy vectorization is exempt by
+# policy (plan-identical — hash-equal — and bit-identical integer sums
+# by construction, oracle-gated).  Remaining diffs are driver-side /
+# telemetry / gating only (busy-regime advisory, settled REST
+# snapshots, checkpoint env override, discover drift audit).  Sample =
+# 8 tranche-0 + the 42 stalest greens (18 r7 + 24 oldest r8);
+# post-round max staleness r8, within the ≤r9 target of VERDICT r14
+# item #2.
+_TRANCHE0: list[str] = [
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "near_dup_rate_by_source",
+    "lsh_edit_distance_verify",
+    "minhash_calibration_curve",
+    "minhash_threshold_pr_curve",
+    "q10_returned_items",
+]
 
 
 def _is_green(rec: object) -> bool:
