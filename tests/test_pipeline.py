@@ -1197,6 +1197,40 @@ def test_semdedup_drop_pair_consistency_and_chains(spark):
         assert partner == min(quals)
 
 
+
+
+def test_multimodal_numpy_sums_exact_edges(spark):
+    """r15: the numpy-vectorized byte sums (mean-byte feature, per-frame
+    energy) must stay bit-identical to the pure-Python loops they replaced,
+    including the edges the vectorization touches: empty payloads (None
+    feature, no frames), sums far above uint8 range (int64 accumulator),
+    and frame counts from a no-copy reshape."""
+    from sedona_iceberg_extension_spark.pipeline import multimodal as mm
+
+    payloads = [
+        (1, bytearray(b"")),                      # empty: feature None
+        (2, bytearray(b"\xff" * 300)),            # sum 76500 >> uint8 max
+        (3, bytearray(bytes(range(256)) * 3)),     # 768 B, varied values
+    ]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+
+    feats = {r["id"]: (r["feature"], r["n_bytes"]) for r in
+             mm.extract_features(df, "id", "payload").collect()}
+    assert feats[1] == (None, 0)
+    assert feats[2] == (pytest.approx(255.0), 300)
+    ref = sum(bytes(range(256)) * 3) / 768.0      # pure-Python reference
+    assert feats[3] == (pytest.approx(ref, abs=0.0), 768)
+
+    rows = {(r["id"], r["frame_idx"]): r["energy"] for r in
+            mm.audio_chunk_energy(df, "id", "payload", frame_bytes=256)
+            .collect()}
+    assert not any(k[0] == 1 for k in rows)       # empty payload: no frames
+    # id 2: one full frame of 0xff (65280), 44-byte tail dropped
+    assert rows[(2, 0)] == 255 * 256
+    ref_frame = sum(range(256))                   # each 256-B frame of id 3
+    assert [rows[(3, i)] for i in range(3)] == [ref_frame] * 3
+
+
 def test_audio_chunk_energy_plumbing(spark):
     """Audio framing: fixed 4-byte frames, partial tail dropped, per-frame
     byte-sum energy exact; real-decode path declares itself unavailable."""

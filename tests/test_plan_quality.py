@@ -442,3 +442,51 @@ def test_stage_reuse(spark, sf_dir, name):
     assert 0 < total <= ceiling, (
         f"{name} executed {total} tasks — a shared pipeline is re-executing "
         f"per consumer (green baseline {base}, regression ~{2 * base})")
+
+
+# ---------------------------------------------------------------------------
+# round 15 optimization gates: the stmt-form dedup paths must tokenize ABOVE
+# their repartition exchange (the exchange ships raw text, never the token
+# array — guide §2.3/§2.5), and q10 must aggregate by the narrow key BELOW
+# the customer/nation attribute joins (guide §2.3 "aggregate before you
+# shuffle").
+
+
+def _formatted(spark, name, sf_dir):
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_dedup_tokenize_above_repartition_exchange(spark, sf_dir, name):
+    """r15: the REPARTITION(doc_id) hint exists to escape the scan stage;
+    Catalyst must not be allowed to pull split(lower(trim(text))) back
+    below it.  Gate: every REPARTITION_BY_COL exchange keyed on the doc id
+    carries the raw text column, never the _toks array, as its input."""
+    plan = _formatted(spark, name, sf_dir)
+    blocks = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(doc_id[^\n]*REPARTITION_BY_COL",
+        plan)
+    assert blocks, f"{name}: no REPARTITION_BY_COL exchange on doc_id found"
+    for inputs in blocks:
+        assert "_toks" not in inputs, (
+            f"{name}: tokenizer ran below the repartition exchange — the "
+            f"exchange input carries the token array ({inputs})")
+
+
+def test_q10_aggregates_before_attribute_joins(spark, sf_dir):
+    """r15: q10 groups by o_custkey right after the orders join and attaches
+    customer/nation attributes onto the aggregated rows.  Gate: at most one
+    BroadcastHashJoin below the partial aggregate (orders), at least two
+    above it — a revert to join-everything-then-group puts all three below."""
+    plan = _plan(spark, "q10_returned_items", sf_dir)
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1
+    above = plan[:first_agg].count("BroadcastHashJoin")
+    below = plan[first_agg:].count("BroadcastHashJoin")
+    assert above >= 2 and below <= 1, (
+        f"q10 join/aggregate order regressed: {above} BroadcastHashJoin "
+        f"above the first HashAggregate, {below} below (expected >=2 / <=1)")
