@@ -262,6 +262,18 @@ def _cpu_probe():
 CONTENTION_STEAL_PCT = 1.0
 CONTENTION_WALL_SPREAD = 1.25
 
+# Suite-total dispersion gate (r15 ADVICE, medium): wall_sec includes ~55 s
+# of fixed priming per child, which DILUTES suite-level dispersion — the
+# r15 certified attempt read wall_spread 1.16 while its TIMED suite totals
+# spread 2.40 (8.3–20.0 s).  This gate measures the dispersion of the
+# steady suite totals themselves (max/min of steady_cold_totals).
+# Calibration against every committed record that carries totals:
+# clean-epoch records r06-r09 1.07-1.10, r11 1.11, r13 1.18, r14 1.19;
+# contaminated records r10 1.45, r12 1.52, r15 8.77, r15 8-core 1.54,
+# r15 attempt t 2.40.  The threshold sits between the populations
+# (clean max 1.19, contaminated min 1.45) with margin on both sides.
+CONTENTION_SUITE_SPREAD = 1.30
+
 # Busy-regime ADVISORY thresholds (r15, VERDICT r14 item #3) — annotate,
 # never breach.  Calibration from the committed steady telemetry (r12
 # driver bench_detail @9b3bf0d, r13 driver @7acbfb6, r13 builder
@@ -332,6 +344,16 @@ def _wall_spread(steady_tel):
     if len(walls) < 2:
         return None
     return round(max(walls) / min(walls), 2)
+
+
+def _suite_spread(totals):
+    """max/min of the TIMED steady suite totals — the dispersion gate over
+    the measured quantity itself (see CONTENTION_SUITE_SPREAD: child wall
+    includes fixed priming, which dilutes suite-level dispersion)."""
+    vals = [t for t in totals if t]
+    if len(vals) < 2:
+        return None
+    return round(max(vals) / min(vals), 2)
 
 
 def _spawn_with_telemetry(extra_argv):
@@ -437,18 +459,42 @@ def main():
     n_contended = sum(1 for t in steady_tel if t["contended"])
     n_advisory = sum(1 for t in steady_tel if t["busy_advisory"])
     spread = _wall_spread(steady_tel)
-    if n_contended or (spread or 0) > CONTENTION_WALL_SPREAD:
+    suite_spread = _suite_spread([round(sum(r.values()), 3)
+                                  for r in steady_runs])
+    if (n_contended or (spread or 0) > CONTENTION_WALL_SPREAD
+            or (suite_spread or 0) > CONTENTION_SUITE_SPREAD):
         print(f"# CONTENTION GUARD: {n_contended}/{len(steady_tel)} steady "
               f"runs over steal>{CONTENTION_STEAL_PCT}%, wall spread "
-              f"{spread} (threshold {CONTENTION_WALL_SPREAD}) — medians are "
-              "not certifiable against prior records; re-run on a quiet "
-              "host", file=sys.stderr)
+              f"{spread} (threshold {CONTENTION_WALL_SPREAD}), suite spread "
+              f"{suite_spread} (threshold {CONTENTION_SUITE_SPREAD}) — "
+              "medians are not certifiable against prior records; re-run "
+              "on a quiet host", file=sys.stderr)
     if n_advisory:
         print(f"# BUSY ADVISORY (not a breach): {n_advisory}/"
               f"{len(steady_tel)} steady runs over busy>"
               f"{BUSY_ADVISORY_PCT}% or psi_cpu>{PSI_CPU_ADVISORY_SEC}s — "
               "in-guest busy regime; read this record on the per-query-min "
               "basis (README 'Series basis')", file=sys.stderr)
+
+    # Detail path: explicit env wins; the DEFAULT is a per-run suffixed
+    # name in the cwd (r15 ADVICE/VERDICT item #2: the old cwd default
+    # `bench_detail.json` silently clobbered the committed certified
+    # artifact whenever a run was launched from the repo root — attempts
+    # d/e lost provenance mid-round and the r15 driver run overwrote
+    # attempt t's detail post-certification).  The committed copy is
+    # refreshed deliberately by copying a chosen run's file in.
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if not detail_path:
+        stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+        detail_path = os.path.join(
+            os.getcwd(), f"bench_detail.{stamp}-{os.getpid()}.json")
+    tracked = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json")
+    if os.path.abspath(detail_path) == tracked:
+        print("# WARNING: detail path is the git-tracked committed record "
+              f"({tracked}) — overwriting a certified artifact; point "
+              "SPARK_GRAFT_BENCH_DETAIL elsewhere unless this is "
+              "deliberate", file=sys.stderr)
 
     line = {
         "metric": "headline_suite_seconds",
@@ -481,6 +527,7 @@ def main():
                 steady_tel,
                 lambda t: (t.get("psi_stall_sec") or {}).get("cpu")),
             "wall_spread": spread,
+            "suite_spread": suite_spread,
             "contended_runs": n_contended,
             "busy_advisory_runs": n_advisory,
             "primed_rounds_min": _min_present(
@@ -488,7 +535,7 @@ def main():
             "warmup_failures_max": _max_present(
                 steady_tel, lambda t: t.get("warmup_failures")),
         },
-        "detail": "bench_detail.json",
+        "detail": os.path.basename(detail_path),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = dict(line)
@@ -496,21 +543,21 @@ def main():
         "queries_min": min_queries,
         "true_cold_queries": true_cold,
         "warm_queries": warm,
+        # machine-readable certification basis (r15 ADVICE, low): the
+        # headline `value` is a median and can be epoch-inflated with
+        # every per-run flag clean (the "invisible" busy class README
+        # documents); cross-record certification reads per-query MINS.
+        # A consumer of this file gets the basis without the prose.
+        "certification_basis": "queries_min",
+        "certified_value": round(sum(min_queries.values()), 3),
         "telemetry": {"host_cpus": os.cpu_count(),
                       "true_cold": tc_tel, "steady": steady_tel},
     })
-    # cwd (or an explicit env path) — NOT next to __file__: a bench run
-    # must never silently overwrite the git-tracked record in the
-    # source tree (r10 ADVICE; the committed copy is refreshed
-    # deliberately by copying a chosen run's file in)
-    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL",
-                                 os.path.join(os.getcwd(),
-                                              "bench_detail.json"))
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
     except Exception as e:        # detail is best-effort, the line is the record
-        print(f"# bench_detail.json write failed: {e}", file=sys.stderr)
+        print(f"# bench detail write failed: {e}", file=sys.stderr)
     out = json.dumps(line)
     # never let the record outgrow the capture window: drop optional
     # fields in increasing order of value until the line fits (the
