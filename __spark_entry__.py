@@ -136,41 +136,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # probe hardening) — tranche 0 was empty and the sample was the 50
 # stalest greens (the rotation's third tranche; CORRECTNESS_r14 50/50).
 #
-# Round-15 changes: 8 names qualify.  The optimization round made two
-# structural plan changes: (1) the stmt-form dedup constructions now
-# tokenize ABOVE the REPARTITION hint, moving the split/lower/trim
-# Project from below the exchange (single-split scan stage) to above it
-# — same exchange count, exchange now carries raw text (pipeline/
-# dedup.py, guide §2.3/§2.5); (2) q10_returned_items aggregates by
-# o_custkey BEFORE the customer/nation joins and attaches the
-# functionally-dependent attribute columns after (plans/
-# queries_tpch.py, guide §2.3).  The promotion set below is the
-# MECHANIZED plan diff — md5 of the normalized optimizedPlan string for
-# all 340 declared queries at the pre-/post-optimization commits
-# (95fa291 vs working tree; expression ids / temp-view UUIDs / tmp
-# paths normalized) — exactly the 7 stmt-path dedup consumers plus
-# q10; the other 8 dedup-family names the round's oracle gate also
-# re-verified (minhash_signatures, dedup_components, dedup_keep,
-# doc_dedup_pipeline, minhash_jaccard_est, corpus_novelty_decay,
-# source_minhash_similarity, order_interval_overlap) ride the
-# operator-form paths and hash UNCHANGED, so they stay on the
-# staleness rotation.  The multimodal numpy vectorization is exempt by
-# policy (plan-identical — hash-equal — and bit-identical integer sums
-# by construction, oracle-gated).  Remaining diffs are driver-side /
-# telemetry / gating only (busy-regime advisory, settled REST
-# snapshots, checkpoint env override, discover drift audit).  Sample =
-# 8 tranche-0 + the 42 stalest greens (18 r7 + 24 oldest r8);
-# post-round max staleness r8, within the ≤r9 target of VERDICT r14
-# item #2.
+# Round-15 promoted 8 names (the 7 stmt-path dedup consumers + q10) for
+# the tokenize-above-exchange and aggregate-before-join rewrites; all 8
+# were driver-hashed green in CORRECTNESS_r15 (50/50).
+#
+# Round-16 changes: 7 names qualify.  The second optimization round
+# restructured the single-statement grid join (`operators/
+# spatial_join.py::_stmt_grid_join`): the statement now references the
+# envelope STRUCT FIELDS directly instead of flattening them into
+# ``_l_*``/``_r_*`` columns, so the cell exchanges carry each side's
+# envelope once (the struct) instead of twice (struct + four flattened
+# doubles — the before/after captures in plans/r16/ show the exchange
+# input shrinking 8→5 columns on the box side and 4→2 on the point
+# side), and the statement analyzes a two-levels-shallower tree (guide
+# §2.3 — shuffle fewer bytes; §5 — driver-side cost).  The promotion
+# set below is the MECHANIZED plan diff (tools/plan_hashes.py — md5
+# over normalized optimizedPlan strings of all 340 declared queries,
+# pre-change commit 0736652 vs this tree): exactly the 6 declared
+# stmt-grid-join consumers plus spatial_dbscan (its pair search rides
+# the same statement).  Three more names flickered in the hash diff
+# and were excluded after direct plan-string comparison:
+# minhash_calibration_curve / minhash_threshold_pr_curve are
+# byte-identical old-vs-new (cross-session canonicalization flicker,
+# the r15 orders_twoway_anova class) and q21_sole_fault_supplier's
+# distinct-aggregate Expand assigns its gid tags nondeterministically
+# across constructions on BOTH trees (value-identical by construction).
+# The grid-size two-level cache (`_cached_grid_size`) is exempt by
+# policy: it only decides when the sizing stats job re-runs — the
+# derived literal is identical, oracle-gated.  Sample = 7 tranche-0 +
+# the 43 stalest greens.
 _TRANCHE0: list[str] = [
-    "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
-    "ngram_containment_pairs",
-    "near_dup_rate_by_source",
-    "lsh_edit_distance_verify",
-    "minhash_calibration_curve",
-    "minhash_threshold_pr_curve",
-    "q10_returned_items",
+    "spatial_join_contains",
+    "spatial_join_dwithin",
+    "spatial_join_sql",
+    "spatial_join_sql_chain",
+    "spatial_join_sql_comma",
+    "spatial_join_sql_dwithin",
+    "spatial_dbscan",
 ]
 
 

@@ -333,11 +333,19 @@ def _native_cond_sql(predicate: str, d: float,
     literal arithmetic — the differential gates in
     tests/test_spatial_join.py hold the two spellings row-identical).
     Returns None when the shape needs a refinement UDF — those joins stay
-    on the operator path."""
-    lx0, ly0 = "l.`_l_xmin`", "l.`_l_ymin`"
-    lx1, ly1 = "l.`_l_xmax`", "l.`_l_ymax`"
-    rx0, ry0 = "r.`_r_xmin`", "r.`_r_ymin`"
-    rx1, ry1 = "r.`_r_xmax`", "r.`_r_ymax`"
+    on the operator path.
+
+    The envelope references are ``str.format`` placeholders (lx0/ly0/lx1/
+    ly1, rx0/ry0/rx1/ry1) filled in by `_stmt_grid_join` with direct
+    ``<env struct>.<field>`` paths (round 16): the statement no longer
+    flattens the env structs into ``_l_*``/``_r_*`` columns, so the cell
+    exchanges ship each side's envelope ONCE (the struct) instead of
+    twice (struct + four flattened doubles) — 32 bytes/row/side off the
+    family's widest shuffle — and the statement analyzes a smaller tree."""
+    lx0, ly0 = "{lx0}", "{ly0}"
+    lx1, ly1 = "{lx1}", "{ly1}"
+    rx0, ry0 = "{rx0}", "{ry0}"
+    rx1, ry1 = "{rx1}", "{ry1}"
     if predicate == "dwithin":
         if not (left_is_points and right_is_points):
             return None
@@ -377,8 +385,8 @@ def _stmt_grid_join(left: DataFrame, right: DataFrame, lg: str, rg: str,
     """The inner grid join as ONE ``spark.sql`` statement (promoted round
     12 from the r11 `_grid_join_sql` prototype, which measured the grid
     fragment alone at −30% construction).  Everything the operator path
-    spreads over ~12 eager Dataset ops folds into the statement: env-struct
-    flattening (``_ensure_env``), the right-side ``r_`` collision rename
+    spreads over ~12 eager Dataset ops folds into the statement: the
+    right-side ``r_`` collision rename
     (the same convention as the operator path — closing the r11 ADVICE
     duplicate-column finding on the prototype), both nested cell explodes,
     the cell equi-join + reference-cell algebraic dedup + hint-exact
@@ -391,37 +399,41 @@ def _stmt_grid_join(left: DataFrame, right: DataFrame, lg: str, rg: str,
     s, pad = _dlit(grid_size), _dlit(d)
     common = set(left.columns) & set(right.columns)
     rname = {c: (f"r_{c}" if c in common else c) for c in right.columns}
-    lenv, renv = f"`{lg}_env`", f"`{rg}_env`"
+    lenv = f"`{lg}_env`"
+    renv_in = f"`{rg}_env`"               # before the collision rename
+    renv = f"`{rname[rg + '_env']}`"      # after it
+    # direct struct-field envelope paths (round 16): no _l_*/_r_* flatten
+    # projections — the exchanges carry each side's env struct once, and
+    # the statement tree is two SELECT levels shallower per side
+    cond = cond_sql.format(
+        lx0=f"l.{lenv}.`xmin`", ly0=f"l.{lenv}.`ymin`",
+        lx1=f"l.{lenv}.`xmax`", ly1=f"l.{lenv}.`ymax`",
+        rx0=f"r.{renv}.`xmin`", ry0=f"r.{renv}.`ymin`",
+        rx1=f"r.{renv}.`xmax`", ry1=f"r.{renv}.`ymax`")
     lsel = ", ".join(f"`{c}`" for c in left.columns)
     rsel = ", ".join(f"`{c}` AS `{rname[c]}`" for c in right.columns)
     lproj = ", ".join(f"l.`{c}`" for c in left.columns)
     rproj = ", ".join(f"r.`{rname[c]}`" for c in right.columns)
     return spark.sql(f"""
 WITH lcell AS (
-  SELECT *, explode(sequence(floor((`_l_ymin` - {pad}) / {s}),
-                             floor((`_l_ymax` + {pad}) / {s}))) AS _cy
-  FROM (SELECT *, explode(sequence(floor((`_l_xmin` - {pad}) / {s}),
-                                   floor((`_l_xmax` + {pad}) / {s}))) AS _cx
-        FROM (SELECT {lsel},
-                     {lenv}.`xmin` AS `_l_xmin`, {lenv}.`ymin` AS `_l_ymin`,
-                     {lenv}.`xmax` AS `_l_xmax`, {lenv}.`ymax` AS `_l_ymax`
-              FROM {{sj_left}}))
+  SELECT *, explode(sequence(floor(({lenv}.`ymin` - {pad}) / {s}),
+                             floor(({lenv}.`ymax` + {pad}) / {s}))) AS _cy
+  FROM (SELECT {lsel}, explode(sequence(floor(({lenv}.`xmin` - {pad}) / {s}),
+                                        floor(({lenv}.`xmax` + {pad}) / {s}))) AS _cx
+        FROM {{sj_left}})
 ), rcell AS (
-  SELECT *, explode(sequence(floor(`_r_ymin` / {s}),
-                             floor(`_r_ymax` / {s}))) AS _cy
-  FROM (SELECT *, explode(sequence(floor(`_r_xmin` / {s}),
-                                   floor(`_r_xmax` / {s}))) AS _cx
-        FROM (SELECT {rsel},
-                     {renv}.`xmin` AS `_r_xmin`, {renv}.`ymin` AS `_r_ymin`,
-                     {renv}.`xmax` AS `_r_xmax`, {renv}.`ymax` AS `_r_ymax`
-              FROM {{sj_right}}))
+  SELECT *, explode(sequence(floor({renv}.`ymin` / {s}),
+                             floor({renv}.`ymax` / {s}))) AS _cy
+  FROM (SELECT {rsel}, explode(sequence(floor({renv_in}.`xmin` / {s}),
+                                        floor({renv_in}.`xmax` / {s}))) AS _cx
+        FROM {{sj_right}})
 )
 SELECT {lproj}, {rproj}
 FROM lcell l JOIN rcell r
   ON l._cx = r._cx AND l._cy = r._cy
- AND l._cx = floor(greatest(l.`_l_xmin` - {pad}, r.`_r_xmin`) / {s})
- AND l._cy = floor(greatest(l.`_l_ymin` - {pad}, r.`_r_ymin`) / {s})
- AND ({cond_sql})
+ AND l._cx = floor(greatest(l.{lenv}.`xmin` - {pad}, r.{renv}.`xmin`) / {s})
+ AND l._cy = floor(greatest(l.{lenv}.`ymin` - {pad}, r.{renv}.`ymin`) / {s})
+ AND ({cond})
 """, sj_left=left, sj_right=right)
 
 
@@ -456,6 +468,44 @@ def _stamp_row_id(df: DataFrame, exclude: tuple = ()) -> DataFrame:
 # if the underlying files change within one session — the same staleness
 # window Spark's own cached file listings have.
 _GRID_SIZE_CACHE: dict = {}
+
+
+def _cached_grid_size(level1_key, both_df_fn, d: float) -> float:
+    """Two-level grid-size cache (round 16, guide §5 — driver-side cost).
+
+    Level 1 (pre-existing): the analyzed-plan semantic hashes of the raw
+    join inputs — a cheap exact match for re-running the same join.
+    Level 2 (new): the OPTIMIZED plan hash of the stats frame itself.
+    Column pruning sees through projection/rename variants of the same
+    inputs — e.g. the operator-form and SQL-text spellings of the same
+    declared join project different column subsets but prune to an
+    identical stats query — so the two-scan stats job runs once per
+    session per distinct (data, env expression, d), not once per query
+    variant.  Measured: a level-2 hit costs ~75 ms (stats-frame build +
+    optimize) vs ~110-230 ms for the job itself; at 100 TB the job is two
+    full scans, so every skipped variant saves real work, not just
+    dispatch latency."""
+    if level1_key is not None and level1_key in _GRID_SIZE_CACHE:
+        return _GRID_SIZE_CACHE[level1_key]
+    both = both_df_fn()
+    k2 = None
+    try:
+        k2 = ("stats2",
+              both._jdf.queryExecution().optimizedPlan().semanticHash(),
+              float(d))
+    except Exception:
+        pass
+    grid_size = _GRID_SIZE_CACHE.get(k2) if k2 is not None else None
+    if grid_size is None:
+        row = both.first()
+        ls = {k: row[f"l{k}"] for k in ("w", "h", "W", "H")}
+        rs = {k: row[f"r{k}"] for k in ("w", "h", "W", "H")}
+        grid_size = _derive_grid_size(ls, rs, d)
+        if k2 is not None and len(_GRID_SIZE_CACHE) < 256:
+            _GRID_SIZE_CACHE[k2] = grid_size
+    if level1_key is not None and len(_GRID_SIZE_CACHE) < 256:
+        _GRID_SIZE_CACHE[level1_key] = grid_size
+    return grid_size
 
 
 def _derive_grid_size(ls: dict, rs: dict, d: float) -> float:
@@ -493,24 +543,18 @@ def _grid_size_from_env(left: DataFrame, right: DataFrame,
                float(d), ("env", lg, rg))
     except Exception:
         pass
-    if key is not None and key in _GRID_SIZE_CACHE:
-        return _GRID_SIZE_CACHE[key]
 
-    def _stats(df, g, pre):
-        e = F.col(f"{g}_env")
-        return df.select(
-            F.avg(e["xmax"] - e["xmin"]).alias(f"{pre}w"),
-            F.avg(e["ymax"] - e["ymin"]).alias(f"{pre}h"),
-            (F.max(e["xmax"]) - F.min(e["xmin"])).alias(f"{pre}W"),
-            (F.max(e["ymax"]) - F.min(e["ymin"])).alias(f"{pre}H"),
-        )
-    both = _stats(left, lg, "l").crossJoin(_stats(right, rg, "r")).first()
-    ls = {k: both[f"l{k}"] for k in ("w", "h", "W", "H")}
-    rs = {k: both[f"r{k}"] for k in ("w", "h", "W", "H")}
-    grid_size = _derive_grid_size(ls, rs, d)
-    if key is not None and len(_GRID_SIZE_CACHE) < 256:
-        _GRID_SIZE_CACHE[key] = grid_size
-    return grid_size
+    def _both():
+        def _stats(df, g, pre):
+            e = F.col(f"{g}_env")
+            return df.select(
+                F.avg(e["xmax"] - e["xmin"]).alias(f"{pre}w"),
+                F.avg(e["ymax"] - e["ymin"]).alias(f"{pre}h"),
+                (F.max(e["xmax"]) - F.min(e["xmin"])).alias(f"{pre}W"),
+                (F.max(e["ymax"]) - F.min(e["ymin"])).alias(f"{pre}H"),
+            )
+        return _stats(left, lg, "l").crossJoin(_stats(right, rg, "r"))
+    return _cached_grid_size(key, _both, d)
 
 
 def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
@@ -523,25 +567,23 @@ def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
                    float(d), lp, rp)
         except Exception:
             pass
-        grid_size = _GRID_SIZE_CACHE.get(key) if key is not None else None
-    if grid_size is None:
-        # sample-driven cell sizing — see _derive_grid_size
-        def _stats(df, p, pre):
-            return df.select(
-                F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias(f"{pre}w"),
-                F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias(f"{pre}h"),
-                (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias(f"{pre}W"),
-                (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias(f"{pre}H"),
-            )
-        # ONE job for both sides (1×1 cross of two single-row aggregates) —
-        # at 100 TB this is still two scans' worth of work, but scheduled
-        # together instead of as two sequential driver round-trips
-        both = _stats(left, lp, "l").crossJoin(_stats(right, rp, "r")).first()
-        ls = {k: both[f"l{k}"] for k in ("w", "h", "W", "H")}
-        rs = {k: both[f"r{k}"] for k in ("w", "h", "W", "H")}
-        grid_size = _derive_grid_size(ls, rs, d)
-        if key is not None and len(_GRID_SIZE_CACHE) < 256:
-            _GRID_SIZE_CACHE[key] = grid_size
+
+        # sample-driven cell sizing — see _derive_grid_size.  ONE job for
+        # both sides (1×1 cross of two single-row aggregates) — at 100 TB
+        # this is still two scans' worth of work, but scheduled together
+        # instead of as two sequential driver round-trips; the two-level
+        # cache (`_cached_grid_size`) skips it for re-runs and for
+        # projection variants of the same inputs
+        def _both():
+            def _stats(df, p, pre):
+                return df.select(
+                    F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias(f"{pre}w"),
+                    F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias(f"{pre}h"),
+                    (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias(f"{pre}W"),
+                    (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias(f"{pre}H"),
+                )
+            return _stats(left, lp, "l").crossJoin(_stats(right, rp, "r"))
+        grid_size = _cached_grid_size(key, _both, d)
 
     s = float(grid_size)
 

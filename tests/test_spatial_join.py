@@ -627,3 +627,48 @@ def test_stmt_construction_auto_and_fallbacks(spark, sf_dir):
     with pytest.raises(ValueError):
         spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
                      how="left_semi", strategy="grid", construction="stmt")
+
+
+def test_stmt_exchanges_carry_env_struct_not_flats(spark, sf_dir):
+    """Round-16 gate: the single-statement grid join references envelope
+    STRUCT FIELDS directly — no ``_l_*``/``_r_*`` flatten projections —
+    so the cell exchanges ship each side's envelope once (the struct)
+    instead of twice (struct + four flattened doubles).  A regression
+    reintroducing the flats would double the envelope bytes on the
+    family's widest shuffle (guide §2.3)."""
+    pts, boxes, _ = _sj_fixture_dfs(spark, sf_dir)
+    sq = spatial_join(boxes, pts, predicate="contains", on=("geo", "geo"),
+                      strategy="grid", construction="stmt")
+    plan = sq._jdf.queryExecution().executedPlan().toString()
+    assert "_l_xmin" not in plan and "_r_xmin" not in plan
+    # the env structs still reach the output projection unchanged
+    assert "geo_env" in sq.columns and "r_geo_env" in sq.columns
+
+
+def test_grid_size_cache_hits_across_projection_variants(spark, sf_dir):
+    """Round-16 gate: `_cached_grid_size`'s level-2 key (optimized-plan
+    hash of the stats frame) must see through projection variants of the
+    same inputs, so the two-scan sizing job runs once per session per
+    (data, env expression, d) — the SQL-text and operator spellings of a
+    declared join share one stats job."""
+    import importlib
+
+    SJ = importlib.import_module(
+        "sedona_iceberg_extension_spark.operators.spatial_join")
+    pts, boxes, _ = _sj_fixture_dfs(spark, sf_dir)
+    SJ._GRID_SIZE_CACHE.clear()
+    g1 = SJ._grid_size_from_env(boxes, pts, "geo", "geo", 0.0)
+    n_after_first = len(SJ._GRID_SIZE_CACHE)     # level-1 + level-2 entries
+    # projection variants: extra columns change the analyzed plans (level-1
+    # miss) but prune away in the stats frame (level-2 hit)
+    boxes_v = boxes.select("*", F.lit(1).alias("_extra"))
+    pts_v = pts.select("*", F.lit(2).alias("_extra"))
+    st = spark.sparkContext.statusTracker()
+    jobs_before = len(st.getJobIdsForGroup())
+    g2 = SJ._grid_size_from_env(boxes_v, pts_v, "geo", "geo", 0.0)
+    jobs_after = len(st.getJobIdsForGroup())
+    assert g1 == g2
+    # the variant took the level-2 hit: no new Spark job ran
+    assert jobs_after == jobs_before
+    assert len(SJ._GRID_SIZE_CACHE) > n_after_first   # level-1 entry added
+    SJ._GRID_SIZE_CACHE.clear()

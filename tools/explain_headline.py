@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for every headline query to plans/r15/.
+"""Dump .explain("formatted") for every headline query to
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r16).
 
 Usage: python tools/explain_headline.py <suffix> [query ...]
 
-Writes plans/r15/<name>_<suffix>.txt for each headline query (or the
+Writes plans/<round>/<name>_<suffix>.txt for each headline query (or the
 named subset).  The judge reads these files to check plan claims; the
 queries are built against $SPARK_GRAFT_SF_DIR (default sf0.1) with the
 same session the bench uses.
@@ -27,7 +28,8 @@ def main():
 
     spark = get_session(master=f"local[{cpus}]")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"))
     os.makedirs(out_dir, exist_ok=True)
     for name, qd in QUERIES.items():
         if not qd.headline and name not in only:
