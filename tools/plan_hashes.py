@@ -11,6 +11,17 @@ Normalization scrubs expression ids (#123), temp-view UUID suffixes, and
 tmp paths, so a hash difference means the distributed plan STRUCTURE
 changed — the tranche-0 promotion criterion (__spark_entry__.py).  Streaming
 queries (no batch optimizedPlan) hash their analyzed logical plan text.
+
+Known flicker sources (adjudicate a CHANGED name by direct plan-string
+diff in ISOLATED sessions before promoting it):
+- queries whose subtrees match another query's in-query ``persist()``
+  get CacheManager-substituted InMemoryRelations whose presence depends
+  on unpersist timing earlier in the dump session (observed:
+  minhash_calibration_curve / minhash_threshold_pr_curve hash
+  differently across full-set dumps yet byte-identical in isolation);
+- the distinct-aggregate rewrite assigns Expand gid tags
+  nondeterministically across constructions (observed:
+  q21_sole_fault_supplier).
 """
 
 from __future__ import annotations
