@@ -470,39 +470,58 @@ def _stamp_row_id(df: DataFrame, exclude: tuple = ()) -> DataFrame:
 _GRID_SIZE_CACHE: dict = {}
 
 
-def _cached_grid_size(level1_key, both_df_fn, d: float) -> float:
+# session-lifetime cache of per-SIDE envelope statistics, keyed by the
+# OPTIMIZED plan hash of the side's stats frame (round 16, guide §5)
+_ENV_STATS_CACHE: dict = {}
+
+
+def _cached_grid_size(level1_key, lstats_fn, rstats_fn, d: float) -> float:
     """Two-level grid-size cache (round 16, guide §5 — driver-side cost).
 
     Level 1 (pre-existing): the analyzed-plan semantic hashes of the raw
     join inputs — a cheap exact match for re-running the same join.
-    Level 2 (new): the OPTIMIZED plan hash of the stats frame itself.
-    Column pruning sees through projection/rename variants of the same
-    inputs — e.g. the operator-form and SQL-text spellings of the same
-    declared join project different column subsets but prune to an
-    identical stats query — so the two-scan stats job runs once per
-    session per distinct (data, env expression, d), not once per query
-    variant.  Measured: a level-2 hit costs ~75 ms (stats-frame build +
-    optimize) vs ~110-230 ms for the job itself; at 100 TB the job is two
-    full scans, so every skipped variant saves real work, not just
-    dispatch latency."""
+    Level 2 (new): per-SIDE envelope statistics keyed by the OPTIMIZED
+    plan hash of each side's stats frame.  Column pruning sees through
+    projection/rename variants of the same side — the operator-form and
+    SQL-text spellings of one declared join project different column
+    subsets (and arrive with the sides SWAPPED, since the SQL front door
+    plans ``ST_Contains(r, l)`` as the inverse predicate) but prune to
+    identical per-side stats queries; canonicalization also ignores the
+    l/r output aliases.  A join whose sides were BOTH seen before (in any
+    orientation, under any projection, even paired differently) derives
+    its grid size with NO job at all; one new side costs a single-side
+    aggregate instead of the two-sided crossJoin.  Measured: a full-miss
+    job is ~110-230 ms and 4 AQE jobs; a both-sides-hit is ~75 ms of
+    driver-only work (stats-frame build + optimize).  At 100 TB each
+    side's stats job is a full scan of that input, so every hit saves
+    real work, not just dispatch latency."""
     if level1_key is not None and level1_key in _GRID_SIZE_CACHE:
         return _GRID_SIZE_CACHE[level1_key]
-    both = both_df_fn()
-    k2 = None
-    try:
-        k2 = ("stats2",
-              both._jdf.queryExecution().optimizedPlan().semanticHash(),
-              float(d))
-    except Exception:
-        pass
-    grid_size = _GRID_SIZE_CACHE.get(k2) if k2 is not None else None
-    if grid_size is None:
-        row = both.first()
+    lstats, rstats = lstats_fn(), rstats_fn()
+
+    def _h(df):
+        try:
+            return df._jdf.queryExecution().optimizedPlan().semanticHash()
+        except Exception:
+            return None
+    hl, hr = _h(lstats), _h(rstats)
+    ls = _ENV_STATS_CACHE.get(hl) if hl is not None else None
+    rs = _ENV_STATS_CACHE.get(hr) if hr is not None else None
+    if ls is None and rs is None:
+        row = lstats.crossJoin(rstats).first()
         ls = {k: row[f"l{k}"] for k in ("w", "h", "W", "H")}
         rs = {k: row[f"r{k}"] for k in ("w", "h", "W", "H")}
-        grid_size = _derive_grid_size(ls, rs, d)
-        if k2 is not None and len(_GRID_SIZE_CACHE) < 256:
-            _GRID_SIZE_CACHE[k2] = grid_size
+    elif ls is None:
+        row = lstats.first()
+        ls = {k: row[f"l{k}"] for k in ("w", "h", "W", "H")}
+    elif rs is None:
+        row = rstats.first()
+        rs = {k: row[f"r{k}"] for k in ("w", "h", "W", "H")}
+    if hl is not None and len(_ENV_STATS_CACHE) < 512:
+        _ENV_STATS_CACHE[hl] = ls
+    if hr is not None and len(_ENV_STATS_CACHE) < 512:
+        _ENV_STATS_CACHE[hr] = rs
+    grid_size = _derive_grid_size(ls, rs, d)
     if level1_key is not None and len(_GRID_SIZE_CACHE) < 256:
         _GRID_SIZE_CACHE[level1_key] = grid_size
     return grid_size
@@ -544,17 +563,16 @@ def _grid_size_from_env(left: DataFrame, right: DataFrame,
     except Exception:
         pass
 
-    def _both():
-        def _stats(df, g, pre):
-            e = F.col(f"{g}_env")
-            return df.select(
-                F.avg(e["xmax"] - e["xmin"]).alias(f"{pre}w"),
-                F.avg(e["ymax"] - e["ymin"]).alias(f"{pre}h"),
-                (F.max(e["xmax"]) - F.min(e["xmin"])).alias(f"{pre}W"),
-                (F.max(e["ymax"]) - F.min(e["ymin"])).alias(f"{pre}H"),
-            )
-        return _stats(left, lg, "l").crossJoin(_stats(right, rg, "r"))
-    return _cached_grid_size(key, _both, d)
+    def _stats(df, g, pre):
+        e = F.col(f"{g}_env")
+        return df.select(
+            F.avg(e["xmax"] - e["xmin"]).alias(f"{pre}w"),
+            F.avg(e["ymax"] - e["ymin"]).alias(f"{pre}h"),
+            (F.max(e["xmax"]) - F.min(e["xmin"])).alias(f"{pre}W"),
+            (F.max(e["ymax"]) - F.min(e["ymin"])).alias(f"{pre}H"),
+        )
+    return _cached_grid_size(key, lambda: _stats(left, lg, "l"),
+                             lambda: _stats(right, rg, "r"), d)
 
 
 def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
@@ -574,16 +592,15 @@ def _grid_join(left: DataFrame, right: DataFrame, lp: str, rp: str,
         # instead of as two sequential driver round-trips; the two-level
         # cache (`_cached_grid_size`) skips it for re-runs and for
         # projection variants of the same inputs
-        def _both():
-            def _stats(df, p, pre):
-                return df.select(
-                    F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias(f"{pre}w"),
-                    F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias(f"{pre}h"),
-                    (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias(f"{pre}W"),
-                    (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias(f"{pre}H"),
-                )
-            return _stats(left, lp, "l").crossJoin(_stats(right, rp, "r"))
-        grid_size = _cached_grid_size(key, _both, d)
+        def _stats(df, p, pre):
+            return df.select(
+                F.avg(F.col(f"{p}_xmax") - F.col(f"{p}_xmin")).alias(f"{pre}w"),
+                F.avg(F.col(f"{p}_ymax") - F.col(f"{p}_ymin")).alias(f"{pre}h"),
+                (F.max(f"{p}_xmax") - F.min(f"{p}_xmin")).alias(f"{pre}W"),
+                (F.max(f"{p}_ymax") - F.min(f"{p}_ymin")).alias(f"{pre}H"),
+            )
+        grid_size = _cached_grid_size(key, lambda: _stats(left, lp, "l"),
+                                      lambda: _stats(right, rp, "r"), d)
 
     s = float(grid_size)
 

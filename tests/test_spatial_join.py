@@ -657,6 +657,7 @@ def test_grid_size_cache_hits_across_projection_variants(spark, sf_dir):
         "sedona_iceberg_extension_spark.operators.spatial_join")
     pts, boxes, _ = _sj_fixture_dfs(spark, sf_dir)
     SJ._GRID_SIZE_CACHE.clear()
+    SJ._ENV_STATS_CACHE.clear()
     g1 = SJ._grid_size_from_env(boxes, pts, "geo", "geo", 0.0)
     n_after_first = len(SJ._GRID_SIZE_CACHE)     # level-1 + level-2 entries
     # projection variants: extra columns change the analyzed plans (level-1
@@ -671,4 +672,18 @@ def test_grid_size_cache_hits_across_projection_variants(spark, sf_dir):
     # the variant took the level-2 hit: no new Spark job ran
     assert jobs_after == jobs_before
     assert len(SJ._GRID_SIZE_CACHE) > n_after_first   # level-1 entry added
+    # orientation-insensitivity: the SQL front door plans the same join
+    # with the sides SWAPPED (inverse predicate); `_derive_grid_size` is
+    # symmetric, so the swapped orientation must hit too — no new job
+    jobs_before = len(st.getJobIdsForGroup())
+    g3 = SJ._grid_size_from_env(pts, boxes, "geo", "geo", 0.0)
+    assert g3 == g1
+    assert len(st.getJobIdsForGroup()) == jobs_before
+    # a NEW PAIRING of two already-seen sides also needs no job
+    jobs_before = len(st.getJobIdsForGroup())
+    boxes2 = boxes.select("n_nationkey", "geo", "geo_env")
+    g4 = SJ._grid_size_from_env(boxes2, boxes, "geo", "geo", 0.0)
+    assert g4 > 0
+    assert len(st.getJobIdsForGroup()) == jobs_before
     SJ._GRID_SIZE_CACHE.clear()
+    SJ._ENV_STATS_CACHE.clear()
